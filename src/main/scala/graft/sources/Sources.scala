@@ -1,0 +1,85 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** File sources (SURVEY.md §2.1). The reference loads CSVs one pandas
+  * frame per file keyed by file stem (reference finance_data.py:91-103);
+  * here a single distributed read produces one long frame with a `ticker`
+  * column derived from the file name — the scalable replacement for the
+  * per-ticker dict (SURVEY.md §1.1).
+  */
+object Sources {
+
+  /** Explicit OHLCV schema — inference is a correctness hazard (pre-IPO
+    * rows in msft.csv are empty strings, FIXTURES.md A1) and a perf
+    * hazard at scale (schema-inference pass reads the data twice).
+    */
+  val ohlcvSchema: StructType = StructType(Seq(
+    StructField("Date", TimestampType),
+    StructField("Open", DoubleType),
+    StructField("High", DoubleType),
+    StructField("Low", DoubleType),
+    StructField("Close", DoubleType),
+    StructField("Volume", LongType)))
+
+  /** S1: CSV scan of a file or directory of `<ticker>.csv` files. Columns
+    * lowercased on entry (reference strats.py:527-528, P1); ticker from
+    * the file stem via `input_file_name()` — one distributed read, no
+    * per-file driver loop.
+    */
+  def readOhlcvCsv(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read
+      .schema(ohlcvSchema)
+      .option("header", "true")
+      .csv(if (path.endsWith(".csv")) path else s"$path/*.csv")
+    val lowered = raw.toDF(raw.columns.map(_.toLowerCase): _*)
+    lowered.withColumn("ticker",
+      regexp_extract(input_file_name(), "([^/]+)\\.csv$", 1))
+  }
+
+  /** S4: pipe-delimited symbol-directory scan (reference
+    * common_stock.py:73-91), lower-cased 2-column projection.
+    */
+  def readPipeDelimited(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read
+      .option("sep", "|")
+      .option("header", "true")
+      .csv(path)
+    raw.toDF(raw.columns.map(_.toLowerCase): _*)
+  }
+
+  /** S5: one-column word list (reference common_stock.py:93-94). */
+  def readWordList(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path).withColumnRenamed("value", "word")
+
+  /** S9: header'd CSV sink (reference common_stock.py:103). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Read a driver testdata table. The events table stores `ts` as parquet
+    * TIMESTAMP(NANOS), which Spark only reads as a raw long (with
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set by our sessions);
+    * convert to a micros timestamp with integer division — exactly the
+    * truncation DuckDB applies when casting TIMESTAMP_NS → TIMESTAMP, so
+    * oracle comparisons align.
+    */
+  def readTable(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.fields.find(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.LongType) match {
+      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case None => df
+    }
+  }
+
+  /** Long-format parquet bars from the driver's events table: `user_id` as
+    * ticker, `ts` as date, `value` as close (FIXTURES.md §B mapping).
+    */
+  def eventsAsBars(spark: SparkSession, sfDir: String): DataFrame =
+    readTable(spark, sfDir, "events")
+      .select(concat(lit("u"), col("user_id")).as("ticker"),
+        col("ts").as("date"),
+        col("value").as("close"))
+}

@@ -1,0 +1,135 @@
+package graft.ts
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Time-series operator library (SURVEY.md §2.5–§2.6, W1–W10).
+  *
+  * Every operator is a pure `Column`/`Window` composition — Catalyst sees
+  * through all of it (predicate pushdown, whole-stage codegen), and every
+  * window partitions by ticker so the plan scales horizontally across
+  * tickers/keys with a single hash shuffle.
+  *
+  * Pandas-compatibility notes are called out per function; the pandas
+  * semantics (null handling in particular) are part of the spec the
+  * reference's golden tests pin down (SURVEY.md §7.4).
+  */
+object TimeSeriesOps {
+
+  /** Standard per-key, time-ordered window. */
+  def keyed(partition: String = "ticker", order: String = "date"): WindowSpec =
+    Window.partitionBy(partition).orderBy(order)
+
+  private def rows(w: WindowSpec, lo: Long, hi: Long): WindowSpec =
+    w.rowsBetween(lo, hi)
+
+  /** Rolling mean with pandas `rolling(n).mean()` semantics (reference
+    * custom_strats.py:38-39): the result is null until `n` non-null
+    * observations fill the window (pandas default `min_periods = n`).
+    * Spark's `avg` ignores nulls, so the count guard is required
+    * (SURVEY.md §2.6 W5).
+    */
+  def rollingMean(c: Column, n: Int, w: WindowSpec): Column = {
+    val frame = rows(w, -(n - 1).toLong, 0)
+    when(count(c).over(frame) === n, avg(c).over(frame))
+  }
+
+  /** Rolling sum / min / max with the same min_periods=n guard. */
+  def rollingSum(c: Column, n: Int, w: WindowSpec): Column = {
+    val frame = rows(w, -(n - 1).toLong, 0)
+    when(count(c).over(frame) === n, sum(c).over(frame))
+  }
+  def rollingMin(c: Column, n: Int, w: WindowSpec): Column = {
+    val frame = rows(w, -(n - 1).toLong, 0)
+    when(count(c).over(frame) === n, min(c).over(frame))
+  }
+  def rollingMax(c: Column, n: Int, w: WindowSpec): Column = {
+    val frame = rows(w, -(n - 1).toLong, 0)
+    when(count(c).over(frame) === n, max(c).over(frame))
+  }
+  def rollingStd(c: Column, n: Int, w: WindowSpec): Column = {
+    val frame = rows(w, -(n - 1).toLong, 0)
+    when(count(c).over(frame) === n, stddev_samp(c).over(frame))
+  }
+
+  /** Lag / pandas `shift(1)` (reference custom_strats.py:47-48, W1). */
+  def shift(c: Column, n: Int, w: WindowSpec): Column = lag(c, n).over(w)
+
+  /** Percent change, pandas `pct_change()` ≡ x / lag(x) − 1 (reference
+    * strats.py:730-773, W2). First row is null, as in pandas.
+    */
+  def pctChange(c: Column, w: WindowSpec): Column = c / lag(c, 1).over(w) - 1
+
+  private def running(w: WindowSpec): WindowSpec =
+    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+  /** Cumulative sum (reference strats.py:570-571, W6). */
+  def cumSum(c: Column, w: WindowSpec): Column = sum(c).over(running(w))
+
+  /** Cumulative max — running peak for drawdown (reference
+    * strats.py:702-703, W7).
+    */
+  def cumMax(c: Column, w: WindowSpec): Column = max(c).over(running(w))
+
+  def cumMin(c: Column, w: WindowSpec): Column = min(c).over(running(w))
+
+  /** Cumulative product (reference finance_data.py:38-39, W8) via an exact
+    * sequential-multiply aggregator (graft.functions.ProductAgg) so results
+    * match a left-to-right product bit-for-bit — `exp(sum(log))` would
+    * drift and break sign/zero handling.
+    */
+  def cumProd(c: Column, w: WindowSpec): Column =
+    graft.functions.GraftFunctions.product(c).over(running(w))
+
+  /** Log-cumulative return, `log(pct+1).cumsum()` (reference
+    * finance_data.py:69-73, W9).
+    */
+  def logCumReturn(c: Column, w: WindowSpec): Column =
+    sum(log1p(pctChange(c, w))).over(running(w))
+
+  /** Forward-fill then zero-fill, pandas `.ffill().fillna(0)` (reference
+    * strats.py:562-565, W10).
+    */
+  def ffillZero(c: Column, w: WindowSpec): Column =
+    coalesce(last(c, ignoreNulls = true).over(running(w)), lit(0.0))
+
+  /** Forward-fill only (nulls before the first observation stay null). */
+  def ffill(c: Column, w: WindowSpec): Column =
+    last(c, ignoreNulls = true).over(running(w))
+
+  /** Pandas `.last("<n>Y")` (reference tests/test_strat.py:7,
+    * finance_data.py:38): "nY" parses as n × YearEnd, so the cutoff is
+    * Dec 31 of `year(max(date)) − n`, and pandas slices with
+    * `searchsorted(side="right")` — strictly *after* the cutoff. Computed
+    * per ticker with a window max — no driver-side collect, scales to any
+    * number of keys (W4).
+    */
+  def lastYears(df: DataFrame, years: Int, dateCol: String = "date",
+      tickerCol: String = "ticker"): DataFrame = {
+    val maxD = max(col(dateCol)).over(Window.partitionBy(tickerCol))
+    val cutoff = make_date(year(maxD) - years, lit(12), lit(31))
+    df.withColumn("__cutoff", cutoff)
+      .filter(col(dateCol).cast("date") > col("__cutoff"))
+      .drop("__cutoff")
+  }
+
+  /** Last n rows per ticker by date — pandas `.tail(n)` (reference
+    * strats.py:592-597, J8/W3). Planned as a ranked window, not a
+    * collect.
+    */
+  def tail(df: DataFrame, n: Int, dateCol: String = "date",
+      tickerCol: String = "ticker"): DataFrame = {
+    val w = Window.partitionBy(tickerCol).orderBy(col(dateCol).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
+  /** All rows with date ≤ `asOf` then last n — the reference's index-slice
+    * `market_data.loc[:last].tail(n)` (reference strats.py:592-597).
+    */
+  def sliceTail(df: DataFrame, asOf: Column, n: Int, dateCol: String = "date",
+      tickerCol: String = "ticker"): DataFrame =
+    tail(df.filter(col(dateCol) <= asOf), n, dateCol, tickerCol)
+}
