@@ -1,0 +1,255 @@
+package graft.opt
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{BacktestEngine, TradingSession}
+import graft.model.SignalBar
+
+/** Task-local strategy evaluation: the signal math re-expressed as plain
+  * Scala over one ticker's arrays so a full backtest can run *inside a
+  * Spark task* (no nested jobs). The arithmetic mirrors the distributed
+  * window path bit-for-bit: Spark's sliding window frame left-folds the
+  * frame rows exactly like the naive sum here, and the fill machinery is
+  * literally the same TradingSession.
+  */
+trait LocalStrategy extends Serializable {
+  def signals(ticker: String, dates: Array[Timestamp],
+      closes: Array[Double]): Array[SignalBar]
+}
+
+/** Local MA-cross signals (reference custom_strats.py:36-62 semantics,
+  * identical to graft.strategy.MACross's window formulation).
+  */
+final case class LocalMACross(fast: Int, lagging: Int) extends LocalStrategy {
+  private def sma(closes: Array[Double], n: Int): Array[Double] = {
+    val out = Array.fill(closes.length)(Double.NaN)
+    var i = n - 1
+    while (i < closes.length) {
+      var s = 0.0
+      var ok = true
+      var j = i - n + 1
+      while (j <= i) {
+        if (closes(j).isNaN) ok = false
+        s += closes(j)
+        j += 1
+      }
+      if (ok) out(i) = s / n
+      i += 1
+    }
+    out
+  }
+
+  def signals(ticker: String, dates: Array[Timestamp],
+      closes: Array[Double]): Array[SignalBar] = {
+    val f = sma(closes, fast)
+    val l = sma(closes, lagging)
+    val n = closes.length
+    val cross = Array.tabulate(n)(i => !f(i).isNaN && !l(i).isNaN && f(i) > l(i))
+    val out = Array.newBuilder[SignalBar]
+    var firstBuyIdx = -1
+    var i = 0
+    while (i < n) {
+      val edge = i == 0 || cross(i) != cross(i - 1)
+      if (edge) {
+        if (cross(i)) {
+          if (firstBuyIdx < 0) firstBuyIdx = i
+          out += SignalBar(ticker, dates(i), closes(i), isBuy = true, isSell = false)
+        } else if (firstBuyIdx >= 0 && i > firstBuyIdx) {
+          out += SignalBar(ticker, dates(i), closes(i), isBuy = false, isSell = true)
+        }
+      }
+      i += 1
+    }
+    if (firstBuyIdx < 0) Array.empty else out.result()
+  }
+}
+
+/** Local Ten-Percent signals (reference custom_strats.py:83-101). */
+final case class LocalTenPercent(sellMult: Double = 1.05, buyMult: Double = 0.99)
+    extends LocalStrategy {
+  def signals(ticker: String, dates: Array[Timestamp],
+      closes: Array[Double]): Array[SignalBar] = {
+    if (dates.isEmpty) return Array.empty
+    val out = Array.newBuilder[SignalBar]
+    out += SignalBar(ticker, dates(0), closes(0), isBuy = true, isSell = false)
+    var anchor = 0
+    var lastMoveSell = false
+    var i = 1
+    while (i < dates.length) {
+      val v = closes(i)
+      if (v >= closes(anchor) * sellMult && !lastMoveSell) {
+        out += SignalBar(ticker, dates(i), v, isBuy = false, isSell = true)
+        anchor = i; lastMoveSell = true
+      } else if (v <= closes(anchor) * buyMult && lastMoveSell) {
+        out += SignalBar(ticker, dates(i), v, isBuy = true, isSell = false)
+        anchor = i; lastMoveSell = false
+      }
+      i += 1
+    }
+    out.result()
+  }
+}
+
+object LocalBacktest {
+
+  /** Full local backtest → final net worth. Bars must be date-sorted.
+    * Stop-loss scans see every bar (observeBar over the full series).
+    * The net-worth fold adds terms in date order, matching the pandas
+    * cumsum association (reference strats.py:567-579).
+    */
+  def finalNetWorth(ticker: String, dates: Array[Timestamp],
+      closes: Array[Double], strategy: LocalStrategy,
+      initialAmount: Double): Double = {
+    val sigs = strategy.signals(ticker, dates, closes)
+    val session = new TradingSession(initialAmount)
+    var si = 0
+    var i = 0
+    while (i < dates.length) {
+      while (si < sigs.length && sigs(si).date.equals(dates(i))) {
+        val s = sigs(si)
+        if (s.isBuy) session.buy(s.date, s.close)
+        else if (s.isSell) session.sell(s.date, s.close)
+        si += 1
+      }
+      session.observeBar(dates(i), closes(i))
+      i += 1
+    }
+    val fold = BacktestEngine.collectFold(ticker, session)
+    val closeAt = dates.zip(closes).toMap
+    var cumBuy = 0.0
+    var cumSell = 0.0
+    fold.trades.foreach { t =>
+      t.buy_shares.foreach(s => cumBuy += s * closeAt(t.date))
+      t.sell_shares.foreach(s => cumSell += s * closeAt(t.date))
+    }
+    val sharesOwned =
+      if (session.orders.sharesOwned.isEmpty) 0.0
+      else session.orders.sharesOwned.maxBy(_._1.getTime)._2
+    sharesOwned * closes.last - cumBuy + cumSell + initialAmount
+  }
+}
+
+/** Parameter-search optimization (reference optimize.py, SURVEY.md §3.2).
+  *
+  * The reference forks a process pool per grid point but serializes on
+  * `.get()` (optimize.py:221-225); here the grid is the Spark parallel
+  * axis: bars broadcast once (a ticker's history is small — the classic
+  * broadcast-dimension pattern), grid points evaluated as a Dataset map,
+  * best state via `max_by` — a genuine scale-out of the reference's one
+  * embarrassingly-parallel surface.
+  */
+object GridSearch {
+
+  /** numpy.arange float semantics (reference optimize.py:38): count =
+    * ceil((stop−start)/step), value_i = start + i·step.
+    */
+  def arange(start: Double, stop: Double, step: Double): Array[Double] = {
+    val n = math.ceil((stop - start) / step)
+    if (n <= 0 || n.isNaN) Array.empty
+    else Array.tabulate(n.toInt)(i => start + i * step)
+  }
+
+  /** Cartesian product of the ranges (reference optimize.py:218-219). */
+  def grid(ranges: Seq[(Double, Double, Double)]): Array[Array[Double]] =
+    ranges.map { case (a, b, s) => arange(a, b, s) }
+      .foldLeft(Array(Array.empty[Double])) { (acc, r) =>
+        acc.flatMap(prefix => r.map(v => prefix :+ v))
+      }
+
+  /** Evaluate every grid point for every ticker in `bars`; returns
+    * (ticker, state, net_worth) rows. `bars` is collected per ticker and
+    * broadcast — the parallel axis is the grid (×tickers).
+    */
+  def evaluate(bars: DataFrame, mkStrategy: Seq[Double] => LocalStrategy,
+      initialAmount: Double,
+      ranges: Seq[(Double, Double, Double)]): DataFrame = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    val perTicker: Map[String, (Array[Long], Array[Double])] = bars
+      .select(col("ticker"), col("date").cast("timestamp"), col("close").cast("double"))
+      .as[(String, Timestamp, java.lang.Double)]
+      .collect()
+      .groupBy(_._1)
+      .map { case (t, rows) =>
+        val sorted = rows.sortBy(_._2.getTime)
+        (t, (sorted.map(_._2.getTime * 1000L), // epoch micros
+          sorted.map(r => if (r._3 == null) Double.NaN else r._3.doubleValue())))
+      }
+    val bc = spark.sparkContext.broadcast(perTicker)
+    val states = grid(ranges)
+    val work = spark.createDataset(
+      for (t <- perTicker.keys.toSeq.sorted; s <- states) yield (t, s))
+      .repartition(spark.sparkContext.defaultParallelism)
+    work.map { case (ticker, state) =>
+      val (us, closes) = bc.value(ticker)
+      val dates = us.map(u => new Timestamp(u / 1000L))
+      val nw = LocalBacktest.finalNetWorth(ticker, dates, closes,
+        mkStrategy(state.toSeq), initialAmount)
+      (ticker, state, nw)
+    }.toDF("ticker", "state", "net_worth")
+  }
+
+  /** Best state per ticker — `max_by` argmax (reference optimize.py:227). */
+  def best(evaluated: DataFrame): DataFrame =
+    evaluated.groupBy("ticker")
+      .agg(expr("max_by(state, net_worth)").as("best_state"),
+        max("net_worth").as("best_net_worth"))
+}
+
+/** Simulated annealing (reference optimize.py:138-207): a sequential
+  * driver loop — each step depends on the last — calling the same local
+  * evaluator; T·0.8 cooling, exp(Δ/T) acceptance, integer-step
+  * neighborhood kicks clamped to the ranges. Seeded for determinism
+  * (the reference uses unseeded numpy RNG; stochastic path, same
+  * distribution family).
+  */
+object SimulatedAnnealing {
+  def optimize(ticker: String, dates: Array[Timestamp], closes: Array[Double],
+      mkStrategy: Seq[Double] => LocalStrategy, initialAmount: Double,
+      ranges: Seq[(Double, Double, Double)], initState: Array[Double],
+      temperature: Double = 100.0, iterations: Int = 100,
+      seed: Long = 42L): (Array[Double], Double) = {
+    val rng = new java.util.Random(seed)
+    def eval(st: Array[Double]): Double =
+      LocalBacktest.finalNetWorth(ticker, dates, closes,
+        mkStrategy(st.toSeq), initialAmount)
+    def neighborhood(state: Array[Double], amplitude: Int): Array[Double] = {
+      var next: Array[Double] = null
+      var guard = 0
+      while (next == null && guard < 10000) {
+        guard += 1
+        val cand = state.zipWithIndex.map { case (v, i) =>
+          v + (rng.nextInt(3) - 1) * (rng.nextInt(2 * amplitude + 1) - amplitude) * ranges(i)._3
+        }
+        if (cand.forall(_ > 0) && !cand.sameElements(state)) next = cand
+      }
+      if (next == null) state.clone()
+      else next.zipWithIndex.map { case (v, i) =>
+        math.min(math.max(v, ranges(i)._1), ranges(i)._2)
+      }
+    }
+    var state = initState
+    var bestState = initState
+    var temp = temperature
+    var curCost = eval(state)
+    var bestCost = curCost
+    (0 until iterations).foreach { _ =>
+      val nextState = neighborhood(state, 10)
+      val newCost = eval(nextState)
+      val delta = newCost - curCost
+      if (delta > 0) {
+        state = nextState
+        curCost = newCost
+        if (newCost > bestCost) { bestState = nextState; bestCost = newCost }
+      } else if (math.exp(delta / temp) > rng.nextDouble()) {
+        state = nextState
+        curCost = newCost
+      }
+      temp *= 0.8
+    }
+    (bestState, eval(bestState))
+  }
+}
