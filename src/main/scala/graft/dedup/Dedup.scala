@@ -1,0 +1,188 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.textstats.TextStats
+
+/** Deduplication operators for training-data pipelines (SURVEY.md §7.5).
+  *
+  * Scale design notes (the 100 TB story):
+  *  - Exact dedup is one hash-partitioned groupBy on a 128-bit digest —
+  *    the canonical map-side-combinable shuffle; no row ever leaves its
+  *    partition twice.
+  *  - MinHash signatures are computed *per row* with higher-order
+  *    functions over the shingle array (no explode → no |shingles|-fold
+  *    blowup of the shuffle); only (band, bandHash) pairs shuffle, b rows
+  *    per document.
+  *  - LSH bucket explosion is capped (`maxBucket`) so a degenerate bucket
+  *    (boilerplate text) cannot produce a quadratic pair blowup on one
+  *    executor — the standard skew guard for banded LSH.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact duplicate groups by canonical fingerprint: (fingerprint,
+    * representative id = min, count). Survivors = first occurrence.
+    */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextStats.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Drop exact duplicates, keeping the smallest id per fingerprint. */
+  def dropExactDups(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(TextStats.fingerprint(col(textCol)))
+      .orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // -------------------------------------------------------------- minhash
+
+  /** Word-shingle array (n-gram shingles joined by a space). */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = TextStats.fingerprintTokens(c)
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** MinHash signature: for seed j, min over shingles of
+    * xxhash64(j ‖ shingle). Computed with per-row higher-order functions —
+    * no explode, no shuffle.
+    */
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), j =>
+      when(size(shinglesCol) > 0,
+        array_min(transform(shinglesCol, s => xxhash64(j, s))))
+        .otherwise(lit(Long.MaxValue)))
+
+  /** Candidate near-duplicate pairs via banded LSH over the minhash
+    * signature, then exact Jaccard verification on the shingle sets.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.8, maxBucket: Int = 64): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val withSig = df.select(col(idCol).as("id"),
+        shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+
+    val banded = withSig.select(col("id"), col("sh"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
+          : _*)).as(Seq("band", "band_hash")))
+
+    val buckets = banded.groupBy("band", "band_hash")
+      .agg(slice(sort_array(collect_list(struct(col("id"), col("sh")))), 1, maxBucket)
+        .as("members"))
+      .filter(size(col("members")) > 1)
+
+    // pairs within a bucket (i < j), dedup'd across bands
+    val pairs = buckets.select(explode(filter(
+        flatten(transform(col("members"), a =>
+          transform(col("members"), b => struct(a.as("a"), b.as("b"))))),
+        p => p("a")("id") < p("b")("id"))).as("p"))
+      .select(col("p.a.id").as("id_a"), col("p.a.sh").as("sh_a"),
+        col("p.b.id").as("id_b"), col("p.b.sh").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    pairs.withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over tokens: per bit, count tokens whose xxhash64 has
+    * the bit set; bit set in the fingerprint when the majority do. Pure
+    * higher-order-function expression — per-row, no shuffle.
+    */
+  def simhash(c: Column): Column = {
+    val hashes = transform(TextStats.fingerprintTokens(c), t => xxhash64(t))
+    val n = size(hashes)
+    (0 until 64).map { bit =>
+      val cnt = size(filter(hashes, h => shiftright(h, bit).bitwiseAND(1) === 1))
+      when(cnt * 2 > n, lit(1L << bit)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** SimHash near-dup candidates: split the 64-bit fingerprint into k
+    * chunks (pigeonhole: hamming distance ≤ k−1 ⟹ some chunk equal),
+    * bucket-join on (chunk index, chunk value), verify by popcount of xor.
+    */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, chunks: Int = 4, maxBucket: Int = 64): DataFrame = {
+    val chunkBits = 64 / chunks
+    val withFp = df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
+    val banded = withFp.select(col("id"), col("fp"),
+      posexplode(array((0 until chunks).map(i =>
+        shiftright(col("fp"), i * chunkBits)
+          .bitwiseAND(lit((1L << chunkBits) - 1))): _*))
+        .as(Seq("chunk", "chunk_val")))
+    val buckets = banded.groupBy("chunk", "chunk_val")
+      .agg(slice(sort_array(collect_list(struct(col("id"), col("fp")))), 1, maxBucket)
+        .as("members"))
+      .filter(size(col("members")) > 1)
+    val pairs = buckets.select(explode(filter(
+        flatten(transform(col("members"), a =>
+          transform(col("members"), b => struct(a.as("a"), b.as("b"))))),
+        p => p("a")("id") < p("b")("id"))).as("p"))
+      .select(col("p.a.id").as("id_a"), col("p.a.fp").as("fp_a"),
+        col("p.b.id").as("id_b"), col("p.b.fp").as("fp_b"))
+      .dropDuplicates("id_a", "id_b")
+    pairs.withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // ------------------------------------------------- n-gram jaccard (direct)
+
+  /** Pairwise n-gram Jaccard for candidate pairs that share at least one
+    * rare shingle — an oracle-checkable near-dup path (explode + self-join
+    * + group). `maxDf` prunes shingles present in too many docs (stop
+    * shingles), the standard inverted-index pruning.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.5,
+      maxDf: Int = 20): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val posting = sh.select(col("id"), explode(col("sh")).as("g"))
+    val rare = posting.groupBy("g").agg(count(lit(1)).as("df_count"))
+      .filter(col("df_count") <= maxDf && col("df_count") > 1)
+    val cands = posting.join(rare.select("g"), Seq("g"))
+      .select(col("g"), col("id"))
+    val pairIds = cands.as("x").join(cands.as("y"), Seq("g"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    pairIds
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ------------------------------------------- embedding cosine near-dup
+
+  /** Embedding near-duplicates: cosine ≥ threshold via the similarity
+    * module's LSH-bucketed join (see graft.sim.Similarity).
+    */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, planes: Int = 8): DataFrame =
+    graft.sim.Similarity.cosineNearDups(df, idCol, vecCol, threshold, planes)
+}

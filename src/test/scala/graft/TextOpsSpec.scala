@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.sim.Similarity
+import graft.text.TextPipeline
+import graft.textstats.TextStats
+
+class TextOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // --- ticker extraction, expectations pinned against the reference's
+  // python regex (common_stock.py:106-127), see /tmp pin run in Scaladoc.
+  test("ticker token extraction matches reference regex semantics") {
+    val df = Seq(
+      "AAPL and $gme rocket MSFT tsla",
+      "Buy $GME 🚀🚀 at example.com now FOMO YOLO",
+      "a B CC DDD $x1 $Mixed").toDF("text")
+    val got = df.select(TextPipeline.extractTickerTokens(col("text")))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(got === List(
+      List("AAPL", "gme", "MSFT"),
+      List("GME", "FOMO", "YOLO"),
+      List("CC", "DDD", "x", "Mixed")))
+  }
+
+  test("top ticker mentions: semi-join + anti-blacklist + deterministic top-k") {
+    val docs = Seq(
+      "AAPL up big, AAPL rally, buy TSLA",
+      "TSLA and AAPL, avoid FOMO",
+      "GME squeeze FOMO FOMO").toDF("text")
+    val tickers = Seq("aapl", "tsla", "gme", "fomo").toDF("symbol")
+    val top = TextPipeline.topTickerMentions(docs, "text", tickers, "symbol",
+      blacklist = Seq("fomo"), k = 3).collect()
+    assert(top.map(r => (r.getString(0), r.getLong(1))).toList ===
+      List(("AAPL", 3L), ("TSLA", 2L), ("GME", 1L)))
+  }
+
+  test("exact dedup: canonical fingerprint groups case/punct variants") {
+    val df = Seq(
+      (1L, "Hello, World! This is GRAFT."),
+      (2L, "hello world this is graft"),
+      (3L, "entirely different document text")).toDF("doc_id", "text")
+    val groups = Dedup.exactDupGroups(df, "doc_id", "text")
+      .filter(col("n_copies") > 1).collect()
+    assert(groups.length === 1)
+    assert(groups(0).getAs[Long]("keep_id") === 1L)
+    assert(Dedup.dropExactDups(df, "doc_id", "text").count() === 2)
+  }
+
+  private val nearDupDocs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+    (3L, "completely unrelated text about spark catalyst optimizer internals and codegen"),
+    (4L, "another unrelated piece mentioning minhash signatures banding and buckets"))
+    .toDF("doc_id", "text")
+
+  test("minhash LSH finds the near-duplicate pair and only it") {
+    val pairs = Dedup.minhashNearDups(nearDupDocs, "doc_id", "text",
+      shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toList === List((1L, 2L)))
+    assert(pairs(0).getDouble(2) > 0.7)
+  }
+
+  test("simhash near-dups: small hamming for near-identical docs") {
+    val pairs = Dedup.simhashNearDups(nearDupDocs, "doc_id", "text",
+      maxHamming = 8, chunks = 4).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
+  }
+
+  test("ngram jaccard pairs") {
+    val pairs = Dedup.ngramJaccardPairs(nearDupDocs, "doc_id", "text",
+      shingleSize = 3, threshold = 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toList === List((1L, 2L)))
+  }
+
+  test("brute-force cosine top-k is exact on hand vectors") {
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0)),
+      (2L, Seq(0.9, 0.1)),
+      (3L, Seq(0.0, 1.0))).toDF("vec_id", "embedding")
+    val q = Seq((1L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 2).orderBy("rank").collect()
+    assert(top.map(_.getLong(1)).toList === List(2L, 3L))
+    val expected = 0.9 / math.sqrt(0.9 * 0.9 + 0.1 * 0.1)
+    assert(math.abs(top(0).getDouble(2) - expected) < 1e-12)
+  }
+
+  test("LSH top-k returns correctly-scored subset on real embeddings") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = emb.limit(3)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5)
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, planes = 4)
+    val bruteScores = brute.select("query_id", "vec_id", "cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lshRows = lsh.select("query_id", "vec_id", "cosine").collect()
+    assert(lshRows.nonEmpty)
+    // every LSH result's cosine matches the exact computation
+    lshRows.foreach { r =>
+      val exact = bruteScores.get((r.getLong(0), r.getLong(1)))
+      exact.foreach(e => assert(math.abs(e - r.getDouble(2)) < 1e-12))
+    }
+  }
+
+  test("text stats: langId, quality, token counts, fingerprint") {
+    val df = Seq(
+      "the cat sat on the mat and it was happy in the sun",
+      "der hund ist nicht mit der katze und das ist gut").toDF("text")
+    val langs = df.select(TextStats.langId(col("text")).getField("lang"))
+      .collect().map(_.getString(0)).toList
+    assert(langs === List("en", "de"))
+
+    val q = TextStats.qualityFeatures(
+      Seq("Good plain sentence with many common the of and words here.").toDF("text"),
+      "text").collect()(0)
+    assert(q.getAs[Double]("n_tokens") === 11.0)
+    assert(q.getAs[Double]("quality_score") > 0.5)
+
+    val counts = Seq("Hello world, 42 tokens!").toDF("text")
+      .select(TextStats.tokenCount(col("text")),
+        TextStats.subwordCount(col("text"))).collect()(0)
+    assert(counts.getInt(0) === 4)
+    assert(counts.getInt(1) === 6) // Hello | world | , | 42 | tokens | !
+
+    val fps = Seq("Hello, World!", "hello world", "other").toDF("text")
+      .select(TextStats.fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+  }
+
+  test("multimodal plumbing: encode -> partition-wise decode -> features") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(30)
+    val media = Multimodal.syntheticMediaTable(docs)
+    val feats = Multimodal.extractFeatures(media, frameStride = 4).collect()
+    assert(feats.length === 30)
+    val byId = feats.map(f => f.media_id -> f).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    byId.foreach { case (id, f) =>
+      assert(f.byte_len === texts(id).getBytes("UTF-8").length)
+      assert(Seq("img", "aud", "vid").contains(f.format))
+      assert(f.frames_sampled === (1 + (id % 24).toInt + 3) / 4)
+    }
+  }
+}
