@@ -1,61 +1,705 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.dedup.Dedup
 import graft.engine.BacktestEngine
+import graft.opt.{GridSearch, LocalMACross}
+import graft.sim.Similarity
 import graft.sources.Sources
 import graft.strategy.MACross
+import graft.text.TextPipeline
+import graft.textstats.TextStats
 import graft.ts.TimeSeriesOps
 
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+/** Driver contract — one named query per operator family of SURVEY.md §2
+  * plus the LLM-pipeline operators (§7.5), each with a DuckDB oracle where
+  * SQL can express it.
+  *
+  * Cross-engine determinism rules (see FIXTURES.md caveats + the project
+  * verify skill):
+  *  - every query ORDER BYs a unique key prefix;
+  *  - money/double sums go through DECIMAL(18,2) and back to DOUBLE —
+  *    bit-identical regardless of either engine's accumulation order;
+  *  - timestamps are emitted as epoch-micros BIGINT;
+  *  - no libm functions in outputs except IEEE-exact sqrt; the rare
+  *    unavoidably-approximate value (cosine) is rounded and used as its
+  *    own ordering key.
+  */
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Runs the full backtest lifecycle (SURVEY.md §3.1) over the events
-    * table mapped to bars (user_id→ticker, ts→date, value→close): signal
-    * windows → per-ticker order fold → net-worth windows.
+    * table mapped to bars: signal windows → per-ticker order fold →
+    * net-worth windows.
     */
   def entry(spark: SparkSession): DataFrame = {
     val bars = Sources.eventsAsBars(spark, "/root/testdata/sf0.001")
     BacktestEngine.run(bars, MACross(5, 20), 10000.0).daily
   }
 
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Sources.readTable(s, dir, name)
+
+  private val dec = "decimal(18,2)"
+  private def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---------------------------------------------- projections / filters
+    "p2_project_filter" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.02, 0.08) && col("l_quantity") < 25)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "p6_regex_filter" -> ((s, dir) => {
+      t(s, dir, "part")
+        .filter(col("p_type").rlike("BRASS|COPPER") && length(col("p_name")) > 10)
+        .select(col("p_partkey"), col("p_name"), col("p_type"))
+        .orderBy(col("p_partkey"))
+    }),
+    "p7_null_fill" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val rich = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey"), col("c_acctbal"))
+      o.join(rich, o("o_custkey") === rich("c_custkey"), "left")
+        .select(col("o_orderkey"),
+          coalesce(col("c_acctbal"), lit(0.0)).as("acctbal_filled"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ------------------------------------------------------------- joins
+    "j1_multi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = broadcast(t(s, dir, "nation"))
+      val r = broadcast(t(s, dir, "region"))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy(col("r_name"))
+    }),
+    "j4_anti_join" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val brands = s.createDataFrame(
+        Seq(Tuple1("Brand#1"), Tuple1("Brand#2"))).toDF("b")
+      p.join(broadcast(brands), p("p_brand") === col("b"), "left_anti")
+        .select(col("p_partkey"), col("p_brand"))
+        .orderBy(col("p_partkey"))
+    }),
+    "j5_semi_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+    "j2_index_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val day = date_trunc("DAY", col("ts"))
+      val idx = ev.groupBy(day.as("day")).agg(dsum(col("value")).as("day_value"))
+      ev.select(col("event_id"), day.as("day"))
+        .join(idx, Seq("day"), "left")
+        .select(col("event_id"), col("day_value"))
+        .orderBy(col("event_id"))
+    }),
+    "j8_slice_tail" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id").as("ticker"), col("ts").as("date"), col("event_id"))
+      TimeSeriesOps.sliceTail(ev,
+          lit("2024-01-15 00:00:00").cast("timestamp"), 3)
+        .select(col("ticker").as("user_id"), unix_micros(col("date")).as("ts_us"),
+          col("event_id"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
+
+    // ------------------------------------------------------ aggregations
     "a1_grouped_sum" -> ((s, dir) => {
-      val li = s.read.parquet(s"$dir/lineitem.parquet")
-      li.groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          sum(col("l_quantity")).as("sum_qty"),
+      // 2-decimal money as exact integer cents; discount as basis points:
+      // the whole aggregate is integer arithmetic, bit-identical anywhere.
+      val cents = round(col("l_extendedprice") * 100).cast("bigint")
+      val bp = round(col("l_discount") * 100).cast("bigint")
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          (sum(cents.cast("decimal(38,0)")).cast("double") / 100).as("sum_price"),
+          (sum((cents * (lit(100L) - bp)).cast("decimal(38,0)")).cast("double")
+            / 10000).as("sum_disc_price"),
           count(lit(1)).as("n_rows"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
-    "w6_cumsum" -> ((s, dir) => {
-      val ev = Sources.readTable(s, dir, "events")
+    "a2_global_aggs" -> ((s, dir) => {
+      val cents = round(col("o_totalprice") * 100).cast("bigint")
+      val sumC = sum(cents.cast("decimal(38,0)")).cast("double")
+      val sumC2 = sum((cents * cents).cast("decimal(38,0)")).cast("double")
+      val n = count(lit(1))
+      t(s, dir, "orders").agg(
+        n.as("n"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        (sumC / 100).as("sum_price"),
+        (sumC / 100 / n).as("avg_price"),
+        // sample stddev from exact integer sums: deterministic double math
+        (sqrt((sumC2 - sumC * sumC / n) / (n - 1)) / 100).as("stddev_price"))
+    }),
+    "a3_pop_covariance" -> ((s, dir) => {
+      // hand-rolled population covariance, full-row-count denominator
+      // (reference strats.py:745-748 semantics, SURVEY.md A3)
+      t(s, dir, "lineitem").agg(
+        ((dsum(col("l_extendedprice").cast(dec) * col("l_quantity").cast(dec))
+          - dsum(col("l_extendedprice")) * dsum(col("l_quantity")) / count(lit(1)))
+          / count(lit(1))).as("cov_pop"))
+    }),
+    "a4_topk_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(TextPipeline.tokenize(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(20)
+    }),
+    "a7_interval_avg" -> ((s, dir) => {
+      t(s, dir, "events").groupBy(col("user_id"))
+        .agg(sum(unix_micros(col("ts"))).as("__s"),
+          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+            .as("span_us"),
+          count(lit(1)).as("n"))
+        .select(col("user_id"), col("span_us"),
+          (col("span_us").cast("double") / col("n")).as("avg_span_us"))
+        .orderBy(col("user_id"))
+    }),
+    "a8_scalar_counts" -> ((s, dir) => {
+      t(s, dir, "orders").agg(
+        count(lit(1)).as("n"),
+        unix_micros(min(col("o_orderdate")).cast("timestamp")).as("first_us"),
+        unix_micros(max(col("o_orderdate")).cast("timestamp")).as("last_us"),
+        floor(datediff(max(col("o_orderdate")), min(col("o_orderdate"))) / 365)
+          .cast("bigint").as("years"))
+    }),
+
+    // ----------------------------------------------------------- windows
+    "w1_lag" -> ((s, dir) => {
       val w = TimeSeriesOps.keyed("user_id", "ts")
-      // 2-decimal doubles summed as exact decimals then cast back: the
-      // result is bit-identical regardless of either engine's
-      // accumulation order (see FIXTURES.md oracle caveats).
-      val v = col("value").cast("decimal(18,2)")
-      ev.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
-          col("event_id"),
-          TimeSeriesOps.cumSum(v, w).cast("double").as("running_value"))
+      t(s, dir, "events").select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("value"),
+          TimeSeriesOps.shift(col("value"), 1, w).as("prev_value"))
         .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
+    "w2_pct_change" -> ((s, dir) => {
+      val w = TimeSeriesOps.keyed("user_id", "ts")
+      t(s, dir, "events").select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          TimeSeriesOps.pctChange(col("value"), w).as("pct"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
+    "w5_rolling_mean" -> ((s, dir) => {
+      val w = TimeSeriesOps.keyed("user_id", "ts")
+      val v = col("value").cast(dec)
+      t(s, dir, "events").select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          (TimeSeriesOps.rollingSum(v, 4, w).cast("double") / 4).as("sma4"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
+    "w6_cumsum" -> ((s, dir) => {
+      val w = TimeSeriesOps.keyed("user_id", "ts")
+      t(s, dir, "events").select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"),
+          TimeSeriesOps.cumSum(col("value").cast(dec), w).cast("double")
+            .as("running_value"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
+    "w7_cummax" -> ((s, dir) => {
+      val w = TimeSeriesOps.keyed("user_id", "ts")
+      t(s, dir, "events").select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"),
+          TimeSeriesOps.cumMax(col("value"), w).as("peak_value"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
+    "w3_first_last" -> ((s, dir) => {
+      t(s, dir, "events").groupBy(col("user_id"))
+        .agg(expr("min_by(value, struct(ts, event_id))").as("first_value"),
+          expr("max_by(value, struct(ts, event_id))").as("last_value"),
+          count(lit(1)).as("n"))
+        .select(col("user_id"), col("first_value"), col("last_value"), col("n"))
+        .orderBy(col("user_id"))
+    }),
+    "w10_ffill" -> ((s, dir) => {
+      val w = TimeSeriesOps.keyed("user_id", "ts")
+      val sparse = when(col("event_type") === "purchase", col("value"))
+      t(s, dir, "events").select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"),
+          TimeSeriesOps.ffillZero(sparse, w).as("last_purchase_value"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
+    "w4_last_period" -> ((s, dir) => {
+      val o = t(s, dir, "orders").withColumn("ticker", lit("all"))
+      TimeSeriesOps.lastYears(o, 1, dateCol = "o_orderdate")
+        .select(col("o_orderkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // -------------------------------------------------- sorts / set ops
+    "o1_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .limit(25)
+    }),
+    "o4_argmax" -> ((s, dir) => {
+      t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(expr("max_by(o_orderkey, struct(o_totalprice, o_orderkey))")
+          .as("best_orderkey"),
+          max(col("o_totalprice")).as("best_price"))
+        .orderBy(col("o_custkey"))
+    }),
+    "u1_union" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val a = li.filter(col("l_returnflag") === "A")
+      val b = li.filter(col("l_returnflag") === "R")
+      a.unionByName(b)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    "u3_except" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.select(col("o_orderkey"))
+        .except(o.filter(col("o_orderstatus") === "F").select(col("o_orderkey")))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // --------------------------------------------------- scalar functions
+    "f_string_fns" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+          upper(substring(col("text"), 1, 12)).as("head_upper"),
+          length(col("text")).cast("bigint").as("len"),
+          concat_ws("|", col("lang"), col("source")).as("tag"))
+        .orderBy(col("doc_id"))
+    }),
+    "f_regex_extract" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(col("text").rlike("(spark|scan|sort|hash)"))
+        .select(col("doc_id"),
+          regexp_extract(col("text"), "(spark|scan|sort|hash)", 1).as("first_kw"))
+        .orderBy(col("doc_id"))
+    }),
+    "f_datetime_fns" -> ((s, dir) => {
+      t(s, dir, "orders").select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("bigint").as("y"),
+          month(col("o_orderdate")).cast("bigint").as("m"),
+          dayofmonth(col("o_orderdate")).cast("bigint").as("d"),
+          unix_micros(date_trunc("MONTH", col("o_orderdate"))).as("month_us"),
+          datediff(lit("2000-01-01").cast("timestamp"), col("o_orderdate"))
+            .cast("bigint").as("days_to_y2k"))
+        .orderBy(col("o_orderkey"))
+    }),
+    "f_math_fns" -> ((s, dir) => {
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          sqrt(col("l_quantity")).as("sqrt_qty"),
+          floor(col("l_extendedprice") / col("l_quantity")).cast("bigint")
+            .as("unit_floor"),
+          abs(col("l_discount") - 0.05).as("disc_dev"),
+          pow(col("l_quantity"), 2).as("qty_sq"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "f_json" -> ((s, dir) => {
+      t(s, dir, "events").select(col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"))
+        .orderBy(col("event_id"))
+    }),
+    "f_array_fns" -> ((s, dir) => {
+      val toks = TextPipeline.tokenize(col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+          size(toks).cast("bigint").as("n_tokens"),
+          array_contains(toks, "spark").cast("bigint").as("has_spark"),
+          concat_ws(" ", slice(toks, 1, 3)).as("first3"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ------------------------------------------------ LLM-pipeline: dedup
+    "dd_exact_groups" -> ((s, dir) => {
+      Dedup.exactDupGroups(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("fp"))
+    }),
+    "dd_minhash" -> ((s, dir) => {
+      Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "dd_simhash" -> ((s, dir) => {
+      Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 6, chunks = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "dd_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 4, threshold = 0.5, maxDf = 20)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ------------------------------------------- LLM-pipeline: similarity
+    "sim_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val q = emb.filter(col("vec_id") < 8)
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cosine"), 6).as("cos6"), col("rank").cast("bigint").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "sim_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      Similarity.lshTopK(emb, "vec_id", "embedding",
+          q, "vec_id", "embedding", k = 5, planes = 4)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cosine"), 6).as("cos6"), col("rank").cast("bigint").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ------------------------------------------ LLM-pipeline: text stats
+    "ts_quality" -> ((s, dir) => {
+      TextStats.qualityFeatures(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_tokens"), col("mean_word_len"),
+          col("punct_ratio"), col("digit_ratio"), col("stopword_ratio"),
+          col("quality_score"))
+        .orderBy(col("doc_id"))
+    }),
+    "ts_langid_scores" -> ((s, dir) => {
+      val toks = TextPipeline.tokenize(col("text"))
+      val n = greatest(size(toks), lit(1)).cast("double")
+      val scores = TextStats.langMarkers.toSeq.sortBy(_._1).map {
+        case (lang, words) =>
+          (size(filter(toks, tk => tk.isInCollection(words))).cast("double") / n)
+            .as(s"score_$lang")
+      }
+      t(s, dir, "documents")
+        .select(col("doc_id") +: scores: _*)
+        .orderBy(col("doc_id"))
+    }),
+    "ts_tokens" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+          TextStats.tokenCount(col("text")).cast("bigint").as("n_ws_tokens"),
+          TextStats.subwordCount(col("text")).cast("bigint").as("n_subwords"),
+          TextStats.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -------------------------------- multimodal + engine-native (no SQL)
+    "mm_media_features" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.syntheticMediaTable(
+        t(s, dir, "documents"))
+      graft.multimodal.Multimodal.extractFeatures(media).toDF()
+        .orderBy(col("media_id"))
+    }),
+    "bt_signals" -> ((s, dir) => {
+      // MA-cross signal generation over events-as-bars, decimal-exact SMAs
+      // so the comparison itself (fast > slow) is oracle-exact:
+      // fast_sum·n_slow > slow_sum·n_fast in DECIMAL arithmetic.
+      val w = TimeSeriesOps.keyed("user_id", "ts")
+      val v = col("value").cast(dec)
+      val fastN = 5
+      val slowN = 20
+      val fastS = TimeSeriesOps.rollingSum(v, fastN, w)
+      val slowS = TimeSeriesOps.rollingSum(v, slowN, w)
+      val cross = coalesce(
+        fastS * lit(slowN).cast(dec) > slowS * lit(fastN).cast(dec), lit(false))
+      val ev = t(s, dir, "events").withColumn("cross", cross)
+      ev.withColumn("edge", !(col("cross") <=> lag(col("cross"), 1).over(w)))
+        .filter(col("edge"))
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"),
+          when(col("cross"), lit("buy")).otherwise(lit("sell")).as("side"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
+    "bt_backtest_fold" -> ((s, dir) => {
+      val res = BacktestEngine.run(Sources.eventsAsBars(s, dir),
+        MACross(5, 20), 10000.0)
+      BacktestEngine.finalNetWorth(res).orderBy(col("ticker"))
+    }),
+    "opt_grid" -> ((s, dir) => {
+      val bars = Sources.eventsAsBars(s, dir)
+        .filter(col("ticker").isin("u1", "u2", "u3"))
+      GridSearch.best(GridSearch.evaluate(bars,
+          st => LocalMACross(st(0).toInt, st(1).toInt), 10000.0,
+          Seq((3, 9, 2), (10, 30, 10))))
+        .select(col("ticker"), col("best_net_worth"))
+        .orderBy(col("ticker"))
     }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omitted for non-SQL-expressible ops →
+    * driver records a weaker rows-only check.
+    */
   def oracleSql: Map[String, String] = Map(
+    "p2_project_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+           AND l_discount BETWEEN 0.02 AND 0.08 AND l_quantity < 25
+         ORDER BY l_orderkey, l_linenumber""",
+    "p6_regex_filter" ->
+      """SELECT p_partkey, p_name, p_type FROM part
+         WHERE regexp_matches(p_type, 'BRASS|COPPER') AND length(p_name) > 10
+         ORDER BY p_partkey""",
+    "p7_null_fill" ->
+      """SELECT o_orderkey, coalesce(c_acctbal, 0.0) AS acctbal_filled
+         FROM orders LEFT JOIN (SELECT c_custkey, c_acctbal FROM customer
+           WHERE c_acctbal > 5000) c ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
+    "j1_multi_join" ->
+      """SELECT r_name, count(*) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    "j4_anti_join" ->
+      """SELECT p_partkey, p_brand FROM part
+         WHERE p_brand NOT IN ('Brand#1', 'Brand#2')
+         ORDER BY p_partkey""",
+    "j5_semi_join" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM customer
+           WHERE c_mktsegment = 'BUILDING')
+         ORDER BY o_orderkey""",
+    "j2_index_join" ->
+      """WITH idx AS (SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+           FROM events GROUP BY 1)
+         SELECT event_id, day_value
+         FROM (SELECT event_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+               FROM events) e LEFT JOIN idx USING (day)
+         ORDER BY event_id""",
+    "j8_slice_tail" ->
+      """SELECT user_id, ts_us, event_id FROM (
+           SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+           FROM events WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-15')
+         WHERE rn <= 3 ORDER BY user_id, ts_us, event_id""",
     "a1_grouped_sum" ->
-      """SELECT l_returnflag, l_linestatus,
-         sum(l_quantity) AS sum_qty, count(*) AS n_rows
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100 AS sum_price,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+             (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+             / 10000 AS sum_disc_price,
+           count(*) AS n_rows
          FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "a2_global_aggs" ->
+      """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_totalprice FROM orders)
+         SELECT count(*) AS n, min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price,
+           CAST(sum(cents) AS DOUBLE) / 100 AS sum_price,
+           CAST(sum(cents) AS DOUBLE) / 100 / count(*) AS avg_price,
+           sqrt((CAST(sum(cents * cents) AS DOUBLE)
+             - CAST(sum(cents) AS DOUBLE) * CAST(sum(cents) AS DOUBLE) / count(*))
+             / (count(*) - 1)) / 100 AS stddev_price
+         FROM c""",
+    "a3_pop_covariance" ->
+      """SELECT (CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           - CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) *
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+           / count(*) AS cov_pop
+         FROM lineitem""",
+    "a4_topk_tokens" ->
+      """SELECT token, count(*) AS cnt FROM (
+           SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+           FROM documents)
+         WHERE length(token) > 0
+         GROUP BY token ORDER BY cnt DESC, token LIMIT 20""",
+    "a7_interval_avg" ->
+      """SELECT user_id,
+           max(epoch_us(CAST(ts AS TIMESTAMP))) - min(epoch_us(CAST(ts AS TIMESTAMP))) AS span_us,
+           CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) - min(epoch_us(CAST(ts AS TIMESTAMP))) AS DOUBLE)
+             / count(*) AS avg_span_us
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "a8_scalar_counts" ->
+      """SELECT count(*) AS n, epoch_us(min(o_orderdate)) AS first_us,
+           epoch_us(max(o_orderdate)) AS last_us,
+           CAST(floor(date_diff('day', min(o_orderdate), max(o_orderdate)) / 365.0)
+             AS BIGINT) AS years
+         FROM orders""",
+    "w1_lag" ->
+      """SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id, value,
+           lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS prev_value
+         FROM events ORDER BY user_id, ts_us, event_id""",
+    "w2_pct_change" ->
+      """SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+           value / lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts) - 1 AS pct
+         FROM events ORDER BY user_id, ts_us, event_id""",
+    "w5_rolling_mean" ->
+      """SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+           CASE WHEN count(value) OVER w = 4 THEN
+             CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / 4 END AS sma4
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, ts_us, event_id""",
     "w6_cumsum" ->
       """SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
-         CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+             ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS running_value
          FROM events ORDER BY user_id, ts_us, event_id""",
+    "w7_cummax" ->
+      """SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
+           max(value) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak_value
+         FROM events ORDER BY user_id, ts_us, event_id""",
+    "w3_first_last" ->
+      """WITH r AS (SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rf,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rl,
+             count(*) OVER (PARTITION BY user_id) AS n
+           FROM events)
+         SELECT user_id,
+           max(CASE WHEN rf = 1 THEN value END) AS first_value,
+           max(CASE WHEN rl = 1 THEN value END) AS last_value,
+           max(n) AS n
+         FROM r GROUP BY user_id ORDER BY user_id""",
+    "w10_ffill" ->
+      """SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
+           coalesce(last_value(CASE WHEN event_type = 'purchase' THEN value END
+             IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
+             AS last_purchase_value
+         FROM events ORDER BY user_id, ts_us, event_id""",
+    "w4_last_period" ->
+      """SELECT o_orderkey, epoch_us(o_orderdate) AS od_us FROM orders
+         WHERE CAST(o_orderdate AS DATE) > make_date(
+           (SELECT year(max(o_orderdate)) FROM orders) - 1, 12, 31)
+         ORDER BY o_orderkey""",
+    "o1_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""",
+    "o4_argmax" ->
+      """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+           FROM orders)
+         SELECT o_custkey, o_orderkey AS best_orderkey,
+           o_totalprice AS best_price
+         FROM r WHERE rn = 1 ORDER BY o_custkey""",
+    "u1_union" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n FROM (
+           SELECT * FROM lineitem WHERE l_returnflag = 'A'
+           UNION ALL SELECT * FROM lineitem WHERE l_returnflag = 'R')
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "u3_except" ->
+      """SELECT o_orderkey FROM orders
+         EXCEPT SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+         ORDER BY o_orderkey""",
+    "f_string_fns" ->
+      """SELECT doc_id, upper(substr(text, 1, 12)) AS head_upper,
+           CAST(length(text) AS BIGINT) AS len,
+           concat_ws('|', lang, source) AS tag
+         FROM documents ORDER BY doc_id""",
+    "f_regex_extract" ->
+      """SELECT doc_id, regexp_extract(text, '(spark|scan|sort|hash)', 1) AS first_kw
+         FROM documents WHERE regexp_matches(text, '(spark|scan|sort|hash)')
+         ORDER BY doc_id""",
+    "f_datetime_fns" ->
+      """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+           dayofmonth(o_orderdate) AS d,
+           epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2000-01-01') AS BIGINT)
+             AS days_to_y2k
+         FROM orders ORDER BY o_orderkey""",
+    "f_math_fns" ->
+      """SELECT l_orderkey, l_linenumber, sqrt(l_quantity) AS sqrt_qty,
+           CAST(floor(l_extendedprice / l_quantity) AS BIGINT) AS unit_floor,
+           abs(l_discount - 0.05) AS disc_dev,
+           power(l_quantity, 2) AS qty_sq
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "f_json" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_str
+         FROM events ORDER BY event_id""",
+    "f_array_fns" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'),
+             t -> length(t) > 0) AS tk FROM documents)
+         SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(list_contains(tk, 'spark') AS BIGINT) AS has_spark,
+           array_to_string(list_slice(tk, 1, 3), ' ') AS first3
+         FROM toks ORDER BY doc_id""",
+    "dd_exact_groups" ->
+      """SELECT fp, min(doc_id) AS keep_id, count(*) AS n_copies FROM (
+           SELECT doc_id, md5(regexp_replace(trim(regexp_replace(lower(text),
+             '[^a-z0-9\s]', '', 'g')), '\s+', ' ', 'g')) AS fp
+           FROM documents)
+         GROUP BY fp ORDER BY fp""",
+    "sim_cosine_topk" ->
+      """SELECT query_id, vec_id, cos6, rank FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+               CAST(q.embedding AS DOUBLE[])), 6) AS cos6,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                 CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+           FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) q
+           WHERE c.vec_id <> q.vec_id)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    "ts_quality" ->
+      """WITH toks AS (SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               t -> length(t) > 0) AS tk
+           FROM documents)
+         SELECT doc_id, CAST(len(tk) AS DOUBLE) AS n_tokens,
+           CAST(length(text) AS DOUBLE) / greatest(CAST(len(tk) AS DOUBLE), 1.0)
+             AS mean_word_len,
+           CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+             / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             / greatest(CAST(length(text) AS DOUBLE), 1.0) AS digit_ratio,
+           CAST(len(list_filter(tk, t -> t IN ('the','of','and','to','in','is',
+             'that','it','was','for'))) AS DOUBLE)
+             / greatest(CAST(len(tk) AS DOUBLE), 1.0) AS stopword_ratio,
+           CASE WHEN len(tk) < 5 THEN 0.0 ELSE
+             1.0 - least(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+               / greatest(CAST(length(text) AS DOUBLE), 1.0) * 2, 0.5)
+             - least(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+               / greatest(CAST(length(text) AS DOUBLE), 1.0) * 2, 0.3)
+             + least(CAST(len(list_filter(tk, t -> t IN ('the','of','and','to','in',
+               'is','that','it','was','for'))) AS DOUBLE)
+               / greatest(CAST(len(tk) AS DOUBLE), 1.0), 0.2) END AS quality_score
+         FROM toks ORDER BY doc_id""",
+    "ts_langid_scores" ->
+      """WITH toks AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               t -> length(t) > 0) AS tk
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(list_filter(tk, t -> t IN ('der','die','und','das','ist',
+             'nicht','ein','mit','zu','den'))) AS DOUBLE)
+             / greatest(len(tk), 1) AS score_de,
+           CAST(len(list_filter(tk, t -> t IN ('the','of','and','to','in','is',
+             'that','it','was','for'))) AS DOUBLE)
+             / greatest(len(tk), 1) AS score_en,
+           CAST(len(list_filter(tk, t -> t IN ('el','la','los','de','que','es',
+             'una','por','con','para'))) AS DOUBLE)
+             / greatest(len(tk), 1) AS score_es,
+           CAST(len(list_filter(tk, t -> t IN ('le','la','les','et','des','est',
+             'une','dans','que','pour'))) AS DOUBLE)
+             / greatest(len(tk), 1) AS score_fr
+         FROM toks ORDER BY doc_id""",
+    "ts_tokens" ->
+      """SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+             t -> length(t) > 0)) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]'))
+             AS BIGINT) AS n_subwords,
+           md5(regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9\s]', '',
+             'g')), '\s+', ' ', 'g')) AS fp
+         FROM documents ORDER BY doc_id""",
   )
 }
