@@ -192,9 +192,12 @@ object SparkEntry {
     }),
     "w2_pct_change" -> ((s, dir) => {
       val w = TimeSeriesOps.keyed("user_id", "ts")
+      // nullif guards the zero-price edge identically in both engines
+      // (ANSI Spark errors on x/0; DuckDB yields inf — null on both sides)
       t(s, dir, "events").select(col("user_id"), col("event_id"),
           unix_micros(col("ts")).as("ts_us"),
-          TimeSeriesOps.pctChange(col("value"), w).as("pct"))
+          (col("value") / nullif(TimeSeriesOps.shift(col("value"), 1, w), lit(0.0))
+            - 1).as("pct"))
         .orderBy(col("user_id"), col("ts_us"), col("event_id"))
     }),
     "w5_rolling_mean" -> ((s, dir) => {
@@ -535,7 +538,8 @@ object SparkEntry {
          FROM events ORDER BY user_id, ts_us, event_id""",
     "w2_pct_change" ->
       """SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
-           value / lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts) - 1 AS pct
+           value / nullif(lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts), 0.0)
+             - 1 AS pct
          FROM events ORDER BY user_id, ts_us, event_id""",
     "w5_rolling_mean" ->
       """SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,

@@ -42,24 +42,21 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
-  /** Word-shingle array (n-gram shingles joined by a space). */
-  def shingles(c: Column, n: Int): Column = {
-    val toks = TextStats.fingerprintTokens(c)
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Word-shingle array (distinct n-gram shingles joined by a space) over
+    * canonical tokens, via the single-pass custom expression
+    * (graft.functions.WordShingles) — the HOF formulation re-evaluated
+    * the normalization once per shingle slot.
+    */
+  def shingles(c: Column, n: Int): Column =
+    graft.functions.HashFunctions.wordShingles(c, n)
 
-  /** MinHash signature: for seed j, min over shingles of
-    * xxhash64(j ‖ shingle). Computed with per-row higher-order functions —
-    * no explode, no shuffle.
+  /** MinHash signature: for seed j, min over shingles of xxhash64 with
+    * seed j. One pass per row via the custom Catalyst expression
+    * (graft.functions.MinHashSignature) — no explode, no shuffle, no
+    * per-seed re-walk of the array.
     */
   def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)), j =>
-      when(size(shinglesCol) > 0,
-        array_min(transform(shinglesCol, s => xxhash64(j, s))))
-        .otherwise(lit(Long.MaxValue)))
+    graft.functions.HashFunctions.minhashSignature(shinglesCol, numHashes)
 
   /** Candidate near-duplicate pairs via banded LSH over the minhash
     * signature, then exact Jaccard verification on the shingle sets.
@@ -70,31 +67,36 @@ object Dedup {
       threshold: Double = 0.8, maxBucket: Int = 64): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val withSig = df.select(col(idCol).as("id"),
+    val withSh = df.select(col(idCol).as("id"),
         shingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
+    val withSig = withSh
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
 
-    val banded = withSig.select(col("id"), col("sh"),
+    // Only (id, band, band_hash) travels through the bucket shuffle — the
+    // shingle arrays would otherwise be duplicated `bands` times.
+    val banded = withSig.select(col("id"),
         posexplode(array((0 until bands).map(b =>
           xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
           : _*)).as(Seq("band", "band_hash")))
 
     val buckets = banded.groupBy("band", "band_hash")
-      .agg(slice(sort_array(collect_list(struct(col("id"), col("sh")))), 1, maxBucket)
-        .as("members"))
+      .agg(slice(sort_array(collect_list(col("id"))), 1, maxBucket).as("members"))
       .filter(size(col("members")) > 1)
 
-    // pairs within a bucket (i < j), dedup'd across bands
-    val pairs = buckets.select(explode(filter(
+    // id pairs within a bucket (i < j), dedup'd across bands, then the
+    // shingle arrays re-joined once per side for exact verification.
+    val pairIds = buckets.select(explode(filter(
         flatten(transform(col("members"), a =>
           transform(col("members"), b => struct(a.as("a"), b.as("b"))))),
-        p => p("a")("id") < p("b")("id"))).as("p"))
-      .select(col("p.a.id").as("id_a"), col("p.a.sh").as("sh_a"),
-        col("p.b.id").as("id_b"), col("p.b.sh").as("sh_b"))
+        p => p("a") < p("b"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    pairs.withColumn("jaccard",
+    pairIds
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= threshold)
@@ -103,18 +105,13 @@ object Dedup {
 
   // -------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash over tokens: per bit, count tokens whose xxhash64 has
-    * the bit set; bit set in the fingerprint when the majority do. Pure
-    * higher-order-function expression — per-row, no shuffle.
+  /** 64-bit SimHash over tokens: per bit, count tokens whose hash has the
+    * bit set; bit set in the fingerprint when the majority do. Single-pass
+    * custom Catalyst expression (graft.functions.SimHash64) — per-row, no
+    * shuffle, no 64× re-walk of the token array.
     */
-  def simhash(c: Column): Column = {
-    val hashes = transform(TextStats.fingerprintTokens(c), t => xxhash64(t))
-    val n = size(hashes)
-    (0 until 64).map { bit =>
-      val cnt = size(filter(hashes, h => shiftright(h, bit).bitwiseAND(1) === 1))
-      when(cnt * 2 > n, lit(1L << bit)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  def simhash(c: Column): Column =
+    graft.functions.HashFunctions.simhash64(TextStats.fingerprintTokens(c))
 
   /** SimHash near-dup candidates: split the 64-bit fingerprint into k
     * chunks (pigeonhole: hamming distance ≤ k−1 ⟹ some chunk equal),

@@ -57,9 +57,13 @@ object TimeSeriesOps {
   def shift(c: Column, n: Int, w: WindowSpec): Column = lag(c, n).over(w)
 
   /** Percent change, pandas `pct_change()` ≡ x / lag(x) − 1 (reference
-    * strats.py:730-773, W2). First row is null, as in pandas.
+    * strats.py:730-773, W2). First row is null, as in pandas. A zero
+    * previous value yields null (pandas yields ±inf; under ANSI Spark a
+    * raw division would error instead — null is the engine-safe choice,
+    * and downstream aggregates skip it like pandas skips NaN).
     */
-  def pctChange(c: Column, w: WindowSpec): Column = c / lag(c, 1).over(w) - 1
+  def pctChange(c: Column, w: WindowSpec): Column =
+    c / nullif(lag(c, 1).over(w), lit(0.0)) - 1
 
   private def running(w: WindowSpec): WindowSpec =
     w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
