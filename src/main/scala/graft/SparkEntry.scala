@@ -231,6 +231,17 @@ object SparkEntry {
         .select(col("user_id"), col("first_value"), col("last_value"), col("n"))
         .orderBy(col("user_id"))
     }),
+    "w8_cumprod" -> ((s, dir) => {
+      // cumulative product of exact growth factors via the ProductAgg
+      // UDAF (no SQL oracle: cross-engine float-product association is
+      // not pinned; covered by TimeSeriesOpsSpec golden values instead)
+      val w = TimeSeriesOps.keyed("user_id", "ts")
+      val factor = lit(1.0) + col("value") / 1000
+      t(s, dir, "events").select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"),
+          TimeSeriesOps.cumProd(factor, w).as("growth"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
     "w10_ffill" -> ((s, dir) => {
       val w = TimeSeriesOps.keyed("user_id", "ts")
       val sparse = when(col("event_type") === "purchase", col("value"))

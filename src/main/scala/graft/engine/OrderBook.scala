@@ -32,7 +32,7 @@ final class OrderState(
     val id: Long,
     val stopLoss: Option[Double],
     val startTime: Timestamp,
-    val startAmount: Double) {
+    val startAmount: Double) extends Serializable {
   var endTime: Timestamp = _
   var endAmount: Double = Double.NaN
   var profit: Double = Double.NaN
@@ -57,7 +57,7 @@ final class OrderState(
 }
 
 /** FIFO book: open deque, completed list, share ledger (strats.py:133-245). */
-final class OrderManager {
+final class OrderManager extends Serializable {
   val openOrders = new mutable.ArrayDeque[OrderState]()
   val completedOrders = new mutable.ArrayBuffer[OrderState]()
   /** date → total shares after that date's trades; last write per date
@@ -140,23 +140,61 @@ final class OrderManager {
   }
 }
 
+/** Array-backed binary min-heap of (stopPrice, orderId) with lexicographic
+  * ordering — the exact layout and tie semantics of Python's heapq
+  * (reference strats.py:314,393-395). Owned implementation because Scala's
+  * PriorityQueue does not survive Kryo state-store round-trips in
+  * Structured Streaming.
+  */
+final class StopLossHeap extends Serializable {
+  private val a = new mutable.ArrayBuffer[(Double, Long)]()
+  def isEmpty: Boolean = a.isEmpty
+  def nonEmpty: Boolean = a.nonEmpty
+  def head: (Double, Long) = a(0)
+  private def lt(x: (Double, Long), y: (Double, Long)): Boolean =
+    x._1 < y._1 || (x._1 == y._1 && x._2 < y._2)
+  def enqueue(v: (Double, Long)): Unit = {
+    a.append(v)
+    var i = a.length - 1
+    while (i > 0 && lt(a(i), a((i - 1) / 2))) {
+      val p = (i - 1) / 2
+      val t = a(i); a(i) = a(p); a(p) = t
+      i = p
+    }
+  }
+  def dequeue(): (Double, Long) = {
+    val out = a(0)
+    val last = a.remove(a.length - 1)
+    if (a.nonEmpty) {
+      a(0) = last
+      var i = 0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1
+        val r = 2 * i + 2
+        var s = i
+        if (l < a.length && lt(a(l), a(s))) s = l
+        if (r < a.length && lt(a(r), a(s))) s = r
+        if (s == i) done = true
+        else { val t = a(i); a(i) = a(s); a(s) = t; i = s }
+      }
+    }
+    out
+  }
+}
+
 /** The per-ticker trading session driving the book — the engine half of the
   * reference's Strategy base class (strats.py:252-420). Strategy *signal*
   * logic lives in graft.strategy as vectorized DataFrame ops; this class is
   * only the sequential buy/sell/stop-loss machinery shared by all
-  * strategies.
-  *
-  * @param bars close-by-date series seen so far, for stop-loss scans; the
-  *             caller appends each bar after processing its signals so the
-  *             scan range `[start, trading_date)` stays exclusive.
+  * strategies. Serializable so it can live as streaming GroupState.
   */
-final class TradingSession(initialAmount: Double) {
+final class TradingSession(initialAmount: Double) extends Serializable {
   val orders = new OrderManager
   var currentAmount: Double = initialAmount
   var activeOrders: Double = 0.0
   /** min-heap of (stopPrice, orderId) — heapq at strats.py:393-395. */
-  val stopLossHeap = mutable.PriorityQueue.empty[(Double, Long)](
-    Ordering.Tuple2[Double, Long].reverse)
+  val stopLossHeap = new StopLossHeap
   /** date → order/packet share-count accessor (read at fold end so later
     * mutations of num_shares show through, like pandas object columns —
     * SURVEY.md §1.2). */

@@ -1,0 +1,97 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ts.TimeSeriesOps
+
+/** Unit tests of the window-op library against hand-computed pandas
+  * semantics — null-prefix behavior is the load-bearing part
+  * (SURVEY.md §2.6, FIXTURES.md A1 msft pre-IPO nulls).
+  */
+class TimeSeriesOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(day: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+
+  // series with a null prefix and an interior null, like msft.csv pre-IPO
+  private lazy val df = Seq[(String, Timestamp, Option[Double])](
+    ("t", ts(1), None), ("t", ts(2), None), ("t", ts(3), Some(10.0)),
+    ("t", ts(4), Some(12.0)), ("t", ts(5), None), ("t", ts(6), Some(20.0)),
+    ("t", ts(7), Some(30.0)), ("t", ts(8), Some(15.0)))
+    .toDF("ticker", "date", "close")
+
+  private val w = TimeSeriesOps.keyed()
+
+  private def vals(c: org.apache.spark.sql.Column): Seq[Option[Double]] =
+    df.select(c.as("v")).orderBy().collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+
+  test("rollingMean: null until n non-null obs in window (min_periods=n)") {
+    // pandas: rolling(2).mean() -> NaN,NaN,NaN,11,NaN,NaN,25,22.5
+    val got = df.select(TimeSeriesOps.rollingMean(col("close"), 2, w).as("v"))
+      .orderBy("date").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    assert(got === Seq(None, None, None, Some(11.0), None, None,
+      Some(25.0), Some(22.5)))
+  }
+
+  test("pctChange: first-defined and after-null rows behave like x/lag-1") {
+    val got = df.select(TimeSeriesOps.pctChange(col("close"), w).as("v"))
+      .orderBy("date").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    // lag is positional (pandas pct_change over index): null rows give null
+    assert(got(3) === Some(0.19999999999999996)) // 12/10 - 1
+    assert(got(0) === None && got(2) === None && got(4) === None && got(5) === None)
+    assert(got(6) === Some(0.5))
+  }
+
+  test("cumSum ignores nulls and keeps running") {
+    val got = df.select(TimeSeriesOps.cumSum(col("close"), w).as("v"))
+      .orderBy("date").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    assert(got === Seq(None, None, Some(10.0), Some(22.0), Some(22.0),
+      Some(42.0), Some(72.0), Some(87.0)))
+  }
+
+  test("cumMax running peak") {
+    val got = df.select(TimeSeriesOps.cumMax(col("close"), w).as("v"))
+      .orderBy("date").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    assert(got === Seq(None, None, Some(10.0), Some(12.0), Some(12.0),
+      Some(20.0), Some(30.0), Some(30.0)))
+  }
+
+  test("cumProd multiplies left-to-right, ignoring nulls") {
+    val got = df.select(TimeSeriesOps.cumProd(col("close"), w).as("v"))
+      .orderBy("date").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    assert(got === Seq(None, None, Some(10.0), Some(120.0), Some(120.0),
+      Some(2400.0), Some(72000.0), Some(1080000.0)))
+  }
+
+  test("ffillZero carries last non-null forward, 0 before first") {
+    val got = df.select(TimeSeriesOps.ffillZero(col("close"), w).as("v"))
+      .orderBy("date").collect().map(_.getDouble(0)).toSeq
+    assert(got === Seq(0.0, 0.0, 10.0, 12.0, 12.0, 20.0, 30.0, 15.0))
+  }
+
+  test("logCumReturn = cumsum of log1p(pct)") {
+    val simple = Seq(("t", ts(1), 100.0), ("t", ts(2), 110.0), ("t", ts(3), 121.0))
+      .toDF("ticker", "date", "close")
+    val got = simple.select(TimeSeriesOps.logCumReturn(col("close"), w).as("v"))
+      .orderBy("date").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    assert(got(0) === None)
+    assert(math.abs(got(1).get - math.log1p(0.1)) < 1e-15)
+    assert(math.abs(got(2).get - (math.log1p(0.1) + math.log1p(0.09999999999999987))) < 1e-15)
+  }
+
+  test("tail keeps last n rows per ticker") {
+    val got = TimeSeriesOps.tail(df, 3).orderBy("date").collect()
+      .map(_.getTimestamp(1)).toSeq
+    assert(got === Seq(ts(6), ts(7), ts(8)))
+  }
+}
