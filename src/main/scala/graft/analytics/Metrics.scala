@@ -86,12 +86,16 @@ object Metrics {
       .join(cov, Seq("ticker"), "left")
       .join(orderAgg, Seq("ticker"), "left")
 
+    // Degenerate-ticker guards: ANSI Spark errors on x/0 even for doubles
+    // (pandas yields inf/NaN); nullif turns those metrics null instead of
+    // failing the whole job — essential when one of thousands of tickers
+    // never trades.
     val years = floor(datediff(col("end_time"), col("start_time")) / 365)
     val annualEr = pow(col("mean_pct_nw") + 1, 255) - 1
     val vol = col("std_pct_nw") * math.sqrt(252)
-    val beta = col("covariance") / col("var_pct_nw")
-    val stockReturn =
-      (col("end_amount") - col("first_net_worth")) / col("first_net_worth")
+    val beta = col("covariance") / nullif(col("var_pct_nw"), lit(0.0))
+    val stockReturn = (col("end_amount") - col("first_net_worth")) /
+      nullif(col("first_net_worth"), lit(0.0))
 
     joined.select(
       col("ticker"),
@@ -114,14 +118,16 @@ object Metrics {
         -when(col("loss_sum").isNull || col("loss_sum") === 0, lit(-1.0))
           .otherwise(col("loss_sum"))).as("profit_factor"),
       when(col("n_orders") > 0 && col("n_filled") > 0,
-        col("filled_profit_sum") / col("total_risked")).as("risk_reward"),
-      ((annualEr - riskFreeRate) / vol).as("sharpe_ratio"),
+        col("filled_profit_sum") / nullif(col("total_risked"), lit(0.0)))
+        .as("risk_reward"),
+      ((annualEr - riskFreeRate) / nullif(vol, lit(0.0))).as("sharpe_ratio"),
       vol.as("volatility_annualized"),
       beta.as("beta"),
       (stockReturn - riskFreeRate -
-        beta * ((col("last_sp") / col("first_sp") - 1) - riskFreeRate))
-        .as("alpha"),
-      (col("covariance") / (sqrt(col("var_pct_nw")) * col("std_pct_sp")))
+        beta * ((col("last_sp") / nullif(col("first_sp"), lit(0.0)) - 1)
+          - riskFreeRate)).as("alpha"),
+      (col("covariance") /
+        nullif(sqrt(col("var_pct_nw")) * col("std_pct_sp"), lit(0.0)))
         .as("r_squared"))
   }
 

@@ -1,0 +1,24 @@
+package graft
+object PlanCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions","4")
+      .config("spark.sql.legacy.parquet.nanosAsLong","true")
+      .config("spark.ui.enabled","false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.01"
+    for (q <- Seq("p2_project_filter","j1_multi_join","a1_grouped_sum","w6_cumsum","j5_semi_join")) {
+      println(s"========== $q ==========")
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      // print scan + join + agg lines only
+      plan.linesIterator.foreach { l =>
+        if (l.contains("Scan parquet") || l.contains("PushedFilters") || l.contains("ReadSchema")
+          || l.contains("Join") || l.contains("Exchange") || l.contains("WholeStageCodegen")
+          || l.contains("HashAggregate") || l.contains("Window") || l.contains("Sort"))
+          println(l.take(200))
+      }
+    }
+    spark.stop()
+  }
+}
