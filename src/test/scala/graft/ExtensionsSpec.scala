@@ -1,0 +1,32 @@
+package graft
+
+class ExtensionsSpec extends SparkTestBase {
+
+  test("custom expressions are callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT simhash64(word_shingles('the quick brown fox', 1)) AS sh,
+                size(minhash_signature(word_shingles('a b c d e', 2), 16)) AS m,
+                word_shingles('Hello, World! hello world', 2) AS ws""")
+      .collect()(0)
+    assert(row.getLong(0) !== 0L)
+    assert(row.getInt(1) === 16)
+    // canonical normalization dedups the repeated shingle
+    assert(row.getSeq[String](2) === Seq("hello world", "world hello"))
+  }
+
+  test("SQL and Column APIs agree") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq("one two three four", "alpha beta gamma").toDF("text")
+    val viaCol = df.select(
+      graft.functions.HashFunctions.simhash64(
+        graft.functions.HashFunctions.wordShingles(col("text"), 1)))
+      .collect().map(_.getLong(0)).toSeq
+    df.createOrReplaceTempView("t")
+    val viaSql = spark.sql("SELECT simhash64(word_shingles(text, 1)) FROM t")
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaCol === viaSql)
+  }
+}
