@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.ScaleOps
+
+class ScaleOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("salted aggregate equals plain aggregate on a skewed key") {
+    val skewed = spark.range(10000)
+      .select(when(col("id") % 100 === 0,
+        concat(lit("cold"), col("id").cast("string")))
+        .otherwise(lit("HOT")).as("k"),
+        (col("id") % 7).cast("double").as("v"))
+    val plain = skewed.groupBy("k")
+      .agg(sum("v").as("sum_value"), count(lit(1)).as("n"))
+      .orderBy("k").collect()
+    val salted = ScaleOps.saltedSumCount(skewed, Seq("k"), "v", saltBuckets = 8)
+      .orderBy("k").collect()
+    assert(plain.length === salted.length)
+    plain.zip(salted).foreach { case (p, s) =>
+      assert(p.getString(0) === s.getString(0))
+      assert(p.getDouble(1) === s.getDouble(1)) // integral doubles: exact
+      assert(p.getLong(2) === s.getLong(2))
+    }
+  }
+
+  test("bucketed tables join without a shuffle") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val o = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    ScaleOps.writeBucketed(li, "li_b", "l_orderkey", 8)
+    ScaleOps.writeBucketed(
+      o.withColumnRenamed("o_orderkey", "l_orderkey"), "o_b", "l_orderkey", 8)
+    val joined = spark.table("li_b").join(spark.table("o_b"), "l_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"expected shuffle-free bucketed join, got:\n$plan")
+    assert(joined.count() > 0)
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
+  }
+}
