@@ -377,6 +377,16 @@ object SparkEntry {
           round(col("cosine"), 6).as("cos6"), col("rank").cast("bigint").as("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "sim_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val q = emb.filter(col("vec_id") < 8)
+      Similarity.ivfTopK(emb, "vec_id", "embedding",
+          q, "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cosine"), 6).as("cos6"), col("rank").cast("bigint").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
 
     // ------------------------------------------ LLM-pipeline: text stats
     "ts_quality" -> ((s, dir) => {

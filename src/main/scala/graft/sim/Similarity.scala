@@ -87,6 +87,57 @@ object Similarity {
       .select("query_id", "vec_id", "cosine", "rank")
   }
 
+  /** IVF (inverted-file) approximate top-k — the other standard ANN scale
+    * path. Coarse quantizer: `nCentroids` vectors sampled deterministically
+    * from the corpus by id-rank (no RNG state); every corpus vector is
+    * assigned to its nearest centroid once (one pass, expressions only);
+    * a query probes its `nProbe` nearest centroids' cells. Corpus cells
+    * are hash-partitioned by centroid id, so the probe is an equi-join on
+    * cell id over ~nProbe/nCentroids of the corpus — at 100 TB the scan
+    * shrinks by that factor while recall tracks nProbe.
+    */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    // deterministic coarse centroids: every (count/nCentroids)-th vector
+    // by id order — one tiny driver collect, broadcast back as literals
+    val w = Window.orderBy(col(idCol))
+    val n = corpus.count()
+    val stride = math.max(1L, n / nCentroids)
+    val centroids = corpus
+      .withColumn("__rn", row_number().over(w))
+      .filter((col("__rn") - 1) % stride === 0)
+      .orderBy(col(idCol)).limit(nCentroids)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Double](0).toArray)
+
+    def nearestCells(vec: Column, m: Int): Column = {
+      // squared L2 distance to each centroid, as static expressions
+      val dists = centroids.zipWithIndex.map { case (c, i) =>
+        struct(
+          aggregate(zip_with(vec, lit(c), (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, v) => acc + v).as("d"),
+          lit(i).as("cell"))
+      }
+      slice(transform(sort_array(array(dists: _*)), s => s("cell")), 1, m)
+    }
+
+    val assigned = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__cv"),
+      nearestCells(col(vecCol), 1).getItem(0).as("__cell"))
+    val probes = broadcast(queries.select(col(queryIdCol).as("query_id"),
+        col(queryVecCol).as("__qv"),
+        explode(nearestCells(col(queryVecCol), nProbe)).as("__cell")))
+    val scored = assigned.join(probes, Seq("__cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("__cv"), col("__qv")))
+    val rankW = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cosine", "rank")
+  }
+
   /** All-pairs near-duplicates by cosine ≥ threshold, LSH-bucketed
     * (pairs only form inside a bucket; bucket size capped upstream by the
     * planes count). Used by Dedup.embeddingNearDups.

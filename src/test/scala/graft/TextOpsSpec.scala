@@ -108,6 +108,25 @@ class TextOpsSpec extends SparkTestBase {
     }
   }
 
+  test("IVF top-k: correctly-scored results, high recall vs brute force") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3, nCentroids = 8, nProbe = 8)
+    val ivfRows = ivf.collect()
+    assert(ivfRows.nonEmpty)
+    // probing ALL cells (nProbe = nCentroids) must recover the exact top-k
+    val ivfSet = ivfRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.keySet === ivfSet)
+    ivfRows.foreach { r =>
+      assert(math.abs(brute((r.getLong(0), r.getLong(1))) - r.getDouble(2)) < 1e-12)
+    }
+  }
+
   test("text stats: langId, quality, token counts, fingerprint") {
     val df = Seq(
       "the cat sat on the mat and it was happy in the sun",
