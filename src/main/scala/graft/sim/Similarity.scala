@@ -99,18 +99,18 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val spark = corpus.sparkSession
-    // deterministic coarse centroids: every (count/nCentroids)-th vector
-    // by id order — one tiny driver collect, broadcast back as literals
-    val w = Window.orderBy(col(idCol))
+    // deterministic coarse centroids via hash sampling — no global-order
+    // window (a non-partitioned row_number would serialize the corpus
+    // through one task at scale): keep ids whose hash falls in a
+    // ~4×nCentroids-sized stratum, then take the first nCentroids by id.
     val n = corpus.count()
-    val stride = math.max(1L, n / nCentroids)
+    val keepOneIn = math.max(1L, n / math.max(1, nCentroids * 4))
     val centroids = corpus
-      .withColumn("__rn", row_number().over(w))
-      .filter((col("__rn") - 1) % stride === 0)
+      .filter(pmod(xxhash64(col(idCol)), lit(keepOneIn)) === 0)
       .orderBy(col(idCol)).limit(nCentroids)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Double](0).toArray)
+    require(centroids.nonEmpty, "IVF: empty corpus or sampling stratum")
 
     def nearestCells(vec: Column, m: Int): Column = {
       // squared L2 distance to each centroid, as static expressions

@@ -68,4 +68,57 @@ object TextPipeline {
   /** Generic whitespace tokenization with lowercase normalization. */
   def tokenize(c: Column): Column =
     filter(split(lower(c), "\\s+"), t => length(t) > 0)
+
+  /** Row-wise combination of token-list columns — the reference's
+    * `tickers_df.sum(axis=1)` over title/selftext/comments lists
+    * (common_stock.py:186, A6): plain array columns concat, nested
+    * (array-of-array) columns flatten first.
+    */
+  def combineTokenColumns(df: DataFrame, cols: Seq[String],
+      out: String = "tokens"): DataFrame = {
+    val parts = cols.map { c =>
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ArrayType(_, _), _) => flatten(col(c))
+        case _ => col(c)
+      }
+    }
+    df.withColumn(out, concat(parts: _*))
+  }
+
+  /** The full most-common-tickers pipeline (reference
+    * Reddit_Stocks.most_common, common_stock.py:163-195, SURVEY §3.3):
+    * per-source frames of raw text columns → extract ticker tokens →
+    * union across sources (U2) → row-wise combine (A5/A6) → explode →
+    * keep tokens whose lowercase is a known ticker (J5) and not
+    * blacklisted (J4) → deterministic top-k count (A4/O1).
+    */
+  def mostCommonTickers(sources: Seq[DataFrame], textCols: Seq[String],
+      tickers: DataFrame, tickerCol: String, blacklist: Seq[String],
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val tokenized = sources.map { df =>
+      // column shapes as in the reference frame (FIXTURES.md A6): raw
+      // STRING → extract; ARRAY<STRING> → pre-tokenized; nested
+      // ARRAY<ARRAY<STRING>> (per-comment lists) → flatten
+      val parts = textCols.map { c =>
+        df.schema(c).dataType match {
+          case StringType => extractTickerTokens(col(c))
+          case ArrayType(ArrayType(_, _), _) => flatten(col(c))
+          case _ => col(c)
+        }
+      }
+      df.select(concat(parts: _*).as("tokens"))
+    }
+    val all = tokenized.reduce(_ unionByName _)
+    val tokens = all.select(explode(col("tokens")).as("token"))
+      .withColumn("token_lc", lower(col("token")))
+      .filter(!col("token_lc").isin(blacklist: _*))
+    val dim = tickers.select(lower(col(tickerCol)).as("token_lc")).distinct()
+    tokens.join(broadcast(dim), Seq("token_lc"), "left_semi")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+  }
 }
