@@ -155,7 +155,12 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"),
         shingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
-    val posting = sh.select(col("id"), explode(col("sh")).as("g"))
+    // postings carry 64-bit shingle hashes, not strings — the inverted
+    // index shuffles/groups/joins on fixed-width longs (collisions over
+    // ~1e6 distinct shingles are ~1e-7 and only add a candidate pair,
+    // which exact verification then rejects)
+    val posting = sh.select(col("id"),
+      explode(transform(col("sh"), s => xxhash64(s))).as("g"))
     val rare = posting.groupBy("g").agg(count(lit(1)).as("df_count"))
       .filter(col("df_count") <= maxDf && col("df_count") > 1)
     val cands = posting.join(rare.select("g"), Seq("g"))
