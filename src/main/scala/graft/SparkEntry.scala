@@ -448,6 +448,26 @@ object SparkEntry {
         MACross(5, 20), 10000.0)
       BacktestEngine.finalNetWorth(res).orderBy(col("ticker"))
     }),
+    "bt_orders" -> ((s, dir) => {
+      val res = BacktestEngine.run(Sources.eventsAsBars(s, dir),
+        MACross(5, 20), 10000.0)
+      res.orders.toDF()
+        .select(col("ticker"), col("seq"), col("num_shares"),
+          unix_micros(col("start_time")).as("start_us"), col("start_amount"),
+          col("filled"), unix_micros(col("end_time")).as("end_us"),
+          col("end_amount"), col("profit"))
+        .orderBy(col("ticker"), col("seq"))
+    }),
+    "bt_metrics" -> ((s, dir) => {
+      val res = BacktestEngine.run(Sources.eventsAsBars(s, dir),
+        MACross(5, 20), 10000.0)
+      val daily = res.daily.withColumn("SP500", lit(null).cast("double"))
+      graft.analytics.Metrics.compute(daily, res.orders, 10000.0, 0.03)
+        .select(col("ticker"), col("end_amount"), col("net_profit"),
+          col("max_drawdown_pct"), col("profit_factor"), col("sharpe_ratio"),
+          col("volatility_annualized"))
+        .orderBy(col("ticker"))
+    }),
     "opt_grid" -> ((s, dir) => {
       val bars = Sources.eventsAsBars(s, dir)
         .filter(col("ticker").isin("u1", "u2", "u3"))
