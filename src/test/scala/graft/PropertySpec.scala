@@ -1,0 +1,63 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.engine.BacktestEngine
+import graft.opt.{LocalBacktest, LocalMACross, LocalTenPercent}
+
+/** Property tests (SURVEY.md §5 implication 2): on arbitrary price paths
+  * the distributed-signal semantics must agree with the task-local
+  * evaluator. Raw ScalaCheck generators with fixed seeds (the
+  * scalatest-scalacheck bridge is not in the offline dependency set).
+  */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val priceSeries: Gen[List[Double]] = for {
+    n <- Gen.choose(30, 120)
+    start <- Gen.choose(10.0, 200.0)
+    steps <- Gen.listOfN(n, Gen.choose(-0.05, 0.05))
+  } yield steps.scanLeft(start) { (p, s) =>
+    math.max(0.01, math.rint(p * (1 + s) * 100) / 100)
+  }
+
+  private def samples(count: Int): Seq[List[Double]] =
+    (1 to count).flatMap(i =>
+      priceSeries.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private def toBars(closes: List[Double]): Seq[(String, Timestamp, Double)] =
+    closes.zipWithIndex.map { case (c, i) =>
+      ("t", new Timestamp(1700000000000L + i * 86400000L), c)
+    }
+
+  test("engine == local evaluator on random price paths (MACross)") {
+    samples(15).foreach { closes =>
+      val bars = toBars(closes).toDF("ticker", "date", "close")
+      val engineNw = BacktestEngine.finalNetWorth(
+        BacktestEngine.run(bars, graft.strategy.MACross(5, 15), 1000.0))
+        .collect()(0).getDouble(1)
+      val arr = toBars(closes)
+      val localNw = LocalBacktest.finalNetWorth("t",
+        arr.map(_._2).toArray, arr.map(_._3).toArray,
+        LocalMACross(5, 15), 1000.0)
+      assert(engineNw === localNw, s"series head ${closes.take(5)}")
+    }
+  }
+
+  test("engine == local evaluator on random price paths (TenPercent)") {
+    samples(10).foreach { closes =>
+      val bars = toBars(closes).toDF("ticker", "date", "close")
+      val engineNw = BacktestEngine.finalNetWorth(
+        BacktestEngine.run(bars, graft.strategy.TenPercent(), 500.0))
+        .collect()(0).getDouble(1)
+      val arr = toBars(closes)
+      val localNw = LocalBacktest.finalNetWorth("t",
+        arr.map(_._2).toArray, arr.map(_._3).toArray,
+        LocalTenPercent(), 500.0)
+      assert(engineNw === localNw, s"series head ${closes.take(5)}")
+    }
+  }
+}
