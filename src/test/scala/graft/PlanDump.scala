@@ -1,0 +1,23 @@
+package graft
+import java.nio.file.{Files, Paths}
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions","4")
+      .config("spark.sql.legacy.parquet.nanosAsLong","true")
+      .config("spark.ui.enabled","false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    val sb = new StringBuilder
+    for (q <- Seq("p2_project_filter","j1_multi_join","a1_grouped_sum","w6_cumsum",
+                  "j5_semi_join","dd_minhash","sim_cosine_topk","bt_backtest_fold")) {
+      sb.append(s"\n## $q\n\n```\n")
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      sb.append(plan.linesIterator.map(_.take(170)).mkString("\n"))
+      sb.append("\n```\n")
+    }
+    Files.writeString(Paths.get("/tmp/plans_body.md"), sb.toString)
+    spark.stop()
+  }
+}
