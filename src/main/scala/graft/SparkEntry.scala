@@ -448,6 +448,29 @@ object SparkEntry {
         MACross(5, 20), 10000.0)
       BacktestEngine.finalNetWorth(res).orderBy(col("ticker"))
     }),
+    "ev_sessionize" -> ((s, dir) => {
+      // gap-based sessionization (30-minute gap) — exact integer flags
+      // through two windows, deterministic in any engine
+      TimeSeriesOps.sessionize(t(s, dir, "events"), gapSeconds = 1800)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("session_id"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
+    "ts_tfidf" -> ((s, dir) => {
+      TextStats.tfidf(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("token"), col("term_count"),
+          col("doc_len"), col("doc_freq"),
+          round(col("tfidf"), 6).as("tfidf6"))
+        .orderBy(col("doc_id"), col("token"))
+    }),
+    "dd_drop_near_dups" -> ((s, dir) => {
+      // cluster-then-pick survivor dedup (MinHash LSH -> connected
+      // components -> keep min id); no SQL oracle (iterative)
+      Dedup.dropNearDups(t(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.5)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
     "bt_orders" -> ((s, dir) => {
       val res = BacktestEngine.run(Sources.eventsAsBars(s, dir),
         MACross(5, 20), 10000.0)
@@ -737,6 +760,33 @@ object SparkEntry {
              'une','dans','que','pour'))) AS DOUBLE)
              / greatest(len(tk), 1) AS score_fr
          FROM toks ORDER BY doc_id""",
+    "ev_sessionize" ->
+      """WITH g AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             event_id,
+             lag(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER
+               (PARTITION BY user_id ORDER BY ts) AS prev_us
+           FROM events)
+         SELECT user_id, ts_us, event_id,
+           CAST(sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+             THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_id
+         FROM g ORDER BY user_id, ts_us, event_id""",
+    "ts_tfidf" ->
+      """WITH terms AS (SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+               t -> length(t) > 0)) AS token
+           FROM documents),
+         pd AS (SELECT doc_id, token, count(*) AS term_count
+           FROM terms GROUP BY 1, 2),
+         dl AS (SELECT doc_id, count(*) AS doc_len FROM terms GROUP BY 1),
+         dfq AS (SELECT token, count(*) AS doc_freq FROM pd GROUP BY 1)
+         SELECT pd.doc_id, pd.token, term_count, doc_len, doc_freq,
+           round(CAST(term_count AS DOUBLE) / doc_len *
+             ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / doc_freq),
+             6) AS tfidf6
+         FROM pd JOIN dl USING (doc_id) JOIN dfq USING (token)
+         ORDER BY doc_id, token""",
     "ts_tokens" ->
       """SELECT doc_id,
            CAST(len(list_filter(string_split_regex(lower(text), '\s+'),

@@ -179,6 +179,61 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // ------------------------------------- near-dup groups / survivor pick
+
+  /** Connected components over a near-duplicate pair list by iterative
+    * label propagation (small-star style): every id starts as its own
+    * component; each round every node adopts the minimum label among
+    * itself and its neighbors, until a fixed point (or `maxIter`). Each
+    * round is two hash joins + a groupBy min — no driver state; rounds
+    * needed ≈ diameter of the largest dup cluster (tiny in practice).
+    * Returns (id, component) where component = min id of the cluster.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("component", "dst_comp"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("dst_comp")).as("neighbor_comp"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("neighbor_comp"), col("component")))
+            .as("component"))
+        .localCheckpoint(eager = true) // cut the growing lineage per round
+      val changed = next.as("n")
+        .join(labels.as("o"), Seq("id"))
+        .filter(col("n.component") =!= col("o.component"))
+        .limit(1).count() > 0
+      labels = next
+      converged = !changed
+      i += 1
+    }
+    labels
+  }
+
+  /** Drop near-duplicates: keep one survivor (the minimum id) per
+    * connected near-dup cluster found by MinHash LSH. The standard
+    * cluster-then-pick pipeline for corpus dedup at scale.
+    */
+  def dropNearDups(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashNearDups(df, idCol, textCol, shingleSize, numHashes,
+      bands, threshold)
+    val comps = connectedComponents(pairs)
+    val losers = comps.filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------- embedding cosine near-dup
 
   /** Embedding near-duplicates: cosine ≥ threshold via the similarity

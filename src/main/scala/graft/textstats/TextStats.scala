@@ -95,6 +95,28 @@ object TextStats {
     filter(split(trim(regexp_replace(lower(c), "[^a-z0-9\\s]", "")), "\\s+"),
       t => length(t) > 0)
 
+  /** TF-IDF over a document table (SURVEY.md §7.5 token/count analytics):
+    * tf = term count / doc length (exact integer ratio), df = documents
+    * containing the term, idf = ln(N / df), tfidf = tf · idf. Two hash
+    * aggregations (term-per-doc, term-df) + one broadcast-able join —
+    * the canonical map-side-combinable shape; no collect.
+    */
+  def tfidf(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val n = df.count()
+    val terms = df.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("token"))
+    val perDoc = terms.groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("term_count"))
+    val docLen = terms.groupBy("doc_id").agg(count(lit(1)).as("doc_len"))
+    val docFreq = perDoc.groupBy("token").agg(count(lit(1)).as("doc_freq"))
+    perDoc.join(docLen, Seq("doc_id"))
+      .join(docFreq, Seq("token"))
+      .withColumn("tf", col("term_count").cast("double") / col("doc_len"))
+      .withColumn("idf", log(lit(n.toDouble) / col("doc_freq")))
+      .withColumn("tfidf", col("tf") * col("idf"))
+  }
+
   /** Polynomial rolling hash over word shingles (Rabin-Karp style, base
     * 1000003 mod 2^61−1) — returns the array of shingle hashes, the basis
     * for content-defined chunking / near-dup candidates.

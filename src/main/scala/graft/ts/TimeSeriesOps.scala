@@ -136,4 +136,21 @@ object TimeSeriesOps {
   def sliceTail(df: DataFrame, asOf: Column, n: Int, dateCol: String = "date",
       tickerCol: String = "ticker"): DataFrame =
     tail(df.filter(col(dateCol) <= asOf), n, dateCol, tickerCol)
+
+  /** Gap-based sessionization: a new session starts when the gap to the
+    * previous event exceeds `gapSeconds`. session_id = running count of
+    * session starts per key (1-based) — a pure two-window expression
+    * (lag + running sum of an exact integer flag), deterministic in any
+    * engine, one shuffle on the key.
+    */
+  def sessionize(df: DataFrame, gapSeconds: Long, keyCol: String = "user_id",
+      tsCol: String = "ts", out: String = "session_id"): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(tsCol)
+    val prev = lag(unix_micros(col(tsCol)), 1).over(w)
+    val isStart = when(
+      prev.isNull || unix_micros(col(tsCol)) - prev > gapSeconds * 1000000L,
+      1L).otherwise(0L)
+    df.withColumn(out,
+      sum(isStart).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
 }

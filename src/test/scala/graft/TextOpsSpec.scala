@@ -127,6 +127,52 @@ class TextOpsSpec extends SparkTestBase {
     }
   }
 
+  test("connected components + dropNearDups keep one survivor per cluster") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),   // ~dup of 1
+      (3L, "alpha beta gamma delta epsilon zeta eta kappa"),  // ~dup of 1,2
+      (4L, "totally different content about spark plans and codegen stages"),
+      (5L, "another isolated document mentioning shuffles and partitions"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropNearDups(docs, "doc_id", "text",
+        shingleSize = 2, numHashes = 32, bands = 16, threshold = 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(1L, 4L, 5L)) // cluster {1,2,3} -> survivor 1
+  }
+
+  test("sessionize splits on gaps and is cumulative per user") {
+    import java.sql.Timestamp
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L),
+      (1L, Timestamp.valueOf("2024-01-01 00:10:00"), 2L),
+      (1L, Timestamp.valueOf("2024-01-01 01:30:00"), 3L), // gap > 30min
+      (1L, Timestamp.valueOf("2024-01-01 01:45:00"), 4L),
+      (2L, Timestamp.valueOf("2024-01-01 00:00:00"), 5L))
+      .toDF("user_id", "ts", "event_id")
+    val got = graft.ts.TimeSeriesOps.sessionize(ev, 1800)
+      .orderBy("user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq((1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 2L),
+      (1L, 4L, 2L), (2L, 5L, 1L)))
+  }
+
+  test("tfidf: exact counts and sane weights") {
+    val docs = Seq(
+      (1L, "spark spark hadoop"),
+      (2L, "spark flink"),
+      (3L, "hadoop flink flink")).toDF("doc_id", "text")
+    val rows = graft.textstats.TextStats.tfidf(docs, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("token")) ->
+        (r.getAs[Long]("term_count"), r.getAs[Long]("doc_len"),
+          r.getAs[Long]("doc_freq"), r.getAs[Double]("tfidf"))).toMap
+    val (tc, dl, dfq, w) = rows((1L, "spark"))
+    assert(tc === 2L && dl === 3L && dfq === 2L)
+    assert(math.abs(w - 2.0 / 3 * math.log(3.0 / 2)) < 1e-15)
+    // a term in every doc has idf 0
+    assert(rows.filter(_._1._2 == "flink").forall(_._2._3 == 2L))
+  }
+
   test("text stats: langId, quality, token counts, fingerprint") {
     val df = Seq(
       "the cat sat on the mat and it was happy in the sun",
