@@ -165,8 +165,7 @@ object SparkEntry {
     }),
     "a7_interval_avg" -> ((s, dir) => {
       t(s, dir, "events").groupBy(col("user_id"))
-        .agg(sum(unix_micros(col("ts"))).as("__s"),
-          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+        .agg((max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
             .as("span_us"),
           count(lit(1)).as("n"))
         .select(col("user_id"), col("span_us"),
@@ -232,9 +231,11 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
     "w8_cumprod" -> ((s, dir) => {
-      // cumulative product of exact growth factors via the ProductAgg
-      // UDAF (no SQL oracle: cross-engine float-product association is
-      // not pinned; covered by TimeSeriesOpsSpec golden values instead)
+      // cumulative product of growth factors via the ProductAgg UDAF —
+      // exact sequential left-to-right multiply, pinned by a DuckDB
+      // oracle that forces the same association with list_reduce over
+      // prefix slices (raw windowed product() uses a segment tree and
+      // drifts at ulp level — measured 419/1000 mismatches)
       val w = TimeSeriesOps.keyed("user_id", "ts")
       val factor = lit(1.0) + col("value") / 1000
       t(s, dir, "events").select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
@@ -251,8 +252,10 @@ object SparkEntry {
         .orderBy(col("user_id"), col("ts_us"), col("event_id"))
     }),
     "w4_last_period" -> ((s, dir) => {
-      val o = t(s, dir, "orders").withColumn("ticker", lit("all"))
-      TimeSeriesOps.lastYears(o, 1, dateCol = "o_orderdate")
+      // global (no key) variant: scalar-aggregate cutoff broadcast back —
+      // a constant-key window here would plan Exchange SinglePartition
+      TimeSeriesOps.lastYearsGlobal(t(s, dir, "orders"), 1,
+          dateCol = "o_orderdate")
         .select(col("o_orderkey"),
           unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"))
         .orderBy(col("o_orderkey"))
@@ -397,15 +400,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "ts_langid_scores" -> ((s, dir) => {
+      // all languages scored in ONE pass over the token array (custom
+      // expression with a token→lang-bitmask lookup); the per-language
+      // interpreted-HOF formulation re-walked the array 4×
       val toks = TextPipeline.tokenize(col("text"))
-      val n = greatest(size(toks), lit(1)).cast("double")
-      val scores = TextStats.langMarkers.toSeq.sortBy(_._1).map {
-        case (lang, words) =>
-          (size(filter(toks, tk => tk.isInCollection(words))).cast("double") / n)
-            .as(s"score_$lang")
+      val langs = TextStats.langMarkers.keys.toSeq.sorted
+      val picks = langs.zipWithIndex.map { case (lang, i) =>
+        col("__scores").getItem(i).as(s"score_$lang")
       }
       t(s, dir, "documents")
-        .select(col("doc_id") +: scores: _*)
+        .withColumn("__scores",
+          graft.functions.TextFunctions.langMarkerScores(toks,
+            TextStats.langMarkers))
+        .select(col("doc_id") +: picks: _*)
         .orderBy(col("doc_id"))
     }),
     "ts_tokens" -> ((s, dir) => {
@@ -642,6 +649,21 @@ object SparkEntry {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
              AS last_purchase_value
          FROM events ORDER BY user_id, ts_us, event_id""",
+    "w8_cumprod" ->
+      """WITH g AS (
+           SELECT user_id,
+             list(epoch_us(CAST(ts AS TIMESTAMP)) ORDER BY ts, event_id) AS tl,
+             list(event_id ORDER BY ts, event_id) AS el,
+             list(1.0 + value/1000 ORDER BY ts, event_id) AS fl
+           FROM events GROUP BY user_id),
+         e AS (
+           SELECT user_id, unnest(list_transform(fl, (x, i) ->
+             {'ts_us': tl[i], 'event_id': el[i],
+              'growth': list_reduce(fl[1:i], (a, b) -> a * b)})) AS u
+           FROM g)
+         SELECT user_id, u.ts_us AS ts_us, u.event_id AS event_id,
+           u.growth AS growth
+         FROM e ORDER BY user_id, ts_us, event_id""",
     "w4_last_period" ->
       """SELECT o_orderkey, epoch_us(o_orderdate) AS od_us FROM orders
          WHERE CAST(o_orderdate AS DATE) > make_date(
@@ -700,6 +722,32 @@ object SparkEntry {
            CAST(list_contains(tk, 'spark') AS BIGINT) AS has_spark,
            array_to_string(list_slice(tk, 1, 3), ' ') AS first3
          FROM toks ORDER BY doc_id""",
+    "dd_ngram_jaccard" ->
+      """WITH toks AS (
+           SELECT doc_id AS id,
+             list_filter(string_split_regex(trim(regexp_replace(lower(text),
+               '[^a-z0-9\s]', '', 'g')), '\s+'), t -> length(t) > 0) AS tk
+           FROM documents),
+         sh AS (
+           SELECT id, list_distinct(CASE WHEN len(tk) >= 4 THEN
+             list_transform(tk[1:len(tk)-3],
+               (x, i) -> array_to_string(tk[i:i+3], ' '))
+             ELSE CAST([] AS VARCHAR[]) END) AS sh
+           FROM toks),
+         shf AS (SELECT * FROM sh WHERE len(sh) > 0),
+         posting AS (SELECT id, unnest(sh) AS g FROM shf),
+         rare AS (SELECT g FROM posting GROUP BY g
+           HAVING count(*) > 1 AND count(*) <= 20),
+         cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+           FROM posting x JOIN rare USING (g) JOIN posting y USING (g)
+           WHERE x.id < y.id),
+         j AS (SELECT id_a, id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+           FROM cand JOIN shf a ON cand.id_a = a.id
+             JOIN shf b ON cand.id_b = b.id)
+         SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
+         ORDER BY id_a, id_b""",
     "dd_exact_groups" ->
       """SELECT fp, min(doc_id) AS keep_id, count(*) AS n_copies FROM (
            SELECT doc_id, md5(regexp_replace(trim(regexp_replace(lower(text),
@@ -760,6 +808,28 @@ object SparkEntry {
              'une','dans','que','pour'))) AS DOUBLE)
              / greatest(len(tk), 1) AS score_fr
          FROM toks ORDER BY doc_id""",
+    "bt_signals" ->
+      """WITH b AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             event_id,
+             CASE WHEN count(value) OVER wf = 5
+               THEN sum(CAST(value AS DECIMAL(18,2))) OVER wf END AS fs,
+             CASE WHEN count(value) OVER ws = 20
+               THEN sum(CAST(value AS DECIMAL(18,2))) OVER ws END AS ss
+           FROM events
+           WINDOW wf AS (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+           ws AS (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+         c AS (SELECT user_id, ts_us, event_id,
+             coalesce(fs * 20 > ss * 5, false) AS is_up
+           FROM b),
+         e AS (SELECT user_id, ts_us, event_id, is_up,
+             lag(is_up, 1) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev
+           FROM c)
+         SELECT user_id, ts_us, event_id,
+           CASE WHEN is_up THEN 'buy' ELSE 'sell' END AS side
+         FROM e WHERE is_up IS DISTINCT FROM prev
+         ORDER BY user_id, ts_us, event_id""",
     "ev_sessionize" ->
       """WITH g AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
              event_id,

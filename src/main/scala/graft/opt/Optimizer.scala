@@ -160,36 +160,37 @@ object GridSearch {
       }
 
   /** Evaluate every grid point for every ticker in `bars`; returns
-    * (ticker, state, net_worth) rows. `bars` is collected per ticker and
-    * broadcast — the parallel axis is the grid (×tickers).
+    * (ticker, state, net_worth) rows. Bars never leave the executors: one
+    * shuffle groups a ticker's history into a task, and the (tiny) grid —
+    * broadcast once — is evaluated inside that task against the in-memory
+    * arrays. The parallel axis is tickers, which is the axis that grows
+    * at scale; a ticker's own history is bounded (daily bars: thousands
+    * of rows), so the per-group materialization is safe by construction.
+    * No driver-side collect anywhere in the path.
     */
   def evaluate(bars: DataFrame, mkStrategy: Seq[Double] => LocalStrategy,
       initialAmount: Double,
       ranges: Seq[(Double, Double, Double)]): DataFrame = {
     val spark = bars.sparkSession
     import spark.implicits._
-    val perTicker: Map[String, (Array[Long], Array[Double])] = bars
+    val states = grid(ranges)
+    val bcStates = spark.sparkContext.broadcast(states)
+    bars
       .select(col("ticker"), col("date").cast("timestamp"), col("close").cast("double"))
       .as[(String, Timestamp, java.lang.Double)]
-      .collect()
-      .groupBy(_._1)
-      .map { case (t, rows) =>
-        val sorted = rows.sortBy(_._2.getTime)
-        (t, (sorted.map(_._2.getTime * 1000L), // epoch micros
-          sorted.map(r => if (r._3 == null) Double.NaN else r._3.doubleValue())))
+      .groupByKey(_._1)
+      .flatMapGroups { (ticker, it) =>
+        val sorted = it.toArray.sortBy(_._2.getTime)
+        val dates = sorted.map(_._2)
+        val closes = sorted.map(r =>
+          if (r._3 == null) Double.NaN else r._3.doubleValue())
+        bcStates.value.iterator.map { state =>
+          val nw = LocalBacktest.finalNetWorth(ticker, dates, closes,
+            mkStrategy(state.toSeq), initialAmount)
+          (ticker, state, nw)
+        }
       }
-    val bc = spark.sparkContext.broadcast(perTicker)
-    val states = grid(ranges)
-    val work = spark.createDataset(
-      for (t <- perTicker.keys.toSeq.sorted; s <- states) yield (t, s))
-      .repartition(spark.sparkContext.defaultParallelism)
-    work.map { case (ticker, state) =>
-      val (us, closes) = bc.value(ticker)
-      val dates = us.map(u => new Timestamp(u / 1000L))
-      val nw = LocalBacktest.finalNetWorth(ticker, dates, closes,
-        mkStrategy(state.toSeq), initialAmount)
-      (ticker, state, nw)
-    }.toDF("ticker", "state", "net_worth")
+      .toDF("ticker", "state", "net_worth")
   }
 
   /** Best state per ticker — `max_by` argmax (reference optimize.py:227). */

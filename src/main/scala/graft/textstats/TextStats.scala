@@ -28,11 +28,11 @@ object TextStats {
     * desc, language asc). Emits (lang, score).
     */
   def langId(c: Column): Column = {
-    val toks = tokens(c)
-    val n = greatest(size(toks), lit(1)).cast("double")
-    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
-      val hits = size(filter(toks, t => t.isInCollection(words)))
-      struct((hits.cast("double") / n).as("score"), lit(lang).as("lang"))
+    val scores = graft.functions.TextFunctions.langMarkerScores(tokens(c),
+      langMarkers)
+    val scored = langMarkers.keys.toSeq.sorted.zipWithIndex.map {
+      case (lang, i) =>
+        struct(scores.getItem(i).as("score"), lit(lang).as("lang"))
     }
     // array_max on (score, lang) structs orders lexicographically:
     // max score wins, ties broken by max lang — flip: we want smallest

@@ -118,6 +118,24 @@ object TimeSeriesOps {
       .drop("__cutoff")
   }
 
+  /** `.last("<n>Y")` over the WHOLE frame (no per-key partitioning).
+    * A constant-key window would be constant-folded by Catalyst into an
+    * unpartitioned window — `Exchange SinglePartition`, i.e. the entire
+    * table serialized through one task. Instead the global cutoff is a
+    * scalar aggregate (one partial-agg job) broadcast back via a
+    * single-row cross join — both sides of the filter stay fully
+    * parallel at any scale.
+    */
+  def lastYearsGlobal(df: DataFrame, years: Int,
+      dateCol: String = "date"): DataFrame = {
+    val cutoffDf = df.agg(
+      make_date(year(max(col(dateCol))) - years, lit(12), lit(31))
+        .as("__cutoff"))
+    df.crossJoin(broadcast(cutoffDf))
+      .filter(col(dateCol).cast("date") > col("__cutoff"))
+      .drop("__cutoff")
+  }
+
   /** Last n rows per ticker by date — pandas `.tail(n)` (reference
     * strats.py:592-597, J8/W3). Planned as a ranked window, not a
     * collect.

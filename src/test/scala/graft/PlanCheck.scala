@@ -7,7 +7,9 @@ object PlanCheck {
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.01"
-    for (q <- Seq("p2_project_filter","j1_multi_join","a1_grouped_sum","w6_cumsum","j5_semi_join")) {
+    val qs = if (args.nonEmpty) args.toSeq
+      else Seq("p2_project_filter","j1_multi_join","a1_grouped_sum","w6_cumsum","j5_semi_join")
+    for (q <- qs) {
       println(s"========== $q ==========")
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
