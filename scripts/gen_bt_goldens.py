@@ -1,0 +1,123 @@
+#!/usr/bin/env python3
+"""Mint backtest-tier oracle fixtures by running the ACTUAL reference
+implementation (dhruvsamdani/strat-backtest) offline over the driver's
+events-as-bars testdata.
+
+Run (driver-side python has pandas/pyarrow; /tmp/refstubs stubs
+yfinance/praw/requests/matplotlib so the reference imports offline):
+
+    PYTHONPATH=/tmp/refstubs:/root/reference python3 scripts/gen_bt_goldens.py \
+        /root/testdata/sf0.01 src/test/resources/goldens/sf0.01
+
+Outputs (schemas exactly match SparkEntry's bt_orders / bt_backtest_fold
+driver queries so the DuckDB oracle can SELECT straight from them):
+    bt_orders.parquet          ticker, seq, num_shares, start_us,
+                               start_amount, filled, end_us, end_amount,
+                               profit
+    bt_backtest_fold.parquet   ticker, net_worth
+    opt_grid.parquet           ticker, best_net_worth   (u1/u2/u3 over the
+                               fast=arange(3,9,2) x lagging=arange(10,30,10)
+                               grid, reference numpy.arange semantics)
+
+Sanity-checked first against the reference's own golden: aapl last-10Y
+MA_Cross(36,40) @ 5000 -> 1283666.449897766 (tests/test_strat.py).
+"""
+import sys
+
+import numpy as np
+import pandas as pd
+
+from strat_backtest.backtest.strats import Backtest
+from strat_backtest.backtest.custom_strats import MA_Cross_Strat
+
+
+def run_reference(ticker: str, bars: pd.DataFrame, initial: float,
+                  fast: int, lagging: int):
+    """One reference backtest; returns (orders_df_rows, final_net_worth)."""
+    bt = Backtest(initial, ticker, MA_Cross_Strat, input_data=bars,
+                  fast=fast, lagging=lagging)
+    daily = bt.run()
+    net_worth = daily.net_worth.iloc[-1]
+    om = bt.strat.orders
+    rows = []
+    # completed + open, enumerated — the same layout as graft's
+    # BacktestEngine.collectFold OrderRow emission
+    for seq, o in enumerate(list(om.completed_orders) + list(om.open_orders)):
+        rows.append({
+            "ticker": ticker,
+            "seq": seq,
+            "num_shares": float(o.num_shares),
+            "start_us": ts_us(o.start_time),
+            "start_amount": float(o.start_amount),
+            "filled": bool(o.filled),
+            "end_us": ts_us(o.end_time) if o.end_time is not None else None,
+            "end_amount": float(o.end_amount) if o.filled else None,
+            "profit": float(o.profit) if o.filled else None,
+        })
+    return rows, float(net_worth)
+
+
+def ts_us(t) -> int:
+    return int(pd.Timestamp(t).value // 1000)
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+
+    # sanity pin against the reference's own shipped golden
+    aapl = pd.read_csv("/root/reference/strat_backtest/data/aapl.csv",
+                       index_col=0, parse_dates=True)
+    aapl.columns = aapl.columns.str.lower()
+    aapl10 = aapl.last("10Y")
+    _, nw = run_reference("aapl", aapl10, 5000.0, 36, 40)
+    assert nw == 1283666.449897766, nw
+
+    # events-as-bars, the same mapping as graft.sources.Sources.eventsAsBars:
+    # ticker = "u"+user_id, date = ts truncated ns->us, close = value
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+    ev["ts"] = ev["ts"].dt.floor("us")
+    all_orders, all_nw = [], []
+    for uid, g in sorted(ev.groupby("user_id"), key=lambda kv: kv[0]):
+        ticker = f"u{uid}"
+        g = g.sort_values("ts")
+        bars = pd.DataFrame({"close": g["value"].to_numpy()},
+                            index=pd.DatetimeIndex(g["ts"]))
+        rows, nw = run_reference(ticker, bars, 10000.0, 5, 20)
+        all_orders.extend(rows)
+        all_nw.append({"ticker": ticker, "net_worth": nw})
+
+    # opt_grid golden: best net worth per ticker over the same grid the
+    # driver query runs (numpy.arange endpoints-exclusive semantics)
+    grid = [(int(f), int(l)) for f in np.arange(3, 9, 2)
+            for l in np.arange(10, 30, 10)]
+    opt_rows = []
+    for uid, g in sorted(ev.groupby("user_id"), key=lambda kv: kv[0]):
+        ticker = f"u{uid}"
+        if ticker not in ("u1", "u2", "u3"):
+            continue
+        g = g.sort_values("ts")
+        bars = pd.DataFrame({"close": g["value"].to_numpy()},
+                            index=pd.DatetimeIndex(g["ts"]))
+        best = max(run_reference(ticker, bars, 10000.0, f, l)[1]
+                   for f, l in grid)
+        opt_rows.append({"ticker": ticker, "best_net_worth": best})
+
+    import pathlib
+    pathlib.Path(out_dir).mkdir(parents=True, exist_ok=True)
+    od = pd.DataFrame(all_orders, columns=["ticker", "seq", "num_shares",
+        "start_us", "start_amount", "filled", "end_us", "end_amount",
+        "profit"])
+    od = od.astype({"seq": "int64", "start_us": "int64",
+                    "end_us": "Int64"})
+    od.to_parquet(f"{out_dir}/bt_orders.parquet", index=False)
+    pd.DataFrame(all_nw).to_parquet(f"{out_dir}/bt_backtest_fold.parquet",
+                                    index=False)
+    pd.DataFrame(opt_rows).to_parquet(f"{out_dir}/opt_grid.parquet",
+                                      index=False)
+    print(f"wrote {len(od)} orders, {len(all_nw)} tickers, "
+          f"{len(opt_rows)} opt rows -> {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

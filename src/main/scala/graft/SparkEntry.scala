@@ -482,20 +482,32 @@ object SparkEntry {
       val res = BacktestEngine.run(Sources.eventsAsBars(s, dir),
         MACross(5, 20), 10000.0)
       res.orders.toDF()
-        .select(col("ticker"), col("seq"), col("num_shares"),
+        .select(col("ticker"), col("seq").cast("bigint").as("seq"),
+          col("num_shares"),
           unix_micros(col("start_time")).as("start_us"), col("start_amount"),
           col("filled"), unix_micros(col("end_time")).as("end_us"),
           col("end_amount"), col("profit"))
         .orderBy(col("ticker"), col("seq"))
     }),
     "bt_metrics" -> ((s, dir) => {
-      val res = BacktestEngine.run(Sources.eventsAsBars(s, dir),
-        MACross(5, 20), 10000.0)
-      val daily = res.daily.withColumn("SP500", lit(null).cast("double"))
+      val bars = Sources.eventsAsBars(s, dir)
+      val res = BacktestEngine.run(bars, MACross(5, 20), 10000.0)
+      // market-index stand-in (J2): cross-ticker day-aggregated events
+      // mapped onto the distinct bar dates, broadcast-joined as SP500 —
+      // exercises beta/alpha/R² end-to-end (reference strats.py:742-774)
+      val ev = t(s, dir, "events")
+      val dayAgg = ev.groupBy(date_trunc("DAY", col("ts")).as("__day"))
+        .agg(avg(col("value")).as("SP500"))
+      val index = bars.select(col("date")).distinct()
+        .withColumn("__day", date_trunc("DAY", col("date")))
+        .join(dayAgg, Seq("__day"))
+        .select(col("date"), col("SP500"))
+      val daily = BacktestEngine.joinIndex(res.daily, index)
       graft.analytics.Metrics.compute(daily, res.orders, 10000.0, 0.03)
         .select(col("ticker"), col("end_amount"), col("net_profit"),
           col("max_drawdown_pct"), col("profit_factor"), col("sharpe_ratio"),
-          col("volatility_annualized"))
+          col("volatility_annualized"), col("beta"), col("alpha"),
+          col("r_squared"))
         .orderBy(col("ticker"))
     }),
     "opt_grid" -> ((s, dir) => {
@@ -808,6 +820,25 @@ object SparkEntry {
              'une','dans','que','pour'))) AS DOUBLE)
              / greatest(len(tk), 1) AS score_fr
          FROM toks ORDER BY doc_id""",
+    // bt_orders / bt_backtest_fold / opt_grid oracles are golden parquet
+    // fixtures minted by running the ACTUAL reference implementation over
+    // the same sf0.01 events-as-bars input (scripts/gen_bt_goldens.py) —
+    // an independent cross-check of the whole fold, bit-exact on every
+    // money column. Fixtures are input-specific: regenerate if the verify
+    // scale factor ever changes from sf0.01.
+    "bt_orders" ->
+      """SELECT ticker, seq, num_shares, start_us, start_amount, filled,
+           end_us, end_amount, profit
+         FROM read_parquet('/root/repo/src/test/resources/goldens/sf0.01/bt_orders.parquet')
+         ORDER BY ticker, seq""",
+    "bt_backtest_fold" ->
+      """SELECT ticker, net_worth
+         FROM read_parquet('/root/repo/src/test/resources/goldens/sf0.01/bt_backtest_fold.parquet')
+         ORDER BY ticker""",
+    "opt_grid" ->
+      """SELECT ticker, best_net_worth
+         FROM read_parquet('/root/repo/src/test/resources/goldens/sf0.01/opt_grid.parquet')
+         ORDER BY ticker""",
     "bt_signals" ->
       """WITH b AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
              event_id,

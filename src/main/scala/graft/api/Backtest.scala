@@ -1,11 +1,13 @@
 package graft.api
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{broadcast, col}
 
 import graft.analytics.Metrics
 import graft.engine.{BacktestEngine, BacktestResult}
-import graft.opt.{GridSearch, LocalStrategy}
+import graft.opt.{GridSearch, LocalStrategy, SimulatedAnnealing}
 import graft.strategy.Strategy
+import graft.text.TextPipeline
 
 /** Ergonomic facade mirroring the reference's public API
   * (`Backtest(initial_amount, ticker, strat, input_data=...).run()` /
@@ -57,14 +59,53 @@ final class Backtest(
     Metrics.compute(daily, result.get.orders, initialAmount, riskFreeRate)
   }
 
-  /** Grid-search optimization over strategy parameters (reference
-    * optimize(opt_type="grid_search", **ranges), strats.py:603-655 /
-    * optimize.py:209-229): returns (ticker, best_state, best_net_worth).
+  /** Parameter optimization (reference optimize(opt_type=..., **ranges),
+    * strats.py:603-655 / optimize.py:138-229): returns (ticker,
+    * best_state, best_net_worth). `optType` mirrors the reference's
+    * dispatch — "grid_search" (default) exhaustively evaluates the range
+    * grid; "sim_anneal" runs one annealing chain per ticker (init state,
+    * temperature T and iteration count as in optimize.py:138-207; seeded
+    * here for determinism).
     */
   def optimize(mkStrategy: Seq[Double] => LocalStrategy,
-      ranges: Seq[(Double, Double, Double)]): DataFrame =
-    GridSearch.best(
-      GridSearch.evaluate(bars, mkStrategy, initialAmount, ranges))
+      ranges: Seq[(Double, Double, Double)],
+      optType: String = "grid_search",
+      initState: Array[Double] = Array(1.0, 1.0),
+      temperature: Double = 100.0,
+      iterations: Int = 100,
+      seed: Long = 42L): DataFrame = optType match {
+    case "grid_search" =>
+      GridSearch.best(
+        GridSearch.evaluate(bars, mkStrategy, initialAmount, ranges))
+    case "sim_anneal" =>
+      SimulatedAnnealing.evaluate(bars, mkStrategy, initialAmount, ranges,
+        initState, temperature, iterations, seed)
+    case other =>
+      throw new IllegalArgumentException(
+        s"unknown opt_type '$other' (expected grid_search or sim_anneal)")
+  }
+
+  /** The reference's common-stock composition (`optimize(common_stock=
+    * True)` → `Optimize._find_common_stocks`, optimize.py:67-99): find the
+    * k most-mentioned tickers across the post sources, then optimize the
+    * strategy on those tickers only. The mention mining and the
+    * optimization both stay distributed; the tiny top-k ticker list is the
+    * broadcast side of a semi-join on the bar frame.
+    */
+  def optimizeCommonStocks(sources: Seq[DataFrame], textCols: Seq[String],
+      tickers: DataFrame, tickerCol: String, blacklist: Seq[String], k: Int,
+      mkStrategy: Seq[Double] => LocalStrategy,
+      ranges: Seq[(Double, Double, Double)],
+      optType: String = "grid_search",
+      initState: Array[Double] = Array(1.0, 1.0)): DataFrame = {
+    val top = TextPipeline.mostCommonTickers(sources, textCols, tickers,
+      tickerCol, blacklist, k)
+    val commonBars = bars.join(
+      broadcast(top.select(col("token").as("ticker"))), Seq("ticker"),
+      "left_semi")
+    new Backtest(initialAmount, strategy, commonBars, riskFreeRate, index)
+      .optimize(mkStrategy, ranges, optType, initState)
+  }
 
   private def ensureRun(): Unit = if (result.isEmpty) run()
 }

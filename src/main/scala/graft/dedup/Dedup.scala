@@ -203,16 +203,19 @@ object Dedup {
           .withColumnRenamed("component", "dst_comp"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("dst_comp")).as("neighbor_comp"))
+      // the convergence flag rides along with the label update (a label
+      // only ever decreases, so changed ⟺ neighbor_comp < component) —
+      // checking it is a scan of the just-checkpointed blocks, not a
+      // second join against the previous labels
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("neighbor_comp"), col("component")))
-            .as("component"))
+            .as("component"),
+          coalesce(col("neighbor_comp") < col("component"), lit(false))
+            .as("__changed"))
         .localCheckpoint(eager = true) // cut the growing lineage per round
-      val changed = next.as("n")
-        .join(labels.as("o"), Seq("id"))
-        .filter(col("n.component") =!= col("o.component"))
-        .limit(1).count() > 0
-      labels = next
+      val changed = next.filter(col("__changed")).limit(1).count() > 0
+      labels = next.drop("__changed")
       converged = !changed
       i += 1
     }

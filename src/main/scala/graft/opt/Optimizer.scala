@@ -208,6 +208,34 @@ object GridSearch {
   * distribution family).
   */
 object SimulatedAnnealing {
+
+  /** Distributed annealing: one independent annealing chain per ticker,
+    * run inside its task after a single groupByKey(ticker) shuffle — the
+    * same bars-stay-on-executors shape as GridSearch.evaluate. Returns
+    * (ticker, best_state, best_net_worth).
+    */
+  def evaluate(bars: DataFrame, mkStrategy: Seq[Double] => LocalStrategy,
+      initialAmount: Double, ranges: Seq[(Double, Double, Double)],
+      initState: Array[Double], temperature: Double = 100.0,
+      iterations: Int = 100, seed: Long = 42L): DataFrame = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    bars
+      .select(col("ticker"), col("date").cast("timestamp"), col("close").cast("double"))
+      .as[(String, Timestamp, java.lang.Double)]
+      .groupByKey(_._1)
+      .mapGroups { (ticker, it) =>
+        val sorted = it.toArray.sortBy(_._2.getTime)
+        val dates = sorted.map(_._2)
+        val closes = sorted.map(r =>
+          if (r._3 == null) Double.NaN else r._3.doubleValue())
+        val (best, worth) = optimize(ticker, dates, closes, mkStrategy,
+          initialAmount, ranges, initState, temperature, iterations, seed)
+        (ticker, best, worth)
+      }
+      .toDF("ticker", "best_state", "best_net_worth")
+  }
+
   def optimize(ticker: String, dates: Array[Timestamp], closes: Array[Double],
       mkStrategy: Seq[Double] => LocalStrategy, initialAmount: Double,
       ranges: Seq[(Double, Double, Double)], initState: Array[Double],

@@ -46,6 +46,46 @@ class ApiFacadeSpec extends SparkTestBase {
     assert(best.getAs[Double]("best_net_worth") === 1283666.449897766)
   }
 
+  test("facade optimize dispatches sim_anneal, matching the local chain") {
+    val bt = new Backtest(5000.0, MACross(36, 40), aapl10y)
+    val row = bt.optimize(
+      st => LocalMACross(math.max(1, st(0).toInt), math.max(1, st(1).toInt)),
+      Seq((30, 40, 2), (40, 50, 5)), optType = "sim_anneal",
+      initState = Array(30.0, 45.0), iterations = 30, seed = 7L).collect()(0)
+    // distributed per-ticker chain must equal the driver-local chain
+    val rows = aapl10y.select(col("date").cast("timestamp"), col("close"))
+      .orderBy("date").collect()
+    val (state, cost) = graft.opt.SimulatedAnnealing.optimize("aapl",
+      rows.map(_.getTimestamp(0)), rows.map(_.getDouble(1)),
+      st => LocalMACross(math.max(1, st(0).toInt), math.max(1, st(1).toInt)),
+      5000.0, Seq((30, 40, 2), (40, 50, 5)), Array(30.0, 45.0),
+      iterations = 30, seed = 7L)
+    assert(row.getAs[Seq[Double]]("best_state") === state.toSeq)
+    assert(row.getAs[Double]("best_net_worth") === cost)
+    intercept[IllegalArgumentException] {
+      bt.optimize(st => LocalMACross(1, 2), Seq((1, 2, 1)), optType = "nope")
+    }
+  }
+
+  test("facade optimizeCommonStocks mines mentions then optimizes them") {
+    val posts = Seq(
+      ("AAPL to the moon", "buy AAPL"),
+      ("AAPL earnings", "GME time"))
+      .toDF("title", "selftext")
+    val dims = Seq("aapl", "gme").toDF("symbol")
+    val bars = aapl10y.withColumn("ticker", lit("AAPL"))
+      .unionByName(aapl10y.withColumn("ticker", lit("GME")))
+    val bt = new Backtest(5000.0, MACross(36, 40), bars)
+    val best = bt.optimizeCommonStocks(Seq(posts), Seq("title", "selftext"),
+      dims, "symbol", blacklist = Nil, k = 1,
+      st => LocalMACross(st(0).toInt, st(1).toInt),
+      Seq((30, 40, 2), (40, 50, 5))).collect()
+    // only the top-1 mentioned ticker survives the semi-join
+    assert(best.map(_.getString(0)).toList === List("AAPL"))
+    assert(best(0).getAs[Seq[Double]]("best_state") === Seq(36.0, 40.0))
+    assert(best(0).getAs[Double]("best_net_worth") === 1283666.449897766)
+  }
+
   test("mostCommonTickers composes union + combine + joins + topk") {
     // title/selftext raw text, comments nested list-of-token-lists —
     // exactly the reference's frame shape (FIXTURES.md A6)
