@@ -1,0 +1,185 @@
+#!/usr/bin/env python3
+"""Generate DuckDB oracle SQL for the hash-driven dedup queries
+(dd_minhash, dd_simhash, dd_drop_near_dups) and emit them as a Scala
+source (graft.DedupOracles) consumed by SparkEntry.oracleSql.
+
+The hard part — Spark's seeded xxhash64, which drives candidate
+generation — is reimplemented as pure SQL (scripts/xxh64_sql.py,
+bit-verified against Spark vectors). Everything else mirrors
+graft.dedup.Dedup semantics exactly:
+  - minhash: distinct 3-gram shingles -> per-seed signed min of
+    xxh64(shingle, seed 0..31) -> 16 bands of 2 rows -> buckets capped at
+    64 sorted members -> pair dedup -> exact Jaccard >= 0.5
+  - simhash: per-token xxh64(tok, 42) -> per-bit majority -> 4x16-bit
+    chunk buckets (cap 64) -> hamming(xor) <= 6
+  - drop_near_dups: the minhash pair list -> connected components
+    (recursive-CTE transitive closure; clusters are tiny) -> keep min id
+
+Validate against a Spark Verify dump, then emit:
+    python3 scripts/gen_dedup_oracles.py /root/testdata/sf0.01 /tmp/verify_out01
+"""
+import sys
+
+sys.path.insert(0, "scripts")
+from xxh64_sql import xxh64_str, xxh64_str_seeds, signed
+
+TOKS = r"""
+toks AS (
+  SELECT doc_id AS id,
+    list_filter(string_split_regex(trim(regexp_replace(lower(text),
+      '[^a-z0-9\s]', '', 'g')), '\s+'), t -> length(t) > 0) AS tk
+  FROM documents)"""
+
+# distinct word 3-gram shingles over canonical tokens (WordShingles n=3)
+SHINGLES = r"""
+sh AS (
+  SELECT id, list_distinct(CASE WHEN len(tk) >= 3 THEN
+    list_transform(tk[1:len(tk)-2], (x, i) -> array_to_string(tk[i:i+2], ' '))
+    ELSE CAST([] AS VARCHAR[]) END) AS sh
+  FROM toks),
+shf AS (SELECT * FROM sh WHERE len(sh) > 0)"""
+
+
+def minhash_pairs_ctes():
+    """CTE chain from documents to minhash near-dup `mh_pairs`
+    (id_a, id_b, jaccard >= 0.5)."""
+    multi = xxh64_str_seeds("g", 32)
+    sig_signed = signed("mh_u")
+    return f"""{TOKS},{SHINGLES},
+posting AS (SELECT id, unnest(sh) AS g FROM shf),
+gs AS (SELECT DISTINCT g FROM posting),
+ghash AS (SELECT g, {multi} AS hl FROM gs),
+sigs AS (SELECT id, sd, min({sig_signed}) AS mh
+  FROM (SELECT p.id, unnest(range(0, 32)) AS sd, unnest(h.hl) AS mh_u
+        FROM posting p JOIN ghash h USING (g))
+  GROUP BY id, sd),
+sigl AS (SELECT id, list(mh ORDER BY sd) AS sig FROM sigs GROUP BY id),
+banded AS (SELECT id, b, sig[2*b+1:2*b+2] AS slc
+  FROM sigl, range(16) t(b)),
+buckets AS (SELECT b, slc, list_sort(list(id))[1:64] AS members
+  FROM banded GROUP BY b, slc HAVING count(*) > 1),
+cand AS (SELECT DISTINCT m1 AS id_a, m2 AS id_b
+  FROM buckets, unnest(members) u1(m1), unnest(members) u2(m2)
+  WHERE m1 < m2),
+mh_pairs AS (SELECT id_a, id_b,
+    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+  FROM cand JOIN shf a ON cand.id_a = a.id JOIN shf b ON cand.id_b = b.id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5)"""
+
+
+def dd_minhash_sql():
+    return (f"WITH {minhash_pairs_ctes()}\n"
+            "SELECT id_a, id_b, jaccard FROM mh_pairs ORDER BY id_a, id_b")
+
+
+def dd_simhash_sql():
+    tok_hash = xxh64_str("tok", "CAST(42 AS HUGEINT)")
+    return f"""WITH {TOKS},
+tokpost AS (SELECT id, unnest(tk) AS tok FROM toks),
+dtok AS (SELECT DISTINCT tok FROM tokpost),
+th AS (SELECT tok, CAST({tok_hash} AS UBIGINT) AS h FROM dtok),
+bits AS (SELECT id, b, sum(CAST((CAST(h AS HUGEINT)
+      // CAST(power(2, b) AS HUGEINT)) % 2 AS BIGINT)) AS cnt,
+    count(*) AS n
+  FROM tokpost JOIN th USING (tok), range(64) t(b)
+  GROUP BY id, b),
+fps0 AS (SELECT id, sum(CASE WHEN 2*cnt > n
+    THEN CAST(power(2, b) AS HUGEINT) ELSE 0 END) AS fp_u
+  FROM bits GROUP BY id),
+fps AS (SELECT t.id, CAST(coalesce(f.fp_u, 0) AS HUGEINT) AS fp_u
+  FROM toks t LEFT JOIN fps0 f ON t.id = f.id),
+chunked AS (SELECT id, fp_u, c,
+    (fp_u // CAST(power(65536, c) AS HUGEINT)) % 65536 AS cv
+  FROM fps, range(4) t(c)),
+buckets AS (SELECT c, cv, list_sort(list({{'id': id, 'fp_u': fp_u}}))[1:64] AS members
+  FROM chunked GROUP BY c, cv HAVING count(*) > 1),
+cand AS (SELECT DISTINCT m1.id AS id_a, m1.fp_u AS fpa,
+    m2.id AS id_b, m2.fp_u AS fpb
+  FROM buckets, unnest(members) u1(m1), unnest(members) u2(m2)
+  WHERE m1.id < m2.id),
+ham AS (SELECT id_a, id_b, bit_count(xor(CAST(fpa AS UBIGINT),
+    CAST(fpb AS UBIGINT))) AS hamming FROM cand)
+SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+FROM ham WHERE hamming <= 6 ORDER BY id_a, id_b"""
+
+
+def dd_drop_sql():
+    return f"""WITH RECURSIVE {minhash_pairs_ctes()},
+edges AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM mh_pairs
+  UNION SELECT id_b, id_a FROM mh_pairs),
+reach(u, v) AS (SELECT u, v FROM edges
+  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+comp AS (SELECT u AS id, least(u, min(v)) AS component
+  FROM reach GROUP BY u)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id FROM comp WHERE component < id)
+ORDER BY doc_id"""
+
+
+def validate(sf_dir, verify_dir):
+    import glob
+
+    import duckdb
+    import pandas as pd
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    ok = True
+    for name, sql in [("dd_minhash", dd_minhash_sql()),
+                      ("dd_simhash", dd_simhash_sql()),
+                      ("dd_drop_near_dups", dd_drop_sql())]:
+        import time
+        t0 = time.time()
+        d = con.sql(sql).df()
+        s = pd.concat([pd.read_parquet(f) for f in
+                       sorted(glob.glob(f"{verify_dir}/{name}/*.parquet"))])
+        s = s[sorted(s.columns)].reset_index(drop=True)
+        d = d[sorted(d.columns)].reset_index(drop=True)
+        try:
+            pd.testing.assert_frame_equal(s, d, check_exact=True)
+            print(f"{name}: EXACT MATCH ({len(s)} rows, {time.time()-t0:.1f}s)")
+        except AssertionError as e:
+            ok = False
+            print(f"{name}: MISMATCH {str(e)[:300]}")
+            print(" spark:", s.head(5).to_dict("records"))
+            print(" duck :", d.head(5).to_dict("records"))
+    return ok
+
+
+def emit_scala(path):
+    def esc(sql):
+        return sql.replace("\\", "\\\\").replace('"', '\\"').replace(
+            "\n", "\\n")
+    body = "\n\n".join(
+        f'  val {name}: String = "{esc(sql)}"'
+        for name, sql in [("ddMinhash", dd_minhash_sql()),
+                          ("ddSimhash", dd_simhash_sql()),
+                          ("ddDropNearDups", dd_drop_sql())])
+    src = f"""package graft
+
+/** GENERATED by scripts/gen_dedup_oracles.py — do not edit by hand.
+  *
+  * DuckDB oracle SQL for the hash-driven dedup queries. Spark's seeded
+  * xxhash64 (the candidate generator) is reimplemented in pure SQL
+  * (HUGEINT mod-2^64 arithmetic; bit-verified against Spark vectors from
+  * Test/runMain graft.HashVectors), so the DuckDB side reproduces
+  * signatures, LSH buckets, and survivor sets of graft.dedup.Dedup
+  * exactly.
+  */
+object DedupOracles {{
+{body}
+}}
+"""
+    with open(path, "w") as f:
+        f.write(src)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    verify_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out01"
+    if validate(sf_dir, verify_dir):
+        emit_scala("src/main/scala/graft/DedupOracles.scala")
+    else:
+        sys.exit(1)

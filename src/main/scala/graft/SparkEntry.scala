@@ -492,17 +492,21 @@ object SparkEntry {
     "bt_metrics" -> ((s, dir) => {
       val bars = Sources.eventsAsBars(s, dir)
       val res = BacktestEngine.run(bars, MACross(5, 20), 10000.0)
-      // market-index stand-in (J2): cross-ticker day-aggregated events
-      // mapped onto the distinct bar dates, broadcast-joined as SP500 —
+      // market-index stand-in (J2): cross-ticker day-aggregated events as
+      // a genuinely *daily* series (one row per day — bounded, so the
+      // broadcast stays tiny at any scale), joined on the truncated day —
       // exercises beta/alpha/R² end-to-end (reference strats.py:742-774)
       val ev = t(s, dir, "events")
       val dayAgg = ev.groupBy(date_trunc("DAY", col("ts")).as("__day"))
         .agg(avg(col("value")).as("SP500"))
-      val index = bars.select(col("date")).distinct()
+      // Metrics.compute consumes the daily frame three times (row-level
+      // windows, grouped aggregates, the covariance second pass) — cache
+      // it so the signal+fold pipeline runs once, not per branch
+      val daily = res.daily
         .withColumn("__day", date_trunc("DAY", col("date")))
-        .join(dayAgg, Seq("__day"))
-        .select(col("date"), col("SP500"))
-      val daily = BacktestEngine.joinIndex(res.daily, index)
+        .join(broadcast(dayAgg), Seq("__day"), "left")
+        .drop("__day")
+        .cache()
       graft.analytics.Metrics.compute(daily, res.orders, 10000.0, 0.03)
         .select(col("ticker"), col("end_amount"), col("net_profit"),
           col("max_drawdown_pct"), col("profit_factor"), col("sharpe_ratio"),
@@ -734,6 +738,11 @@ object SparkEntry {
            CAST(list_contains(tk, 'spark') AS BIGINT) AS has_spark,
            array_to_string(list_slice(tk, 1, 3), ' ') AS first3
          FROM toks ORDER BY doc_id""",
+    // hash-driven dedup oracles: Spark's seeded xxhash64 reimplemented in
+    // pure DuckDB SQL (generated, bit-verified — see graft.DedupOracles)
+    "dd_minhash" -> DedupOracles.ddMinhash,
+    "dd_simhash" -> DedupOracles.ddSimhash,
+    "dd_drop_near_dups" -> DedupOracles.ddDropNearDups,
     "dd_ngram_jaccard" ->
       """WITH toks AS (
            SELECT doc_id AS id,

@@ -99,15 +99,13 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    // deterministic coarse centroids via hash sampling — no global-order
-    // window (a non-partitioned row_number would serialize the corpus
-    // through one task at scale): keep ids whose hash falls in a
-    // ~4×nCentroids-sized stratum, then take the first nCentroids by id.
-    val n = corpus.count()
-    val keepOneIn = math.max(1L, n / math.max(1, nCentroids * 4))
+    // deterministic coarse centroids: the nCentroids corpus rows with the
+    // smallest id-hash — a uniform pseudo-random sample that plans as
+    // TakeOrderedAndProject (per-partition top-k, tiny merge on the
+    // driver; no count pass, no global sort, ONE scan of the corpus).
     val centroids = corpus
-      .filter(pmod(xxhash64(col(idCol)), lit(keepOneIn)) === 0)
-      .orderBy(col(idCol)).limit(nCentroids)
+      .select(col(vecCol), xxhash64(col(idCol)).as("__h"))
+      .orderBy(col("__h")).limit(nCentroids)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Double](0).toArray)
     require(centroids.nonEmpty, "IVF: empty corpus or sampling stratum")
