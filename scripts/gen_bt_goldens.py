@@ -32,12 +32,22 @@ from strat_backtest.backtest.custom_strats import MA_Cross_Strat
 
 
 def run_reference(ticker: str, bars: pd.DataFrame, initial: float,
-                  fast: int, lagging: int):
-    """One reference backtest; returns (orders_df_rows, final_net_worth)."""
+                  fast: int, lagging: int, collect_daily=None):
+    """One reference backtest; returns (orders_df_rows, final_net_worth).
+    When `collect_daily` is a list, appends the full per-bar net-worth
+    series as (ticker, date_us, net_worth) rows."""
     bt = Backtest(initial, ticker, MA_Cross_Strat, input_data=bars,
                   fast=fast, lagging=lagging)
     daily = bt.run()
     net_worth = daily.net_worth.iloc[-1]
+    if collect_daily is not None:
+        # run() unions the stub market-data calendar into the index
+        # (pd.concat axis=1); keep only the actual bar dates
+        bar_dates = set(bars.index)
+        for d, nw in zip(daily.index, daily.net_worth):
+            if d in bar_dates:
+                collect_daily.append({"ticker": ticker, "date_us": ts_us(d),
+                                      "net_worth": float(nw)})
     om = bt.strat.orders
     rows = []
     # completed + open, enumerated — the same layout as graft's
@@ -77,13 +87,14 @@ def main():
     ev = pd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "value"])
     ev["ts"] = ev["ts"].dt.floor("us")
-    all_orders, all_nw = [], []
+    all_orders, all_nw, all_daily = [], [], []
     for uid, g in sorted(ev.groupby("user_id"), key=lambda kv: kv[0]):
         ticker = f"u{uid}"
         g = g.sort_values("ts")
         bars = pd.DataFrame({"close": g["value"].to_numpy()},
                             index=pd.DatetimeIndex(g["ts"]))
-        rows, nw = run_reference(ticker, bars, 10000.0, 5, 20)
+        rows, nw = run_reference(ticker, bars, 10000.0, 5, 20,
+                                 collect_daily=all_daily)
         all_orders.extend(rows)
         all_nw.append({"ticker": ticker, "net_worth": nw})
 
@@ -115,8 +126,11 @@ def main():
                                     index=False)
     pd.DataFrame(opt_rows).to_parquet(f"{out_dir}/opt_grid.parquet",
                                       index=False)
+    pd.DataFrame(all_daily).to_parquet(f"{out_dir}/bt_daily.parquet",
+                                       index=False)
     print(f"wrote {len(od)} orders, {len(all_nw)} tickers, "
-          f"{len(opt_rows)} opt rows -> {out_dir}")
+          f"{len(opt_rows)} opt rows, {len(all_daily)} daily rows "
+          f"-> {out_dir}")
 
 
 if __name__ == "__main__":

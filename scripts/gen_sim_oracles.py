@@ -1,0 +1,156 @@
+#!/usr/bin/env python3
+"""Generate DuckDB oracle SQL for the ANN similarity queries
+(sim_lsh_topk, sim_ivf_topk) and emit graft.SimOracles.
+
+Both queries are deterministic given the implementation's hash-derived
+randomness (LSH hyperplanes: xxhash64(plane, dim); IVF centroid sample:
+the nCentroids smallest xxhash64(vec_id)); with scripts/xxh64_sql.py
+those hashes are reproducible in DuckDB, and every float reduction
+(projection, L2, dot, norm) folds left-to-right exactly like Spark's
+aggregate/zip_with HOFs, so cosines are bit-equal.
+
+Validate against a Spark Verify dump, then emit:
+    python3 scripts/gen_sim_oracles.py /root/testdata/sf0.01 /tmp/verify_out01
+"""
+import sys
+
+sys.path.insert(0, "scripts")
+from xxh64_sql import xxh64_int, xxh64_long, let, signed
+
+LMAX = "CAST(9223372036854775807 AS DOUBLE)"
+
+
+def fold0(items):
+    """Left fold from 0.0 — Spark aggregate(…, lit(0.0), (a,v) -> a+v)."""
+    return f"list_reduce(list_prepend(0.0, {items}), (fa, fe) -> fa + fe)"
+
+
+def cosine(a, b):
+    dot = fold0(f"list_transform({a}, (cx, ci) -> cx * ({b})[ci])")
+    na = f"sqrt({fold0(f'list_transform({a}, cx -> cx * cx)')})"
+    nb = f"sqrt({fold0(f'list_transform({b}, cx -> cx * cx)')})"
+    return f"({dot}) / (({na}) * ({nb}))"
+
+
+def plane_matrix(planes):
+    """4 x dim matrix of scaled hyperplane components, hashed ONCE per
+    (plane, dim) in a one-row CTE: component = signed(xxh64(i, seed_p))
+    as double / Long.MaxValue, seed_p = xxh64_int(p, 42)."""
+    comp = (f"CAST({signed(xxh64_int('(pi - 1)', xxh64_int('pp', '42')))}"
+            f" AS DOUBLE) / {LMAX}")
+    return (f"list_transform(range(0, {planes}), pp -> "
+            f"list_transform(range(1, pdim + 1), pi -> {comp}))")
+
+
+def bucket(vec, planes):
+    proj = fold0(f"list_transform({vec}, (bx, bi) -> bx * pm[bp + 1][bi])")
+    return (f"list_sum(list_transform(range(0, {planes}), bp -> "
+            f"CASE WHEN ({proj}) >= 0 THEN CAST(power(2, bp) AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END))")
+
+
+def sim_lsh_sql(planes=4, k=5):
+    return f"""WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pmt AS MATERIALIZED (SELECT {let("pdim", "(SELECT max(len(v)) FROM emb)",
+                    plane_matrix(planes))} AS pm),
+bk AS MATERIALIZED (SELECT vec_id, v, {bucket("v", planes)} AS bucket FROM emb, pmt),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bk WHERE vec_id < 8),
+scored AS (SELECT q.query_id, c.vec_id, {cosine("c.v", "q.qv")} AS cosine
+  FROM bk c JOIN q USING (bucket) WHERE c.vec_id <> q.query_id),
+r AS (SELECT query_id, vec_id, cosine, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, round(cosine, 6) AS cos6, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k} ORDER BY query_id, rank"""
+
+
+def sim_ivf_sql(n_centroids=16, n_probe=4, k=5):
+    idh = signed(xxh64_long("vec_id", "42"))
+    l2 = fold0("list_transform(v, (dx, di) -> (dx - cv[di]) * (dx - cv[di]))")
+    return f"""WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS MATERIALIZED (SELECT row_number() OVER (ORDER BY idh) - 1 AS cell, v AS cv
+  FROM (SELECT v, {idh} AS idh FROM emb)
+  QUALIFY row_number() OVER (ORDER BY idh) <= {n_centroids}),
+cdist AS MATERIALIZED (SELECT e.vec_id, e.v, c.cell, {l2} AS d
+  FROM emb e CROSS JOIN cent c),
+assigned AS (SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell, row_number() OVER (
+      PARTITION BY vec_id ORDER BY d, cell) AS rn FROM cdist)
+  WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, v AS qv, cell FROM (
+    SELECT vec_id, v, cell, row_number() OVER (
+      PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM cdist WHERE vec_id < 8)
+  WHERE rn <= {n_probe}),
+scored AS (SELECT p.query_id, a.vec_id, {cosine("a.v", "p.qv")} AS cosine
+  FROM assigned a JOIN probes p USING (cell) WHERE a.vec_id <> p.query_id),
+r AS (SELECT query_id, vec_id, cosine, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, round(cosine, 6) AS cos6, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k} ORDER BY query_id, rank"""
+
+
+def validate(sf_dir, verify_dir):
+    import glob
+    import time
+
+    import duckdb
+    import pandas as pd
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'")
+    ok = True
+    for name, sql in [("sim_lsh_topk", sim_lsh_sql()),
+                      ("sim_ivf_topk", sim_ivf_sql())]:
+        t0 = time.time()
+        d = con.sql(sql).df()
+        s = pd.concat([pd.read_parquet(f) for f in
+                       sorted(glob.glob(f"{verify_dir}/{name}/*.parquet"))])
+        s = s[sorted(s.columns)].reset_index(drop=True)
+        d = d[sorted(d.columns)].reset_index(drop=True)
+        try:
+            pd.testing.assert_frame_equal(s, d, check_exact=True)
+            print(f"{name}: EXACT MATCH ({len(s)} rows, {time.time()-t0:.1f}s)")
+        except AssertionError as e:
+            ok = False
+            print(f"{name}: MISMATCH {str(e)[:300]}")
+            print(" spark:", s.head(6).to_dict("records"))
+            print(" duck :", d.head(6).to_dict("records"))
+    return ok
+
+
+def emit_scala(path):
+    def esc(sql):
+        return sql.replace("\\", "\\\\").replace('"', '\\"').replace(
+            "\n", "\\n")
+    body = "\n\n".join(
+        f'  val {name}: String = "{esc(sql)}"'
+        for name, sql in [("simLshTopK", sim_lsh_sql()),
+                          ("simIvfTopK", sim_ivf_sql())])
+    src = f"""package graft
+
+/** GENERATED by scripts/gen_sim_oracles.py — do not edit by hand.
+  *
+  * DuckDB oracle SQL for the ANN similarity queries: the hash-derived
+  * hyperplanes / centroid sample reproduce via the same pure-SQL XXH64
+  * as the dedup oracles, and all float reductions fold in Spark's HOF
+  * order, so cosines (and therefore ranks) are bit-equal.
+  */
+object SimOracles {{
+{body}
+}}
+"""
+    with open(path, "w") as f:
+        f.write(src)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    verify_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out01"
+    if validate(sf_dir, verify_dir):
+        emit_scala("src/main/scala/graft/SimOracles.scala")
+    else:
+        sys.exit(1)

@@ -141,10 +141,32 @@ def xxh64_str_seeds(str_expr, n_seeds):
                        f"list_transform(range(0, {n_seeds}), xSd -> {body})")))
 
 
+def int_bytes(int_expr, width):
+    """HUGEINT[] little-endian byte list of a non-negative integer
+    expression (width 4 = Spark IntegerType, 8 = LongType)."""
+    terms = ", ".join(
+        f"(CAST(({int_expr}) AS HUGEINT) // {1 << (8 * k)}) % 256"
+        for k in range(width))
+    return f"[{terms}]"
+
+
+def xxh64_int(int_expr, seed_expr):
+    """Spark XxHash64Function.hashInt — XXH64 of the 4 LE bytes."""
+    return xxh64(int_bytes(int_expr, 4), "4", seed_expr)
+
+
+def xxh64_long(int_expr, seed_expr):
+    """Spark XxHash64Function.hashLong — XXH64 of the 8 LE bytes."""
+    return xxh64(int_bytes(int_expr, 8), "8", seed_expr)
+
+
 def signed(e):
-    """Back to Spark's signed BIGINT representation."""
-    return (f"CAST(CASE WHEN ({e}) >= 9223372036854775808 THEN ({e}) - "
-            f"18446744073709551616 ELSE ({e}) END AS BIGINT)")
+    """Back to Spark's signed BIGINT representation (let-bound so the
+    argument expression appears once — class-file string constants cap
+    at 64 KB)."""
+    return let("sg", e,
+               "CAST(CASE WHEN sg >= 9223372036854775808 THEN sg - "
+               "18446744073709551616 ELSE sg END AS BIGINT)")
 
 
 if __name__ == "__main__":

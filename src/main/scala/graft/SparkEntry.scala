@@ -373,6 +373,7 @@ object SparkEntry {
     }),
     "sim_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
       val q = emb.filter(col("vec_id") < 8)
       Similarity.lshTopK(emb, "vec_id", "embedding",
           q, "vec_id", "embedding", k = 5, planes = 4)
@@ -497,8 +498,10 @@ object SparkEntry {
       // broadcast stays tiny at any scale), joined on the truncated day —
       // exercises beta/alpha/R² end-to-end (reference strats.py:742-774)
       val ev = t(s, dir, "events")
+      // decimal-exact day mean (sum is order-independent in DECIMAL, so
+      // the index values are bit-identical in any engine)
       val dayAgg = ev.groupBy(date_trunc("DAY", col("ts")).as("__day"))
-        .agg(avg(col("value")).as("SP500"))
+        .agg((dsum(col("value")) / count(lit(1))).as("SP500"))
       // Metrics.compute consumes the daily frame three times (row-level
       // windows, grouped aggregates, the covariance second pass) — cache
       // it so the signal+fold pipeline runs once, not per branch
@@ -507,9 +510,15 @@ object SparkEntry {
         .join(broadcast(dayAgg), Seq("__day"), "left")
         .drop("__day")
         .cache()
+      // sharpe is emitted as float32: it is the one metric through libm
+      // pow (Java Math.pow vs C pow differ at 1 ulp on ~7% of inputs);
+      // the float cast absorbs the ulp while keeping 7 significant
+      // digits. All other columns compare bit-exact against the oracle's
+      // date-order folds.
       graft.analytics.Metrics.compute(daily, res.orders, 10000.0, 0.03)
         .select(col("ticker"), col("end_amount"), col("net_profit"),
-          col("max_drawdown_pct"), col("profit_factor"), col("sharpe_ratio"),
+          col("max_drawdown_pct"), col("profit_factor"),
+          col("sharpe_ratio").cast("float").as("sharpe_f"),
           col("volatility_annualized"), col("beta"), col("alpha"),
           col("r_squared"))
         .orderBy(col("ticker"))
@@ -775,6 +784,10 @@ object SparkEntry {
              '[^a-z0-9\s]', '', 'g')), '\s+', ' ', 'g')) AS fp
            FROM documents)
          GROUP BY fp ORDER BY fp""",
+    // ANN oracles: hash-derived hyperplanes / centroid sample reproduced
+    // via the same pure-SQL XXH64 (generated — see graft.SimOracles)
+    "sim_lsh_topk" -> SimOracles.simLshTopK,
+    "sim_ivf_topk" -> SimOracles.simIvfTopK,
     "sim_cosine_topk" ->
       """SELECT query_id, vec_id, cos6, rank FROM (
            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
@@ -786,6 +799,17 @@ object SparkEntry {
            FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) q
            WHERE c.vec_id <> q.vec_id)
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    "mm_media_features" ->
+      """SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'img' WHEN 1 THEN 'aud'
+             ELSE 'vid' END AS format,
+           CAST(length(text) AS INTEGER) AS byte_len,
+           CASE WHEN length(text) = 0 THEN 0.0 ELSE
+             CAST(list_sum(list_transform(range(1, length(text) + 1),
+               i -> ord(substr(text, i, 1)))) AS DOUBLE) / length(text)
+             END AS mean_byte,
+           CAST((1 + doc_id % 24 + 3) // 4 AS INTEGER) AS frames_sampled
+         FROM documents ORDER BY media_id""",
     "ts_quality" ->
       """WITH toks AS (SELECT doc_id, text,
              list_filter(string_split_regex(lower(text), '\s+'),
@@ -844,6 +868,9 @@ object SparkEntry {
       """SELECT ticker, net_worth
          FROM read_parquet('/root/repo/src/test/resources/goldens/sf0.01/bt_backtest_fold.parquet')
          ORDER BY ticker""",
+    // bt_metrics: reference-run daily fixture + date-order folds
+    // replicating Spark's aggregate algorithms (see graft.MetricsOracle)
+    "bt_metrics" -> MetricsOracle.btMetrics,
     "opt_grid" ->
       """SELECT ticker, best_net_worth
          FROM read_parquet('/root/repo/src/test/resources/goldens/sf0.01/opt_grid.parquet')
