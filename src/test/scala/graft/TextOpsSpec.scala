@@ -173,6 +173,42 @@ class TextOpsSpec extends SparkTestBase {
     assert(rows.filter(_._1._2 == "flink").forall(_._2._3 == 2L))
   }
 
+  test("LangMarkerScores: one-pass scores, shared markers, empty input") {
+    import graft.functions.TextFunctions
+    import graft.textstats.TextStats.langMarkers
+    val df = Seq(
+      "la la la",              // "la" is a marker of BOTH fr and es
+      "the of and to in",      // pure en markers
+      "",                      // no tokens -> all zero (denominator 1)
+      "xyzzy plugh").toDF("text")
+    val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+    val rows = df.select(
+        TextFunctions.langMarkerScores(toks, langMarkers).as("s"))
+      .collect().map(_.getSeq[Double](0).toList)
+    // lang order is sorted: de, en, es, fr
+    assert(rows(0) === List(0.0, 0.0, 1.0, 1.0)) // la credits es AND fr
+    assert(rows(1) === List(0.0, 1.0, 0.0, 0.0))
+    assert(rows(2) === List(0.0, 0.0, 0.0, 0.0))
+    assert(rows(3) === List(0.0, 0.0, 0.0, 0.0))
+  }
+
+  test("lastYearsGlobal equals keyed lastYears on a single-key frame") {
+    import graft.ts.TimeSeriesOps
+    val df = Seq(
+      ("2020-03-01", 1.0), ("2021-06-01", 2.0), ("2022-02-01", 3.0),
+      ("2022-12-30", 4.0))
+      .toDF("d", "v")
+      .select(col("d").cast("timestamp").as("date"), col("v"))
+    val global = TimeSeriesOps.lastYearsGlobal(df, 1, "date")
+      .select("v").collect().map(_.getDouble(0)).sorted.toList
+    val keyed = TimeSeriesOps.lastYears(
+        df.withColumn("ticker", lit("k")), 1, "date")
+      .select("v").collect().map(_.getDouble(0)).sorted.toList
+    // cutoff = Dec 31 of year(max)-1 = 2021-12-31, strictly after
+    assert(global === List(3.0, 4.0))
+    assert(global === keyed)
+  }
+
   test("text stats: langId, quality, token counts, fingerprint") {
     val df = Seq(
       "the cat sat on the mat and it was happy in the sun",
