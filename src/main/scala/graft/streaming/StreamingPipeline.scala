@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.textstats.TextStats
+
+/** Streaming halves of the LLM-data-pipeline operators (SURVEY.md §7.5):
+  * the same dedup / sessionization / token-count semantics as the batch
+  * tier, expressed over `readStream` sources so a 100 TB ingest can run
+  * continuously instead of in backfill batches.
+  *
+  * Scale notes:
+  *  - Streaming exact dedup uses `dropDuplicatesWithinWatermark` on the
+  *    canonical fingerprint: state is keyed by the 128-bit digest and
+  *    EVICTED once the watermark passes — bounded memory, unlike a plain
+  *    `dropDuplicates` whose state grows forever. Dedup scope is "within
+  *    the watermark horizon", which is the only sound contract for an
+  *    unbounded stream.
+  *  - Sessionization uses Spark's native `session_window` (gap-merged
+  *    windows in the state store, watermark-evicted) — the streaming
+  *    analogue of TimeSeriesOps.sessionize's two-window batch form.
+  *  - Token counting is a watermarked tumbling-window aggregation over
+  *    exploded tokens: partial aggregation runs map-side per batch, so
+  *    only (window, token, partial count) rows shuffle.
+  */
+object StreamingPipeline {
+
+  /** Drop exact-duplicate documents within the watermark horizon: the
+    * canonical-fingerprint column is added, late data beyond `watermark`
+    * is dropped, and duplicate state is watermark-evicted. Works on both
+    * streaming and batch frames (batch = global dedup).
+    */
+  def streamingExactDedup(docs: DataFrame, tsCol: String = "ts",
+      textCol: String = "text", watermark: String = "1 hour"): DataFrame =
+    docs.withColumn("fp", TextStats.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
+  /** Gap-based sessionization with native session windows: one row per
+    * (key, session) holding the merged window bounds and per-session
+    * aggregates. Same session-boundary semantics as the batch
+    * TimeSeriesOps.sessionize (a new session starts when the gap to the
+    * previous event exceeds `gap`).
+    */
+  def streamingSessionize(events: DataFrame, gap: String,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  /** Windowed token counting over a document stream — the streaming
+    * analogue of the batch top-k token frequency (A4): tumbling
+    * event-time windows, watermark-bounded state.
+    */
+  def streamingTokenCounts(docs: DataFrame, window_ : String,
+      tsCol: String = "ts", textCol: String = "text",
+      watermark: String = "1 hour"): DataFrame =
+    docs.withWatermark(tsCol, watermark)
+      .select(col(tsCol),
+        explode(graft.text.TextPipeline.tokenize(col(textCol))).as("token"))
+      .groupBy(window(col(tsCol), window_), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("token"),
+        col("cnt"))
+}

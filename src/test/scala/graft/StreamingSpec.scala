@@ -62,6 +62,63 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming exact dedup: duplicate fingerprints within the horizon drop") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDS().toDF("ts", "doc_id", "text")
+    val q = graft.streaming.StreamingPipeline
+      .streamingExactDedup(docs, watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    input.addData(
+      (Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "Hello, World!"),
+      (Timestamp.valueOf("2024-01-01 00:05:00"), 2L, "hello   world"),  // same canon
+      (Timestamp.valueOf("2024-01-01 00:10:00"), 3L, "something else"))
+    q.processAllAvailable()
+    input.addData(
+      (Timestamp.valueOf("2024-01-01 00:20:00"), 4L, "HELLO WORLD"))    // dup again
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_out").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toList
+    assert(ids === List(1L, 3L)) // canonical dups 2 and 4 dropped, state kept across batches
+  }
+
+  test("streaming session windows agree with batch sessionize boundaries") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDS().toDF("ts", "user_id", "value")
+    val q = graft.streaming.StreamingPipeline
+      .streamingSessionize(events, gap = "30 minutes", watermark = "2 hours")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    val rows = Seq(
+      (Timestamp.valueOf("2024-01-01 00:00:00"), 1L, 1.0),
+      (Timestamp.valueOf("2024-01-01 00:10:00"), 1L, 2.0),  // same session
+      (Timestamp.valueOf("2024-01-01 01:00:00"), 1L, 3.0),  // gap > 30m: new session
+      (Timestamp.valueOf("2024-01-01 00:05:00"), 2L, 4.0))
+    input.addData(rows: _*)
+    // advance the watermark past every session end so they finalize
+    input.addData((Timestamp.valueOf("2024-01-01 09:00:00"), 9L, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sess_out")
+      .filter(col("user_id") < 9)
+      .select("user_id", "n_events", "sum_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(r => (r._1, r._2, r._3)).toList
+    // batch sessionize on the same rows: u1 -> sessions {1,2} and {3}; u2 -> {4}
+    val batch = graft.ts.TimeSeriesOps.sessionize(
+        spark.createDataset(rows).toDF("ts", "user_id", "value"),
+        gapSeconds = 1800)
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n"), sum("value").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      .sortBy(r => (r._1, r._2, r._3)).toList
+    assert(out === batch)
+    assert(out === List((1L, 1L, 3.0), (1L, 2L, 3.0), (2L, 1L, 4.0)))
+  }
+
   test("watermarked windowed indicator runs over a bounded stream") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]
