@@ -93,6 +93,25 @@ SELECT query_id, vec_id, round(cosine, 6) AS cos6, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= {k} ORDER BY query_id, rank"""
 
 
+def emb_neardups_sql(planes=4, threshold=0.3):
+    """Dedup.embeddingNearDups: pairs inside a sign-pattern bucket with
+    exact cosine >= threshold (cosines bit-equal, so the filter is too).
+    Norms are precomputed per vector, matching the Spark side."""
+    dot = fold0("list_transform(a.v, (cx, ci) -> cx * b.v[ci])")
+    nrm = f"sqrt({fold0('list_transform(v, cx -> cx * cx)')})"
+    return f"""WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pmt AS MATERIALIZED (SELECT {let("pdim", "(SELECT max(len(v)) FROM emb)",
+                    plane_matrix(planes))} AS pm),
+bk AS MATERIALIZED (SELECT vec_id, v, {nrm} AS nm,
+    {bucket("v", planes)} AS bucket FROM emb, pmt),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    ({dot}) / (a.nm * b.nm) AS cosine
+  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(cosine, 6) AS cos6 FROM p
+WHERE cosine >= {threshold} ORDER BY id_a, id_b"""
+
+
 def validate(sf_dir, verify_dir):
     import glob
     import time
@@ -103,7 +122,8 @@ def validate(sf_dir, verify_dir):
     con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'")
     ok = True
     for name, sql in [("sim_lsh_topk", sim_lsh_sql()),
-                      ("sim_ivf_topk", sim_ivf_sql())]:
+                      ("sim_ivf_topk", sim_ivf_sql()),
+                      ("dd_embedding_neardups", emb_neardups_sql())]:
         t0 = time.time()
         d = con.sql(sql).df()
         s = pd.concat([pd.read_parquet(f) for f in
@@ -128,7 +148,8 @@ def emit_scala(path):
     body = "\n\n".join(
         f'  val {name}: String = "{esc(sql)}"'
         for name, sql in [("simLshTopK", sim_lsh_sql()),
-                          ("simIvfTopK", sim_ivf_sql())])
+                          ("simIvfTopK", sim_ivf_sql()),
+                          ("ddEmbeddingNearDups", emb_neardups_sql())])
     src = f"""package graft
 
 /** GENERATED by scripts/gen_sim_oracles.py — do not edit by hand.

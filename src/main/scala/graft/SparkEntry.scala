@@ -360,6 +360,17 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "dd_embedding_neardups" -> ((s, dir) => {
+      // embedding-cosine near-dup: LSH-bucketed all-pairs (pairs only
+      // form inside a sign-pattern bucket), exact cosine verification
+      val emb = t(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+          threshold = 0.3, planes = 4)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cos6"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ------------------------------------------- LLM-pipeline: similarity
     "sim_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -788,6 +799,7 @@ object SparkEntry {
     // via the same pure-SQL XXH64 (generated — see graft.SimOracles)
     "sim_lsh_topk" -> SimOracles.simLshTopK,
     "sim_ivf_topk" -> SimOracles.simIvfTopK,
+    "dd_embedding_neardups" -> SimOracles.ddEmbeddingNearDups,
     "sim_cosine_topk" ->
       """SELECT query_id, vec_id, cos6, rank FROM (
            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,

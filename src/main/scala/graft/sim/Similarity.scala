@@ -142,11 +142,16 @@ object Similarity {
     */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Int): DataFrame = {
+    // norms are computed ONCE per vector before the pair join — inside
+    // the join condition each candidate pair costs one dot-product fold,
+    // not three (norm folds dominate when buckets are dense)
     val v = df.select(col(idCol).as("id"), col(vecCol).as("__v"),
+      norm(col(vecCol)).as("__n"),
       lshBucket(col(vecCol), planes).as("__bucket"))
     v.as("a").join(v.as("b"),
         col("a.__bucket") === col("b.__bucket") && col("a.id") < col("b.id"))
-      .withColumn("cosine", cosine(col("a.__v"), col("b.__v")))
+      .withColumn("cosine",
+        dot(col("a.__v"), col("b.__v")) / (col("a.__n") * col("b.__n")))
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }
