@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftShims
+import org.apache.spark.sql.types._
+
+/** Vector kernels for the similarity tier (same rationale as
+  * HashExpressions: `aggregate(zip_with(...))` HOFs evaluate an
+  * interpreted lambda per element; on a dot product inside a pair join
+  * that overhead dominates). The loops accumulate LEFT-TO-RIGHT exactly
+  * like the HOF fold they replace, so results are bit-identical and the
+  * DuckDB oracles (which replicate that fold order) stay green.
+  */
+
+/** Dot product of two array<double|float> columns (null if either is
+  * null; elements assumed non-null, as produced by embedding casts).
+  * Matches the HOF semantics it replaced: float×float multiplies in
+  * FLOAT then widens into the double accumulator; any double operand
+  * promotes the multiply to double.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  @transient private lazy val bothFloat = elemIsFloat(left) && elemIsFloat(right)
+  @transient private lazy val leftFloat = elemIsFloat(left)
+  @transient private lazy val rightFloat = elemIsFloat(right)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    if (bothFloat) {
+      while (i < n) { acc += x.getFloat(i) * y.getFloat(i); i += 1 }
+    } else {
+      while (i < n) {
+        val xv = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
+        acc += xv * yv
+        i += 1
+      }
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): DotProduct = copy(left = l, right = r)
+}
+
+/** L2 norm of an array<double|float> column — sqrt of the left-to-right
+  * sum of squares (float arrays square in FLOAT, like the HOF form).
+  */
+case class L2Norm(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_norm"
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var acc = 0.0
+    var i = 0
+    if (isFloat) {
+      while (i < n) { val v = x.getFloat(i); acc += v * v; i += 1 }
+    } else {
+      while (i < n) { val v = x.getDouble(i); acc += v * v; i += 1 }
+    }
+    math.sqrt(acc)
+  }
+
+  override protected def withNewChildInternal(c: Expression): L2Norm = copy(c)
+}
+
+object VectorFunctions {
+  def dot(a: Column, b: Column): Column =
+    GraftShims.column(DotProduct(GraftShims.expression(a), GraftShims.expression(b)))
+
+  def norm(a: Column): Column =
+    GraftShims.column(L2Norm(GraftShims.expression(a)))
+}

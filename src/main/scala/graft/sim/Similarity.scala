@@ -19,13 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array<double/float> columns. */
+  /** Dot product of two array<double> columns — a single-pass custom
+    * expression (graft.functions.DotProduct); accumulates left-to-right
+    * exactly like the HOF `aggregate(zip_with(...))` fold it replaced,
+    * so results are bit-identical (and the DuckDB oracles stay green).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.dot(a, b)
 
-  /** L2 norm. */
+  /** L2 norm (single-pass custom expression, same fold order). */
   def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+    graft.functions.VectorFunctions.norm(a)
 
   /** Cosine similarity. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
