@@ -5,13 +5,16 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{MinHashSignature, SimHash64, WordShingles}
+import graft.functions.{DotProduct, L2Norm, LangMarkerScores, MinHashSignature, SimHash64, WordShingles}
+import graft.textstats.TextStats
 
 /** SQL surface for the engine's custom Catalyst expressions: register via
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or on a
   * live session with `GraftExtensions.register(spark)`. Gives
-  * `simhash64(arr)`, `minhash_signature(arr, n)`, `word_shingles(s, n)`
-  * to pure-SQL users alongside the Column API (graft.functions).
+  * `simhash64(arr)`, `minhash_signature(arr, n)`, `word_shingles(s, n)`,
+  * `vec_dot(a, b)`, `vec_norm(a)`, and `lang_marker_scores(toks)` (the
+  * built-in marker lists, sorted lang order) to pure-SQL users alongside
+  * the Column API (graft.functions).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit =
@@ -34,7 +37,13 @@ object GraftExtensions {
     "minhash_signature" -> (args =>
       MinHashSignature(args.head, intArg(args(1), "numHashes"))),
     "word_shingles" -> (args =>
-      WordShingles(args.head, intArg(args(1), "n"))))
+      WordShingles(args.head, intArg(args(1), "n"))),
+    "vec_dot" -> (args => DotProduct(args.head, args(1))),
+    "vec_norm" -> (args => L2Norm(args.head)),
+    "lang_marker_scores" -> (args => {
+      val ordered = TextStats.langMarkers.toSeq.sortBy(_._1)
+      LangMarkerScores(args.head, ordered.map(_._1), ordered.map(_._2))
+    }))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

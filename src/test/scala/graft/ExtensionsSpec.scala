@@ -15,6 +15,19 @@ class ExtensionsSpec extends SparkTestBase {
     assert(row.getSeq[String](2) === Seq("hello world", "world hello"))
   }
 
+  test("vector + langid expressions are callable from SQL") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT vec_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d,
+                vec_norm(array(3.0D, 4.0D)) AS n,
+                lang_marker_scores(array('the', 'of', 'xyz')) AS ls""")
+      .collect()(0)
+    assert(row.getDouble(0) === 32.0)
+    assert(row.getDouble(1) === 5.0)
+    // sorted lang order de,en,es,fr — 2 of 3 tokens are en markers
+    assert(row.getSeq[Double](2) === Seq(0.0, 2.0 / 3, 0.0, 0.0))
+  }
+
   test("SQL and Column APIs agree") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions._
