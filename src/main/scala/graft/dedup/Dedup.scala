@@ -190,9 +190,14 @@ object Dedup {
     * Returns (id, component) where component = min id of the cluster.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // materialize the edge list ONCE: every round joins against it, and
+    // without the checkpoint each iteration would re-execute the whole
+    // upstream candidate pipeline (LSH banding + verification) that
+    // produced the pairs
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
+      .localCheckpoint(eager = true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
     var converged = false
