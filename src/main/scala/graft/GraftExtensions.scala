@@ -32,18 +32,24 @@ object GraftExtensions {
       s"$what must be an integer literal, got $other")
   }
 
+  private def arity(name: String, args: Seq[Expression], n: Int): Unit =
+    if (args.length != n) throw new IllegalArgumentException(
+      s"$name expects $n argument(s), got ${args.length}")
+
   val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "simhash64" -> (args => SimHash64(args.head)),
-    "minhash_signature" -> (args =>
-      MinHashSignature(args.head, intArg(args(1), "numHashes"))),
-    "word_shingles" -> (args =>
-      WordShingles(args.head, intArg(args(1), "n"))),
-    "vec_dot" -> (args => DotProduct(args.head, args(1))),
-    "vec_norm" -> (args => L2Norm(args.head)),
-    "lang_marker_scores" -> (args => {
+    "simhash64" -> (args => { arity("simhash64", args, 1)
+      SimHash64(args.head) }),
+    "minhash_signature" -> (args => { arity("minhash_signature", args, 2)
+      MinHashSignature(args.head, intArg(args(1), "numHashes")) }),
+    "word_shingles" -> (args => { arity("word_shingles", args, 2)
+      WordShingles(args.head, intArg(args(1), "n")) }),
+    "vec_dot" -> (args => { arity("vec_dot", args, 2)
+      DotProduct(args.head, args(1)) }),
+    "vec_norm" -> (args => { arity("vec_norm", args, 1)
+      L2Norm(args.head) }),
+    "lang_marker_scores" -> (args => { arity("lang_marker_scores", args, 1)
       val ordered = TextStats.langMarkers.toSeq.sortBy(_._1)
-      LangMarkerScores(args.head, ordered.map(_._1), ordered.map(_._2))
-    }))
+      LangMarkerScores(args.head, ordered.map(_._1), ordered.map(_._2)) }))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -235,8 +235,10 @@ object SparkEntry {
       // exact sequential left-to-right multiply, pinned by a DuckDB
       // oracle that forces the same association with list_reduce over
       // prefix slices (raw windowed product() uses a segment tree and
-      // drifts at ulp level — measured 419/1000 mismatches)
-      val w = TimeSeriesOps.keyed("user_id", "ts")
+      // drifts at ulp level — measured 419/1000 mismatches). The window
+      // orders by (ts, event_id) — the oracle's list() order — so tied
+      // timestamps cannot make the prefix product ambiguous.
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val factor = lit(1.0) + col("value") / 1000
       t(s, dir, "events").select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
           col("event_id"),
@@ -811,14 +813,17 @@ object SparkEntry {
            FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) q
            WHERE c.vec_id <> q.vec_id)
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    // mean_byte sums codepoints, which equals UTF-8 byte values only for
+    // ASCII text — asserted true for the documents fixture; byte_len uses
+    // strlen (bytes) to stay byte-true regardless
     "mm_media_features" ->
       """SELECT doc_id AS media_id,
            CASE doc_id % 3 WHEN 0 THEN 'img' WHEN 1 THEN 'aud'
              ELSE 'vid' END AS format,
-           CAST(length(text) AS INTEGER) AS byte_len,
+           CAST(strlen(text) AS INTEGER) AS byte_len,
            CASE WHEN length(text) = 0 THEN 0.0 ELSE
              CAST(list_sum(list_transform(range(1, length(text) + 1),
-               i -> ord(substr(text, i, 1)))) AS DOUBLE) / length(text)
+               i -> ord(substr(text, i, 1)))) AS DOUBLE) / strlen(text)
              END AS mean_byte,
            CAST((1 + doc_id % 24 + 3) // 4 AS INTEGER) AS frames_sampled
          FROM documents ORDER BY media_id""",

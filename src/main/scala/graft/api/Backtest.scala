@@ -73,10 +73,15 @@ final class Backtest(
       initState: Array[Double] = Array(1.0, 1.0),
       temperature: Double = 100.0,
       iterations: Int = 100,
-      seed: Long = 42L): DataFrame = optType match {
+      seed: Long = 42L,
+      gridChunks: Int = 1): DataFrame = optType match {
     case "grid_search" =>
+      // gridChunks > 1 re-shards the grid across tasks — set it (e.g. to
+      // defaultParallelism) for the reference's single-ticker/large-grid
+      // shape; leave 1 when tickers already fill the cluster
       GridSearch.best(
-        GridSearch.evaluate(bars, mkStrategy, initialAmount, ranges))
+        GridSearch.evaluate(bars, mkStrategy, initialAmount, ranges,
+          gridChunks))
     case "sim_anneal" =>
       SimulatedAnnealing.evaluate(bars, mkStrategy, initialAmount, ranges,
         initState, temperature, iterations, seed)

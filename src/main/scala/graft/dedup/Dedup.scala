@@ -208,16 +208,26 @@ object Dedup {
           .withColumnRenamed("component", "dst_comp"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("dst_comp")).as("neighbor_comp"))
-      // the convergence flag rides along with the label update (a label
-      // only ever decreases, so changed ⟺ neighbor_comp < component) —
-      // checking it is a scan of the just-checkpointed blocks, not a
-      // second join against the previous labels
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+      // pointer-jumping: after adopting the neighborhood minimum, each
+      // node also adopts its component's component (label-on-label join),
+      // so convergence needs O(log diameter) rounds instead of
+      // O(diameter) — a 1000-node duplicate chain converges in ~10
+      // rounds, not 1000
+      val hopped = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("component").as("__old"),
           least(col("component"), coalesce(col("neighbor_comp"), col("component")))
-            .as("component"),
-          coalesce(col("neighbor_comp") < col("component"), lit(false))
-            .as("__changed"))
+            .as("component"))
+      val merged = least(col("component"),
+        coalesce(col("parent_comp"), col("component")))
+      // the convergence flag rides along with the label update (a label
+      // only ever decreases, so changed ⟺ next < previous __old carried
+      // through) — checking it is a scan of the just-checkpointed blocks,
+      // not an extra join against the previous labels
+      val next = hopped
+        .join(labels.select(col("id").as("component"),
+          col("component").as("parent_comp")), Seq("component"), "left")
+        .select(col("id"), merged.as("component"),
+          (merged < col("__old")).as("__changed"))
         .localCheckpoint(eager = true) // cut the growing lineage per round
       val changed = next.filter(col("__changed")).limit(1).count() > 0
       labels = next.drop("__changed")

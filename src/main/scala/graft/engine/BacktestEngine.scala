@@ -74,8 +74,11 @@ object BacktestEngine {
     import spark.implicits._
     signals.groupByKey(_.ticker).mapGroups { (ticker, it) =>
       val rows = it.toArray
+      // full-precision comparator: getTime alone is millisecond-truncated
+      // and would tie sub-millisecond signals nondeterministically
       scala.util.Sorting.stableSort(rows, (a: SignalBar, b: SignalBar) =>
-        a.date.getTime < b.date.getTime)
+        a.date.getTime < b.date.getTime ||
+          (a.date.getTime == b.date.getTime && a.date.getNanos < b.date.getNanos))
       runSession(ticker, rows, initialAmount)
     }
   }

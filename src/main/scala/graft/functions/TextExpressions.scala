@@ -30,6 +30,17 @@ case class LangMarkerScores(child: Expression, langs: Seq[String],
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "lang_marker_scores"
 
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<string> argument, got " +
+            other.catalogString)
+    }
+
   @transient private lazy val lookup: java.util.HashMap[UTF8String, Integer] = {
     val m = new java.util.HashMap[UTF8String, Integer]()
     markers.zipWithIndex.foreach { case (words, i) =>

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -25,6 +26,19 @@ case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
+  // can return null even for non-null inputs (length mismatch, null elem)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(DoubleType | FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>/array<float> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
 
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
@@ -37,13 +51,21 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // HOF parity: zip_with pads length mismatches with nulls and a null
+    // element nulls the whole aggregate — a truncated/corrupt embedding
+    // must yield NULL (and get filtered), not a plausible prefix cosine
+    if (y.numElements() != n) return null
     var acc = 0.0
     var i = 0
     if (bothFloat) {
-      while (i < n) { acc += x.getFloat(i) * y.getFloat(i); i += 1 }
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc += x.getFloat(i) * y.getFloat(i); i += 1
+      }
     } else {
       while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         val xv = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
         val yv = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
         acc += xv * yv
@@ -64,6 +86,14 @@ case class L2Norm(child: Expression) extends UnaryExpression
     with CodegenFallback {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_norm"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType | FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<double>/array<float> argument, got " +
+        other.catalogString)
+  }
 
   @transient private lazy val isFloat = child.dataType match {
     case ArrayType(FloatType, _) => true
@@ -76,9 +106,15 @@ case class L2Norm(child: Expression) extends UnaryExpression
     var acc = 0.0
     var i = 0
     if (isFloat) {
-      while (i < n) { val v = x.getFloat(i); acc += v * v; i += 1 }
+      while (i < n) {
+        if (x.isNullAt(i)) return null
+        val v = x.getFloat(i); acc += v * v; i += 1
+      }
     } else {
-      while (i < n) { val v = x.getDouble(i); acc += v * v; i += 1 }
+      while (i < n) {
+        if (x.isNullAt(i)) return null
+        val v = x.getDouble(i); acc += v * v; i += 1
+      }
     }
     math.sqrt(acc)
   }

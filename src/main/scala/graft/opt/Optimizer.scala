@@ -167,30 +167,63 @@ object GridSearch {
     * at scale; a ticker's own history is bounded (daily bars: thousands
     * of rows), so the per-group materialization is safe by construction.
     * No driver-side collect anywhere in the path.
+    *
+    * `gridChunks` re-shards the grid axis for the few-tickers/large-grid
+    * case (the reference's single-ticker shape): the per-ticker series is
+    * materialized once, duplicated across `gridChunks` shuffle keys, and
+    * each task evaluates its slice of the grid — restoring parallelism
+    * when tickers alone cannot fill the cluster. Leave at 1 (default)
+    * when tickers are the abundant axis: no duplication, no extra
+    * shuffle.
     */
   def evaluate(bars: DataFrame, mkStrategy: Seq[Double] => LocalStrategy,
       initialAmount: Double,
-      ranges: Seq[(Double, Double, Double)]): DataFrame = {
+      ranges: Seq[(Double, Double, Double)],
+      gridChunks: Int = 1): DataFrame = {
     val spark = bars.sparkSession
     import spark.implicits._
     val states = grid(ranges)
     val bcStates = spark.sparkContext.broadcast(states)
-    bars
+    val nChunks = math.max(1, math.min(gridChunks, states.length))
+    // full-precision sort key: Timestamp.getTime is millisecond-truncated,
+    // so sub-millisecond bars would tie and order nondeterministically
+    val series = bars
       .select(col("ticker"), col("date").cast("timestamp"), col("close").cast("double"))
       .as[(String, Timestamp, java.lang.Double)]
       .groupByKey(_._1)
-      .flatMapGroups { (ticker, it) =>
-        val sorted = it.toArray.sortBy(_._2.getTime)
-        val dates = sorted.map(_._2)
-        val closes = sorted.map(r =>
-          if (r._3 == null) Double.NaN else r._3.doubleValue())
-        bcStates.value.iterator.map { state =>
-          val nw = LocalBacktest.finalNetWorth(ticker, dates, closes,
-            mkStrategy(state.toSeq), initialAmount)
-          (ticker, state, nw)
-        }
+      .mapGroups { (ticker, it) =>
+        val sorted = it.toArray.sortBy(r => epochMicros(r._2))
+        (ticker, sorted.map(r => epochMicros(r._2)),
+          sorted.map(r => if (r._3 == null) Double.NaN else r._3.doubleValue()))
       }
-      .toDF("ticker", "state", "net_worth")
+    val sharded =
+      if (nChunks == 1) series.map { case (t, ns, closes) => (t, ns, closes, 0) }
+      else series.flatMap { case (t, ns, closes) =>
+        (0 until nChunks).iterator.map(c => (t, ns, closes, c))
+      }.repartition(spark.sparkContext.defaultParallelism)
+    sharded.flatMap { case (ticker, us, closes, chunk) =>
+      val all = bcStates.value
+      val dates = us.map(fromEpochMicros)
+      (chunk until all.length by nChunks).iterator.map { i =>
+        val state = all(i)
+        val nw = LocalBacktest.finalNetWorth(ticker, dates, closes,
+          mkStrategy(state.toSeq), initialAmount)
+        (ticker, state, nw)
+      }
+    }.toDF("ticker", "state", "net_worth")
+  }
+
+  /** Full-precision timestamp ↔ epoch-micros round trip (Timestamp.getTime
+    * is millisecond-truncated — sorting on it would tie sub-millisecond
+    * bars nondeterministically).
+    */
+  private[opt] def epochMicros(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private[opt] def fromEpochMicros(us: Long): Timestamp = {
+    val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
   }
 
   /** Best state per ticker — `max_by` argmax (reference optimize.py:227). */
@@ -225,7 +258,8 @@ object SimulatedAnnealing {
       .as[(String, Timestamp, java.lang.Double)]
       .groupByKey(_._1)
       .mapGroups { (ticker, it) =>
-        val sorted = it.toArray.sortBy(_._2.getTime)
+        // full-precision sort (getTime alone is millisecond-truncated)
+        val sorted = it.toArray.sortBy(r => GridSearch.epochMicros(r._2))
         val dates = sorted.map(_._2)
         val closes = sorted.map(r =>
           if (r._3 == null) Double.NaN else r._3.doubleValue())

@@ -112,7 +112,7 @@ object Similarity {
       .orderBy(col("__h")).limit(nCentroids)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Double](0).toArray)
-    require(centroids.nonEmpty, "IVF: empty corpus or sampling stratum")
+    require(centroids.nonEmpty, "IVF: empty corpus")
 
     def nearestCells(vec: Column, m: Int): Column = {
       // squared L2 distance to each centroid, as static expressions

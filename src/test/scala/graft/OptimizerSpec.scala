@@ -31,6 +31,16 @@ class OptimizerSpec extends SparkTestBase {
     assert(bestRow.getAs[Double]("best_net_worth") === 1283666.449897766)
   }
 
+  test("grid sharding (gridChunks) evaluates the identical grid") {
+    val evaluated = GridSearch.evaluate(aapl10y,
+      st => LocalMACross(st(0).toInt, st(1).toInt), 5000.0,
+      Seq((30, 40, 2), (40, 50, 5)), gridChunks = 4)
+    assert(evaluated.count() === 10)
+    val bestRow = GridSearch.best(evaluated).collect()(0)
+    assert(bestRow.getAs[Seq[Double]]("best_state") === Seq(36.0, 40.0))
+    assert(bestRow.getAs[Double]("best_net_worth") === 1283666.449897766)
+  }
+
   test("local evaluator agrees with distributed engine (ten percent)") {
     val evaluated = GridSearch.evaluate(aapl10y,
       _ => LocalTenPercent(), 5000.0, Seq((1, 2, 1)))

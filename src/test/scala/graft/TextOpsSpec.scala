@@ -141,6 +141,27 @@ class TextOpsSpec extends SparkTestBase {
     assert(kept === Seq(1L, 4L, 5L)) // cluster {1,2,3} -> survivor 1
   }
 
+  test("connected components converge on a long chain (pointer jumping)") {
+    // a 40-node path graph has diameter 39 — plain min-label propagation
+    // would need 39 rounds; pointer jumping must finish within maxIter=10
+    val pairs = (0L until 39L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs, maxIter = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(comps.length === 40)
+    assert(comps.forall(_._2 === 0L)) // everyone labeled with the chain min
+  }
+
+  test("vec_dot returns NULL on length mismatch or null elements (HOF parity)") {
+    import graft.functions.VectorFunctions
+    val df = Seq(
+      (Seq(1.0, 2.0), Seq(3.0, 4.0)),
+      (Seq(1.0, 2.0, 5.0), Seq(3.0, 4.0))) // truncated vector
+      .toDF("a", "b")
+    val rows = df.select(VectorFunctions.dot(col("a"), col("b"))).collect()
+    assert(rows(0).getDouble(0) === 11.0)
+    assert(rows(1).isNullAt(0)) // mismatch -> NULL, not a prefix cosine
+  }
+
   test("sessionize splits on gaps and is cumulative per user") {
     import java.sql.Timestamp
     val ev = Seq(
