@@ -245,6 +245,17 @@ object SparkEntry {
           TimeSeriesOps.cumProd(factor, w).as("growth"))
         .orderBy(col("user_id"), col("ts_us"), col("event_id"))
     }),
+    "w9_logcum" -> ((s, dir) => {
+      // log-cumulative return (W9): float32 output — Java Math.log1p and
+      // DuckDB's ln(1+x) agree only to ~1 ulp in double for these
+      // magnitudes, and the oracle forces the same fold order
+      val w = TimeSeriesOps.keyed("user_id", "ts")
+      t(s, dir, "events").select(col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          TimeSeriesOps.logCumReturn(col("value"), w).cast("float")
+            .as("logret_f"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
     "w10_ffill" -> ((s, dir) => {
       val w = TimeSeriesOps.keyed("user_id", "ts")
       val sparse = when(col("event_type") === "purchase", col("value"))
@@ -687,6 +698,28 @@ object SparkEntry {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
              AS last_purchase_value
          FROM events ORDER BY user_id, ts_us, event_id""",
+    "w9_logcum" ->
+      """WITH g AS (
+           SELECT user_id,
+             list(epoch_us(CAST(ts AS TIMESTAMP)) ORDER BY ts, event_id) AS tl,
+             list(event_id ORDER BY ts, event_id) AS el,
+             list(value ORDER BY ts, event_id) AS vl
+           FROM events GROUP BY user_id),
+         e AS (
+           SELECT user_id, unnest(list_transform(vl, (x, i ) ->
+             {'ts_us': tl[i], 'event_id': el[i],
+              'lr': list_transform([list_filter(
+                  list_transform(range(1, i + 1), j ->
+                    CASE WHEN j = 1 THEN NULL
+                         ELSE ln(1 + (vl[j] / nullif(vl[j-1], 0.0) - 1)) END),
+                  q -> q IS NOT NULL)], nn ->
+                CASE WHEN len(nn) = 0 THEN NULL
+                     ELSE list_reduce(list_prepend(0.0, nn),
+                       (a, b) -> a + b) END)[1]})) AS u
+           FROM g)
+         SELECT user_id, u.ts_us AS ts_us, u.event_id AS event_id,
+           CAST(u.lr AS FLOAT) AS logret_f
+         FROM e ORDER BY user_id, ts_us, event_id""",
     "w8_cumprod" ->
       """WITH g AS (
            SELECT user_id,
