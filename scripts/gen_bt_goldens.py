@@ -27,17 +27,28 @@ import sys
 import numpy as np
 import pandas as pd
 
+# The reference's Ten_Percent_Strat indexes Series positionally with ints
+# (data.close[0], written against pre-2.0 pandas); restore that fallback.
+_orig_getitem = pd.Series.__getitem__
+def _compat_getitem(self, key):
+    if isinstance(key, (int, np.integer)) and key not in self.index:
+        return self.iloc[key]
+    return _orig_getitem(self, key)
+pd.Series.__getitem__ = _compat_getitem
+
 from strat_backtest.backtest.strats import Backtest
-from strat_backtest.backtest.custom_strats import MA_Cross_Strat
+from strat_backtest.backtest.custom_strats import MA_Cross_Strat, Ten_Percent_Strat
 
 
 def run_reference(ticker: str, bars: pd.DataFrame, initial: float,
-                  fast: int, lagging: int, collect_daily=None):
+                  fast: int, lagging: int, collect_daily=None,
+                  strat=None, **strat_kwargs):
     """One reference backtest; returns (orders_df_rows, final_net_worth).
     When `collect_daily` is a list, appends the full per-bar net-worth
     series as (ticker, date_us, net_worth) rows."""
-    bt = Backtest(initial, ticker, MA_Cross_Strat, input_data=bars,
-                  fast=fast, lagging=lagging)
+    if strat is None:
+        strat, strat_kwargs = MA_Cross_Strat, {"fast": fast, "lagging": lagging}
+    bt = Backtest(initial, ticker, strat, input_data=bars, **strat_kwargs)
     daily = bt.run()
     net_worth = daily.net_worth.iloc[-1]
     if collect_daily is not None:
@@ -98,6 +109,18 @@ def main():
         all_orders.extend(rows)
         all_nw.append({"ticker": ticker, "net_worth": nw})
 
+    # TenPercent strategy fold golden (reference Ten_Percent_Strat with
+    # its default sell=1.05 / buy=0.99 multipliers)
+    tenpct_rows = []
+    for uid, g in sorted(ev.groupby("user_id"), key=lambda kv: kv[0]):
+        ticker = f"u{uid}"
+        g = g.sort_values("ts")
+        bars = pd.DataFrame({"close": g["value"].to_numpy()},
+                            index=pd.DatetimeIndex(g["ts"]))
+        _, nw = run_reference(ticker, bars, 10000.0, 0, 0,
+                              strat=Ten_Percent_Strat)
+        tenpct_rows.append({"ticker": ticker, "net_worth": nw})
+
     # opt_grid golden: best net worth per ticker over the same grid the
     # driver query runs (numpy.arange endpoints-exclusive semantics)
     grid = [(int(f), int(l)) for f in np.arange(3, 9, 2)
@@ -128,6 +151,8 @@ def main():
                                       index=False)
     pd.DataFrame(all_daily).to_parquet(f"{out_dir}/bt_daily.parquet",
                                        index=False)
+    pd.DataFrame(tenpct_rows).to_parquet(f"{out_dir}/bt_tenpct_fold.parquet",
+                                         index=False)
     print(f"wrote {len(od)} orders, {len(all_nw)} tickers, "
           f"{len(opt_rows)} opt rows, {len(all_daily)} daily rows "
           f"-> {out_dir}")

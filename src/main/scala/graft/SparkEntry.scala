@@ -480,6 +480,14 @@ object SparkEntry {
         MACross(5, 20), 10000.0)
       BacktestEngine.finalNetWorth(res).orderBy(col("ticker"))
     }),
+    "bt_tenpct_fold" -> ((s, dir) => {
+      // second strategy end-to-end: the self-referencing threshold state
+      // machine (per-ticker sequential signal fold) through the same
+      // engine, pinned by a reference-run fixture
+      val res = BacktestEngine.run(Sources.eventsAsBars(s, dir),
+        graft.strategy.TenPercent(), 10000.0)
+      BacktestEngine.finalNetWorth(res).orderBy(col("ticker"))
+    }),
     "ev_sessionize" -> ((s, dir) => {
       // gap-based sessionization (30-minute gap) — exact integer flags
       // through two windows, deterministic in any engine
@@ -917,6 +925,10 @@ object SparkEntry {
     "bt_backtest_fold" ->
       """SELECT ticker, net_worth
          FROM read_parquet('/root/repo/src/test/resources/goldens/sf0.01/bt_backtest_fold.parquet')
+         ORDER BY ticker""",
+    "bt_tenpct_fold" ->
+      """SELECT ticker, net_worth
+         FROM read_parquet('/root/repo/src/test/resources/goldens/sf0.01/bt_tenpct_fold.parquet')
          ORDER BY ticker""",
     // bt_metrics: reference-run daily fixture + date-order folds
     // replicating Spark's aggregate algorithms (see graft.MetricsOracle)

@@ -161,13 +161,18 @@ object Dedup {
     // which exact verification then rejects)
     val posting = sh.select(col("id"),
       explode(transform(col("sh"), s => xxhash64(s))).as("g"))
-    val rare = posting.groupBy("g").agg(count(lit(1)).as("df_count"))
-      .filter(col("df_count") <= maxDf && col("df_count") > 1)
-    val cands = posting.join(rare.select("g"), Seq("g"))
-      .select(col("g"), col("id"))
-    val pairIds = cands.as("x").join(cands.as("y"), Seq("g"))
-      .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    // candidate pairs per rare shingle from ONE aggregation: df <= maxDf
+    // bounds the posting list, so in-task pair expansion (≤ maxDf²/2 per
+    // shingle) replaces the posting self-join — one less shuffle of the
+    // posting table, and the df filter rides the same groupBy
+    val pairIds = posting.groupBy("g")
+      .agg(sort_array(collect_list(col("id"))).as("members"))
+      .filter(size(col("members")) > 1 && size(col("members")) <= maxDf)
+      .select(explode(filter(
+        flatten(transform(col("members"), a =>
+          transform(col("members"), b => struct(a.as("a"), b.as("b"))))),
+        p => p("a") < p("b"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
     pairIds
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))

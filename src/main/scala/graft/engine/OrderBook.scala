@@ -261,12 +261,30 @@ final class TradingSession(initialAmount: Double) extends Serializable {
     val uid = orders.freshId()
     val amount = currAmnt()
     var n = numShares
-    if (n == -1d && amount > 0) n = math.floor(amount / price)
+    if (n == -1d && amount > 0) n = pyFloorDiv(amount, price)
     if (amount < price * n) return
     val order = orders.newOrder(n, uid, date, price, stopLoss)
     activeOrders += n
     buyOrders(date) = order
     stopLoss.foreach(sl => stopLossHeap.enqueue((sl, order.id)))
+  }
+
+  /** CPython float floor-division (floatobject.c float_floor_div), used by
+    * the reference's share sizing `current_amount // price`
+    * (strats.py:382). NOT equivalent to `floor(a / b)`: CPython goes
+    * through fmod, so `a - mod` is an exact multiple of `b` and the
+    * result is the TRUE floor even when `a / b` rounds up across an
+    * integer boundary — at ~1e16 buying power a one-share difference
+    * flips the `amount < price * n` affordability check.
+    */
+  private def pyFloorDiv(a: Double, b: Double): Double = {
+    var mod = a % b // JVM double % == C fmod (truncated, sign of dividend)
+    var div = (a - mod) / b
+    if (mod != 0.0 && ((b < 0.0) != (mod < 0.0))) { mod += b; div -= 1.0 }
+    if (div != 0.0) {
+      val fl = math.floor(div)
+      if (div - fl > 0.5) fl + 1.0 else fl
+    } else java.lang.Math.copySign(0.0, a / b)
   }
 
   /** strats.py:397-420. */
