@@ -119,6 +119,34 @@ class StreamingSpec extends SparkTestBase {
     assert(out === List((1L, 1L, 3.0), (1L, 2L, 3.0), (2L, 1L, 4.0)))
   }
 
+  test("streaming token counts aggregate across micro-batches per window") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val docs = input.toDS().toDF("ts", "text")
+    val q = graft.streaming.StreamingPipeline
+      .streamingTokenCounts(docs, window_ = "1 hour", watermark = "2 hours")
+      .writeStream.format("memory").queryName("tok_out")
+      .outputMode("complete").start()
+    input.addData(
+      (Timestamp.valueOf("2024-01-01 00:10:00"), "spark spark scan"),
+      (Timestamp.valueOf("2024-01-01 00:40:00"), "spark sort"))
+    q.processAllAvailable()
+    input.addData(
+      (Timestamp.valueOf("2024-01-01 01:20:00"), "spark scan"))
+    q.processAllAvailable()
+    q.stop()
+    val counts = spark.table("tok_out")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toList
+    assert(counts === List(
+      ("2024-01-01 00:00:00.0", "scan", 1L),
+      ("2024-01-01 00:00:00.0", "sort", 1L),
+      ("2024-01-01 00:00:00.0", "spark", 3L),
+      ("2024-01-01 01:00:00.0", "scan", 1L),
+      ("2024-01-01 01:00:00.0", "spark", 1L)))
+  }
+
   test("watermarked windowed indicator runs over a bounded stream") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]
