@@ -27,17 +27,29 @@ import sys
 import numpy as np
 import pandas as pd
 
-# The reference's Ten_Percent_Strat indexes Series positionally with ints
-# (data.close[0], written against pre-2.0 pandas); restore that fallback.
-_orig_getitem = pd.Series.__getitem__
-def _compat_getitem(self, key):
-    if isinstance(key, (int, np.integer)) and key not in self.index:
-        return self.iloc[key]
-    return _orig_getitem(self, key)
-pd.Series.__getitem__ = _compat_getitem
+import contextlib
 
 from strat_backtest.backtest.strats import Backtest
 from strat_backtest.backtest.custom_strats import MA_Cross_Strat, Ten_Percent_Strat
+
+
+@contextlib.contextmanager
+def legacy_int_indexing():
+    """The reference's Ten_Percent_Strat indexes Series positionally with
+    ints (data.close[0], written against pre-2.0 pandas). Scoped so the
+    fallback cannot leak into the MA_Cross / opt-grid golden paths."""
+    orig = pd.Series.__getitem__
+
+    def compat(self, key):
+        if isinstance(key, (int, np.integer)) and key not in self.index:
+            return self.iloc[key]
+        return orig(self, key)
+
+    pd.Series.__getitem__ = compat
+    try:
+        yield
+    finally:
+        pd.Series.__getitem__ = orig
 
 
 def run_reference(ticker: str, bars: pd.DataFrame, initial: float,
@@ -112,14 +124,15 @@ def main():
     # TenPercent strategy fold golden (reference Ten_Percent_Strat with
     # its default sell=1.05 / buy=0.99 multipliers)
     tenpct_rows = []
-    for uid, g in sorted(ev.groupby("user_id"), key=lambda kv: kv[0]):
-        ticker = f"u{uid}"
-        g = g.sort_values("ts")
-        bars = pd.DataFrame({"close": g["value"].to_numpy()},
-                            index=pd.DatetimeIndex(g["ts"]))
-        _, nw = run_reference(ticker, bars, 10000.0, 0, 0,
-                              strat=Ten_Percent_Strat)
-        tenpct_rows.append({"ticker": ticker, "net_worth": nw})
+    with legacy_int_indexing():
+        for uid, g in sorted(ev.groupby("user_id"), key=lambda kv: kv[0]):
+            ticker = f"u{uid}"
+            g = g.sort_values("ts")
+            bars = pd.DataFrame({"close": g["value"].to_numpy()},
+                                index=pd.DatetimeIndex(g["ts"]))
+            _, nw = run_reference(ticker, bars, 10000.0, 0, 0,
+                                  strat=Ten_Percent_Strat)
+            tenpct_rows.append({"ticker": ticker, "net_worth": nw})
 
     # opt_grid golden: best net worth per ticker over the same grid the
     # driver query runs (numpy.arange endpoints-exclusive semantics)

@@ -248,8 +248,9 @@ object SparkEntry {
     "w9_logcum" -> ((s, dir) => {
       // log-cumulative return (W9): float32 output — Java Math.log1p and
       // DuckDB's ln(1+x) agree only to ~1 ulp in double for these
-      // magnitudes, and the oracle forces the same fold order
-      val w = TimeSeriesOps.keyed("user_id", "ts")
+      // magnitudes, and the oracle forces the same fold order; (ts,
+      // event_id) ordering pins ties exactly like the oracle's list()
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       t(s, dir, "events").select(col("user_id"),
           unix_micros(col("ts")).as("ts_us"), col("event_id"),
           TimeSeriesOps.logCumReturn(col("value"), w).cast("float")
@@ -719,6 +720,8 @@ object SparkEntry {
               'lr': list_transform([list_filter(
                   list_transform(range(1, i + 1), j ->
                     CASE WHEN j = 1 THEN NULL
+                         WHEN vl[j] = 0 AND vl[j-1] <> 0
+                           THEN CAST('-infinity' AS DOUBLE)
                          ELSE ln(1 + (vl[j] / nullif(vl[j-1], 0.0) - 1)) END),
                   q -> q IS NOT NULL)], nn ->
                 CASE WHEN len(nn) = 0 THEN NULL

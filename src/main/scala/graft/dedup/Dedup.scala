@@ -22,6 +22,16 @@ import graft.textstats.TextStats
   */
 object Dedup {
 
+  /** Ordered (a < b) pairs from a bucket's `members` array — shared by
+    * every bucket-join candidate generator. `members` must already be
+    * capped/bounded upstream (maxBucket / maxDf).
+    */
+  private def orderedPairs(members: Column): Column =
+    filter(
+      flatten(transform(members, a =>
+        transform(members, b => struct(a.as("a"), b.as("b"))))),
+      p => p("a") < p("b"))
+
   // ---------------------------------------------------------------- exact
 
   /** Exact duplicate groups by canonical fingerprint: (fingerprint,
@@ -86,10 +96,7 @@ object Dedup {
 
     // id pairs within a bucket (i < j), dedup'd across bands, then the
     // shingle arrays re-joined once per side for exact verification.
-    val pairIds = buckets.select(explode(filter(
-        flatten(transform(col("members"), a =>
-          transform(col("members"), b => struct(a.as("a"), b.as("b"))))),
-        p => p("a") < p("b"))).as("p"))
+    val pairIds = buckets.select(explode(orderedPairs(col("members"))).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
@@ -130,10 +137,9 @@ object Dedup {
       .agg(slice(sort_array(collect_list(struct(col("id"), col("fp")))), 1, maxBucket)
         .as("members"))
       .filter(size(col("members")) > 1)
-    val pairs = buckets.select(explode(filter(
-        flatten(transform(col("members"), a =>
-          transform(col("members"), b => struct(a.as("a"), b.as("b"))))),
-        p => p("a")("id") < p("b")("id"))).as("p"))
+    // struct members: compare on the full struct (id first) — same as
+    // the id-only compare since ids are unique
+    val pairs = buckets.select(explode(orderedPairs(col("members"))).as("p"))
       .select(col("p.a.id").as("id_a"), col("p.a.fp").as("fp_a"),
         col("p.b.id").as("id_b"), col("p.b.fp").as("fp_b"))
       .dropDuplicates("id_a", "id_b")
@@ -161,17 +167,17 @@ object Dedup {
     // which exact verification then rejects)
     val posting = sh.select(col("id"),
       explode(transform(col("sh"), s => xxhash64(s))).as("g"))
-    // candidate pairs per rare shingle from ONE aggregation: df <= maxDf
-    // bounds the posting list, so in-task pair expansion (≤ maxDf²/2 per
-    // shingle) replaces the posting self-join — one less shuffle of the
-    // posting table, and the df filter rides the same groupBy
-    val pairIds = posting.groupBy("g")
+    // rare-shingle pre-filter with a COUNT aggregate (constant memory per
+    // key — a stop-shingle present in millions of docs must never be
+    // materialized as a list), then grouped member lists only for rare
+    // shingles (bounded by maxDf) with in-task pair expansion — the
+    // second aggregation reuses the same hash partitioning on g
+    val rare = posting.groupBy("g").agg(count(lit(1)).as("df_count"))
+      .filter(col("df_count") <= maxDf && col("df_count") > 1)
+    val pairIds = posting.join(rare.select("g"), Seq("g"))
+      .groupBy("g")
       .agg(sort_array(collect_list(col("id"))).as("members"))
-      .filter(size(col("members")) > 1 && size(col("members")) <= maxDf)
-      .select(explode(filter(
-        flatten(transform(col("members"), a =>
-          transform(col("members"), b => struct(a.as("a"), b.as("b"))))),
-        p => p("a") < p("b"))).as("p"))
+      .select(explode(orderedPairs(col("members"))).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
     pairIds

@@ -74,11 +74,10 @@ object BacktestEngine {
     import spark.implicits._
     signals.groupByKey(_.ticker).mapGroups { (ticker, it) =>
       val rows = it.toArray
-      // full-precision comparator: getTime alone is millisecond-truncated
-      // and would tie sub-millisecond signals nondeterministically
+      // full-precision comparator (graft.model.Time): getTime alone is
+      // millisecond-truncated and would tie sub-ms signals
       scala.util.Sorting.stableSort(rows, (a: SignalBar, b: SignalBar) =>
-        a.date.getTime < b.date.getTime ||
-          (a.date.getTime == b.date.getTime && a.date.getNanos < b.date.getNanos))
+        graft.model.Time.epochNanos(a.date) < graft.model.Time.epochNanos(b.date))
       runSession(ticker, rows, initialAmount)
     }
   }

@@ -261,6 +261,11 @@ final class TradingSession(initialAmount: Double) extends Serializable {
     val uid = orders.freshId()
     val amount = currAmnt()
     var n = numShares
+    // CPython raises ZeroDivisionError on `amount // 0.0` (strats.py:382);
+    // crashing a 1000-executor job on one zero-priced bar is not an
+    // option, so the engine-safe divergence is to REJECT the order (the
+    // same nullif-over-error choice as the ANSI division guards)
+    if (n == -1d && price == 0d) return
     if (n == -1d && amount > 0) n = pyFloorDiv(amount, price)
     if (amount < price * n) return
     val order = orders.newOrder(n, uid, date, price, stopLoss)

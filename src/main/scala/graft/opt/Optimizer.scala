@@ -185,15 +185,15 @@ object GridSearch {
     val states = grid(ranges)
     val bcStates = spark.sparkContext.broadcast(states)
     val nChunks = math.max(1, math.min(gridChunks, states.length))
-    // full-precision sort key: Timestamp.getTime is millisecond-truncated,
-    // so sub-millisecond bars would tie and order nondeterministically
+    // full-precision (epoch nanos) sort key via graft.model.Time —
+    // getTime alone is millisecond-truncated and would tie sub-ms bars
     val series = bars
       .select(col("ticker"), col("date").cast("timestamp"), col("close").cast("double"))
       .as[(String, Timestamp, java.lang.Double)]
       .groupByKey(_._1)
       .mapGroups { (ticker, it) =>
-        val sorted = it.toArray.sortBy(r => epochMicros(r._2))
-        (ticker, sorted.map(r => epochMicros(r._2)),
+        val sorted = it.toArray.sortBy(r => graft.model.Time.epochNanos(r._2))
+        (ticker, sorted.map(r => graft.model.Time.epochNanos(r._2)),
           sorted.map(r => if (r._3 == null) Double.NaN else r._3.doubleValue()))
       }
     val sharded =
@@ -201,9 +201,9 @@ object GridSearch {
       else series.flatMap { case (t, ns, closes) =>
         (0 until nChunks).iterator.map(c => (t, ns, closes, c))
       }.repartition(spark.sparkContext.defaultParallelism)
-    sharded.flatMap { case (ticker, us, closes, chunk) =>
+    sharded.flatMap { case (ticker, ns, closes, chunk) =>
       val all = bcStates.value
-      val dates = us.map(fromEpochMicros)
+      val dates = ns.map(graft.model.Time.fromEpochNanos)
       (chunk until all.length by nChunks).iterator.map { i =>
         val state = all(i)
         val nw = LocalBacktest.finalNetWorth(ticker, dates, closes,
@@ -213,18 +213,7 @@ object GridSearch {
     }.toDF("ticker", "state", "net_worth")
   }
 
-  /** Full-precision timestamp ↔ epoch-micros round trip (Timestamp.getTime
-    * is millisecond-truncated — sorting on it would tie sub-millisecond
-    * bars nondeterministically).
-    */
-  private[opt] def epochMicros(t: Timestamp): Long =
-    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
-  private[opt] def fromEpochMicros(us: Long): Timestamp = {
-    val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
-    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
-    t
-  }
 
   /** Best state per ticker — `max_by` argmax (reference optimize.py:227). */
   def best(evaluated: DataFrame): DataFrame =
@@ -259,7 +248,7 @@ object SimulatedAnnealing {
       .groupByKey(_._1)
       .mapGroups { (ticker, it) =>
         // full-precision sort (getTime alone is millisecond-truncated)
-        val sorted = it.toArray.sortBy(r => GridSearch.epochMicros(r._2))
+        val sorted = it.toArray.sortBy(r => graft.model.Time.epochNanos(r._2))
         val dates = sorted.map(_._2)
         val closes = sorted.map(r =>
           if (r._3 == null) Double.NaN else r._3.doubleValue())

@@ -88,8 +88,8 @@ final case class TenPercent(sellMult: Double = 1.05, buyMult: Double = 0.99)
     val sm = sellMult
     val bm = buyMult
     slim.groupByKey(_._1).flatMapGroups { (ticker, it) =>
-      // full-precision key: getTime alone is millisecond-truncated
-      val rows = it.toArray.sortInPlaceBy(r => (r._2.getTime, r._2.getNanos))
+      // full-precision key (graft.model.Time)
+      val rows = it.toArray.sortInPlaceBy(r => graft.model.Time.epochNanos(r._2))
       if (rows.isEmpty) Iterator.empty
       else {
         val out = Vector.newBuilder[SignalBar]
