@@ -121,7 +121,7 @@ object BacktestEngine {
     }
     val owned = om.sharesOwned
     val dates = (buy.keySet ++ sellShares.keySet ++ owned.keySet).toVector
-      .sortBy(_.getTime)
+      .sortBy(graft.model.Time.epochNanos)
     val trades = dates.map { d =>
       TradeDay(ticker, d, buy.get(d), sellShares.get(d), owned.get(d))
     }

@@ -127,7 +127,7 @@ object LocalBacktest {
     }
     val sharesOwned =
       if (session.orders.sharesOwned.isEmpty) 0.0
-      else session.orders.sharesOwned.maxBy(_._1.getTime)._2
+      else session.orders.sharesOwned.maxBy(r => graft.model.Time.epochNanos(r._1))._2
     sharesOwned * closes.last - cumBuy + cumSell + initialAmount
   }
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.engine.TradingSession
-import graft.model.{SignalBar, TradeDay}
+import graft.model.{SignalBar, Time, TradeDay}
 
 /** Structured-Streaming mode (SURVEY.md §2.10): the same TradingSession
   * state machine the batch fold uses, held as per-ticker `GroupState` in
@@ -54,30 +54,35 @@ object StreamingBacktest {
       (ticker: String, rows: Iterator[SignalBar], state: GroupState[SessionState]) =>
         val st = state.getOption.getOrElse(
           new SessionState(new TradingSession(initialAmount)))
-        val batch = rows.toArray.sortBy(_.date.getTime)
+        // epoch-nanos keys throughout (graft.model.Time): getTime is
+        // millisecond-truncated — ms-keyed state would collide distinct
+        // sub-ms trade dates and re-emit them truncated
+        val batch = rows.toArray.sortBy(r => Time.epochNanos(r.date))
         batch.foreach { r =>
-          if (r.date.getTime >= st.lastTime) {
+          if (Time.epochNanos(r.date) >= st.lastTime) {
             if (r.isBuy) st.session.buy(r.date, r.close)
             else if (r.isSell) st.session.sell(r.date, r.close)
             st.session.observeBar(r.date, r.close)
-            st.lastTime = r.date.getTime
+            st.lastTime = Time.epochNanos(r.date)
           }
         }
         // snapshot current trade-day triples; emit changed/new dates
-        val buy = st.session.buyOrders.map { case (d, o) => d.getTime -> o.numShares }
+        val buy = st.session.buyOrders.map { case (d, o) =>
+          Time.epochNanos(d) -> o.numShares }
         val sell = st.session.sellOrders.map { case (d, e) =>
-          d.getTime -> e.fold(_.numShares, identity)
+          Time.epochNanos(d) -> e.fold(_.numShares, identity)
         }
-        val owned = st.session.orders.sharesOwned.map { case (d, v) => d.getTime -> v }
+        val owned = st.session.orders.sharesOwned.map { case (d, v) =>
+          Time.epochNanos(d) -> v }
         val dates = (buy.keySet ++ sell.keySet ++ owned.keySet).toVector.sorted
-        val out = dates.flatMap { ms =>
-          val triple = (buy.getOrElse(ms, 0.0), sell.getOrElse(ms, 0.0),
-            owned.getOrElse(ms, Double.NaN))
-          if (st.emittedTrades.get(ms).contains(triple)) None
+        val out = dates.flatMap { ns =>
+          val triple = (buy.getOrElse(ns, 0.0), sell.getOrElse(ns, 0.0),
+            owned.getOrElse(ns, Double.NaN))
+          if (st.emittedTrades.get(ns).contains(triple)) None
           else {
-            st.emittedTrades += ms -> triple
-            Some(TradeDay(ticker, new Timestamp(ms),
-              buy.get(ms), sell.get(ms), owned.get(ms)))
+            st.emittedTrades += ns -> triple
+            Some(TradeDay(ticker, Time.fromEpochNanos(ns),
+              buy.get(ns), sell.get(ns), owned.get(ns)))
           }
         }
         state.update(st)
