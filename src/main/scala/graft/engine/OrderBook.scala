@@ -282,7 +282,7 @@ final class TradingSession(initialAmount: Double) extends Serializable {
     * integer boundary — at ~1e16 buying power a one-share difference
     * flips the `amount < price * n` affordability check.
     */
-  private def pyFloorDiv(a: Double, b: Double): Double = {
+  private[graft] def pyFloorDiv(a: Double, b: Double): Double = {
     var mod = a % b // JVM double % == C fmod (truncated, sign of dividend)
     var div = (a - mod) / b
     if (mod != 0.0 && ((b < 0.0) != (mod < 0.0))) { mod += b; div -= 1.0 }

@@ -47,6 +47,38 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("pyFloorDiv equals CPython float floor-division (exact-rational check)") {
+    val session = new graft.engine.TradingSession(1.0)
+    val gen = for {
+      a <- Gen.chooseNum(1e-3, 1e18)
+      b <- Gen.chooseNum(1e-3, 1e4)
+    } yield (a, b)
+    val cases = Gen.listOfN(500, gen)
+      .apply(Gen.Parameters.default, Seed(7L)).get
+    // true floor via EXACT binary values (new BigDecimal(d), not the
+    // shortest-decimal valueOf) and exact integral division
+    def trueFloor(a: Double, b: Double): Double =
+      new java.math.BigDecimal(a)
+        .divideToIntegralValue(new java.math.BigDecimal(b))
+        .doubleValue()
+    cases.foreach { case (a, b) =>
+      assert(session.pyFloorDiv(a, b) === trueFloor(a, b), s"a=$a b=$b")
+    }
+    // boundary families floor(a/b) gets wrong: quotient rounds up across
+    // an integer (1.0/0.001 rounds to 1000.0, true floor is 999)
+    assert(session.pyFloorDiv(1.0, 0.001) === 999.0)
+    assert(session.pyFloorDiv(1e16 + 2, 6.98) === trueFloor(1e16 + 2, 6.98))
+  }
+
+  test("Time.epochNanos roundtrip preserves full precision") {
+    val gen = Gen.chooseNum(0L, 4102444800L * 1000000000L) // to 2100
+    Gen.listOfN(200, gen).apply(Gen.Parameters.default, Seed(11L)).get
+      .foreach { ns =>
+        val t = graft.model.Time.fromEpochNanos(ns)
+        assert(graft.model.Time.epochNanos(t) === ns)
+      }
+  }
+
   test("engine == local evaluator on random price paths (TenPercent)") {
     samples(10).foreach { closes =>
       val bars = toBars(closes).toDF("ticker", "date", "close")
