@@ -264,8 +264,12 @@ final class TradingSession(initialAmount: Double) extends Serializable {
     // CPython raises ZeroDivisionError on `amount // 0.0` (strats.py:382);
     // crashing a 1000-executor job on one zero-priced bar is not an
     // option, so the engine-safe divergence is to REJECT the order (the
-    // same nullif-over-error choice as the ANSI division guards)
-    if (n == -1d && price == 0d) return
+    // same nullif-over-error choice as the ANSI division guards). The
+    // guard mirrors the reference's own division precondition
+    // (num_shares == -1 AND current_amount > 0): with amount <= 0 the
+    // reference skips the division and PLACES a -1-share order
+    // (0 < 0*-1 is false) — that quirk path must fall through here too.
+    if (n == -1d && amount > 0 && price == 0d) return
     if (n == -1d && amount > 0) n = pyFloorDiv(amount, price)
     if (amount < price * n) return
     val order = orders.newOrder(n, uid, date, price, stopLoss)

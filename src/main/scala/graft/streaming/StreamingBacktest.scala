@@ -27,6 +27,12 @@ object StreamingBacktest {
     * processed event time and emitted-trade watermarks for incremental
     * output. Kryo-encoded (mutable internals).
     */
+  // serialVersionUID bumped when the key semantics changed from
+  // epoch-millis to epoch-nanos: a checkpoint written with the old keys
+  // must fail fast on restore (InvalidClassException) instead of
+  // silently re-emitting the whole trade history with ns/ms-confused
+  // keys
+  @SerialVersionUID(2L)
   final class SessionState(val session: TradingSession) extends Serializable {
     var lastTime: Long = Long.MinValue
     var emittedTrades: Map[Long, (Double, Double, Double)] = Map.empty

@@ -49,8 +49,12 @@ class PropertySpec extends SparkTestBase {
 
   test("pyFloorDiv equals CPython float floor-division (exact-rational check)") {
     val session = new graft.engine.TradingSession(1.0)
+    // quotients stay below 2^53: above it CPython's fmod-based floordiv
+    // legitimately differs from the exact-rational floor (the quotient
+    // double can no longer represent every integer), so the exact-floor
+    // comparison is only a valid oracle in the integer-exact range
     val gen = for {
-      a <- Gen.chooseNum(1e-3, 1e18)
+      a <- Gen.chooseNum(1e-3, 1e12)
       b <- Gen.chooseNum(1e-3, 1e4)
     } yield (a, b)
     val cases = Gen.listOfN(500, gen)
