@@ -22,7 +22,7 @@ Validate against a Spark Verify dump, then emit:
 """
 import sys
 
-GOLD = "/root/repo/src/test/resources/goldens/sf0.01"
+GOLD = "@GOLDENS@"  # placeholder: MetricsOracle substitutes Goldens.dir at runtime
 
 
 def fold_sum(xs):
@@ -161,7 +161,7 @@ def emit_scala(path):
   * Welford central moments, two-pass covariance) bit-for-bit.
   */
 object MetricsOracle {{
-  val btMetrics: String = "{esc}"
+  val btMetrics: String =\n    "{esc}".replace("@GOLDENS@", Goldens.dir)
 }}
 """
     with open(path, "w") as f:

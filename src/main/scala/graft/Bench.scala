@@ -26,6 +26,22 @@ object Bench {
       .format("noop").mode("overwrite").save()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).write
       .format("noop").mode("overwrite").save()
+    // full warmup pass at the smallest SF: every query's generated code
+    // (whole-stage codegen classes, the fold session, UDAF serializers)
+    // gets JIT-compiled before anything is timed, so the timed numbers
+    // measure the engine in steady state rather than first-call compile
+    // cost. Data at sf0.001 is ~100x smaller than the timed input, so
+    // execution cost is negligible next to the compile effect.
+    val warmDir = new java.io.File(
+      new java.io.File(sfDir).getParentFile, "sf0.001")
+    if (warmDir.isDirectory && warmDir.getAbsolutePath != sfDir) {
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir.getAbsolutePath).write
+          .format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+      spark.catalog.clearCache()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

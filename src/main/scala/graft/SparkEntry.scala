@@ -44,6 +44,9 @@ object SparkEntry {
     Sources.readTable(s, dir, name)
 
   private val dec = "decimal(18,2)"
+
+  /** Golden-fixture directory for the backtest/opt oracles (see Goldens). */
+  private def goldensDir: String = Goldens.dir
   private def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -921,24 +924,24 @@ object SparkEntry {
     // money column. Fixtures are input-specific: regenerate if the verify
     // scale factor ever changes from sf0.01.
     "bt_orders" ->
-      """SELECT ticker, seq, num_shares, start_us, start_amount, filled,
+      s"""SELECT ticker, seq, num_shares, start_us, start_amount, filled,
            end_us, end_amount, profit
-         FROM read_parquet('/root/repo/src/test/resources/goldens/sf0.01/bt_orders.parquet')
+         FROM read_parquet('$goldensDir/bt_orders.parquet')
          ORDER BY ticker, seq""",
     "bt_backtest_fold" ->
-      """SELECT ticker, net_worth
-         FROM read_parquet('/root/repo/src/test/resources/goldens/sf0.01/bt_backtest_fold.parquet')
+      s"""SELECT ticker, net_worth
+         FROM read_parquet('$goldensDir/bt_backtest_fold.parquet')
          ORDER BY ticker""",
     "bt_tenpct_fold" ->
-      """SELECT ticker, net_worth
-         FROM read_parquet('/root/repo/src/test/resources/goldens/sf0.01/bt_tenpct_fold.parquet')
+      s"""SELECT ticker, net_worth
+         FROM read_parquet('$goldensDir/bt_tenpct_fold.parquet')
          ORDER BY ticker""",
     // bt_metrics: reference-run daily fixture + date-order folds
     // replicating Spark's aggregate algorithms (see graft.MetricsOracle)
     "bt_metrics" -> MetricsOracle.btMetrics,
     "opt_grid" ->
-      """SELECT ticker, best_net_worth
-         FROM read_parquet('/root/repo/src/test/resources/goldens/sf0.01/opt_grid.parquet')
+      s"""SELECT ticker, best_net_worth
+         FROM read_parquet('$goldensDir/opt_grid.parquet')
          ORDER BY ticker""",
     "bt_signals" ->
       """WITH b AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,

@@ -102,14 +102,19 @@ final class Backtest(
       mkStrategy: Seq[Double] => LocalStrategy,
       ranges: Seq[(Double, Double, Double)],
       optType: String = "grid_search",
-      initState: Array[Double] = Array(1.0, 1.0)): DataFrame = {
+      initState: Array[Double] = Array(1.0, 1.0),
+      temperature: Double = 100.0,
+      iterations: Int = 100,
+      seed: Long = 42L,
+      gridChunks: Int = 1): DataFrame = {
     val top = TextPipeline.mostCommonTickers(sources, textCols, tickers,
       tickerCol, blacklist, k)
     val commonBars = bars.join(
       broadcast(top.select(col("token").as("ticker"))), Seq("ticker"),
       "left_semi")
     new Backtest(initialAmount, strategy, commonBars, riskFreeRate, index)
-      .optimize(mkStrategy, ranges, optType, initState)
+      .optimize(mkStrategy, ranges, optType, initState, temperature,
+        iterations, seed, gridChunks)
   }
 
   private def ensureRun(): Unit = if (result.isEmpty) run()

@@ -205,10 +205,9 @@ object Dedup {
     // without the checkpoint each iteration would re-execute the whole
     // upstream candidate pipeline (LSH banding + verification) that
     // produced the pairs
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = cut(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .localCheckpoint(eager = true)
+      .distinct())
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
     var converged = false
@@ -234,12 +233,11 @@ object Dedup {
       // only ever decreases, so changed ⟺ next < previous __old carried
       // through) — checking it is a scan of the just-checkpointed blocks,
       // not an extra join against the previous labels
-      val next = hopped
+      val next = cut(hopped
         .join(labels.select(col("id").as("component"),
           col("component").as("parent_comp")), Seq("component"), "left")
         .select(col("id"), merged.as("component"),
-          (merged < col("__old")).as("__changed"))
-        .localCheckpoint(eager = true) // cut the growing lineage per round
+          (merged < col("__old")).as("__changed"))) // cut lineage per round
       val changed = next.filter(col("__changed")).limit(1).count() > 0
       labels = next.drop("__changed")
       converged = !changed
@@ -247,6 +245,19 @@ object Dedup {
     }
     labels
   }
+
+  /** Lineage cut for the iterative rounds. `localCheckpoint` stores blocks
+    * on executors with NO replication — losing one executor mid-iteration
+    * makes the edge list / round labels unrecoverable and fails the job.
+    * That is fine for interactive runs; for long production runs call
+    * `sparkContext.setCheckpointDir(...)` first — when a directory is
+    * configured the rounds use reliable (storage-backed, recoverable)
+    * checkpoints instead.
+    */
+  private def cut(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
 
   /** Drop near-duplicates: keep one survivor (the minimum id) per
     * connected near-dup cluster found by MinHash LSH. The standard

@@ -13,8 +13,13 @@ import graft.ts.TimeSeriesOps
 /** Result of a backtest run: the daily frame carries the reference's fixed
   * 9-column projection plus `ticker` (reference strats.py:530-543), and
   * `orders` is the completed+open order table (strats.py:226-245).
+  * `foldCache` is the persisted fold output both views share; call
+  * `unpersist()` when done with the result to release its blocks.
   */
-final case class BacktestResult(daily: DataFrame, orders: Dataset[OrderRow])
+final case class BacktestResult(daily: DataFrame, orders: Dataset[OrderRow],
+    foldCache: Option[Dataset[FoldOut]] = None) {
+  def unpersist(): Unit = foldCache.foreach(_.unpersist())
+}
 
 /** The distributed backtest engine (SURVEY.md §3.1 lifecycle).
   *
@@ -45,13 +50,20 @@ object BacktestEngine {
     import spark.implicits._
 
     val signals = strategy.signals(bars)
+    // persist (lazily) — the fold output feeds BOTH the orders view and the
+    // daily/net-worth view; without it any consumer touching both re-runs
+    // the whole signal+shuffle+fold pipeline. The fold output is sparse
+    // (O(#trades) per ticker, not O(#bars)), so the cached footprint stays
+    // tiny even at 100 TB of bars; MEMORY_AND_DISK spills rather than
+    // recomputes if a huge trade log ever exceeds executor memory.
     val folded = foldSignals(signals, initialAmount)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val orders = folded.flatMap(_.orders)
     val trades = folded.flatMap(_.trades).toDF()
 
     val daily = withNetWorth(normalize(bars), trades, initialAmount)
-    BacktestResult(daily, orders)
+    BacktestResult(daily, orders, Some(folded))
   }
 
   /** Lowercase columns and reindex to the fixed backtest schema, creating

@@ -107,9 +107,12 @@ object Similarity {
     // smallest id-hash — a uniform pseudo-random sample that plans as
     // TakeOrderedAndProject (per-partition top-k, tiny merge on the
     // driver; no count pass, no global sort, ONE scan of the corpus).
+    // id as the secondary sort key: a duplicate id or a 64-bit hash tie at
+    // the nCentroids boundary would otherwise make the cut
+    // partition-order-dependent
     val centroids = corpus
-      .select(col(vecCol), xxhash64(col(idCol)).as("__h"))
-      .orderBy(col("__h")).limit(nCentroids)
+      .select(col(vecCol), xxhash64(col(idCol)).as("__h"), col(idCol).as("__i"))
+      .orderBy(col("__h"), col("__i")).limit(nCentroids)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Double](0).toArray)
     require(centroids.nonEmpty, "IVF: empty corpus")

@@ -25,7 +25,8 @@ object StreamingBacktest {
 
   /** Mutable per-ticker streaming state: the live session plus the last
     * processed event time and emitted-trade watermarks for incremental
-    * output. Kryo-encoded (mutable internals).
+    * output. Java-serialized (see the encoder note below) — which is also
+    * what makes the @SerialVersionUID fail-fast on old checkpoints work.
     */
   // serialVersionUID bumped when the key semantics changed from
   // epoch-millis to epoch-nanos: a checkpoint written with the old keys
