@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotProduct, L2Norm, LangMarkerScores, MinHashSignature, SimHash64, WordShingles}
+import graft.functions.{DotProduct, HashedWordShingles, L2Norm, LangMarkerScores, MinHashSignature, SimHash64, SortedLongJaccard, WordShingles}
 import graft.textstats.TextStats
 
 /** SQL surface for the engine's custom Catalyst expressions: register via
@@ -49,7 +49,12 @@ object GraftExtensions {
       L2Norm(args.head) }),
     "lang_marker_scores" -> (args => { arity("lang_marker_scores", args, 1)
       val ordered = TextStats.langMarkers.toSeq.sortBy(_._1)
-      LangMarkerScores(args.head, ordered.map(_._1), ordered.map(_._2)) }))
+      LangMarkerScores(args.head, ordered.map(_._1), ordered.map(_._2)) }),
+    "hashed_word_shingles" -> (args => {
+      arity("hashed_word_shingles", args, 2)
+      HashedWordShingles(args.head, intArg(args(1), "n")) }),
+    "sorted_long_jaccard" -> (args => { arity("sorted_long_jaccard", args, 2)
+      SortedLongJaccard(args.head, args(1)) }))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

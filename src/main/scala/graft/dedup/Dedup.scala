@@ -26,7 +26,7 @@ object Dedup {
     * every bucket-join candidate generator. `members` must already be
     * capped/bounded upstream (maxBucket / maxDf).
     */
-  private def orderedPairs(members: Column): Column =
+  private[graft] def orderedPairs(members: Column): Column =
     filter(
       flatten(transform(members, a =>
         transform(members, b => struct(a.as("a"), b.as("b"))))),
@@ -77,8 +77,14 @@ object Dedup {
       threshold: Double = 0.8, maxBucket: Int = 64): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
+    // string shingles feed the signature (seeded per-slot hashing of the
+    // shingle STRINGS — the published MinHash formulation); the hashed
+    // sorted-long sets feed verification, so the verification joins
+    // shuffle 8-byte longs per shingle and jaccard is a merge pass.
     val withSh = df.select(col(idCol).as("id"),
-        shingles(col(textCol), shingleSize).as("sh"))
+        shingles(col(textCol), shingleSize).as("sh"),
+        graft.functions.HashFunctions
+          .hashedWordShingles(col(textCol), shingleSize).as("shh"))
       .filter(size(col("sh")) > 0)
     val withSig = withSh
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
@@ -101,11 +107,10 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
 
     pairIds
-      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+      .join(withSh.select(col("id").as("id_a"), col("shh").as("sh_a")), Seq("id_a"))
+      .join(withSh.select(col("id").as("id_b"), col("shh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", graft.functions.HashFunctions
+        .sortedLongJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -158,15 +163,19 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.5,
       maxDf: Int = 20): DataFrame = {
+    // single-pass hashed shingle sets (sorted distinct xxhash64 longs):
+    // the whole pipeline — postings, verification joins, jaccard — works
+    // on fixed-width longs, never strings (collisions over ~1e6 distinct
+    // shingles are ~1e-7 and only perturb one pair's jaccard at the 3rd
+    // decimal). 8 bytes/shingle through every shuffle instead of ~30.
     val sh = df.select(col(idCol).as("id"),
-        shingles(col(textCol), shingleSize).as("sh"))
+        graft.functions.HashFunctions
+          .hashedWordShingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
-    // postings carry 64-bit shingle hashes, not strings — the inverted
-    // index shuffles/groups/joins on fixed-width longs (collisions over
-    // ~1e6 distinct shingles are ~1e-7 and only add a candidate pair,
-    // which exact verification then rejects)
-    val posting = sh.select(col("id"),
-      explode(transform(col("sh"), s => xxhash64(s))).as("g"))
+    // each posting carries its doc's shingle-set size so candidate pairs
+    // get both sizes for free (no extra join) for the length filter below
+    val posting = sh.select(col("id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("g"))
     // rare-shingle pre-filter with a COUNT aggregate (constant memory per
     // key — a stop-shingle present in millions of docs must never be
     // materialized as a list), then grouped member lists only for rare
@@ -174,18 +183,24 @@ object Dedup {
     // second aggregation reuses the same hash partitioning on g
     val rare = posting.groupBy("g").agg(count(lit(1)).as("df_count"))
       .filter(col("df_count") <= maxDf && col("df_count") > 1)
+    // length filter (PPJoin-style, lossless): J(A,B) ≤ min(|A|,|B|) /
+    // max(|A|,|B|), so a pair whose sizes differ by more than the
+    // threshold ratio can never verify — dropped BEFORE the distinct and
+    // the expensive set intersection. On skewed corpora this removes the
+    // bulk of the quadratic bucket candidates (measured ~90% at sf0.1).
     val pairIds = posting.join(rare.select("g"), Seq("g"))
       .groupBy("g")
-      .agg(sort_array(collect_list(col("id"))).as("members"))
+      .agg(sort_array(collect_list(struct(col("id"), col("n")))).as("members"))
       .select(explode(orderedPairs(col("members"))).as("p"))
-      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .filter(least(col("p.a.n"), col("p.b.n")).cast("double") /
+        greatest(col("p.a.n"), col("p.b.n")) >= threshold)
+      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"))
       .distinct()
     pairIds
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", graft.functions.HashFunctions
+        .sortedLongJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftShims
@@ -135,6 +135,93 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression
     copy(child = c)
 }
 
+/** Sorted distinct xxhash64 values (seed 42, identical to the SQL
+  * `xxhash64(shingle)`) of the word n-gram shingles of a string — the
+  * one-pass fusion of `sort_array(transform(word_shingles(s, n),
+  * xxhash64))`. Verification joins then shuffle 8-byte longs per shingle
+  * instead of ~30-byte strings, and jaccard becomes a sorted-merge count
+  * (SortedLongJaccard) instead of a hash-set intersection over strings.
+  */
+case class HashedWordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_word_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val lc = Character.toLowerCase(c)
+      if ((lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9')) sb.append(lc)
+      else if (Character.isWhitespace(c)) sb.append(' ')
+      i += 1
+    }
+    val tokens = sb.toString.split("\\s+").filter(_.nonEmpty)
+    if (tokens.length < n) return new GenericArrayData(Array.empty[Any])
+    val m = tokens.length - n + 1
+    val hashes = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      val shingle = new java.lang.StringBuilder
+      var k = 0
+      while (k < n) {
+        if (k > 0) shingle.append(' ')
+        shingle.append(tokens(j + k))
+        k += 1
+      }
+      hashes(j) = XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(shingle.toString),
+        StringType, 42L)
+      j += 1
+    }
+    java.util.Arrays.sort(hashes)
+    // in-place dedup of the sorted hashes
+    var w = 0
+    var r = 0
+    while (r < m) {
+      if (r == 0 || hashes(r) != hashes(r - 1)) { hashes(w) = hashes(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hashes, w))
+  }
+
+  override protected def withNewChildInternal(c: Expression): HashedWordShingles =
+    copy(child = c)
+}
+
+/** Jaccard similarity of two SORTED distinct long arrays by one merge
+  * pass: |A∩B| / (|A| + |B| − |A∩B|). Empty-∪-empty yields null (0/0).
+  */
+case class SortedLongJaccard(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sorted_long_jaccard"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < nx && j < ny) {
+      val vx = x.getLong(i)
+      val vy = y.getLong(j)
+      if (vx == vy) { inter += 1; i += 1; j += 1 }
+      else if (vx < vy) i += 1
+      else j += 1
+    }
+    val union = nx + ny - inter
+    if (union == 0) null else inter.toDouble / union
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression):
+      SortedLongJaccard = copy(left = l, right = r)
+}
+
 object HashFunctions {
   /** Column API for SimHash64. */
   def simhash64(c: Column): Column =
@@ -147,4 +234,13 @@ object HashFunctions {
   /** Column API for WordShingles. */
   def wordShingles(c: Column, n: Int): Column =
     GraftShims.column(WordShingles(GraftShims.expression(c), n))
+
+  /** Column API for HashedWordShingles. */
+  def hashedWordShingles(c: Column, n: Int): Column =
+    GraftShims.column(HashedWordShingles(GraftShims.expression(c), n))
+
+  /** Column API for SortedLongJaccard. */
+  def sortedLongJaccard(a: Column, b: Column): Column =
+    GraftShims.column(SortedLongJaccard(
+      GraftShims.expression(a), GraftShims.expression(b)))
 }
