@@ -121,6 +121,41 @@ object SparkEntry {
           col("event_id"))
         .orderBy(col("user_id"), col("ts_us"), col("event_id"))
     }),
+    "j9_asof_join" -> ((s, dir) => {
+      // point-in-time join: every 10th event is a "quote"; each remaining
+      // event picks up the latest quote at-or-before its timestamp per
+      // user (graft.ops.Joins.asofJoin — union+window, one shuffle on the
+      // key, no pair explosion). Quotes are made unique per (user, ts) so
+      // the match is total-ordered.
+      val ev = t(s, dir, "events")
+      val quotes = ev.filter(col("event_id") % 10 === 0)
+        .groupBy("user_id", "ts").agg(max(col("value")).as("quote"))
+      val trades = ev.filter(col("event_id") % 10 =!= 0)
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.ops.Joins.asofJoin(trades, quotes, Seq("user_id"), "ts", "ts")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("quote"),
+          unix_micros(col("ts_matched")).as("quote_ts_us"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
+    "j10_range_join" -> ((s, dir) => {
+      // interval join via bucket-exploded equi-join (graft.ops.Joins
+      // .rangeJoin): lineitems shipped inside the first 10 days of any
+      // order month, aggregated per window (decimal-exact quantity sum)
+      val iv = t(s, dir, "orders")
+        .select(date_trunc("MONTH", col("o_orderdate")).as("w_start"))
+        .distinct()
+        .withColumn("w_end", col("w_start") + expr("INTERVAL 10 DAYS"))
+      val probe = t(s, dir, "lineitem")
+        .select(col("l_shipdate"), col("l_quantity"))
+      graft.ops.Joins.rangeJoin(probe, "l_shipdate", iv,
+          "w_start", "w_end", bucketSeconds = 864000L)
+        .groupBy(col("w_start"))
+        .agg(count(lit(1)).as("n_ship"), dsum(col("l_quantity")).as("qty_sum"))
+        .select(unix_micros(col("w_start")).as("w_start_us"),
+          col("n_ship"), col("qty_sum"))
+        .orderBy(col("w_start_us"))
+    }),
 
     // ------------------------------------------------------ aggregations
     "a1_grouped_sum" -> ((s, dir) => {
@@ -619,6 +654,30 @@ object SparkEntry {
              row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
            FROM events WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-15')
          WHERE rn <= 3 ORDER BY user_id, ts_us, event_id""",
+    // DuckDB's native ASOF JOIN is the independent cross-check of the
+    // union+window formulation
+    "j9_asof_join" ->
+      """WITH q AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             max(value) AS quote
+           FROM events WHERE event_id % 10 = 0 GROUP BY 1, 2),
+         t AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+           FROM events WHERE event_id % 10 <> 0)
+         SELECT t.user_id, epoch_us(t.ts) AS ts_us, t.event_id, q.quote,
+           epoch_us(q.ts) AS quote_ts_us
+         FROM t ASOF LEFT JOIN q
+           ON t.user_id = q.user_id AND t.ts >= q.ts
+         ORDER BY t.user_id, ts_us, t.event_id""",
+    "j10_range_join" ->
+      """WITH iv AS (SELECT DISTINCT
+             date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS ws
+           FROM orders),
+         j AS (SELECT iv.ws, l.l_quantity
+           FROM lineitem l JOIN iv
+             ON CAST(l.l_shipdate AS TIMESTAMP) >= iv.ws
+            AND CAST(l.l_shipdate AS TIMESTAMP) < iv.ws + INTERVAL 10 DAY)
+         SELECT epoch_us(ws) AS w_start_us, count(*) AS n_ship,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum
+         FROM j GROUP BY ws ORDER BY w_start_us""",
     "a1_grouped_sum" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
