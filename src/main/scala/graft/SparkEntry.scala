@@ -486,6 +486,26 @@ object SparkEntry {
           TextStats.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))
     }),
+    "ts_hash_split" -> ((s, dir) => {
+      // deterministic 80/10/10 split: a pure hash-of-id function, no
+      // randomness, no shuffle — stable across runs/layouts/appends
+      graft.ops.Sampling.hashSplit(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), denom = 100)
+        .select(col("doc_id"),
+          graft.ops.Sampling.hashBucket(col("doc_id"), 100).as("bucket"),
+          col("split"))
+        .orderBy(col("doc_id"))
+    }),
+    "ts_pack_chunks" -> ((s, dir) => {
+      // concat-and-chunk sequence packing over per-shard token streams
+      val withTok = t(s, dir, "documents").select(col("doc_id"),
+        TextStats.tokenCount(col("text")).cast("bigint").as("n_tok"))
+      graft.ops.Packing.packChunks(withTok, "doc_id", "n_tok",
+          maxTokens = 512L, nShards = 8)
+        .select(col("doc_id"), col("shard"), col("start_tok"),
+          col("first_chunk"), col("last_chunk"), col("n_chunks"))
+        .orderBy(col("doc_id"))
+    }),
 
     // -------------------------------- multimodal + engine-native (no SQL)
     "mm_media_features" -> ((s, dir) => {
@@ -1060,5 +1080,26 @@ object SparkEntry {
            md5(regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9\s]', '',
              'g')), '\s+', ' ', 'g')) AS fp
          FROM documents ORDER BY doc_id""",
+    // ts_hash_split: seeded-xxhash64 bucket split replicated in pure SQL
+    // (generated — see graft.SplitOracle / scripts/gen_split_oracle.py)
+    "ts_hash_split" -> SplitOracle.tsHashSplit,
+    "ts_pack_chunks" ->
+      """WITH tc AS (SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+               t -> length(t) > 0)) AS BIGINT) AS n_tok
+           FROM documents),
+         c AS (SELECT doc_id, shard, n_tok,
+             CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS end_tok
+           FROM tc)
+         SELECT doc_id, shard, end_tok - n_tok AS start_tok,
+           (end_tok - n_tok) // 512 AS first_chunk,
+           CASE WHEN n_tok > 0 THEN (end_tok - 1) // 512
+                ELSE (end_tok - n_tok) // 512 END AS last_chunk,
+           CASE WHEN n_tok > 0 THEN
+                (end_tok - 1) // 512 - (end_tok - n_tok) // 512 + 1
+                ELSE 0 END AS n_chunks
+         FROM c ORDER BY doc_id""",
   )
 }

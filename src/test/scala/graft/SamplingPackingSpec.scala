@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Packing, Sampling}
+
+class SamplingPackingSpec extends SparkTestBase {
+
+  test("hash split is deterministic, exhaustive, and append-stable") {
+    import spark.implicits._
+    val ids = (0L until 2000L).toDF("id")
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Sampling.hashSplit(ids, "id", fr).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.hashSplit(ids.repartition(13), "id", fr).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b) // layout-independent
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+    // appending new rows never moves old assignments
+    val grown = Sampling.hashSplit((0L until 4000L).toDF("id"), "id", fr)
+      .filter(col("id") < 2000).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(grown === a)
+    // fractions land within a few percent at n=2000
+    val counts = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") / 2000.0 - 0.8) < 0.05)
+    assert(math.abs(counts("val") / 2000.0 - 0.1) < 0.04)
+    assert(math.abs(counts("test") / 2000.0 - 0.1) < 0.04)
+  }
+
+  test("hash sample rate tracks the fraction; salts are independent") {
+    import spark.implicits._
+    val ids = (0L until 5000L).toDF("id")
+    val n1 = Sampling.hashSample(ids, "id", 0.25, salt = 1).count()
+    assert(math.abs(n1 / 5000.0 - 0.25) < 0.03)
+    val s1 = Sampling.hashSample(ids, "id", 0.5, salt = 1)
+    val s2 = Sampling.hashSample(ids, "id", 0.5, salt = 2)
+    val overlap = s1.join(s2, "id").count()
+    // independent halves overlap ~25% of the universe
+    assert(math.abs(overlap / 5000.0 - 0.25) < 0.05)
+  }
+
+  test("packChunks: intervals are contiguous per shard and spans correct") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val docs = (0L until 500L).map(i => (i, rnd.nextInt(300).toLong))
+      .toDF("id", "n_tok")
+    val out = Packing.packChunks(docs, "id", "n_tok", maxTokens = 100L,
+      nShards = 4).collect()
+
+    // per shard: start_tok of each doc equals sum of earlier docs' tokens
+    val byShard = out.groupBy(_.getAs[Long]("shard"))
+    for ((_, rows) <- byShard) {
+      val sorted = rows.sortBy(_.getAs[Long]("id"))
+      var cum = 0L
+      for (r <- sorted) {
+        assert(r.getAs[Long]("start_tok") === cum)
+        cum += r.getAs[Long]("n_tok")
+      }
+    }
+    // chunk span matches the closed-form interval arithmetic
+    for (r <- out) {
+      val start = r.getAs[Long]("start_tok")
+      val n = r.getAs[Long]("n_tok")
+      val first = r.getAs[Long]("first_chunk")
+      val last = r.getAs[Long]("last_chunk")
+      assert(first === start / 100)
+      if (n > 0) {
+        assert(last === (start + n - 1) / 100)
+        assert(r.getAs[Long]("n_chunks") === last - first + 1)
+      } else {
+        assert(r.getAs[Long]("n_chunks") === 0L)
+      }
+    }
+  }
+
+  test("packChunks: every chunk except a shard's last is exactly full") {
+    import spark.implicits._
+    // token counts that never exceed maxTokens, so chunk occupancy is a
+    // simple partition of the stream
+    val docs = (0L until 200L).map(i => (i, (i % 7) + 1L)).toDF("id", "n_tok")
+    val out = Packing.packChunks(docs, "id", "n_tok", 50L, 2)
+    val totals = out.groupBy("shard").agg(sum("n_tok").as("tot"),
+        max("last_chunk").as("maxc")).collect()
+    for (r <- totals) {
+      val tot = r.getAs[Long]("tot")
+      val maxc = r.getAs[Long]("maxc")
+      assert(maxc === (tot - 1) / 50) // stream fills chunks densely
+    }
+  }
+}
