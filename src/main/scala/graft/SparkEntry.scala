@@ -514,6 +514,16 @@ object SparkEntry {
       graft.multimodal.Multimodal.extractFeatures(media).toDF()
         .orderBy(col("media_id"))
     }),
+    "mm_decode_real" -> ((s, dir) => {
+      // REAL codec path: genuine PPM/WAV bytes in the binary column,
+      // parsed by the pure-JVM decoders (multimodal.RealMedia); the
+      // oracle recomputes every feature in closed form, so a decode bug
+      // (header walk, pixel order, sample endianness) breaks the match
+      val media = graft.multimodal.RealMedia.syntheticRealMedia(
+        t(s, dir, "documents"))
+      graft.multimodal.RealMedia.extractRealFeatures(media).toDF()
+        .orderBy(col("media_id"))
+    }),
     "bt_signals" -> ((s, dir) => {
       // MA-cross signal generation over events-as-bars, decimal-exact SMAs
       // so the comparison itself (fast > slow) is oracle-exact:
@@ -953,6 +963,44 @@ object SparkEntry {
              END AS mean_byte,
            CAST((1 + doc_id % 24 + 3) // 4 AS INTEGER) AS frames_sampled
          FROM documents ORDER BY media_id""",
+    // closed-form recomputation of every decoded feature: the Spark side
+    // parses REAL PPM/WAV bytes, the oracle replays the integer pixel /
+    // sample formulas — a decode defect cannot hash-match
+    "mm_decode_real" ->
+      """WITH m AS (SELECT doc_id AS id FROM documents),
+         img AS (SELECT id, 8 + id % 16 AS w, 8 + id % 12 AS h
+           FROM m WHERE id % 2 = 0),
+         imf AS (SELECT id, 'img' AS kind, w, h,
+             CAST(list_sum(list_transform(range(0, w*h),
+               k -> (id + 3*(k % w) + 5*(k // w)) % 256)) AS BIGINT) AS sum_r,
+             CAST(list_sum(list_transform(range(0, w*h),
+               k -> (2*id + 7*(k % w) + (k // w)) % 256)) AS BIGINT) AS sum_g,
+             CAST(list_sum(list_transform(range(0, w*h),
+               k -> ((k % w)*(k // w) + id) % 256)) AS BIGINT) AS sum_b,
+             CAST(list_sum(list_transform(range(0, 64),
+               k -> (id + 3*(((k % 8)*w) // 8) + 5*(((k // 8)*h) // 8)) % 256))
+               AS BIGINT) AS rs_sum_r
+           FROM img),
+         aud AS (SELECT id, 'aud' AS kind, 8000 + 100*(id % 8) AS rate,
+             256 + id % 128 AS n
+           FROM m WHERE id % 2 = 1),
+         auf AS (SELECT id, kind, rate, n, n*1000000 // rate AS duration_us,
+             CAST(list_sum(list_transform(range(0, n),
+               t -> ((id*7 + t*13) % 16384 - 8192)
+                  * ((id*7 + t*13) % 16384 - 8192))) AS BIGINT) AS amp_sum_sq
+           FROM aud)
+         SELECT id AS media_id, kind, CAST(w AS BIGINT) AS w,
+           CAST(h AS BIGINT) AS h, sum_r, sum_g, sum_b, rs_sum_r,
+           CAST(NULL AS BIGINT) AS rate, CAST(NULL AS BIGINT) AS n_samples,
+           CAST(NULL AS BIGINT) AS duration_us,
+           CAST(NULL AS BIGINT) AS amp_sum_sq
+         FROM imf
+         UNION ALL
+         SELECT id, kind, NULL, NULL, NULL, NULL, NULL, NULL,
+           CAST(rate AS BIGINT), CAST(n AS BIGINT),
+           CAST(duration_us AS BIGINT), amp_sum_sq
+         FROM auf
+         ORDER BY media_id""",
     "ts_quality" ->
       """WITH toks AS (SELECT doc_id, text,
              list_filter(string_split_regex(lower(text), '\s+'),
