@@ -86,11 +86,19 @@ object TimeSeriesOps {
   def cumProd(c: Column, w: WindowSpec): Column =
     graft.functions.GraftFunctions.product(c).over(running(w))
 
-  /** Log-cumulative return, `log(pct+1).cumsum()` (reference
-    * finance_data.py:69-73, W9).
+  /** Log-cumulative return, `np.log(pct + 1).cumsum()` (reference
+    * finance_data.py:69-73, W9). The reference adds 1 BEFORE the log
+    * (np.log, not log1p), so this does too — the 1+x rounding is part of
+    * the observable semantics. Spark's `log` yields null for non-positive
+    * input where numpy yields -inf, so the value-drops-to-zero case
+    * (pct == -1) is pinned to -Infinity explicitly.
     */
-  def logCumReturn(c: Column, w: WindowSpec): Column =
-    sum(log1p(pctChange(c, w))).over(running(w))
+  def logCumReturn(c: Column, w: WindowSpec): Column = {
+    val pct = pctChange(c, w)
+    val lr = when(pct === -1.0, lit(Double.NegativeInfinity))
+      .otherwise(log(pct + lit(1.0)))
+    sum(lr).over(running(w))
+  }
 
   /** Forward-fill then zero-fill, pandas `.ffill().fillna(0)` (reference
     * strats.py:562-565, W10).

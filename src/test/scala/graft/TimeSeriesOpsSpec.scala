@@ -78,15 +78,22 @@ class TimeSeriesOpsSpec extends SparkTestBase {
     assert(got === Seq(0.0, 0.0, 10.0, 12.0, 12.0, 20.0, 30.0, 15.0))
   }
 
-  test("logCumReturn = cumsum of log1p(pct)") {
-    val simple = Seq(("t", ts(1), 100.0), ("t", ts(2), 110.0), ("t", ts(3), 121.0))
+  test("logCumReturn = cumsum of log(pct + 1), np.log semantics") {
+    val simple = Seq(("t", ts(1), 100.0), ("t", ts(2), 110.0), ("t", ts(3), 121.0),
+      ("t", ts(4), 0.0))
       .toDF("ticker", "date", "close")
     val got = simple.select(TimeSeriesOps.logCumReturn(col("close"), w).as("v"))
       .orderBy("date").collect()
       .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
     assert(got(0) === None)
-    assert(math.abs(got(1).get - math.log1p(0.1)) < 1e-15)
-    assert(math.abs(got(2).get - (math.log1p(0.1) + math.log1p(0.09999999999999987))) < 1e-15)
+    // the reference rounds 1+x BEFORE the log (np.log, not log1p);
+    // tolerance because Spark's log is StrictMath (fdlibm), 1 ulp from
+    // the Math.log intrinsic used here
+    assert(math.abs(got(1).get - math.log(0.1 + 1.0)) < 1e-15)
+    assert(math.abs(got(2).get -
+      (math.log(0.1 + 1.0) + math.log(0.09999999999999987 + 1.0))) < 1e-15)
+    // value dropping to zero: np.log(0) = -inf, carried by the cumsum
+    assert(got(3).get === Double.NegativeInfinity)
   }
 
   test("tail keeps last n rows per ticker") {
