@@ -506,6 +506,40 @@ object SparkEntry {
           col("first_chunk"), col("last_chunk"), col("n_chunks"))
         .orderBy(col("doc_id"))
     }),
+    "ts_repetition" -> ((s, dir) => {
+      // Gopher-style repetition signals as exact integer counts
+      TextStats.repetitionFeatures(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+    "ts_pii_redact" -> ((s, dir) => {
+      // PII scrub over deterministically derived text (the corpus itself
+      // is clean word-soup, so the PII is appended as a pure function of
+      // doc_id — both engines see the identical string); audit counts
+      // are taken pre-redaction
+      val synth = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com from 10."),
+        pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(".0.1 call 555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+      t(s, dir, "documents").withColumn("__t", synth)
+        .select(col("doc_id"),
+          TextStats.piiCount(col("__t"), TextStats.emailRe).as("n_emails"),
+          TextStats.piiCount(col("__t"), TextStats.ipv4Re).as("n_ips"),
+          TextStats.piiCount(col("__t"), TextStats.phoneRe).as("n_phones"),
+          TextStats.redactPii(col("__t")).as("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+    "ts_strat_sample" -> ((s, dir) => {
+      // per-language keep fractions over the same xxhash64 bucket as
+      // ts_hash_split: down-samples dominant languages, keeps rare ones
+      graft.ops.Sampling.stratifiedSample(t(s, dir, "documents"),
+          "doc_id", "lang",
+          Seq("en" -> 0.5, "zh" -> 0.3, "de" -> 0.2, "fr" -> 0.2),
+          defaultFraction = 0.1, denom = 100)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
 
     // -------------------------------- multimodal + engine-native (no SQL)
     "mm_media_features" -> ((s, dir) => {
@@ -1149,5 +1183,59 @@ object SparkEntry {
                 (end_tok - 1) // 512 - (end_tok - n_tok) // 512 + 1
                 ELSE 0 END AS n_chunks
          FROM c ORDER BY doc_id""",
+    "ts_repetition" ->
+      """WITH tk AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               t -> length(t) > 0) AS t
+           FROM documents),
+         pos AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM tk),
+         grams AS (
+           SELECT doc_id, 0 AS kind, t[i] AS g FROM pos
+           UNION ALL
+           SELECT doc_id, 1 AS kind, t[i] || ' ' || t[i + 1] AS g
+           FROM pos WHERE i < len(t)),
+         per_gram AS (SELECT doc_id, kind, g, count(*) AS c
+           FROM grams GROUP BY doc_id, kind, g),
+         per_doc AS (SELECT doc_id,
+             CAST(sum(CASE WHEN kind = 0 THEN c END) AS BIGINT) AS n_tokens,
+             CAST(count(CASE WHEN kind = 0 THEN 1 END) AS BIGINT) AS n_distinct_tokens,
+             CAST(max(CASE WHEN kind = 0 THEN c END) AS BIGINT) AS top_token_count,
+             CAST(sum(CASE WHEN kind = 1 THEN c END) AS BIGINT) AS n_bigrams,
+             CAST(count(CASE WHEN kind = 1 THEN 1 END) AS BIGINT) AS n_distinct_bigrams,
+             CAST(max(CASE WHEN kind = 1 THEN c END) AS BIGINT) AS top_bigram_count
+           FROM per_gram GROUP BY doc_id)
+         SELECT d.doc_id,
+           coalesce(n_tokens, 0) AS n_tokens,
+           coalesce(n_distinct_tokens, 0) AS n_distinct_tokens,
+           coalesce(n_tokens, 0) - coalesce(n_distinct_tokens, 0) AS dup_token_count,
+           coalesce(top_token_count, 0) AS top_token_count,
+           coalesce(n_bigrams, 0) AS n_bigrams,
+           coalesce(n_distinct_bigrams, 0) AS n_distinct_bigrams,
+           coalesce(top_bigram_count, 0) AS top_bigram_count
+         FROM documents d LEFT JOIN per_doc USING (doc_id)
+         ORDER BY doc_id""",
+    "ts_pii_redact" ->
+      """WITH s AS (SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com from 10.'
+                  || CAST(doc_id % 256 AS VARCHAR) || '.0.1 call 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(t, '\b\d{3}-\d{4}\b')) AS BIGINT)
+             AS n_phones,
+           regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
+         FROM s ORDER BY doc_id""",
+    // ts_strat_sample: same generated pure-SQL xxhash64 bucket as
+    // ts_hash_split, cut by per-lang thresholds
+    "ts_strat_sample" -> SplitOracle.tsStratSample,
   )
 }

@@ -52,4 +52,22 @@ object Sampling {
       salt: Long = 0L, denom: Int = 10000): DataFrame =
     df.filter(pmod(xxhash64(lit(salt), col(idCol)), lit(denom.toLong)) <
       math.round(fraction * denom))
+
+  /** Stratified deterministic sample: a per-stratum keep fraction (e.g.
+    * down-weight the dominant language of a corpus, keep all of a rare
+    * one). Same id-hash discipline as [[hashSample]] — the threshold is
+    * the only thing that varies by stratum, so membership stays a pure
+    * scan-stage predicate: no shuffle, no per-stratum pass, stable under
+    * appends and repartitioning.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      fractions: Seq[(String, Double)], defaultFraction: Double,
+      denom: Int = 100): DataFrame = {
+    require(fractions.nonEmpty, "no stratum fractions")
+    val thr = fractions.foldLeft(when(lit(false), lit(0L))) {
+      case (acc, (stratum, f)) =>
+        acc.when(col(stratumCol) === stratum, lit(math.round(f * denom)))
+    }.otherwise(lit(math.round(defaultFraction * denom)))
+    df.filter(hashBucket(col(idCol), denom) < thr)
+  }
 }

@@ -117,6 +117,76 @@ object TextStats {
       .withColumn("tfidf", col("tf") * col("idf"))
   }
 
+  /** Repetition signals in the Gopher/MassiveText style (duplicate-token
+    * and top-n-gram fractions, published in Rae et al. 2021 §A1.1 as
+    * filtering heuristics): how much of the document is the same token
+    * or bigram repeated. Emitted as exact integer counts (not ratios) so
+    * the numbers are engine-portable; callers derive fractions.
+    *
+    * Shape: one explode of unigrams+bigrams tagged by kind, a
+    * count-per-gram aggregation, then a conditional per-doc rollup — two
+    * hash aggregations on `doc_id`-prefixed keys, both map-side
+    * combinable, no window, no driver state. Empty docs survive via the
+    * left join from the id base.
+    */
+  def repetitionFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val unigrams = transform(toks, t => struct(lit(0).as("kind"), t.as("g")))
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => struct(lit(1).as("kind"),
+          concat_ws(" ", slice(toks, i + 1, lit(2))).as("g"))))
+      .otherwise(array().cast("array<struct<kind:int,g:string>>"))
+    val grams = df.select(col(idCol).as("doc_id"),
+      explode(concat(unigrams, bigrams)).as("gr"))
+    val perGram = grams
+      .groupBy(col("doc_id"), col("gr.kind").as("kind"), col("gr.g").as("g"))
+      .agg(count(lit(1)).as("c"))
+    val uni = col("kind") === 0
+    val perDoc = perGram.groupBy("doc_id").agg(
+      sum(when(uni, col("c"))).as("n_tokens"),
+      count(when(uni, lit(1))).as("n_distinct_tokens"),
+      max(when(uni, col("c"))).as("top_token_count"),
+      sum(when(!uni, col("c"))).as("n_bigrams"),
+      count(when(!uni, lit(1))).as("n_distinct_bigrams"),
+      max(when(!uni, col("c"))).as("top_bigram_count"))
+    df.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_distinct_tokens"), lit(0L)).as("n_distinct_tokens"),
+        (coalesce(col("n_tokens"), lit(0L)) -
+          coalesce(col("n_distinct_tokens"), lit(0L))).as("dup_token_count"),
+        coalesce(col("top_token_count"), lit(0L)).as("top_token_count"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_distinct_bigrams"), lit(0L)).as("n_distinct_bigrams"),
+        coalesce(col("top_bigram_count"), lit(0L)).as("top_bigram_count"))
+  }
+
+  /** PII patterns (email, dotted-quad IP, short phone) — deliberately in
+    * the common subset of Java regex and RE2 (no backrefs, no lookaround)
+    * so scrubbing is reproducible across engines.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  /** Count matches of a PII pattern (pre-redaction audit column). */
+  def piiCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long")
+
+  /** Redact PII in place: emails, then IPs, then phone fragments —
+    * email first so an address is consumed whole before the narrower
+    * numeric patterns can bite into its domain. Pure codegen'd
+    * expressions, embarrassingly parallel.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
+
   /** Polynomial rolling hash over word shingles (Rabin-Karp style, base
     * 1000003 mod 2^61−1) — returns the array of shingle hashes, the basis
     * for content-defined chunking / near-dup candidates.

@@ -40,6 +40,33 @@ class SamplingPackingSpec extends SparkTestBase {
     assert(math.abs(overlap / 5000.0 - 0.25) < 0.05)
   }
 
+  test("stratified sample: per-stratum rates, layout/append stability") {
+    import spark.implicits._
+    val rows = (0L until 6000L).map(i =>
+      (i, Seq("en", "de", "rare")(((i % 3).toInt)))).toDF("id", "lang")
+    val fr = Seq("en" -> 0.5, "de" -> 0.2)
+    val kept = Sampling.stratifiedSample(rows, "id", "lang", fr,
+      defaultFraction = 1.0)
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(byLang("en") / 2000.0 - 0.5) < 0.05)
+    assert(math.abs(byLang("de") / 2000.0 - 0.2) < 0.04)
+    assert(byLang("rare") === 2000L) // default keeps everything
+    // layout-independent membership
+    val a = kept.select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.stratifiedSample(rows.repartition(17), "id", "lang",
+      fr, defaultFraction = 1.0).select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(a === b)
+    // membership is a pure function of (id, lang): appending rows never
+    // changes prior decisions
+    val grown = Sampling.stratifiedSample(
+      (0L until 12000L).map(i => (i, Seq("en", "de", "rare")((i % 3).toInt)))
+        .toDF("id", "lang"), "id", "lang", fr, defaultFraction = 1.0)
+      .filter(col("id") < 6000).select("id").collect().map(_.getLong(0)).toSet
+    assert(grown === a)
+  }
+
   test("packChunks: intervals are contiguous per shard and spans correct") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)

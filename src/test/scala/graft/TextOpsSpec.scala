@@ -77,6 +77,42 @@ class TextOpsSpec extends SparkTestBase {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toList === List((1L, 2L)))
   }
 
+  test("repetition features: exact counts on hand-checked docs") {
+    val docs = Seq(
+      (0L, "a a b"),     // dup "a"; bigrams "a a","a b"
+      (1L, "x"),         // single token, no bigrams
+      (2L, ""),          // empty doc survives with zeros
+      (3L, "a a a a")    // maximal repetition
+    ).toDF("doc_id", "text")
+    val out = TextStats.repetitionFeatures(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(out(0) === ((0L, 3L, 2L, 1L, 2L, 2L, 2L, 1L)))
+    assert(out(1) === ((1L, 1L, 1L, 0L, 1L, 0L, 0L, 0L)))
+    assert(out(2) === ((2L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)))
+    assert(out(3) === ((3L, 4L, 1L, 3L, 4L, 3L, 1L, 3L)))
+  }
+
+  test("PII redaction: email/IP/phone replaced, audit counts exact") {
+    val docs = Seq(
+      (0L, "mail bob.smith+x@ex-ample.co.uk or 192.168.0.1 tel 555-0199"),
+      (1L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        TextStats.piiCount(col("text"), TextStats.emailRe).as("e"),
+        TextStats.piiCount(col("text"), TextStats.ipv4Re).as("i"),
+        TextStats.piiCount(col("text"), TextStats.phoneRe).as("p"),
+        TextStats.redactPii(col("text")).as("r"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) === 1L)
+    assert(out(0).getLong(2) === 1L)
+    assert(out(0).getLong(3) === 1L)
+    assert(out(0).getString(4) === "mail <EMAIL> or <IP> tel <PHONE>")
+    assert(out(1).getLong(1) === 0L)
+    assert(out(1).getString(4) === "no pii here at all")
+  }
+
   test("brute-force cosine top-k is exact on hand vectors") {
     val vecs = Seq(
       (1L, Seq(1.0, 0.0)),
