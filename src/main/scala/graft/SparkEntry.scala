@@ -218,6 +218,26 @@ object SparkEntry {
         floor(datediff(max(col("o_orderdate")), min(col("o_orderdate"))) / 365)
           .cast("bigint").as("years"))
     }),
+    "a9_quantiles" -> ((s, dir) => {
+      // exact distributed discrete quantiles (median / p90) by group:
+      // value at rank ceil(p·n) of the sorted group, selected by window
+      // row_number — pure integer rank arithmetic on both sides, so no
+      // interpolation float drift; one shuffle on the group key
+      val byFlag = Window.partitionBy("l_returnflag")
+      val rn = row_number().over(byFlag.orderBy("l_quantity"))
+      val n = count(lit(1)).over(byFlag)
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"),
+          rn.as("__rn"), n.as("__n"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          max(col("__n")).as("n"),
+          max(when(col("__rn") === expr("(__n + 1) div 2"),
+            col("l_quantity"))).as("median_disc"),
+          max(when(col("__rn") === expr("(__n * 9 + 9) div 10"),
+            col("l_quantity"))).as("p90_disc"))
+        .orderBy(col("l_returnflag"))
+    }),
 
     // ----------------------------------------------------------- windows
     "w1_lag" -> ((s, dir) => {
@@ -558,6 +578,18 @@ object SparkEntry {
       graft.multimodal.RealMedia.extractRealFeatures(media).toDF()
         .orderBy(col("media_id"))
     }),
+    "mm_frame_sample" -> ((s, dir) => {
+      // video frame sampling: clips are raw concatenations of PPM frames
+      // (self-delimiting, the uncompressed analogue of MJPEG); decode
+      // walks the stream and keeps every 2nd frame. The oracle recomputes
+      // each kept frame's red-channel sum in closed form, so the stream
+      // walk (per-frame header parse + offset advance) is verified, not
+      // just the pixel formula
+      val clips = graft.multimodal.RealMedia.syntheticVideoTable(
+        t(s, dir, "documents"))
+      graft.multimodal.RealMedia.sampleFrames(clips, every = 2).toDF()
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
     "bt_signals" -> ((s, dir) => {
       // MA-cross signal generation over events-as-bars, decimal-exact SMAs
       // so the comparison itself (fast > slow) is oracle-exact:
@@ -787,6 +819,16 @@ object SparkEntry {
            CAST(floor(date_diff('day', min(o_orderdate), max(o_orderdate)) / 365.0)
              AS BIGINT) AS years
          FROM orders""",
+    "a9_quantiles" ->
+      """WITH r AS (SELECT l_returnflag, l_quantity,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+               AS rn,
+             CAST(count(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+           FROM lineitem)
+         SELECT l_returnflag, max(n) AS n,
+           max(CASE WHEN rn = (n + 1) // 2 THEN l_quantity END) AS median_disc,
+           max(CASE WHEN rn = (n * 9 + 9) // 10 THEN l_quantity END) AS p90_disc
+         FROM r GROUP BY l_returnflag ORDER BY l_returnflag""",
     "w1_lag" ->
       """SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id, value,
            lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS prev_value
@@ -1035,6 +1077,19 @@ object SparkEntry {
            CAST(duration_us AS BIGINT), amp_sum_sq
          FROM auf
          ORDER BY media_id""",
+    "mm_frame_sample" ->
+      """WITH clips AS (SELECT doc_id AS id, 4 + doc_id % 5 AS nf,
+             8 + doc_id % 8 AS w, 6 + doc_id % 6 AS h
+           FROM documents WHERE doc_id % 5 = 0),
+         frames AS (SELECT id, nf, w, h, unnest(range(0, nf)) AS f FROM clips)
+         SELECT id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+           CAST(list_sum(list_transform(range(0, w*h),
+             k -> (id + 11*f + 3*(k % w) + 5*(k // w)) % 256)) AS BIGINT)
+             AS sum_r
+         FROM frames WHERE f % 2 = 0
+         ORDER BY media_id, frame_idx""",
     "ts_quality" ->
       """WITH toks AS (SELECT doc_id, text,
              list_filter(string_split_regex(lower(text), '\s+'),

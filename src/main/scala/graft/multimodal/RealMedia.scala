@@ -140,6 +140,102 @@ object RealMedia {
     None
   }
 
+  // --------------------------------------------- video = concatenated PPM
+
+  /** Parse one PPM frame starting at `off`; returns (w, h, rgb,
+    * offsetAfterFrame). PPM files are self-delimiting (header carries the
+    * dimensions), so a raw concatenation of frames is a decodable
+    * "video" stream — the uncompressed analogue of MJPEG.
+    */
+  def decodePpmAt(bytes: Array[Byte], off: Int): Option[(Int, Int, Array[Byte], Int)] = {
+    if (bytes == null || off < 0 || bytes.length - off < 9 ||
+      bytes(off) != 'P' || bytes(off + 1) != '6') return None
+    var i = off + 2
+    val tokens = new scala.collection.mutable.ArrayBuffer[Int](3)
+    while (tokens.length < 3 && i < bytes.length) {
+      while (i < bytes.length && Character.isWhitespace(bytes(i))) i += 1
+      var v = 0
+      var any = false
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+        v = v * 10 + (bytes(i) - '0'); i += 1; any = true
+      }
+      if (!any) return None
+      tokens += v
+    }
+    if (tokens.length < 3 || tokens(2) != 255) return None
+    i += 1 // single whitespace after maxval
+    val w = tokens(0); val h = tokens(1)
+    if (w <= 0 || h <= 0 || bytes.length - i < w * h * 3) return None
+    Some((w, h, java.util.Arrays.copyOfRange(bytes, i, i + w * h * 3),
+      i + w * h * 3))
+  }
+
+  final case class VideoRow(media_id: Long, n_frames: Int, video: Array[Byte])
+  final case class FrameFeatures(media_id: Long, frame_idx: Long,
+      n_frames: Long, w: Long, h: Long, sum_r: Long)
+
+  /** Deterministic video table: every 5th doc id becomes a clip of
+    * 4 + id%5 frames, constant dimensions per clip, per-frame integer
+    * pixel formulas (frame index in the red channel) — closed-form
+    * reproducible by the oracle.
+    */
+  def syntheticVideoTable(docs: DataFrame): Dataset[VideoRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .filter((id: Long) => id % 5 == 0)
+      .map { id =>
+        val nf = 4 + (id % 5).toInt
+        val w = 8 + (id % 8).toInt
+        val h = 6 + (id % 6).toInt
+        val frames = (0 until nf).map { f =>
+          encodePpm(w, h, (x, y) => (
+            ((id + 11L * f + 3 * x + 5 * y) % 256).toInt,
+            ((2 * id + f + x) % 256).toInt,
+            ((x.toLong * y + f) % 256).toInt))
+        }
+        val out = new Array[Byte](frames.map(_.length).sum)
+        var o = 0
+        frames.foreach { fr =>
+          System.arraycopy(fr, 0, out, o, fr.length); o += fr.length
+        }
+        VideoRow(id, nf, out)
+      }
+  }
+
+  /** Frame sampling: decode the concatenated stream, keep every
+    * `every`-th frame, emit exact integer features per kept frame. A
+    * flatMap over the binary column — the 1→N shape of real video
+    * pipelines (decode is per-row sequential; parallelism comes from the
+    * rows, which is the right axis at corpus scale).
+    */
+  def sampleFrames(videos: Dataset[VideoRow], every: Int): Dataset[FrameFeatures] = {
+    val spark = videos.sparkSession
+    import spark.implicits._
+    videos.flatMap { v =>
+      val out = new scala.collection.mutable.ArrayBuffer[FrameFeatures]()
+      var off = 0
+      var f = 0
+      while (off < v.video.length) {
+        val (w, h, rgb, next) = decodePpmAt(v.video, off).getOrElse(
+          throw new IllegalStateException(
+            s"bad frame $f in video ${v.media_id}"))
+        if (f % every == 0) {
+          var sr = 0L
+          var k = 0
+          while (k < rgb.length) { sr += rgb(k) & 0xff; k += 3 }
+          out += FrameFeatures(v.media_id, f.toLong, v.n_frames.toLong,
+            w.toLong, h.toLong, sr)
+        }
+        off = next
+        f += 1
+      }
+      if (f != v.n_frames) throw new IllegalStateException(
+        s"video ${v.media_id}: decoded $f frames, expected ${v.n_frames}")
+      out
+    }
+  }
+
   // ------------------------------------------------ synthetic table + query
 
   final case class RealMediaRow(media_id: Long, kind: String, media: Array[Byte])

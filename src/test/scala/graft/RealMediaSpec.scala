@@ -30,6 +30,44 @@ class RealMediaSpec extends SparkTestBase {
     assert(reds === Seq(0, 2, 8, 10))
   }
 
+  test("concat-PPM stream walk: varying frame dims, exact sampling") {
+    // three frames with DIFFERENT dims — the walk must get each frame's
+    // length from its own header, not assume a constant stride
+    val f0 = RealMedia.encodePpm(2, 2, (x, y) => (10 + x, 0, 0))
+    val f1 = RealMedia.encodePpm(3, 1, (x, y) => (20 + x, 0, 0))
+    val f2 = RealMedia.encodePpm(1, 4, (x, y) => (30 + y, 0, 0))
+    val stream = f0 ++ f1 ++ f2
+    var off = 0
+    val dims = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    while (off < stream.length) {
+      val Some((w, h, _, next)) = RealMedia.decodePpmAt(stream, off)
+      dims += ((w, h)); off = next
+    }
+    assert(dims.toSeq === Seq((2, 2), (3, 1), (1, 4)))
+    // truncated final frame is rejected, not silently dropped
+    assert(RealMedia.decodePpmAt(stream.dropRight(1),
+      (f0.length + f1.length)).isEmpty)
+  }
+
+  test("video frame sampling matches closed-form sums at every=2") {
+    import spark.implicits._
+    val docs = Seq(0L, 5L, 7L, 10L).toDF("doc_id") // 7 filtered out
+    val clips = RealMedia.syntheticVideoTable(docs)
+    val got = RealMedia.sampleFrames(clips, every = 2).collect()
+      .sortBy(r => (r.media_id, r.frame_idx))
+    // closed-form re-derivation
+    val want = Seq(0L, 5L, 10L).flatMap { id =>
+      val nf = 4 + (id % 5).toInt; val w = 8 + (id % 8).toInt
+      val h = 6 + (id % 6).toInt
+      (0 until nf).filter(_ % 2 == 0).map { f =>
+        val sr = (for (y <- 0 until h; x <- 0 until w)
+          yield (id + 11L * f + 3 * x + 5 * y) % 256).sum
+        RealMedia.FrameFeatures(id, f.toLong, nf.toLong, w.toLong, h.toLong, sr)
+      }
+    }
+    assert(got.toSeq === want)
+  }
+
   test("WAV round-trip: encode then decode recovers rate and samples") {
     val samples = Array.tabulate(300)(i => ((i * 37) % 16384 - 8192).toShort)
     val bytes = RealMedia.encodeWav(16000, samples)
