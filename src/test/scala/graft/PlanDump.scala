@@ -12,7 +12,8 @@ object PlanDump {
     for (q <- Seq("p2_project_filter","j1_multi_join","a1_grouped_sum","w6_cumsum",
                   "j5_semi_join","dd_minhash","sim_cosine_topk","bt_backtest_fold",
                   "w4_last_period","ts_langid_scores","opt_grid","sim_ivf_topk",
-                  "j9_asof_join","j10_range_join","dd_ngram_jaccard")) {
+                  "j9_asof_join","j10_range_join","dd_ngram_jaccard",
+                  "a9_quantiles","ts_repetition","ts_strat_sample")) {
       sb.append(s"\n## $q\n\n```\n")
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode)
