@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotProduct, HashedWordShingles, L2Norm, LangMarkerScores, MinHashSignature, SimHash64, SortedLongJaccard, WordShingles}
+import graft.functions.{DotProduct, GramStats, HashedWordShingles, L2Norm, LangMarkerScores, MinHashSignature, SimHash64, SortedLongJaccard, WordShingles}
 import graft.textstats.TextStats
 
 /** SQL surface for the engine's custom Catalyst expressions: register via
@@ -54,7 +54,9 @@ object GraftExtensions {
       arity("hashed_word_shingles", args, 2)
       HashedWordShingles(args.head, intArg(args(1), "n")) }),
     "sorted_long_jaccard" -> (args => { arity("sorted_long_jaccard", args, 2)
-      SortedLongJaccard(args.head, args(1)) }))
+      SortedLongJaccard(args.head, args(1)) }),
+    "gram_stats" -> (args => { arity("gram_stats", args, 1)
+      GramStats(args.head) }))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -218,6 +218,17 @@ object SparkEntry {
         floor(datediff(max(col("o_orderdate")), min(col("o_orderdate"))) / 365)
           .cast("bigint").as("years"))
     }),
+    "a10_salted_agg" -> ((s, dir) => {
+      // skew-resistant two-stage salted aggregation surfaced through the
+      // driver gate: decimal-exact, so the result is identical to a
+      // plain groupBy — but a hot key spreads over 16 stage-1 reducers
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), col("value").cast(dec).as("v"))
+      graft.ops.ScaleOps.saltedSumCount(ev, Seq("event_type"), "v")
+        .select(col("event_type"),
+          col("sum_value").cast("double").as("sum_value"), col("n"))
+        .orderBy(col("event_type"))
+    }),
     "a9_quantiles" -> ((s, dir) => {
       // exact distributed discrete quantiles (median / p90) by group:
       // value at rank ceil(p·n) of the sorted group, selected by window
@@ -819,6 +830,11 @@ object SparkEntry {
            CAST(floor(date_diff('day', min(o_orderdate), max(o_orderdate)) / 365.0)
              AS BIGINT) AS years
          FROM orders""",
+    "a10_salted_agg" ->
+      """SELECT event_type,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           count(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "a9_quantiles" ->
       """WITH r AS (SELECT l_returnflag, l_quantity,
              row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)

@@ -78,6 +78,81 @@ case class LangMarkerScores(child: Expression, langs: Seq[String],
     copy(child = c)
 }
 
+/** Single-pass repetition statistics over array<string> tokens: exact
+  * unigram and bigram totals, distinct counts, and top frequencies in
+  * ONE walk with two per-row hash maps. The stats are per-document, so
+  * the explode → groupBy(doc, gram) → rollup formulation shuffles the
+  * entire gram stream for what is row-local arithmetic — at 100 TB
+  * that's the whole corpus through an exchange for nothing. Here the
+  * frame never shuffles at all.
+  */
+case class GramStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = GramStats.schema
+  override def prettyName: String = "gram_stats"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<string> argument, got " +
+            other.catalogString)
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val uni = new java.util.HashMap[UTF8String, Array[Long]]()
+    val big = new java.util.HashMap[UTF8String, Array[Long]]()
+    val space = UTF8String.fromString(" ")
+    var nTok = 0L
+    var nBig = 0L
+    var prev: UTF8String = null
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i)
+        nTok += 1
+        val c = uni.get(t)
+        if (c == null) uni.put(t, Array(1L)) else c(0) += 1
+        if (prev != null) {
+          val bg = UTF8String.concat(prev, space, t)
+          nBig += 1
+          val cb = big.get(bg)
+          if (cb == null) big.put(bg, Array(1L)) else cb(0) += 1
+        }
+        prev = t
+      } else prev = null
+      i += 1
+    }
+    def top(m: java.util.HashMap[UTF8String, Array[Long]]): Long = {
+      var mx = 0L
+      val it = m.values().iterator()
+      while (it.hasNext) { val v = it.next()(0); if (v > mx) mx = v }
+      mx
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTok, uni.size.toLong, top(uni),
+        nBig, big.size.toLong, top(big)))
+  }
+
+  override protected def withNewChildInternal(c: Expression): GramStats =
+    copy(child = c)
+}
+
+object GramStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_distinct_tokens", LongType, nullable = false),
+    StructField("top_token_count", LongType, nullable = false),
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("n_distinct_bigrams", LongType, nullable = false),
+    StructField("top_bigram_count", LongType, nullable = false)))
+}
+
 object TextFunctions {
   /** Column API for LangMarkerScores; `langMarkers` iterated in sorted
     * language order so the output array order is deterministic.
@@ -88,4 +163,8 @@ object TextFunctions {
     GraftShims.column(LangMarkerScores(GraftShims.expression(tokens),
       ordered.map(_._1), ordered.map(_._2)))
   }
+
+  /** Column API for GramStats. */
+  def gramStats(tokens: Column): Column =
+    GraftShims.column(GramStats(GraftShims.expression(tokens)))
 }

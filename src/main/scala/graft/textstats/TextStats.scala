@@ -123,44 +123,26 @@ object TextStats {
     * or bigram repeated. Emitted as exact integer counts (not ratios) so
     * the numbers are engine-portable; callers derive fractions.
     *
-    * Shape: one explode of unigrams+bigrams tagged by kind, a
-    * count-per-gram aggregation, then a conditional per-doc rollup — two
-    * hash aggregations on `doc_id`-prefixed keys, both map-side
-    * combinable, no window, no driver state. Empty docs survive via the
-    * left join from the id base.
+    * Shape: the stats are per-document, i.e. row-local — so this is ONE
+    * walk of the token array per row (functions.GramStats: two per-row
+    * hash maps, unigrams and bigrams in the same pass). No explode, no
+    * shuffle, empty docs get zeros naturally. The first cut exploded the
+    * gram stream through groupBy(doc, gram) — that pushed the whole
+    * corpus through an exchange for arithmetic that never needed to
+    * leave the row.
     */
   def repetitionFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    val unigrams = transform(toks, t => struct(lit(0).as("kind"), t.as("g")))
-    val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(0), size(toks) - 2),
-        i => struct(lit(1).as("kind"),
-          concat_ws(" ", slice(toks, i + 1, lit(2))).as("g"))))
-      .otherwise(array().cast("array<struct<kind:int,g:string>>"))
-    val grams = df.select(col(idCol).as("doc_id"),
-      explode(concat(unigrams, bigrams)).as("gr"))
-    val perGram = grams
-      .groupBy(col("doc_id"), col("gr.kind").as("kind"), col("gr.g").as("g"))
-      .agg(count(lit(1)).as("c"))
-    val uni = col("kind") === 0
-    val perDoc = perGram.groupBy("doc_id").agg(
-      sum(when(uni, col("c"))).as("n_tokens"),
-      count(when(uni, lit(1))).as("n_distinct_tokens"),
-      max(when(uni, col("c"))).as("top_token_count"),
-      sum(when(!uni, col("c"))).as("n_bigrams"),
-      count(when(!uni, lit(1))).as("n_distinct_bigrams"),
-      max(when(!uni, col("c"))).as("top_bigram_count"))
-    df.select(col(idCol).as("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
+    val g = graft.functions.TextFunctions.gramStats(tokens(col(textCol)))
+    df.select(col(idCol).as("doc_id"), g.as("__g"))
       .select(col("doc_id"),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(col("n_distinct_tokens"), lit(0L)).as("n_distinct_tokens"),
-        (coalesce(col("n_tokens"), lit(0L)) -
-          coalesce(col("n_distinct_tokens"), lit(0L))).as("dup_token_count"),
-        coalesce(col("top_token_count"), lit(0L)).as("top_token_count"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("n_distinct_bigrams"), lit(0L)).as("n_distinct_bigrams"),
-        coalesce(col("top_bigram_count"), lit(0L)).as("top_bigram_count"))
+        col("__g.n_tokens").as("n_tokens"),
+        col("__g.n_distinct_tokens").as("n_distinct_tokens"),
+        (col("__g.n_tokens") - col("__g.n_distinct_tokens"))
+          .as("dup_token_count"),
+        col("__g.top_token_count").as("top_token_count"),
+        col("__g.n_bigrams").as("n_bigrams"),
+        col("__g.n_distinct_bigrams").as("n_distinct_bigrams"),
+        col("__g.top_bigram_count").as("top_bigram_count"))
   }
 
   /** PII patterns (email, dotted-quad IP, short phone) — deliberately in
