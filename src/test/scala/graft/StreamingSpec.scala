@@ -84,6 +84,43 @@ class StreamingSpec extends SparkTestBase {
     assert(ids === List(1L, 3L)) // canonical dups 2 and 4 dropped, state kept across batches
   }
 
+  test("stateless text tier (redact/repetition/sample) runs unchanged on a stream") {
+    // PII redaction, repetition stats, and stratified sampling are pure
+    // per-row expressions — the SAME code must run on readStream with no
+    // watermark, no state, and produce batch-identical rows
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1L, "en", "a a b mail bob@x.io"),
+      (2L, "de", "x y z 10.0.0.1"),
+      (3L, "en", "c c c c"),
+      (4L, "fr", "call 555-0101 now"))
+    def pipeline(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Sampling.stratifiedSample(df, "doc_id", "lang",
+          Seq("en" -> 1.0, "de" -> 1.0), defaultFraction = 0.0)
+        .select(col("doc_id"),
+          graft.textstats.TextStats.redactPii(col("text")).as("redacted"),
+          graft.functions.TextFunctions.gramStats(
+            split(lower(col("text")), "\\s+")).getField("top_token_count")
+            .as("top_tok"))
+    val input = MemoryStream[(Long, String, String)]
+    val q = pipeline(input.toDS().toDF("doc_id", "lang", "text"))
+      .writeStream.format("memory").queryName("text_tier_out")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    import spark.implicits._
+    val streamed = spark.table("text_tier_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    val batch = pipeline(rows.toDF("doc_id", "lang", "text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(streamed.toSeq === batch.toSeq)
+    assert(!streamed.map(_._1).contains(4L)) // fr stratum sampled out
+    assert(streamed.find(_._1 == 1L).get._2.endsWith("<EMAIL>"))
+    assert(streamed.find(_._1 == 3L).get._3 === 4L)
+  }
+
   test("streaming session windows agree with batch sessionize boundaries") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]
