@@ -83,6 +83,57 @@ class PropertySpec extends SparkTestBase {
       }
   }
 
+  test("gram_stats equals a naive Scala fold on random token arrays") {
+    import org.apache.spark.sql.functions._
+    val tokGen: Gen[List[String]] = for {
+      n <- Gen.choose(0, 60)
+      // small alphabet forces heavy repetition — the interesting regime
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "ab", "xyz", "q1"))
+    } yield toks
+    val docs = (0 until 60).map(i =>
+      (i.toLong, tokGen.apply(Gen.Parameters.default, Seed(100L + i))
+        .getOrElse(Nil)))
+    val got = docs.toDF("doc_id", "toks")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.gramStats(col("toks")).as("g"))
+      .orderBy("doc_id")
+      .select("doc_id", "g.*").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    docs.zip(got).foreach { case ((id, toks), row) =>
+      val uni = toks.groupBy(identity).view.mapValues(_.size)
+      val bigs = toks.sliding(2).filter(_.size == 2)
+        .map(_.mkString(" ")).toList
+      val big = bigs.groupBy(identity).view.mapValues(_.size)
+      val want = (id, toks.size.toLong, uni.size.toLong,
+        (uni.values ++ Seq(0)).max.toLong, bigs.size.toLong,
+        big.size.toLong, (big.values ++ Seq(0)).max.toLong)
+      assert(row === want, s"doc $id toks=$toks")
+    }
+  }
+
+  test("PII redaction is idempotent and leaves no matchable residue") {
+    import org.apache.spark.sql.functions._
+    import graft.textstats.TextStats
+    val texts = Seq(
+      "a@b.co c@d.org twice", "1.2.3.4 then 10.20.30.40",
+      "555-0100 555-0199", "mixed x@y.io at 8.8.8.8 call 555-1234",
+      "plain text, no secrets", "")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val once = texts.toDF("id", "t")
+      .select(col("id"), TextStats.redactPii(col("t")).as("r1"))
+      .withColumn("r2", TextStats.redactPii(col("r1")))
+      .withColumn("left_emails", TextStats.piiCount(col("r1"), TextStats.emailRe))
+      .withColumn("left_ips", TextStats.piiCount(col("r1"), TextStats.ipv4Re))
+      .withColumn("left_phones", TextStats.piiCount(col("r1"), TextStats.phoneRe))
+      .collect()
+    once.foreach { r =>
+      assert(r.getString(1) === r.getString(2), "redaction not idempotent")
+      assert(r.getLong(3) === 0L && r.getLong(4) === 0L && r.getLong(5) === 0L,
+        s"residual PII in '${r.getString(1)}'")
+    }
+  }
+
   test("engine == local evaluator on random price paths (TenPercent)") {
     samples(10).foreach { closes =>
       val bars = toBars(closes).toDF("ticker", "date", "close")
