@@ -53,4 +53,14 @@ object ScaleOps {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Write hive-style directory-partitioned parquet on a
+    * low-cardinality column: equality/IN predicates on it then prune
+    * whole directories at planning time (`PartitionFilters` in the scan,
+    * zero I/O for excluded partitions) — the layout lever for
+    * time/category-scoped queries over a 100 TB corpus.
+    */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 }

@@ -42,4 +42,23 @@ class ScaleOpsSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS o_b")
   }
+
+  test("partitioned layout prunes directories at planning time") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part")
+      .toString + "/events_part"
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+      .select("event_id", "event_type", "value")
+    ScaleOps.writePartitioned(ev, tmp, "event_type")
+    val q = spark.read.parquet(tmp).filter(col("event_type") === "click")
+    val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    // the planner selects exactly the one matching directory: excluded
+    // partitions cost zero I/O, not a filtered read
+    assert(scan.metadata("PartitionFilters").contains("event_type"),
+      scan.metadata.toString)
+    assert(scan.selectedPartitions.partitionCount === 1)
+    assert(q.count() ===
+      ev.filter(col("event_type") === "click").count())
+  }
 }
