@@ -43,28 +43,8 @@ object RealMedia {
   }
 
   /** Parse a binary PPM; returns (width, height, row-major RGB bytes). */
-  def decodePpm(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
-    if (bytes == null || bytes.length < 9 ||
-      bytes(0) != 'P' || bytes(1) != '6') return None
-    // header = three whitespace-separated tokens after the magic: w h maxval
-    var i = 2
-    val tokens = new scala.collection.mutable.ArrayBuffer[Int](3)
-    while (tokens.length < 3 && i < bytes.length) {
-      while (i < bytes.length && Character.isWhitespace(bytes(i))) i += 1
-      var v = 0
-      var any = false
-      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
-        v = v * 10 + (bytes(i) - '0'); i += 1; any = true
-      }
-      if (!any) return None
-      tokens += v
-    }
-    if (tokens.length < 3 || tokens(2) != 255) return None
-    i += 1 // single whitespace after maxval
-    val w = tokens(0); val h = tokens(1)
-    if (w <= 0 || h <= 0 || bytes.length - i < w * h * 3) return None
-    Some((w, h, java.util.Arrays.copyOfRange(bytes, i, i + w * h * 3)))
-  }
+  def decodePpm(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    decodePpmAt(bytes, 0).map { case (w, h, rgb, _) => (w, h, rgb) }
 
   /** Nearest-neighbor resize of row-major RGB bytes. */
   def resizeNearest(w: Int, h: Int, rgb: Array[Byte], ow: Int, oh: Int): Array[Byte] = {
@@ -165,9 +145,13 @@ object RealMedia {
     if (tokens.length < 3 || tokens(2) != 255) return None
     i += 1 // single whitespace after maxval
     val w = tokens(0); val h = tokens(1)
-    if (w <= 0 || h <= 0 || bytes.length - i < w * h * 3) return None
-    Some((w, h, java.util.Arrays.copyOfRange(bytes, i, i + w * h * 3),
-      i + w * h * 3))
+    // payload size in Long: a hostile header like "100000 100000" would
+    // overflow w*h*3 as Int, wrapping the bounds check into acceptance
+    val payload = w.toLong * h * 3
+    if (w <= 0 || h <= 0 || payload > bytes.length - i) return None
+    Some((w, h,
+      java.util.Arrays.copyOfRange(bytes, i, i + payload.toInt),
+      i + payload.toInt))
   }
 
   final case class VideoRow(media_id: Long, n_frames: Int, video: Array[Byte])
@@ -210,6 +194,7 @@ object RealMedia {
     * rows, which is the right axis at corpus scale).
     */
   def sampleFrames(videos: Dataset[VideoRow], every: Int): Dataset[FrameFeatures] = {
+    require(every > 0, s"every must be positive, got $every")
     val spark = videos.sparkSession
     import spark.implicits._
     videos.flatMap { v =>

@@ -132,7 +132,12 @@ object TextStats {
     * leave the row.
     */
   def repetitionFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val g = graft.functions.TextFunctions.gramStats(tokens(col(textCol)))
+    // NULL text counts as an empty doc (zeros), matching the oracle's
+    // left-join + coalesce shape — without this a nullable corpus column
+    // would yield NULL stats instead
+    val toks = coalesce(tokens(col(textCol)),
+      array().cast("array<string>"))
+    val g = graft.functions.TextFunctions.gramStats(toks)
     df.select(col(idCol).as("doc_id"), g.as("__g"))
       .select(col("doc_id"),
         col("__g.n_tokens").as("n_tokens"),

@@ -19,6 +19,10 @@ class RealMediaSpec extends SparkTestBase {
     assert(RealMedia.decodePpm("P5\n1 1\n255\nx".getBytes).isEmpty)
     assert(RealMedia.decodePpm("P6\n4 4\n255\nxx".getBytes).isEmpty) // short
     assert(RealMedia.decodePpm("P6\n2 2\n15\nxxxxxxxxxxxx".getBytes).isEmpty)
+    // hostile dims whose w*h*3 overflows Int must be rejected, not
+    // wrapped into a passing bounds check
+    assert(RealMedia.decodePpm("P6\n100000 100000\n255\nxxxx".getBytes).isEmpty)
+    assert(RealMedia.decodePpm("P6\n65536 65536\n255\nxxxx".getBytes).isEmpty)
   }
 
   test("nearest-neighbor resize picks the exact source pixels") {

@@ -82,7 +82,8 @@ class TextOpsSpec extends SparkTestBase {
       (0L, "a a b"),     // dup "a"; bigrams "a a","a b"
       (1L, "x"),         // single token, no bigrams
       (2L, ""),          // empty doc survives with zeros
-      (3L, "a a a a")    // maximal repetition
+      (3L, "a a a a"),   // maximal repetition
+      (4L, null)         // NULL text counts as an empty doc, not NULLs
     ).toDF("doc_id", "text")
     val out = TextStats.repetitionFeatures(docs, "doc_id", "text")
       .orderBy("doc_id").collect()
@@ -92,6 +93,7 @@ class TextOpsSpec extends SparkTestBase {
     assert(out(1) === ((1L, 1L, 1L, 0L, 1L, 0L, 0L, 0L)))
     assert(out(2) === ((2L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)))
     assert(out(3) === ((3L, 4L, 1L, 3L, 4L, 3L, 1L, 3L)))
+    assert(out(4) === ((4L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)))
   }
 
   test("PII redaction: email/IP/phone replaced, audit counts exact") {
