@@ -231,21 +231,27 @@ object SparkEntry {
     }),
     "a9_quantiles" -> ((s, dir) => {
       // exact distributed discrete quantiles (median / p90) by group:
-      // value at rank ceil(p·n) of the sorted group, selected by window
-      // row_number — pure integer rank arithmetic on both sides, so no
-      // interpolation float drift; one shuffle on the group key
+      // the rank-ceil(p·n) element, computed over a VALUE HISTOGRAM
+      // rather than a per-row sort — groupBy(key, value).count is
+      // map-side combinable, so the exchange carries only distinct
+      // (key, value) pairs (50 per group here vs 600k rows; the win
+      // grows with scale), then a window over the tiny histogram turns
+      // cumulative counts into rank selection. Rank arithmetic is pure
+      // integer `div` on both sides — no interpolation float drift
+      val hist = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("__c"))
       val byFlag = Window.partitionBy("l_returnflag")
-      val rn = row_number().over(byFlag.orderBy("l_quantity"))
-      val n = count(lit(1)).over(byFlag)
-      t(s, dir, "lineitem")
-        .select(col("l_returnflag"), col("l_quantity"),
-          rn.as("__rn"), n.as("__n"))
+      val cum = sum(col("__c"))
+        .over(byFlag.orderBy("l_quantity")).as("__cum")
+      val n = sum(col("__c")).over(byFlag).as("__n")
+      hist.select(col("l_returnflag"), col("l_quantity"), cum, n)
         .groupBy(col("l_returnflag"))
         .agg(
           max(col("__n")).as("n"),
-          max(when(col("__rn") === expr("(__n + 1) div 2"),
+          min(when(col("__cum") >= expr("(__n + 1) div 2"),
             col("l_quantity"))).as("median_disc"),
-          max(when(col("__rn") === expr("(__n * 9 + 9) div 10"),
+          min(when(col("__cum") >= expr("(__n * 9 + 9) div 10"),
             col("l_quantity"))).as("p90_disc"))
         .orderBy(col("l_returnflag"))
     }),
