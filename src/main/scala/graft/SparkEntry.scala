@@ -229,6 +229,18 @@ object SparkEntry {
           col("sum_value").cast("double").as("sum_value"), col("n"))
         .orderBy(col("event_type"))
     }),
+    "a11_rollup" -> ((s, dir) => {
+      // hierarchical subtotals in one pass: ROLLUP expands to grouping
+      // sets evaluated in a single shuffle (Expand + one hash agg), not
+      // one query per level; decimal sums keep every level exact.
+      // grouping_id disambiguates a rollup NULL from a data NULL
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("gid"), asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus"))
+    }),
     "a9_quantiles" -> ((s, dir) => {
       // exact distributed discrete quantiles (median / p90) by group:
       // the rank-ceil(p·n) element, computed over a VALUE HISTOGRAM
@@ -304,6 +316,18 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .select(col("user_id"), col("first_value"), col("last_value"), col("n"))
         .orderBy(col("user_id"))
+    }),
+    "w11_ewm" -> ((s, dir) => {
+      // pandas ewm(span=9, adjust=False).mean(): order-dependent
+      // recursion via the EwmAgg window UDAF (sequential per-row
+      // update, like w8_cumprod); the oracle folds the same recursion
+      // with list_reduce over prefix slices, and both sides derive
+      // alpha as 2.0/10 so the coefficients are bit-identical
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events").select(col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          TimeSeriesOps.ewmMean(col("value"), span = 9, w).as("ewm9"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
     }),
     "w8_cumprod" -> ((s, dir) => {
       // cumulative product of growth factors via the ProductAgg UDAF —
@@ -841,6 +865,15 @@ object SparkEntry {
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
            count(*) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "a11_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag ASC NULLS FIRST,
+           l_linestatus ASC NULLS FIRST""",
     "a9_quantiles" ->
       """WITH r AS (SELECT l_returnflag, l_quantity,
              row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
@@ -920,6 +953,22 @@ object SparkEntry {
            FROM g)
          SELECT user_id, u.ts_us AS ts_us, u.event_id AS event_id,
            CAST(u.lr AS FLOAT) AS logret_f
+         FROM e ORDER BY user_id, ts_us, event_id""",
+    "w11_ewm" ->
+      """WITH g AS (
+           SELECT user_id,
+             list(epoch_us(CAST(ts AS TIMESTAMP)) ORDER BY ts, event_id) AS tl,
+             list(event_id ORDER BY ts, event_id) AS el,
+             list(value ORDER BY ts, event_id) AS vl
+           FROM events GROUP BY user_id),
+         e AS (
+           SELECT user_id, unnest(list_transform(vl, (x, i) ->
+             {'ts_us': tl[i], 'event_id': el[i],
+              'ewm9': list_reduce(vl[1:i],
+                (a, b) -> (1 - 2.0/10) * a + (2.0/10) * b)})) AS u
+           FROM g)
+         SELECT user_id, u.ts_us AS ts_us, u.event_id AS event_id,
+           u.ewm9 AS ewm9
          FROM e ORDER BY user_id, ts_us, event_id""",
     "w8_cumprod" ->
       """WITH g AS (

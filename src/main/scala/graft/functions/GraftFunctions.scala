@@ -25,9 +25,43 @@ object ProductAgg extends Aggregator[java.lang.Double, (Double, Boolean), java.l
   def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
 }
 
+/** Exponentially-weighted mean, pandas `ewm(alpha, adjust=False,
+  * ignore_na=True).mean()` semantics: y₀ = x₀, yₜ = (1−α)·yₜ₋₁ + α·xₜ,
+  * nulls skipped. The recursion is order-dependent, so this is a
+  * WINDOW aggregate over a running frame (sequential per-row update —
+  * the same evaluation contract ProductAgg relies on); cross-segment
+  * merge is only legal when one side is empty and throws otherwise
+  * rather than silently mis-associating.
+  */
+class EwmAgg(alpha: Double)
+    extends Aggregator[java.lang.Double, (Double, Boolean), java.lang.Double] {
+  require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+  private val beta = 1 - alpha
+  def zero: (Double, Boolean) = (0.0, false)
+  def reduce(b: (Double, Boolean), a: java.lang.Double): (Double, Boolean) =
+    if (a == null) b
+    else if (!b._2) (a.doubleValue(), true)
+    else (beta * b._1 + alpha * a.doubleValue(), true)
+  def merge(l: (Double, Boolean), r: (Double, Boolean)): (Double, Boolean) =
+    if (!l._2) r else if (!r._2) l
+    else throw new UnsupportedOperationException(
+      "ewm is order-dependent: use it as a window aggregate, not a groupBy")
+  def finish(b: (Double, Boolean)): java.lang.Double =
+    if (b._2) java.lang.Double.valueOf(b._1) else null
+  def bufferEncoder: Encoder[(Double, Boolean)] =
+    Encoders.tuple(Encoders.scalaDouble, Encoders.scalaBoolean)
+  def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
+}
+
 object GraftFunctions {
   private lazy val productUdaf = udaf(ProductAgg)
 
   /** `product(col)` aggregate/window function. */
   def product(c: Column): Column = productUdaf(c)
+
+  /** `ewm(col)` window aggregate for a given smoothing alpha. */
+  def ewm(c: Column, alpha: Double): Column = {
+    val f = udaf(new EwmAgg(alpha))
+    f(c)
+  }
 }

@@ -100,6 +100,16 @@ object TimeSeriesOps {
     sum(lr).over(running(w))
   }
 
+  /** Exponentially-weighted mean over the running frame, pandas
+    * `ewm(span=s, adjust=False).mean()`: α = 2/(span+1), y₀ = x₀,
+    * yₜ = (1−α)yₜ₋₁ + αxₜ. Sequential-exact (the fold multiplies in
+    * row order, like cumProd) — not exp-of-log-sum, which would drift.
+    */
+  def ewmMean(c: Column, span: Int, w: WindowSpec): Column = {
+    require(span >= 1, s"span must be >= 1, got $span")
+    graft.functions.GraftFunctions.ewm(c, 2.0 / (span + 1)).over(running(w))
+  }
+
   /** Forward-fill then zero-fill, pandas `.ffill().fillna(0)` (reference
     * strats.py:562-565, W10).
     */

@@ -72,6 +72,21 @@ class TimeSeriesOpsSpec extends SparkTestBase {
       Some(2400.0), Some(72000.0), Some(1080000.0)))
   }
 
+  test("ewmMean folds y=(1-a)y+ax in row order, nulls skipped") {
+    val a = 2.0 / 4 // span=3
+    val got = df.select(TimeSeriesOps.ewmMean(col("close"), 3, w).as("v"))
+      .orderBy("date").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    // local bit-exact fold over the non-null values 10, 12, 20, 30, 15
+    val y1 = 10.0
+    val y2 = (1 - a) * y1 + a * 12.0
+    val y3 = (1 - a) * y2 + a * 20.0
+    val y4 = (1 - a) * y3 + a * 30.0
+    val y5 = (1 - a) * y4 + a * 15.0
+    assert(got === Seq(None, None, Some(y1), Some(y2), Some(y2),
+      Some(y3), Some(y4), Some(y5)))
+  }
+
   test("ffillZero carries last non-null forward, 0 before first") {
     val got = df.select(TimeSeriesOps.ffillZero(col("close"), w).as("v"))
       .orderBy("date").collect().map(_.getDouble(0)).toSeq
