@@ -229,6 +229,19 @@ object SparkEntry {
           col("sum_value").cast("double").as("sum_value"), col("n"))
         .orderBy(col("event_type"))
     }),
+    "a12_pivot" -> ((s, dir) => {
+      // long→wide pivot with an EXPLICIT value list: one hash
+      // aggregation (each pivot cell is a conditional agg — no
+      // distinct-values pre-scan, no second shuffle), decimal-exact
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(dsum(col("value")))
+        .select(col("user_id") +: types.map(ty =>
+          coalesce(col(ty), lit(0.0)).as(s"sum_$ty")): _*)
+        .orderBy(col("user_id"))
+    }),
     "a11_rollup" -> ((s, dir) => {
       // hierarchical subtotals in one pass: ROLLUP expands to grouping
       // sets evaluated in a single shuffle (Expand + one hash agg), not
@@ -865,6 +878,19 @@ object SparkEntry {
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
            count(*) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "a12_pivot" ->
+      """SELECT user_id,
+           coalesce(CAST(sum(CASE WHEN event_type = 'click'
+             THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS sum_click,
+           coalesce(CAST(sum(CASE WHEN event_type = 'error'
+             THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS sum_error,
+           coalesce(CAST(sum(CASE WHEN event_type = 'purchase'
+             THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS sum_purchase,
+           coalesce(CAST(sum(CASE WHEN event_type = 'signup'
+             THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS sum_signup,
+           coalesce(CAST(sum(CASE WHEN event_type = 'view'
+             THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS sum_view
+         FROM events GROUP BY user_id ORDER BY user_id""",
     "a11_rollup" ->
       """SELECT l_returnflag, l_linestatus,
            CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
