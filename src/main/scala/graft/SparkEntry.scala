@@ -342,6 +342,22 @@ object SparkEntry {
           TimeSeriesOps.ewmMean(col("value"), span = 9, w).as("ewm9"))
         .orderBy(col("user_id"), col("ts_us"), col("event_id"))
     }),
+    "w12_rolling_time" -> ((s, dir) => {
+      // TIME-based rolling window (RANGE frame over epoch-micros, not a
+      // row count): each row aggregates the trailing 6 hours by VALUE
+      // distance, so irregular event spacing is handled exactly — the
+      // thing a rows-frame rolling mean cannot express. Decimal sum
+      // keeps the frame aggregation engine-exact
+      val sixHoursUs = 6L * 3600 * 1000000
+      val w = Window.partitionBy("user_id").orderBy(col("__ts_us"))
+        .rangeBetween(-sixHoursUs, 0)
+      t(s, dir, "events")
+        .withColumn("__ts_us", unix_micros(col("ts")))
+        .select(col("user_id"), col("__ts_us").as("ts_us"), col("event_id"),
+          count(lit(1)).over(w).as("n_6h"),
+          sum(col("value").cast(dec)).over(w).cast("double").as("sum_6h"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
     "w8_cumprod" -> ((s, dir) => {
       // cumulative product of growth factors via the ProductAgg UDAF —
       // exact sequential left-to-right multiply, pinned by a DuckDB
@@ -980,6 +996,17 @@ object SparkEntry {
          SELECT user_id, u.ts_us AS ts_us, u.event_id AS event_id,
            CAST(u.lr AS FLOAT) AS logret_f
          FROM e ORDER BY user_id, ts_us, event_id""",
+    "w12_rolling_time" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             event_id, value
+           FROM events)
+         SELECT user_id, ts_us, event_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_6h,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_6h
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+           RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, ts_us, event_id""",
     "w11_ewm" ->
       """WITH g AS (
            SELECT user_id,
