@@ -13,7 +13,8 @@ object PlanDump {
                   "j5_semi_join","dd_minhash","sim_cosine_topk","bt_backtest_fold",
                   "w4_last_period","ts_langid_scores","opt_grid","sim_ivf_topk",
                   "j9_asof_join","j10_range_join","dd_ngram_jaccard",
-                  "a9_quantiles","ts_repetition","ts_strat_sample")) {
+                  "a9_quantiles","ts_repetition","ts_strat_sample",
+                  "a11_rollup","a12_pivot","w12_rolling_time")) {
       sb.append(s"\n## $q\n\n```\n")
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode)
