@@ -620,6 +620,29 @@ object SparkEntry {
           TextStats.redactPii(col("__t")).as("redacted"))
         .orderBy(col("doc_id"))
     }),
+    "ts_clean_corpus" -> ((s, dir) => {
+      // END-TO-END corpus cleaning in ONE declarative plan: exact-dedup
+      // survivors (min id per canonical fingerprint) → quality gate →
+      // PII scrub → deterministic split label. The whole chain costs a
+      // single window shuffle (the dedup); quality, redaction, and the
+      // split hash all stay in scan/projection stages — the composition
+      // a real training-data pipeline runs nightly, verified as one
+      // oracle-exact query rather than stage by stage
+      val deduped = t(s, dir, "documents")
+        .withColumn("__fp", TextStats.fingerprint(col("text")))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("__fp").orderBy("doc_id")))
+        .filter(col("__rn") === 1)
+      TextStats.qualityFeatures(deduped, "text")
+        .filter(col("quality_score") >= 1.0 && col("n_tokens") >= 20)
+        .select(col("doc_id"), col("lang"),
+          col("n_tokens").cast("bigint").as("n_tokens"),
+          graft.ops.Sampling.splitColumn(col("doc_id"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+            denom = 100).as("split"),
+          TextStats.redactPii(col("text")).as("clean_text"))
+        .orderBy(col("doc_id"))
+    }),
     "ts_strat_sample" -> ((s, dir) => {
       // per-language keep fractions over the same xxhash64 bucket as
       // ts_hash_split: down-samples dominant languages, keeps rare ones
@@ -1416,5 +1439,39 @@ object SparkEntry {
     // ts_strat_sample: same generated pure-SQL xxhash64 bucket as
     // ts_hash_split, cut by per-lang thresholds
     "ts_strat_sample" -> SplitOracle.tsStratSample,
+    // ts_clean_corpus: the composite pipeline — canonical-fingerprint
+    // dedup window, ts_quality's score expression, PII redaction, and
+    // the generated xxhash64 bucket CTE, joined into one statement
+    "ts_clean_corpus" -> s"""WITH b AS (${SplitOracle.bucketCte}),
+         dd AS (SELECT doc_id, lang, text, row_number() OVER (
+             PARTITION BY md5(regexp_replace(trim(regexp_replace(lower(text),
+               '[^a-z0-9\\s]', '', 'g')), '\\s+', ' ', 'g'))
+             ORDER BY doc_id) AS rn
+           FROM documents),
+         tok AS (SELECT doc_id, lang, text,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+               t -> length(t) > 0) AS tk
+           FROM dd WHERE rn = 1),
+         q AS (SELECT doc_id, lang, text,
+             CAST(len(tk) AS DOUBLE) AS n_tokens,
+             CASE WHEN len(tk) < 5 THEN 0.0 ELSE
+               1.0 - least(CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                 AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) * 2, 0.5)
+               - least(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                 AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) * 2, 0.3)
+               + least(CAST(len(list_filter(tk, t -> t IN ('the','of','and','to',
+                 'in','is','that','it','was','for'))) AS DOUBLE)
+                 / greatest(CAST(len(tk) AS DOUBLE), 1.0), 0.2) END AS score
+           FROM tok)
+         SELECT q.doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+             '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS clean_text
+         FROM q JOIN b ON q.doc_id = b.doc_id
+         WHERE score >= 1.0 AND n_tokens >= 20
+         ORDER BY q.doc_id""",
   )
 }
