@@ -230,16 +230,19 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
     "a12_pivot" -> ((s, dir) => {
-      // long→wide pivot with an EXPLICIT value list: one hash
-      // aggregation (each pivot cell is a conditional agg — no
-      // distinct-values pre-scan, no second shuffle), decimal-exact
+      // long→wide pivot with an EXPLICIT category list, written as
+      // conditional aggregates directly: ONE partial+final hash agg on
+      // user_id, decimal-exact. (Spark's .pivot(col, values) plans an
+      // inner (key, pivot) aggregate plus a second pivot_first shuffle —
+      // the conditional-agg form halves the exchanges, and skipping the
+      // value list entirely would add a distinct-values pre-scan job)
       val types = Seq("click", "error", "purchase", "signup", "view")
+      val cells = types.map(ty =>
+        coalesce(dsum(when(col("event_type") === ty, col("value"))),
+          lit(0.0)).as(s"sum_$ty"))
       t(s, dir, "events")
         .groupBy(col("user_id"))
-        .pivot("event_type", types)
-        .agg(dsum(col("value")))
-        .select(col("user_id") +: types.map(ty =>
-          coalesce(col(ty), lit(0.0)).as(s"sum_$ty")): _*)
+        .agg(cells.head, cells.tail: _*)
         .orderBy(col("user_id"))
     }),
     "a11_rollup" -> ((s, dir) => {
@@ -628,11 +631,8 @@ object SparkEntry {
       // split hash all stay in scan/projection stages — the composition
       // a real training-data pipeline runs nightly, verified as one
       // oracle-exact query rather than stage by stage
-      val deduped = t(s, dir, "documents")
-        .withColumn("__fp", TextStats.fingerprint(col("text")))
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy("__fp").orderBy("doc_id")))
-        .filter(col("__rn") === 1)
+      val deduped = Dedup.dropExactDups(t(s, dir, "documents"),
+        "doc_id", "text")
       TextStats.qualityFeatures(deduped, "text")
         .filter(col("quality_score") >= 1.0 && col("n_tokens") >= 20)
         .select(col("doc_id"), col("lang"),
@@ -1040,8 +1040,9 @@ object SparkEntry {
          e AS (
            SELECT user_id, unnest(list_transform(vl, (x, i) ->
              {'ts_us': tl[i], 'event_id': el[i],
-              'ewm9': list_reduce(vl[1:i],
-                (a, b) -> (1 - 2.0/10) * a + (2.0/10) * b)})) AS u
+              'ewm9': CASE WHEN len(list_filter(vl[1:i], x -> x IS NOT NULL)) = 0
+                THEN NULL ELSE list_reduce(list_filter(vl[1:i], x -> x IS NOT NULL),
+                (a, b) -> (1 - 2.0/10) * a + (2.0/10) * b) END})) AS u
            FROM g)
          SELECT user_id, u.ts_us AS ts_us, u.event_id AS event_id,
            u.ewm9 AS ewm9
@@ -1056,7 +1057,9 @@ object SparkEntry {
          e AS (
            SELECT user_id, unnest(list_transform(fl, (x, i) ->
              {'ts_us': tl[i], 'event_id': el[i],
-              'growth': list_reduce(fl[1:i], (a, b) -> a * b)})) AS u
+              'growth': CASE WHEN len(list_filter(fl[1:i], x -> x IS NOT NULL)) = 0
+                THEN NULL ELSE list_reduce(list_filter(fl[1:i], x -> x IS NOT NULL),
+                (a, b) -> a * b) END})) AS u
            FROM g)
          SELECT user_id, u.ts_us AS ts_us, u.event_id AS event_id,
            u.growth AS growth

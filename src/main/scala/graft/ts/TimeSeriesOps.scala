@@ -101,9 +101,13 @@ object TimeSeriesOps {
   }
 
   /** Exponentially-weighted mean over the running frame, pandas
-    * `ewm(span=s, adjust=False).mean()`: α = 2/(span+1), y₀ = x₀,
-    * yₜ = (1−α)yₜ₋₁ + αxₜ. Sequential-exact (the fold multiplies in
-    * row order, like cumProd) — not exp-of-log-sum, which would drift.
+    * `ewm(span=s, adjust=False, ignore_na=True).mean()`: α = 2/(span+1),
+    * y₀ = x₀, yₜ = (1−α)yₜ₋₁ + αxₜ, nulls skipped. NOTE: pandas'
+    * DEFAULT is ignore_na=False, where interior NaNs widen the decay
+    * gap — this op implements the ignore_na=True variant (a null
+    * contributes nothing and the previous mean carries). Sequential-
+    * exact (the fold runs in row order, like cumProd) — not
+    * exp-of-log-sum, which would drift.
     */
   def ewmMean(c: Column, span: Int, w: WindowSpec): Column = {
     require(span >= 1, s"span must be >= 1, got $span")
