@@ -43,6 +43,24 @@ class ScaleOpsSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS o_b")
   }
 
+  test("sketch scale path: approx distinct/quantiles within error bounds") {
+    // at 100 TB the exact forms (a9_quantiles histogram, countDistinct)
+    // have exact-but-heavier plans; the sketch forms are one partial+
+    // final agg with constant-size state. Pin their error contract so
+    // swapping exact → approx in a pipeline is a measured decision
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+    val exactD = li.select(countDistinct(col("l_orderkey"))).first().getLong(0)
+    val approxD = li.select(approx_count_distinct(col("l_orderkey"), 0.02))
+      .first().getLong(0)
+    assert(math.abs(approxD - exactD).toDouble / exactD < 0.05,
+      s"HLL++ rsd=0.02 drifted: exact=$exactD approx=$approxD")
+    val Array(exactMed) = li.stat.approxQuantile("l_quantity", Array(0.5), 0.0)
+    val Array(approxMed) = li.stat.approxQuantile("l_quantity", Array(0.5), 0.01)
+    // l_quantity spans 1..50; a 1% rank error can move the pick a step
+    assert(math.abs(approxMed - exactMed) <= 2.0,
+      s"approx median $approxMed vs exact $exactMed")
+  }
+
   test("partitioned layout prunes directories at planning time") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_part")
       .toString + "/events_part"
