@@ -37,6 +37,29 @@ object StreamingPipeline {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** The composite corpus-cleaning pipeline (ts_clean_corpus) on an
+    * unbounded stream: watermark-horizon exact dedup, then the quality
+    * gate, PII scrub, and deterministic split label — the latter three
+    * are stateless per-row stages, so the ONLY state is the dedup
+    * digest store (watermark-evicted). Dedup scope is "within the
+    * horizon" rather than the batch job's global scope; everything
+    * downstream is identical code, so batch backfill and continuous
+    * ingest produce the same rows for in-horizon data.
+    */
+  def streamingCleanCorpus(docs: DataFrame, tsCol: String = "ts",
+      idCol: String = "doc_id", textCol: String = "text",
+      watermark: String = "1 hour"): DataFrame = {
+    val deduped = streamingExactDedup(docs, tsCol, textCol, watermark)
+    TextStats.qualityFeatures(deduped, textCol)
+      .filter(col("quality_score") >= 1.0 && col("n_tokens") >= 20)
+      .select(col(idCol), col(tsCol),
+        col("n_tokens").cast("bigint").as("n_tokens"),
+        graft.ops.Sampling.splitColumn(col(idCol),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          denom = 100).as("split"),
+        TextStats.redactPii(col(textCol)).as("clean_text"))
+  }
+
   /** Gap-based sessionization with native session windows: one row per
     * (key, session) holding the merged window bounds and per-session
     * aggregates. Same session-boundary semantics as the batch

@@ -121,6 +121,49 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.find(_._1 == 3L).get._3 === 4L)
   }
 
+  test("streaming clean-corpus equals the batch composite on in-horizon data") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // long texts pass the quality gate (>= 20 tokens); doc 2 is an exact
+    // dup of doc 1 modulo case/punct; doc 3 is too short and filtered
+    // letter-only tokens: digits would trip the digit-ratio quality gate
+    val long1 = (1 to 25).map(i => "lorem" * (i % 3 + 1)).mkString(" ")
+    val rows = Seq(
+      (Timestamp.valueOf("2024-01-01 00:00:00"), 1L, long1),
+      (Timestamp.valueOf("2024-01-01 00:05:00"), 2L, long1.toUpperCase + "!"),
+      (Timestamp.valueOf("2024-01-01 00:10:00"), 3L, "too short"),
+      (Timestamp.valueOf("2024-01-01 00:15:00"), 4L,
+        (1 to 30).map(i => "ipsum" * (i % 4 + 1)).mkString(" ")))
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val q = graft.streaming.StreamingPipeline
+      .streamingCleanCorpus(input.toDS().toDF("ts", "doc_id", "text"))
+      .writeStream.format("memory").queryName("clean_out")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("clean_out")
+      .select("doc_id", "n_tokens", "split", "clean_text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .sortBy(_._1)
+    // batch composite over the same frame (global dedup == horizon dedup
+    // here since everything is in one horizon)
+    import spark.implicits._
+    val batchDocs = rows.toDF("ts", "doc_id", "text")
+    val batch = graft.textstats.TextStats.qualityFeatures(
+        graft.dedup.Dedup.dropExactDups(batchDocs, "doc_id", "text"), "text")
+      .filter(col("quality_score") >= 1.0 && col("n_tokens") >= 20)
+      .select(col("doc_id"), col("n_tokens").cast("bigint"),
+        graft.ops.Sampling.splitColumn(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), 100),
+        graft.textstats.TextStats.redactPii(col("text")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(streamed.toSeq === batch.toSeq)
+    assert(streamed.map(_._1).toSeq === Seq(1L, 4L)) // dup 2 + short 3 dropped
+  }
+
   test("streaming session windows agree with batch sessionize boundaries") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]
