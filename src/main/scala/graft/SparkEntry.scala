@@ -49,6 +49,15 @@ object SparkEntry {
   private def goldensDir: String = Goldens.dir
   private def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
 
+  /** DuckDB-side Morton interleave — the same shift/mask formula
+    * ScaleOps.zorderKey2 builds as a Column tree (bit positions are
+    * disjoint, so `+` == bitwise OR).
+    */
+  private def zorderSql(x: String, y: String, bits: Int): String =
+    (0 until bits).flatMap(b => Seq(
+      s"((($x >> $b) & 1) << ${2 * b})",
+      s"((($y >> $b) & 1) << ${2 * b + 1})")).mkString(" + ")
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -157,6 +166,24 @@ object SparkEntry {
         .orderBy(col("w_start_us"))
     }),
 
+    "j11_salted_join" -> ((s, dir) => {
+      // skew-proof salted equi-join (graft.ops.ScaleOps.saltedJoin): the
+      // event_type key is pathologically skewed (5 values over the whole
+      // table), so a plain shuffle join lands 1/5 of the fact table on
+      // one reducer; salting spreads each key over 8. Result provably
+      // equals the plain join — the oracle IS the plain join.
+      val ev = t(s, dir, "events")
+      val dim = ev.select(col("event_type")).distinct()
+        .withColumn("type_code", length(col("event_type")).cast("long"))
+      graft.ops.ScaleOps
+        .saltedJoin(ev, dim, Seq("event_type"), 8, col("event_id"))
+        .groupBy(col("event_type"), col("type_code"))
+        .agg((sum(col("value").cast(dec) * col("type_code")))
+            .cast("double").as("weighted_sum"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
     // ------------------------------------------------------ aggregations
     "a1_grouped_sum" -> ((s, dir) => {
       // 2-decimal money as exact integer cents; discount as basis points:
@@ -228,6 +255,20 @@ object SparkEntry {
         .select(col("event_type"),
           col("sum_value").cast("double").as("sum_value"), col("n"))
         .orderBy(col("event_type"))
+    }),
+    "sc_zorder" -> ((s, dir) => {
+      // 2-D Z-order (Morton) clustering key over customer × order-day
+      // (graft.ops.ScaleOps.zorderKey2): pure shift/mask expression tree,
+      // fully codegen'd, zero shuffles. Sorting by zkey keeps parquet
+      // min/max tight on BOTH dimensions (see ScaleOps.writeZordered +
+      // ScaleOpsSpec locality assertion); this query pins the key values.
+      val o = t(s, dir, "orders")
+      val x = pmod(col("o_custkey"), lit(256)).cast("long")
+      val y = pmod(datediff(col("o_orderdate"),
+        lit("1995-01-01").cast("timestamp")), lit(256)).cast("long")
+      o.select(col("o_orderkey"), x.as("x"), y.as("y"),
+          graft.ops.ScaleOps.zorderKey2(x, y, 8).as("zkey"))
+        .orderBy(col("o_orderkey"))
     }),
     "a12_pivot" -> ((s, dir) => {
       // long→wide pivot with an EXPLICIT category list, written as
@@ -361,6 +402,27 @@ object SparkEntry {
           sum(col("value").cast(dec)).over(w).cast("double").as("sum_6h"))
         .orderBy(col("user_id"), col("ts_us"), col("event_id"))
     }),
+    "w13_rank_family" -> ((s, dir) => {
+      // the full ranking-function family over ONE shuffle (both window
+      // specs share the partition key; Catalyst plans a single exchange
+      // with two sorts). Tie-ful key (price in 1000s) exercises rank vs
+      // dense_rank vs percent_rank/cume_dist tie semantics; the ntile /
+      // row_number spec is a total order so both are deterministic.
+      val o = t(s, dir, "orders")
+      val bucket = floor(col("o_totalprice") / 1000).cast("long")
+      val wTies = Window.partitionBy(col("o_orderpriority")).orderBy(bucket)
+      val wTotal = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.select(col("o_orderkey"), col("o_orderpriority"),
+          bucket.as("price_kb"),
+          rank().over(wTies).cast("long").as("rnk"),
+          dense_rank().over(wTies).cast("long").as("drnk"),
+          percent_rank().over(wTies).as("prnk"),
+          cume_dist().over(wTies).as("cdist"),
+          ntile(8).over(wTotal).cast("long").as("octile"),
+          row_number().over(wTotal).cast("long").as("rn"))
+        .orderBy(col("o_orderkey"))
+    }),
     "w8_cumprod" -> ((s, dir) => {
       // cumulative product of growth factors via the ProductAgg UDAF —
       // exact sequential left-to-right multiply, pinned by a DuckDB
@@ -434,6 +496,24 @@ object SparkEntry {
       o.select(col("o_orderkey"))
         .except(o.filter(col("o_orderstatus") === "F").select(col("o_orderkey")))
         .orderBy(col("o_orderkey"))
+    }),
+    "u4_upsert" -> ((s, dir) => {
+      // latest-wins upsert (graft.ops.ScaleOps.upsertLatest): a per-user
+      // snapshot compacted from the first 19 days merged with the raw
+      // update stream after the cutoff — the row with the highest
+      // (ts, event_id) version survives. Both legs shuffle once on
+      // user_id; out-of-order updates older than the snapshot row are
+      // correctly ignored.
+      val ev = t(s, dir, "events")
+      val cutoff = lit("2024-01-20").cast("timestamp")
+      val snapshot = graft.ops.ScaleOps.latestPerKey(
+        ev.filter(col("ts") < cutoff), Seq("user_id"), Seq("ts", "event_id"))
+      val merged = graft.ops.ScaleOps.upsertLatest(
+        snapshot, ev.filter(col("ts") >= cutoff),
+        Seq("user_id"), Seq("ts", "event_id"))
+      merged.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("user_id"))
     }),
 
     // --------------------------------------------------- scalar functions
@@ -513,6 +593,15 @@ object SparkEntry {
       Dedup.embeddingNearDups(emb, "vec_id", "embedding",
           threshold = 0.3, planes = 4)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cos6"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "dd_editdist" -> ((s, dir) => {
+      // Levenshtein-verified near-dup pairs, (lang, length-bucket)
+      // blocking, banded threshold DP (Dedup.editDistancePairs)
+      Dedup.editDistancePairs(t(s, dir, "documents"), "doc_id", "text",
+          "lang", lenBucket = 16, prefixLen = 256, maxDist = 25,
+          maxBucket = 64)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -917,6 +1006,21 @@ object SparkEntry {
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
            count(*) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "j11_salted_join" ->
+      """SELECT event_type, CAST(length(event_type) AS BIGINT) AS type_code,
+           CAST(sum(CAST(value AS DECIMAL(18,2)) * length(event_type))
+             AS DOUBLE) AS weighted_sum,
+           count(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "sc_zorder" ->
+      s"""WITH b AS (SELECT o_orderkey,
+           CAST(o_custkey % 256 AS BIGINT) AS x,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) % 256
+             AS BIGINT) AS y
+         FROM orders)
+         SELECT o_orderkey, x, y, CAST(${zorderSql("x", "y", 8)} AS BIGINT)
+           AS zkey
+         FROM b ORDER BY o_orderkey""",
     "a12_pivot" ->
       """SELECT user_id,
            coalesce(CAST(sum(CASE WHEN event_type = 'click'
@@ -1030,6 +1134,21 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
            RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)
          ORDER BY user_id, ts_us, event_id""",
+    "w13_rank_family" ->
+      """SELECT o_orderkey, o_orderpriority,
+           CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_kb,
+           CAST(rank() OVER w1 AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w1 AS BIGINT) AS drnk,
+           percent_rank() OVER w1 AS prnk,
+           cume_dist() OVER w1 AS cdist,
+           CAST(ntile(8) OVER w2 AS BIGINT) AS octile,
+           CAST(row_number() OVER w2 AS BIGINT) AS rn
+         FROM orders
+         WINDOW w1 AS (PARTITION BY o_orderpriority
+             ORDER BY floor(o_totalprice / 1000)),
+           w2 AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey)
+         ORDER BY o_orderkey""",
     "w11_ewm" ->
       """WITH g AS (
            SELECT user_id,
@@ -1089,6 +1208,24 @@ object SparkEntry {
       """SELECT o_orderkey FROM orders
          EXCEPT SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
          ORDER BY o_orderkey""",
+    "u4_upsert" ->
+      """WITH snap AS (
+           SELECT user_id, ts, event_id, event_type, value
+           FROM (SELECT user_id, ts, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events WHERE ts < TIMESTAMP '2024-01-20')
+           WHERE rn = 1),
+         merged AS (
+           SELECT * FROM snap
+           UNION ALL
+           SELECT user_id, ts, event_id, event_type, value FROM events
+           WHERE ts >= TIMESTAMP '2024-01-20'),
+         r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+             ORDER BY ts DESC, event_id DESC) AS rn FROM merged)
+         SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+           event_id, event_type, value
+         FROM r WHERE rn = 1 ORDER BY user_id""",
     "f_string_fns" ->
       """SELECT doc_id, upper(substr(text, 1, 12)) AS head_upper,
            CAST(length(text) AS BIGINT) AS len,
@@ -1124,6 +1261,21 @@ object SparkEntry {
          FROM toks ORDER BY doc_id""",
     // hash-driven dedup oracles: Spark's seeded xxhash64 reimplemented in
     // pure DuckDB SQL (generated, bit-verified — see graft.DedupOracles)
+    "dd_editdist" ->
+      """WITH b AS (
+           SELECT doc_id AS id, lang, substr(text, 1, 256) AS px,
+             CAST(floor(length(text) / 16) AS BIGINT) AS lb
+           FROM documents),
+         c AS (SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY lang, lb
+               ORDER BY id) AS rn FROM b)
+           WHERE rn <= 64)
+         SELECT a.id AS id_a, b2.id AS id_b,
+           CAST(levenshtein(a.px, b2.px) AS BIGINT) AS dist
+         FROM c a JOIN c b2
+           ON a.lang = b2.lang AND a.lb = b2.lb AND a.id < b2.id
+         WHERE levenshtein(a.px, b2.px) <= 25
+         ORDER BY id_a, id_b""",
     "dd_minhash" -> DedupOracles.ddMinhash,
     "dd_simhash" -> DedupOracles.ddSimhash,
     "dd_drop_near_dups" -> DedupOracles.ddDropNearDups,

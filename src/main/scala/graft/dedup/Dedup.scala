@@ -205,6 +205,46 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // ------------------------------------------------------- edit distance
+
+  /** Edit-distance (Levenshtein) verified near-duplicate pairs with
+    * length-bucket blocking: candidates are ordered pairs within the same
+    * (lang, length(text) div lenBucket) block, capped at `maxBucket` docs
+    * per block (smallest ids win — the standard skew guard), verified by
+    * banded Levenshtein over the first `prefixLen` chars. The banded
+    * threshold form (`levenshtein(l, r, maxDist)`) abandons a pair as
+    * soon as the running distance exceeds `maxDist` — O(maxDist·n)
+    * instead of O(n²) per pair, the difference between feasible and not
+    * at corpus scale. Emits (id_a, id_b, dist), dist ≤ maxDist.
+    *
+    * Blocks never leave their partition: members are collected per block
+    * key and pairs exploded in place, so the shuffle carries one row per
+    * (block, capped member), not one per candidate pair.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, lenBucket: Int = 16, prefixLen: Int = 256,
+      maxDist: Int = 25, maxBucket: Int = 64): DataFrame = {
+    val blocked = df.select(col(idCol).as("id"),
+        substring(col(textCol), 1, prefixLen).as("px"),
+        col(langCol).as("lang"),
+        // floor-div, NOT "/": Spark int/int is DOUBLE division
+        floor(length(col(textCol)) / lenBucket).cast("long").as("lb"))
+    val capped = blocked.withColumn("__rn",
+        row_number().over(Window.partitionBy(col("lang"), col("lb"))
+          .orderBy(col("id"))))
+      .filter(col("__rn") <= maxBucket)
+    val pairs = capped
+      .groupBy(col("lang"), col("lb"))
+      .agg(sort_array(collect_list(struct(col("id"), col("px")))).as("members"))
+      .select(explode(orderedPairs(col("members"))).as("p"))
+      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+        levenshtein(col("p.a.px"), col("p.b.px"), maxDist).as("dist"))
+    // each doc lives in exactly one block, so pairs are already unique —
+    // no distinct (and its shuffle) needed
+    pairs.filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+  }
+
   // ------------------------------------- near-dup groups / survivor pick
 
   /** Connected components over a near-duplicate pair list by iterative

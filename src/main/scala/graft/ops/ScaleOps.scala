@@ -54,6 +54,88 @@ object ScaleOps {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Salted equi-join for skewed join keys: the small side is replicated
+    * once per salt bucket (`explode` of 0..salts-1), the large side tags
+    * each row with a deterministic salt from a unique column's hash, and
+    * the join runs on (key, salt) — so a hot key's rows spread over
+    * `salts` reducers instead of landing on one. Result is identical to
+    * the plain equi-join (every large row matches exactly one replica of
+    * its key's small row).
+    *
+    * Use when the small side is too large to broadcast AND the key is
+    * skewed (a hot ticker, a boilerplate dedup bucket, a celebrity user).
+    * The small side is hinted `shuffle_hash` — the point of salting is
+    * precisely the non-broadcast path, and a sort-merge over the
+    * replicated side would re-sort `salts` copies.
+    *
+    * @param uniqueCol a unique (or near-unique) column of `large` whose
+    *                  hash spreads rows evenly over salt buckets
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, keyCols: Seq[String],
+      salts: Int, uniqueCol: Column): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    val tagged = large.withColumn("__salt",
+      pmod(xxhash64(uniqueCol), lit(salts.toLong)).cast("int"))
+    tagged.join(replicated.hint("shuffle_hash"), keyCols :+ "__salt")
+      .drop("__salt")
+  }
+
+  /** Latest row per key by a version-column lexicographic order (highest
+    * wins): one shuffle on the key, `row_number` pick. The core of
+    * snapshot compaction and changelog materialization.
+    */
+  def latestPerKey(df: DataFrame, keyCols: Seq[String],
+      versionCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(versionCols.map(c => col(c).desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Upsert (Type-1 merge, latest-wins): `updates` merged into `base` by
+    * key, the row with the highest version surviving — tolerant of
+    * out-of-order delivery (an update older than the base row does NOT
+    * override it). Both inputs shuffle once on the key; no driver state.
+    */
+  def upsertLatest(base: DataFrame, updates: DataFrame, keyCols: Seq[String],
+      versionCols: Seq[String]): DataFrame =
+    latestPerKey(base.unionByName(updates), keyCols, versionCols)
+
+  /** 2-D Z-order (Morton) key: interleaves the low `bits` bits of two
+    * non-negative integer columns (x in even positions, y in odd).
+    * Sorting / range-partitioning by this key co-locates rows that are
+    * close in BOTH dimensions, so parquet min/max stats stay tight on
+    * both columns at once — the multi-dimensional clustering lever for
+    * 100 TB scans filtered on two axes (e.g. customer × day). Pure
+    * shift/mask expression tree — whole-stage-codegen friendly.
+    */
+  def zorderKey2(x: Column, y: Column, bits: Int): Column = {
+    require(bits > 0 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val xl = x.cast("long")
+    val yl = y.cast("long")
+    (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(xl, b).bitwiseAND(lit(1L)), 2 * b))
+        .bitwiseOR(shiftleft(shiftright(yl, b).bitwiseAND(lit(1L)), 2 * b + 1))
+    }
+  }
+
+  /** Write parquet clustered by the 2-D Z-order of (xCol, yCol):
+    * range-partition on the Morton key (balanced output files, no hash
+    * scatter), sort within partitions, drop the key. Readers filtering on
+    * either dimension then skip most row groups via parquet min/max.
+    */
+  def writeZordered(df: DataFrame, path: String, xCol: Column, yCol: Column,
+      bits: Int, numFiles: Int): Unit =
+    df.withColumn("__z", zorderKey2(xCol, yCol, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+
   /** Write hive-style directory-partitioned parquet on a
     * low-cardinality column: equality/IN predicates on it then prune
     * whole directories at planning time (`PartitionFilters` in the scan,
