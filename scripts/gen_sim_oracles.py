@@ -93,10 +93,12 @@ SELECT query_id, vec_id, round(cosine, 6) AS cos6, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= {k} ORDER BY query_id, rank"""
 
 
-def emb_neardups_sql(planes=4, threshold=0.3):
+def emb_neardups_sql(planes=4, threshold=0.3, max_bucket=64):
     """Dedup.embeddingNearDups: pairs inside a sign-pattern bucket with
     exact cosine >= threshold (cosines bit-equal, so the filter is too).
-    Norms are precomputed per vector, matching the Spark side."""
+    Norms are precomputed per vector, matching the Spark side. Buckets
+    are CAPPED to their max_bucket smallest vec_ids, mirroring the Spark
+    side's quadratic-pair guard (Similarity.cosineNearDups maxBucket)."""
     dot = fold0("list_transform(a.v, (cx, ci) -> cx * b.v[ci])")
     nrm = f"sqrt({fold0('list_transform(v, cx -> cx * cx)')})"
     return f"""WITH emb AS (
@@ -105,9 +107,13 @@ pmt AS MATERIALIZED (SELECT {let("pdim", "(SELECT max(len(v)) FROM emb)",
                     plane_matrix(planes))} AS pm),
 bk AS MATERIALIZED (SELECT vec_id, v, {nrm} AS nm,
     {bucket("v", planes)} AS bucket FROM emb, pmt),
+cap AS MATERIALIZED (SELECT vec_id, v, nm, bucket FROM (
+    SELECT vec_id, v, nm, bucket,
+      row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn FROM bk)
+  WHERE rn <= {max_bucket}),
 p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
     ({dot}) / (a.nm * b.nm) AS cosine
-  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+  FROM cap a JOIN cap b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
 SELECT id_a, id_b, round(cosine, 6) AS cos6 FROM p
 WHERE cosine >= {threshold} ORDER BY id_a, id_b"""
 

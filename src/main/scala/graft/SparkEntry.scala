@@ -1015,8 +1015,8 @@ object SparkEntry {
     "sc_zorder" ->
       s"""WITH b AS (SELECT o_orderkey,
            CAST(o_custkey % 256 AS BIGINT) AS x,
-           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) % 256
-             AS BIGINT) AS y
+           CAST(((date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) % 256)
+             + 256) % 256 AS BIGINT) AS y
          FROM orders)
          SELECT o_orderkey, x, y, CAST(${zorderSql("x", "y", 8)} AS BIGINT)
            AS zkey

@@ -332,9 +332,12 @@ object Dedup {
   // ------------------------------------------- embedding cosine near-dup
 
   /** Embedding near-duplicates: cosine ≥ threshold via the similarity
-    * module's LSH-bucketed join (see graft.sim.Similarity).
+    * module's LSH-bucketed, per-bucket-capped pair join (see
+    * graft.sim.Similarity.cosineNearDups for the scale contract).
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, planes: Int = 8): DataFrame =
-    graft.sim.Similarity.cosineNearDups(df, idCol, vecCol, threshold, planes)
+      threshold: Double = 0.95, planes: Int = 8,
+      maxBucket: Int = 64): DataFrame =
+    graft.sim.Similarity.cosineNearDups(df, idCol, vecCol, threshold,
+      planes, maxBucket)
 }

@@ -97,6 +97,10 @@ object RealMedia {
     while (bb.remaining() >= 8) {
       val cid = new String(Array.fill(4)(bb.get()), "ASCII")
       val len = bb.getInt()
+      // hostile negative length would pass every `remaining() < len`
+      // guard below (negative is never greater) and then blow up sizing
+      // an array / moving the position — reject, don't throw
+      if (len < 0) return None
       cid match {
         case "fmt " =>
           val fmt = bb.getShort(); val ch = bb.getShort()

@@ -47,14 +47,23 @@ object Joins {
     val payload = right.columns.filterNot(c =>
       keyCols.contains(c) || c == rightTimeCol).toSeq
     require(payload.nonEmpty, "right side has no payload columns")
+    val clash = payload.filter(left.columns.contains)
+    require(clash.isEmpty, "right payload columns collide with left " +
+      s"columns (${clash.mkString(", ")}) — rename them before joining")
     val matchedCol = s"${rightTimeCol}_matched"
 
     // tag and union: right rows sort before left rows at the same
     // timestamp, so an exactly-equal right row is visible to the left row
-    // (inclusive semantics, both directions)
+    // (inclusive semantics, both directions). The whole right payload
+    // travels in ONE struct so the fill below always splices a complete
+    // right row — a per-column fill would tear rows whenever the matched
+    // right row holds a null in one payload column (splicing that column
+    // from an older row, unlike pandas merge_asof / DuckDB ASOF).
     val rightTagged = right.select(
-      (keyCols.map(col) :+ col(rightTimeCol).as("__t") :+ lit(0).as("__side"))
-        ++ payload.map(c => col(c).as(s"__p_$c")): _*)
+      keyCols.map(col) ++ Seq(
+        col(rightTimeCol).as("__t"), lit(0).as("__side"),
+        struct((payload.map(col) :+ col(rightTimeCol).as("__mt")): _*)
+          .as("__p")): _*)
     val leftTagged = left
       .withColumn("__t", col(leftTimeCol))
       .withColumn("__side", lit(1))
@@ -67,23 +76,21 @@ object Joins {
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val matchedT = last(when(col("__side") === 0, col("__t")),
-      ignoreNulls = true).over(w)
-    val withFill = payload.foldLeft(
-        unioned.withColumn(matchedCol, matchedT)) { (df, c) =>
-      df.withColumn(s"__f_$c",
-        last(col(s"__p_$c"), ignoreNulls = true).over(w))
-    }
+    // __p is null on every left row, so one ignoreNulls fill carries the
+    // latest complete right row forward
+    val out = unioned
+      .withColumn("__f", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
 
     val tolOk: Column = toleranceMicros match {
       case Some(tol) =>
-        abs(unix_micros(col("__t")) - unix_micros(col(matchedCol))) <= tol
+        abs(unix_micros(col("__t")) -
+          unix_micros(col("__f").getField("__mt"))) <= tol
       case None => lit(true)
     }
-    val out = withFill.filter(col("__side") === 1)
     val projected = payload.foldLeft(out) { (df, c) =>
-      df.withColumn(c, when(tolOk, col(s"__f_$c")))
-    }.withColumn(matchedCol, when(tolOk, col(matchedCol)))
+      df.withColumn(c, when(tolOk, col("__f").getField(c)))
+    }.withColumn(matchedCol, when(tolOk, col("__f").getField("__mt")))
     projected.select(
       (left.columns.map(col) ++ payload.map(col) :+ col(matchedCol)): _*)
   }
@@ -101,14 +108,21 @@ object Joins {
   def rangeJoin(probe: DataFrame, probeTimeCol: String,
       intervals: DataFrame, startCol: String, endCol: String,
       bucketSeconds: Long, extraKeys: Seq[String] = Nil): DataFrame = {
-    val b = lit(bucketSeconds)
+    // buckets derive from MICROsecond timestamps: unix_seconds truncates,
+    // so an exclusive end inside a fractional second (e.g. end = 10.5 s,
+    // bucket = 1 s) would stop one bucket short and silently drop probes
+    // in the interval's final fraction. floorDiv on exact integers — no
+    // double rounding, correct for pre-1970 (negative) times too.
+    val us = lit(bucketSeconds * 1000000L)
+    def floorDiv(x: Column, d: Column): Column =
+      ((x - pmod(x, d)) / d).cast("long")
     val probeB = probe.withColumn("__bucket",
-      floor(unix_seconds(col(probeTimeCol).cast("timestamp")) / b))
-    // an interval [s, e) covers buckets floor(s/b) .. floor((e-1)/b);
+      floorDiv(unix_micros(col(probeTimeCol).cast("timestamp")), us))
+    // an interval [s, e) covers buckets floorDiv(s) .. floorDiv(e-1µs);
     // sequence() is inclusive on both ends
     val intervalsB = intervals.withColumn("__bucket", explode(sequence(
-      floor(unix_seconds(col(startCol).cast("timestamp")) / b),
-      floor((unix_seconds(col(endCol).cast("timestamp")) - 1) / b))))
+      floorDiv(unix_micros(col(startCol).cast("timestamp")), us),
+      floorDiv(unix_micros(col(endCol).cast("timestamp")) - 1, us))))
     probeB.join(intervalsB, extraKeys :+ "__bucket")
       .filter(col(probeTimeCol) >= col(startCol) &&
         col(probeTimeCol) < col(endCol))

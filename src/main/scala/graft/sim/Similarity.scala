@@ -3,19 +3,28 @@ package graft.sim
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
+
+import graft.functions.TopKAgg
 
 /** Similarity search over embedding columns (SURVEY.md §7.5).
   *
   * Scale design:
   *  - Brute-force top-k is the exact baseline: queries broadcast (small),
-  *    corpus streamed — per-partition ranking then a global
-  *    TakeOrderedAndProject per query; the corpus is never shuffled.
+  *    corpus streamed. Ranking is a map-side-combinable bounded k-heap
+  *    aggregation (graft.functions.TopKAgg), NOT a ranking window — each
+  *    task forwards ≤ k candidates per query, so the exchange carries
+  *    ≤ k · numPartitions rows per query instead of every scored
+  *    candidate (|corpus| × |queries| for brute force).
   *  - The LSH path buckets by random-hyperplane sign patterns (planes are
   *    deterministic hash functions of (plane, dim) — no RNG state to ship)
   *    so candidate generation is a hash-partitioned equi-join on bucket
   *    id; probing multiple band permutations trades recall for cost.
-  *  - Dot products use `aggregate(zip_with(...))` higher-order exprs —
-  *    per-row JVM columnar work, no UDF serialization.
+  *  - Near-dup pair generation collects CAPPED member lists per bucket
+  *    (maxBucket smallest ids) with in-task pair expansion, so one dense
+  *    bucket can never go quadratic on a single executor.
+  *  - Dot products use single-pass custom expressions — per-row JVM
+  *    columnar work, no UDF serialization.
   */
 object Similarity {
 
@@ -34,6 +43,37 @@ object Similarity {
   /** Cosine similarity. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  private val integralTypes: Set[DataType] =
+    Set(ByteType, ShortType, IntegerType, LongType)
+
+  /** Rank `scored` (query_id, vec_id, cosine) down to the top k per query
+    * by (cosine desc, vec_id asc). Integral vec_id (every embeddings
+    * table here) takes the bounded k-heap aggregation — partial
+    * aggregation before the exchange, ≤ k rows per task per query; other
+    * id types fall back to the ranking window (correct, but shuffles all
+    * scored candidates — avoid for large corpora).
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val idType = scored.schema("vec_id").dataType
+    if (integralTypes.contains(idType)) {
+      val topk = udaf(new TopKAgg(k))
+      scored.groupBy("query_id")
+        .agg(topk(col("cosine"), col("vec_id").cast("long")).as("__topk"))
+        .select(col("query_id"),
+          posexplode(col("__topk")).as(Seq("__pos", "__e")))
+        .select(col("query_id"),
+          col("__e._2").cast(idType).as("vec_id"),
+          col("__e._1").as("cosine"),
+          (col("__pos") + 1).as("rank"))
+    } else {
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    }
+  }
+
   /** Exact brute-force cosine top-k: for each query row (small set,
     * broadcast), the k nearest corpus rows. Returns (query_id, vec_id,
     * cosine, rank).
@@ -47,11 +87,7 @@ object Similarity {
     val scored = c.crossJoin(q)
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("__cv"), col("__qv")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "vec_id", "cosine", "rank")
+    rankTopK(scored, k)
   }
 
   /** Sign-pattern bucket id from `planes` deterministic pseudo-random
@@ -84,11 +120,7 @@ object Similarity {
     val scored = c.join(q, Seq("__bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("__cv"), col("__qv")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "vec_id", "cosine", "rank")
+    rankTopK(scored, k)
   }
 
   /** IVF (inverted-file) approximate top-k — the other standard ANN scale
@@ -136,30 +168,45 @@ object Similarity {
     val scored = assigned.join(probes, Seq("__cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("__cv"), col("__qv")))
-    val rankW = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(rankW))
-      .filter(col("rank") <= k)
-      .select("query_id", "vec_id", "cosine", "rank")
+    rankTopK(scored, k)
   }
 
-  /** All-pairs near-duplicates by cosine ≥ threshold, LSH-bucketed
-    * (pairs only form inside a bucket; bucket size capped upstream by the
-    * planes count). Used by Dedup.embeddingNearDups.
+  /** All-pairs near-duplicates by cosine ≥ threshold, LSH-bucketed with a
+    * hard per-bucket member cap: each bucket keeps its `maxBucket`
+    * smallest ids (deterministic), pairs expand in-task from the capped
+    * member list, and the vectors re-join once per side for exact cosine
+    * verification. Only (id, bucket) travels through the bucket shuffle —
+    * never a vector per candidate pair — and a dense bucket contributes at
+    * most maxBucket·(maxBucket−1)/2 pairs instead of O(n²). Size `planes`
+    * with the corpus (buckets = 2^planes): 4 planes is a test-scale
+    * default; at 100 TB use enough planes that expected bucket size stays
+    * near maxBucket.
     */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int): DataFrame = {
+      threshold: Double, planes: Int, maxBucket: Int = 64): DataFrame = {
     // norms are computed ONCE per vector before the pair join — inside
-    // the join condition each candidate pair costs one dot-product fold,
-    // not three (norm folds dominate when buckets are dense)
+    // the pair verification each candidate pair costs one dot-product
+    // fold, not three (norm folds dominate when buckets are dense)
     val v = df.select(col(idCol).as("id"), col(vecCol).as("__v"),
       norm(col(vecCol)).as("__n"),
       lshBucket(col(vecCol), planes).as("__bucket"))
-    v.as("a").join(v.as("b"),
-        col("a.__bucket") === col("b.__bucket") && col("a.id") < col("b.id"))
+    val buckets = v.select(col("id"), col("__bucket"))
+      .groupBy("__bucket")
+      .agg(slice(sort_array(collect_list(col("id"))), 1, maxBucket)
+        .as("members"))
+      .filter(size(col("members")) > 1)
+    // one bucket per vector → a pair can only form once; no dedup needed
+    val pairIds = buckets
+      .select(explode(graft.dedup.Dedup.orderedPairs(col("members"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+    pairIds
+      .join(v.select(col("id").as("id_a"), col("__v").as("__va"),
+        col("__n").as("__na")), Seq("id_a"))
+      .join(v.select(col("id").as("id_b"), col("__v").as("__vb"),
+        col("__n").as("__nb")), Seq("id_b"))
       .withColumn("cosine",
-        dot(col("a.__v"), col("b.__v")) / (col("a.__n") * col("b.__n")))
+        dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .filter(col("cosine") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 }
