@@ -49,15 +49,33 @@ def bucket(vec, planes):
             f"ELSE CAST(0 AS BIGINT) END))")
 
 
-def sim_lsh_sql(planes=4, k=5):
+def bucket_t(vec, planes):
+    """Per-table bucket: table tt uses plane rows tt*planes .. tt*planes+planes-1
+    of the shared plane matrix (mirrors Similarity.lshTableBucket)."""
+    proj = fold0(f"list_transform({vec}, (bx, bi) -> "
+                 f"bx * pm[tt * {planes} + bp + 1][bi])")
+    return (f"list_sum(list_transform(range(0, {planes}), bp -> "
+            f"CASE WHEN ({proj}) >= 0 THEN CAST(power(2, bp) AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END))")
+
+
+def sim_lsh_sql(planes=4, tables=16, k=5):
+    """Multi-table (amplified) LSH: candidate when bucket-equal in ANY of
+    the `tables` hash tables; distinct candidates scored exactly."""
     return f"""WITH emb AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 pmt AS MATERIALIZED (SELECT {let("pdim", "(SELECT max(len(v)) FROM emb)",
-                    plane_matrix(planes))} AS pm),
-bk AS MATERIALIZED (SELECT vec_id, v, {bucket("v", planes)} AS bucket FROM emb, pmt),
-q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bk WHERE vec_id < 8),
-scored AS (SELECT q.query_id, c.vec_id, {cosine("c.v", "q.qv")} AS cosine
-  FROM bk c JOIN q USING (bucket) WHERE c.vec_id <> q.query_id),
+                    plane_matrix(planes * tables))} AS pm),
+bk AS MATERIALIZED (SELECT vec_id, v, tt, {bucket_t("v", planes)} AS bucket
+  FROM emb, pmt, range(0, {tables}) tr(tt)),
+qk AS (SELECT vec_id AS query_id, tt, bucket FROM bk WHERE vec_id < 8),
+cand AS (SELECT DISTINCT q.query_id, c.vec_id
+  FROM bk c JOIN qk q ON c.tt = q.tt AND c.bucket = q.bucket
+  WHERE c.vec_id <> q.query_id),
+scored AS (SELECT cand.query_id, cand.vec_id,
+    {cosine("c.v", "q.v")} AS cosine
+  FROM cand JOIN emb c ON c.vec_id = cand.vec_id
+    JOIN emb q ON q.vec_id = cand.query_id),
 r AS (SELECT query_id, vec_id, cosine, row_number() OVER (
     PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
   FROM scored)
@@ -65,7 +83,7 @@ SELECT query_id, vec_id, round(cosine, 6) AS cos6, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= {k} ORDER BY query_id, rank"""
 
 
-def sim_ivf_sql(n_centroids=16, n_probe=4, k=5):
+def sim_ivf_sql(n_centroids=16, n_probe=8, k=5):
     idh = signed(xxh64_long("vec_id", "42"))
     l2 = fold0("list_transform(v, (dx, di) -> (dx - cv[di]) * (dx - cv[di]))")
     return f"""WITH emb AS (

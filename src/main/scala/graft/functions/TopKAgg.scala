@@ -18,6 +18,13 @@ import org.apache.spark.sql.expressions.Aggregator
   * NaN sorts greatest (first under DESC), ±0.0 compare equal, ties break
   * by ascending id — so the emitted set and order are bit-identical to
   * the window formulation it replaces.
+  *
+  * Duplicate ids are deduplicated INSIDE the heap (a candidate whose id
+  * is already held is skipped; merge collapses equal heads). A candidate
+  * id always carries the same score (scores are deterministic functions
+  * of the pair), so this yields exact top-k over DISTINCT candidates —
+  * which lets multi-table LSH union its tables' candidates without a
+  * dropDuplicates shuffle before ranking.
   */
 class TopKAgg(k: Int)
     extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
@@ -41,21 +48,31 @@ class TopKAgg(k: Int)
   def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] = {
     if (b.size >= k) {
       val worst = b.last
-      // cheap reject path — the overwhelmingly common case once warm
+      // cheap reject path — the overwhelmingly common case once warm.
+      // An already-held duplicate of `a` never reaches the insert below:
+      // it would sit exactly at the span boundary and is caught there.
       if (!beats(a._1, a._2, worst._1, worst._2)) return b
     }
     val (ahead, behind) = b.span(e => beats(e._1, e._2, a._1, a._2))
-    ((ahead :+ a) ++ behind).take(k)
+    if (behind.nonEmpty && behind.head._2 == a._2) b // duplicate id — skip
+    else ((ahead :+ a) ++ behind).take(k)
   }
 
   def merge(l: Seq[(Double, Long)], r: Seq[(Double, Long)]): Seq[(Double, Long)] = {
-    // merge two sorted-best-first runs, keep k
+    // merge two sorted-best-first runs, keep k, collapse duplicate ids
+    // (equal entries are adjacent under the total order)
     val out = Vector.newBuilder[(Double, Long)]
     var (li, ri, n) = (0, 0, 0)
     while (n < k && (li < l.size || ri < r.size)) {
       val takeLeft = ri >= r.size || (li < l.size &&
         beats(l(li)._1, l(li)._2, r(ri)._1, r(ri)._2))
-      if (takeLeft) { out += l(li); li += 1 } else { out += r(ri); ri += 1 }
+      if (takeLeft) {
+        if (ri < r.size && l(li) == r(ri)) ri += 1
+        out += l(li); li += 1
+      } else {
+        if (li < l.size && l(li) == r(ri)) li += 1
+        out += r(ri); ri += 1
+      }
       n += 1
     }
     out.result()

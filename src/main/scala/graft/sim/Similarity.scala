@@ -53,9 +53,12 @@ object Similarity {
     * id types fall back to the ranking window (correct, but shuffles all
     * scored candidates — avoid for large corpora).
     */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  private def rankTopK(scored: DataFrame, k: Int,
+      dedupCandidates: Boolean = false): DataFrame = {
     val idType = scored.schema("vec_id").dataType
     if (integralTypes.contains(idType)) {
+      // duplicate candidates (multi-table LSH) are collapsed INSIDE the
+      // k-heap — no dropDuplicates shuffle needed before ranking
       val topk = udaf(new TopKAgg(k))
       scored.groupBy("query_id")
         .agg(topk(col("cosine"), col("vec_id").cast("long")).as("__topk"))
@@ -66,9 +69,11 @@ object Similarity {
           col("__e._1").as("cosine"),
           (col("__pos") + 1).as("rank"))
     } else {
+      val base0 = scored.select("query_id", "vec_id", "cosine")
+      val base = if (dedupCandidates) base0.distinct() else base0
       val w = Window.partitionBy("query_id")
         .orderBy(col("cosine").desc, col("vec_id"))
-      scored.withColumn("rank", row_number().over(w))
+      base.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     }
@@ -90,37 +95,54 @@ object Similarity {
     rankTopK(scored, k)
   }
 
-  /** Sign-pattern bucket id from `planes` deterministic pseudo-random
-    * hyperplanes: component (p, i) = xxhash64(p, i) scaled to [−1, 1) —
-    * reproducible on any executor with no shipped RNG state.
+  /** Sign-pattern bucket id for hash table `table` from `planes`
+    * deterministic pseudo-random hyperplanes: component (p, i) =
+    * xxhash64(table·planes + p, i) scaled to [−1, 1) — reproducible on
+    * any executor with no shipped RNG state. Table 0 is the single-table
+    * bucket function.
     */
-  def lshBucket(vec: Column, planes: Int): Column =
+  def lshTableBucket(vec: Column, planes: Int, table: Int): Column =
     (0 until planes).map { p =>
+      val pp = table * planes + p
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (v, i) => v * (xxhash64(lit(p), i).cast("double") /
+          (v, i) => v * (xxhash64(lit(pp), i).cast("double") /
             lit(Long.MaxValue.toDouble))),
         lit(0.0), (a, v) => a + v)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Approximate cosine top-k: candidates restricted to the query's LSH
-    * bucket (equi-join on bucket id), then exact cosine rank within the
-    * candidates. Recall grows with fewer planes / more probes; this is the
-    * scale path when the corpus no longer fits a crossJoin.
+  /** Single-table sign-pattern bucket (used by cosineNearDups). */
+  def lshBucket(vec: Column, planes: Int): Column =
+    lshTableBucket(vec, planes, 0)
+
+  /** Approximate cosine top-k via amplified hyperplane LSH: `tables`
+    * independent hash tables of `planes` hyperplanes each; a corpus row is
+    * a candidate when it shares a bucket with the query in ANY table (the
+    * standard OR-of-ANDs amplification — per-table match probability
+    * p^planes, overall recall 1−(1−p^planes)^tables). Candidates are
+    * scored exactly and ranked by the bounded k-heap, which also collapses
+    * the cross-table duplicates — no dedup shuffle. Raise `tables` for
+    * recall, `planes` for selectivity; cost per corpus row is one
+    * (table, bucket) pair per table through a broadcast join, never a
+    * corpus shuffle.
     */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
-      k: Int, planes: Int = 8): DataFrame = {
-    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__cv"),
-      lshBucket(col(vecCol), planes).as("__bucket"))
-    val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
-      col(queryVecCol).as("__qv"),
-      lshBucket(col(queryVecCol), planes).as("__bucket")))
-    val scored = c.join(q, Seq("__bucket"))
+      k: Int, planes: Int = 4, tables: Int = 8): DataFrame = {
+    def withBuckets(df: DataFrame, id: String, vec: String,
+        idAs: String, vecAs: String) =
+      df.select(col(id).as(idAs), col(vec).as(vecAs),
+        posexplode(array((0 until tables).map(t =>
+          lshTableBucket(col(vec), planes, t)): _*))
+          .as(Seq("__table", "__bucket")))
+    val c = withBuckets(corpus, idCol, vecCol, "vec_id", "__cv")
+    val q = broadcast(
+      withBuckets(queries, queryIdCol, queryVecCol, "query_id", "__qv"))
+    val scored = c.join(q, Seq("__table", "__bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("__cv"), col("__qv")))
-    rankTopK(scored, k)
+    rankTopK(scored, k, dedupCandidates = tables > 1)
   }
 
   /** IVF (inverted-file) approximate top-k — the other standard ANN scale

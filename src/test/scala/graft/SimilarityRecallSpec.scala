@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sim.Similarity
+
+/** Recall harness for the ANN paths: the oracle gate proves the
+  * approximations are DETERMINISTIC (DuckDB reproduces them bit-exactly),
+  * but an ANN operator's correctness axis is recall against the exact
+  * answer — a parameter regression (planes, tables, nProbe) would sail
+  * through every hash gate while silently returning garbage neighbors.
+  * This pins recall@5 floors at the driver queries' parameters on the
+  * sf0.01 embeddings (everything here is deterministic: hash-derived
+  * planes, id-rank centroid sample, fixed data — so the floors are tight,
+  * not flaky). Measured values are recorded in COVERAGE.md.
+  */
+class SimilarityRecallSpec extends SparkTestBase {
+
+  private lazy val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    .withColumn("embedding", col("embedding").cast("array<double>"))
+  private lazy val queries = emb.filter(col("vec_id") < 8)
+  private val k = 5
+
+  private lazy val exact =
+    Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k).select("query_id", "vec_id")
+
+  private def recallAtK(approx: DataFrame): Double = {
+    val hits = approx.select("query_id", "vec_id").intersect(exact).count()
+    hits.toDouble / exact.count()
+  }
+
+  test("amplified LSH (planes=4, tables=16) recall@5 >= 0.85") {
+    val r = recallAtK(Similarity.lshTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k, planes = 4, tables = 16))
+    info(f"lsh planes=4 tables=16 recall@5 = $r%.3f")
+    assert(r >= 0.85, f"LSH recall regressed: $r%.3f < 0.85")
+  }
+
+  test("amplification monotonicity: tables=16 beats a single table") {
+    val r1 = recallAtK(Similarity.lshTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k, planes = 4, tables = 1))
+    val r16 = recallAtK(Similarity.lshTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k, planes = 4, tables = 16))
+    info(f"lsh tables=1 recall $r1%.3f, tables=16 recall $r16%.3f")
+    assert(r16 > r1, "adding hash tables must not lose recall on this data")
+  }
+
+  test("IVF (nCentroids=16, nProbe=8) recall@5 >= 0.6") {
+    val r = recallAtK(Similarity.ivfTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k, nCentroids = 16, nProbe = 8))
+    info(f"ivf c=16 probe=8 recall@5 = $r%.3f")
+    assert(r >= 0.6, f"IVF recall regressed: $r%.3f < 0.6")
+  }
+
+  test("IVF probes widen recall: nProbe=8 >= nProbe=2") {
+    val r2 = recallAtK(Similarity.ivfTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k, nCentroids = 16, nProbe = 2))
+    val r8 = recallAtK(Similarity.ivfTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k, nCentroids = 16, nProbe = 8))
+    info(f"ivf nProbe=2 recall $r2%.3f, nProbe=8 recall $r8%.3f")
+    assert(r8 >= r2, "probing more cells must not lose recall")
+  }
+}
