@@ -11,8 +11,12 @@ aggregate is then folded in DATE ORDER with Spark's exact algorithms:
   - var/stddev = Welford central moments, Spark CentralMomentAgg update:
                  newN = n+1; delta = x-avg; deltaN = delta/newN;
                  avg += deltaN; m2 += delta*(delta - deltaN)
-  - covariance = the reference's hand-rolled two-pass
-                 sum((x-mx)(y-my)) / FULL row count (Metrics.scala)
+  - covariance = the reference's hand-rolled semantics (both-non-null
+                 rows, FULL row count denominator) in the single-pass
+                 E[xy] expansion the Spark side now uses:
+                 (Sxy - mx*Sy - my*Sx + n11*mx*my) / n_rows
+                 with Sxy/Sx/Sy date-order folds over both-non-null rows
+                 (Metrics.scala)
   - drawdown   = running-max fold
 
 so sharpe/vol/beta/alpha/r2 are bit-equal to the distributed plan.
@@ -56,11 +60,22 @@ def bt_metrics_sql():
               "list_transform(nwl, dx -> [dx, 0.0])), (da, de) -> "
               "list_transform([greatest(da[1], de[1])], dm -> "
               "[dm, least(da[2], de[1]/dm - 1)])[1])[2]")
-    # covariance products in date order, both sides non-null
-    cov_prods = ("list_filter(list_transform(range(1, n_rows + 1), ci -> "
-                 "CASE WHEN pnw[ci] IS NOT NULL AND psp[ci] IS NOT NULL "
-                 "THEN (pnw[ci] - mean_nw) * (psp[ci] - mean_sp) END), "
-                 "cx -> cx IS NOT NULL)")
+    # single-pass covariance ingredients: per-row products / components in
+    # date order, restricted to rows where BOTH series are non-null
+    # (mirrors Spark's sum(x*y), sum(when(y notnull, x)), count(x*y))
+    both = ("list_filter(list_transform(range(1, n_rows + 1), ci -> "
+            "CASE WHEN pnw[ci] IS NOT NULL AND psp[ci] IS NOT NULL "
+            "THEN [pnw[ci], psp[ci]] END), bx -> bx IS NOT NULL)")
+    # let-bind the filtered pair list once (bl), then the same left-assoc
+    # expression tree as Spark's: ((Sxy - mx*Sy) - my*Sx) + n11*mx*my,
+    # all over n_rows
+    cov_expr = (
+        f"list_transform([{both}], bl -> "
+        f"({fold_sum('list_transform(bl, bp -> bp[1] * bp[2])')}"
+        f" - mean_nw * {fold_sum('list_transform(bl, bp -> bp[2])')}"
+        f" - mean_sp * {fold_sum('list_transform(bl, bp -> bp[1])')}"
+        f" + CAST(len(bl) AS DOUBLE) * mean_nw * mean_sp)"
+        f" / n_rows)[1]")
     return f"""WITH sp_day AS (
   SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
     CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS sp
@@ -105,7 +120,7 @@ met AS (
         THEN CAST(sign(shx) * CAST('infinity' AS DOUBLE) AS FLOAT)
         ELSE CAST(shx AS FLOAT) END)[1] AS sharpe_f,
     sqrt(w_nw[3] / (w_nw[1] - 1)) * sqrt(252) AS volatility_annualized,
-    {fold_sum(cov_prods)} / n_rows AS cov,
+    {cov_expr} AS cov,
     w_nw[3] / (w_nw[1] - 1) AS var_nw,
     sqrt(w_sp[3] / (w_sp[1] - 1)) AS std_sp,
     (end_amount - first_nw) / nullif(first_nw, 0.0) AS stock_return,
@@ -129,7 +144,8 @@ def validate(sf_dir, verify_dir):
     con = duckdb.connect()
     con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
     t0 = time.time()
-    d = con.sql(bt_metrics_sql()).df()
+    d = con.sql(bt_metrics_sql().replace(
+        GOLD, "src/test/resources/goldens/sf0.01")).df()
     s = pd.concat([pd.read_parquet(f) for f in
                    sorted(glob.glob(f"{verify_dir}/bt_metrics/*.parquet"))])
     s = s[sorted(s.columns)].reset_index(drop=True)

@@ -851,14 +851,13 @@ object SparkEntry {
       // the index values are bit-identical in any engine)
       val dayAgg = ev.groupBy(date_trunc("DAY", col("ts")).as("__day"))
         .agg((dsum(col("value")) / count(lit(1))).as("SP500"))
-      // Metrics.compute consumes the daily frame three times (row-level
-      // windows, grouped aggregates, the covariance second pass) — cache
-      // it so the signal+fold pipeline runs once, not per branch
+      // Metrics.compute now makes ONE pass over the daily frame (the
+      // covariance folds into the grouped aggregation), so no cache is
+      // needed here — the fold output itself is persisted by the engine
       val daily = res.daily
         .withColumn("__day", date_trunc("DAY", col("date")))
         .join(broadcast(dayAgg), Seq("__day"), "left")
         .drop("__day")
-        .cache()
       // sharpe is emitted as float32: it is the one metric through libm
       // pow (Java Math.pow vs C pow differ at 1 ulp on ~7% of inputs);
       // the float cast absorbs the ulp while keeping 7 significant

@@ -9,10 +9,12 @@ import graft.ts.TimeSeriesOps
 
 /** Portfolio analytics (reference strats.py:657-789, SURVEY.md §3.3).
   *
-  * One window pass (pct_change, cummax) + one groupBy(ticker) aggregation
-  * over the daily frame, one aggregation over the orders table, and a
-  * broadcast-sized join of the two — no collect, metrics for any number of
-  * tickers in a single distributed plan.
+  * One window pass (pct_change, cummax) + ONE groupBy(ticker) aggregation
+  * over the daily frame (covariance folds into the same pass via the
+  * E[xy]−E[x]E[y] expansion — no second scan, no means join), one
+  * aggregation over the orders table, and a broadcast-sized join of the
+  * two — no collect, metrics for any number of tickers in a single
+  * distributed plan.
   *
   * Pandas-quirk parity (SURVEY.md §7.4 quirk 7), kept deliberately:
   *  - Sharpe annualizes the mean with `** 255` but the std with `sqrt(252)`
@@ -55,16 +57,27 @@ object Metrics {
       avg(col("__pct_sp")).as("mean_pct_sp"),
       stddev_samp(col("__pct_sp")).as("std_pct_sp"),
       min(col("__dd")).as("min_dd"),
-      avg(col("__dd")).as("mean_dd"))
+      avg(col("__dd")).as("mean_dd"),
+      // covariance ingredients, same pass: sums restricted to rows where
+      // BOTH series are non-null (the product/when forms skip the rest)
+      sum(col("__pct_nw") * col("__pct_sp")).as("__sum_xy"),
+      sum(when(col("__pct_sp").isNotNull, col("__pct_nw"))).as("__sum_x_b"),
+      sum(when(col("__pct_nw").isNotNull, col("__pct_sp"))).as("__sum_y_b"),
+      count(col("__pct_nw") * col("__pct_sp")).as("__n_both"))
 
-    // covariance needs the means first — a second pass joined back, still
-    // one shuffle each on ticker (Catalyst reuses the exchange).
-    val means = dailyAgg.select(col("ticker"), col("mean_pct_nw"), col("mean_pct_sp"))
-    val cov = withPct.join(means, Seq("ticker"))
-      .groupBy("ticker")
-      .agg((sum((col("__pct_nw") - col("mean_pct_nw")) *
-          (col("__pct_sp") - col("mean_pct_sp"))) / count(lit(1)))
-        .as("covariance"))
+    // The reference's hand-rolled covariance is Σ(x−mx)(y−my) over
+    // both-non-null rows / FULL row count, with mx, my the per-column
+    // means. Expanded to Σxy − mx·Σy_b − my·Σx_b + n11·mx·my it needs no
+    // second pass over the daily frame and no means join — one scan, one
+    // shuffle for the whole metrics block. (The expansion is within an
+    // ulp of the two-pass form at these magnitudes; the DuckDB oracle
+    // folds the identical expression, so the gate stays bit-exact.)
+    val withCov = dailyAgg.withColumn("covariance",
+      (col("__sum_xy")
+        - col("mean_pct_nw") * col("__sum_y_b")
+        - col("mean_pct_sp") * col("__sum_x_b")
+        + col("__n_both").cast("double") * col("mean_pct_nw") * col("mean_pct_sp"))
+        / col("n_rows"))
 
     val o = orders.toDF()
     val holdMicros = unix_micros(col("end_time")) - unix_micros(col("start_time"))
@@ -82,8 +95,7 @@ object Metrics {
       sum(col("start_amount") * col("num_shares")).as("total_risked"),
       count(lit(1)).as("n_orders"))
 
-    val joined = dailyAgg
-      .join(cov, Seq("ticker"), "left")
+    val joined = withCov
       .join(orderAgg, Seq("ticker"), "left")
 
     // Degenerate-ticker guards: ANSI Spark errors on x/0 even for doubles

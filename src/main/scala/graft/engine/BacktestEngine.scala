@@ -18,7 +18,20 @@ import graft.ts.TimeSeriesOps
   */
 final case class BacktestResult(daily: DataFrame, orders: Dataset[OrderRow],
     foldCache: Option[Dataset[FoldOut]] = None) {
-  def unpersist(): Unit = foldCache.foreach(_.unpersist())
+  /** `daily`, persisted (idempotent) — for consumers that make several
+    * passes over the daily frame (custom analytics, repeated slicing).
+    * The built-in metrics block makes a single pass and does NOT need
+    * this; at large scale only opt in when the re-read genuinely repeats,
+    * since `daily` is O(#bars).
+    */
+  lazy val dailyShared: DataFrame = {
+    daily.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    daily
+  }
+  def unpersist(): Unit = {
+    foldCache.foreach(_.unpersist())
+    daily.unpersist()
+  }
 }
 
 /** The distributed backtest engine (SURVEY.md §3.1 lifecycle).
