@@ -6,6 +6,12 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line. Each query is forced
   * through the noop sink so the full plan executes (a bare `count()`
   * lets Catalyst prune projections and under-measures scans).
+  *
+  * Timing discipline: a full warm-up pass at the smallest SF compiles
+  * every plan's codegen before anything is timed, then each query runs
+  * SPARK_GRAFT_REPS times (default 3) back-to-back at the target SF and
+  * reports the MEDIAN — single-shot numbers in a shared JVM swing 2-6×
+  * on GC/JIT weather, which made per-query regressions undetectable.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -43,19 +49,23 @@ object Bench {
       }
       spark.catalog.clearCache()
     }
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.size / 2) // median (upper for even reps)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"median"}""")
     spark.stop()
   }
 }

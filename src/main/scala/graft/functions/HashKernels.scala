@@ -1,0 +1,144 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels behind the dedup expressions — one object shared by the
+  * interpreted `eval` path and the generated code (Scala top-level objects
+  * emit static forwarders, so whole-stage codegen calls
+  * `graft.functions.HashKernels.m(...)` directly: no row materialization,
+  * no interpreted dispatch, the expression stays inside the codegen span).
+  * Semantics are byte-identical to the former in-expression bodies (the
+  * DuckDB oracles pin them).
+  */
+object HashKernels {
+
+  /** Lowercase, strip chars outside [a-z0-9\s], split on whitespace —
+    * exactly `regexp_replace(lower(s), "[^a-z0-9\\s]", "")` + split.
+    */
+  private def tokenize(s: String): Array[String] = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val lc = Character.toLowerCase(c)
+      if ((lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9')) sb.append(lc)
+      else if (Character.isWhitespace(c)) sb.append(' ')
+      i += 1
+    }
+    sb.toString.split("\\s+").filter(_.nonEmpty)
+  }
+
+  private def shingleAt(tokens: Array[String], j: Int, n: Int): String = {
+    val shingle = new java.lang.StringBuilder
+    var k = 0
+    while (k < n) {
+      if (k > 0) shingle.append(' ')
+      shingle.append(tokens(j + k))
+      k += 1
+    }
+    shingle.toString
+  }
+
+  /** Distinct word n-gram shingles, first-occurrence order. */
+  def wordShingles(input: UTF8String, n: Int): ArrayData = {
+    val tokens = tokenize(input.toString)
+    if (tokens.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var j = 0
+    while (j + n <= tokens.length) {
+      seen.add(UTF8String.fromString(shingleAt(tokens, j, n)))
+      j += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  /** Sorted distinct xxhash64(seed 42) of the word n-gram shingles. */
+  def hashedWordShingles(input: UTF8String, n: Int): ArrayData = {
+    val tokens = tokenize(input.toString)
+    if (tokens.length < n) return new GenericArrayData(Array.empty[Any])
+    val m = tokens.length - n + 1
+    val hashes = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      hashes(j) = XxHash64Function.hash(
+        UTF8String.fromString(shingleAt(tokens, j, n)), StringType, 42L)
+      j += 1
+    }
+    java.util.Arrays.sort(hashes)
+    var w = 0
+    var r = 0
+    while (r < m) {
+      if (r == 0 || hashes(r) != hashes(r - 1)) { hashes(w) = hashes(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hashes, w))
+  }
+
+  /** MinHash signature: slot j = min over the array of xxhash64 seed j. */
+  def minhashSignature(arr: ArrayData, numHashes: Int): ArrayData = {
+    val n = arr.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        var j = 0
+        while (j < numHashes) {
+          val h = XxHash64Function.hash(s, StringType, j.toLong)
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** 64-bit SimHash: bit b set when the majority of token hashes set it. */
+  def simhash64(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val counts = new Array[Int](64)
+    var nonNull = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        nonNull += 1
+        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) * 2 > nonNull) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Jaccard of two sorted distinct long arrays; null when both empty. */
+  def sortedLongJaccard(x: ArrayData, y: ArrayData): java.lang.Double = {
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < nx && j < ny) {
+      val vx = x.getLong(i)
+      val vy = y.getLong(j)
+      if (vx == vy) { inter += 1; i += 1; j += 1 }
+      else if (vx < vy) i += 1
+      else j += 1
+    }
+    val union = nx + ny - inter
+    if (union == 0) null else java.lang.Double.valueOf(inter.toDouble / union)
+  }
+}

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftShims
 import org.apache.spark.sql.types._
@@ -14,7 +14,55 @@ import org.apache.spark.sql.types._
   * that overhead dominates). The loops accumulate LEFT-TO-RIGHT exactly
   * like the HOF fold they replace, so results are bit-identical and the
   * DuckDB oracles (which replicate that fold order) stay green.
+  * Both expressions generate static calls into VectorKernels so they stay
+  * inside whole-stage codegen (the nullable result is handled explicitly).
   */
+
+/** Static kernels shared by the interpreted and generated paths. */
+object VectorKernels {
+  /** Null on length mismatch or any null element (HOF zip_with parity). */
+  def dot(x: ArrayData, y: ArrayData, leftFloat: Boolean,
+      rightFloat: Boolean): java.lang.Double = {
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    if (leftFloat && rightFloat) {
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc += x.getFloat(i) * y.getFloat(i); i += 1
+      }
+    } else {
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        val xv = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
+        acc += xv * yv
+        i += 1
+      }
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  /** Null on any null element. */
+  def norm(x: ArrayData, isFloat: Boolean): java.lang.Double = {
+    val n = x.numElements()
+    var acc = 0.0
+    var i = 0
+    if (isFloat) {
+      while (i < n) {
+        if (x.isNullAt(i)) return null
+        val v = x.getFloat(i); acc += v * v; i += 1
+      }
+    } else {
+      while (i < n) {
+        if (x.isNullAt(i)) return null
+        val v = x.getDouble(i); acc += v * v; i += 1
+      }
+    }
+    java.lang.Double.valueOf(math.sqrt(acc))
+  }
+}
 
 /** Dot product of two array<double|float> columns (null if either is
   * null; elements assumed non-null, as produced by embedding casts).
@@ -23,7 +71,7 @@ import org.apache.spark.sql.types._
   * promotes the multiply to double.
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
   // can return null even for non-null inputs (length mismatch, null elem)
@@ -44,36 +92,26 @@ case class DotProduct(left: Expression, right: Expression)
     case ArrayType(FloatType, _) => true
     case _ => false
   }
-  @transient private lazy val bothFloat = elemIsFloat(left) && elemIsFloat(right)
   @transient private lazy val leftFloat = elemIsFloat(left)
   @transient private lazy val rightFloat = elemIsFloat(right)
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = x.numElements()
-    // HOF parity: zip_with pads length mismatches with nulls and a null
-    // element nulls the whole aggregate — a truncated/corrupt embedding
-    // must yield NULL (and get filtered), not a plausible prefix cosine
-    if (y.numElements() != n) return null
-    var acc = 0.0
-    var i = 0
-    if (bothFloat) {
-      while (i < n) {
-        if (x.isNullAt(i) || y.isNullAt(i)) return null
-        acc += x.getFloat(i) * y.getFloat(i); i += 1
-      }
-    } else {
-      while (i < n) {
-        if (x.isNullAt(i) || y.isNullAt(i)) return null
-        val xv = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
-        val yv = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
-        acc += xv * yv
-        i += 1
-      }
-    }
-    acc
-  }
+  // HOF parity: zip_with pads length mismatches with nulls and a null
+  // element nulls the whole aggregate — a truncated/corrupt embedding
+  // must yield NULL (and get filtered), not a plausible prefix cosine
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      leftFloat, rightFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("dot")
+      s"""
+         |java.lang.Double $tmp = graft.functions.VectorKernels.dot(
+         |  $a, $b, $leftFloat, $rightFloat);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(l: Expression,
       r: Expression): DotProduct = copy(left = l, right = r)
@@ -82,8 +120,7 @@ case class DotProduct(left: Expression, right: Expression)
 /** L2 norm of an array<double|float> column — sqrt of the left-to-right
   * sum of squares (float arrays square in FLOAT, like the HOF form).
   */
-case class L2Norm(child: Expression) extends UnaryExpression
-    with CodegenFallback {
+case class L2Norm(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_norm"
   override def nullable: Boolean = true
@@ -100,24 +137,18 @@ case class L2Norm(child: Expression) extends UnaryExpression
     case _ => false
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val x = input.asInstanceOf[ArrayData]
-    val n = x.numElements()
-    var acc = 0.0
-    var i = 0
-    if (isFloat) {
-      while (i < n) {
-        if (x.isNullAt(i)) return null
-        val v = x.getFloat(i); acc += v * v; i += 1
-      }
-    } else {
-      while (i < n) {
-        if (x.isNullAt(i)) return null
-        val v = x.getDouble(i); acc += v * v; i += 1
-      }
-    }
-    math.sqrt(acc)
-  }
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.norm(input.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("nrm")
+      s"""
+         |java.lang.Double $tmp = graft.functions.VectorKernels.norm($c, $isFloat);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(c: Expression): L2Norm = copy(c)
 }
