@@ -228,6 +228,24 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("token"))
         .limit(20)
     }),
+    "a5_union_rowconcat" -> ((s, dir) => {
+      // A5/A6 (reference common_stock.py:183-186): per-source frames
+      // union-reduced, then a ROW-WISE concat of token-list columns
+      // (`sum(axis=1)`), then a token count over the combined lists
+      val docs = t(s, dir, "documents")
+      val frames = Seq("src0", "src1", "src2").map { src =>
+        docs.filter(col("source") === src)
+          .select(col("doc_id"),
+            TextPipeline.tokenize(col("text")).as("text_tokens"),
+            array(col("lang"), col("source")).as("meta_tokens"))
+      }
+      val unioned = frames.reduce(_ unionByName _)
+      TextPipeline
+        .combineTokenColumns(unioned, Seq("text_tokens", "meta_tokens"))
+        .select(explode(col("tokens")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy("token")
+    }),
     "a7_interval_avg" -> ((s, dir) => {
       t(s, dir, "events").groupBy(col("user_id"))
         .agg((max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
@@ -988,6 +1006,14 @@ object SparkEntry {
            FROM documents)
          WHERE length(token) > 0
          GROUP BY token ORDER BY cnt DESC, token LIMIT 20""",
+    "a5_union_rowconcat" ->
+      """SELECT token, count(*) AS cnt FROM (
+           SELECT unnest(list_concat(
+             list_filter(string_split_regex(lower(text), '\s+'),
+               t -> length(t) > 0),
+             [lang, source])) AS token
+           FROM documents WHERE source IN ('src0', 'src1', 'src2'))
+         GROUP BY token ORDER BY token""",
     "a7_interval_avg" ->
       """SELECT user_id,
            max(epoch_us(CAST(ts AS TIMESTAMP))) - min(epoch_us(CAST(ts AS TIMESTAMP))) AS span_us,
