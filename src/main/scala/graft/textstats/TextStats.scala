@@ -99,11 +99,14 @@ object TextStats {
     * tf = term count / doc length (exact integer ratio), df = documents
     * containing the term, idf = ln(N / df), tfidf = tf · idf. Two hash
     * aggregations (term-per-doc, term-df) + one broadcast-able join —
-    * the canonical map-side-combinable shape; no collect.
+    * the canonical map-side-combinable shape; no collect. N rides as a
+    * one-row scalar aggregate broadcast back via cross join (the
+    * lastYearsGlobal pattern) instead of an eager df.count() — one job,
+    * not two, and no driver round-trip in the lineage.
     */
   def tfidf(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
-    val n = df.count()
+    val corpusN = df.agg(count(lit(1)).cast("double").as("__corpus_n"))
     val terms = df.select(col(idCol).as("doc_id"),
         explode(tokens(col(textCol))).as("token"))
     val perDoc = terms.groupBy("doc_id", "token")
@@ -112,9 +115,11 @@ object TextStats {
     val docFreq = perDoc.groupBy("token").agg(count(lit(1)).as("doc_freq"))
     perDoc.join(docLen, Seq("doc_id"))
       .join(docFreq, Seq("token"))
+      .crossJoin(broadcast(corpusN))
       .withColumn("tf", col("term_count").cast("double") / col("doc_len"))
-      .withColumn("idf", log(lit(n.toDouble) / col("doc_freq")))
+      .withColumn("idf", log(col("__corpus_n") / col("doc_freq")))
       .withColumn("tfidf", col("tf") * col("idf"))
+      .drop("__corpus_n")
   }
 
   /** Repetition signals in the Gopher/MassiveText style (duplicate-token
