@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftShims
 import org.apache.spark.sql.types._
 
@@ -17,6 +17,47 @@ import org.apache.spark.sql.types._
   * Both expressions generate static calls into VectorKernels so they stay
   * inside whole-stage codegen (the nullable result is handled explicitly).
   */
+
+/** Per-executor cache of the LSH hyperplane weight matrix. Weights depend
+  * only on (plane index, element index) — never on the data — so they are
+  * hashed once per executor and reused by every row: weights(i)(pp) =
+  * XXH64.hashInt(i, seed(pp)) / Long.MaxValue, row-major in the element
+  * index so the kernel's inner loop is a contiguous multiply-add. The
+  * matrix grows on demand (copy-on-grow behind a volatile — the instance
+  * rides the plan's reference array and is shared by all tasks in a JVM;
+  * a race costs one redundant rebuild, never a wrong value). ~32 KB at
+  * dim 64 × 64 planes.
+  */
+final class LshWeights(val seeds: Array[Long]) extends Serializable {
+  def numPlanes: Int = seeds.length
+  @transient @volatile private var w: Array[Array[Double]] =
+    Array.empty[Array[Double]]
+
+  def upTo(n: Int): Array[Array[Double]] = {
+    val cur = w
+    if (cur != null && cur.length >= n) return cur
+    synchronized {
+      val base = if (w == null) Array.empty[Array[Double]] else w
+      if (base.length >= n) return base
+      val target = math.max(n, math.max(64, base.length * 2))
+      val grown = java.util.Arrays.copyOf(base, target)
+      var i = base.length
+      while (i < target) {
+        val row = new Array[Double](seeds.length)
+        var pp = 0
+        while (pp < seeds.length) {
+          row(pp) = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashInt(i, seeds(pp)).toDouble / Long.MaxValue.toDouble
+          pp += 1
+        }
+        grown(i) = row
+        i += 1
+      }
+      w = grown
+      grown
+    }
+  }
+}
 
 /** Static kernels shared by the interpreted and generated paths. */
 object VectorKernels {
@@ -42,6 +83,112 @@ object VectorKernels {
       }
     }
     java.lang.Double.valueOf(acc)
+  }
+
+  /** All `tables` LSH sign-pattern bucket ids in ONE pass over the vector.
+    * weight(pp, i) = hashInt(i, seed(pp)) / Long.MaxValue with
+    * seed(pp) = hashInt(pp, 42) reproduces the SQL `xxhash64(lit(pp), i)`
+    * composite hash bit-exactly (the DuckDB oracles replicate that hash in
+    * pure SQL and pin it); the data-independent weight rows come from the
+    * per-executor LshWeights cache, so the steady-state row cost is pure
+    * multiply-adds. Accumulation per plane is left-to-right in element
+    * order — identical to the `aggregate(zip_with(...))` HOF fold this
+    * replaces. An empty vector or any null element yields bucket 0 for
+    * every table (HOF parity: a null projection fails `proj >= 0` and
+    * takes the otherwise(0) branch).
+    */
+  def lshBuckets(x: ArrayData, isFloat: Boolean, planes: Int,
+      wc: LshWeights): ArrayData = {
+    val n = x.numElements()
+    val nP = wc.numPlanes
+    val proj = new Array[Double](nP)
+    var anyNull = n == 0
+    val w = wc.upTo(n)
+    var i = 0
+    while (i < n && !anyNull) {
+      if (x.isNullAt(i)) anyNull = true
+      else {
+        val v = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        val wi = w(i)
+        var pp = 0
+        while (pp < nP) {
+          proj(pp) += v * wi(pp)
+          pp += 1
+        }
+      }
+      i += 1
+    }
+    val tables = nP / planes
+    val out = new Array[Long](tables)
+    if (!anyNull) {
+      var t = 0
+      while (t < tables) {
+        var b = 0L
+        var p = 0
+        while (p < planes) {
+          if (proj(t * planes + p) >= 0) b |= 1L << p
+          p += 1
+        }
+        out(t) = b
+        t += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  /** The `m` nearest centroid cell ids by (squared-L2 distance asc, cell
+    * asc) — every centroid distance computed in ONE pass over the vector
+    * (the HOF form re-walked the vector once per centroid with an
+    * interpreted lambda per element). Distance accumulation is
+    * left-to-right per centroid, same order as the `aggregate(zip_with)`
+    * fold. Returns null (not a misassignment) for a corrupt embedding —
+    * null element or length mismatch with the centroids.
+    */
+  def nearestCells(x: ArrayData, isFloat: Boolean,
+      cents: Array[Array[Double]], m: Int): ArrayData = {
+    val n = x.numElements()
+    val nc = cents.length
+    if (nc == 0 || n == 0) return null
+    if (cents(0).length != n) return null
+    val d = new Array[Double](nc)
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val v = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      var c = 0
+      while (c < nc) {
+        val diff = v - cents(c)(i)
+        d(c) += diff * diff
+        c += 1
+      }
+      i += 1
+    }
+    // SQL double ordering for the sort key: NaN greatest; squared sums
+    // never produce -0.0 so primitive < suffices below NaN handling
+    def before(a: Int, b: Int): Boolean = {
+      val da = d(a); val db = d(b)
+      if (da.isNaN) db.isNaN && a < b
+      else if (db.isNaN) true
+      else if (da != db) da < db
+      else a < b
+    }
+    val k = math.min(m, nc)
+    val idx = Array.tabulate(nc)(identity)
+    // selection of the k smallest — nc is tiny (coarse quantizer)
+    val out = new Array[Int](k)
+    var s = 0
+    while (s < k) {
+      var best = s
+      var j = s + 1
+      while (j < nc) {
+        if (before(idx(j), idx(best))) best = j
+        j += 1
+      }
+      val tmp = idx(s); idx(s) = idx(best); idx(best) = tmp
+      out(s) = idx(s)
+      s += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Null on any null element. */
@@ -153,10 +300,114 @@ case class L2Norm(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): L2Norm = copy(c)
 }
 
+/** All `tables` random-hyperplane LSH bucket ids of an embedding, as
+  * array<long> of length `tables` — one vector pass for every
+  * (table, plane) projection instead of planes·tables interpreted
+  * `aggregate(zip_with(...))` folds per row (64 with the driver's
+  * planes=4, tables=16 — the documented 100 TB scale-killer).
+  */
+case class LshBuckets(child: Expression, planes: Int, tables: Int)
+    extends UnaryExpression {
+  require(planes > 0 && planes < 64, s"planes must be in [1, 63], got $planes")
+  require(tables > 0, s"tables must be positive, got $tables")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_buckets"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType | FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<double>/array<float> argument, got " +
+        other.catalogString)
+  }
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  /** seed(pp) = xxhash64-of-int(pp) with Spark's default seed 42 — the
+    * first step of the SQL composite `xxhash64(lit(pp), i)`.
+    */
+  @transient private lazy val weights: LshWeights =
+    new LshWeights(Array.tabulate(planes * tables)(pp =>
+      XxHash64Function.hash(pp, IntegerType, 42L)))
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.lshBuckets(input.asInstanceOf[ArrayData], isFloat, planes,
+      weights)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("lshWeights", weights,
+      "graft.functions.LshWeights")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.lshBuckets($c, $isFloat, $planes, $wRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): LshBuckets =
+    copy(child = c)
+}
+
+/** The `m` nearest coarse-quantizer cells of an embedding, as array<int>
+  * ordered by (squared-L2 distance asc, cell asc) — all centroid
+  * distances in one vector pass (the HOF form was one interpreted fold
+  * per centroid). Null for a corrupt embedding (null element / length
+  * mismatch): better to surface the row via a null-join drop than to
+  * assign it a meaningless cell. Centroids are Seq (not Array) so the
+  * case-class equality Catalyst uses for semanticEquals is structural.
+  */
+case class NearestCells(child: Expression, centroids: Seq[Seq[Double]], m: Int)
+    extends UnaryExpression {
+  require(centroids.nonEmpty, "NearestCells requires at least one centroid")
+  require(m > 0, s"m must be positive, got $m")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_cells"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType | FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<double>/array<float> argument, got " +
+        other.catalogString)
+  }
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  @transient private lazy val cents: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.nearestCells(input.asInstanceOf[ArrayData], isFloat, cents, m)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("ivfCentroids", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("cells")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+         |  graft.functions.VectorKernels.nearestCells($c, $isFloat, $centsRef, $m);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCells =
+    copy(child = c)
+}
+
 object VectorFunctions {
   def dot(a: Column, b: Column): Column =
     GraftShims.column(DotProduct(GraftShims.expression(a), GraftShims.expression(b)))
 
   def norm(a: Column): Column =
     GraftShims.column(L2Norm(GraftShims.expression(a)))
+
+  def lshBuckets(vec: Column, planes: Int, tables: Int): Column =
+    GraftShims.column(LshBuckets(GraftShims.expression(vec), planes, tables))
+
+  def nearestCells(vec: Column, centroids: Seq[Seq[Double]], m: Int): Column =
+    GraftShims.column(NearestCells(GraftShims.expression(vec), centroids, m))
 }

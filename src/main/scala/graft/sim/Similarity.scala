@@ -58,9 +58,15 @@ object Similarity {
     val idType = scored.schema("vec_id").dataType
     if (integralTypes.contains(idType)) {
       // duplicate candidates (multi-table LSH) are collapsed INSIDE the
-      // k-heap — no dropDuplicates shuffle needed before ranking
+      // k-heap — no dropDuplicates shuffle needed before ranking.
+      // Null guard: TopKAgg's input encoder is primitive (Double, Long),
+      // so a corrupt embedding's NULL cosine (DotProduct length-mismatch
+      // contract) must be dropped here — the window fallback orders such
+      // rows last, beyond rank k, so the emitted set is identical
       val topk = udaf(new TopKAgg(k))
-      scored.groupBy("query_id")
+      scored
+        .filter(col("cosine").isNotNull && col("vec_id").isNotNull)
+        .groupBy("query_id")
         .agg(topk(col("cosine"), col("vec_id").cast("long")).as("__topk"))
         .select(col("query_id"),
           posexplode(col("__topk")).as(Seq("__pos", "__e")))
@@ -95,26 +101,24 @@ object Similarity {
     rankTopK(scored, k)
   }
 
-  /** Sign-pattern bucket id for hash table `table` from `planes`
-    * deterministic pseudo-random hyperplanes: component (p, i) =
-    * xxhash64(table·planes + p, i) scaled to [−1, 1) — reproducible on
-    * any executor with no shipped RNG state. Table 0 is the single-table
-    * bucket function.
+  /** All `tables` sign-pattern bucket ids (array<long>, one per hash
+    * table) from planes·tables deterministic pseudo-random hyperplanes:
+    * component (p, i) of table t = xxhash64(t·planes + p, i) scaled to
+    * [−1, 1) — reproducible on any executor with no shipped RNG state.
+    * One codegen'd vector pass computes every projection
+    * (graft.functions.LshBuckets); the former per-plane
+    * `aggregate(zip_with(...))` formulation ran planes·tables interpreted
+    * lambda folds per row — the documented 100 TB scale-killer. The fold
+    * order and the composite int hash match the HOF form bit-exactly, so
+    * the DuckDB oracles (which replicate that hash in pure SQL) stay
+    * green.
     */
-  def lshTableBucket(vec: Column, planes: Int, table: Int): Column =
-    (0 until planes).map { p =>
-      val pp = table * planes + p
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (v, i) => v * (xxhash64(lit(pp), i).cast("double") /
-            lit(Long.MaxValue.toDouble))),
-        lit(0.0), (a, v) => a + v)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  def lshTableBuckets(vec: Column, planes: Int, tables: Int): Column =
+    graft.functions.VectorFunctions.lshBuckets(vec, planes, tables)
 
   /** Single-table sign-pattern bucket (used by cosineNearDups). */
   def lshBucket(vec: Column, planes: Int): Column =
-    lshTableBucket(vec, planes, 0)
+    lshTableBuckets(vec, planes, 1).getItem(0)
 
   /** Approximate cosine top-k via amplified hyperplane LSH: `tables`
     * independent hash tables of `planes` hyperplanes each; a corpus row is
@@ -133,8 +137,7 @@ object Similarity {
     def withBuckets(df: DataFrame, id: String, vec: String,
         idAs: String, vecAs: String) =
       df.select(col(id).as(idAs), col(vec).as(vecAs),
-        posexplode(array((0 until tables).map(t =>
-          lshTableBucket(col(vec), planes, t)): _*))
+        posexplode(lshTableBuckets(col(vec), planes, tables))
           .as(Seq("__table", "__bucket")))
     val c = withBuckets(corpus, idCol, vecCol, "vec_id", "__cv")
     val q = broadcast(
@@ -171,16 +174,12 @@ object Similarity {
       .map(_.getSeq[Double](0).toArray)
     require(centroids.nonEmpty, "IVF: empty corpus")
 
-    def nearestCells(vec: Column, m: Int): Column = {
-      // squared L2 distance to each centroid, as static expressions
-      val dists = centroids.zipWithIndex.map { case (c, i) =>
-        struct(
-          aggregate(zip_with(vec, lit(c), (a, b) => (a - b) * (a - b)),
-            lit(0.0), (acc, v) => acc + v).as("d"),
-          lit(i).as("cell"))
-      }
-      slice(transform(sort_array(array(dists: _*)), s => s("cell")), 1, m)
-    }
+    // all centroid distances in ONE codegen'd vector pass
+    // (graft.functions.NearestCells) — the former formulation ran one
+    // interpreted aggregate(zip_with) fold per centroid per row
+    val centroidSeq: Seq[Seq[Double]] = centroids.toSeq.map(_.toSeq)
+    def nearestCells(vec: Column, m: Int): Column =
+      graft.functions.VectorFunctions.nearestCells(vec, centroidSeq, m)
 
     val assigned = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__cv"),
       nearestCells(col(vecCol), 1).getItem(0).as("__cell"))

@@ -10,7 +10,8 @@ object CodegenCheck {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (q <- Seq("dd_minhash", "dd_simhash", "dd_ngram_jaccard",
-        "dd_embedding_neardups", "sim_cosine_topk")) {
+        "dd_embedding_neardups", "sim_cosine_topk", "sim_lsh_topk",
+        "sim_ivf_topk")) {
       SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
       println(s"CODEGEN_OK $q")
