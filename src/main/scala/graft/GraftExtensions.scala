@@ -58,10 +58,16 @@ object GraftExtensions {
     "gram_stats" -> (args => { arity("gram_stats", args, 1)
       GramStats(args.head) }))
 
-  /** Register on an already-built session. */
-  def register(spark: SparkSession): Unit =
+  /** Register on an already-built session. Also registers the
+    * `backtest_fold` aggregate — a udaf goes through the UDF registry,
+    * not the expression-builder path, so it is live-session-only (the
+    * `withExtensions` path covers the scalar expressions above).
+    */
+  def register(spark: SparkSession): Unit = {
     registrations.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")
     }
+    graft.engine.BacktestFoldAgg.register(spark)
+  }
 }

@@ -47,14 +47,29 @@ class BacktestFoldAgg extends Aggregator[FoldInput, FoldBuf, FoldOut] {
 
   def zero: FoldBuf = FoldBuf(Double.NaN, Nil)
 
-  def reduce(b: FoldBuf, in: FoldInput): FoldBuf = FoldBuf(
-    if (b.initialAmount.isNaN) in.initialAmount else b.initialAmount,
-    SignalBar(in.ticker, in.date, in.close, in.isBuy, in.isSell) +: b.rows)
+  // The starting cash must be constant within a group (it is passed as a
+  // literal column so plain SQL can parameterize the fold). NaN is the
+  // "unset" sentinel; differing non-NaN amounts ERROR rather than
+  // resolving by partial-merge order — a mis-parameterized SQL call must
+  // fail loudly, not return an order-dependent fold.
+  def reduce(b: FoldBuf, in: FoldInput): FoldBuf = {
+    require(b.initialAmount.isNaN || b.initialAmount == in.initialAmount,
+      s"backtest_fold: initial_amount must be constant per group " +
+        s"(${b.initialAmount} vs ${in.initialAmount})")
+    FoldBuf(in.initialAmount,
+      SignalBar(in.ticker, in.date, in.close, in.isBuy, in.isSell) +: b.rows)
+  }
 
-  def merge(l: FoldBuf, r: FoldBuf): FoldBuf = FoldBuf(
-    if (l.initialAmount.isNaN) r.initialAmount else l.initialAmount,
-    if (l.rows.isEmpty) r.rows else if (r.rows.isEmpty) l.rows
-    else l.rows ++ r.rows)
+  def merge(l: FoldBuf, r: FoldBuf): FoldBuf = {
+    require(l.initialAmount.isNaN || r.initialAmount.isNaN ||
+        l.initialAmount == r.initialAmount,
+      s"backtest_fold: initial_amount must be constant per group " +
+        s"(${l.initialAmount} vs ${r.initialAmount})")
+    FoldBuf(
+      if (l.initialAmount.isNaN) r.initialAmount else l.initialAmount,
+      if (l.rows.isEmpty) r.rows else if (r.rows.isEmpty) l.rows
+      else l.rows ++ r.rows)
+  }
 
   def finish(b: FoldBuf): FoldOut = {
     if (b.rows.isEmpty) return FoldOut(Nil, Nil)
