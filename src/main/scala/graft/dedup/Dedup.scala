@@ -96,8 +96,12 @@ object Dedup {
           xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
           : _*)).as(Seq("band", "band_hash")))
 
+    // bounded k-smallest aggregation: partial buffers never exceed
+    // maxBucket ids, so a pathological hot band-bucket cannot OOM an
+    // executor the way collect_list's full materialization could
+    val smallestK = udaf(new graft.functions.SmallestKLongsAgg(maxBucket))
     val buckets = banded.groupBy("band", "band_hash")
-      .agg(slice(sort_array(collect_list(col("id"))), 1, maxBucket).as("members"))
+      .agg(smallestK(col("id")).as("members"))
       .filter(size(col("members")) > 1)
 
     // id pairs within a bucket (i < j), dedup'd across bands, then the
@@ -138,9 +142,12 @@ object Dedup {
         shiftright(col("fp"), i * chunkBits)
           .bitwiseAND(lit((1L << chunkBits) - 1))): _*))
         .as(Seq("chunk", "chunk_val")))
+    // bounded k-smallest members (by id; ids unique per chunk bucket) —
+    // same output as slice(sort_array(collect_list(struct))) with a
+    // buffer that never exceeds maxBucket entries
+    val smallestK = udaf(new graft.functions.SmallestKMembersAgg(maxBucket))
     val buckets = banded.groupBy("chunk", "chunk_val")
-      .agg(slice(sort_array(collect_list(struct(col("id"), col("fp")))), 1, maxBucket)
-        .as("members"))
+      .agg(smallestK(col("id"), col("fp")).as("members"))
       .filter(size(col("members")) > 1)
     // struct members: compare on the full struct (id first) — same as
     // the id-only compare since ids are unique

@@ -19,12 +19,14 @@ import org.apache.spark.sql.expressions.Aggregator
   * by ascending id — so the emitted set and order are bit-identical to
   * the window formulation it replaces.
   *
-  * Duplicate ids are deduplicated INSIDE the heap (a candidate whose id
-  * is already held is skipped; merge collapses equal heads). A candidate
-  * id always carries the same score (scores are deterministic functions
-  * of the pair), so this yields exact top-k over DISTINCT candidates —
+  * Duplicate ids are deduplicated INSIDE the heap, keyed on id ALONE:
+  * the heap holds at most one entry per id — the better-ranked copy —
   * which lets multi-table LSH union its tables' candidates without a
-  * dropDuplicates shuffle before ranking.
+  * dropDuplicates shuffle before ranking. Scores are normally
+  * deterministic functions of the pair, but the id-keyed dedup stays
+  * correct even if a retry recomputes a duplicate's score
+  * non-identically (exact-tuple dedup would silently keep both and
+  * displace a genuine top-k entry).
   */
 class TopKAgg(k: Int)
     extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
@@ -49,31 +51,41 @@ class TopKAgg(k: Int)
     if (b.size >= k) {
       val worst = b.last
       // cheap reject path — the overwhelmingly common case once warm.
-      // An already-held duplicate of `a` never reaches the insert below:
-      // it would sit exactly at the span boundary and is caught there.
+      // Dedup-safe even if a duplicate id arrived with a perturbed score
+      // (AQE stage retry recomputing a nondeterministic upstream): a
+      // rejected `a` ranks at-or-behind every held entry, so any held
+      // copy of the same id is the better one.
       if (!beats(a._1, a._2, worst._1, worst._2)) return b
     }
-    val (ahead, behind) = b.span(e => beats(e._1, e._2, a._1, a._2))
-    if (behind.nonEmpty && behind.head._2 == a._2) b // duplicate id — skip
-    else ((ahead :+ a) ++ behind).take(k)
+    // dedup by id ALONE, not exact-tuple equality — the heap holds at
+    // most one entry per id, keeping the better-ranked copy
+    val i = b.indexWhere(_._2 == a._2)
+    if (i >= 0) {
+      if (scoreCmp(a._1, b(i)._1) <= 0) b
+      else {
+        val without = b.patch(i, Nil, 1)
+        val (ahead, behind) = without.span(e => beats(e._1, e._2, a._1, a._2))
+        (ahead :+ a) ++ behind
+      }
+    } else {
+      val (ahead, behind) = b.span(e => beats(e._1, e._2, a._1, a._2))
+      ((ahead :+ a) ++ behind).take(k)
+    }
   }
 
   def merge(l: Seq[(Double, Long)], r: Seq[(Double, Long)]): Seq[(Double, Long)] = {
-    // merge two sorted-best-first runs, keep k, collapse duplicate ids
-    // (equal entries are adjacent under the total order)
+    // merge two sorted-best-first runs, keep k, collapse duplicate ids —
+    // keyed on id alone (a seen-set bounded by 2k), so a duplicate whose
+    // score diverged across partials still collapses to its better copy
     val out = Vector.newBuilder[(Double, Long)]
+    val seen = new java.util.HashSet[java.lang.Long](4 * k)
     var (li, ri, n) = (0, 0, 0)
     while (n < k && (li < l.size || ri < r.size)) {
       val takeLeft = ri >= r.size || (li < l.size &&
         beats(l(li)._1, l(li)._2, r(ri)._1, r(ri)._2))
-      if (takeLeft) {
-        if (ri < r.size && l(li) == r(ri)) ri += 1
-        out += l(li); li += 1
-      } else {
-        if (li < l.size && l(li) == r(ri)) li += 1
-        out += r(ri); ri += 1
-      }
-      n += 1
+      val e = if (takeLeft) { val x = l(li); li += 1; x }
+              else { val x = r(ri); ri += 1; x }
+      if (seen.add(e._2)) { out += e; n += 1 }
     }
     out.result()
   }

@@ -211,10 +211,13 @@ object Similarity {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("__v"),
       norm(col(vecCol)).as("__n"),
       lshBucket(col(vecCol), planes).as("__bucket"))
+    // bounded k-smallest aggregation — partial buffers never exceed
+    // maxBucket ids, so a degenerate hot bucket (e.g. many identical
+    // vectors sharing one sign pattern) cannot OOM an executor
+    val smallestK = udaf(new graft.functions.SmallestKLongsAgg(maxBucket))
     val buckets = v.select(col("id"), col("__bucket"))
       .groupBy("__bucket")
-      .agg(slice(sort_array(collect_list(col("id"))), 1, maxBucket)
-        .as("members"))
+      .agg(smallestK(col("id")).as("members"))
       .filter(size(col("members")) > 1)
     // one bucket per vector → a pair can only form once; no dedup needed
     val pairIds = buckets
