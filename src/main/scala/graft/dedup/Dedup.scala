@@ -3,6 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import graft.textstats.TextStats
 
@@ -31,6 +32,46 @@ object Dedup {
       flatten(transform(members, a =>
         transform(members, b => struct(a.as("a"), b.as("b"))))),
       p => p("a") < p("b"))
+
+  private[graft] val integralIdTypes: Set[DataType] =
+    Set(ByteType, ShortType, IntegerType, LongType)
+
+  /** Bounded bucket membership: the `maxBucket` smallest ids per group,
+    * ascending. Integral id types (every driver table) take the
+    * bounded-buffer aggregator — partial buffers never exceed maxBucket
+    * entries, the 100 TB hot-bucket guard; other id types (string/decimal
+    * keys) fall back to the capped collect_list form, which emits the
+    * same member set but materializes the full bucket first. Call sites
+    * must drop null ids upstream: collect_list skips them silently while
+    * the aggregator's primitive Long encoder would throw.
+    */
+  private[graft] def smallestKIds(id: Column, idType: DataType,
+      maxBucket: Int): Column =
+    if (integralIdTypes.contains(idType)) {
+      val agg = udaf(new graft.functions.SmallestKLongsAgg(maxBucket))
+      val members = agg(id.cast(LongType))
+      // cast back so downstream schemas keep the caller's id type
+      if (idType == LongType) members
+      else transform(members, m => m.cast(idType))
+    } else slice(sort_array(collect_list(id)), 1, maxBucket)
+
+  /** Bounded (id, payload) bucket membership, ordered by (id, payload) —
+    * same gate as [[smallestKIds]]. Ids must be unique per bucket and
+    * non-null (see SmallestKMembersAgg's contract).
+    */
+  private[graft] def smallestKMembers(id: Column, fp: Column,
+      idType: DataType, maxBucket: Int): Column =
+    if (integralIdTypes.contains(idType)) {
+      val agg = udaf(new graft.functions.SmallestKMembersAgg(maxBucket))
+      val members = agg(id.cast(LongType), fp)
+      // rebuild each member struct so downstream schemas keep the
+      // caller's id type (a direct array<struct> cast is rejected)
+      if (idType == LongType) members
+      else transform(members, m =>
+        struct(m("id").cast(idType).as("id"), m("fp").as("fp")))
+    } else
+      slice(sort_array(collect_list(struct(id.as("id"), fp.as("fp")))),
+        1, maxBucket)
 
   // ---------------------------------------------------------------- exact
 
@@ -81,7 +122,10 @@ object Dedup {
     // shingle STRINGS — the published MinHash formulation); the hashed
     // sorted-long sets feed verification, so the verification joins
     // shuffle 8-byte longs per shingle and jaccard is a merge pass.
-    val withSh = df.select(col(idCol).as("id"),
+    // null ids dropped up front: they cannot name a survivor and the
+    // bounded aggregator's primitive encoder rejects them
+    val withSh = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"),
         shingles(col(textCol), shingleSize).as("sh"),
         graft.functions.HashFunctions
           .hashedWordShingles(col(textCol), shingleSize).as("shh"))
@@ -96,12 +140,13 @@ object Dedup {
           xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
           : _*)).as(Seq("band", "band_hash")))
 
-    // bounded k-smallest aggregation: partial buffers never exceed
-    // maxBucket ids, so a pathological hot band-bucket cannot OOM an
-    // executor the way collect_list's full materialization could
-    val smallestK = udaf(new graft.functions.SmallestKLongsAgg(maxBucket))
+    // bounded k-smallest aggregation (integral ids): partial buffers never
+    // exceed maxBucket ids, so a pathological hot band-bucket cannot OOM
+    // an executor the way collect_list's full materialization could;
+    // non-integral id types take the capped collect_list fallback
     val buckets = banded.groupBy("band", "band_hash")
-      .agg(smallestK(col("id")).as("members"))
+      .agg(smallestKIds(col("id"), df.schema(idCol).dataType, maxBucket)
+        .as("members"))
       .filter(size(col("members")) > 1)
 
     // id pairs within a bucket (i < j), dedup'd across bands, then the
@@ -136,7 +181,8 @@ object Dedup {
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, chunks: Int = 4, maxBucket: Int = 64): DataFrame = {
     val chunkBits = 64 / chunks
-    val withFp = df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
+    val withFp = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
     val banded = withFp.select(col("id"), col("fp"),
       posexplode(array((0 until chunks).map(i =>
         shiftright(col("fp"), i * chunkBits)
@@ -144,10 +190,11 @@ object Dedup {
         .as(Seq("chunk", "chunk_val")))
     // bounded k-smallest members (by id; ids unique per chunk bucket) —
     // same output as slice(sort_array(collect_list(struct))) with a
-    // buffer that never exceeds maxBucket entries
-    val smallestK = udaf(new graft.functions.SmallestKMembersAgg(maxBucket))
+    // buffer that never exceeds maxBucket entries; non-integral id types
+    // take the capped collect_list fallback
     val buckets = banded.groupBy("chunk", "chunk_val")
-      .agg(smallestK(col("id"), col("fp")).as("members"))
+      .agg(smallestKMembers(col("id"), col("fp"), df.schema(idCol).dataType,
+        maxBucket).as("members"))
       .filter(size(col("members")) > 1)
     // struct members: compare on the full struct (id first) — same as
     // the id-only compare since ids are unique

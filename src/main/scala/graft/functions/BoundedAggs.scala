@@ -13,8 +13,17 @@ import org.apache.spark.sql.expressions.Aggregator
   * executor at 100 TB even though only maxBucket ids survive. These
   * aggregators keep the buffer itself bounded: partial buffers never
   * exceed k entries, map-side combine applies, and the result is
-  * bit-identical to the slice(sort_array(collect_list)) form (ascending,
-  * k smallest, ids unique within a bucket).
+  * bit-identical to the slice(sort_array(collect_list)) form.
+  *
+  * REQUIREMENTS (both aggregators):
+  *  - Keys must be UNIQUE within a group. Equal values are deduplicated
+  *    across partial buffers (collect_list would keep both), so with
+  *    duplicate keys these aggs admit one extra distinct member under the
+  *    cap and the bit-identical equivalence no longer holds. Every current
+  *    call site groups ids that appear once per bucket by construction.
+  *  - Inputs must be NON-NULL: the primitive Long input encoder throws on
+  *    null where collect_list silently skips — drop null ids upstream
+  *    (see Dedup.smallestKIds call sites).
   */
 class SmallestKLongsAgg(k: Int)
     extends Aggregator[Long, Seq[Long], Seq[Long]] {

@@ -126,7 +126,10 @@ object VectorKernels {
         var b = 0L
         var p = 0
         while (p < planes) {
-          if (proj(t * planes + p) >= 0) b |= 1L << p
+          // !(x < 0), not (x >= 0): a NaN projection (NaN/Infinity vector
+          // elements) must SET the bit — Spark SQL ordering puts NaN above
+          // every value, so the HOF `when(proj >= 0, ...)` form set it too
+          if (!(proj(t * planes + p) < 0)) b |= 1L << p
           p += 1
         }
         out(t) = b
@@ -358,6 +361,12 @@ case class LshBuckets(child: Expression, planes: Int, tables: Int)
 case class NearestCells(child: Expression, centroids: Seq[Seq[Double]], m: Int)
     extends UnaryExpression {
   require(centroids.nonEmpty, "NearestCells requires at least one centroid")
+  // the kernel validates the INPUT vector against centroid 0's length and
+  // returns null for a mismatch; a ragged centroid set would instead blow
+  // up mid-kernel — fail fast at construction with a clear message
+  require(centroids.forall(_.size == centroids.head.size),
+    s"NearestCells requires uniform centroid dimensions, got " +
+      centroids.map(_.size).distinct.sorted.mkString("{", ", ", "}"))
   require(m > 0, s"m must be positive, got $m")
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = true

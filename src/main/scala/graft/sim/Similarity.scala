@@ -61,8 +61,8 @@ object Similarity {
       // k-heap — no dropDuplicates shuffle needed before ranking.
       // Null guard: TopKAgg's input encoder is primitive (Double, Long),
       // so a corrupt embedding's NULL cosine (DotProduct length-mismatch
-      // contract) must be dropped here — the window fallback orders such
-      // rows last, beyond rank k, so the emitted set is identical
+      // contract) must be dropped here — the window fallback applies the
+      // identical filter, so both branches emit the same set
       val topk = udaf(new TopKAgg(k))
       scored
         .filter(col("cosine").isNotNull && col("vec_id").isNotNull)
@@ -75,7 +75,12 @@ object Similarity {
           col("__e._1").as("cosine"),
           (col("__pos") + 1).as("rank"))
     } else {
+      // same null-cosine/null-id filter as the udaf path: without it the
+      // window (desc → nulls last) would still emit null-cosine rows
+      // within rank k whenever a query has fewer than k valid candidates,
+      // breaking parity between the two branches
       val base0 = scored.select("query_id", "vec_id", "cosine")
+        .filter(col("cosine").isNotNull && col("vec_id").isNotNull)
       val base = if (dedupCandidates) base0.distinct() else base0
       val w = Window.partitionBy("query_id")
         .orderBy(col("cosine").desc, col("vec_id"))
@@ -207,17 +212,21 @@ object Similarity {
       threshold: Double, planes: Int, maxBucket: Int = 64): DataFrame = {
     // norms are computed ONCE per vector before the pair join — inside
     // the pair verification each candidate pair costs one dot-product
-    // fold, not three (norm folds dominate when buckets are dense)
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("__v"),
-      norm(col(vecCol)).as("__n"),
-      lshBucket(col(vecCol), planes).as("__bucket"))
-    // bounded k-smallest aggregation — partial buffers never exceed
-    // maxBucket ids, so a degenerate hot bucket (e.g. many identical
-    // vectors sharing one sign pattern) cannot OOM an executor
-    val smallestK = udaf(new graft.functions.SmallestKLongsAgg(maxBucket))
+    // fold, not three (norm folds dominate when buckets are dense).
+    // Null ids dropped up front (bounded aggregator's primitive encoder
+    // rejects them; collect_list would skip them silently)
+    val v = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).as("__v"),
+        norm(col(vecCol)).as("__n"),
+        lshBucket(col(vecCol), planes).as("__bucket"))
+    // bounded k-smallest aggregation (integral ids) — partial buffers
+    // never exceed maxBucket ids, so a degenerate hot bucket (e.g. many
+    // identical vectors sharing one sign pattern) cannot OOM an executor;
+    // non-integral id types take the capped collect_list fallback
     val buckets = v.select(col("id"), col("__bucket"))
       .groupBy("__bucket")
-      .agg(smallestK(col("id")).as("members"))
+      .agg(graft.dedup.Dedup.smallestKIds(col("id"),
+        df.schema(idCol).dataType, maxBucket).as("members"))
       .filter(size(col("members")) > 1)
     // one bucket per vector → a pair can only form once; no dedup needed
     val pairIds = buckets
