@@ -10,8 +10,11 @@ import org.apache.spark.sql.SparkSession
   * Timing discipline: a full warm-up pass at the smallest SF compiles
   * every plan's codegen before anything is timed, then each query runs
   * SPARK_GRAFT_REPS times (default 3) back-to-back at the target SF and
-  * reports the MEDIAN — single-shot numbers in a shared JVM swing 2-6×
-  * on GC/JIT weather, which made per-query regressions undetectable.
+  * reports the MEDIAN and the MIN — single-shot numbers in a shared JVM
+  * swing 2-6× on GC/JIT weather; back-to-back reps share one weather
+  * window, so use `queries_min`/`total_min` for plan-quality regression
+  * detection and the median for the headline. A rep that throws counts
+  * as a failure (reported in `failed`, non-zero exit), never a timing.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -50,22 +53,44 @@ object Bench {
       spark.catalog.clearCache()
     }
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times(times.size / 2) // median (upper for even reps)
+    // Per query: median AND min over successful reps. Median is the
+    // headline (robust to one bad rep), but back-to-back reps share one
+    // machine-weather window, so a loaded box inflates all three and the
+    // median records a false regression (observed: a 14x phantom on a
+    // query whose code hadn't changed). Min is the plan-quality statistic
+    // — it can only improve by the plan genuinely doing less work.
+    // A throwing rep is a FAILURE, never a timing: it must not record its
+    // elapsed time as a fast success and silently shrink the total.
+    val failures = scala.collection.mutable.LinkedHashMap[String, Int]()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val times = (1 to reps).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              failures(name) = failures.getOrElse(name, 0) + 1
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              None
+          }
+        }.sorted
+        if (times.isEmpty) None
+        else Some((name, times(times.size / 2), times.head))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jmap(kv: Seq[(String, Double)]): String =
+      kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jmap(results.map(r => (r._1, r._2)))
+    val qsMin = jmap(results.map(r => (r._1, r._3)))
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"median"}""")
+    val totalMin = results.map(_._3).sum
+    val failed = failures.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"total_min":$totalMin,"failed":$failed,"sf":"$sfDir","reps":$reps,"agg":"median"}""")
     spark.stop()
+    // a broken query must fail the bench run loudly, not vanish into a
+    // smaller total
+    if (failures.nonEmpty) sys.exit(1)
   }
 }
