@@ -13,13 +13,18 @@ import graft.sim.Similarity
   * This pins recall@5 floors at the driver queries' parameters on the
   * sf0.01 embeddings (everything here is deterministic: hash-derived
   * planes, id-rank centroid sample, fixed data — so the floors are tight,
-  * not flaky). Measured values are recorded in COVERAGE.md.
+  * not flaky). Measured on the 48-query sample: LSH(4,16) 0.904,
+  * LSH(4,1) 0.150, IVF(16,8) 0.692, IVF(16,2) 0.279 — recorded in
+  * COVERAGE.md.
   */
 class SimilarityRecallSpec extends SparkTestBase {
 
   private lazy val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
     .withColumn("embedding", col("embedding").cast("array<double>"))
-  private lazy val queries = emb.filter(col("vec_id") < 8)
+  // 48 query vectors: wide enough that a floor pins corpus-level recall
+  // rather than the luck of a handful of probes (8 queries let a single
+  // lucky bucket carry the whole floor)
+  private lazy val queries = emb.filter(col("vec_id") < 48)
   private val k = 5
 
   private lazy val exact =
