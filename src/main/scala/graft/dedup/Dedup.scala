@@ -278,19 +278,30 @@ object Dedup {
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
       langCol: String, lenBucket: Int = 16, prefixLen: Int = 256,
       maxDist: Int = 25, maxBucket: Int = 64): DataFrame = {
+    // hist: 64-bin codepoint histogram of the prefix, computed ONCE per
+    // capped member. One edit op moves ≤ 2 units of histogram L1 mass,
+    // so levenshtein(a,b) ≥ L1(hist_a, hist_b)/2 — a LOSSLESS counting
+    // bound that prunes most of a block's O(maxBucket²) candidate pairs
+    // before the banded DP ever runs (the DP is ~256× the cost of the
+    // 64-long L1 loop per pair)
     val blocked = df.select(col(idCol).as("id"),
         substring(col(textCol), 1, prefixLen).as("px"),
         col(langCol).as("lang"),
         // floor-div, NOT "/": Spark int/int is DOUBLE division
         floor(length(col(textCol)) / lenBucket).cast("long").as("lb"))
+      .withColumn("hist",
+        graft.functions.HashFunctions.charHist64(col("px")))
     val capped = blocked.withColumn("__rn",
         row_number().over(Window.partitionBy(col("lang"), col("lb"))
           .orderBy(col("id"))))
       .filter(col("__rn") <= maxBucket)
     val pairs = capped
       .groupBy(col("lang"), col("lb"))
-      .agg(sort_array(collect_list(struct(col("id"), col("px")))).as("members"))
+      .agg(sort_array(collect_list(
+        struct(col("id"), col("px"), col("hist")))).as("members"))
       .select(explode(orderedPairs(col("members"))).as("p"))
+      .filter(graft.functions.HashFunctions
+        .longArrayL1(col("p.a.hist"), col("p.b.hist")) <= 2L * maxDist)
       .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
         levenshtein(col("p.a.px"), col("p.b.px"), maxDist).as("dist"))
     // each doc lives in exactly one block, so pairs are already unique —

@@ -109,6 +109,56 @@ case class HashedWordShingles(child: Expression, n: Int)
   * pass: |A∩B| / (|A| + |B| − |A∩B|). Empty-∪-empty yields null (0/0) —
   * the generated code handles the nullable result explicitly.
   */
+/** 64-bin codepoint histogram of a string — the per-document half of the
+  * lossless edit-distance pruning bound (see HashKernels.charHist64:
+  * levenshtein >= L1/2). Computed once per capped block member, not per
+  * candidate pair.
+  */
+case class CharHist64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_hist64"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a string argument, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.charHist64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.charHist64($c)")
+
+  override protected def withNewChildInternal(c: Expression): CharHist64 =
+    copy(c)
+}
+
+/** L1 distance of two long arrays — the per-pair half of the pruning
+  * bound; a tight 64-iteration loop per candidate pair instead of an
+  * interpreted zip_with/aggregate fold.
+  */
+case class LongArrayL1(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "long_array_l1"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.longArrayL1(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.HashKernels.longArrayL1($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression):
+      LongArrayL1 = copy(left = l, right = r)
+}
+
 case class SortedLongJaccard(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -153,5 +203,14 @@ object HashFunctions {
   /** Column API for SortedLongJaccard. */
   def sortedLongJaccard(a: Column, b: Column): Column =
     GraftShims.column(SortedLongJaccard(
+      GraftShims.expression(a), GraftShims.expression(b)))
+
+  /** Column API for CharHist64. */
+  def charHist64(c: Column): Column =
+    GraftShims.column(CharHist64(GraftShims.expression(c)))
+
+  /** Column API for LongArrayL1. */
+  def longArrayL1(a: Column, b: Column): Column =
+    GraftShims.column(LongArrayL1(
       GraftShims.expression(a), GraftShims.expression(b)))
 }

@@ -141,4 +141,38 @@ object HashKernels {
     val union = nx + ny - inter
     if (union == 0) null else java.lang.Double.valueOf(inter.toDouble / union)
   }
+
+  /** 64-bin codepoint histogram (bin = codePoint % 64). One edit
+    * operation moves at most 2 units of L1 mass between histograms
+    * (substitution: ±1 in two bins; insert/delete: 1 bin), so
+    * levenshtein(a, b) >= l1(hist(a), hist(b)) / 2 — a LOSSLESS pruning
+    * bound for edit-distance candidate pairs. Code points, not UTF-16
+    * units, to match Spark levenshtein's code-point edit costs.
+    */
+  def charHist64(s: UTF8String): ArrayData = {
+    val out = new Array[Long](64)
+    val str = s.toString
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      out(cp % 64) += 1
+      i += Character.charCount(cp)
+    }
+    new GenericArrayData(out)
+  }
+
+  /** L1 distance of two long arrays (shorter side zero-padded). */
+  def longArrayL1(x: ArrayData, y: ArrayData): Long = {
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < math.max(nx, ny)) {
+      val vx = if (i < nx) x.getLong(i) else 0L
+      val vy = if (i < ny) y.getLong(i) else 0L
+      acc += math.abs(vx - vy)
+      i += 1
+    }
+    acc
+  }
 }

@@ -144,6 +144,23 @@ class BoundedAggPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("charHist64 L1/2 lower-bounds levenshtein (the prune is lossless)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.HashKernels
+    val strGen = for {
+      n <- Gen.choose(0, 40)
+      s <- Gen.listOfN(n, Gen.oneOf(('a' to 'e') ++ Seq(' ', 'ß', '€')))
+    } yield s.mkString
+    samples(Gen.zip(strGen, strGen), 500).foreach { case ((a, b), _) =>
+      val ua = UTF8String.fromString(a)
+      val ub = UTF8String.fromString(b)
+      val l1 = HashKernels.longArrayL1(
+        HashKernels.charHist64(ua), HashKernels.charHist64(ub))
+      val ed = ua.levenshteinDistance(ub)
+      assert(l1 <= 2L * ed, s"bound violated: l1=$l1 ed=$ed a='$a' b='$b'")
+    }
+  }
+
   test("TopKAgg edge ordering: NaN ranks first, -0.0 ties 0.0 on id") {
     val cands = List((0.0, 5L), (-0.0, 3L), (Double.NaN, 9L), (0.5, 1L))
     val rnd = new scala.util.Random(7L)
