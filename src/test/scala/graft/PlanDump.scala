@@ -11,7 +11,7 @@ object PlanDump {
     val sb = new StringBuilder
     for (q <- Seq("p2_project_filter","j1_multi_join","a1_grouped_sum","w6_cumsum",
                   "j5_semi_join","dd_minhash","dd_simhash","dd_embedding_neardups",
-                  "sim_cosine_topk","sim_lsh_topk","bt_backtest_fold",
+                  "dd_editdist","sim_cosine_topk","sim_lsh_topk","bt_backtest_fold",
                   "w4_last_period","ts_langid_scores","opt_grid","sim_ivf_topk",
                   "j9_asof_join","j10_range_join","dd_ngram_jaccard",
                   "a9_quantiles","ts_repetition","ts_strat_sample",
