@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotProduct, GramStats, HashedWordShingles, L2Norm, LangMarkerScores, MinHashSignature, SimHash64, SortedLongJaccard, WordShingles}
+import graft.functions.{CharHist64, DotProduct, GramStats, HashedWordShingles, L2Norm, LangMarkerScores, LongArrayL1, LshBuckets, MinHashSignature, SimHash64, SortedLongJaccard, WordShingles}
 import graft.textstats.TextStats
 
 /** SQL surface for the engine's custom Catalyst expressions: register via
@@ -56,7 +56,14 @@ object GraftExtensions {
     "sorted_long_jaccard" -> (args => { arity("sorted_long_jaccard", args, 2)
       SortedLongJaccard(args.head, args(1)) }),
     "gram_stats" -> (args => { arity("gram_stats", args, 1)
-      GramStats(args.head) }))
+      GramStats(args.head) }),
+    "char_hist64" -> (args => { arity("char_hist64", args, 1)
+      CharHist64(args.head) }),
+    "long_array_l1" -> (args => { arity("long_array_l1", args, 2)
+      LongArrayL1(args.head, args(1)) }),
+    "lsh_buckets" -> (args => { arity("lsh_buckets", args, 3)
+      LshBuckets(args.head, intArg(args(1), "planes"),
+        intArg(args(2), "tables")) }))
 
   /** Register on an already-built session. Also registers the
     * `backtest_fold` aggregate — a udaf goes through the UDF registry,

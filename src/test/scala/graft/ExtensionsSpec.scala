@@ -28,6 +28,27 @@ class ExtensionsSpec extends SparkTestBase {
     assert(row.getSeq[Double](2) === Seq(0.0, 2.0 / 3, 0.0, 0.0))
   }
 
+  test("histogram-bound + LSH expressions are callable from SQL") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT long_array_l1(char_hist64('abc'), char_hist64('abd')) AS l1,
+                size(lsh_buckets(array(1.0D, 2.0D), 4, 2)) AS nb""")
+      .collect()(0)
+    // 'abc' vs 'abd': c and d each differ by one -> L1 = 2
+    assert(row.getLong(0) === 2L)
+    assert(row.getInt(1) === 2)
+    // SQL path must agree with the Column API used by the dedup/sim tiers
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(Seq(0.5, -1.5, 2.0)).toDF("v")
+    val viaCol = df.select(graft.functions.VectorFunctions
+      .lshBuckets(col("v"), 4, 2)).collect()(0).getSeq[Long](0)
+    df.createOrReplaceTempView("vecs")
+    val viaSql = spark.sql("SELECT lsh_buckets(v, 4, 2) FROM vecs")
+      .collect()(0).getSeq[Long](0)
+    assert(viaCol === viaSql)
+  }
+
   test("SQL and Column APIs agree") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions._
