@@ -83,7 +83,7 @@ object BacktestEngine {
     * absent columns as nulls (reference strats.py:527-543, P1/P2).
     */
   def normalize(bars: DataFrame): DataFrame = {
-    val lowered = bars.toDF(bars.columns.map(_.toLowerCase): _*)
+    val lowered = bars.toDF(bars.columns.toIndexedSeq.map(_.toLowerCase): _*)
     val want = Seq("open", "high", "low", "close", "volume")
     val cols = col("ticker") +: col("date") +: want.map { c =>
       if (lowered.columns.contains(c)) col(c) else lit(null).cast("double").as(c)

@@ -92,7 +92,7 @@ object Joins {
       df.withColumn(c, when(tolOk, col("__f").getField(c)))
     }.withColumn(matchedCol, when(tolOk, col("__f").getField("__mt")))
     projected.select(
-      (left.columns.map(col) ++ payload.map(col) :+ col(matchedCol)): _*)
+      (left.columns.toIndexedSeq.map(col) ++ payload.map(col) :+ col(matchedCol)): _*)
   }
 
   /** Interval (range) join: rows of `probe` whose `probeTimeCol` falls in

@@ -34,7 +34,7 @@ object Sources {
       .schema(ohlcvSchema)
       .option("header", "true")
       .csv(if (path.endsWith(".csv")) path else s"$path/*.csv")
-    val lowered = raw.toDF(raw.columns.map(_.toLowerCase): _*)
+    val lowered = raw.toDF(raw.columns.toIndexedSeq.map(_.toLowerCase): _*)
     lowered.withColumn("ticker",
       regexp_extract(input_file_name(), "([^/]+)\\.csv$", 1))
   }
@@ -47,7 +47,7 @@ object Sources {
       .option("sep", "|")
       .option("header", "true")
       .csv(path)
-    raw.toDF(raw.columns.map(_.toLowerCase): _*)
+    raw.toDF(raw.columns.toIndexedSeq.map(_.toLowerCase): _*)
   }
 
   /** S5: one-column word list (reference common_stock.py:93-94). */
