@@ -1,0 +1,176 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming MinHash near-duplicate detection — the continuous analogue
+  * of `graft.dedup.Dedup.minhashNearDups` for deduplicating an unbounded
+  * document ingest (the 100 TB crawl-stream case, where batch backfill
+  * banding cannot see documents that have not arrived yet).
+  *
+  * Same signature/banding math as the batch operator (the codegen'd
+  * `word_shingles` → `minhash_signature` expressions and the identical
+  * `xxhash64(band, slice(sig))` band hash), but candidate generation and
+  * verification fold into per-bucket state:
+  *
+  *  - Each arriving document joins its `bands` bucket keys; per
+  *    (band, band_hash) the state holds a BOUNDED ring of the most
+  *    recent `maxBucket` member signatures (newest-wins eviction — on a
+  *    stream the recent neighbors are the ones still worth matching).
+  *  - Verification is the standard signature estimate: matching
+  *    signature slots / numHashes ≈ Jaccard (within ±O(1/√numHashes));
+  *    the batch operator re-joins shingle sets for EXACT Jaccard, which
+  *    a stream cannot do without retaining every document's shingles.
+  *    The estimate is computed from state already in memory — no join,
+  *    no second pass.
+  *  - Bucket state is EVICTED by event-time timeout once the watermark
+  *    passes `horizon` beyond the bucket's last activity — memory is
+  *    bounded by (active buckets within the horizon) × maxBucket
+  *    signatures, the only sound contract on an infinite stream.
+  *
+  * A pair sharing several bands re-emits once per matching band;
+  * `streamingNearDups` composes `dropDuplicatesWithinWatermark` on the
+  * pair key to collapse them (watermark-evicted pair state).
+  */
+object StreamingNearDup {
+
+  final case class BandRow(band: Int, bandHash: Long, id: Long,
+      ts: Timestamp, sig: Array[Long])
+
+  final case class CandidatePair(id_a: Long, id_b: Long,
+      est_jaccard: Double, ts: Timestamp)
+
+  /** Per-bucket member ring: parallel arrays, oldest-arrival evicted at
+    * `maxBucket`. Java-serialized state (same pattern as
+    * StreamingJoins.QuoteBuffer).
+    */
+  @SerialVersionUID(1L)
+  final class BucketRing(val maxBucket: Int) extends Serializable {
+    var ids: Array[Long] = Array.emptyLongArray
+    var sigs: Array[Array[Long]] = Array.empty
+
+    def insert(id: Long, sig: Array[Long]): Unit = {
+      val drop = math.max(0, ids.length + 1 - maxBucket)
+      ids = java.util.Arrays.copyOfRange(ids, drop, ids.length) :+ id
+      sigs = sigs.drop(drop) :+ sig
+    }
+  }
+
+  implicit private val ringEnc: Encoder[BucketRing] =
+    Encoders.javaSerialization[BucketRing]
+
+  private def estJaccard(a: Array[Long], b: Array[Long]): Double = {
+    var eq = 0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { if (a(i) == b(i)) eq += 1; i += 1 }
+    eq.toDouble / math.max(a.length, b.length)
+  }
+
+  /** Near-dup candidate pairs (id_a < id_b, est_jaccard ≥ threshold)
+    * from a document stream. May emit a pair once per shared band — see
+    * [[streamingNearDups]] for the deduplicated composition. Works on
+    * batch frames too (state within the single "batch" micro-batch).
+    */
+  def nearDupCandidates(docs: DataFrame, idCol: String = "doc_id",
+      tsCol: String = "ts", textCol: String = "text",
+      shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.8, maxBucket: Int = 64,
+      horizon: String = "1 hour"): Dataset[CandidatePair] = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val sigs = docs
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        col(tsCol).cast("timestamp").as("ts"),
+        graft.functions.HashFunctions.minhashSignature(
+          graft.functions.HashFunctions.wordShingles(col(textCol),
+            shingleSize), numHashes).as("sig"))
+      .filter(size(col("sig")) > 0)
+      .withWatermark("ts", horizon)
+    // identical band hash to the batch operator: xxhash64(band, slice)
+    val banded = sigs.select(col("id"), col("ts"), col("sig"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
+          : _*)).as(Seq("band", "band_hash")))
+      .select(col("band"), col("band_hash").as("bandHash"), col("id"),
+        col("ts"), col("sig"))
+      .as[BandRow]
+
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(horizon))
+    val horizonMs = iv.months * 2592000000L + iv.days * 86400000L +
+      iv.microseconds / 1000L
+
+    banded.groupByKey(r => (r.band, r.bandHash)).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (_: (Int, Long), rows: Iterator[BandRow],
+          state: GroupState[BucketRing]) =>
+        if (state.hasTimedOut) {
+          // watermark passed the bucket's horizon: neighbors this old no
+          // longer need matching — drop the whole ring
+          state.remove()
+          Iterator.empty
+        } else {
+          val ring = state.getOption.getOrElse(new BucketRing(maxBucket))
+          // deterministic event-order processing within the micro-batch
+          val batch = rows.toArray.sortBy(r => (r.ts.getTime, r.id))
+          val out = Vector.newBuilder[CandidatePair]
+          batch.foreach { r =>
+            var i = 0
+            while (i < ring.ids.length) {
+              val other = ring.ids(i)
+              if (other != r.id) {
+                val est = estJaccard(ring.sigs(i), r.sig)
+                if (est >= threshold)
+                  out += CandidatePair(math.min(other, r.id),
+                    math.max(other, r.id), est, r.ts)
+              }
+              i += 1
+            }
+            ring.insert(r.id, r.sig)
+          }
+          state.update(ring)
+          // evict the bucket once the watermark is `horizon` past its
+          // newest member (batch rows are never behind the watermark)
+          if (batch.nonEmpty) {
+            val last = batch.iterator.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(last + horizonMs)
+          }
+          out.result().iterator
+        }
+    }
+  }
+
+  /** Candidate pairs with the cross-band re-emissions collapsed: exact
+    * duplicate (id_a, id_b) pairs within the watermark horizon are
+    * dropped (watermark-evicted pair state, the streaming analogue of
+    * the batch operator's `dropDuplicates`).
+    *
+    * Chaining a second stateful operator after flatMapGroupsWithState
+    * trips Spark's conservative global-watermark correctness check —
+    * set `spark.sql.streaming.statefulOperator.checkCorrectness.enabled`
+    * to `false` for this composition. It is safe HERE because every
+    * emitted pair carries the ARRIVING row's event time, which is never
+    * behind the watermark, so the downstream dedup never sees a late
+    * row (the scenario the check guards against). Consumers that prefer
+    * to keep the check on can use [[nearDupCandidates]] and dedup pairs
+    * in the sink.
+    */
+  def streamingNearDups(docs: DataFrame, idCol: String = "doc_id",
+      tsCol: String = "ts", textCol: String = "text",
+      shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.8, maxBucket: Int = 64,
+      horizon: String = "1 hour"): DataFrame =
+    nearDupCandidates(docs, idCol, tsCol, textCol, shingleSize, numHashes,
+      bands, threshold, maxBucket, horizon)
+      .toDF()
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("id_a", "id_b")
+}
