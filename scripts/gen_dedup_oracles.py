@@ -40,9 +40,10 @@ sh AS (
 shf AS (SELECT * FROM sh WHERE len(sh) > 0)"""
 
 
-def minhash_pairs_ctes():
-    """CTE chain from documents to minhash near-dup `mh_pairs`
-    (id_a, id_b, jaccard >= 0.5)."""
+def sigl_ctes():
+    """CTE chain from documents to per-doc 32-slot minhash signatures
+    (`sigl`) — shared by the batch LSH oracle and the streaming-twin
+    oracle."""
     multi = xxh64_str_seeds("g", 32)
     sig_signed = signed("mh_u")
     return f"""{TOKS},{SHINGLES},
@@ -53,7 +54,39 @@ sigs AS (SELECT id, sd, min({sig_signed}) AS mh
   FROM (SELECT p.id, unnest(range(0, 32)) AS sd, unnest(h.hl) AS mh_u
         FROM posting p JOIN ghash h USING (g))
   GROUP BY id, sd),
-sigl AS (SELECT id, list(mh ORDER BY sd) AS sig FROM sigs GROUP BY id),
+sigl AS MATERIALIZED (SELECT id, list(mh ORDER BY sd) AS sig
+  FROM sigs GROUP BY id)"""
+
+
+def dd_stream_sql():
+    """Oracle for the STREAMING near-dup operator's batch twin
+    (graft.streaming.StreamingNearDup.nearDupCandidates on a batch
+    frame): 8 bands x 4 rows, arrival order = id (ts derived from it),
+    per-bucket bounded ring of 64 (pair emits iff fewer than 64 docs
+    arrived between the partners in that bucket), verification by
+    signature estimate (matching slots / 32) >= 0.5."""
+    return f"""WITH {sigl_ctes()},
+banded8 AS MATERIALIZED (SELECT id, sig, b, sig[4*b+1:4*b+4] AS slc
+  FROM sigl, range(8) t(b)),
+ranked AS (SELECT id, b, slc,
+    row_number() OVER (PARTITION BY b, slc ORDER BY id) AS rn
+  FROM banded8),
+cand AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+  FROM ranked a JOIN ranked b2 ON a.b = b2.b AND a.slc = b2.slc
+  WHERE a.rn < b2.rn AND b2.rn - a.rn <= 64),
+est AS (SELECT id_a, id_b,
+    len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) / 32.0
+      AS est_jaccard
+  FROM cand JOIN sigl sa ON cand.id_a = sa.id
+            JOIN sigl sb ON cand.id_b = sb.id)
+SELECT id_a, id_b, est_jaccard FROM est
+WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b"""
+
+
+def minhash_pairs_ctes():
+    """CTE chain from documents to minhash near-dup `mh_pairs`
+    (id_a, id_b, jaccard >= 0.5)."""
+    return f"""{sigl_ctes()},
 banded AS (SELECT id, b, sig[2*b+1:2*b+2] AS slc
   FROM sigl, range(16) t(b)),
 buckets AS (SELECT b, slc, list_sort(list(id))[1:64] AS members
@@ -128,7 +161,8 @@ def validate(sf_dir, verify_dir):
     ok = True
     for name, sql in [("dd_minhash", dd_minhash_sql()),
                       ("dd_simhash", dd_simhash_sql()),
-                      ("dd_drop_near_dups", dd_drop_sql())]:
+                      ("dd_drop_near_dups", dd_drop_sql()),
+                      ("dd_stream_neardup_batch", dd_stream_sql())]:
         import time
         t0 = time.time()
         d = con.sql(sql).df()
@@ -155,7 +189,8 @@ def emit_scala(path):
         f'  val {name}: String = "{esc(sql)}"'
         for name, sql in [("ddMinhash", dd_minhash_sql()),
                           ("ddSimhash", dd_simhash_sql()),
-                          ("ddDropNearDups", dd_drop_sql())])
+                          ("ddDropNearDups", dd_drop_sql()),
+                          ("ddStreamNearDupBatch", dd_stream_sql())])
     src = f"""package graft
 
 /** GENERATED by scripts/gen_dedup_oracles.py — do not edit by hand.

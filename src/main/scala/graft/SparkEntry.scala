@@ -597,6 +597,22 @@ object SparkEntry {
           maxHamming = 6, chunks = 4)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "dd_stream_neardup_batch" -> ((s, dir) => {
+      // the STREAMING near-dup operator run in batch mode (one
+      // micro-batch, state within it): arrival order is doc_id (ts
+      // derived from it), so the banded ring-state semantics are fully
+      // deterministic and DuckDB-oracle-checkable. distinct() collapses
+      // cross-band re-emissions (the streaming path uses the
+      // watermarked pair dedup instead).
+      val docs = t(s, dir, "documents")
+        .withColumn("ts", timestamp_seconds(col("doc_id")))
+      graft.streaming.StreamingNearDup.nearDupCandidates(docs,
+          threshold = 0.5, bands = 8)
+        .toDF()
+        .select(col("id_a"), col("id_b"), col("est_jaccard"))
+        .distinct()
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "dd_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
           shingleSize = 4, threshold = 0.5, maxDf = 20)
@@ -1304,6 +1320,7 @@ object SparkEntry {
     "dd_minhash" -> DedupOracles.ddMinhash,
     "dd_simhash" -> DedupOracles.ddSimhash,
     "dd_drop_near_dups" -> DedupOracles.ddDropNearDups,
+    "dd_stream_neardup_batch" -> DedupOracles.ddStreamNearDupBatch,
     "dd_ngram_jaccard" ->
       """WITH toks AS (
            SELECT doc_id AS id,
