@@ -1,7 +1,7 @@
 package graft.api
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{broadcast, col}
+import org.apache.spark.sql.functions.{broadcast, col, concat, lit}
 
 import graft.analytics.Metrics
 import graft.engine.{BacktestEngine, BacktestResult}
@@ -46,6 +46,34 @@ final class Backtest(
 
   /** Orders table (reference Order_Manager.to_df, strats.py:226-245). */
   def orders(): DataFrame = { ensureRun(); result.get.orders.toDF() }
+
+  /** Write the net-worth curve as an SVG chart — the reference's plot
+    * sink (plot_data, strats.py:422-486: line/area, LIGHT/DARK, ticker
+    * watermark, ["Strategy", "S&P500"] legend), Spark-first: each
+    * series is decimated in Spark before the bounded driver collect
+    * (graft.viz.ChartSink). With a configured index frame the joined
+    * index column plots as a second series per ticker.
+    */
+  def plotNetWorth(path: String, title: String = "Stocks",
+      dark: Boolean = false, area: Boolean = false): Unit = {
+    ensureRun()
+    val daily = result.get.daily
+    val strat = daily.select(col("ticker").as("series"), col("date"),
+      col("net_worth").cast("double").as("value"))
+    val series = if (daily.columns.contains("SP500"))
+      strat.unionByName(daily.filter(col("SP500").isNotNull)
+        .select(concat(col("ticker"), lit(" S&P500")).as("series"),
+          col("date"), col("SP500").cast("double").as("value")))
+    else strat
+    // the reference watermarks its (single) ticker; only meaningful here
+    // when the frame carries exactly one
+    val tickers = daily.select("ticker").distinct().limit(2).collect()
+    val watermark = if (tickers.length == 1) Some(tickers(0).getString(0))
+      else None
+    graft.viz.ChartSink.save(series, "date", "value", "series", path,
+      title = title, xLabel = "Date", yLabel = "Return",
+      watermark = watermark, dark = dark, area = area)
+  }
 
   /** The 19-metric stats table (reference metrics(), strats.py:657-789).
     * Requires an index frame for beta/alpha/R² — without one those

@@ -1,0 +1,169 @@
+package graft.viz
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampType, DateType}
+
+/** SVG chart sink — the engine's analogue of the reference's matplotlib
+  * plot sink (strats.py:422-486 `plot_data`: multi-series line or
+  * unstacked-area chart of a date-indexed frame, title/axis labels,
+  * legend, translucent ticker watermark, LIGHT/DARK styles, saved under
+  * a target directory). Re-expressed Spark-first with zero external
+  * dependencies: the chart is a generated standalone SVG string.
+  *
+  * Scale contract (the part matplotlib cannot do): a plot is a
+  * driver-side materialization by nature, so the collect MUST be
+  * bounded. Each series is decimated IN SPARK to at most
+  * `maxPointsPerSeries` rows (every k-th row by x-order, endpoints
+  * always kept — one window pass, no extra shuffle beyond the per-series
+  * partitioning) before anything reaches the driver. Plotting a 100 TB
+  * table collects ≤ series × maxPointsPerSeries points, never the data.
+  */
+object ChartSink {
+
+  private val lightPalette = Seq("#1f77b4", "#ff7f0e", "#2ca02c", "#d62728",
+    "#9467bd", "#8c564b", "#e377c2", "#7f7f7f")
+
+  final case class Style(dark: Boolean) {
+    val background: String = if (dark) "#1c1c1c" else "#ffffff"
+    val text: String = if (dark) "#eeeeee" else "#222222"
+    val grid: String = if (dark) "#444444" else "#dddddd"
+    val palette: Seq[String] = lightPalette
+  }
+
+  /** Decimate each series to ≤ maxPoints rows by x-order: keep the first
+    * row, the last row, and every ceil(n/maxPoints)-th in between —
+    * shape-preserving enough for a line chart, and the collect bound.
+    */
+  private[graft] def decimate(df: DataFrame, xCol: String, yCol: String,
+      seriesCol: String, maxPoints: Int): DataFrame = {
+    val w = Window.partitionBy(seriesCol).orderBy(col(xCol))
+    val wAll = Window.partitionBy(seriesCol)
+    df.select(col(seriesCol), col(xCol), col(yCol))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__step", greatest(lit(1),
+        ceil(col("__n").cast("double") / maxPoints)))
+      .filter(col("__rn") === 1 || col("__rn") === col("__n") ||
+        pmod(col("__rn") - 1, col("__step")) === 0)
+      .drop("__rn", "__n", "__step")
+  }
+
+  private def fmtTick(v: Double, isTime: Boolean): String =
+    if (isTime)
+      java.time.Instant.ofEpochMilli((v / 1000d).toLong)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    else if (v == v.floor && math.abs(v) < 1e15) v.toLong.toString
+    else f"$v%.4g"
+
+  private def esc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** Render a multi-series line (or unstacked-area) chart as a
+    * standalone SVG string. `xCol` may be timestamp/date (ticks format
+    * as UTC dates) or numeric; one polyline/polygon per distinct value
+    * of `seriesCol`, drawn in x-order, legend in series-name order.
+    */
+  def lineChartSvg(df: DataFrame, xCol: String, yCol: String,
+      seriesCol: String, title: String = "Stocks", xLabel: String = "Date",
+      yLabel: String = "Return", watermark: Option[String] = None,
+      dark: Boolean = false, area: Boolean = false,
+      width: Int = 960, height: Int = 540,
+      maxPointsPerSeries: Int = 2000): String = {
+    val isTime = df.schema(xCol).dataType match {
+      case TimestampType | DateType => true
+      case _ => false
+    }
+    val xNum = if (isTime) unix_micros(col(xCol).cast("timestamp"))
+      else col(xCol).cast("double")
+    val prepared = decimate(
+      df.select(col(seriesCol).cast("string").as("__s"),
+        xNum.cast("double").as("__x"), col(yCol).cast("double").as("__y"))
+        .filter(col("__x").isNotNull && col("__y").isNotNull),
+      "__x", "__y", "__s", maxPointsPerSeries)
+
+    // bounded collect: ≤ series × maxPointsPerSeries rows by construction
+    val rows = prepared.orderBy("__s", "__x").collect()
+    require(rows.nonEmpty, "ChartSink: nothing to plot")
+    val bySeries = rows.groupBy(_.getString(0)).toSeq.sortBy(_._1)
+      .map { case (s, rs) =>
+        s -> rs.map(r => (r.getDouble(1), r.getDouble(2))).sortBy(_._1) }
+
+    val xs = rows.map(_.getDouble(1))
+    val ys = rows.map(_.getDouble(2))
+    val (xMin, xMax0) = (xs.min, xs.max)
+    val (yMin0, yMax0) = (math.min(ys.min, if (area) 0.0 else ys.min), ys.max)
+    val xMax = if (xMax0 == xMin) xMin + 1 else xMax0
+    val (yMin, yMax) = if (yMax0 == yMin0) (yMin0 - 1, yMax0 + 1)
+      else (yMin0, yMax0)
+
+    val (ml, mr, mt, mb) = (70, 20, 45, 50) // margins
+    val (pw, ph) = (width - ml - mr, height - mt - mb)
+    def sx(x: Double): Double = ml + (x - xMin) / (xMax - xMin) * pw
+    def sy(y: Double): Double = mt + ph - (y - yMin) / (yMax - yMin) * ph
+
+    val style = Style(dark)
+    val sb = new StringBuilder
+    sb ++= s"""<svg xmlns="http://www.w3.org/2000/svg" width="$width" height="$height" viewBox="0 0 $width $height">"""
+    sb ++= s"""<rect width="$width" height="$height" fill="${style.background}"/>"""
+    // grid + ticks (5 each axis, under the data like the reference's
+    // ax.grid(zorder=0))
+    val nTicks = 5
+    (0 to nTicks).foreach { i =>
+      val fx = xMin + (xMax - xMin) * i / nTicks
+      val fy = yMin + (yMax - yMin) * i / nTicks
+      val gx = sx(fx); val gy = sy(fy)
+      sb ++= f"""<line x1="$gx%.1f" y1="$mt" x2="$gx%.1f" y2="${mt + ph}" stroke="${style.grid}" stroke-width="1"/>"""
+      sb ++= f"""<line x1="$ml" y1="$gy%.1f" x2="${ml + pw}" y2="$gy%.1f" stroke="${style.grid}" stroke-width="1"/>"""
+      sb ++= f"""<text x="$gx%.1f" y="${height - mb + 18}" font-size="11" fill="${style.text}" text-anchor="middle">${esc(fmtTick(fx, isTime))}</text>"""
+      sb ++= f"""<text x="${ml - 8}" y="${gy + 4}%.1f" font-size="11" fill="${style.text}" text-anchor="end">${esc(fmtTick(fy, isTime = false))}</text>"""
+    }
+    // watermark (the reference's big translucent ticker text)
+    watermark.foreach { wm =>
+      sb ++= s"""<text x="${width / 2}" y="${height / 2}" font-size="76" font-weight="bold" fill="${style.text}" fill-opacity="0.3" text-anchor="middle" font-variant="small-caps">${esc(wm)}</text>"""
+    }
+    // series
+    bySeries.zipWithIndex.foreach { case ((name, pts), i) =>
+      val color = style.palette(i % style.palette.size)
+      val pointStr = pts.map { case (x, y) => f"${sx(x)}%.1f,${sy(y)}%.1f" }
+        .mkString(" ")
+      if (area) {
+        val baseline = sy(math.max(yMin, 0.0))
+        val poly = f"${sx(pts.head._1)}%.1f,$baseline%.1f $pointStr ${sx(pts.last._1)}%.1f,$baseline%.1f"
+        sb ++= s"""<polygon points="$poly" fill="$color" fill-opacity="0.35" stroke="$color" stroke-width="1.5"/>"""
+      } else {
+        sb ++= s"""<polyline points="$pointStr" fill="none" stroke="$color" stroke-width="1.8"/>"""
+      }
+    }
+    // legend (top-right, series-name order — reference shows a legend box)
+    bySeries.zipWithIndex.foreach { case ((name, _), i) =>
+      val color = style.palette(i % style.palette.size)
+      val ly = mt + 8 + i * 18
+      sb ++= s"""<rect x="${width - mr - 130}" y="${ly - 9}" width="12" height="12" fill="$color"/>"""
+      sb ++= s"""<text x="${width - mr - 112}" y="$ly" font-size="12" fill="${style.text}">${esc(name)}</text>"""
+    }
+    // title + axis labels
+    sb ++= s"""<text x="${width / 2}" y="26" font-size="18" font-weight="bold" fill="${style.text}" text-anchor="middle">${esc(title)}</text>"""
+    sb ++= s"""<text x="${width / 2}" y="${height - 12}" font-size="13" fill="${style.text}" text-anchor="middle">${esc(xLabel)}</text>"""
+    sb ++= s"""<text x="18" y="${height / 2}" font-size="13" fill="${style.text}" text-anchor="middle" transform="rotate(-90 18 ${height / 2})">${esc(yLabel)}</text>"""
+    sb ++= "</svg>"
+    sb.toString
+  }
+
+  /** Render and write to `path` (parent directories created — the
+    * reference's `Graphs/` convention).
+    */
+  def save(df: DataFrame, xCol: String, yCol: String, seriesCol: String,
+      path: String, title: String = "Stocks", xLabel: String = "Date",
+      yLabel: String = "Return", watermark: Option[String] = None,
+      dark: Boolean = false, area: Boolean = false,
+      width: Int = 960, height: Int = 540,
+      maxPointsPerSeries: Int = 2000): Unit = {
+    val svg = lineChartSvg(df, xCol, yCol, seriesCol, title, xLabel, yLabel,
+      watermark, dark, area, width, height, maxPointsPerSeries)
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, svg)
+  }
+}
