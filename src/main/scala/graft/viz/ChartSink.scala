@@ -151,6 +151,39 @@ object ChartSink {
     sb.toString
   }
 
+  /** The reference's raw-price chart modes (finance_data.py:41-88
+    * `plot_data`): REGULAR plots close, PERCENT plots
+    * `cumprod(pct_change + 1)` (finance_data.py:29-39), LOG_PERCENT
+    * plots `cumsum(log(pct_change + 1))` — the same per-ticker
+    * transforms as the oracle-checked W2/W8/W9 window operators,
+    * composed with the SVG sink. Returns the SVG string.
+    */
+  def priceChartSvg(bars: DataFrame, plotType: String = "REGULAR",
+      tickerCol: String = "ticker", dateCol: String = "date",
+      closeCol: String = "close", dark: Boolean = false,
+      width: Int = 960, height: Int = 540,
+      maxPointsPerSeries: Int = 2000): String = {
+    import graft.ts.TimeSeriesOps
+    val w = Window.partitionBy(col(tickerCol)).orderBy(col(dateCol))
+    val close = col(closeCol).cast("double")
+    val (value, title) = plotType match {
+      case "REGULAR" => (close, "Stocks")
+      case "PERCENT" =>
+        (TimeSeriesOps.cumProd(TimeSeriesOps.pctChange(close, w) + 1, w),
+          "Percent Return")
+      case "LOG_PERCENT" =>
+        (TimeSeriesOps.logCumReturn(close, w), "Log Percent Return")
+      case other => throw new IllegalArgumentException(
+        s"plotType must be REGULAR, PERCENT or LOG_PERCENT, got $other")
+    }
+    lineChartSvg(bars.select(col(tickerCol), col(dateCol),
+        value.as("__value")),
+      dateCol, "__value", tickerCol, title = title, xLabel = "Date",
+      yLabel = if (plotType == "REGULAR") "Close" else "Return",
+      dark = dark, width = width, height = height,
+      maxPointsPerSeries = maxPointsPerSeries)
+  }
+
   /** Render and write to `path` (parent directories created — the
     * reference's `Graphs/` convention).
     */

@@ -93,6 +93,27 @@ class ChartSinkSpec extends SparkTestBase {
     assert(scala.xml.XML.loadString(svg).label == "svg")
   }
 
+  test("price chart modes: PERCENT cumprods, LOG_PERCENT cumsums logs") {
+    val bars = Seq(
+      ("A", Timestamp.valueOf("2024-01-01 00:00:00"), 100.0),
+      ("A", Timestamp.valueOf("2024-01-02 00:00:00"), 110.0),
+      ("A", Timestamp.valueOf("2024-01-03 00:00:00"), 99.0))
+      .toDF("ticker", "date", "close")
+    val pct = ChartSink.priceChartSvg(bars, "PERCENT")
+    assert(pct.contains("Percent Return"))
+    // cumprod of (1.1, 0.9): last y = 0.99, first non-null = 1.1 —
+    // the polyline's vertical extent must span exactly those two
+    val pts = polyline.findFirstMatchIn(pct).get.group(1).split(" ")
+      .map(_.split(",")(1).toDouble)
+    assert(pts.length == 2, "first pct row is null and drops")
+    assert(pts.min < pts.max)
+    val logp = ChartSink.priceChartSvg(bars, "LOG_PERCENT", dark = true)
+    assert(logp.contains("Log Percent Return") && logp.contains("#1c1c1c"))
+    intercept[IllegalArgumentException] {
+      ChartSink.priceChartSvg(bars, "CANDLESTICK")
+    }
+  }
+
   test("save writes under a created directory (Graphs/ convention)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_charts")
     val out = dir.resolve("Graphs/nw.svg").toString
