@@ -145,4 +145,39 @@ object ScaleOps {
   def writePartitioned(df: DataFrame, path: String,
       partitionCols: String*): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Compact a parquet directory's small files into ~`targetFileMB`
+    * outputs — the standard post-ingest maintenance op: a continuously
+    * appended table accumulates thousands of tiny files whose footer
+    * parsing and task-scheduling overhead dominate 100 TB scans. The
+    * output file count is estimated from the input's actual on-disk
+    * bytes (never a row count pass); with `clusterBy` set the rewrite
+    * range-partitions and sorts on those columns, so parquet min/max
+    * stats stay tight and later predicate pushdown can skip row groups
+    * — without it, coalesce() avoids a shuffle entirely.
+    * Returns the number of output files written.
+    */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession,
+      inPath: String, outPath: String, targetFileMB: Int = 512,
+      clusterBy: Seq[String] = Nil): Int = {
+    require(targetFileMB > 0, s"targetFileMB must be positive")
+    require(new java.io.File(outPath).getCanonicalPath !=
+      new java.io.File(inPath).getCanonicalPath,
+      "compactParquet cannot overwrite its input in place")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(inPath)).getLength
+    val nFiles = math.max(1,
+      math.ceil(bytes.toDouble / (targetFileMB * 1024L * 1024L)).toInt)
+    val df = spark.read.parquet(inPath)
+    val out =
+      if (clusterBy.nonEmpty)
+        df.repartitionByRange(nFiles, clusterBy.map(col): _*)
+          .sortWithinPartitions(clusterBy.map(col): _*)
+      else df.coalesce(nFiles)
+    out.write.mode("overwrite").parquet(outPath)
+    fs.listStatus(new org.apache.hadoop.fs.Path(outPath))
+      .count(_.getPath.getName.endsWith(".parquet"))
+  }
 }

@@ -79,4 +79,38 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(q.count() ===
       ev.filter(col("event_type") === "click").count())
   }
+
+  test("compactParquet: many small files -> few, rows intact, clustered") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact")
+    val in = tmp.resolve("in").toString
+    val out = tmp.resolve("out").toString
+    val df = spark.range(20000)
+      .select(col("id"), (col("id") % 997).as("k"),
+        rand(7).as("v"))
+    df.repartition(40).write.parquet(in) // the small-file mess
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(in) == 40)
+
+    val n = ScaleOps.compactParquet(spark, in, out, targetFileMB = 512,
+      clusterBy = Seq("k"))
+    assert(n < 5, s"expected few output files, got $n")
+    assert(parquetFiles(out) == n)
+    val a = spark.read.parquet(in).orderBy("id").collect()
+    val b = spark.read.parquet(out).orderBy("id").collect()
+    assert(a.sameElements(b), "compaction must not change the rows")
+    // clustered rewrite: each output file covers a disjoint k-range, so
+    // a point predicate's scan prunes to ~one file via min/max stats
+    val perFile = spark.read.parquet(out)
+      .select(input_file_name().as("f"), col("k"))
+      .groupBy("f").agg(min("k").as("lo"), max("k").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    perFile.sliding(2).foreach {
+      case Array(x, y) => assert(x._2 <= y._1, s"overlapping ranges: $x $y")
+      case _ => ()
+    }
+    intercept[IllegalArgumentException] {
+      ScaleOps.compactParquet(spark, in, in)
+    }
+  }
 }
