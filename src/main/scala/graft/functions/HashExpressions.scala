@@ -147,6 +147,20 @@ case class LongArrayL1(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "long_array_l1"
 
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint> arguments, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any =
     HashKernels.longArrayL1(
       a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

@@ -161,13 +161,21 @@ object ScaleOps {
       inPath: String, outPath: String, targetFileMB: Int = 512,
       clusterBy: Seq[String] = Nil): Int = {
     require(targetFileMB > 0, s"targetFileMB must be positive")
-    require(new java.io.File(outPath).getCanonicalPath !=
-      new java.io.File(inPath).getCanonicalPath,
+    val conf = spark.sparkContext.hadoopConfiguration
+    // each path resolves ITS OWN filesystem (in and out may live on
+    // different schemes — s3a input, hdfs output); the default-FS
+    // FileSystem.get would throw "Wrong FS" on any non-default path
+    val inP = new org.apache.hadoop.fs.Path(inPath)
+    val outP = new org.apache.hadoop.fs.Path(outPath)
+    val inFs = inP.getFileSystem(conf)
+    val outFs = outP.getFileSystem(conf)
+    // compare fully-qualified URIs — a java.io.File compare is blind to
+    // scheme-qualified spellings of the same directory, and an in-place
+    // mode("overwrite") would delete the input the lazy read still needs
+    require(inFs.makeQualified(inP).toUri !=
+      outFs.makeQualified(outP).toUri,
       "compactParquet cannot overwrite its input in place")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.getContentSummary(
-      new org.apache.hadoop.fs.Path(inPath)).getLength
+    val bytes = inFs.getContentSummary(inP).getLength
     val nFiles = math.max(1,
       math.ceil(bytes.toDouble / (targetFileMB * 1024L * 1024L)).toInt)
     val df = spark.read.parquet(inPath)
@@ -177,7 +185,7 @@ object ScaleOps {
           .sortWithinPartitions(clusterBy.map(col): _*)
       else df.coalesce(nFiles)
     out.write.mode("overwrite").parquet(outPath)
-    fs.listStatus(new org.apache.hadoop.fs.Path(outPath))
+    outFs.listStatus(outP)
       .count(_.getPath.getName.endsWith(".parquet"))
   }
 }

@@ -38,13 +38,16 @@ object ChartSink {
     */
   private[graft] def decimate(df: DataFrame, xCol: String, yCol: String,
       seriesCol: String, maxPoints: Int): DataFrame = {
+    require(maxPoints >= 2, s"maxPoints must be >= 2, got $maxPoints")
     val w = Window.partitionBy(seriesCol).orderBy(col(xCol))
     val wAll = Window.partitionBy(seriesCol)
+    // step = ceil((n-1)/(maxPoints-1)) keeps ≤ maxPoints rows INCLUDING
+    // the forced endpoints: 1 + ceil((n-1)/step) ≤ maxPoints
     df.select(col(seriesCol), col(xCol), col(yCol))
       .withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(wAll))
       .withColumn("__step", greatest(lit(1),
-        ceil(col("__n").cast("double") / maxPoints)))
+        ceil((col("__n") - 1).cast("double") / (maxPoints - 1))))
       .filter(col("__rn") === 1 || col("__rn") === col("__n") ||
         pmod(col("__rn") - 1, col("__step")) === 0)
       .drop("__rn", "__n", "__step")
@@ -75,12 +78,24 @@ object ChartSink {
       case TimestampType | DateType => true
       case _ => false
     }
-    val xNum = if (isTime) unix_micros(col(xCol).cast("timestamp"))
-      else col(xCol).cast("double")
+    // DateType converts via its epoch DAY (timezone-free): casting a
+    // date through the session timezone and formatting the instant in
+    // UTC would shift every tick label a day back in positive-offset
+    // zones. Timestamps are instants; ticks format in UTC (documented).
+    val xNum = df.schema(xCol).dataType match {
+      case DateType => unix_date(col(xCol)).cast("double") * 86400e6
+      case TimestampType => unix_micros(col(xCol))
+      case _ => col(xCol).cast("double")
+    }
+    // non-finite values (NaN pct_change on a 0/0 bar, -Inf log return)
+    // poison the min/max scaling and every coordinate — drop them
+    def finite(c: org.apache.spark.sql.Column) =
+      c.isNotNull && !isnan(c) &&
+        c =!= Double.PositiveInfinity && c =!= Double.NegativeInfinity
     val prepared = decimate(
       df.select(col(seriesCol).cast("string").as("__s"),
         xNum.cast("double").as("__x"), col(yCol).cast("double").as("__y"))
-        .filter(col("__x").isNotNull && col("__y").isNotNull),
+        .filter(finite(col("__x")) && finite(col("__y"))),
       "__x", "__y", "__s", maxPointsPerSeries)
 
     // bounded collect: ≤ series × maxPointsPerSeries rows by construction
@@ -93,7 +108,12 @@ object ChartSink {
     val xs = rows.map(_.getDouble(1))
     val ys = rows.map(_.getDouble(2))
     val (xMin, xMax0) = (xs.min, xs.max)
-    val (yMin0, yMax0) = (math.min(ys.min, if (area) 0.0 else ys.min), ys.max)
+    // area mode anchors its polygons at y=0, so the range must INCLUDE
+    // 0 on both sides — an all-negative series would otherwise place
+    // the baseline above the plot and fill across the title
+    val (yMin0, yMax0) =
+      if (area) (math.min(ys.min, 0.0), math.max(ys.max, 0.0))
+      else (ys.min, ys.max)
     val xMax = if (xMax0 == xMin) xMin + 1 else xMax0
     val (yMin, yMax) = if (yMax0 == yMin0) (yMin0 - 1, yMax0 + 1)
       else (yMin0, yMax0)

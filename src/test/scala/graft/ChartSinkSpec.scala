@@ -39,7 +39,7 @@ class ChartSinkSpec extends SparkTestBase {
     val svg = ChartSink.lineChartSvg(df, "x", "y", "ticker",
       maxPointsPerSeries = 100)
     val pts = polyline.findFirstMatchIn(svg).get.group(1).split(" ")
-    assert(pts.length <= 102, s"decimation bound violated: ${pts.length}")
+    assert(pts.length <= 100, s"decimation bound violated: ${pts.length}")
     val dec = ChartSink.decimate(
       df.selectExpr("ticker as __s", "x as __x", "y as __y"),
       "__x", "__y", "__s", 100)
@@ -112,6 +112,29 @@ class ChartSinkSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       ChartSink.priceChartSvg(bars, "CANDLESTICK")
     }
+  }
+
+  test("non-finite points drop; all-negative area keeps its baseline in-plot") {
+    // a NaN or ±Infinity value (e.g. a -100% bar's log return) must not
+    // poison the axis scaling — the point drops, the chart stays sane
+    val df = Seq(
+      ("A", 1.0, 1.0), ("A", 2.0, Double.NaN),
+      ("A", 3.0, Double.NegativeInfinity), ("A", 4.0, 4.0))
+      .toDF("ticker", "x", "y")
+    val svg = ChartSink.lineChartSvg(df, "x", "y", "ticker")
+    assert(!svg.contains("NaN") && !svg.contains("Infinity"), "finite only")
+    val kept = polyline.findFirstMatchIn(svg).get.group(1).split(" ")
+    assert(kept.length == 2, "exactly the two finite points survive")
+
+    val neg = (0 to 10).map(i => ("s", i.toDouble, -5.0 + 0.3 * i))
+      .toDF("ticker", "x", "y")
+    val areaSvg = ChartSink.lineChartSvg(neg, "x", "y", "ticker", area = true)
+    val poly = """<polygon points="([^"]+)"""".r
+      .findFirstMatchIn(areaSvg).get.group(1).split(" ")
+      .map(_.split(",")(1).toDouble)
+    // every polygon y (baseline included) stays inside the plot region
+    assert(poly.forall(y => y >= 45 - 0.5 && y <= 540 - 50 + 0.5),
+      s"polygon escapes the plot: ${poly.min}..${poly.max}")
   }
 
   test("save writes under a created directory (Graphs/ convention)") {
