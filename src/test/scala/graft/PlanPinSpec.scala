@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+/** Pins the load-bearing physical/optimized plan shapes that the
+  * performance story depends on — the properties PLANS.md documents but
+  * only a test can keep true:
+  *  - dd_editdist's lossless L1 bound must sit BEFORE the banded
+  *    Levenshtein in the same conjunction (And short-circuits left to
+  *    right, so ordering decides whether the ~256x-costlier DP runs on
+  *    pruned pairs);
+  *  - the similarity ranking must be the partial-aggregating k-heap
+  *    (map-side combine before the exchange), not a ranking window;
+  *  - the bounded bucket aggregations must plan with partial
+  *    aggregation (the memory contract lives in the partial buffers).
+  */
+class PlanPinSpec extends SparkTestBase {
+
+  test("dd_editdist: L1 bound conjunct evaluates before the banded DP") {
+    val q = SparkEntry.queries("dd_editdist")(spark, sf0001)
+    val conds = q.queryExecution.optimizedPlan.collect {
+      case f: Filter => f.condition.toString
+    }
+    val withBoth = conds.filter(c =>
+      c.contains("long_array_l1") && c.contains("levenshtein"))
+    assert(withBoth.nonEmpty,
+      s"expected a filter carrying both conjuncts, got: $conds")
+    withBoth.foreach(c =>
+      assert(c.indexOf("long_array_l1") < c.indexOf("levenshtein"),
+        s"L1 bound must short-circuit ahead of the DP: $c"))
+  }
+
+  test("sim top-k ranks via the partial k-heap aggregation, not a window") {
+    for (q <- Seq("sim_cosine_topk", "sim_lsh_topk", "sim_ivf_topk")) {
+      val plan = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("partial_topkagg"),
+        s"$q must partially aggregate the k-heap before the exchange")
+      assert(!plan.contains("row_number"),
+        s"$q must not rank with a window: every scored candidate would shuffle")
+    }
+  }
+
+  test("bounded bucket membership plans with partial aggregation") {
+    for ((q, agg) <- Seq("dd_minhash" -> "partial_smallestklongsagg",
+        "dd_simhash" -> "partial_smallestkmembersagg",
+        "dd_embedding_neardups" -> "partial_smallestklongsagg")) {
+      val plan = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains(agg),
+        s"$q must map-side combine its bounded bucket aggregation")
+    }
+  }
+}
