@@ -1,6 +1,7 @@
 #!/usr/bin/env python3
 """Generate DuckDB oracle SQL for the hash-driven dedup queries
-(dd_minhash, dd_simhash, dd_drop_near_dups) and emit them as a Scala
+(dd_minhash, dd_simhash, dd_drop_near_dups, dd_stream_neardup_batch)
+and emit them as a Scala
 source (graft.DedupOracles) consumed by SparkEntry.oracleSql.
 
 The hard part — Spark's seeded xxhash64, which drives candidate
@@ -14,6 +15,9 @@ graft.dedup.Dedup semantics exactly:
     chunk buckets (cap 64) -> hamming(xor) <= 6
   - drop_near_dups: the minhash pair list -> connected components
     (recursive-CTE transitive closure; clusters are tiny) -> keep min id
+  - stream_neardup_batch: the streaming operator's batch twin — 8 bands
+    of 4 rows, arrival order = id, row_number ring bound (<= 64),
+    matching-slots/32 signature estimate >= 0.5
 
 Validate against a Spark Verify dump, then emit:
     python3 scripts/gen_dedup_oracles.py /root/testdata/sf0.01 /tmp/verify_out01
