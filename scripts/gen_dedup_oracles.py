@@ -62,13 +62,16 @@ sigl AS MATERIALIZED (SELECT id, list(mh ORDER BY sd) AS sig
   FROM sigs GROUP BY id)"""
 
 
-def dd_stream_sql():
+def dd_stream_sql(horizon_s=3600):
     """Oracle for the STREAMING near-dup operator's batch twin
     (graft.streaming.StreamingNearDup.nearDupCandidates on a batch
-    frame): 8 bands x 4 rows, arrival order = id (ts derived from it),
-    per-bucket bounded ring of 64 (pair emits iff fewer than 64 docs
-    arrived between the partners in that bucket), verification by
-    signature estimate (matching slots / 32) >= 0.5."""
+    frame): 8 bands x 4 rows, arrival order = id (ts derived from it:
+    ts = timestamp_seconds(doc_id), so an event-time gap in seconds IS
+    the id gap), per-bucket bounded ring of 64 (pair emits iff fewer
+    than 64 docs arrived between the partners in that bucket) AND the
+    partners' event times within the horizon (match-time enforcement,
+    default '1 hour' = 3600 s), verification by signature estimate
+    (matching slots / 32) >= 0.5."""
     return f"""WITH {sigl_ctes()},
 banded8 AS MATERIALIZED (SELECT id, sig, b, sig[4*b+1:4*b+4] AS slc
   FROM sigl, range(8) t(b)),
@@ -77,7 +80,8 @@ ranked AS (SELECT id, b, slc,
   FROM banded8),
 cand AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b
   FROM ranked a JOIN ranked b2 ON a.b = b2.b AND a.slc = b2.slc
-  WHERE a.rn < b2.rn AND b2.rn - a.rn <= 64),
+  WHERE a.rn < b2.rn AND b2.rn - a.rn <= 64
+    AND b2.id - a.id <= {horizon_s}),
 est AS (SELECT id_a, id_b,
     len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) / 32.0
       AS est_jaccard

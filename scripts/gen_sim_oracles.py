@@ -83,14 +83,74 @@ SELECT query_id, vec_id, round(cosine, 6) AS cos6, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= {k} ORDER BY query_id, rank"""
 
 
-def sim_ivf_sql(n_centroids=16, n_probe=8, k=5):
+def l2f(v, c):
+    """Squared L2 folded left-to-right from 0.0 over `v`'s indices —
+    Similarity.l2 / the NearestCells kernel order."""
+    return fold0(
+        f"list_transform({v}, (dx, di) -> (dx - ({c})[di]) * (dx - ({c})[di]))")
+
+
+def sim_ivf_sql(n_centroids=16, n_probe=8, k=5, refine_sample=256,
+                lloyd_iters=2):
+    """Replicates Similarity.ivfTopK's full quantizer construction:
+    (1) samp — the refine_sample corpus rows with the smallest
+        (xxh64(vec_id), vec_id), in that order;
+    (2) s1..sN — farthest-point seed selection over samp (each step
+        appends the samp row maximizing its min squared distance to the
+        seeds so far, ties to the earliest row);
+    (3) cl1..clL — Lloyd passes: assign each samp row to its nearest
+        centroid (ties to the lowest cell), then per-position means
+        accumulated in samp order (fold from 0.0, one divide); an empty
+        cell keeps its previous centroid.
+    Every float reduction folds exactly like the Scala driver loop, so
+    the refined centroids — and the cell assignments, cosines and ranks
+    downstream — are bit-equal."""
     idh = signed(xxh64_long("vec_id", "42"))
     l2 = fold0("list_transform(v, (dx, di) -> (dx - cv[di]) * (dx - cv[di]))")
+    mind = (f"list_reduce(list_transform(sp.seeds, sd -> {l2f('smp.v', 'sd')}),"
+            " (ma, mb) -> least(ma, mb))")
+    # every step CTE is MATERIALIZED: s{k} references s{k-1} twice, and
+    # an inlined (non-materialized) chain would re-evaluate each level
+    # per reference — 2^15 evaluations of s1 by the last seed
+    fps = ["s1 AS MATERIALIZED (SELECT [(SELECT v FROM samp WHERE srn = 1)]"
+           " AS seeds)"]
+    for s in range(2, n_centroids + 1):
+        fps.append(
+            f"s{s} AS MATERIALIZED (SELECT list_append(sp.seeds, "
+            f"(SELECT smp.v FROM samp smp, s{s-1} sp "
+            f"ORDER BY {mind} DESC, smp.srn LIMIT 1)) AS seeds "
+            f"FROM s{s-1} sp)")
+    lloyd = [f"cl0 AS MATERIALIZED (SELECT seeds AS cents "
+             f"FROM s{n_centroids})"]
+    for it in range(1, lloyd_iters + 1):
+        dl = f"list_transform(cp.cents, cc -> {l2f('smp.v', 'cc')})"
+        mean = ("list_transform(range(1, len(vs[1]) + 1), ci -> "
+                + fold0("list_transform(vs, sv -> sv[ci])") + " / n)")
+        lloyd.append(
+            f"as{it} AS MATERIALIZED (SELECT smp.srn, smp.v, "
+            f"list_position({dl}, list_aggregate({dl}, 'min')) - 1 AS cell "
+            f"FROM samp smp, cl{it-1} cp)")
+        lloyd.append(
+            f"mn{it} AS MATERIALIZED (SELECT cell, "
+            f"list(v ORDER BY srn) AS vs, "
+            f"count(*) AS n FROM as{it} GROUP BY cell)")
+        lloyd.append(
+            f"cl{it} AS MATERIALIZED (SELECT list(cv ORDER BY cell) AS cents "
+            f"FROM ("
+            f"SELECT mc AS cell, COALESCE(m.mv, cp.cents[mc + 1]) AS cv "
+            f"FROM cl{it-1} cp CROSS JOIN range(0, {n_centroids}) t(mc) "
+            f"LEFT JOIN (SELECT cell, {mean} AS mv FROM mn{it}) m "
+            f"ON m.cell = mc))")
+    quantizer = ",\n".join(fps + lloyd)
     return f"""WITH emb AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-cent AS MATERIALIZED (SELECT row_number() OVER (ORDER BY idh) - 1 AS cell, v AS cv
-  FROM (SELECT v, {idh} AS idh FROM emb)
-  QUALIFY row_number() OVER (ORDER BY idh) <= {n_centroids}),
+samp AS MATERIALIZED (SELECT v,
+    row_number() OVER (ORDER BY idh, vec_id) AS srn
+  FROM (SELECT v, vec_id, {idh} AS idh FROM emb)
+  QUALIFY row_number() OVER (ORDER BY idh, vec_id) <= {refine_sample}),
+{quantizer},
+cent AS MATERIALIZED (SELECT mc AS cell, cents[mc + 1] AS cv
+  FROM cl{lloyd_iters} CROSS JOIN range(0, {n_centroids}) t(mc)),
 cdist AS MATERIALIZED (SELECT e.vec_id, e.v, c.cell, {l2} AS d
   FROM emb e CROSS JOIN cent c),
 assigned AS (SELECT vec_id, v, cell FROM (

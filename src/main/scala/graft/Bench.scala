@@ -87,7 +87,23 @@ object Bench {
     val totalMin = results.map(_._3).sum
     val failed = failures.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"total_min":$totalMin,"failed":$failed,"sf":"$sfDir","reps":$reps,"agg":"median"}""")
+    // headline stats FIRST: a tail-truncated capture of this line (the
+    // observed failure mode for round-6's artifact, which lost the whole
+    // min map and the leading per-query medians) still carries the totals
+    // and the failure map; the bulky per-query maps ride at the end. The
+    // full JSON is ALSO written to target/bench.json so the artifact
+    // survives any stdout mangling.
+    val json = s"""{"metric":"total","value":$total,"total_min":$totalMin,"unit":"sec","sf":"$sfDir","reps":$reps,"agg":"median","failed":$failed,"queries":$qs,"queries_min":$qsMin}"""
+    try {
+      val f = new java.io.File("target/bench.json")
+      Option(f.getParentFile).foreach(_.mkdirs())
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      try w.println(json) finally w.close()
+    } catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[bench] could not write target/bench.json: $e")
+    }
+    println(json)
     spark.stop()
     // a broken query must fail the bench run loudly, not vanish into a
     // smaller total

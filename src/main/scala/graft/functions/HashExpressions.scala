@@ -149,16 +149,22 @@ case class LongArrayL1(left: Expression, right: Expression)
 
   override def checkInputDataTypes():
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    // containsNull arrays are rejected at ANALYSIS time: the kernel reads
+    // elements with getLong, which would silently treat a null slot as 0
+    // instead of propagating it. Every internal producer (char_hist64,
+    // non-null literal arrays) is containsNull=false, so only the raw SQL
+    // surface can hit this — and it gets a clear error, not a wrong L1.
     def ok(e: Expression) = e.dataType match {
-      case ArrayType(LongType, _) => true
+      case ArrayType(LongType, false) => true
       case _ => false
     }
     if (ok(left) && ok(right))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires array<bigint> arguments, got " +
-          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+        s"$prettyName requires array<bigint> arguments with non-nullable " +
+          s"elements, got ${left.dataType.catalogString} and " +
+          s"${right.dataType.catalogString}")
   }
 
   override def nullSafeEval(a: Any, b: Any): Any =

@@ -107,7 +107,10 @@ object Joins {
     */
   def rangeJoin(probe: DataFrame, probeTimeCol: String,
       intervals: DataFrame, startCol: String, endCol: String,
-      bucketSeconds: Long, extraKeys: Seq[String] = Nil): DataFrame = {
+      bucketSeconds: Long, extraKeys: Seq[String] = Nil,
+      maxBucketsPerInterval: Int = 4096): DataFrame = {
+    require(maxBucketsPerInterval > 0,
+      s"maxBucketsPerInterval must be positive, got $maxBucketsPerInterval")
     // buckets derive from MICROsecond timestamps: unix_seconds truncates,
     // so an exclusive end inside a fractional second (e.g. end = 10.5 s,
     // bucket = 1 s) would stop one bucket short and silently drop probes
@@ -119,10 +122,25 @@ object Joins {
     val probeB = probe.withColumn("__bucket",
       floorDiv(unix_micros(col(probeTimeCol).cast("timestamp")), us))
     // an interval [s, e) covers buckets floorDiv(s) .. floorDiv(e-1µs);
-    // sequence() is inclusive on both ends
-    val intervalsB = intervals.withColumn("__bucket", explode(sequence(
-      floorDiv(unix_micros(col(startCol).cast("timestamp")), us),
-      floorDiv(unix_micros(col(endCol).cast("timestamp")) - 1, us))))
+    // sequence() is inclusive on both ends. The explode is the one fan-out
+    // in this operator, and it is UNBOUNDED in the interval length: a
+    // year-long interval at 1 s buckets would emit 31M rows from one input
+    // row and quietly melt an executor. Fail fast instead — a span over
+    // maxBucketsPerInterval means bucketSeconds is mis-sized for this
+    // data; the fix is a coarser bucket (or splitting outlier intervals),
+    // never silently eating the explosion. assert_true rides inside the
+    // end-bucket expression so it cannot be pruned away.
+    val startB = floorDiv(unix_micros(col(startCol).cast("timestamp")), us)
+    val endB = floorDiv(unix_micros(col(endCol).cast("timestamp")) - 1, us)
+    val span = endB - startB + 1
+    val guardedEndB = when(
+      assert_true(span <= lit(maxBucketsPerInterval.toLong),
+        concat(lit("rangeJoin: an interval spans "), span,
+          lit(s" buckets > maxBucketsPerInterval=$maxBucketsPerInterval; " +
+            s"raise bucketSeconds (=$bucketSeconds) or split the interval"))
+      ).isNull, endB)
+    val intervalsB = intervals.withColumn("__bucket",
+      explode(sequence(startB, guardedEndB)))
     probeB.join(intervalsB, extraKeys :+ "__bucket")
       .filter(col(probeTimeCol) >= col(startCol) &&
         col(probeTimeCol) < col(endCol))

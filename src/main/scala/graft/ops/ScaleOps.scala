@@ -159,7 +159,7 @@ object ScaleOps {
     */
   def compactParquet(spark: org.apache.spark.sql.SparkSession,
       inPath: String, outPath: String, targetFileMB: Int = 512,
-      clusterBy: Seq[String] = Nil): Int = {
+      clusterBy: Seq[String] = Nil, partitionBy: Seq[String] = Nil): Int = {
     require(targetFileMB > 0, s"targetFileMB must be positive")
     val conf = spark.sparkContext.hadoopConfiguration
     // each path resolves ITS OWN filesystem (in and out may live on
@@ -171,10 +171,19 @@ object ScaleOps {
     val outFs = outP.getFileSystem(conf)
     // compare fully-qualified URIs — a java.io.File compare is blind to
     // scheme-qualified spellings of the same directory, and an in-place
-    // mode("overwrite") would delete the input the lazy read still needs
-    require(inFs.makeQualified(inP).toUri !=
-      outFs.makeQualified(outP).toUri,
-      "compactParquet cannot overwrite its input in place")
+    // mode("overwrite") would delete the input the lazy read still needs.
+    // Nesting is just as fatal as equality: an output INSIDE the input
+    // tree writes _temporary/part files into directories the lazy read is
+    // still listing, and an input inside the output tree is deleted by
+    // the overwrite — reject ancestry in both directions.
+    val inU = inFs.makeQualified(inP).toUri.toString.stripSuffix("/")
+    val outU = outFs.makeQualified(outP).toUri.toString.stripSuffix("/")
+    require(inU != outU && !inU.startsWith(outU + "/") &&
+      !outU.startsWith(inU + "/"),
+      s"compactParquet input and output must be disjoint trees " +
+        s"(got in=$inU out=$outU)")
+    // getContentSummary is recursive, so the byte estimate is correct for
+    // hive-partitioned inputs too
     val bytes = inFs.getContentSummary(inP).getLength
     val nFiles = math.max(1,
       math.ceil(bytes.toDouble / (targetFileMB * 1024L * 1024L)).toInt)
@@ -183,9 +192,22 @@ object ScaleOps {
       if (clusterBy.nonEmpty)
         df.repartitionByRange(nFiles, clusterBy.map(col): _*)
           .sortWithinPartitions(clusterBy.map(col): _*)
+      else if (partitionBy.nonEmpty)
+        // hash-partition on the layout columns: each partition value lands
+        // in exactly one task, so each hive directory compacts to ONE
+        // file (the ideal layout) while task count stays <= nFiles
+        df.repartition(nFiles, partitionBy.map(col): _*)
       else df.coalesce(nFiles)
-    out.write.mode("overwrite").parquet(outPath)
-    outFs.listStatus(outP)
-      .count(_.getPath.getName.endsWith(".parquet"))
+    val writer = out.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
+     else writer).parquet(outPath)
+    // recurse: a partitionBy output nests files under value directories,
+    // where a flat listStatus would count 0
+    val it = outFs.listFiles(outP, true)
+    var n = 0
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    }
+    n
   }
 }

@@ -153,31 +153,143 @@ object Similarity {
     rankTopK(scored, k, dedupCandidates = tables > 1)
   }
 
-  /** IVF (inverted-file) approximate top-k — the other standard ANN scale
-    * path. Coarse quantizer: `nCentroids` vectors sampled deterministically
-    * from the corpus by id-rank (no RNG state); every corpus vector is
-    * assigned to its nearest centroid once (one pass, expressions only);
-    * a query probes its `nProbe` nearest centroids' cells. Corpus cells
-    * are hash-partitioned by centroid id, so the probe is an equi-join on
-    * cell id over ~nProbe/nCentroids of the corpus — at 100 TB the scan
-    * shrinks by that factor while recall tracks nProbe.
+  /** Squared L2, summed left-to-right from 0.0 over `v`'s indices — the
+    * exact fold order of the NearestCells kernel and the DuckDB oracle's
+    * `list_reduce(list_prepend(0.0, …))`, so distances (and therefore
+    * assignments) are bit-reproducible.
     */
-  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
-      queries: DataFrame, queryIdCol: String, queryVecCol: String,
-      k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    // deterministic coarse centroids: the nCentroids corpus rows with the
+  private def l2(v: Array[Double], c: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < v.length) { val d = v(i) - c(i); acc += d * d; i += 1 }
+    acc
+  }
+
+  /** Farthest-point seed selection over the deterministic sample (the
+    * k-means++ idea with the argmax in place of RNG, so it stays
+    * oracle-reproducible): seed 1 is the first sample row; each next
+    * seed is the sample row maximizing its min squared distance to the
+    * seeds so far (ties to the earliest sample row). Spread seeds shape
+    * far better cells than raw corpus points — measured recall@5 at
+    * (16 cells, probe 8): 0.692 → 0.863 (sf0.01) / 0.771 → 0.858
+    * (sf0.1) together with the Lloyd passes.
+    */
+  private def farthestPointSeeds(sample: Array[Array[Double]],
+      n: Int): Array[Array[Double]] = {
+    val seeds = scala.collection.mutable.ArrayBuffer(sample(0))
+    val minD = sample.map(v => l2(v, sample(0)))
+    while (seeds.length < math.min(n, sample.length)) {
+      var bi = 0
+      var bd = -1.0
+      var i = 0
+      while (i < sample.length) {
+        if (minD(i) > bd) { bd = minD(i); bi = i }
+        i += 1
+      }
+      val s = sample(bi)
+      seeds += s
+      var j = 0
+      while (j < sample.length) {
+        val d = l2(sample(j), s)
+        if (d < minD(j)) minD(j) = d
+        j += 1
+      }
+    }
+    seeds.toArray
+  }
+
+  /** Driver-local Lloyd refinement over the deterministic sample:
+    * assign every sample vector to its nearest centroid (ties to the
+    * lowest cell), replace each centroid by the per-position mean of its
+    * members accumulated in SAMPLE ORDER (fold from 0.0, then one
+    * divide) — every float op happens in a fixed order, so the DuckDB
+    * oracle reproduces the refined centroids bit-exactly. A cell no
+    * sample vector chose keeps its previous centroid.
+    */
+  private def lloydRefine(seeds: Array[Array[Double]],
+      sample: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
+    var cents = seeds
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](cents(0).length))
+      val counts = new Array[Long](cents.length)
+      sample.foreach { v =>
+        var best = 0
+        var bd = l2(v, cents(0))
+        var c = 1
+        while (c < cents.length) {
+          val d = l2(v, cents(c))
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        val s = sums(best)
+        var i = 0
+        while (i < v.length && i < s.length) { s(i) += v(i); i += 1 }
+      }
+      cents = cents.indices.toArray.map { c =>
+        if (counts(c) == 0L) cents(c)
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    cents
+  }
+
+  /** IVF (inverted-file) approximate top-k — the other standard ANN scale
+    * path. Coarse quantizer: a `refineSample`-row deterministic corpus
+    * sample seeds `nCentroids` centroids by farthest-point selection,
+    * refined by `lloydIters` local k-means passes over the sample (raw
+    * corpus points are poor centroids — spread seeds plus cluster means
+    * lift recall@5 at (16 cells, probe 8) from 0.692 to 0.863 on the
+    * sf0.01 embeddings; COVERAGE.md tracks both SFs). Every corpus
+    * vector is assigned to its nearest
+    * centroid once (one pass, expressions only); a query probes its
+    * `nProbe` nearest centroids' cells. Corpus cells are hash-partitioned
+    * by centroid id, so the probe is an equi-join on cell id over
+    * ~nProbe/nCentroids of the corpus — at 100 TB the scan shrinks by
+    * that factor while recall tracks nProbe.
+    *
+    * The sample and the refinement are DRIVER-LOCAL and bounded
+    * (refineSample × dim doubles, e.g. 512 × 768 ≈ 3 MB): the sample
+    * plans as TakeOrderedAndProject (per-partition top-k, tiny merge, no
+    * count pass, ONE corpus scan), and iterating locally over it costs
+    * O(refineSample · nCentroids · dim · iters) on the driver — never a
+    * per-iteration cluster job, and fully deterministic (fixed fold
+    * order; no RNG, no partition-order dependence), which keeps the
+    * operator oracle-checkable.
+    */
+  /** The IVF coarse quantizer's centroids, exactly as [[ivfTopK]] builds
+    * them (public so callers can inspect, persist, or reuse the
+    * quantizer — e.g. to assign a new batch to existing cells).
+    */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, refineSample: Int = 256,
+      lloydIters: Int = 2): Array[Array[Double]] = {
+    require(refineSample >= nCentroids,
+      s"refineSample ($refineSample) must be >= nCentroids ($nCentroids)")
+    require(lloydIters >= 0, s"lloydIters must be >= 0, got $lloydIters")
+    // deterministic sample: the refineSample corpus rows with the
     // smallest id-hash — a uniform pseudo-random sample that plans as
     // TakeOrderedAndProject (per-partition top-k, tiny merge on the
     // driver; no count pass, no global sort, ONE scan of the corpus).
-    // id as the secondary sort key: a duplicate id or a 64-bit hash tie at
-    // the nCentroids boundary would otherwise make the cut
-    // partition-order-dependent
-    val centroids = corpus
+    // id as the secondary sort key: a duplicate id or a 64-bit hash tie
+    // at the cut boundary would otherwise make the sample
+    // partition-order-dependent. Seeds come from farthest-point
+    // selection over the sample, then lloydIters k-means passes.
+    val sample = corpus
       .select(col(vecCol), xxhash64(col(idCol)).as("__h"), col(idCol).as("__i"))
-      .orderBy(col("__h"), col("__i")).limit(nCentroids)
+      .orderBy(col("__h"), col("__i")).limit(refineSample)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Double](0).toArray)
-    require(centroids.nonEmpty, "IVF: empty corpus")
+    require(sample.nonEmpty, "IVF: empty corpus")
+    lloydRefine(farthestPointSeeds(sample, nCentroids), sample, lloydIters)
+  }
+
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+      refineSample: Int = 256, lloydIters: Int = 2): DataFrame = {
+    val centroids = ivfCentroids(corpus, idCol, vecCol, nCentroids,
+      refineSample, lloydIters)
 
     // all centroid distances in ONE codegen'd vector pass
     // (graft.functions.NearestCells) — the former formulation ran one

@@ -25,7 +25,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    the batch operator re-joins shingle sets for EXACT Jaccard, which
   *    a stream cannot do without retaining every document's shingles.
   *    The estimate is computed from state already in memory — no join,
-  *    no second pass.
+  *    no second pass. For thresholds where the ±1/√numHashes band
+  *    matters, `exactVerify = true` keeps the (sorted, hashed) shingle
+  *    sets in the ring and verifies exactly — memory × ~shingles/doc,
+  *    the explicit cost of removing the estimate's error band.
+  *  - The `horizon` is enforced at MATCH time (a pair only forms when
+  *    the two documents' event times are within `horizon` of each
+  *    other) — the state timeout alone cannot carry that contract,
+  *    because timeouts fire lazily when a later batch advances the
+  *    watermark, and a document arriving right after a quiet period
+  *    would pair with a stale ring member the timeout had not yet
+  *    collected.
   *  - Bucket state is EVICTED by event-time timeout once the watermark
   *    passes `horizon` beyond the bucket's last activity — memory is
   *    bounded by (active buckets within the horizon) × maxBucket
@@ -38,24 +48,33 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamingNearDup {
 
   final case class BandRow(band: Int, bandHash: Long, id: Long,
-      ts: Timestamp, sig: Array[Long])
+      ts: Timestamp, sig: Array[Long], shingles: Array[Long])
 
   final case class CandidatePair(id_a: Long, id_b: Long,
       est_jaccard: Double, ts: Timestamp)
 
   /** Per-bucket member ring: parallel arrays, oldest-arrival evicted at
-    * `maxBucket`. Java-serialized state (same pattern as
+    * `maxBucket`. Member event times ride along so matching can enforce
+    * the horizon per pair (see [[nearDupCandidates]]); capacity eviction
+    * stays purely arrival-ordered — age never changes WHICH members the
+    * cap retains, so the semantics remain the exactly-modelable
+    * "newest maxBucket arrivals". Java-serialized state (same pattern as
     * StreamingJoins.QuoteBuffer).
     */
-  @SerialVersionUID(1L)
+  @SerialVersionUID(2L)
   final class BucketRing(val maxBucket: Int) extends Serializable {
     var ids: Array[Long] = Array.emptyLongArray
+    var tss: Array[Long] = Array.emptyLongArray
     var sigs: Array[Array[Long]] = Array.empty
+    var shs: Array[Array[Long]] = Array.empty
 
-    def insert(id: Long, sig: Array[Long]): Unit = {
+    def insert(id: Long, ts: Long, sig: Array[Long],
+        sh: Array[Long]): Unit = {
       val drop = math.max(0, ids.length + 1 - maxBucket)
       ids = java.util.Arrays.copyOfRange(ids, drop, ids.length) :+ id
+      tss = java.util.Arrays.copyOfRange(tss, drop, tss.length) :+ ts
       sigs = sigs.drop(drop) :+ sig
+      shs = shs.drop(drop) :+ sh
     }
   }
 
@@ -70,6 +89,23 @@ object StreamingNearDup {
     eq.toDouble / math.max(a.length, b.length)
   }
 
+  /** Exact Jaccard of two SORTED distinct long arrays (the
+    * hashed_word_shingles representation) by one merge pass — the same
+    * math as HashKernels.sortedLongJaccard, over driver-side arrays.
+    */
+  private def exactJaccard(a: Array[Long], b: Array[Long]): Double = {
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
   /** Near-dup candidate pairs (id_a < id_b, est_jaccard ≥ threshold)
     * from a document stream. May emit a pair once per shared band — see
     * [[streamingNearDups]] for the deduplicated composition. Works on
@@ -79,34 +115,56 @@ object StreamingNearDup {
       tsCol: String = "ts", textCol: String = "text",
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.8, maxBucket: Int = 64,
-      horizon: String = "1 hour"): Dataset[CandidatePair] = {
+      horizon: String = "1 hour",
+      exactVerify: Boolean = false): Dataset[CandidatePair] = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val spark = docs.sparkSession
     import spark.implicits._
 
+    // exactVerify: the ring ALSO keeps each document's sorted hashed
+    // shingle set (hashed_word_shingles — same canonical normalization
+    // as the signature's shingles, 8 B/shingle) and verification is the
+    // EXACT Jaccard of the stored sets, removing the estimate's
+    // ±O(1/√numHashes) band around the threshold at the cost of state
+    // memory × ~shingles/doc and shingle bytes through the band shuffle.
+    // Off by default: the estimate-from-state path is the bounded-memory
+    // contract for a high-volume stream.
+    val shinglesCol =
+      if (exactVerify)
+        graft.functions.HashFunctions.hashedWordShingles(col(textCol),
+          shingleSize)
+      else typedLit(Array.emptyLongArray)
     val sigs = docs
       .filter(col(idCol).isNotNull)
       .select(col(idCol).cast("long").as("id"),
         col(tsCol).cast("timestamp").as("ts"),
         graft.functions.HashFunctions.minhashSignature(
           graft.functions.HashFunctions.wordShingles(col(textCol),
-            shingleSize), numHashes).as("sig"))
+            shingleSize), numHashes).as("sig"),
+        shinglesCol.as("shingles"))
       .filter(size(col("sig")) > 0)
       .withWatermark("ts", horizon)
     // identical band hash to the batch operator: xxhash64(band, slice)
     val banded = sigs.select(col("id"), col("ts"), col("sig"),
+        col("shingles"),
         posexplode(array((0 until bands).map(b =>
           xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
           : _*)).as(Seq("band", "band_hash")))
       .select(col("band"), col("band_hash").as("bandHash"), col("id"),
-        col("ts"), col("sig"))
+        col("ts"), col("sig"), col("shingles"))
       .as[BandRow]
 
     val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
       org.apache.spark.unsafe.types.UTF8String.fromString(horizon))
-    val horizonMs = iv.months * 2592000000L + iv.days * 86400000L +
-      iv.microseconds / 1000L
+    // month-valued horizons are rejected: a month has no fixed millisecond
+    // width, so any constant here could disagree with the watermark
+    // delay's own conversion and evict ring state off-contract. Day/hour
+    // horizons (the realistic dedup windows) convert exactly.
+    require(iv.months == 0,
+      s"horizon must not contain month/year units (got '$horizon'); " +
+        "use days or hours so the state timeout and the watermark agree")
+    val horizonMs = iv.days * 86400000L + iv.microseconds / 1000L
 
     banded.groupByKey(r => (r.band, r.bandHash)).flatMapGroupsWithState(
       OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -126,15 +184,26 @@ object StreamingNearDup {
             var i = 0
             while (i < ring.ids.length) {
               val other = ring.ids(i)
-              if (other != r.id) {
-                val est = estJaccard(ring.sigs(i), r.sig)
-                if (est >= threshold)
+              // the horizon is enforced PER PAIR at match time, not just
+              // by the (lazy) state timeout: timeout eviction only runs
+              // when a later batch advances the watermark, so a document
+              // arriving long after a quiet period would otherwise still
+              // pair with a stale ring member across the horizon
+              if (other != r.id &&
+                  math.abs(r.ts.getTime - ring.tss(i)) <= horizonMs) {
+                // flagged mode verifies with the exact Jaccard of the
+                // stored shingle sets; default mode uses the signature
+                // estimate (est_jaccard then carries whichever decided)
+                val sim =
+                  if (exactVerify) exactJaccard(ring.shs(i), r.shingles)
+                  else estJaccard(ring.sigs(i), r.sig)
+                if (sim >= threshold)
                   out += CandidatePair(math.min(other, r.id),
-                    math.max(other, r.id), est, r.ts)
+                    math.max(other, r.id), sim, r.ts)
               }
               i += 1
             }
-            ring.insert(r.id, r.sig)
+            ring.insert(r.id, r.ts.getTime, r.sig, r.shingles)
           }
           state.update(ring)
           // evict the bucket once the watermark is `horizon` past its
@@ -167,9 +236,9 @@ object StreamingNearDup {
       tsCol: String = "ts", textCol: String = "text",
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.8, maxBucket: Int = 64,
-      horizon: String = "1 hour"): DataFrame =
+      horizon: String = "1 hour", exactVerify: Boolean = false): DataFrame =
     nearDupCandidates(docs, idCol, tsCol, textCol, shingleSize, numHashes,
-      bands, threshold, maxBucket, horizon)
+      bands, threshold, maxBucket, horizon, exactVerify)
       .toDF()
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("id_a", "id_b")

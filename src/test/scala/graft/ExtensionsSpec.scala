@@ -49,6 +49,18 @@ class ExtensionsSpec extends SparkTestBase {
     assert(viaCol === viaSql)
   }
 
+  test("long_array_l1 rejects nullable-element arrays at analysis time") {
+    GraftExtensions.register(spark)
+    // the kernel reads slots with getLong — a null element would silently
+    // count as 0; the SQL surface must refuse such arrays up front
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("""SELECT long_array_l1(
+          array(1L, CAST(NULL AS BIGINT)), array(1L, 2L))""").collect()
+    }
+    assert(e.getMessage.contains("non-nullable"),
+      s"expected the non-nullable-element message, got: ${e.getMessage}")
+  }
+
   test("SQL and Column APIs agree") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions._

@@ -119,6 +119,26 @@ class JoinsSpec extends SparkTestBase {
     assert(diff === 0)
   }
 
+  test("range join fails fast on an interval spanning too many buckets") {
+    import spark.implicits._
+    val probe = Seq((ts("2024-01-01 10:00:05"), 1L)).toDF("pt", "probe_id")
+    // a year-long interval at 1 s buckets = ~31M exploded rows from ONE
+    // input row — the guard must kill the job before the fan-out runs
+    val iv = Seq((ts("2024-01-01 00:00:00"), ts("2025-01-01 00:00:00"), 7L))
+      .toDF("ws", "we", "iv_id")
+    val e = intercept[Exception] {
+      Joins.rangeJoin(probe, "pt", iv, "ws", "we", bucketSeconds = 1L)
+        .count()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("maxBucketsPerInterval")
+        || Option(e.getCause).exists(_.getMessage.contains("maxBucketsPerInterval")),
+      s"expected the bucket-span guard to fire, got: $e")
+    // the same data passes once the bucket width fits the interval scale
+    val ok = Joins.rangeJoin(probe, "pt", iv, "ws", "we",
+      bucketSeconds = 86400L).select("probe_id", "iv_id").collect()
+    assert(ok.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 7L)))
+  }
+
   test("range join honors extra equi-keys") {
     import spark.implicits._
     val probe = Seq(("a", ts("2024-01-01 10:00:05"), 1L),

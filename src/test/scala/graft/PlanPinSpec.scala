@@ -30,6 +30,25 @@ class PlanPinSpec extends SparkTestBase {
         s"L1 bound must short-circuit ahead of the DP: $c"))
   }
 
+  test("j9_asof_join: union+window formulation, never a pair-exploding join") {
+    // the as-of join's scale contract is that it is NOT a join at all:
+    // both sides union and a single keyed window carries the latest quote
+    // forward, so the plan must show a Window and NO join operator (a
+    // rewrite into a range/theta join would surface SortMergeJoin,
+    // BroadcastNestedLoopJoin or CartesianProduct and explode on dense
+    // quotes), with at most 3 exchanges: quote groupBy, the window
+    // partitioning, and the final presentation orderBy.
+    val plan = SparkEntry.queries("j9_asof_join")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), "as-of must be the window formulation")
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"as-of join must not plan a join operator:\n$plan")
+    val exchanges = "(?m)^\\s*[+:*-]*\\s*\\(?\\d*\\)?\\s*Exchange".r
+      .findAllIn(plan).size
+    assert(exchanges <= 3,
+      s"as-of join grew extra shuffles ($exchanges > 3):\n$plan")
+  }
+
   test("sim top-k ranks via the partial k-heap aggregation, not a window") {
     for (q <- Seq("sim_cosine_topk", "sim_lsh_topk", "sim_ivf_topk")) {
       val plan = SparkEntry.queries(q)(spark, sf0001)

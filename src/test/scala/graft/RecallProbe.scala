@@ -10,11 +10,18 @@ import graft.sim.Similarity
   * prints the measured values, e.g. at sf0.1 where the corpus is 10x).
   *
   *   sbt "Test/runMain graft.RecallProbe /root/testdata/sf0.1 48"
+  *
+  * Optional args 3-4 probe IVF refinement settings:
+  *   sbt "Test/runMain graft.RecallProbe /root/testdata/sf0.01 48 512 2"
+  * (refineSample=512, lloydIters=2; defaults 256 and 2 — the driver
+  * query's parameters).
   */
 object RecallProbe {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val nQueries = if (args.length > 1) args(1).toInt else 48
+    val refineSample = if (args.length > 2) args(2).toInt else 256
+    val lloydIters = if (args.length > 3) args(3).toInt else 2
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -32,8 +39,33 @@ object RecallProbe {
     val lsh = recall(Similarity.lshTopK(emb, "vec_id", "embedding",
       queries, "vec_id", "embedding", k, planes = 4, tables = 16))
     val ivf = recall(Similarity.ivfTopK(emb, "vec_id", "embedding",
-      queries, "vec_id", "embedding", k, nCentroids = 16, nProbe = 8))
-    println(f"RECALL sf=$dir queries=$nQueries lsh(4,16)=$lsh%.3f ivf(16,8)=$ivf%.3f")
+      queries, "vec_id", "embedding", k, nCentroids = 16, nProbe = 8,
+      refineSample = refineSample, lloydIters = lloydIters))
+    println(f"RECALL sf=$dir queries=$nQueries lsh(4,16)=$lsh%.3f " +
+      f"ivf(16,8,s=$refineSample,it=$lloydIters)=$ivf%.3f")
+    // the second IVF quality axis: how much of the corpus does an
+    // nProbe-cell probe actually scan? Skewed cells can fake recall by
+    // funneling most of the corpus into the probed cells — report the
+    // scanned fraction and the largest-cell share alongside recall.
+    for ((label, rs, it) <- Seq(("unrefined", 16, 0),
+        ("refined", refineSample, lloydIters))) {
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding",
+        nCentroids = 16, refineSample = rs, lloydIters = it)
+      val centSeq: Seq[Seq[Double]] = cents.toSeq.map(_.toSeq)
+      val cellSizes = emb.select(graft.functions.VectorFunctions
+          .nearestCells(col("embedding"), centSeq, 1).getItem(0).as("cell"))
+        .groupBy("cell").count()
+      val probed = queries.select(col("vec_id").as("query_id"),
+        explode(graft.functions.VectorFunctions
+          .nearestCells(col("embedding"), centSeq, 8)).as("cell"))
+      val n = emb.count().toDouble
+      val scanned = probed.join(cellSizes, "cell")
+        .groupBy("query_id").agg(sum("count").as("scanned"))
+        .agg(avg(col("scanned") / n)).collect()(0).getDouble(0)
+      val maxShare = cellSizes.agg(max("count")).collect()(0).getLong(0) / n
+      println(f"IVFCELLS $label sf=$dir scanned_frac=$scanned%.3f " +
+        f"max_cell_share=$maxShare%.3f")
+    }
     spark.stop()
   }
 }

@@ -112,5 +112,44 @@ class ScaleOpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       ScaleOps.compactParquet(spark, in, in)
     }
+    // nesting is as fatal as equality: an output inside the input tree
+    // would write temp files into directories the lazy read still lists
+    intercept[IllegalArgumentException] {
+      ScaleOps.compactParquet(spark, in, in + "/compacted")
+    }
+    intercept[IllegalArgumentException] {
+      ScaleOps.compactParquet(spark, tmp.toString, out)
+    }
+  }
+
+  test("compactParquet: hive-partitioned input, layout preserved") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact_part")
+    val in = tmp.resolve("in").toString
+    val out = tmp.resolve("out").toString
+    val df = spark.range(6000)
+      .select(col("id"), (col("id") % 3).as("part"), rand(11).as("v"))
+    // the small-file mess, partitioned: 3 dirs x 20 files
+    df.repartition(20).write.partitionBy("part").parquet(in)
+    def filesUnder(p: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(p)).filter(_.getName.endsWith(".parquet"))
+    }
+    assert(filesUnder(in).size == 60)
+
+    val n = ScaleOps.compactParquet(spark, in, out,
+      partitionBy = Seq("part"))
+    // the returned count must see the files NESTED under part= dirs
+    assert(n == filesUnder(out).size, s"returned $n, on disk ${filesUnder(out).size}")
+    assert(n == 3, s"expected one file per partition value, got $n")
+    // hive layout preserved -> partition pruning still works post-compact
+    val dirs = new java.io.File(out).listFiles().map(_.getName)
+      .filter(_.startsWith("part=")).sorted
+    assert(dirs.toSeq == Seq("part=0", "part=1", "part=2"))
+    val a = spark.read.parquet(in).select("id", "part", "v")
+      .orderBy("id").collect()
+    val b = spark.read.parquet(out).select("id", "part", "v")
+      .orderBy("id").collect()
+    assert(a.sameElements(b), "compaction must not change the rows")
   }
 }

@@ -12,10 +12,11 @@ import graft.sim.Similarity
   * through every hash gate while silently returning garbage neighbors.
   * This pins recall@5 floors at the driver queries' parameters on the
   * sf0.01 embeddings (everything here is deterministic: hash-derived
-  * planes, id-rank centroid sample, fixed data — so the floors are tight,
-  * not flaky). Measured on the 48-query sample: LSH(4,16) 0.904,
-  * LSH(4,1) 0.150, IVF(16,8) 0.692, IVF(16,2) 0.279 — recorded in
-  * COVERAGE.md.
+  * planes, id-rank sample, farthest-point seeding, fixed fold orders —
+  * so the floors are tight, not flaky). Measured on the 48-query
+  * sample: LSH(4,16) 0.904, LSH(4,1) 0.150, IVF(16,8) 0.863 (0.692
+  * before the round-7 farthest-point + Lloyd quantizer), IVF(16,2)
+  * 0.279 — recorded in COVERAGE.md.
   */
 class SimilarityRecallSpec extends SparkTestBase {
 
@@ -52,11 +53,22 @@ class SimilarityRecallSpec extends SparkTestBase {
     assert(r16 > r1, "adding hash tables must not lose recall on this data")
   }
 
-  test("IVF (nCentroids=16, nProbe=8) recall@5 >= 0.6") {
+  test("IVF (nCentroids=16, nProbe=8) recall@5 >= 0.8") {
     val r = recallAtK(Similarity.ivfTopK(emb, "vec_id", "embedding",
       queries, "vec_id", "embedding", k, nCentroids = 16, nProbe = 8))
     info(f"ivf c=16 probe=8 recall@5 = $r%.3f")
-    assert(r >= 0.6, f"IVF recall regressed: $r%.3f < 0.6")
+    assert(r >= 0.8, f"IVF recall regressed: $r%.3f < 0.8")
+  }
+
+  test("IVF quantizer refinement lifts recall over raw corpus seeds") {
+    val raw = recallAtK(Similarity.ivfTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k, nCentroids = 16, nProbe = 8,
+      refineSample = 16, lloydIters = 0))
+    val refined = recallAtK(Similarity.ivfTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k, nCentroids = 16, nProbe = 8))
+    info(f"ivf raw-seed recall $raw%.3f, refined $refined%.3f")
+    assert(refined > raw,
+      "farthest-point + Lloyd centroids must beat raw corpus points here")
   }
 
   test("IVF probes widen recall: nProbe=8 >= nProbe=2") {

@@ -92,6 +92,92 @@ class StreamingNearDupSpec extends SparkTestBase {
     }
   }
 
+  test("horizon holds in a strict two-batch run: match-time enforcement") {
+    // batch 1: doc 1; batch 2: an IDENTICAL doc 125 min later with a
+    // 10 min horizon. No intermediate batch advanced the watermark, so
+    // the bucket state has NOT timed out when doc 2 arrives — only the
+    // per-pair event-time check can block the stale pair. A positive
+    // control in the same batch (docs 2 and 5, 2 min apart) proves the
+    // pipeline still pairs in-horizon arrivals.
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val stream = input.toDS().toDF("doc_id", "ts", "text")
+    val q = StreamingNearDup.nearDupCandidates(stream, threshold = 0.5,
+        horizon = "10 minutes")
+      .writeStream.format("memory").queryName("neardup_2batch")
+      .outputMode("append").start()
+    input.addData((1L, t(0), base))
+    q.processAllAvailable()
+    input.addData((2L, t(125), base), (5L, t(127), base + " extra"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("neardup_2batch")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!got.contains((1L, 2L)) && !got.contains((1L, 5L)),
+      s"pair across the horizon must not emit, got $got")
+    assert(got.contains((2L, 5L)),
+      s"in-horizon near-dups must still pair, got $got")
+  }
+
+  test("exactVerify resolves an estimate/exact disagreement at the threshold") {
+    import spark.implicits._
+    // find a near-dup variant whose 32-slot signature estimate and exact
+    // shingle Jaccard DIFFER while still sharing a band (everything is
+    // deterministic — hash-derived signatures on fixed text — so the
+    // chosen variant is stable run to run)
+    val variants = Seq("wolf", "bear", "lion", "crow", "toad", "hare")
+      .map(w => base.replace("dog", w)) :+ (base + " coda")
+    val picked = variants.iterator.map { vtext =>
+      val rows = Seq((1L, t(0), base), (2L, t(1), vtext))
+        .toDF("doc_id", "ts", "text")
+        .select(col("doc_id"),
+          graft.functions.HashFunctions.minhashSignature(
+            graft.functions.HashFunctions.wordShingles(col("text"), 3),
+            32).as("sig"),
+          graft.functions.HashFunctions.hashedWordShingles(col("text"), 3)
+            .as("sh"))
+        .as[(Long, Seq[Long], Seq[Long])].collect().sortBy(_._1)
+      val Array((_, sigA, shA), (_, sigB, shB)) = rows
+      val est = sigA.zip(sigB).count { case (x, y) => x == y } / 32.0
+      val inter = shA.toSet.intersect(shB.toSet).size
+      val exact = inter.toDouble / (shA.size + shB.size - inter)
+      val shareBand = (0 until 8).exists(b =>
+        sigA.slice(b * 4, b * 4 + 4) == sigB.slice(b * 4, b * 4 + 4))
+      (vtext, est, exact, shareBand)
+    }.find(v => v._2 != v._3 && v._4)
+    assert(picked.nonEmpty,
+      "no variant with est != exact sharing a band — widen the list")
+    val (vtext, est, exact, _) = picked.get
+    info(f"variant est=$est%.4f exact=$exact%.4f")
+    val thr = (est + exact) / 2
+    val docsDf = Seq((1L, t(0), base), (2L, t(1), vtext))
+      .toDF("doc_id", "ts", "text")
+
+    def pairs(exactMode: Boolean): Map[(Long, Long), Double] =
+      StreamingNearDup.nearDupCandidates(docsDf, threshold = thr,
+          exactVerify = exactMode)
+        .collect().map(p => (p.id_a, p.id_b) -> p.est_jaccard).toMap
+
+    val estMode = pairs(exactMode = false)
+    val exactMode = pairs(exactMode = true)
+    // the modes must DISAGREE at this threshold, and the flagged mode
+    // must carry the true exact-Jaccard decision (and value)
+    assert(estMode.contains((1L, 2L)) !== exactMode.contains((1L, 2L)),
+      s"est mode $estMode vs exact mode $exactMode should disagree at $thr")
+    assert(exactMode.contains((1L, 2L)) === (exact >= thr))
+    exactMode.get((1L, 2L)).foreach(j => assert(j === exact))
+  }
+
+  test("month-valued horizons are rejected") {
+    // a month has no fixed millisecond width: the state timeout and the
+    // watermark delay could disagree on when the horizon passes
+    val e = intercept[IllegalArgumentException] {
+      StreamingNearDup.nearDupCandidates(
+        docs.toDF("doc_id", "ts", "text"), horizon = "1 month")
+    }
+    assert(e.getMessage.contains("month"))
+  }
+
   test("bucket state evicts after the horizon: stale partners don't pair") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
