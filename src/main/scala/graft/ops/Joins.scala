@@ -133,8 +133,12 @@ object Joins {
     val startB = floorDiv(unix_micros(col(startCol).cast("timestamp")), us)
     val endB = floorDiv(unix_micros(col(endCol).cast("timestamp")) - 1, us)
     val span = endB - startB + 1
+    // null bounds must stay a non-match (sequence(null) -> no row), not
+    // an error: assert_true throws on a NULL condition, so coalesce the
+    // null span to passing before the check
     val guardedEndB = when(
-      assert_true(span <= lit(maxBucketsPerInterval.toLong),
+      assert_true(coalesce(span <= lit(maxBucketsPerInterval.toLong),
+          lit(true)),
         concat(lit("rangeJoin: an interval spans "), span,
           lit(s" buckets > maxBucketsPerInterval=$maxBucketsPerInterval; " +
             s"raise bucketSeconds (=$bucketSeconds) or split the interval"))

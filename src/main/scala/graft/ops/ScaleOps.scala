@@ -189,14 +189,17 @@ object ScaleOps {
       math.ceil(bytes.toDouble / (targetFileMB * 1024L * 1024L)).toInt)
     val df = spark.read.parquet(inPath)
     val out =
-      if (clusterBy.nonEmpty)
-        df.repartitionByRange(nFiles, clusterBy.map(col): _*)
-          .sortWithinPartitions(clusterBy.map(col): _*)
-      else if (partitionBy.nonEmpty)
+      if (partitionBy.nonEmpty)
         // hash-partition on the layout columns: each partition value lands
         // in exactly one task, so each hive directory compacts to ONE
-        // file (the ideal layout) while task count stays <= nFiles
+        // file (the ideal layout) while task count stays <= nFiles; with
+        // clusterBy too, rows sort within each directory's file so its
+        // parquet min/max stats stay tight on the cluster columns
         df.repartition(nFiles, partitionBy.map(col): _*)
+          .sortWithinPartitions((partitionBy ++ clusterBy).map(col): _*)
+      else if (clusterBy.nonEmpty)
+        df.repartitionByRange(nFiles, clusterBy.map(col): _*)
+          .sortWithinPartitions(clusterBy.map(col): _*)
       else df.coalesce(nFiles)
     val writer = out.write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)

@@ -220,6 +220,43 @@ object GridSearch {
     evaluated.groupBy("ticker")
       .agg(expr("max_by(state, net_worth)").as("best_state"),
         max("net_worth").as("best_net_worth"))
+
+  /** The reference's `_find_common_stocks` composition
+    * (optimize.py:67-99): find the most-talked-about tickers in a
+    * documents frame, load their bars, and optimize the strategy for
+    * each. Its constituent pieces (TextPipeline.topTickerMentions, the
+    * grid evaluator) have been in place since round 1; the orchestrating
+    * wrapper was absent because the reference binds it to two external
+    * connectors (praw for the documents, yfinance for the bars).
+    * `loadBars` is that connector seam: it receives the top-k ticker
+    * symbols and returns long-format bars (ticker, date, close) — a
+    * file/cache-backed loader here, a market-data connector in a real
+    * deployment.
+    *
+    * Scale shape: the top-k mention list (k rows) is the ONLY driver
+    * materialization; the per-ticker optimization is ONE distributed
+    * [[evaluate]] job with tickers as the parallel axis — not the
+    * reference's per-ticker process-pool loop. Returns
+    * (ticker, mentions, best_state, best_net_worth).
+    */
+  def findCommonStocks(docs: DataFrame, textCol: String,
+      tickers: DataFrame, tickerCol: String, blacklist: Seq[String], k: Int,
+      loadBars: Seq[String] => DataFrame,
+      mkStrategy: Seq[Double] => LocalStrategy, initialAmount: Double,
+      ranges: Seq[(Double, Double, Double)],
+      gridChunks: Int = 1): DataFrame = {
+    val top = graft.text.TextPipeline.topTickerMentions(docs, textCol,
+      tickers, tickerCol, blacklist, k)
+    val symbols = top.select(col("token")).collect().map(_.getString(0)).toSeq
+    // isin(empty) is constant-false, so a mention-less corpus flows
+    // through as an empty result rather than an error
+    val bars = loadBars(symbols).filter(col("ticker").isin(symbols: _*))
+    best(evaluate(bars, mkStrategy, initialAmount, ranges, gridChunks))
+      .join(broadcast(top.select(col("token").as("ticker"),
+        col("cnt").as("mentions"))), Seq("ticker"), "left")
+      .select(col("ticker"), col("mentions"), col("best_state"),
+        col("best_net_worth"))
+  }
 }
 
 /** Simulated annealing (reference optimize.py:138-207): a sequential

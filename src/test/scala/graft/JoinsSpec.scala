@@ -139,6 +139,22 @@ class JoinsSpec extends SparkTestBase {
     assert(ok.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 7L)))
   }
 
+  test("range join: null interval bounds are a non-match, not an error") {
+    import spark.implicits._
+    val probe = Seq((ts("2024-01-01 10:00:05"), 1L)).toDF("pt", "probe_id")
+    val iv = Seq(
+      (Option(ts("2024-01-01 10:00:00")), Option(ts("2024-01-01 11:00:00")), 1L),
+      (Option.empty[Timestamp], Option(ts("2024-01-01 11:00:00")), 2L),
+      (Option(ts("2024-01-01 10:00:00")), Option.empty[Timestamp], 3L))
+      .toDF("ws", "we", "iv_id")
+    // the explode guard must not trip on the NULL span (assert_true
+    // throws on a null condition unless coalesced)
+    val out = Joins.rangeJoin(probe, "pt", iv, "ws", "we",
+        bucketSeconds = 60L)
+      .select("iv_id").collect().map(_.getLong(0)).toSeq
+    assert(out === Seq(1L))
+  }
+
   test("range join honors extra equi-keys") {
     import spark.implicits._
     val probe = Seq(("a", ts("2024-01-01 10:00:05"), 1L),

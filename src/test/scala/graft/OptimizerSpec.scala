@@ -41,6 +41,36 @@ class OptimizerSpec extends SparkTestBase {
     assert(bestRow.getAs[Double]("best_net_worth") === 1283666.449897766)
   }
 
+  test("findCommonStocks: mentions -> pluggable bars -> optimize each") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the reference composition (_find_common_stocks): top mentioned
+    // tickers, bars loaded through the connector seam, best grid state
+    // per ticker in ONE distributed job
+    val docs = Seq(
+      "AAPL up big, AAPL rally, buy TSLA",
+      "TSLA and AAPL, avoid FOMO",
+      "GME squeeze FOMO FOMO").toDF("text")
+    val tickers = Seq("aapl", "tsla", "gme", "fomo").toDF("symbol")
+    // file-backed seam: both "tickers" share aapl's bar history renamed
+    val loadBars = (symbols: Seq[String]) =>
+      symbols.map(s => aapl10y.withColumn("ticker", lit(s)))
+        .reduce(_ unionByName _)
+    val out = GridSearch.findCommonStocks(docs, "text", tickers, "symbol",
+      blacklist = Seq("fomo"), k = 2, loadBars,
+      st => LocalMACross(st(0).toInt, st(1).toInt), 5000.0,
+      Seq((30, 40, 2), (40, 50, 5))).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getAs[Seq[Double]]("best_state"),
+        r.getAs[Double]("best_net_worth"))).sortBy(_._1)
+    assert(out.map(o => (o._1, o._2)).toSeq === Seq(("AAPL", 3L), ("TSLA", 2L)))
+    // same bars -> each ticker reproduces the reference's golden optimum
+    out.foreach { o =>
+      assert(o._3 === Seq(36.0, 40.0))
+      assert(o._4 === 1283666.449897766)
+    }
+  }
+
   test("local evaluator agrees with distributed engine (ten percent)") {
     val evaluated = GridSearch.evaluate(aapl10y,
       _ => LocalTenPercent(), 5000.0, Seq((1, 2, 1)))

@@ -151,5 +151,16 @@ class ScaleOpsSpec extends SparkTestBase {
     val b = spark.read.parquet(out).select("id", "part", "v")
       .orderBy("id").collect()
     assert(a.sameElements(b), "compaction must not change the rows")
+
+    // partitionBy + clusterBy: still one file per partition dir, rows
+    // inside each file sorted on the cluster column (tight min/max)
+    val out2 = tmp.resolve("out2").toString
+    val n2 = ScaleOps.compactParquet(spark, in, out2,
+      partitionBy = Seq("part"), clusterBy = Seq("id"))
+    assert(n2 == 3, s"expected one file per partition value, got $n2")
+    val ids = spark.read.parquet(out2).filter(col("part") === 1)
+      .select("id").collect().map(_.getLong(0))
+    assert(ids.sameElements(ids.sorted),
+      "rows within a compacted partition file must be sorted on clusterBy")
   }
 }
