@@ -149,31 +149,54 @@ case class LongArrayL1(left: Expression, right: Expression)
 
   override def checkInputDataTypes():
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    // containsNull arrays are rejected at ANALYSIS time: the kernel reads
-    // elements with getLong, which would silently treat a null slot as 0
-    // instead of propagating it. Every internal producer (char_hist64,
-    // non-null literal arrays) is containsNull=false, so only the raw SQL
-    // surface can hit this — and it gets a clear error, not a wrong L1.
     def ok(e: Expression) = e.dataType match {
-      case ArrayType(LongType, false) => true
+      case ArrayType(LongType, _) => true
       case _ => false
     }
     if (ok(left) && ok(right))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires array<bigint> arguments with non-nullable " +
-          s"elements, got ${left.dataType.catalogString} and " +
-          s"${right.dataType.catalogString}")
+        s"$prettyName requires array<bigint> arguments, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
   }
 
+  /** Static dispatch on element nullability: the dedup hot path's inputs
+    * (char_hist64, literal arrays) are containsNull=false and keep the
+    * tight primitive kernel; schemas that PERMIT null elements (e.g.
+    * parquet written by engines that record nullable elements) take the
+    * null-propagating variant — a null slot yields a null distance,
+    * never a silent 0. Decided per-plan at codegen time: zero cost on
+    * the fast path.
+    */
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  })
+
+  override def nullable: Boolean = super.nullable || elementsNullable
+
   override def nullSafeEval(a: Any, b: Any): Any =
-    HashKernels.longArrayL1(
-      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (elementsNullable)
+      HashKernels.longArrayL1Nullable(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      HashKernels.longArrayL1(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.HashKernels.longArrayL1($a, $b)")
+    if (elementsNullable)
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val tmp = ctx.freshName("l1n")
+        s"""
+           |java.lang.Long $tmp = graft.functions.HashKernels.longArrayL1Nullable($a, $b);
+           |if ($tmp == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $tmp.longValue(); }
+         """.stripMargin
+      })
+    else
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.HashKernels.longArrayL1($a, $b)")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression):
       LongArrayL1 = copy(left = l, right = r)

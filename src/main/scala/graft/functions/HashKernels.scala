@@ -161,7 +161,11 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
-  /** L1 distance of two long arrays (shorter side zero-padded). */
+  /** L1 distance of two long arrays (shorter side zero-padded). Assumes
+    * non-null elements — the containsNull=false fast path (internal
+    * charHist64 outputs); LongArrayL1 dispatches here only when the
+    * static schema guarantees it.
+    */
   def longArrayL1(x: ArrayData, y: ArrayData): Long = {
     val nx = x.numElements()
     val ny = y.numElements()
@@ -174,5 +178,24 @@ object HashKernels {
       i += 1
     }
     acc
+  }
+
+  /** Null-propagating L1 for arrays whose schema permits null elements
+    * (the SQL surface over externally-written data): any null slot makes
+    * the distance undefined — return null, never silently read it as 0.
+    */
+  def longArrayL1Nullable(x: ArrayData, y: ArrayData): java.lang.Long = {
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < math.max(nx, ny)) {
+      if ((i < nx && x.isNullAt(i)) || (i < ny && y.isNullAt(i))) return null
+      val vx = if (i < nx) x.getLong(i) else 0L
+      val vy = if (i < ny) y.getLong(i) else 0L
+      acc += math.abs(vx - vy)
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
   }
 }

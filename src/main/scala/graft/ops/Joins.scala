@@ -108,7 +108,7 @@ object Joins {
   def rangeJoin(probe: DataFrame, probeTimeCol: String,
       intervals: DataFrame, startCol: String, endCol: String,
       bucketSeconds: Long, extraKeys: Seq[String] = Nil,
-      maxBucketsPerInterval: Int = 4096): DataFrame = {
+      maxBucketsPerInterval: Int = 65536): DataFrame = {
     require(maxBucketsPerInterval > 0,
       s"maxBucketsPerInterval must be positive, got $maxBucketsPerInterval")
     // buckets derive from MICROsecond timestamps: unix_seconds truncates,
@@ -130,20 +130,26 @@ object Joins {
     // data; the fix is a coarser bucket (or splitting outlier intervals),
     // never silently eating the explosion. assert_true rides inside the
     // end-bucket expression so it cannot be pruned away.
+    //
+    // Degenerate intervals are dropped BEFORE the explode: an
+    // empty/inverted interval (end <= start, also covering a zeroed or
+    // null timestamp) can never match a probe, but sequence() would
+    // still fan it out — descending and unboundedly for an inverted one
+    // (sequence auto-steps -1), which would both melt the executor AND
+    // bypass a naive non-negative span check. The strict filter also
+    // drops null bounds, keeping them non-matches rather than errors.
+    val valid = intervals.filter(
+      col(endCol).cast("timestamp") > col(startCol).cast("timestamp"))
     val startB = floorDiv(unix_micros(col(startCol).cast("timestamp")), us)
     val endB = floorDiv(unix_micros(col(endCol).cast("timestamp")) - 1, us)
-    val span = endB - startB + 1
-    // null bounds must stay a non-match (sequence(null) -> no row), not
-    // an error: assert_true throws on a NULL condition, so coalesce the
-    // null span to passing before the check
+    val span = endB - startB + 1 // >= 1 after the validity filter
     val guardedEndB = when(
-      assert_true(coalesce(span <= lit(maxBucketsPerInterval.toLong),
-          lit(true)),
+      assert_true(span <= lit(maxBucketsPerInterval.toLong),
         concat(lit("rangeJoin: an interval spans "), span,
           lit(s" buckets > maxBucketsPerInterval=$maxBucketsPerInterval; " +
             s"raise bucketSeconds (=$bucketSeconds) or split the interval"))
       ).isNull, endB)
-    val intervalsB = intervals.withColumn("__bucket",
+    val intervalsB = valid.withColumn("__bucket",
       explode(sequence(startB, guardedEndB)))
     probeB.join(intervalsB, extraKeys :+ "__bucket")
       .filter(col(probeTimeCol) >= col(startCol) &&

@@ -189,15 +189,28 @@ object ScaleOps {
       math.ceil(bytes.toDouble / (targetFileMB * 1024L * 1024L)).toInt)
     val df = spark.read.parquet(inPath)
     val out =
-      if (partitionBy.nonEmpty)
-        // hash-partition on the layout columns: each partition value lands
-        // in exactly one task, so each hive directory compacts to ONE
-        // file (the ideal layout) while task count stays <= nFiles; with
-        // clusterBy too, rows sort within each directory's file so its
-        // parquet min/max stats stay tight on the cluster columns
-        df.repartition(nFiles, partitionBy.map(col): _*)
-          .sortWithinPartitions((partitionBy ++ clusterBy).map(col): _*)
-      else if (clusterBy.nonEmpty)
+      if (partitionBy.nonEmpty) {
+        // hash-partition on the layout columns so each hive directory
+        // compacts to FEW files — but honor targetFileMB: with fewer
+        // partition values than nFiles, a value's whole directory would
+        // otherwise become ONE file written by one task (a 300 GB
+        // unsplittable monster for a hot value). A column-pruned
+        // distinct count (cheap next to the full rewrite) sizes a
+        // per-value salt: ~nFiles/nVals files per value, each near the
+        // target. With clusterBy too, rows sort within each file so its
+        // parquet min/max stats stay tight on the cluster columns.
+        val nVals = df.select(partitionBy.map(col): _*).distinct().count()
+        val salts = math.max(1L,
+          math.ceil(nFiles.toDouble / math.max(1L, nVals)).toLong)
+        val base =
+          if (salts == 1L) df.repartition(nFiles, partitionBy.map(col): _*)
+          else df.withColumn("__salt",
+              pmod(spark_partition_id() + monotonically_increasing_id(),
+                lit(salts)))
+            .repartition(nFiles, (partitionBy.map(col) :+ col("__salt")): _*)
+        base.sortWithinPartitions((partitionBy ++ clusterBy).map(col): _*)
+          .drop("__salt")
+      } else if (clusterBy.nonEmpty)
         df.repartitionByRange(nFiles, clusterBy.map(col): _*)
           .sortWithinPartitions(clusterBy.map(col): _*)
       else df.coalesce(nFiles)

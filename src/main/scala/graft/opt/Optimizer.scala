@@ -248,8 +248,24 @@ object GridSearch {
     val top = graft.text.TextPipeline.topTickerMentions(docs, textCol,
       tickers, tickerCol, blacklist, k)
     val symbols = top.select(col("token")).collect().map(_.getString(0)).toSeq
-    // isin(empty) is constant-false, so a mention-less corpus flows
-    // through as an empty result rather than an error
+    // a mention-less corpus short-circuits to an empty result BEFORE the
+    // connector is invoked — a loader handed an empty symbol list could
+    // throw or issue a nonsense request
+    if (symbols.isEmpty) {
+      val spark = docs.sparkSession
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[
+          org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("ticker",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("mentions",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("best_state",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType, containsNull = false)),
+          org.apache.spark.sql.types.StructField("best_net_worth",
+            org.apache.spark.sql.types.DoubleType))))
+    }
     val bars = loadBars(symbols).filter(col("ticker").isin(symbols: _*))
     best(evaluate(bars, mkStrategy, initialAmount, ranges, gridChunks))
       .join(broadcast(top.select(col("token").as("ticker"),

@@ -264,6 +264,10 @@ object Similarity {
   def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, refineSample: Int = 256,
       lloydIters: Int = 2): Array[Array[Double]] = {
+    // a non-positive nCentroids would otherwise silently yield ONE cell
+    // (farthestPointSeeds starts from sample(0)) and every probe would
+    // scan the whole corpus while appearing to use the IVF path
+    require(nCentroids >= 1, s"nCentroids must be >= 1, got $nCentroids")
     require(refineSample >= nCentroids,
       s"refineSample ($refineSample) must be >= nCentroids ($nCentroids)")
     require(lloydIters >= 0, s"lloydIters must be >= 0, got $lloydIters")

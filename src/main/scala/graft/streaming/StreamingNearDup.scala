@@ -60,6 +60,12 @@ object StreamingNearDup {
     * cap retains, so the semantics remain the exactly-modelable
     * "newest maxBucket arrivals". Java-serialized state (same pattern as
     * StreamingJoins.QuoteBuffer).
+    *
+    * NOTE: the round-7 field additions (tss, shs) bump the
+    * SerialVersionUID — a streaming query restarted from a checkpoint
+    * written by the previous layout will fail to deserialize its rings;
+    * restart such queries with a fresh checkpoint (in-flight horizon
+    * state is rebuilt from the stream within one horizon).
     */
   @SerialVersionUID(2L)
   final class BucketRing(val maxBucket: Int) extends Serializable {

@@ -49,16 +49,19 @@ class ExtensionsSpec extends SparkTestBase {
     assert(viaCol === viaSql)
   }
 
-  test("long_array_l1 rejects nullable-element arrays at analysis time") {
+  test("long_array_l1 propagates null elements instead of reading them as 0") {
     GraftExtensions.register(spark)
-    // the kernel reads slots with getLong — a null element would silently
-    // count as 0; the SQL surface must refuse such arrays up front
-    val e = intercept[org.apache.spark.sql.AnalysisException] {
-      spark.sql("""SELECT long_array_l1(
-          array(1L, CAST(NULL AS BIGINT)), array(1L, 2L))""").collect()
-    }
-    assert(e.getMessage.contains("non-nullable"),
-      s"expected the non-nullable-element message, got: ${e.getMessage}")
+    // the fast kernel reads slots with getLong — a null element would
+    // silently count as 0; nullable-element schemas must dispatch to the
+    // null-propagating variant (null distance), while null-free data over
+    // such a schema still computes normally
+    val rows = spark.sql(
+      """SELECT long_array_l1(array(1L, CAST(NULL AS BIGINT)), array(1L, 2L))
+             AS withNull,
+           long_array_l1(array(1L, CAST(3 AS BIGINT)), array(1L, 2L))
+             AS noNull""").collect()(0)
+    assert(rows.isNullAt(0), "a null element must yield a NULL distance")
+    assert(rows.getLong(1) === 1L)
   }
 
   test("SQL and Column APIs agree") {

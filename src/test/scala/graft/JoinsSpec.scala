@@ -139,16 +139,21 @@ class JoinsSpec extends SparkTestBase {
     assert(ok.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 7L)))
   }
 
-  test("range join: null interval bounds are a non-match, not an error") {
+  test("range join: null/empty/inverted intervals are non-matches, not errors") {
     import spark.implicits._
     val probe = Seq((ts("2024-01-01 10:00:05"), 1L)).toDF("pt", "probe_id")
     val iv = Seq(
       (Option(ts("2024-01-01 10:00:00")), Option(ts("2024-01-01 11:00:00")), 1L),
       (Option.empty[Timestamp], Option(ts("2024-01-01 11:00:00")), 2L),
-      (Option(ts("2024-01-01 10:00:00")), Option.empty[Timestamp], 3L))
+      (Option(ts("2024-01-01 10:00:00")), Option.empty[Timestamp], 3L),
+      // empty [s, s) and inverted (end far before start — e.g. a zeroed
+      // timestamp): sequence() would auto-step -1 on the inverted one
+      // and fan out ~28M descending buckets while ALSO slipping past a
+      // naive non-negative span guard — the validity filter must drop
+      // both before the explode
+      (Option(ts("2024-01-01 10:00:05")), Option(ts("2024-01-01 10:00:05")), 4L),
+      (Option(ts("2024-01-01 10:00:00")), Option(ts("1970-01-01 00:00:00")), 5L))
       .toDF("ws", "we", "iv_id")
-    // the explode guard must not trip on the NULL span (assert_true
-    // throws on a null condition unless coalesced)
     val out = Joins.rangeJoin(probe, "pt", iv, "ws", "we",
         bucketSeconds = 60L)
       .select("iv_id").collect().map(_.getLong(0)).toSeq

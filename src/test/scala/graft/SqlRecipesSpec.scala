@@ -75,7 +75,8 @@ class SqlRecipesSpec extends SparkTestBase {
         |      / 60000000 AS BIGINT) AS bucket
         |  FROM probes),
         |ib AS (
-        |  SELECT iv.*, b.bucket FROM intervals iv
+        |  SELECT iv.*, b.bucket FROM (
+        |    SELECT * FROM intervals WHERE we > ws) iv
         |  LATERAL VIEW explode(sequence(
         |    CAST((unix_micros(ws) - pmod(unix_micros(ws), 60000000))
         |      / 60000000 AS BIGINT),
