@@ -12,7 +12,10 @@ import org.apache.spark.sql.catalyst.plans.logical.Filter
   *  - the similarity ranking must be the partial-aggregating k-heap
   *    (map-side combine before the exchange), not a ranking window;
   *  - the bounded bucket aggregations must plan with partial
-  *    aggregation (the memory contract lives in the partial buffers).
+  *    aggregation (the memory contract lives in the partial buffers);
+  *  - scans must push filters and prune columns, dimension joins must
+  *    broadcast, grouped aggs must map-side combine, and the composite
+  *    clean-corpus pipeline must keep its single window shuffle.
   */
 class PlanPinSpec extends SparkTestBase {
 
@@ -58,6 +61,52 @@ class PlanPinSpec extends SparkTestBase {
       assert(!plan.contains("row_number"),
         s"$q must not rank with a window: every scored candidate would shuffle")
     }
+  }
+
+  test("p2_project_filter: predicates pushed to the scan, columns pruned") {
+    val plan = SparkEntry.queries("p2_project_filter")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["),
+      "scan must carry pushed filters")
+    assert(!plan.contains("PushedFilters: []"),
+      s"filters must actually reach the parquet scan:\n$plan")
+    // 6 of lineitem's 11 columns: the projection must prune the scan
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    val nCols = readSchema.split(",").count(_.contains(":"))
+    assert(nCols <= 6, s"scan reads $nCols columns, pruning lost: $readSchema")
+  }
+
+  test("j1_multi_join: dimension sides broadcast, agg partial") {
+    val plan = SparkEntry.queries("j1_multi_join")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dimension joins must broadcast, not shuffle the fact side:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "a sort-merge join here means a dimension stopped broadcasting")
+    assert(plan.contains("HashAggregate"), "aggregation must be hash-based")
+  }
+
+  test("a1_grouped_sum: map-side combine before the exchange") {
+    val plan = SparkEntry.queries("a1_grouped_sum")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // partial_sum markers appear in the partial HashAggregate's function
+    // list — the map-side combine that keeps the shuffle pre-aggregated
+    assert(plan.contains("partial_sum"),
+      s"grouped sum must partially aggregate before shuffling:\n$plan")
+  }
+
+  test("ts_clean_corpus: the composite pipeline keeps ONE data shuffle") {
+    // one hash exchange feeds the dedup-rank window (WindowGroupLimit
+    // pre-filtering around it is the rank-limit pushdown, not a shuffle);
+    // the only other exchange is the presentation orderBy's range
+    // partitioning required by the oracle compare
+    val plan = SparkEntry.queries("ts_clean_corpus")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    val rangeEx = "Exchange rangepartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1 && rangeEx <= 1,
+      s"clean-corpus grew extra shuffles (hash=$hashEx, range=$rangeEx):\n$plan")
   }
 
   test("bounded bucket membership plans with partial aggregation") {
