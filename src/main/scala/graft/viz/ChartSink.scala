@@ -22,14 +22,29 @@ import org.apache.spark.sql.types.{TimestampType, DateType}
   */
 object ChartSink {
 
-  private val lightPalette = Seq("#1f77b4", "#ff7f0e", "#2ca02c", "#d62728",
-    "#9467bd", "#8c564b", "#e377c2", "#7f7f7f")
-
+  /** Style parity with the reference's .mplstyle files
+    * (strat_backtest/graph_colors/stock-{light,dark}.mplstyle +
+    * plot_data's text_color, finance_data.py:41-88): the same 6-color
+    * cycle, the light style's tinted plot-area face (#e4eef6) with
+    * strong white gridlines (alpha 0.9) vs the dark style's black face
+    * with faint white grid (alpha 0.3), 1.5 pt series lines, 16 pt bold
+    * title, left+bottom spines only (top/right off), black tick labels
+    * in both modes (they sit in the white figure margin), white-framed
+    * legend, and a watermark colored black (light) / white (dark).
+    */
   final case class Style(dark: Boolean) {
-    val background: String = if (dark) "#1c1c1c" else "#ffffff"
-    val text: String = if (dark) "#eeeeee" else "#222222"
-    val grid: String = if (dark) "#444444" else "#dddddd"
-    val palette: Seq[String] = lightPalette
+    val background: String = "#ffffff" // figure facecolor (mpl default)
+    val plotArea: String = if (dark) "#000000" else "#e4eef6"
+    val grid: String = "#ffffff"
+    val gridAlpha: Double = if (dark) 0.3 else 0.9
+    val spine: String = if (dark) "#ffffff" else "#000000"
+    val text: String = "#000000"
+    val watermark: String = if (dark) "#ffffff" else "#000000"
+    val legendFace: String = "#ffffff"
+    val palette: Seq[String] = Seq("#1976d2", "#0097a7", "#388e3c",
+      "#fbc02d", "#d32f2f", "#7b1fa2")
+    val lineWidth: Double = 1.5
+    val titleSize: Int = 16
   }
 
   /** Decimate each series to ≤ maxPoints rows by x-order: keep the first
@@ -127,6 +142,9 @@ object ChartSink {
     val sb = new StringBuilder
     sb ++= s"""<svg xmlns="http://www.w3.org/2000/svg" width="$width" height="$height" viewBox="0 0 $width $height">"""
     sb ++= s"""<rect width="$width" height="$height" fill="${style.background}"/>"""
+    // the axes facecolor (reference axes.facecolor): grid and data draw
+    // on top of this tinted/black plot-area rect
+    sb ++= s"""<rect x="$ml" y="$mt" width="$pw" height="$ph" fill="${style.plotArea}"/>"""
     // grid + ticks (5 each axis, under the data like the reference's
     // ax.grid(zorder=0))
     val nTicks = 5
@@ -134,14 +152,18 @@ object ChartSink {
       val fx = xMin + (xMax - xMin) * i / nTicks
       val fy = yMin + (yMax - yMin) * i / nTicks
       val gx = sx(fx); val gy = sy(fy)
-      sb ++= f"""<line x1="$gx%.1f" y1="$mt" x2="$gx%.1f" y2="${mt + ph}" stroke="${style.grid}" stroke-width="1"/>"""
-      sb ++= f"""<line x1="$ml" y1="$gy%.1f" x2="${ml + pw}" y2="$gy%.1f" stroke="${style.grid}" stroke-width="1"/>"""
+      sb ++= f"""<line x1="$gx%.1f" y1="$mt" x2="$gx%.1f" y2="${mt + ph}" stroke="${style.grid}" stroke-opacity="${style.gridAlpha}" stroke-width="1"/>"""
+      sb ++= f"""<line x1="$ml" y1="$gy%.1f" x2="${ml + pw}" y2="$gy%.1f" stroke="${style.grid}" stroke-opacity="${style.gridAlpha}" stroke-width="1"/>"""
       sb ++= f"""<text x="$gx%.1f" y="${height - mb + 18}" font-size="11" fill="${style.text}" text-anchor="middle">${esc(fmtTick(fx, isTime))}</text>"""
       sb ++= f"""<text x="${ml - 8}" y="${gy + 4}%.1f" font-size="11" fill="${style.text}" text-anchor="end">${esc(fmtTick(fy, isTime = false))}</text>"""
     }
-    // watermark (the reference's big translucent ticker text)
+    // spines: left + bottom only (reference axes.spines.top/right: False)
+    sb ++= s"""<line x1="$ml" y1="$mt" x2="$ml" y2="${mt + ph}" stroke="${style.spine}" stroke-width="1"/>"""
+    sb ++= s"""<line x1="$ml" y1="${mt + ph}" x2="${ml + pw}" y2="${mt + ph}" stroke="${style.spine}" stroke-width="1"/>"""
+    // watermark (the reference's big translucent ticker text, colored by
+    // plot_data's text_color: black on light, white on dark)
     watermark.foreach { wm =>
-      sb ++= s"""<text x="${width / 2}" y="${height / 2}" font-size="76" font-weight="bold" fill="${style.text}" fill-opacity="0.3" text-anchor="middle" font-variant="small-caps">${esc(wm)}</text>"""
+      sb ++= s"""<text x="${width / 2}" y="${height / 2}" font-size="76" font-weight="bold" fill="${style.watermark}" fill-opacity="0.3" text-anchor="middle" font-variant="small-caps">${esc(wm)}</text>"""
     }
     // series
     bySeries.zipWithIndex.foreach { case ((name, pts), i) =>
@@ -151,20 +173,25 @@ object ChartSink {
       if (area) {
         val baseline = sy(math.max(yMin, 0.0))
         val poly = f"${sx(pts.head._1)}%.1f,$baseline%.1f $pointStr ${sx(pts.last._1)}%.1f,$baseline%.1f"
-        sb ++= s"""<polygon points="$poly" fill="$color" fill-opacity="0.35" stroke="$color" stroke-width="1.5"/>"""
+        sb ++= s"""<polygon points="$poly" fill="$color" fill-opacity="0.35" stroke="$color" stroke-width="${style.lineWidth}"/>"""
       } else {
-        sb ++= s"""<polyline points="$pointStr" fill="none" stroke="$color" stroke-width="1.8"/>"""
+        sb ++= s"""<polyline points="$pointStr" fill="none" stroke="$color" stroke-width="${style.lineWidth}"/>"""
       }
     }
-    // legend (top-right, series-name order — reference shows a legend box)
+    // legend (top-right, series-name order, white frame — reference
+    // legend.frameon with legend.facecolor ffffff)
+    if (bySeries.nonEmpty) {
+      val lh = bySeries.size * 18 + 6
+      sb ++= s"""<rect x="${width - mr - 138}" y="${mt - 4}" width="132" height="$lh" fill="${style.legendFace}" stroke="${style.spine}" stroke-width="0.5"/>"""
+    }
     bySeries.zipWithIndex.foreach { case ((name, _), i) =>
       val color = style.palette(i % style.palette.size)
       val ly = mt + 8 + i * 18
       sb ++= s"""<rect x="${width - mr - 130}" y="${ly - 9}" width="12" height="12" fill="$color"/>"""
       sb ++= s"""<text x="${width - mr - 112}" y="$ly" font-size="12" fill="${style.text}">${esc(name)}</text>"""
     }
-    // title + axis labels
-    sb ++= s"""<text x="${width / 2}" y="26" font-size="18" font-weight="bold" fill="${style.text}" text-anchor="middle">${esc(title)}</text>"""
+    // title + axis labels (reference axes.titlesize 16 bold)
+    sb ++= s"""<text x="${width / 2}" y="26" font-size="${style.titleSize}" font-weight="bold" fill="${style.text}" text-anchor="middle">${esc(title)}</text>"""
     sb ++= s"""<text x="${width / 2}" y="${height - 12}" font-size="13" fill="${style.text}" text-anchor="middle">${esc(xLabel)}</text>"""
     sb ++= s"""<text x="18" y="${height / 2}" font-size="13" fill="${style.text}" text-anchor="middle" transform="rotate(-90 18 ${height / 2})">${esc(yLabel)}</text>"""
     sb ++= "</svg>"

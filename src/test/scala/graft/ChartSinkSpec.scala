@@ -57,7 +57,14 @@ class ChartSinkSpec extends SparkTestBase {
     assert(polyline.findAllIn(line).length == 2)
     assert(line.contains(">AAPL</text>") && line.contains(">SPY</text>"))
     assert(line.contains("fill-opacity=\"0.3\""), "watermark present")
-    assert(line.contains("#1c1c1c"), "dark background")
+    // reference dark .mplstyle: black axes facecolor, white watermark
+    // text, faint (alpha 0.3) white grid
+    assert(line.contains("#000000"), "dark plot-area face")
+    assert(line.contains("stroke-opacity=\"0.3\""), "faint dark-mode grid")
+    assert(line.contains("#1976d2"), "reference color cycle")
+    val light = ChartSink.lineChartSvg(df, "x", "y", "ticker")
+    assert(light.contains("#e4eef6"), "light plot-area tint")
+    assert(light.contains("stroke-opacity=\"0.9\""), "strong light-mode grid")
     val areaSvg = ChartSink.lineChartSvg(df, "x", "y", "ticker", area = true)
     assert("<polygon".r.findAllIn(areaSvg).length == 2, "area polygons")
   }
@@ -108,7 +115,7 @@ class ChartSinkSpec extends SparkTestBase {
     assert(pts.length == 2, "first pct row is null and drops")
     assert(pts.min < pts.max)
     val logp = ChartSink.priceChartSvg(bars, "LOG_PERCENT", dark = true)
-    assert(logp.contains("Log Percent Return") && logp.contains("#1c1c1c"))
+    assert(logp.contains("Log Percent Return") && logp.contains("#000000"))
     intercept[IllegalArgumentException] {
       ChartSink.priceChartSvg(bars, "CANDLESTICK")
     }
