@@ -184,6 +184,26 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "j12_bloom_prune_join" -> ((s, dir) => {
+      // Bloom semi-join reduction (graft.ops.ScaleOps.bloomPruneJoin):
+      // the small-size parts filter lineitem in its scan stage through a
+      // broadcast-sized Bloom bitset BEFORE the shuffle, so only
+      // ~matching rows pay the exchange; the exact join behind it
+      // discards the fpp sliver. Result provably equals the plain join —
+      // the oracle IS the plain join.
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"))
+      val parts = t(s, dir, "part")
+        .filter(col("p_size") <= 5)
+        .select(col("p_partkey"), col("p_size"))
+      graft.ops.ScaleOps.bloomPruneJoin(li, Seq("l_partkey"),
+          parts, Seq("p_partkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"), col("p_size"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // ------------------------------------------------------ aggregations
     "a1_grouped_sum" -> ((s, dir) => {
       // 2-decimal money as exact integer cents; discount as basis points:
@@ -1053,6 +1073,11 @@ object SparkEntry {
              AS DOUBLE) AS weighted_sum,
            count(*) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "j12_bloom_prune_join" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, p_size
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_size <= 5
+         ORDER BY l_orderkey, l_linenumber""",
     "sc_zorder" ->
       s"""WITH b AS (SELECT o_orderkey,
            CAST(o_custkey % 256 AS BIGINT) AS x,

@@ -202,6 +202,55 @@ case class LongArrayL1(left: Expression, right: Expression)
       LongArrayL1 = copy(left = l, right = r)
 }
 
+/** Membership probe of a 64-bit hash against a pre-built Bloom filter
+  * (`org.apache.spark.util.sketch.BloomFilter`, serialized form): the
+  * probe side of [[graft.ops.ScaleOps.bloomPruneJoin]]'s semi-join
+  * reduction. The filter deserializes once per executor (transient lazy
+  * val shipped with the expression) and the codegen path is a single
+  * virtual call per row — the expression stays inside the whole-stage
+  * span, so the prune runs in the big side's scan stage.
+  *
+  * False positives are the contract (they only weaken the prune, the
+  * exact join behind it keeps semantics); false negatives are impossible
+  * for hashes that were `putLong` into the filter.
+  */
+case class BloomMightContainLong(child: Expression, filterBytes: Array[Byte])
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a BIGINT hash input, got ${t.catalogString}")
+    }
+
+  @transient private lazy val filter: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(filterBytes))
+
+  override def nullSafeEval(input: Any): Any =
+    filter.mightContainLong(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // reference the whole expression (Serializable case class); the filter
+    // itself deserializes lazily on first probe in each executor JVM
+    val ref = ctx.addReferenceObj("bloomExpr", this,
+      classOf[BloomMightContainLong].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.probe($c)")
+  }
+
+  /** Codegen entry point — keep public for generated code. */
+  def probe(v: Long): Boolean = filter.mightContainLong(v)
+
+  override protected def withNewChildInternal(c: Expression):
+      BloomMightContainLong = copy(child = c)
+}
+
 case class SortedLongJaccard(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -256,4 +305,9 @@ object HashFunctions {
   def longArrayL1(a: Column, b: Column): Column =
     GraftShims.column(LongArrayL1(
       GraftShims.expression(a), GraftShims.expression(b)))
+
+  /** Column API for BloomMightContainLong. */
+  def bloomMightContainLong(c: Column, filterBytes: Array[Byte]): Column =
+    GraftShims.column(BloomMightContainLong(
+      GraftShims.expression(c), filterBytes))
 }

@@ -226,4 +226,78 @@ object ScaleOps {
     }
     n
   }
+
+  /** Bloom-filter semi-join reduction: filter `big` down to rows whose
+    * join key MIGHT appear in `small`, using a Bloom filter built over
+    * `small`'s keys in one distributed pass (a treeAggregate of
+    * per-partition bitsets — only the ~MB-scale merged bitset reaches
+    * the driver). Multi-column keys collapse to one `xxhash64` on both
+    * sides, so the filter probes a single long per row.
+    *
+    * This is the shuffle-reduction lever for the mid-size join: when the
+    * filtering side is too big to broadcast, a plain equi-join shuffles
+    * the ENTIRE big side — including every row whose key has no partner.
+    * The Bloom prune drops those rows in the big side's scan stage
+    * (codegen'd [[graft.functions.BloomMightContainLong]] probe), so only
+    * ~matching rows + the fpp sliver pay the exchange. At 100 TB with a
+    * 1% match rate that is a ~99% shuffle-volume cut for the cost of one
+    * small-side pass and a broadcast-sized bitset. (Spark's own runtime
+    * bloom injection fires only when the creation side carries a
+    * selective predicate and size thresholds line up; this operator is
+    * the explicit form for when it doesn't.)
+    *
+    * SEMANTICS: sound as the probe side of an inner or semi join — the
+    * surviving superset (false positives only, never false negatives)
+    * leaves the exact join's result unchanged. NOT sound before an outer
+    * join on `big`'s side (pruned rows would lose their null-extended
+    * output rows).
+    *
+    * @param expectedItems Bloom sizing; <= 0 runs a shuffle-free
+    *                      column-pruned count of `small` (over-sizing by
+    *                      duplicate keys only tightens the realized fpp)
+    */
+  def bloomPrune(big: DataFrame, bigKeys: Seq[String],
+      small: DataFrame, smallKeys: Seq[String],
+      fpp: Double = 0.01, expectedItems: Long = -1L): DataFrame = {
+    require(bigKeys.nonEmpty && bigKeys.length == smallKeys.length,
+      s"key lists must be non-empty and same length " +
+        s"(got ${bigKeys.length} vs ${smallKeys.length})")
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1), got $fpp")
+    val n = if (expectedItems > 0) expectedItems
+      else small.select(smallKeys.map(col): _*).count()
+    // build with treeAggregate rather than stat.bloomFilter: identical
+    // distributed shape (per-partition build, tree-merged bitsets), but
+    // an EMPTY small side yields the zero-value filter (prune everything
+    // — correct for an inner join) where stat.bloomFilter NPEs
+    val zero = org.apache.spark.util.sketch.BloomFilter
+      .create(math.max(n, 1L), fpp)
+    val bf = small
+      .select(xxhash64(smallKeys.map(col): _*).as("__kh"))
+      .rdd.map(_.getLong(0))
+      .treeAggregate(zero)(
+        (f, v) => { f.putLong(v); f },
+        (a, b) => { a.mergeInPlace(b); a })
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    big.filter(graft.functions.HashFunctions.bloomMightContainLong(
+      xxhash64(bigKeys.map(col): _*), bos.toByteArray))
+  }
+
+  /** Bloom-pruned inner equi-join: [[bloomPrune]] the big side, then the
+    * exact join (which also discards the Bloom's false positives). Output
+    * columns = big's ++ small's, like `big.join(small, cond)`; key
+    * columns must not share names across sides (rename first if they do).
+    */
+  def bloomPruneJoin(big: DataFrame, bigKeys: Seq[String],
+      small: DataFrame, smallKeys: Seq[String],
+      fpp: Double = 0.01, expectedItems: Long = -1L): DataFrame = {
+    val clash = smallKeys.filter(bigKeys.contains)
+    require(clash.isEmpty, "join key columns share names across sides " +
+      s"(${clash.mkString(", ")}) — rename one side before joining")
+    val pruned = bloomPrune(big, bigKeys, small, smallKeys, fpp, expectedItems)
+    val cond = bigKeys.zip(smallKeys)
+      .map { case (b, s) => pruned(b) === small(s) }
+      .reduce(_ && _)
+    pruned.join(small, cond, "inner")
+  }
 }
