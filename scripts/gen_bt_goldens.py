@@ -18,6 +18,10 @@ driver queries so the DuckDB oracle can SELECT straight from them):
     opt_grid.parquet           ticker, best_net_worth   (u1/u2/u3 over the
                                fast=arange(3,9,2) x lagging=arange(10,30,10)
                                grid, reference numpy.arange semantics)
+    opt_common_stocks.parquet  ticker, mentions, best_net_worth (the
+                               _find_common_stocks composition over
+                               deterministic connector seams; reference
+                               regex mention counting, same grid)
 
 Sanity-checked first against the reference's own golden: aapl last-10Y
 MA_Cross(36,40) @ 5000 -> 1283666.449897766 (tests/test_strat.py).
@@ -150,6 +154,43 @@ def main():
                    for f, l in grid)
         opt_rows.append({"ticker": ticker, "best_net_worth": best})
 
+    # opt_common_stocks golden: the _find_common_stocks composition
+    # (optimize.py:67-99) with its two external connectors replaced by
+    # deterministic seams — a synthetic mention corpus (one doc per
+    # event, text "check $<SYM> today" where SYM = 'U' + digits->letters
+    # of user_id so the reference's ticker regex matches) and
+    # events-as-bars. Mention counting uses the reference's OWN regex
+    # semantics (common_stock.py:125-127: findall two-group alternation,
+    # groups joined, leading '$' dropped); top-3 by (count desc, symbol
+    # asc); then the same reference grid search as opt_grid per winner.
+    import re
+    digit2alpha = str.maketrans("0123456789", "ABCDEFGHIJ")
+    def sym(uid):
+        return "U" + str(uid).translate(digit2alpha)
+    mention_counts = {}
+    for uid, cnt in ev.groupby("user_id").size().items():
+        text = f"check ${sym(uid)} today"
+        toks = ["".join(m) for m in
+                re.findall(r"([A-Z]{2,5})|\$([A-z]+)", text)]
+        toks = [t.lstrip("$") for t in toks]
+        for t in toks:
+            if t.lower() == "spy":  # the query's blacklist
+                continue
+            mention_counts[t] = mention_counts.get(t, 0) + int(cnt)
+    top3 = sorted(mention_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    common_rows = []
+    for ticker, cnt in top3:
+        # invert the symbol back to the user id for the bar lookup
+        uid_str = ticker[1:].translate(
+            str.maketrans("ABCDEFGHIJ", "0123456789"))
+        g = ev[ev["user_id"] == int(uid_str)].sort_values("ts")
+        bars = pd.DataFrame({"close": g["value"].to_numpy()},
+                            index=pd.DatetimeIndex(g["ts"]))
+        best = max(run_reference(ticker, bars, 10000.0, f, l)[1]
+                   for f, l in grid)
+        common_rows.append({"ticker": ticker, "mentions": cnt,
+                            "best_net_worth": best})
+
     import pathlib
     pathlib.Path(out_dir).mkdir(parents=True, exist_ok=True)
     od = pd.DataFrame(all_orders, columns=["ticker", "seq", "num_shares",
@@ -166,9 +207,13 @@ def main():
                                        index=False)
     pd.DataFrame(tenpct_rows).to_parquet(f"{out_dir}/bt_tenpct_fold.parquet",
                                          index=False)
+    cs = pd.DataFrame(common_rows,
+                      columns=["ticker", "mentions", "best_net_worth"])
+    cs = cs.astype({"mentions": "int64"})
+    cs.to_parquet(f"{out_dir}/opt_common_stocks.parquet", index=False)
     print(f"wrote {len(od)} orders, {len(all_nw)} tickers, "
-          f"{len(opt_rows)} opt rows, {len(all_daily)} daily rows "
-          f"-> {out_dir}")
+          f"{len(opt_rows)} opt rows, {len(all_daily)} daily rows, "
+          f"{len(cs)} common-stock rows -> {out_dir}")
 
 
 if __name__ == "__main__":

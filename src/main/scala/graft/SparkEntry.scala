@@ -934,6 +934,31 @@ object SparkEntry {
         .select(col("ticker"), col("best_net_worth"))
         .orderBy(col("ticker"))
     }),
+
+    "opt_common_stocks" -> ((s, dir) => {
+      // the reference's _find_common_stocks composition (optimize.py:
+      // 67-99) with deterministic connector seams: a synthetic mention
+      // corpus (one doc per event; symbol = 'U' + digits->letters of
+      // user_id so the reference ticker regex matches) and events-as-
+      // bars. Oracle = the ACTUAL reference run over the same seams
+      // (golden parquet; see scripts/gen_bt_goldens.py).
+      def sym(c: Column): Column = concat(lit("U"),
+        translate(c.cast("string"), "0123456789", "ABCDEFGHIJ"))
+      val ev = t(s, dir, "events")
+      val docs = ev.select(
+        concat(lit("check $"), sym(col("user_id")), lit(" today"))
+          .as("text"))
+      val tickers = ev.select(sym(col("user_id")).as("symbol")).distinct()
+      val loadBars: Seq[String] => DataFrame = _ =>
+        t(s, dir, "events").select(sym(col("user_id")).as("ticker"),
+          col("ts").as("date"), col("value").as("close"))
+      GridSearch.findCommonStocks(docs, "text", tickers, "symbol",
+          Seq("spy"), 3, loadBars,
+          st => LocalMACross(st(0).toInt, st(1).toInt), 10000.0,
+          Seq((3, 9, 2), (10, 30, 10)))
+        .select(col("ticker"), col("mentions"), col("best_net_worth"))
+        .orderBy(col("ticker"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1527,6 +1552,10 @@ object SparkEntry {
     "opt_grid" ->
       s"""SELECT ticker, best_net_worth
          FROM read_parquet('$goldensDir/opt_grid.parquet')
+         ORDER BY ticker""",
+    "opt_common_stocks" ->
+      s"""SELECT ticker, mentions, best_net_worth
+         FROM read_parquet('$goldensDir/opt_common_stocks.parquet')
          ORDER BY ticker""",
     "bt_signals" ->
       """WITH b AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
