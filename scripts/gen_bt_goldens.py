@@ -3,10 +3,10 @@
 implementation (dhruvsamdani/strat-backtest) offline over the driver's
 events-as-bars testdata.
 
-Run (driver-side python has pandas/pyarrow; /tmp/refstubs stubs
+Run (driver-side python has pandas/pyarrow; scripts/refstubs stubs
 yfinance/praw/requests/matplotlib so the reference imports offline):
 
-    PYTHONPATH=/tmp/refstubs:/root/reference python3 scripts/gen_bt_goldens.py \
+    PYTHONPATH=scripts/refstubs:/root/reference python3 scripts/gen_bt_goldens.py \
         /root/testdata/sf0.01 src/test/resources/goldens/sf0.01
 
 Outputs (schemas exactly match SparkEntry's bt_orders / bt_backtest_fold
