@@ -639,6 +639,20 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "dd_contamination" -> ((s, dir) => {
+      // benchmark decontamination: corpus docs sharing >= 2 distinct
+      // word 3-grams with any doc of a small "eval set" (a disjoint
+      // deterministic slice of documents stands in for the benchmark).
+      // Corpus postings never shuffle on shingles — the bench side
+      // broadcasts (graft.dedup.Dedup.contaminationPairs).
+      val d = t(s, dir, "documents")
+      Dedup.contaminationPairs(
+          d.filter(col("doc_id") % 17 =!= 0), "doc_id", "text",
+          d.filter(col("doc_id") % 17 === 0), "doc_id", "text",
+          shingleSize = 3, minOverlap = 2, maxBenchDf = 10)
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
     "dd_embedding_neardups" -> ((s, dir) => {
       // embedding-cosine near-dup: LSH-bucketed all-pairs (pairs only
       // form inside a sign-pattern bucket), exact cosine verification
@@ -1371,6 +1385,36 @@ object SparkEntry {
     "dd_simhash" -> DedupOracles.ddSimhash,
     "dd_drop_near_dups" -> DedupOracles.ddDropNearDups,
     "dd_stream_neardup_batch" -> DedupOracles.ddStreamNearDupBatch,
+    "dd_contamination" ->
+      // same canonical tokenization CTEs as the near-dup oracles; the
+      // overlap count runs on shingle STRINGS where Spark counts xxhash64
+      // longs — identical counts absent a 64-bit collision inside one
+      // doc pair (~1e-12 at this scale)
+      """WITH toks AS (
+           SELECT doc_id AS id,
+             list_filter(string_split_regex(trim(regexp_replace(lower(text),
+               '[^a-z0-9\s]', '', 'g')), '\s+'), t -> length(t) > 0) AS tk
+           FROM documents),
+         sh AS (
+           SELECT id, list_distinct(CASE WHEN len(tk) >= 3 THEN
+             list_transform(tk[1:len(tk)-2],
+               (x, i) -> array_to_string(tk[i:i+2], ' '))
+             ELSE CAST([] AS VARCHAR[]) END) AS sh
+           FROM toks),
+         shf AS (SELECT * FROM sh WHERE len(sh) > 0),
+         bench_post AS (SELECT id AS bench_id, unnest(sh) AS g
+           FROM shf WHERE id % 17 = 0),
+         rare AS (SELECT g FROM bench_post GROUP BY g
+           HAVING count(*) <= 10),
+         corpus_post AS (SELECT id AS doc_id, unnest(sh) AS g
+           FROM shf WHERE id % 17 <> 0)
+         SELECT c.doc_id, b.bench_id, count(*) AS overlap
+         FROM corpus_post c
+         JOIN (SELECT * FROM bench_post WHERE g IN (SELECT g FROM rare)) b
+           USING (g)
+         GROUP BY c.doc_id, b.bench_id
+         HAVING count(*) >= 2
+         ORDER BY doc_id, bench_id""",
     "dd_ngram_jaccard" ->
       """WITH toks AS (
            SELECT doc_id AS id,

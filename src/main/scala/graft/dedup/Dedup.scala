@@ -259,6 +259,57 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Benchmark decontamination: every (corpus doc, benchmark doc) pair
+    * sharing at least `minOverlap` distinct word-`shingleSize`-gram
+    * shingles — the standard eval-set contamination check a training
+    * corpus runs before release. Returns (doc_id, bench_id, overlap).
+    *
+    * Scale shape: the CORPUS side (the 100 TB side) is never shuffled on
+    * shingles — its hashed shingle postings are joined map-side against
+    * the broadcast benchmark postings (eval sets are small by
+    * construction: the broadcast is |bench shingles| longs), and only
+    * the matched (doc, bench) hits pay the one aggregation shuffle.
+    * `maxBenchDf` drops shingles present in more than that many
+    * BENCHMARK docs (boilerplate n-grams that would match everything) —
+    * computed exactly on the small side before the broadcast. Set
+    * `broadcastBench = false` for an unusually large benchmark: same
+    * plan, shuffle join instead.
+    *
+    * Both sides shingle via the same single-pass codegen'd
+    * `hashedWordShingles` (distinct sorted xxhash64 longs) as the
+    * near-dup family, so overlap counting is a plain count over the
+    * postings join — 8 bytes per shingle through the broadcast, never
+    * strings.
+    */
+  def contaminationPairs(docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      shingleSize: Int = 3, minOverlap: Int = 2, maxBenchDf: Int = 1000,
+      broadcastBench: Boolean = true): DataFrame = {
+    require(minOverlap >= 1, s"minOverlap must be >= 1, got $minOverlap")
+    require(maxBenchDf >= 1, s"maxBenchDf must be >= 1, got $maxBenchDf")
+    val corpusPost = docs.select(col(idCol).as("doc_id"),
+        graft.functions.HashFunctions
+          .hashedWordShingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+    val benchPost = bench.select(col(benchIdCol).as("bench_id"),
+        graft.functions.HashFunctions
+          .hashedWordShingles(col(benchTextCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("bench_id"), explode(col("sh")).as("g"))
+    // exact bench-side document frequency (the bench is small), dropping
+    // boilerplate shingles BEFORE the broadcast: postings are distinct
+    // per doc, so count(*) per shingle IS its document frequency
+    val rare = benchPost.groupBy("g").agg(count(lit(1)).as("bdf"))
+      .filter(col("bdf") <= maxBenchDf).select("g")
+    val benchSide0 = benchPost.join(rare, Seq("g"))
+    val benchSide = if (broadcastBench) broadcast(benchSide0) else benchSide0
+    corpusPost.join(benchSide, Seq("g"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+  }
+
   // ------------------------------------------------------- edit distance
 
   /** Edit-distance (Levenshtein) verified near-duplicate pairs with

@@ -15,7 +15,8 @@ object PlanDump {
                   "w4_last_period","ts_langid_scores","opt_grid","sim_ivf_topk",
                   "j9_asof_join","j10_range_join","dd_ngram_jaccard",
                   "a9_quantiles","ts_repetition","ts_strat_sample",
-                  "a11_rollup","a12_pivot","w12_rolling_time")) {
+                  "a11_rollup","a12_pivot","w12_rolling_time",
+                  "j12_bloom_prune_join")) {
       sb.append(s"\n## $q\n\n```\n")
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode)
