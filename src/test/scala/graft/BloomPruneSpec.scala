@@ -83,6 +83,26 @@ class BloomPruneSpec extends SparkTestBase {
     }
   }
 
+  test("under a sort-merge join the probe filter runs below the exchange") {
+    // the case the operator exists for: the small side is NOT
+    // broadcastable, the join shuffles both sides — the bloom filter
+    // must evaluate under the big side's Exchange so pruned rows never
+    // pay the shuffle
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = ScaleOps.bloomPruneJoin(li, Seq("l_partkey"),
+        parts, Seq("p_partkey")).queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      val ex = plan.indexOf("Exchange hashpartitioning(l_partkey")
+      val bloom = plan.indexOf("bloom_might_contain")
+      val scan = plan.indexOf("FileScan", bloom)
+      assert(ex >= 0 && bloom > ex && scan > bloom,
+        s"bloom probe must sit between the big side's exchange and its " +
+          s"scan (ex=$ex bloom=$bloom scan=$scan):\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
   test("the probe filter sits on the scan, before the join/exchange") {
     val q = SparkEntry.queries("j12_bloom_prune_join")(spark, sf0001)
     val bloomFilters = q.queryExecution.optimizedPlan.collect {
