@@ -159,6 +159,28 @@ WHERE doc_id NOT IN (SELECT id FROM comp WHERE component < id)
 ORDER BY doc_id"""
 
 
+def dd_keep_best_sql():
+    """Quality-priority survivor selection (Dedup.dropNearDupsKeepBest):
+    the same transitive-closure components as dd_drop_near_dups, but the
+    survivor per component is the member maximizing n_chars (ties to the
+    smallest id) instead of the minimum id."""
+    return f"""WITH RECURSIVE {minhash_pairs_ctes()},
+edges AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM mh_pairs
+  UNION SELECT id_b, id_a FROM mh_pairs),
+reach(u, v) AS (SELECT u, v FROM edges
+  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+comp AS (SELECT u AS id, least(u, min(v)) AS component
+  FROM reach GROUP BY u),
+best AS (SELECT id FROM (
+    SELECT c.id, row_number() OVER (PARTITION BY c.component
+      ORDER BY d.n_chars DESC, c.id) AS rn
+    FROM comp c JOIN documents d ON d.doc_id = c.id)
+  WHERE rn = 1)
+SELECT doc_id, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT id FROM comp) OR doc_id IN (SELECT id FROM best)
+ORDER BY doc_id"""
+
+
 def validate(sf_dir, verify_dir):
     import glob
 
@@ -170,6 +192,7 @@ def validate(sf_dir, verify_dir):
     for name, sql in [("dd_minhash", dd_minhash_sql()),
                       ("dd_simhash", dd_simhash_sql()),
                       ("dd_drop_near_dups", dd_drop_sql()),
+                      ("dd_keep_best", dd_keep_best_sql()),
                       ("dd_stream_neardup_batch", dd_stream_sql())]:
         import time
         t0 = time.time()
@@ -198,6 +221,7 @@ def emit_scala(path):
         for name, sql in [("ddMinhash", dd_minhash_sql()),
                           ("ddSimhash", dd_simhash_sql()),
                           ("ddDropNearDups", dd_drop_sql()),
+                          ("ddKeepBest", dd_keep_best_sql()),
                           ("ddStreamNearDupBatch", dd_stream_sql())])
     src = f"""package graft
 

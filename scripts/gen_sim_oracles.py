@@ -90,9 +90,9 @@ def l2f(v, c):
         f"list_transform({v}, (dx, di) -> (dx - ({c})[di]) * (dx - ({c})[di]))")
 
 
-def sim_ivf_sql(n_centroids=16, n_probe=8, k=5, refine_sample=256,
-                lloyd_iters=2):
-    """Replicates Similarity.ivfTopK's full quantizer construction:
+def quantizer_prefix(n_centroids=16, refine_sample=256, lloyd_iters=2):
+    """Shared CTE chain replicating Similarity.ivfCentroids + the corpus
+    cell assignment (`assigned`: vec_id, v, cell):
     (1) samp — the refine_sample corpus rows with the smallest
         (xxh64(vec_id), vec_id), in that order;
     (2) s1..sN — farthest-point seed selection over samp (each step
@@ -103,8 +103,9 @@ def sim_ivf_sql(n_centroids=16, n_probe=8, k=5, refine_sample=256,
         accumulated in samp order (fold from 0.0, one divide); an empty
         cell keeps its previous centroid.
     Every float reduction folds exactly like the Scala driver loop, so
-    the refined centroids — and the cell assignments, cosines and ranks
-    downstream — are bit-equal."""
+    the refined centroids — and the cell assignments and everything
+    downstream — are bit-equal. Used by both sim_ivf_sql (probe join)
+    and dd_semantic_sql (cell-scoped near-dup pairs)."""
     idh = signed(xxh64_long("vec_id", "42"))
     l2 = fold0("list_transform(v, (dx, di) -> (dx - cv[di]) * (dx - cv[di]))")
     mind = (f"list_reduce(list_transform(sp.seeds, sd -> {l2f('smp.v', 'sd')}),"
@@ -156,7 +157,15 @@ cdist AS MATERIALIZED (SELECT e.vec_id, e.v, c.cell, {l2} AS d
 assigned AS (SELECT vec_id, v, cell FROM (
     SELECT vec_id, v, cell, row_number() OVER (
       PARTITION BY vec_id ORDER BY d, cell) AS rn FROM cdist)
-  WHERE rn = 1),
+  WHERE rn = 1)"""
+
+
+def sim_ivf_sql(n_centroids=16, n_probe=8, k=5, refine_sample=256,
+                lloyd_iters=2):
+    """Similarity.ivfTopK: the shared quantizer prefix, then each query
+    probes its n_probe nearest cells and candidates are scored/ranked
+    exactly."""
+    return f"""{quantizer_prefix(n_centroids, refine_sample, lloyd_iters)},
 probes AS (SELECT vec_id AS query_id, v AS qv, cell FROM (
     SELECT vec_id, v, cell, row_number() OVER (
       PARTITION BY vec_id ORDER BY d, cell) AS rn
@@ -196,6 +205,28 @@ SELECT id_a, id_b, round(cosine, 6) AS cos6 FROM p
 WHERE cosine >= {threshold} ORDER BY id_a, id_b"""
 
 
+def dd_semantic_sql(n_centroids=16, threshold=0.3, max_cell=64,
+                    refine_sample=256, lloyd_iters=2):
+    """Similarity.semanticNearDups (SemDeDup): the shared IVF quantizer
+    prefix assigns every vector to its k-means cell, then pairs form
+    only inside a cell (capped at the max_cell smallest vec_ids) and
+    verify by exact cosine >= threshold. Norms are precomputed per
+    vector, matching the Spark side."""
+    dot = fold0("list_transform(a.v, (cx, ci) -> cx * b.v[ci])")
+    nrm = f"sqrt({fold0('list_transform(v, cx -> cx * cx)')})"
+    return f"""{quantizer_prefix(n_centroids, refine_sample, lloyd_iters)},
+an AS MATERIALIZED (SELECT vec_id, v, {nrm} AS nm, cell FROM assigned),
+cap AS MATERIALIZED (SELECT vec_id, v, nm, cell FROM (
+    SELECT vec_id, v, nm, cell,
+      row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn FROM an)
+  WHERE rn <= {max_cell}),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    ({dot}) / (a.nm * b.nm) AS cosine
+  FROM cap a JOIN cap b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(cosine, 6) AS cos6 FROM p
+WHERE cosine >= {threshold} ORDER BY id_a, id_b"""
+
+
 def validate(sf_dir, verify_dir):
     import glob
     import time
@@ -207,7 +238,8 @@ def validate(sf_dir, verify_dir):
     ok = True
     for name, sql in [("sim_lsh_topk", sim_lsh_sql()),
                       ("sim_ivf_topk", sim_ivf_sql()),
-                      ("dd_embedding_neardups", emb_neardups_sql())]:
+                      ("dd_embedding_neardups", emb_neardups_sql()),
+                      ("dd_semantic", dd_semantic_sql())]:
         t0 = time.time()
         d = con.sql(sql).df()
         s = pd.concat([pd.read_parquet(f) for f in
@@ -233,7 +265,8 @@ def emit_scala(path):
         f'  val {name}: String = "{esc(sql)}"'
         for name, sql in [("simLshTopK", sim_lsh_sql()),
                           ("simIvfTopK", sim_ivf_sql()),
-                          ("ddEmbeddingNearDups", emb_neardups_sql())])
+                          ("ddEmbeddingNearDups", emb_neardups_sql()),
+                          ("ddSemantic", dd_semantic_sql())])
     src = f"""package graft
 
 /** GENERATED by scripts/gen_sim_oracles.py — do not edit by hand.

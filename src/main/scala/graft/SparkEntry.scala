@@ -896,6 +896,44 @@ object SparkEntry {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     }),
+    "dd_keep_best" -> ((s, dir) => {
+      // quality-priority survivor selection: the same near-dup clusters
+      // as dd_drop_near_dups, but each cluster keeps its highest-quality
+      // row (n_chars as the demo quality column; any column works),
+      // ties to the smallest id
+      Dedup.dropNearDupsKeepBest(t(s, dir, "documents"), "doc_id", "text",
+          "n_chars", shingleSize = 3, numHashes = 32, bands = 16,
+          threshold = 0.5)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+    "dd_semantic" -> ((s, dir) => {
+      // SemDeDup: k-means-cell-scoped near-dup pairs over embeddings
+      // (the IVF coarse quantizer's deterministic cells), exact cosine
+      // verification inside each cell
+      val emb = t(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      Similarity.semanticNearDups(emb, "vec_id", "embedding",
+          threshold = 0.3, nCentroids = 16)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cos6"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "ts_lm_score" -> ((s, dir) => {
+      // CCNet-style corpus LM quality score: bigram stupid-backoff model
+      // trained on the hash-split train buckets, every doc scored
+      TextStats.lmScore(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("lm_score"), 6).as("lm_score6"))
+        .orderBy(col("doc_id"))
+    }),
+    "ts_domain_mix" -> ((s, dir) => {
+      // temperature-weighted language mixing (alpha = 0.5 flattens the
+      // skewed language distribution), deterministic hash acceptance
+      graft.ops.Sampling.temperatureMix(t(s, dir, "documents"), "doc_id",
+          "lang", alpha = 0.5, targetFraction = 0.5)
+        .select(col("doc_id"), col("lang"), col("mix_threshold"))
+        .orderBy(col("doc_id"))
+    }),
     "bt_orders" -> ((s, dir) => {
       val res = BacktestEngine.run(Sources.eventsAsBars(s, dir),
         MACross(5, 20), 10000.0)
@@ -1452,6 +1490,48 @@ object SparkEntry {
     "sim_lsh_topk" -> SimOracles.simLshTopK,
     "sim_ivf_topk" -> SimOracles.simIvfTopK,
     "dd_embedding_neardups" -> SimOracles.ddEmbeddingNearDups,
+    "dd_semantic" -> SimOracles.ddSemantic,
+    "dd_keep_best" -> DedupOracles.ddKeepBest,
+    "ts_domain_mix" -> SplitOracle.tsDomainMix,
+    "ts_lm_score" ->
+      // corpus bigram LM (stupid backoff, trained on the bucket<80 hash
+      // split): integer count tables, per-bigram log-probs, per-doc fold
+      // in position order (the float sum order is pinned on both sides)
+      s"""WITH b AS (${SplitOracle.bucketCte}),
+         toks AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+               t -> length(t) > 0) AS tk FROM documents),
+         tr AS (SELECT t.doc_id, tk FROM toks t JOIN b ON b.doc_id = t.doc_id
+           WHERE b.bucket < 80),
+         uni AS (SELECT w, count(*) AS cu
+           FROM (SELECT unnest(tk) AS w FROM tr) GROUP BY w),
+         tv AS (SELECT sum(cu) AS T, count(*) AS V FROM uni),
+         pos AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS pos
+           FROM toks WHERE len(tk) >= 2),
+         bg AS (SELECT doc_id, pos, tk[pos] AS w1, tk[pos + 1] AS w2
+           FROM pos),
+         bgtr AS (SELECT bg.w1, bg.w2 FROM bg JOIN b ON b.doc_id = bg.doc_id
+           WHERE b.bucket < 80),
+         bic AS (SELECT w1, w2, count(*) AS cb FROM bgtr GROUP BY w1, w2),
+         lp AS (SELECT bg.doc_id, bg.pos,
+             CASE WHEN bic.cb IS NOT NULL
+               THEN ln(CAST(bic.cb AS DOUBLE) / u1.cu)
+               ELSE ln((CAST(0.4 AS DOUBLE)
+                 * CAST(COALESCE(u2.cu, 0) + 1 AS DOUBLE)) / (tv.T + tv.V))
+               END AS lp
+           FROM bg
+           LEFT JOIN uni u1 ON u1.w = bg.w1
+           LEFT JOIN bic ON bic.w1 = bg.w1 AND bic.w2 = bg.w2
+           LEFT JOIN uni u2 ON u2.w = bg.w2
+           CROSS JOIN tv),
+         sc AS (SELECT doc_id, count(*) AS n_bigrams,
+             list_reduce(list_prepend(0.0, list(lp ORDER BY pos)),
+               (fa, fe) -> fa + fe) / count(*) AS score
+           FROM lp GROUP BY doc_id)
+         SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+           round(sc.score, 6) AS lm_score6
+         FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
     "sim_cosine_topk" ->
       """SELECT query_id, vec_id, cos6, rank FROM (
            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,

@@ -445,6 +445,37 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Drop near-duplicates keeping the BEST row per cluster instead of
+    * the minimum id: within each connected near-dup component, the
+    * survivor is the row maximizing `qualityCol` (ties to the smallest
+    * id). This is the production survivor policy — when a scraped page
+    * and its truncated mirror near-dup, keep the longer/higher-quality
+    * one, not whichever happened to get the smaller id (the reference's
+    * corpus pipeline has no notion of this; it generalizes
+    * [[dropNearDups]]).
+    *
+    * Scale shape: identical to [[dropNearDups]] plus one equi-join of
+    * the component labels against (id, quality) and a per-component
+    * ranking window. Components are bounded by the capped LSH buckets
+    * upstream, so the window partitions are small by construction; the
+    * join shuffles only (id, component, quality), never text.
+    */
+  def dropNearDupsKeepBest(df: DataFrame, idCol: String, textCol: String,
+      qualityCol: String, shingleSize: Int = 3, numHashes: Int = 32,
+      bands: Int = 8, threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashNearDups(df, idCol, textCol, shingleSize, numHashes,
+      bands, threshold)
+    val comps = connectedComponents(pairs)
+    val w = Window.partitionBy("component")
+      .orderBy(col(qualityCol).desc, col("id"))
+    val losers = comps
+      .join(df.select(col(idCol).as("id"), col(qualityCol)), Seq("id"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------- embedding cosine near-dup
 
   /** Embedding near-duplicates: cosine ≥ threshold via the similarity

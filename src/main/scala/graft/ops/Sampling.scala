@@ -53,6 +53,60 @@ object Sampling {
     df.filter(pmod(xxhash64(lit(salt), col(idCol)), lit(denom.toLong)) <
       math.round(fraction * denom))
 
+  /** Temperature-weighted domain mixing — the standard multi-source
+    * training-mix recipe (the α-temperature sampling of multilingual
+    * pretraining, e.g. XLM-R §3.1 / mT5 §3.2): a domain with n_d rows
+    * gets target share q_d = n_d^α / Σ_t n_t^α, flattening the natural
+    * distribution toward uniform as α → 0. To draw a mixed corpus of
+    * ~`targetFraction`·N rows, each domain keeps rows at rate
+    * r_d = min(1, targetFraction·N·q_d / n_d) with the same
+    * deterministic id-hash acceptance as [[hashSample]] — stable under
+    * appends, layouts, and reruns.
+    *
+    * Scale shape: one map-side-combinable groupBy for the per-domain
+    * counts (integers — order-free), the α-power normalization folded
+    * over the SORTED domain list inside one row (every float add in a
+    * fixed order → deterministic, oracle-checkable), then a broadcast
+    * join of the tiny (domain, threshold) table back to the corpus; the
+    * accept test is a scan-stage predicate. Domain cardinality must be
+    * driver-bounded (it is: sources/languages, not ids) — the collected
+    * list never leaves the one-row aggregate.
+    *
+    * Returns the input rows that survive the mix, plus the domain's
+    * integer accept threshold (of `denom`) for inspection.
+    */
+  def temperatureMix(df: DataFrame, idCol: String, domainCol: String,
+      alpha: Double, targetFraction: Double, salt: Long = 0L,
+      denom: Int = 1000000): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(targetFraction > 0 && targetFraction <= 1,
+      s"targetFraction must be in (0, 1], got $targetFraction")
+    // (domain, count) sorted by domain inside ONE row: the Σ n^α fold
+    // and the total-N sum then run left-to-right over a fixed order, so
+    // the thresholds are bit-reproducible on any partitioning
+    val dc = df.groupBy(col(domainCol).as("__d")).count()
+      .agg(sort_array(collect_list(struct(col("__d"), col("count").as("__n"))))
+        .as("__dc"))
+      .select(col("__dc"),
+        aggregate(transform(col("__dc"), x => pow(x("__n"), lit(alpha))),
+          lit(0.0), (a, v) => a + v).as("__z"),
+        aggregate(transform(col("__dc"), x => x("__n")),
+          lit(0.0), (a, v) => a + v).as("__total"))
+      .select(explode(col("__dc")).as("__e"), col("__z"), col("__total"))
+      .select(col("__e.__d").as(domainCol),
+        // r_d = min(1, targetFraction·N·q_d / n_d), materialized as an
+        // integer threshold of `denom` so the accept test is exact
+        least(lit(1.0),
+          lit(targetFraction) * col("__total") *
+            (pow(col("__e.__n"), lit(alpha)) / col("__z")) / col("__e.__n"))
+          .as("__r"))
+      .select(col(domainCol), round(col("__r") * denom).cast("long")
+        .as("mix_threshold"))
+    df.join(broadcast(dc), Seq(domainCol))
+      .filter(pmod(xxhash64(lit(salt), col(idCol)), lit(denom.toLong)) <
+        col("mix_threshold"))
+  }
+
   /** Stratified deterministic sample: a per-stratum keep fraction (e.g.
     * down-weight the dominant language of a corpus, keep all of a rare
     * one). Same id-hash discipline as [[hashSample]] — the threshold is

@@ -335,14 +335,23 @@ object Similarity {
       .select(col(idCol).as("id"), col(vecCol).as("__v"),
         norm(col(vecCol)).as("__n"),
         lshBucket(col(vecCol), planes).as("__bucket"))
+    cappedBucketPairs(v, df.schema(idCol).dataType, threshold, maxBucket)
+  }
+
+  /** Shared tail of the bucketed near-dup operators: capped member
+    * lists per `__bucket`, in-task ordered-pair expansion, exact cosine
+    * verification against the re-joined (vector, norm) sides.
+    */
+  private def cappedBucketPairs(v: DataFrame, idType: DataType,
+      threshold: Double, maxBucket: Int): DataFrame = {
     // bounded k-smallest aggregation (integral ids) — partial buffers
     // never exceed maxBucket ids, so a degenerate hot bucket (e.g. many
     // identical vectors sharing one sign pattern) cannot OOM an executor;
     // non-integral id types take the capped collect_list fallback
     val buckets = v.select(col("id"), col("__bucket"))
       .groupBy("__bucket")
-      .agg(graft.dedup.Dedup.smallestKIds(col("id"),
-        df.schema(idCol).dataType, maxBucket).as("members"))
+      .agg(graft.dedup.Dedup.smallestKIds(col("id"), idType, maxBucket)
+        .as("members"))
       .filter(size(col("members")) > 1)
     // one bucket per vector → a pair can only form once; no dedup needed
     val pairIds = buckets
@@ -357,5 +366,39 @@ object Similarity {
         dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Semantic (cluster-scoped) near-duplicates — the SemDeDup recipe
+    * (Abbas et al. 2023: k-means the embedding space, then look for
+    * high-cosine duplicate pairs only WITHIN a cluster): every vector is
+    * assigned to its nearest cell of the same deterministic coarse
+    * quantizer IVF search uses ([[ivfCentroids]] — farthest-point seeds
+    * + Lloyd passes over a bounded driver-local sample), and candidate
+    * pairs form only inside a cell, capped at `maxCell` members.
+    * Compared to the hyperplane-LSH bucketing of [[cosineNearDups]],
+    * cells track the corpus's actual density structure — semantically
+    * clustered corpora (the common case after embedding) get tighter
+    * candidate sets at the same recall.
+    *
+    * Scale shape: one bounded centroid construction (one corpus scan),
+    * one codegen'd assignment pass, then the identical capped-bucket
+    * pair join as the LSH path — only (id, cell) shuffles for candidate
+    * generation, and a dense cell contributes ≤ maxCell·(maxCell−1)/2
+    * pairs. At 100 TB size nCentroids so expected cell population stays
+    * near maxCell (the paper's own regime).
+    */
+  def semanticNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCentroids: Int = 16, maxCell: Int = 64,
+      refineSample: Int = 256, lloydIters: Int = 2): DataFrame = {
+    val centroids = ivfCentroids(df, idCol, vecCol, nCentroids,
+      refineSample, lloydIters)
+    val centroidSeq: Seq[Seq[Double]] = centroids.toSeq.map(_.toSeq)
+    val v = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).as("__v"),
+        norm(col(vecCol)).as("__n"),
+        graft.functions.VectorFunctions
+          .nearestCells(col(vecCol), centroidSeq, 1).getItem(0)
+          .as("__bucket"))
+    cappedBucketPairs(v, df.schema(idCol).dataType, threshold, maxCell)
   }
 }

@@ -122,6 +122,84 @@ object TextStats {
       .drop("__corpus_n")
   }
 
+  /** Corpus-trained bigram language-model score — the CCNet-style
+    * quality signal (Wenzek et al. 2020 score documents by LM perplexity
+    * and keep the well-modeled ones; a corpus-trained n-gram LM is the
+    * classic engine-portable stand-in for the external LM). Counts are
+    * TRAINED on the deterministic train split of the corpus
+    * (hash-of-id bucket < trainBuckets of 100, the same discipline as
+    * [[graft.ops.Sampling.hashSplit]]) and every document is SCORED
+    * against them, so held-out documents genuinely exercise the backoff:
+    *
+    *   score(doc) = (1/B) · Σ_i log p(w_{i+1} | w_i)
+    *   p(w2|w1)   = c(w1 w2) / c(w1)                 seen bigram
+    *              = 0.4 · (c(w2) + 1) / (T + V)      backoff (stupid
+    *                backoff with an add-one floor so unseen unigrams
+    *                score finitely; T = train tokens, V = train vocab)
+    *
+    * Scale shape: two integer-count aggregations (unigrams, bigrams —
+    * map-side combinable, order-free), equi-joins of the per-position
+    * bigram stream against them, then ONE per-document fold of the
+    * log-probs in position order (sorted inside the row), so the float
+    * sum has a fixed order — deterministic on any partitioning and
+    * oracle-checkable. Nothing collects; the count tables shuffle on
+    * their natural keys.
+    *
+    * Returns one row per input document: (id, n_bigrams, lm_score),
+    * lm_score null for documents with fewer than two tokens.
+    */
+  def lmScore(df: DataFrame, idCol: String, textCol: String,
+      trainBuckets: Int = 80): DataFrame = {
+    val toks = df.select(col(idCol).as("__id"), tokens(col(textCol)).as("__tk"),
+      (graft.ops.Sampling.hashBucket(col(idCol), 100) < trainBuckets)
+        .as("__train"))
+    // per-position bigram stream: (doc, pos, w1, w2)
+    val bi = toks.filter(size(col("__tk")) >= 2)
+      .select(col("__id"), col("__train"),
+        posexplode(arrays_zip(
+          slice(col("__tk"), lit(1), size(col("__tk")) - 1),
+          slice(col("__tk"), lit(2), size(col("__tk")) - 1)))
+          .as(Seq("__pos", "__bg")))
+      .select(col("__id"), col("__train"), col("__pos"),
+        col("__bg.0").as("__w1"), col("__bg.1").as("__w2"))
+    val trainToks = toks.filter(col("__train"))
+      .select(explode(col("__tk")).as("__w"))
+    val uni = trainToks.groupBy("__w").agg(count(lit(1)).as("__cu"))
+    val biCounts = bi.filter(col("__train")).groupBy("__w1", "__w2")
+      .agg(count(lit(1)).as("__cb"))
+    // T (train tokens) and V (train vocab) are integer scalars —
+    // order-free aggregations, broadcast as one row
+    val tv = broadcast(uni.agg(sum(col("__cu")).as("__T"),
+      count(lit(1)).as("__V")))
+    val logp = bi
+      .join(uni.select(col("__w").as("__w1"), col("__cu").as("__c1")),
+        Seq("__w1"), "left")
+      .join(biCounts, Seq("__w1", "__w2"), "left")
+      .join(uni.select(col("__w").as("__w2"), col("__cu").as("__c2")),
+        Seq("__w2"), "left")
+      .crossJoin(tv)
+      .select(col("__id"), col("__pos"),
+        when(col("__cb").isNotNull,
+          log(col("__cb").cast("double") / col("__c1")))
+          .otherwise(log(lit(0.4) *
+            (coalesce(col("__c2"), lit(0L)) + lit(1L)).cast("double") /
+            (col("__T") + col("__V"))))
+          .as("__lp"))
+    // fold the log-probs in POSITION order inside the row: float sums
+    // must not depend on shuffle arrival order
+    val scored = logp.groupBy(col("__id"))
+      .agg(sort_array(collect_list(struct(col("__pos"), col("__lp"))))
+        .as("__ps"))
+      .select(col("__id"),
+        size(col("__ps")).cast("long").as("n_bigrams"),
+        (aggregate(transform(col("__ps"), x => x("__lp")),
+          lit(0.0), (a, v) => a + v) / size(col("__ps"))).as("lm_score"))
+    df.select(col(idCol)).join(scored, df(idCol) === scored("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("lm_score"))
+  }
+
   /** Repetition signals in the Gopher/MassiveText style (duplicate-token
     * and top-n-gram fractions, published in Rae et al. 2021 §A1.1 as
     * filtering heuristics): how much of the document is the same token

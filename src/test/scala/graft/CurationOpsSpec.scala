@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.ops.Sampling
+import graft.sim.Similarity
+import graft.textstats.TextStats
+
+/** Round-7 corpus-curation operators: quality-priority survivor
+  * selection, SemDeDup cell-scoped near-dups, corpus bigram LM scoring,
+  * and temperature-weighted domain mixing. Each test pins the semantics
+  * on a constructed example whose expected output is derived by hand.
+  */
+class CurationOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // --------------------------------------------- dropNearDupsKeepBest
+
+  test("keep-best survivor is the max-quality member, not the min id") {
+    // docs 1/2/3 are near-identical (pairwise Jaccard 1.0 on 3-gram
+    // shingles); doc 2 has the highest quality. Min-id policy would keep
+    // doc 1; keep-best must keep doc 2. Doc 9 is unrelated and survives.
+    val txt = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, txt, 10L), (2L, txt, 99L), (3L, txt, 50L),
+      (9L, "totally different words nothing shared here at all", 1L))
+      .toDF("doc_id", "text", "quality")
+    val out = Dedup.dropNearDupsKeepBest(docs, "doc_id", "text", "quality",
+      shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq === Seq(2L, 9L))
+    // contrast: the min-id policy keeps doc 1 from the same cluster
+    val minId = Dedup.dropNearDups(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(minId.toSeq === Seq(1L, 9L))
+  }
+
+  test("keep-best ties break to the smallest id") {
+    val txt = "one two three four five six seven eight nine ten"
+    val docs = Seq((5L, txt, 7L), (3L, txt, 7L), (8L, txt, 7L))
+      .toDF("doc_id", "text", "quality")
+    val out = Dedup.dropNearDupsKeepBest(docs, "doc_id", "text", "quality",
+      threshold = 0.5).select("doc_id").as[Long].collect()
+    assert(out.toSeq === Seq(3L))
+  }
+
+  // ------------------------------------------------- semanticNearDups
+
+  test("semantic near-dups pair only within a k-means cell") {
+    // two tight clusters far apart; near-identical vectors inside each.
+    // With 2 centroids the clusters land in different cells, so the one
+    // cross-cluster high-threshold pair candidate can never form, while
+    // the in-cluster near-dups verify by exact cosine.
+    def v(base: Double, eps: Double) = Seq(base + eps, 1.0, base)
+    val emb = Seq(
+      (1L, v(10.0, 0.0)), (2L, v(10.0, 0.001)),  // cluster A near-dups
+      (3L, Seq(-10.0, 1.0, -10.0)), (4L, Seq(-10.0, 1.001, -10.0)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.semanticNearDups(emb, "vec_id", "embedding",
+      threshold = 0.999, nCentroids = 2, refineSample = 4, lloydIters = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("semantic near-dups respect the per-cell member cap") {
+    // 10 identical vectors in one cell, cap 3 -> only the 3 smallest ids
+    // expand to pairs: C(3,2) = 3 pairs, never C(10,2) = 45
+    val emb = (1L to 10L).map(i => (i, Seq(1.0, 2.0, 3.0)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.semanticNearDups(emb, "vec_id", "embedding",
+      threshold = 0.5, nCentroids = 1, maxCell = 3, refineSample = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  // ---------------------------------------------------------- lmScore
+
+  test("bigram LM score: seen bigrams use c12/c1, short docs score null") {
+    // trainBuckets = 100 -> every doc trains, so all bigram probs are
+    // corpus-relative frequencies and expected scores close in hand:
+    //   docs: "a b", "a b", "a c"  ->  c(a)=3, c(a b)=2, c(a c)=1
+    //   score("a b") = ln(2/3); score("a c") = ln(1/3)
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextStats.lmScore(docs, "doc_id", "text", trainBuckets = 100)
+      .orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "lm_score")
+      .as[(Long, Long, Option[Double])].collect()
+    assert(out(0) === ((1L, 1L, Some(math.log(2.0 / 3.0)))))
+    assert(out(1) === ((2L, 1L, Some(math.log(2.0 / 3.0)))))
+    assert(out(2) === ((3L, 1L, Some(math.log(1.0 / 3.0)))))
+    assert(out(3) === ((4L, 0L, None))) // < 2 tokens: no bigrams
+  }
+
+  test("bigram LM score: unseen bigrams take the stupid-backoff branch") {
+    // one training doc, one held-out doc whose bigram never occurs in
+    // training:
+    //   train "x y x y": T = 4, V = 2, c(y x)=1, c(x)=2, c(y)=2
+    //   eval  "y y":    bigram (y,y) unseen -> ln(0.4 * (c(y)+1) / (T+V))
+    // ids are picked by their actual hash bucket (train < 80 <= eval)
+    val buckets = spark.range(1, 201)
+      .select(col("id"), Sampling.hashBucket(col("id"), 100).as("b"))
+      .as[(Long, Long)].collect()
+    val trainId = buckets.find(_._2 < 80).get._1
+    val evalId = buckets.find(_._2 >= 80).get._1
+    val docs = Seq((trainId, "x y x y"), (evalId, "y y"))
+      .toDF("doc_id", "text")
+    val out = TextStats.lmScore(docs, "doc_id", "text")
+      .filter(col("doc_id") === evalId)
+      .select("lm_score").as[Double].head()
+    // 1e-12 tolerance: the JVM's Math.log intrinsic and this test's
+    // constant-folded expectation can differ in the final ulp
+    val expected = math.log(0.4 * (2.0 + 1.0) / (4.0 + 2.0))
+    assert(math.abs(out - expected) < 1e-12,
+      s"$out !~ $expected")
+  }
+
+  // --------------------------------------------------- temperatureMix
+
+  test("temperature mix: alpha = 1 keeps every domain at targetFraction") {
+    // alpha = 1 -> q_d = n_d / N -> r_d = targetFraction exactly
+    val docs = (1L to 300L).map(i =>
+      (i, if (i % 3 == 0) "big" else "huge")).toDF("doc_id", "domain")
+    val out = Sampling.temperatureMix(docs, "doc_id", "domain",
+      alpha = 1.0, targetFraction = 0.25)
+    val thr = out.select("mix_threshold").distinct().as[Long].collect()
+    assert(thr.toSeq === Seq(250000L))
+  }
+
+  test("temperature mix: alpha < 1 up-weights rare domains") {
+    // 900 "en" vs 100 "rare": alpha 0.5 shifts share toward the rare
+    // domain; the rare threshold must exceed the dominant one, and both
+    // must match the closed form computed here
+    val docs = (1L to 1000L).map(i =>
+      (i, if (i <= 900) "en" else "rare")).toDF("doc_id", "domain")
+    val out = Sampling.temperatureMix(docs, "doc_id", "domain",
+      alpha = 0.5, targetFraction = 0.5)
+    val thr = out.select("domain", "mix_threshold").distinct()
+      .as[(String, Long)].collect().toMap
+    val z = math.pow(900, 0.5) + math.pow(100, 0.5)
+    def expect(n: Double) =
+      math.round(math.min(1.0, 0.5 * 1000 * (math.pow(n, 0.5) / z) / n)
+        * 1000000)
+    assert(thr("en") === expect(900))
+    assert(thr("rare") === expect(100))
+    assert(thr("rare") > thr("en"))
+    // survivors actually honor the thresholds
+    val got = out.select("doc_id").as[Long].collect().toSet
+    val all = docs.select(col("doc_id"),
+      pmod(xxhash64(lit(0L), col("doc_id")), lit(1000000L)).as("h"),
+      col("domain")).as[(Long, Long, String)].collect()
+    val manual = all.filter { case (_, h, d) => h < thr(d) }.map(_._1).toSet
+    assert(got === manual)
+  }
+
+  test("temperature mix rejects out-of-range parameters") {
+    val docs = Seq((1L, "a")).toDF("doc_id", "domain")
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMix(docs, "doc_id", "domain", alpha = 0.0,
+        targetFraction = 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMix(docs, "doc_id", "domain", alpha = 0.5,
+        targetFraction = 1.5)
+    }
+  }
+}
