@@ -164,7 +164,19 @@ object TextStats {
         col("__bg.0").as("__w1"), col("__bg.1").as("__w2"))
     val trainToks = toks.filter(col("__train"))
       .select(explode(col("__tk")).as("__w"))
-    val uni = trainToks.groupBy("__w").agg(count(lit(1)).as("__cu"))
+    // MATERIALIZE the unigram table once: it feeds three consumers (the
+    // w1 lookup, the w2 lookup, and the T/V scalar) and Spark does not
+    // reuse the exchange across them — without the cut each consumer
+    // re-runs the full corpus token explode+count (verified in the
+    // physical plan: three identical aggregation subtrees). The table is
+    // vocab-bounded (≪ corpus), so the checkpoint is cheap; same
+    // reliable-or-local discipline as the CC rounds
+    // (graft.dedup.Dedup.cut).
+    val uni0 = trainToks.groupBy("__w").agg(count(lit(1)).as("__cu"))
+    val uni =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        uni0.checkpoint(eager = true)
+      else uni0.localCheckpoint(eager = true)
     val biCounts = bi.filter(col("__train")).groupBy("__w1", "__w2")
       .agg(count(lit(1)).as("__cb"))
     // T (train tokens) and V (train vocab) are integer scalars —
