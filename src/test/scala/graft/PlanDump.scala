@@ -16,7 +16,9 @@ object PlanDump {
                   "j9_asof_join","j10_range_join","dd_ngram_jaccard",
                   "a9_quantiles","ts_repetition","ts_strat_sample",
                   "a11_rollup","a12_pivot","w12_rolling_time",
-                  "j12_bloom_prune_join","dd_contamination")) {
+                  "j12_bloom_prune_join","dd_contamination",
+                  "dd_semantic","dd_keep_best","ts_lm_score",
+                  "ts_domain_mix")) {
       sb.append(s"\n## $q\n\n```\n")
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode)
