@@ -73,7 +73,10 @@ object Sampling {
     * list never leaves the one-row aggregate.
     *
     * Returns the input rows that survive the mix, plus the domain's
-    * integer accept threshold (of `denom`) for inspection.
+    * integer accept threshold (of `denom`) for inspection. Rows with a
+    * NULL domain are dropped (they join no domain's rate — pinned by
+    * CurationOpsSpec); map nulls to a sentinel domain first if they
+    * should participate.
     */
   def temperatureMix(df: DataFrame, idCol: String, domainCol: String,
       alpha: Double, targetFraction: Double, salt: Long = 0L,

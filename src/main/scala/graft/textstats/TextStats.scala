@@ -150,6 +150,11 @@ object TextStats {
     */
   def lmScore(df: DataFrame, idCol: String, textCol: String,
       trainBuckets: Int = 80): DataFrame = {
+    // 0 would train on nothing (T = sum over empty = null → every score
+    // null); 100+ scores nothing held-out. Both are misconfigurations,
+    // not models.
+    require(trainBuckets >= 1 && trainBuckets <= 100,
+      s"trainBuckets must be in [1, 100], got $trainBuckets")
     val toks = df.select(col(idCol).as("__id"), tokens(col(textCol)).as("__tk"),
       (graft.ops.Sampling.hashBucket(col(idCol), 100) < trainBuckets)
         .as("__train"))

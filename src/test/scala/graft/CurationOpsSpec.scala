@@ -75,6 +75,61 @@ class CurationOpsSpec extends SparkTestBase {
     assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("planted near-duplicates are recovered by cell scoping") {
+    // the synthetic embeddings hold no true near-dups (max pair cosine
+    // ~0.55), so this plants them: every 10th vector gets a copy with
+    // deterministic per-dimension noise (cosine > 0.999 to its source).
+    // Cell-scoped candidate generation must surface nearly all planted
+    // pairs — near-identical vectors land in the same cell unless one
+    // sits exactly on a boundary.
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+      .select("vec_id", "embedding")
+    val planted = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x * (lit(1.0) +
+            (pmod(xxhash64(col("vec_id"), i), lit(1000L)).cast("double") -
+              lit(500.0)) / lit(50000000.0))).as("embedding"))
+    val corpus = emb.unionByName(planted)
+    val nPlanted = planted.count()
+    val pairs = graft.sim.Similarity.semanticNearDups(corpus, "vec_id",
+      "embedding", threshold = 0.999, nCentroids = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val found = pairs.count { case (a, b) => b == a + 100000L }
+    assert(found >= 0.9 * nPlanted,
+      s"found $found of $nPlanted planted near-dup pairs")
+    // nothing else clears a 0.999 cosine bar
+    assert(pairs.forall { case (a, b) => b == a + 100000L })
+  }
+
+  test("cell-scoped pair recall beats the 4-plane LSH grid at sf0.01") {
+    // loose-pair regime (thr 0.3 on a corpus whose max pair cosine is
+    // ~0.55): measured by RecallProbe — semantic(16 cells) = 0.248 vs
+    // lsh(4 planes) = 0.143 of the 990 true pairs. Deterministic
+    // pipelines, so the exact values are stable; floors leave margin
+    // only for parameter-default drift.
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val v = emb.select(col("vec_id"), col("embedding"),
+      graft.sim.Similarity.norm(col("embedding")).as("nm"))
+    val truth = v.toDF("ia", "va", "na")
+      .join(v.toDF("ib", "vb", "nb"), col("ia") < col("ib"))
+      .filter(graft.sim.Similarity.dot(col("va"), col("vb")) /
+        (col("na") * col("nb")) >= 0.3)
+      .select(col("ia").as("id_a"), col("ib").as("id_b")).cache()
+    val nTruth = truth.count().toDouble
+    def recall(found: org.apache.spark.sql.DataFrame): Double =
+      found.select("id_a", "id_b").intersect(truth).count() / nTruth
+    val sem = recall(graft.sim.Similarity.semanticNearDups(
+      emb, "vec_id", "embedding", threshold = 0.3, nCentroids = 16))
+    val lsh = recall(graft.dedup.Dedup.embeddingNearDups(
+      emb, "vec_id", "embedding", threshold = 0.3, planes = 4))
+    assert(sem >= 0.2, s"semantic pair recall $sem below floor")
+    assert(sem > lsh,
+      s"expected density-tracking cells to beat the LSH grid: $sem <= $lsh")
+  }
+
   // ---------------------------------------------------------- lmScore
 
   test("bigram LM score: seen bigrams use c12/c1, short docs score null") {
@@ -153,6 +208,46 @@ class CurationOpsSpec extends SparkTestBase {
       col("domain")).as[(Long, Long, String)].collect()
     val manual = all.filter { case (_, h, d) => h < thr(d) }.map(_._1).toSet
     assert(got === manual)
+  }
+
+  test("temperature mix drops null-domain rows (documented contract)") {
+    val docs = Seq((1L, "a"), (2L, null), (3L, "a"))
+      .toDF("doc_id", "domain")
+    val out = Sampling.temperatureMix(docs, "doc_id", "domain",
+      alpha = 1.0, targetFraction = 1.0)
+    // tf = 1, alpha = 1 -> every non-null-domain row survives; the null
+    // row cannot join a rate and is dropped
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 3L))
+  }
+
+  test("lm score and temperature mix are invariant under repartitioning") {
+    // the operators' float folds are pinned to row-internal order, so
+    // physical layout must not change a single bit of the output
+    val docs = (1L to 120L).map(i =>
+      (i, s"tok${i % 7} tok${i % 5} tok${i % 3} tok${i % 7}",
+        if (i % 4 == 0) "rare" else "en"))
+      .toDF("doc_id", "text", "domain")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().toSeq
+    val lm1 = canon(TextStats.lmScore(docs.repartition(7), "doc_id", "text"))
+    val lm2 = canon(TextStats.lmScore(docs.repartition(2), "doc_id", "text"))
+    assert(lm1 === lm2)
+    val mx1 = canon(Sampling.temperatureMix(docs.repartition(5), "doc_id",
+      "domain", alpha = 0.5, targetFraction = 0.5))
+    val mx2 = canon(Sampling.temperatureMix(docs.coalesce(1), "doc_id",
+      "domain", alpha = 0.5, targetFraction = 0.5))
+    assert(mx1 === mx2)
+  }
+
+  test("lm score rejects out-of-range train buckets") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextStats.lmScore(docs, "doc_id", "text", trainBuckets = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextStats.lmScore(docs, "doc_id", "text", trainBuckets = 101)
+    }
   }
 
   test("temperature mix rejects out-of-range parameters") {

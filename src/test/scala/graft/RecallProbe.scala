@@ -66,6 +66,27 @@ object RecallProbe {
       println(f"IVFCELLS $label sf=$dir scanned_frac=$scanned%.3f " +
         f"max_cell_share=$maxShare%.3f")
     }
+    // Near-dup PAIR recall: of all true pairs (exact cosine >= thr over
+    // every unordered pair), what fraction does each bucketed candidate
+    // generator surface? This is the dedup-side quality axis — top-k
+    // recall above measures the search side.
+    val thr = 0.3
+    val v = emb.select(col("vec_id"), col("embedding"),
+      Similarity.norm(col("embedding")).as("nm"))
+    val truth = v.toDF("ia", "va", "na")
+      .join(v.toDF("ib", "vb", "nb"), col("ia") < col("ib"))
+      .filter(Similarity.dot(col("va"), col("vb")) /
+        (col("na") * col("nb")) >= thr)
+      .select(col("ia").as("id_a"), col("ib").as("id_b")).cache()
+    val nTruth = truth.count().toDouble
+    def pairRecall(found: org.apache.spark.sql.DataFrame): Double =
+      found.select("id_a", "id_b").intersect(truth).count() / nTruth
+    val lshPairs = pairRecall(graft.dedup.Dedup.embeddingNearDups(
+      emb, "vec_id", "embedding", threshold = thr, planes = 4))
+    val semPairs = pairRecall(Similarity.semanticNearDups(
+      emb, "vec_id", "embedding", threshold = thr, nCentroids = 16))
+    println(f"PAIRRECALL sf=$dir thr=$thr true_pairs=${nTruth.toLong} " +
+      f"lsh(4)=$lshPairs%.3f semantic(16)=$semPairs%.3f")
     spark.stop()
   }
 }
