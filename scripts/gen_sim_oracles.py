@@ -143,7 +143,10 @@ def quantizer_prefix(n_centroids=16, refine_sample=256, lloyd_iters=2):
             f"LEFT JOIN (SELECT cell, {mean} AS mv FROM mn{it}) m "
             f"ON m.cell = mc))")
     quantizer = ",\n".join(fps + lloyd)
-    return f"""WITH emb AS (
+    # returned WITHOUT the leading "WITH" so callers can choose plain
+    # WITH (probe/pair queries) or WITH RECURSIVE (the prune endpoint's
+    # transitive closure)
+    return f"""emb AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 samp AS MATERIALIZED (SELECT v,
     row_number() OVER (ORDER BY idh, vec_id) AS srn
@@ -165,7 +168,7 @@ def sim_ivf_sql(n_centroids=16, n_probe=8, k=5, refine_sample=256,
     """Similarity.ivfTopK: the shared quantizer prefix, then each query
     probes its n_probe nearest cells and candidates are scored/ranked
     exactly."""
-    return f"""{quantizer_prefix(n_centroids, refine_sample, lloyd_iters)},
+    return f"""WITH {quantizer_prefix(n_centroids, refine_sample, lloyd_iters)},
 probes AS (SELECT vec_id AS query_id, v AS qv, cell FROM (
     SELECT vec_id, v, cell, row_number() OVER (
       PARTITION BY vec_id ORDER BY d, cell) AS rn
@@ -214,7 +217,7 @@ def dd_semantic_sql(n_centroids=16, threshold=0.3, max_cell=64,
     vector, matching the Spark side."""
     dot = fold0("list_transform(a.v, (cx, ci) -> cx * b.v[ci])")
     nrm = f"sqrt({fold0('list_transform(v, cx -> cx * cx)')})"
-    return f"""{quantizer_prefix(n_centroids, refine_sample, lloyd_iters)},
+    return f"""WITH {quantizer_prefix(n_centroids, refine_sample, lloyd_iters)},
 an AS MATERIALIZED (SELECT vec_id, v, {nrm} AS nm, cell FROM assigned),
 cap AS MATERIALIZED (SELECT vec_id, v, nm, cell FROM (
     SELECT vec_id, v, nm, cell,
@@ -227,6 +230,43 @@ SELECT id_a, id_b, round(cosine, 6) AS cos6 FROM p
 WHERE cosine >= {threshold} ORDER BY id_a, id_b"""
 
 
+def dd_semantic_prune_sql(n_centroids=16, threshold=0.3, max_cell=64,
+                          refine_sample=256, lloyd_iters=2):
+    """The SemDeDup ENDPOINT (Dedup.keepBestSurvivors over
+    Similarity.semanticNearDups pairs): transitive closure of the
+    cell-scoped pair list, then per cluster keep the member maximizing
+    the document quality column (n_chars via doc_id = vec_id, ties to
+    the smallest id); unpaired rows survive untouched."""
+    dot = fold0("list_transform(a.v, (cx, ci) -> cx * b.v[ci])")
+    nrm = f"sqrt({fold0('list_transform(v, cx -> cx * cx)')})"
+    return f"""WITH RECURSIVE {quantizer_prefix(n_centroids, refine_sample,
+                                                lloyd_iters)},
+an AS MATERIALIZED (SELECT vec_id, v, {nrm} AS nm, cell FROM assigned),
+cap AS MATERIALIZED (SELECT vec_id, v, nm, cell FROM (
+    SELECT vec_id, v, nm, cell,
+      row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn FROM an)
+  WHERE rn <= {max_cell}),
+p AS MATERIALIZED (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM cap a JOIN cap b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ({dot}) / (a.nm * b.nm) >= {threshold}),
+edges AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM p
+  UNION SELECT id_b, id_a FROM p),
+reach(u, v) AS (SELECT u, v FROM edges
+  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+comp AS (SELECT u AS id, least(u, min(v)) AS component
+  FROM reach GROUP BY u),
+q AS (SELECT vec_id, n_chars FROM embeddings e
+  JOIN documents d ON d.doc_id = e.vec_id),
+best AS (SELECT id FROM (
+    SELECT c.id, row_number() OVER (PARTITION BY c.component
+      ORDER BY q.n_chars DESC, c.id) AS rn
+    FROM comp c JOIN q ON q.vec_id = c.id)
+  WHERE rn = 1)
+SELECT vec_id, n_chars FROM q
+WHERE vec_id NOT IN (SELECT id FROM comp) OR vec_id IN (SELECT id FROM best)
+ORDER BY vec_id"""
+
+
 def validate(sf_dir, verify_dir):
     import glob
     import time
@@ -235,11 +275,13 @@ def validate(sf_dir, verify_dir):
     import pandas as pd
     con = duckdb.connect()
     con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'")
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
     ok = True
     for name, sql in [("sim_lsh_topk", sim_lsh_sql()),
                       ("sim_ivf_topk", sim_ivf_sql()),
                       ("dd_embedding_neardups", emb_neardups_sql()),
-                      ("dd_semantic", dd_semantic_sql())]:
+                      ("dd_semantic", dd_semantic_sql()),
+                      ("dd_semantic_prune", dd_semantic_prune_sql())]:
         t0 = time.time()
         d = con.sql(sql).df()
         s = pd.concat([pd.read_parquet(f) for f in
@@ -266,7 +308,8 @@ def emit_scala(path):
         for name, sql in [("simLshTopK", sim_lsh_sql()),
                           ("simIvfTopK", sim_ivf_sql()),
                           ("ddEmbeddingNearDups", emb_neardups_sql()),
-                          ("ddSemantic", dd_semantic_sql())])
+                          ("ddSemantic", dd_semantic_sql()),
+                          ("ddSemanticPrune", dd_semantic_prune_sql())])
     src = f"""package graft
 
 /** GENERATED by scripts/gen_sim_oracles.py — do not edit by hand.

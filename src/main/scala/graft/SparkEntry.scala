@@ -918,6 +918,20 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cos6"))
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "dd_semantic_prune" -> ((s, dir) => {
+      // the SemDeDup endpoint: cell-scoped near-dup pairs -> connected
+      // components -> keep the highest-quality member per cluster
+      // (documents.n_chars via doc_id = vec_id), drop the rest
+      val emb = t(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val pairs = Similarity.semanticNearDups(emb, "vec_id", "embedding",
+        threshold = 0.3, nCentroids = 16)
+      val withQ = emb.join(t(s, dir, "documents")
+        .select(col("doc_id").as("vec_id"), col("n_chars")), "vec_id")
+      Dedup.keepBestSurvivors(withQ, "vec_id", pairs, "n_chars")
+        .select(col("vec_id"), col("n_chars"))
+        .orderBy(col("vec_id"))
+    }),
     "ts_lm_score" -> ((s, dir) => {
       // CCNet-style corpus LM quality score: bigram stupid-backoff model
       // trained on the hash-split train buckets, every doc scored
@@ -1491,6 +1505,7 @@ object SparkEntry {
     "sim_ivf_topk" -> SimOracles.simIvfTopK,
     "dd_embedding_neardups" -> SimOracles.ddEmbeddingNearDups,
     "dd_semantic" -> SimOracles.ddSemantic,
+    "dd_semantic_prune" -> SimOracles.ddSemanticPrune,
     "dd_keep_best" -> DedupOracles.ddKeepBest,
     "ts_domain_mix" -> SplitOracle.tsDomainMix,
     "ts_lm_score" ->

@@ -462,9 +462,21 @@ object Dedup {
     */
   def dropNearDupsKeepBest(df: DataFrame, idCol: String, textCol: String,
       qualityCol: String, shingleSize: Int = 3, numHashes: Int = 32,
-      bands: Int = 8, threshold: Double = 0.8): DataFrame = {
-    val pairs = minhashNearDups(df, idCol, textCol, shingleSize, numHashes,
-      bands, threshold)
+      bands: Int = 8, threshold: Double = 0.8): DataFrame =
+    keepBestSurvivors(df, idCol,
+      minhashNearDups(df, idCol, textCol, shingleSize, numHashes, bands,
+        threshold), qualityCol)
+
+  /** The survivor policy itself, decoupled from the candidate
+    * generator: given ANY near-dup pair list (id_a, id_b) — MinHash,
+    * SimHash, embedding-LSH, semantic cells, edit distance — cluster by
+    * connected components and keep, per cluster, the row maximizing
+    * `qualityCol` (ties to the smallest id). Rows in no pair survive
+    * untouched. This is what lets every candidate generator share one
+    * quality-priority dedup endpoint.
+    */
+  def keepBestSurvivors(df: DataFrame, idCol: String, pairs: DataFrame,
+      qualityCol: String): DataFrame = {
     val comps = connectedComponents(pairs)
     val w = Window.partitionBy("component")
       .orderBy(col(qualityCol).desc, col("id"))

@@ -46,6 +46,18 @@ class CurationOpsSpec extends SparkTestBase {
     assert(out.toSeq === Seq(3L))
   }
 
+  test("keepBestSurvivors: generic pairs, transitive chains, any generator") {
+    // chain 1-2, 2-3 (one component via transitivity) + isolated pair
+    // 7-8; quality picks 3 from the chain and 8 from the pair; 5 is in
+    // no pair and survives untouched
+    val rows = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (5L, 1.0),
+      (7L, 5.0), (8L, 6.0)).toDF("id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val out = Dedup.keepBestSurvivors(rows, "id", pairs, "q")
+      .select("id").as[Long].collect().sorted
+    assert(out.toSeq === Seq(3L, 5L, 8L))
+  }
+
   // ------------------------------------------------- semanticNearDups
 
   test("semantic near-dups pair only within a k-means cell") {
