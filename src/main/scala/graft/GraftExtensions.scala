@@ -14,15 +14,22 @@ import graft.textstats.TextStats
   * `simhash64(arr)`, `minhash_signature(arr, n)`, `word_shingles(s, n)`,
   * `vec_dot(a, b)`, `vec_norm(a)`, and `lang_marker_scores(toks)` (the
   * built-in marker lists, sorted lang order) to pure-SQL users alongside
-  * the Column API (graft.functions).
+  * the Column API (graft.functions), plus the `asof_join` / `range_join`
+  * table-valued functions ([[graft.plans.TableFunctions]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(e: SparkSessionExtensions): Unit =
+  def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.registrations.foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name),
         builder))
     }
+    graft.plans.TableFunctions.registrations.foreach { case (name, builder) =>
+      e.injectTableFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.plans", name),
+        builder))
+    }
+  }
 }
 
 object GraftExtensions {
@@ -73,6 +80,10 @@ object GraftExtensions {
   def register(spark: SparkSession): Unit = {
     registrations.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+    graft.plans.TableFunctions.registrations.foreach { case (name, builder) =>
+      spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")
     }
     graft.engine.BacktestFoldAgg.register(spark)
