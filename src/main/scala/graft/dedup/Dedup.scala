@@ -499,4 +499,78 @@ object Dedup {
       maxBucket: Int = 64): DataFrame =
     graft.sim.Similarity.cosineNearDups(df, idCol, vecCol, threshold,
       planes, maxBucket)
+
+  // ------------------------------------------ repeated n-gram span scrub
+
+  /** Substring-granularity dedup: scrub every word position covered by an
+    * n-word gram that occurs in more than `maxDocs` distinct documents —
+    * the distributed, token-boundary approximation of suffix-array
+    * substring deduplication (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better"), in the RefinedWeb remove-all-copies
+    * policy. This is the rung the document-level tiers cannot reach:
+    * shared boilerplate (headers, footers, license blocks, quoted
+    * passages) embedded inside otherwise-unique documents.
+    *
+    * Returns one row per input row: (idCol, text_clean, n_removed) where
+    * `text_clean` is the surviving words joined by single spaces and
+    * `n_removed` counts scrubbed word positions. Documents with no
+    * scrubbed span pass through with their ORIGINAL text (whitespace
+    * preserved); touched documents are rebuilt single-spaced.
+    *
+    * Scale design: grams travel the shuffle as 64-bit xxhash64 values
+    * (8 B, not the ~6·n-char string; collisions over-scrub with
+    * probability ~m²/2⁶⁴ — the same contract as the MinHash tier). The
+    * only fan-outs are the posexplode to (len − n + 1) gram rows and the
+    * n-wide position explode on MATCHED grams only — both linear in
+    * corpus token count, never quadratic in documents. The overlapping
+    * windows (vs disjoint chunks) make the scrub shift-invariant: a
+    * passage repeated at a different word offset still matches.
+    */
+  def scrubRepeatedNgrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 10, maxDocs: Int = 1): DataFrame = {
+    require(n >= 2, s"gram width must be >= 2 words, got $n")
+    require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
+    val toks = df.select(col(idCol), split(col(textCol), " ").as("__w"))
+    // docs shorter than n words have no gram; filtering BEFORE the
+    // sequence() keeps it ascending (start > stop would auto-step -1)
+    val grams = toks.filter(size(col("__w")) >= n)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), size(col("__w")) - n),
+        p => xxhash64(concat_ws(" ", slice(col("__w"), p + 1, lit(n))))))
+        .as(Seq("__p", "__h")))
+    val rep = grams.groupBy("__h")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") > maxDocs)
+      .select("__h")
+    // covered word positions of matched grams, once per (doc, position).
+    // MATERIALIZED once (reliable-or-local checkpoint, the same
+    // discipline as `cut` everywhere else): `removed` feeds four
+    // consumers (perDoc, the semi-join, the anti-join, the final left
+    // join) and Spark does not reuse the exchange across them — without
+    // the cut each consumer re-runs the full gram explode + repeated-gram
+    // aggregate (verified in the physical plan: four identical subtrees).
+    // The table is bounded by the corpus' DUPLICATED-text volume ≪ corpus.
+    val removed = cut(grams.join(rep, "__h")
+      .select(col(idCol).as("__rid"),
+        explode(sequence(col("__p"), col("__p") + lit(n - 1))).as("__rp"))
+      .distinct())
+    val perDoc = removed.groupBy("__rid").agg(count(lit(1)).as("n_removed"))
+    // rebuild ONLY touched documents; everything else keeps its text
+    val words = toks
+      .join(perDoc.select("__rid"), col(idCol) === col("__rid"), "left_semi")
+      .select(col(idCol), posexplode(col("__w")).as(Seq("__wp", "__word")))
+    val kept = words.join(removed,
+      col(idCol) === col("__rid") && col("__wp") === col("__rp"), "left_anti")
+    val rebuilt = kept.groupBy(idCol).agg(
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("__wp"), col("__word")))),
+        s => s.getField("__word"))).as("__clean"))
+    df.join(perDoc, col(idCol) === col("__rid"), "left")
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("n_removed").isNull, col(textCol))
+          // a fully-scrubbed doc has no kept words, hence no rebuilt row
+          .otherwise(coalesce(col("__clean"), lit(""))).as("text_clean"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
 }

@@ -273,4 +273,78 @@ class CurationOpsSpec extends SparkTestBase {
         targetFraction = 1.5)
     }
   }
+
+  // --------------------------------------------- scrubRepeatedNgrams
+
+  test("repeated n-gram scrub removes shared boilerplate, keeps unique text") {
+    // docs 1 and 2 share an exact 5-word header; doc 3 carries the same
+    // header SHIFTED one word right (overlapping windows must still
+    // catch it); doc 4 is unique; doc 5 is shorter than n
+    val header = "terms of service apply here"
+    val docs = Seq(
+      (1L, s"$header alpha beta gamma delta epsilon"),
+      (2L, s"$header zeta eta theta iota kappa"),
+      (3L, s"intro $header lambda mu nu xi"),
+      (4L, "completely unique words that repeat nowhere else at all"),
+      (5L, "too short")).toDF("doc_id", "text")
+    val out = Dedup.scrubRepeatedNgrams(docs, "doc_id", "text",
+        n = 5, maxDocs = 1)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out(0) === ((1L, "alpha beta gamma delta epsilon", 5L)))
+    assert(out(1) === ((2L, "zeta eta theta iota kappa", 5L)))
+    assert(out(2) === ((3L, "intro lambda mu nu xi", 5L)))
+    // untouched docs keep ORIGINAL text byte-for-byte
+    assert(out(3) === ((4L,
+      "completely unique words that repeat nowhere else at all", 0L)))
+    assert(out(4) === ((5L, "too short", 0L)))
+  }
+
+  test("scrub: a doc that is one long repeated span is fully emptied") {
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e"),
+      (3L, "x a b c d e y")).toDF("doc_id", "text")
+    val out = Dedup.scrubRepeatedNgrams(docs, "doc_id", "text",
+        n = 5, maxDocs = 1)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // docs 1/2 are nothing but the shared gram -> empty, all 5 removed;
+    // doc 3 keeps its unique flanks
+    assert(out(0) === ((1L, "", 5L)))
+    assert(out(1) === ((2L, "", 5L)))
+    assert(out(2) === ((3L, "x y", 5L)))
+  }
+
+  test("scrub: maxDocs raises the repetition bar; within-doc repeats don't count") {
+    val docs = Seq(
+      (1L, "p q r s t p q r s t"), // gram repeated WITHIN one doc only
+      (2L, "u v w x y one two"),
+      (3L, "u v w x y three four")).toDF("doc_id", "text")
+    // distinct-doc count for "p q r s t" is 1 -> kept even at maxDocs=1
+    val out = Dedup.scrubRepeatedNgrams(docs, "doc_id", "text",
+        n = 5, maxDocs = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(out(0) === ((1L, 0L)))
+    assert(out(1) === ((2L, 5L)))
+    assert(out(2) === ((3L, 5L)))
+    // maxDocs=2 tolerates the 2-doc repeat
+    val lax = Dedup.scrubRepeatedNgrams(docs, "doc_id", "text",
+        n = 5, maxDocs = 2)
+      .orderBy("doc_id").collect().map(_.getLong(2))
+    assert(lax.toSeq === Seq(0L, 0L, 0L))
+  }
+
+  test("scrub rejects degenerate parameters") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.scrubRepeatedNgrams(docs, "doc_id", "text", n = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.scrubRepeatedNgrams(docs, "doc_id", "text", maxDocs = 0)
+    }
+  }
 }
