@@ -1,0 +1,82 @@
+package graft
+
+import scala.util.Random
+
+import graft.dedup.Dedup
+
+/** Property test for the repeated n-gram scrub against an independent
+  * in-memory reference model: random small-vocab corpora (so cross-doc
+  * gram collisions are common), random n / maxDocs, and a random input
+  * partitioning each round. The model recomputes the contract from its
+  * definition — gram occurrence counts by DISTINCT doc, covered-position
+  * union, order-preserving reassembly — with plain Scala collections, no
+  * Spark. Catches exactly the classes a hand-picked example misses:
+  * overlapping repeats interleaving their masks, repeats at document
+  * edges, docs made entirely of repeated material, empty-string words
+  * from double spaces, and partition-order sensitivity.
+  */
+class ScrubPropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def model(docs: Seq[(Long, String)], n: Int,
+      maxDocs: Int): Map[Long, (String, Long)] = {
+    val words = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+    val gramDocs = scala.collection.mutable.Map[Seq[String], Set[Long]]()
+    for ((id, w) <- words; p <- 0 to w.length - n)
+      gramDocs.updateWith(w.slice(p, p + n))(s => Some(s.getOrElse(Set()) + id))
+    val repeated = gramDocs.filter(_._2.size > maxDocs).keySet
+    docs.map { case (id, t) =>
+      val w = words(id)
+      val removed = (for {
+        p <- 0 to w.length - n if repeated(w.slice(p, p + n))
+        q <- p until p + n
+      } yield q).toSet
+      val clean =
+        if (removed.isEmpty) t
+        else w.zipWithIndex.collect { case (x, i) if !removed(i) => x }
+          .mkString(" ")
+      id -> (clean, removed.size.toLong)
+    }.toMap
+  }
+
+  test("scrub matches the reference model on random corpora") {
+    val rnd = new Random(20260813L)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    for (round <- 1 to 25) {
+      val n = 2 + rnd.nextInt(3)           // 2..4
+      val maxDocs = 1 + rnd.nextInt(2)     // 1..2
+      val nDocs = 3 + rnd.nextInt(6)
+      val docs = (1L to nDocs.toLong).map { id =>
+        val len = rnd.nextInt(12)
+        id -> Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val expected = model(docs, n, maxDocs)
+      val out = Dedup.scrubRepeatedNgrams(
+          docs.toDF("doc_id", "text").repartition(1 + rnd.nextInt(5)),
+          "doc_id", "text", n, maxDocs)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+        .toMap
+      assert(out === expected,
+        s"round $round (n=$n maxDocs=$maxDocs): $docs")
+    }
+  }
+
+  test("scrub round-trips double spaces in untouched and touched docs") {
+    // split-on-space yields empty-string words for runs of spaces; both
+    // engines must agree that they are words like any other
+    val docs = Seq(
+      (1L, "a  b c d"),   // double space -> ("a","","b","c","d")
+      (2L, "a  b c e"),
+      (3L, "x y  z")).toDF("doc_id", "text")
+    val out = Dedup.scrubRepeatedNgrams(docs, "doc_id", "text",
+        n = 3, maxDocs = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // shared gram ("a","","b") covers positions 0..2 in docs 1 and 2
+    // (and ("", "b", "c") covers 1..3 -> union 0..3)
+    assert(out(0) === ((1L, "d", 4L)))
+    assert(out(1) === ((2L, "e", 4L)))
+    assert(out(2) === ((3L, "x y  z", 0L)))
+  }
+}
