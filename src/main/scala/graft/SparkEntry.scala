@@ -940,6 +940,14 @@ object SparkEntry {
           n = 10, maxDocs = 1)
         .orderBy(col("doc_id"))
     }),
+    "dd_ngram_scrub_keep1" -> ((s, dir) => {
+      // the keep-one policy: each repeated gram's canonical first
+      // occurrence (min doc_id, then position) survives; later copies
+      // are scrubbed
+      Dedup.scrubRepeatedNgrams(t(s, dir, "documents"), "doc_id", "text",
+          n = 10, maxDocs = 1, keepFirstCopy = true)
+        .orderBy(col("doc_id"))
+    }),
     "ts_lm_score" -> ((s, dir) => {
       // CCNet-style corpus LM quality score: bigram stupid-backoff model
       // trained on the hash-split train buckets, every doc scored
@@ -1532,6 +1540,48 @@ object SparkEntry {
                  HAVING count(DISTINCT doc_id) > 1),
          rp AS (SELECT DISTINCT doc_id, unnest(range(p, p + 10)) AS wp
                 FROM g2 JOIN rep USING (g)),
+         nrem AS (SELECT doc_id, count(*) AS n_removed FROM rp
+                  GROUP BY doc_id),
+         words AS (
+           SELECT doc_id, unnest(w) AS word,
+                  generate_subscripts(w, 1) - 1 AS wp
+           FROM toks WHERE doc_id IN (SELECT doc_id FROM nrem)),
+         kept AS (
+           SELECT words.doc_id, words.word, words.wp FROM words
+           LEFT JOIN rp ON words.doc_id = rp.doc_id AND words.wp = rp.wp
+           WHERE rp.doc_id IS NULL),
+         rebuilt AS (
+           SELECT doc_id, string_agg(word, ' ' ORDER BY wp) AS text_clean
+           FROM kept GROUP BY doc_id)
+         SELECT d.doc_id,
+                coalesce(r.text_clean, CASE WHEN n.doc_id IS NOT NULL
+                  THEN '' ELSE d.text END) AS text_clean,
+                CAST(coalesce(n.n_removed, 0) AS BIGINT) AS n_removed
+         FROM documents d
+         LEFT JOIN nrem n USING (doc_id)
+         LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+         ORDER BY d.doc_id""",
+    // keep-one policy: identical pipeline, but each repeated gram's
+    // first occurrence in (doc_id, p) order is excluded from the scrub
+    "dd_ngram_scrub_keep1" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         grams AS (
+           SELECT doc_id, unnest(range(0, len(w) - 10 + 1)) AS p, w
+           FROM toks WHERE len(w) >= 10),
+         g2 AS (
+           SELECT doc_id, p,
+                  list_aggregate(w[p+1:p+10], 'string_agg', ' ') AS g
+           FROM grams),
+         rep AS (SELECT g FROM g2 GROUP BY g
+                 HAVING count(DISTINCT doc_id) > 1),
+         occ AS (
+           SELECT doc_id, p,
+                  row_number() OVER (PARTITION BY g
+                    ORDER BY doc_id, p) AS rn
+           FROM g2 JOIN rep USING (g)),
+         rp AS (SELECT DISTINCT doc_id, unnest(range(p, p + 10)) AS wp
+                FROM occ WHERE rn > 1),
          nrem AS (SELECT doc_id, count(*) AS n_removed FROM rp
                   GROUP BY doc_id),
          words AS (

@@ -506,8 +506,11 @@ object Dedup {
     * n-word gram that occurs in more than `maxDocs` distinct documents —
     * the distributed, token-boundary approximation of suffix-array
     * substring deduplication (Lee et al., "Deduplicating Training Data
-    * Makes Language Models Better"), in the RefinedWeb remove-all-copies
-    * policy. This is the rung the document-level tiers cannot reach:
+    * Makes Language Models Better"). Two survivor policies:
+    * remove-all-copies (default, RefinedWeb line-dedup style) or
+    * `keepFirstCopy` (Lee-et-al style: the canonical first occurrence
+    * of each repeated gram survives). This is the rung the
+    * document-level tiers cannot reach:
     * shared boilerplate (headers, footers, license blocks, quoted
     * passages) embedded inside otherwise-unique documents.
     *
@@ -527,7 +530,8 @@ object Dedup {
     * passage repeated at a different word offset still matches.
     */
   def scrubRepeatedNgrams(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 10, maxDocs: Int = 1): DataFrame = {
+      n: Int = 10, maxDocs: Int = 1,
+      keepFirstCopy: Boolean = false): DataFrame = {
     require(n >= 2, s"gram width must be >= 2 words, got $n")
     require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
     val toks = df.select(col(idCol), split(col(textCol), " ").as("__w"))
@@ -542,6 +546,21 @@ object Dedup {
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") > maxDocs)
       .select("__h")
+    // keepFirstCopy = the Lee-et-al keep-one policy: per repeated gram,
+    // the canonical occurrence — first in (id, position) order — is NOT
+    // scrubbed; only the other copies are. A ranking window per gram
+    // hash (same key the count already shuffles on). NOTE the kept copy
+    // still loses any position covered by a DIFFERENT repeated gram's
+    // non-canonical occurrence — exact keep-one-substring semantics
+    // need suffix arrays; at token granularity this is the standard
+    // approximation, and for the common case (a passage repeated whole
+    // across documents) it keeps the first document's copy intact.
+    val matched = grams.join(rep, "__h")
+    val scrubOcc =
+      if (!keepFirstCopy) matched
+      else matched.withColumn("__rn", row_number().over(
+          Window.partitionBy("__h").orderBy(col(idCol), col("__p"))))
+        .filter(col("__rn") > 1)
     // covered word positions of matched grams, once per (doc, position).
     // MATERIALIZED once (reliable-or-local checkpoint, the same
     // discipline as `cut` everywhere else): `removed` feeds four
@@ -550,7 +569,7 @@ object Dedup {
     // the cut each consumer re-runs the full gram explode + repeated-gram
     // aggregate (verified in the physical plan: four identical subtrees).
     // The table is bounded by the corpus' DUPLICATED-text volume ≪ corpus.
-    val removed = cut(grams.join(rep, "__h")
+    val removed = cut(scrubOcc
       .select(col(idCol).as("__rid"),
         explode(sequence(col("__p"), col("__p") + lit(n - 1))).as("__rp"))
       .distinct())

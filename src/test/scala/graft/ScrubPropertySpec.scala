@@ -18,17 +18,24 @@ import graft.dedup.Dedup
 class ScrubPropertySpec extends SparkTestBase {
   import spark.implicits._
 
-  private def model(docs: Seq[(Long, String)], n: Int,
-      maxDocs: Int): Map[Long, (String, Long)] = {
+  private def model(docs: Seq[(Long, String)], n: Int, maxDocs: Int,
+      keepFirst: Boolean = false): Map[Long, (String, Long)] = {
     val words = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
-    val gramDocs = scala.collection.mutable.Map[Seq[String], Set[Long]]()
+    val occs = scala.collection.mutable.Map[Seq[String], List[(Long, Int)]]()
     for ((id, w) <- words; p <- 0 to w.length - n)
-      gramDocs.updateWith(w.slice(p, p + n))(s => Some(s.getOrElse(Set()) + id))
-    val repeated = gramDocs.filter(_._2.size > maxDocs).keySet
+      occs.updateWith(w.slice(p, p + n))(o => Some((id, p) :: o.getOrElse(Nil)))
+    // per repeated gram: the occurrences to scrub (all, or all but the
+    // (id, p)-first canonical one)
+    val scrub = occs.filter(_._2.map(_._1).distinct.size > maxDocs)
+      .view.mapValues { o =>
+        val sorted = o.sorted
+        (if (keepFirst) sorted.tail else sorted).toSet
+      }.toMap
     docs.map { case (id, t) =>
       val w = words(id)
       val removed = (for {
-        p <- 0 to w.length - n if repeated(w.slice(p, p + n))
+        p <- 0 to w.length - n
+        o <- scrub.get(w.slice(p, p + n)).toSeq if o((id, p))
         q <- p until p + n
       } yield q).toSet
       val clean =
@@ -50,16 +57,34 @@ class ScrubPropertySpec extends SparkTestBase {
         val len = rnd.nextInt(12)
         id -> Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
       }
-      val expected = model(docs, n, maxDocs)
+      val keepFirst = rnd.nextBoolean()
+      val expected = model(docs, n, maxDocs, keepFirst)
       val out = Dedup.scrubRepeatedNgrams(
           docs.toDF("doc_id", "text").repartition(1 + rnd.nextInt(5)),
-          "doc_id", "text", n, maxDocs)
+          "doc_id", "text", n, maxDocs, keepFirst)
         .collect()
         .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
         .toMap
       assert(out === expected,
-        s"round $round (n=$n maxDocs=$maxDocs): $docs")
+        s"round $round (n=$n maxDocs=$maxDocs keepFirst=$keepFirst): $docs")
     }
+  }
+
+  test("keepFirstCopy keeps the first document's copy of a shared passage") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "a b c d e unique one"),
+      (2L, "other words a b c d e"),
+      (3L, "a b c d e trailing bits")).toDF("doc_id", "text")
+    val out = Dedup.scrubRepeatedNgrams(docs, "doc_id", "text",
+        n = 5, maxDocs = 1, keepFirstCopy = true)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // doc 1 holds the canonical (min doc, min p) copy -> intact;
+    // docs 2 and 3 lose the passage
+    assert(out(0) === ((1L, "a b c d e unique one", 0L)))
+    assert(out(1) === ((2L, "other words", 5L)))
+    assert(out(2) === ((3L, "trailing bits", 5L)))
   }
 
   test("scrub round-trips double spaces in untouched and touched docs") {
