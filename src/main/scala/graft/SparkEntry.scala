@@ -948,6 +948,28 @@ object SparkEntry {
           n = 10, maxDocs = 1, keepFirstCopy = true)
         .orderBy(col("doc_id"))
     }),
+    "dd_curation_pipeline" -> ((s, dir) => {
+      // the composed curation path a training-data run would take:
+      // exact dedup (normalized fingerprint, min-id survivor) -> repeated
+      // n-gram scrub with the keep-one policy OVER THE SURVIVORS (dup
+      // copies no longer inflate gram doc-frequencies) -> drop docs whose
+      // residual content is too thin. n = 6 because after exact dedup
+      // the corpus' near-dup edits leave 6-9-word runs intact but break
+      // every 10-word run — a 10-gram scrub would be vacuous here. On
+      // this corpus the stage guts the 24 non-canonical near-dup copies
+      // to <= 1 residual word, so the length floor culls exactly them
+      // (318 survivors vs 342 if the scrub stage were a no-op — the
+      // oracle pins the stage's effect through the composition)
+      val survivors = Dedup.dropExactDups(t(s, dir, "documents"),
+        "doc_id", "text")
+      Dedup.scrubRepeatedNgrams(survivors, "doc_id", "text",
+          n = 6, maxDocs = 1, keepFirstCopy = true)
+        .withColumn("n_words_clean",
+          size(split(col("text_clean"), " ")).cast("long"))
+        .filter(col("n_words_clean") >= 40)
+        .select(col("doc_id"), col("n_removed"), col("n_words_clean"))
+        .orderBy(col("doc_id"))
+    }),
     "ts_lm_score" -> ((s, dir) => {
       // CCNet-style corpus LM quality score: bigram stupid-backoff model
       // trained on the hash-split train buckets, every doc scored
@@ -1561,6 +1583,64 @@ object SparkEntry {
          LEFT JOIN nrem n USING (doc_id)
          LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
          ORDER BY d.doc_id""",
+    // composed curation path: exact dedup (normalized-fingerprint min-id
+    // survivor, same normalization as dd_exact_groups), keep-one n-gram
+    // scrub over the SURVIVORS, then a residual-length floor
+    "dd_curation_pipeline" ->
+      """WITH fp AS (
+           SELECT doc_id, text, md5(regexp_replace(trim(regexp_replace(
+             lower(text), '[^a-z0-9\s]', '', 'g')), '\s+', ' ', 'g')) AS f
+           FROM documents),
+         surv AS (
+           SELECT doc_id, text FROM (
+             SELECT doc_id, text,
+                    row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+             FROM fp) WHERE rn = 1),
+         toks AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM surv),
+         grams AS (
+           SELECT doc_id, unnest(range(0, len(w) - 6 + 1)) AS p, w
+           FROM toks WHERE len(w) >= 6),
+         g2 AS (
+           SELECT doc_id, p,
+                  list_aggregate(w[p+1:p+6], 'string_agg', ' ') AS g
+           FROM grams),
+         rep AS (SELECT g FROM g2 GROUP BY g
+                 HAVING count(DISTINCT doc_id) > 1),
+         occ AS (
+           SELECT doc_id, p,
+                  row_number() OVER (PARTITION BY g
+                    ORDER BY doc_id, p) AS rn
+           FROM g2 JOIN rep USING (g)),
+         rp AS (SELECT DISTINCT doc_id, unnest(range(p, p + 6)) AS wp
+                FROM occ WHERE rn > 1),
+         nrem AS (SELECT doc_id, count(*) AS n_removed FROM rp
+                  GROUP BY doc_id),
+         words AS (
+           SELECT doc_id, unnest(w) AS word,
+                  generate_subscripts(w, 1) - 1 AS wp
+           FROM toks WHERE doc_id IN (SELECT doc_id FROM nrem)),
+         kept AS (
+           SELECT words.doc_id, words.word, words.wp FROM words
+           LEFT JOIN rp ON words.doc_id = rp.doc_id AND words.wp = rp.wp
+           WHERE rp.doc_id IS NULL),
+         rebuilt AS (
+           SELECT doc_id, string_agg(word, ' ' ORDER BY wp) AS text_clean
+           FROM kept GROUP BY doc_id),
+         cleaned AS (
+           SELECT s.doc_id,
+                  CAST(coalesce(n.n_removed, 0) AS BIGINT) AS n_removed,
+                  coalesce(r.text_clean, CASE WHEN n.doc_id IS NOT NULL
+                    THEN '' ELSE s.text END) AS text_clean
+           FROM surv s
+           LEFT JOIN nrem n USING (doc_id)
+           LEFT JOIN rebuilt r ON s.doc_id = r.doc_id)
+         SELECT doc_id, n_removed,
+                CAST(len(string_split(text_clean, ' ')) AS BIGINT)
+                  AS n_words_clean
+         FROM cleaned
+         WHERE len(string_split(text_clean, ' ')) >= 40
+         ORDER BY doc_id""",
     // keep-one policy: identical pipeline, but each repeated gram's
     // first occurrence in (doc_id, p) order is excluded from the scrub
     "dd_ngram_scrub_keep1" ->
