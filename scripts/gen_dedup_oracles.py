@@ -115,6 +115,32 @@ def dd_minhash_sql():
             "SELECT id_a, id_b, jaccard FROM mh_pairs ORDER BY id_a, id_b")
 
 
+def dd_incremental_sql():
+    """Oracle for the incremental dedup operator
+    (Dedup.minhashNearDupsAgainst): the batch partition (id % 4 == 0)
+    probes the corpus partition's (id % 4 != 0) banded signature index —
+    16 bands of 2 rows, corpus bucket members capped at the 64 smallest
+    ids, SINGLE-member buckets kept (a lone corpus doc is a valid
+    partner), verification by signature agreement (matching slots / 32)
+    >= 0.5."""
+    return f"""WITH {sigl_ctes()},
+corpus AS (SELECT * FROM sigl WHERE id % 4 != 0),
+batch AS (SELECT * FROM sigl WHERE id % 4 = 0),
+cbanded AS (SELECT id, b, sig[2*b+1:2*b+2] AS slc FROM corpus, range(16) t(b)),
+bbanded AS (SELECT id, b, sig[2*b+1:2*b+2] AS slc FROM batch, range(16) t(b)),
+buckets AS (SELECT b, slc, list_sort(list(id))[1:64] AS members
+  FROM cbanded GROUP BY b, slc),
+cand AS (SELECT DISTINCT bb.id AS batch_id, m AS corpus_id
+  FROM bbanded bb JOIN buckets USING (b, slc), unnest(members) u(m)),
+est AS (SELECT batch_id, corpus_id,
+    len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) / 32.0
+      AS est_jaccard
+  FROM cand JOIN sigl sa ON cand.batch_id = sa.id
+            JOIN sigl sb ON cand.corpus_id = sb.id)
+SELECT batch_id, corpus_id, est_jaccard FROM est
+WHERE est_jaccard >= 0.5 ORDER BY batch_id, corpus_id"""
+
+
 def dd_simhash_sql():
     tok_hash = xxh64_str("tok", "CAST(42 AS HUGEINT)")
     return f"""WITH {TOKS},
@@ -193,8 +219,15 @@ def validate(sf_dir, verify_dir):
                       ("dd_simhash", dd_simhash_sql()),
                       ("dd_drop_near_dups", dd_drop_sql()),
                       ("dd_keep_best", dd_keep_best_sql()),
+                      ("dd_incremental_minhash", dd_incremental_sql()),
                       ("dd_stream_neardup_batch", dd_stream_sql())]:
         import time
+        if not glob.glob(f"{verify_dir}/{name}/*.parquet"):
+            # a freshly-added query has no dump yet on the first generator
+            # run (the Scala oracle must exist before Verify can emit it);
+            # warn instead of crashing, then re-run after the next dump
+            print(f"{name}: SKIPPED (no dump under {verify_dir}/{name})")
+            continue
         t0 = time.time()
         d = con.sql(sql).df()
         s = pd.concat([pd.read_parquet(f) for f in
@@ -222,6 +255,7 @@ def emit_scala(path):
                           ("ddSimhash", dd_simhash_sql()),
                           ("ddDropNearDups", dd_drop_sql()),
                           ("ddKeepBest", dd_keep_best_sql()),
+                          ("ddIncrementalMinhash", dd_incremental_sql()),
                           ("ddStreamNearDupBatch", dd_stream_sql())])
     src = f"""package graft
 

@@ -612,6 +612,18 @@ object SparkEntry {
           shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "dd_incremental_minhash" -> ((s, dir) => {
+      // incremental dedup: the "day-N batch" (doc_id % 4 == 0) probes the
+      // frozen signature index of the historical corpus (doc_id % 4 != 0)
+      // — banded LSH bucket join on the compact (id, sig) tables,
+      // verified by signature agreement; no corpus text is re-read
+      val sigs = Dedup.minhashSignatures(t(s, dir, "documents"),
+        "doc_id", "text", shingleSize = 3, numHashes = 32)
+      Dedup.minhashNearDupsAgainst(
+          sigs.filter(col("id") % 4 =!= 0), sigs.filter(col("id") % 4 === 0),
+          numHashes = 32, bands = 16, threshold = 0.5, maxBucket = 64)
+        .orderBy(col("batch_id"), col("corpus_id"))
+    }),
     "dd_simhash" -> ((s, dir) => {
       Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text",
           maxHamming = 6, chunks = 4)
@@ -1472,6 +1484,7 @@ object SparkEntry {
          WHERE levenshtein(a.px, b2.px) <= 25
          ORDER BY id_a, id_b""",
     "dd_minhash" -> DedupOracles.ddMinhash,
+    "dd_incremental_minhash" -> DedupOracles.ddIncrementalMinhash,
     "dd_simhash" -> DedupOracles.ddSimhash,
     "dd_drop_near_dups" -> DedupOracles.ddDropNearDups,
     "dd_stream_neardup_batch" -> DedupOracles.ddStreamNearDupBatch,

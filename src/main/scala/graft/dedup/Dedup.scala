@@ -164,6 +164,81 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // ------------------------------------------- incremental (vs an index)
+
+  /** Compact MinHash signature table `(id, sig)` — the persistable
+    * artifact of an INCREMENTAL dedup pipeline. Write this to parquet
+    * once for the historical corpus; each day's new batch then dedups
+    * against it via [[minhashNearDupsAgainst]] without re-reading a byte
+    * of corpus text. At 100 TB the index is id + numHashes×8 B per doc
+    * (~260 B/doc at 32 hashes — three orders of magnitude smaller than
+    * the text), and signatures are computed scan-side in one pass per
+    * row (custom expression, no explode).
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 32): DataFrame =
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"),
+        shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+
+  /** Incremental near-dup detection: a new batch of signatures probed
+    * against a frozen corpus signature index (both `(id, sig)` tables,
+    * e.g. from [[minhashSignatures]] — the batch side typically computed
+    * on the fly, the corpus side read back from parquet). Returns
+    * `(batch_id, corpus_id, est_jaccard)` with est_jaccard ≥ threshold.
+    *
+    * Banding is recomputed from the compact signatures (narrow,
+    * scan-stage — storing the exploded band table would be `bands`×
+    * larger for no shuffle saving); only (id, band, band_hash) rows
+    * shuffle. Corpus bucket membership is capped at `maxBucket` via the
+    * bounded k-smallest aggregator (partial buffers never exceed
+    * maxBucket — a boilerplate bucket cannot OOM an executor), and
+    * single-member buckets are kept: unlike the self-join case, a lone
+    * corpus doc is still a valid partner for a probing batch row.
+    *
+    * Verification is by signature agreement (matching slots /
+    * numHashes) — the same estimator as the streaming operator, exact in
+    * expectation with ±O(1/√numHashes) spread; it needs no corpus text.
+    * When batch texts are at hand, re-verify borderline pairs exactly
+    * with [[graft.functions.HashFunctions.sortedLongJaccard]] over
+    * hashed shingles. Ids should be disjoint across the two tables (an
+    * id present in both pairs with itself).
+    */
+  def minhashNearDupsAgainst(corpusSigs: DataFrame, batchSigs: DataFrame,
+      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.8,
+      maxBucket: Int = 64): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    def banded(sigs: DataFrame): DataFrame =
+      sigs.filter(col("id").isNotNull).select(col("id"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
+          : _*)).as(Seq("band", "band_hash")))
+    val buckets = banded(corpusSigs).groupBy("band", "band_hash")
+      .agg(smallestKIds(col("id"), corpusSigs.schema("id").dataType,
+        maxBucket).as("members"))
+    val pairs = banded(batchSigs)
+      .join(buckets, Seq("band", "band_hash"))
+      .select(col("id").as("batch_id"),
+        explode(col("members")).as("corpus_id"))
+      .dropDuplicates("batch_id", "corpus_id")
+    // slot-agreement estimate: a bounded HOF over the candidate set only
+    // (numHashes is a power of two in practice, so matches/numHashes is
+    // exact in binary — the oracle compare is bit-stable)
+    pairs
+      .join(batchSigs.select(col("id").as("batch_id"), col("sig").as("sig_a")),
+        Seq("batch_id"))
+      .join(corpusSigs.select(col("id").as("corpus_id"), col("sig").as("sig_b")),
+        Seq("corpus_id"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          m => m)).cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select("batch_id", "corpus_id", "est_jaccard")
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over tokens: per bit, count tokens whose hash has the

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Incremental dedup: a new batch of signatures probed against a frozen
+  * corpus signature index (Dedup.minhashSignatures +
+  * minhashNearDupsAgainst). The production shape: the corpus index is a
+  * compact (id, sig) parquet written once; each increment dedups against
+  * it without touching corpus text.
+  */
+class IncrementalDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  private val base = "the quick brown fox jumps over the lazy dog " +
+    "while the cat watches from the warm windowsill nearby today"
+
+  test("a batch near-dup of a corpus doc is found via the index") {
+    val corpus = docs(1L -> base, 2L -> ("completely unrelated text about " +
+      "spark physical plans and shuffle exchanges in a distributed engine"))
+    val batch = docs(10L -> (base + " tonight"))
+    val got = Dedup.minhashNearDupsAgainst(
+      Dedup.minhashSignatures(corpus, "doc_id", "text"),
+      Dedup.minhashSignatures(batch, "doc_id", "text"),
+      threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(p => (p._1, p._2)) == Seq((10L, 1L)),
+      s"expected the planted pair, got $got")
+    assert(got.head._3 >= 0.5 && got.head._3 <= 1.0)
+  }
+
+  test("an unrelated batch doc emits nothing") {
+    val corpus = docs(1L -> base)
+    val batch = docs(10L -> ("entirely disjoint vocabulary lives here " +
+      "carrying zero common word shingles with the historical corpus rows"))
+    val got = Dedup.minhashNearDupsAgainst(
+      Dedup.minhashSignatures(corpus, "doc_id", "text"),
+      Dedup.minhashSignatures(batch, "doc_id", "text"),
+      threshold = 0.5).count()
+    assert(got == 0L)
+  }
+
+  test("identical signatures estimate exactly 1.0") {
+    val corpus = docs(1L -> base)
+    val batch = docs(10L -> base)
+    val got = Dedup.minhashNearDupsAgainst(
+      Dedup.minhashSignatures(corpus, "doc_id", "text"),
+      Dedup.minhashSignatures(batch, "doc_id", "text"),
+      threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((10L, 1L, 1.0)))
+  }
+
+  test("maxBucket caps corpus partners per bucket at the smallest ids") {
+    // 5 identical corpus docs land in one bucket per band; cap 2 keeps
+    // the 2 smallest ids, so the batch probe pairs with exactly those
+    val corpus = docs((1L to 5L).map(i => i -> base): _*)
+    val batch = docs(10L -> base)
+    val got = Dedup.minhashNearDupsAgainst(
+      Dedup.minhashSignatures(corpus, "doc_id", "text"),
+      Dedup.minhashSignatures(batch, "doc_id", "text"),
+      threshold = 0.5, maxBucket = 2)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._2)
+    assert(got.map(_._2) == Seq(1L, 2L),
+      s"cap 2 must keep corpus ids 1,2 only, got $got")
+  }
+
+  test("single-member corpus buckets still pair (no HAVING > 1 filter)") {
+    // exactly one corpus doc: every bucket has one member, and the batch
+    // near-dup must still find it — the self-join formulation's
+    // count(*) > 1 filter would wrongly drop these buckets here
+    val corpus = docs(1L -> base)
+    val batch = docs(10L -> (base + " again"))
+    val got = Dedup.minhashNearDupsAgainst(
+      Dedup.minhashSignatures(corpus, "doc_id", "text"),
+      Dedup.minhashSignatures(batch, "doc_id", "text"),
+      threshold = 0.5).count()
+    assert(got == 1L)
+  }
+
+  test("agrees with the self-join operator's pairs on a split corpus") {
+    // est-jaccard >= thr is a weaker rung than exact jaccard >= thr, so
+    // compare CANDIDATE-pair recovery: every (corpus, batch) pair the
+    // full self-join operator verifies at jaccard >= 0.7 must be found
+    // by the index probe at a slightly slacker estimate threshold (the
+    // estimator's spread at 32 hashes is ~1/32 per slot)
+    val all = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val sigs = Dedup.minhashSignatures(all, "doc_id", "text")
+    val viaIndex = Dedup.minhashNearDupsAgainst(
+      sigs.filter(col("id") % 4 =!= 0), sigs.filter(col("id") % 4 === 0),
+      numHashes = 32, bands = 16, threshold = 0.5)
+      .select(col("batch_id"), col("corpus_id")).as[(Long, Long)]
+      .collect().toSet
+    val exact = Dedup.minhashNearDups(all, "doc_id", "text",
+      shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.7)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect()
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (b, c) => b % 4 == 0 && c % 4 != 0 }.toSet
+    assert(exact.nonEmpty, "fixture must contain cross-split near-dups")
+    val missed = exact.filterNot(viaIndex.contains)
+    assert(missed.isEmpty,
+      s"index probe missed ${missed.size} of ${exact.size} pairs: $missed")
+  }
+}

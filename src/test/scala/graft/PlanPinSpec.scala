@@ -112,11 +112,24 @@ class PlanPinSpec extends SparkTestBase {
   test("bounded bucket membership plans with partial aggregation") {
     for ((q, agg) <- Seq("dd_minhash" -> "partial_smallestklongsagg",
         "dd_simhash" -> "partial_smallestkmembersagg",
-        "dd_embedding_neardups" -> "partial_smallestklongsagg")) {
+        "dd_embedding_neardups" -> "partial_smallestklongsagg",
+        "dd_incremental_minhash" -> "partial_smallestklongsagg")) {
       val plan = SparkEntry.queries(q)(spark, sf0001)
         .queryExecution.executedPlan.toString
       assert(plan.contains(agg),
         s"$q must map-side combine its bounded bucket aggregation")
     }
+  }
+
+  test("dd_incremental_minhash: bucket probe is an equi-join, never a product") {
+    // the index probe's scale contract: batch rows meet corpus buckets
+    // through a hash equi-join on (band, band_hash) — a planner slip into
+    // a nested-loop/cartesian product would pair every batch row with
+    // every bucket
+    val plan = SparkEntry.queries("dd_incremental_minhash")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"index probe must stay an equi-join:\n$plan")
   }
 }
