@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CharHist64, DotProduct, GramStats, HashedWordShingles, L2Norm, LangMarkerScores, LongArrayL1, LshBuckets, MinHashSignature, SimHash64, SortedLongJaccard, WordShingles}
+import graft.functions.{CharHist64, DotProduct, GramStats, HashedWordShingles, L2Norm, LangMarkerScores, LongArrayL1, LshBuckets, MinHashSignature, RawWordGramHashes, SimHash64, SortedLongJaccard, WordShingles}
 import graft.textstats.TextStats
 
 /** SQL surface for the engine's custom Catalyst expressions: register via
@@ -70,7 +70,10 @@ object GraftExtensions {
       LongArrayL1(args.head, args(1)) }),
     "lsh_buckets" -> (args => { arity("lsh_buckets", args, 3)
       LshBuckets(args.head, intArg(args(1), "planes"),
-        intArg(args(2), "tables")) }))
+        intArg(args(2), "tables")) }),
+    "raw_word_gram_hashes" -> (args => {
+      arity("raw_word_gram_hashes", args, 2)
+      RawWordGramHashes(args.head, intArg(args(1), "n")) }))
 
   /** Register on an already-built session. Also registers the
     * `backtest_fold` aggregate — a udaf goes through the UDF registry,

@@ -105,6 +105,38 @@ case class HashedWordShingles(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** Hashes of every overlapping word n-gram (split on single spaces,
+  * xxhash64 seed 42) in one pass over the raw bytes — the scan-stage
+  * kernel of [[graft.dedup.Dedup.scrubRepeatedNgrams]]. Bit-identical to
+  * the HOF formulation over split(text, " ") (see the kernel's scaladoc
+  * for why), without the per-gram slice/concat/array churn.
+  */
+case class RawWordGramHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "raw_word_gram_hashes"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a STRING input, got ${t.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.rawWordGramHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.rawWordGramHashes($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): RawWordGramHashes =
+    copy(child = c)
+}
+
 /** Jaccard similarity of two SORTED distinct long arrays by one merge
   * pass: |A∩B| / (|A| + |B| − |A∩B|). Empty-∪-empty yields null (0/0) —
   * the generated code handles the nullable result explicitly.
@@ -291,6 +323,10 @@ object HashFunctions {
   /** Column API for HashedWordShingles. */
   def hashedWordShingles(c: Column, n: Int): Column =
     GraftShims.column(HashedWordShingles(GraftShims.expression(c), n))
+
+  /** Column API for RawWordGramHashes. */
+  def rawWordGramHashes(c: Column, n: Int): Column =
+    GraftShims.column(RawWordGramHashes(GraftShims.expression(c), n))
 
   /** Column API for SortedLongJaccard. */
   def sortedLongJaccard(a: Column, b: Column): Column =

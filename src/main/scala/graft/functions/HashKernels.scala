@@ -77,6 +77,58 @@ object HashKernels {
     new GenericArrayData(java.util.Arrays.copyOf(hashes, w))
   }
 
+  /** xxhash64(seed 42) of every overlapping word n-gram of `input` split
+    * on SINGLE spaces — bit-identical to
+    * `transform(sequence(0, size(w)-n), p -> xxhash64(concat_ws(" ",
+    * slice(w, p+1, n))))` over `w = split(text, " ")`, because every
+    * separator is exactly one space: the n-gram string IS the byte range
+    * of the original text from token p's first byte to token p+n-1's
+    * last byte (consecutive spaces yield empty tokens on both
+    * formulations, and a trailing space yields a trailing empty token,
+    * matching Spark's split with limit -1). The kernel hashes those byte
+    * ranges in place — no token array, no per-gram slice/concat
+    * allocations, one O(bytes) boundary scan (space = 0x20 never occurs
+    * inside a UTF-8 multibyte sequence).
+    */
+  def rawWordGramHashes(input: UTF8String, n: Int): ArrayData = {
+    val numBytes = input.numBytes
+    val base = input.getBaseObject
+    val off = input.getBaseOffset
+    var spaces = 0
+    var i = 0
+    while (i < numBytes) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) {
+        spaces += 1
+      }
+      i += 1
+    }
+    val tokens = spaces + 1
+    if (tokens < n) return new GenericArrayData(Array.empty[Any])
+    // starts(t) = byte offset of token t; token t ends one byte before
+    // starts(t+1) (the separating space), the last token at numBytes
+    val starts = new Array[Int](tokens)
+    var t = 1
+    i = 0
+    while (i < numBytes) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) {
+        starts(t) = i + 1
+        t += 1
+      }
+      i += 1
+    }
+    val m = tokens - n + 1
+    val out = new Array[Long](m)
+    var p = 0
+    while (p < m) {
+      val sb = starts(p)
+      val eb = if (p + n < tokens) starts(p + n) - 1 else numBytes
+      out(p) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, off + sb, eb - sb, 42L)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature: slot j = min over the array of xxhash64 seed j. */
   def minhashSignature(arr: ArrayData, numHashes: Int): ArrayData = {
     val n = arr.numElements()

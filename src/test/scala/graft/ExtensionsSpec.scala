@@ -64,6 +64,20 @@ class ExtensionsSpec extends SparkTestBase {
     assert(rows.getLong(1) === 1L)
   }
 
+  test("raw_word_gram_hashes equals the HOF gram formulation from SQL") {
+    GraftExtensions.register(spark)
+    // the kernel's contract: bit-identical to hashing the space-joined
+    // token slices — including empty tokens from double/trailing spaces
+    for (s <- Seq("a b c d e", "a  b c ", "x", "", "solo token"))
+      assert(spark.sql(
+        s"""SELECT raw_word_gram_hashes('$s', 2) =
+              CASE WHEN size(split('$s', ' ')) >= 2 THEN
+                transform(sequence(0, size(split('$s', ' ')) - 2),
+                  p -> xxhash64(concat_ws(' ', slice(split('$s', ' '), p + 1, 2))))
+              ELSE CAST(array() AS ARRAY<BIGINT>) END AS same""")
+        .collect()(0).getBoolean(0), s"mismatch on '$s'")
+  }
+
   test("SQL and Column APIs agree") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions._
