@@ -624,6 +624,24 @@ object SparkEntry {
           numHashes = 32, bands = 16, threshold = 0.5, maxBucket = 64)
         .orderBy(col("batch_id"), col("corpus_id"))
     }),
+    "dd_stream_incremental_batch" -> ((s, dir) => {
+      // batch twin of the STREAMING incremental probe (stream-static
+      // bucket join): same probe-ready bucket table and pipeline the
+      // stream runs, pinned to the batch operator's exact answer by
+      // SHARING dd_incremental_minhash's oracle (ts derived from the id
+      // as in the other streaming twin)
+      val docs = t(s, dir, "documents")
+        .withColumn("ts", timestamp_seconds(col("doc_id")))
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 32)
+      val buckets = Dedup.minhashBucketTable(
+        sigs.filter(col("id") % 4 =!= 0), numHashes = 32, bands = 16)
+      graft.streaming.StreamingNearDup.nearDupsAgainstIndex(
+          docs.filter(col("doc_id") % 4 === 0), buckets,
+          numHashes = 32, bands = 16, threshold = 0.5)
+        .select(col("batch_id"), col("corpus_id"), col("est_jaccard"))
+        .orderBy(col("batch_id"), col("corpus_id"))
+    }),
     "dd_simhash" -> ((s, dir) => {
       Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text",
           maxHamming = 6, chunks = 4)
@@ -1485,6 +1503,9 @@ object SparkEntry {
          ORDER BY id_a, id_b""",
     "dd_minhash" -> DedupOracles.ddMinhash,
     "dd_incremental_minhash" -> DedupOracles.ddIncrementalMinhash,
+    // the streaming probe's batch twin must reproduce the batch
+    // incremental operator bit-exactly — same oracle, on purpose
+    "dd_stream_incremental_batch" -> DedupOracles.ddIncrementalMinhash,
     "dd_simhash" -> DedupOracles.ddSimhash,
     "dd_drop_near_dups" -> DedupOracles.ddDropNearDups,
     "dd_stream_neardup_batch" -> DedupOracles.ddStreamNearDupBatch,

@@ -183,6 +183,38 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
 
+  /** The corpus signature index in PROBE-READY form: one row per
+    * (band, band_hash) bucket carrying its capped member list WITH
+    * signatures — `(band, band_hash, members: array<struct<id, sig>>)`,
+    * members ascending by id. Materialize this once (write to parquet /
+    * persist) and every probe — batch [[minhashNearDupsAgainst]] re-derives
+    * it, the STREAMING
+    * [[graft.streaming.StreamingNearDup.nearDupsAgainstIndex]] joins it
+    * per micro-batch — needs no further corpus-side work. Member caps use
+    * the same bounded k-smallest aggregation as the batch path, so the
+    * two probe forms see identical buckets; the sig re-attach join runs
+    * on already-capped ids, so the second aggregation's groups are ≤
+    * maxBucket rows by construction.
+    */
+  def minhashBucketTable(corpusSigs: DataFrame, numHashes: Int = 32,
+      bands: Int = 8, maxBucket: Int = 64): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val banded = corpusSigs.filter(col("id").isNotNull).select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
+        : _*)).as(Seq("band", "band_hash")))
+    val capped = banded.groupBy("band", "band_hash")
+      .agg(smallestKIds(col("id"), corpusSigs.schema("id").dataType,
+        maxBucket).as("member_ids"))
+    capped.select(col("band"), col("band_hash"),
+        explode(col("member_ids")).as("id"))
+      .join(corpusSigs, Seq("id"))
+      .groupBy("band", "band_hash")
+      .agg(sort_array(collect_list(struct(col("id"), col("sig"))))
+        .as("members"))
+  }
+
   /** Incremental near-dup detection: a new batch of signatures probed
     * against a frozen corpus signature index (both `(id, sig)` tables,
     * e.g. from [[minhashSignatures]] — the batch side typically computed

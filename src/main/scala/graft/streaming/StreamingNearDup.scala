@@ -141,15 +141,23 @@ object StreamingNearDup {
         graft.functions.HashFunctions.hashedWordShingles(col(textCol),
           shingleSize)
       else typedLit(Array.emptyLongArray)
+    // filter on the SHINGLE array, not the signature: an empty shingle
+    // set still yields a numHashes-long all-MaxValue signature (never an
+    // empty array), and such docs would phantom-pair with every other
+    // short doc at est 1.0 — the batch operator drops them before
+    // banding, so this one must too
     val sigs = docs
       .filter(col(idCol).isNotNull)
       .select(col(idCol).cast("long").as("id"),
         col(tsCol).cast("timestamp").as("ts"),
-        graft.functions.HashFunctions.minhashSignature(
-          graft.functions.HashFunctions.wordShingles(col(textCol),
-            shingleSize), numHashes).as("sig"),
+        graft.functions.HashFunctions.wordShingles(col(textCol),
+          shingleSize).as("__sh"),
         shinglesCol.as("shingles"))
-      .filter(size(col("sig")) > 0)
+      .filter(size(col("__sh")) > 0)
+      .select(col("id"), col("ts"),
+        graft.functions.HashFunctions.minhashSignature(col("__sh"),
+          numHashes).as("sig"),
+        col("shingles"))
       .withWatermark("ts", horizon)
     // identical band hash to the batch operator: xxhash64(band, slice)
     val banded = sigs.select(col("id"), col("ts"), col("sig"),
@@ -248,4 +256,67 @@ object StreamingNearDup {
       .toDF()
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("id_a", "id_b")
+
+  /** Streaming INCREMENTAL dedup: arriving documents probe a FROZEN
+    * corpus index ([[graft.dedup.Dedup.minhashBucketTable]], typically
+    * read back from parquet) — the continuous form of
+    * [[graft.dedup.Dedup.minhashNearDupsAgainst]], emitting
+    * `(batch_id, corpus_id, est_jaccard, ts)` per arriving near-dup.
+    *
+    * Unlike the self-dedup operator above this needs NO custom state at
+    * all: the corpus side is static, so the probe is a stream-static
+    * equi-join on (band, band_hash) — every Spark version's supported
+    * path, trivially scalable, with the bucket members (and their
+    * signatures) riding in the joined row so verification is a
+    * stateless HOF over the pair. The only stateful step is the
+    * watermark-scoped pair dedup collapsing cross-band re-emissions
+    * (a document's band rows all land in its own micro-batch, so
+    * `dedupHorizon` only needs to cover reprocessing overlap, not data
+    * skew). Pass the bucket table PRE-MATERIALIZED (parquet read or
+    * persisted) — an unpersisted derived plan would recompute the corpus
+    * aggregation every micro-batch.
+    *
+    * On a BATCH frame the same pipeline runs with a plain
+    * `dropDuplicates` — the driver-facing batch twin, pinned equal to
+    * the batch operator's answer by its shared oracle.
+    */
+  def nearDupsAgainstIndex(docs: DataFrame, bucketTable: DataFrame,
+      idCol: String = "doc_id", tsCol: String = "ts",
+      textCol: String = "text", shingleSize: Int = 3, numHashes: Int = 32,
+      bands: Int = 8, threshold: Double = 0.8,
+      dedupHorizon: String = "1 hour"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    // filter on the SHINGLE array, not the signature: an empty shingle
+    // set still yields a numHashes-long all-MaxValue signature, and such
+    // docs would phantom-pair with every other short doc at est 1.0
+    // (same contract as Dedup.minhashSignatures)
+    val sigs = docs
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).as("batch_id"),
+        col(tsCol).cast("timestamp").as("ts"),
+        graft.functions.HashFunctions.wordShingles(col(textCol),
+          shingleSize).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col("batch_id"), col("ts"),
+        graft.functions.HashFunctions.minhashSignature(col("__sh"),
+          numHashes).as("sig"))
+    val banded = sigs.select(col("batch_id"), col("ts"), col("sig"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
+        : _*)).as(Seq("band", "band_hash")))
+    val paired = banded
+      .join(bucketTable, Seq("band", "band_hash")) // stream-static
+      .select(col("batch_id"), col("ts"), col("sig"),
+        explode(col("members")).as("m"))
+      .select(col("batch_id"), col("ts"),
+        col("m.id").as("corpus_id"),
+        (size(filter(zip_with(col("sig"), col("m.sig"), (x, y) => x === y),
+          eq => eq)).cast("double") / numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+    if (paired.isStreaming)
+      paired.withWatermark("ts", dedupHorizon)
+        .dropDuplicatesWithinWatermark("batch_id", "corpus_id")
+    else paired.dropDuplicates("batch_id", "corpus_id")
+  }
 }
