@@ -24,37 +24,27 @@ object ScratchProfile {
 
     val docs = Sources.readTable(spark, dir, "documents")
     noop(docs.select(col("doc_id")))
-    val sh = docs.select(col("doc_id").as("id"),
-        graft.dedup.Dedup.shingles(col("text"), 4).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val posting = sh.select(col("id"), size(col("sh")).as("n"),
-      explode(transform(col("sh"), s => xxhash64(s))).as("g"))
-    val rare = posting.groupBy("g").agg(count(lit(1)).as("df_count"))
-      .filter(col("df_count") <= 20 && col("df_count") > 1)
-    val expanded = posting.join(rare.select("g"), Seq("g"))
-      .groupBy("g")
-      .agg(sort_array(collect_list(struct(col("id"), col("n")))).as("members"))
-      .select(explode(graft.dedup.Dedup.orderedPairs(col("members"))).as("p"))
-    println("  n_raw=" + expanded.count())
-    val lenOk = expanded.filter(least(col("p.a.n"), col("p.b.n")).cast("double") /
-      greatest(col("p.a.n"), col("p.b.n")) >= 0.5)
-    println("  n_lenok=" + lenOk.count())
-    val dist = lenOk.select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b")).distinct()
-    println("  n_dist=" + dist.count())
-    for (_ <- 1 to 2) {
-      val verified = dist
-        .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-        .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-        .withColumn("jaccard",
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))))
-        .filter(col("jaccard") >= 0.5)
-      time("verify-joins") { noop(verified) }
-      time("candidates") { noop(dist) }
-      time("full-query") {
-        noop(SparkEntry.queries("dd_ngram_jaccard")(spark, dir))
-      }
-    }
+
+    // dd_semantic_prune stage by stage
+    val emb = Sources.readTable(spark, dir, "embeddings")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    time("emb scan+cast")(noop(emb))
+    val pairs = graft.sim.Similarity.semanticNearDups(emb, "vec_id",
+      "embedding", threshold = 0.3, nCentroids = 16)
+    time("semanticNearDups")(noop(pairs))
+    time("semanticNearDups again")(noop(pairs))
+    var comps: org.apache.spark.sql.DataFrame = null
+    time("connectedComponents")(
+      { comps = graft.dedup.Dedup.connectedComponents(pairs); noop(comps) })
+    val withQ = emb.join(docs
+      .select(col("doc_id").as("vec_id"), col("n_chars")), "vec_id")
+    time("withQ join")(noop(withQ))
+    time("keepBestSurvivors full")(
+      noop(graft.dedup.Dedup.keepBestSurvivors(withQ, "vec_id", pairs,
+        "n_chars").select(col("vec_id"), col("n_chars"))
+        .orderBy(col("vec_id"))))
+    time("full query")(
+      noop(SparkEntry.queries("dd_semantic_prune")(spark, dir)))
     spark.stop()
   }
 }
