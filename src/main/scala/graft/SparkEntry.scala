@@ -1016,6 +1016,13 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("mix_threshold"))
         .orderBy(col("doc_id"))
     }),
+    "ts_lm_buckets" -> ((s, dir) => {
+      // CCNet head/middle/tail: per-language thirds by corpus LM score
+      // (integer percentile test, rounded-score ranking — bit-stable)
+      TextStats.lmQualityBuckets(t(s, dir, "documents"), "doc_id", "text",
+          "lang", headPct = 33, midPct = 33)
+        .orderBy(col("doc_id"))
+    }),
     "bt_orders" -> ((s, dir) => {
       val res = BacktestEngine.run(Sources.eventsAsBars(s, dir),
         MACross(5, 20), 10000.0)
@@ -1094,6 +1101,43 @@ object SparkEntry {
         .orderBy(col("ticker"))
     }),
   )
+
+  /** Shared DuckDB CTE chain reproducing TextStats.lmScore (documents →
+    * per-doc stupid-backoff bigram score in `sc`); consumed by the
+    * ts_lm_score and ts_lm_buckets oracles.
+    */
+  private def lmScoreCtes: String =
+    s"""b AS (${SplitOracle.bucketCte}),
+         toks AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+               t -> length(t) > 0) AS tk FROM documents),
+         tr AS (SELECT t.doc_id, tk FROM toks t JOIN b ON b.doc_id = t.doc_id
+           WHERE b.bucket < 80),
+         uni AS (SELECT w, count(*) AS cu
+           FROM (SELECT unnest(tk) AS w FROM tr) GROUP BY w),
+         tv AS (SELECT sum(cu) AS T, count(*) AS V FROM uni),
+         pos AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS pos
+           FROM toks WHERE len(tk) >= 2),
+         bg AS (SELECT doc_id, pos, tk[pos] AS w1, tk[pos + 1] AS w2
+           FROM pos),
+         bgtr AS (SELECT bg.w1, bg.w2 FROM bg JOIN b ON b.doc_id = bg.doc_id
+           WHERE b.bucket < 80),
+         bic AS (SELECT w1, w2, count(*) AS cb FROM bgtr GROUP BY w1, w2),
+         lp AS (SELECT bg.doc_id, bg.pos,
+             CASE WHEN bic.cb IS NOT NULL
+               THEN ln(CAST(bic.cb AS DOUBLE) / u1.cu)
+               ELSE ln((CAST(0.4 AS DOUBLE)
+                 * CAST(COALESCE(u2.cu, 0) + 1 AS DOUBLE)) / (tv.T + tv.V))
+               END AS lp
+           FROM bg
+           LEFT JOIN uni u1 ON u1.w = bg.w1
+           LEFT JOIN bic ON bic.w1 = bg.w1 AND bic.w2 = bg.w2
+           LEFT JOIN uni u2 ON u2.w = bg.w2
+           CROSS JOIN tv),
+         sc AS (SELECT doc_id, count(*) AS n_bigrams,
+             list_reduce(list_prepend(0.0, list(lp ORDER BY pos)),
+               (fa, fe) -> fa + fe) / count(*) AS score
+           FROM lp GROUP BY doc_id)"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops →
@@ -1722,40 +1766,28 @@ object SparkEntry {
       // corpus bigram LM (stupid backoff, trained on the bucket<80 hash
       // split): integer count tables, per-bigram log-probs, per-doc fold
       // in position order (the float sum order is pinned on both sides)
-      s"""WITH b AS (${SplitOracle.bucketCte}),
-         toks AS (SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\\s+'),
-               t -> length(t) > 0) AS tk FROM documents),
-         tr AS (SELECT t.doc_id, tk FROM toks t JOIN b ON b.doc_id = t.doc_id
-           WHERE b.bucket < 80),
-         uni AS (SELECT w, count(*) AS cu
-           FROM (SELECT unnest(tk) AS w FROM tr) GROUP BY w),
-         tv AS (SELECT sum(cu) AS T, count(*) AS V FROM uni),
-         pos AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS pos
-           FROM toks WHERE len(tk) >= 2),
-         bg AS (SELECT doc_id, pos, tk[pos] AS w1, tk[pos + 1] AS w2
-           FROM pos),
-         bgtr AS (SELECT bg.w1, bg.w2 FROM bg JOIN b ON b.doc_id = bg.doc_id
-           WHERE b.bucket < 80),
-         bic AS (SELECT w1, w2, count(*) AS cb FROM bgtr GROUP BY w1, w2),
-         lp AS (SELECT bg.doc_id, bg.pos,
-             CASE WHEN bic.cb IS NOT NULL
-               THEN ln(CAST(bic.cb AS DOUBLE) / u1.cu)
-               ELSE ln((CAST(0.4 AS DOUBLE)
-                 * CAST(COALESCE(u2.cu, 0) + 1 AS DOUBLE)) / (tv.T + tv.V))
-               END AS lp
-           FROM bg
-           LEFT JOIN uni u1 ON u1.w = bg.w1
-           LEFT JOIN bic ON bic.w1 = bg.w1 AND bic.w2 = bg.w2
-           LEFT JOIN uni u2 ON u2.w = bg.w2
-           CROSS JOIN tv),
-         sc AS (SELECT doc_id, count(*) AS n_bigrams,
-             list_reduce(list_prepend(0.0, list(lp ORDER BY pos)),
-               (fa, fe) -> fa + fe) / count(*) AS score
-           FROM lp GROUP BY doc_id)
+      s"""WITH $lmScoreCtes
          SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
            round(sc.score, 6) AS lm_score6
          FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
+    "ts_lm_buckets" ->
+      // CCNet head/middle/tail per language: rank by the ROUNDED score
+      // (the cross-engine-pinned rounding) with id tiebreak; percentile
+      // test in integer arithmetic (rn*100 <= n*pct) — no float division
+      s"""WITH $lmScoreCtes,
+         scl AS (SELECT doc_id, round(score, 6) AS s FROM sc),
+         r AS (SELECT d.doc_id,
+             row_number() OVER (PARTITION BY d.lang
+               ORDER BY scl.s DESC, d.doc_id) AS rn,
+             count(*) OVER (PARTITION BY d.lang) AS n
+           FROM scl JOIN documents d USING (doc_id))
+         SELECT d.doc_id, d.lang,
+           CASE WHEN r.doc_id IS NULL THEN NULL
+             WHEN rn * 100 <= n * 33 THEN 'head'
+             WHEN rn * 100 <= n * 66 THEN 'middle'
+             ELSE 'tail' END AS bucket
+         FROM documents d LEFT JOIN r ON r.doc_id = d.doc_id
          ORDER BY d.doc_id""",
     "sim_cosine_topk" ->
       """SELECT query_id, vec_id, cos6, rank FROM (

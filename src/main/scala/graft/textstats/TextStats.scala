@@ -217,6 +217,54 @@ object TextStats {
         col("lm_score"))
   }
 
+  /** CCNet-style quality buckets: within each language, rank documents
+    * by the corpus LM score ([[lmScore]], higher = more fluent) and
+    * label the top `headPct` percent "head", the next `midPct` percent
+    * "middle", the rest "tail" — the published head/middle/tail split
+    * CCNet (Wenzek et al. 2020 §4.3) uses to stage training data by
+    * quality. Documents the LM cannot score (< 2 tokens) get a null
+    * bucket, left to the caller's policy.
+    *
+    * Determinism: ranking orders by the score ROUNDED to 6 decimals
+    * (the same rounding the score's own oracle pins cross-engine) with
+    * the id as tiebreak, and the percentile test is integer arithmetic
+    * (`rank·100 ≤ n·pct`) — no float division anywhere, so the split is
+    * bit-stable on any partitioning and engine.
+    *
+    * Scale: one hash exchange on the language key + a per-language sort
+    * (the same plan class as any rank window — CCNet's split IS a
+    * per-language total order). A corpus dominated by one language
+    * makes that language's sort the critical path; shard such a corpus
+    * by (lang, hash-bucket) first and accept per-shard splits, or gate
+    * on a coarser score histogram.
+    */
+  def lmQualityBuckets(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, headPct: Int = 33, midPct: Int = 33,
+      trainBuckets: Int = 80): DataFrame = {
+    require(headPct > 0 && midPct >= 0 && headPct + midPct <= 100,
+      s"percent splits must satisfy 0 < headPct, 0 <= midPct, " +
+        s"headPct + midPct <= 100; got $headPct/$midPct")
+    val scores = lmScore(df, idCol, textCol, trainBuckets)
+      .filter(col("lm_score").isNotNull)
+      .select(col(idCol).as("__sid"), round(col("lm_score"), 6).as("__s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol)).orderBy(col("__s").desc, col("__sid"))
+    val ranked = df.select(col(idCol), col(langCol))
+      .join(scores, col(idCol) === col("__sid"))
+      .select(col(idCol), col(langCol),
+        row_number().over(w).cast("long").as("__rn"),
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(langCol))).as("__n"))
+      .select(col(idCol).as("__bid"),
+        when(col("__rn") * 100 <= col("__n") * headPct, "head")
+          .when(col("__rn") * 100 <= col("__n") * (headPct + midPct),
+            "middle")
+          .otherwise("tail").as("bucket"))
+    df.select(col(idCol), col(langCol))
+      .join(ranked, col(idCol) === col("__bid"), "left")
+      .select(col(idCol), col(langCol), col("bucket"))
+  }
+
   /** Repetition signals in the Gopher/MassiveText style (duplicate-token
     * and top-n-gram fractions, published in Rae et al. 2021 §A1.1 as
     * filtering heuristics): how much of the document is the same token

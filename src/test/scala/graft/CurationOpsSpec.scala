@@ -252,6 +252,65 @@ class CurationOpsSpec extends SparkTestBase {
     assert(mx1 === mx2)
   }
 
+  test("lm buckets: per-language thirds, null bucket for unscorable docs") {
+    // 9 scorable docs per lang -> exactly 3 head / 3 middle / 3 tail
+    // (rn*100 <= n*33 with n=9 gives rn <= 2.97 -> 2... so check the
+    // integer contract precisely: head = floor-compatible count)
+    val docs = ((1L to 9L).map(i =>
+        (i, s"tok${i % 7} tok${i % 5} tok${i % 3} tok$i end", "en")) ++
+      (11L to 19L).map(i =>
+        (i, s"mot${i % 7} mot${i % 5} mot${i % 3} mot$i fin", "fr")) :+
+      ((30L, "solo", "en"))).toDF("doc_id", "text", "lang")
+    val out = TextStats.lmQualityBuckets(docs, "doc_id", "text", "lang")
+      .as[(Long, String, String)].collect()
+    val byLang = out.filter(_._3 != null).groupBy(_._2)
+      .view.mapValues(_.groupBy(_._3).view.mapValues(_.length).toMap).toMap
+    // n = 9: head rn*100 <= 297 -> rn <= 2; middle rn <= 5; tail 4
+    for (l <- Seq("en", "fr"))
+      assert(byLang(l) == Map("head" -> 2, "middle" -> 3, "tail" -> 4),
+        s"$l got ${byLang(l)}")
+    assert(out.find(_._1 == 30L).get._3 == null,
+      "sub-bigram doc must carry a null bucket")
+  }
+
+  test("lm buckets are invariant under repartitioning and rank by score") {
+    val docs = (1L to 60L).map(i =>
+      (i, (1 to (i % 6 + 2).toInt).map(j => s"tok${(i + j) % 9}")
+        .mkString(" "),
+        if (i % 2 == 0) "en" else "fr")).toDF("doc_id", "text", "lang")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().toSeq
+    val b1 = canon(TextStats.lmQualityBuckets(docs.repartition(7),
+      "doc_id", "text", "lang"))
+    val b2 = canon(TextStats.lmQualityBuckets(docs.coalesce(1),
+      "doc_id", "text", "lang"))
+    assert(b1 === b2)
+    // a head doc never has a lower score than a tail doc of its language
+    val scored = TextStats.lmScore(docs, "doc_id", "text")
+      .select(col("doc_id"), round(col("lm_score"), 6).as("s"))
+    val joined = TextStats.lmQualityBuckets(docs, "doc_id", "text", "lang")
+      .join(scored, "doc_id").filter(col("bucket").isNotNull)
+      .as[(Long, String, String, Double)].collect()
+    for (l <- Seq("en", "fr")) {
+      val g = joined.filter(_._2 == l)
+      val minHead = g.filter(_._3 == "head").map(_._4).min
+      val maxTail = g.filter(_._3 == "tail").map(_._4).max
+      assert(minHead >= maxTail, s"$l: head $minHead < tail $maxTail")
+    }
+  }
+
+  test("lm buckets reject degenerate percent splits") {
+    val docs = Seq((1L, "a b c", "en")).toDF("doc_id", "text", "lang")
+    intercept[IllegalArgumentException] {
+      TextStats.lmQualityBuckets(docs, "doc_id", "text", "lang",
+        headPct = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextStats.lmQualityBuckets(docs, "doc_id", "text", "lang",
+        headPct = 60, midPct = 50)
+    }
+  }
+
   test("lm score rejects out-of-range train buckets") {
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
