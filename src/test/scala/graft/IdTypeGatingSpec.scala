@@ -103,6 +103,47 @@ class IdTypeGatingSpec extends SparkTestBase {
     assert(long.nonEmpty, "expected at least one near-dup pair")
   }
 
+  test("incremental probes: string-id fallback matches the bounded-agg path") {
+    // corpus = odd ids, batch = even ids; both the batch index probe and
+    // the streaming twin's bucket table must emit the same pairs when
+    // ids are strings (capped collect_list branch) as when they are
+    // longs (bounded-aggregator branch)
+    def split(df: DataFrame, strIds: Boolean) = {
+      val sigs = Dedup.minhashSignatures(df, "doc_id", "text")
+      val odd = if (strIds) sigs.filter(
+          regexp_replace($"id", "d", "").cast("long") % 2 === 1)
+        else sigs.filter($"id" % 2 === 1)
+      val even = if (strIds) sigs.filter(
+          regexp_replace($"id", "d", "").cast("long") % 2 === 0)
+        else sigs.filter($"id" % 2 === 0)
+      (odd, even)
+    }
+    def probePairs(df: DataFrame, strIds: Boolean): Set[(Long, Long)] = {
+      val (corpus, batch) = split(df, strIds)
+      Dedup.minhashNearDupsAgainst(corpus, batch, threshold = 0.4)
+        .select(
+          regexp_replace($"batch_id".cast("string"), "d", "").cast("long"),
+          regexp_replace($"corpus_id".cast("string"), "d", "").cast("long"))
+        .as[(Long, Long)].collect().toSet
+    }
+    val long = probePairs(docsLong, strIds = false)
+    val str = probePairs(docsStr, strIds = true)
+    assert(str == long)
+    assert(long.nonEmpty, "expected at least one cross-split pair")
+    // the probe-ready bucket table also rides the gate (string ids take
+    // the collect_list branch inside smallestKIds)
+    val (corpusS, batchS) = split(docsStr, strIds = true)
+    val viaTable = graft.streaming.StreamingNearDup.nearDupsAgainstIndex(
+        docsStr.withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+          .join(batchS.select($"id".as("doc_id")), Seq("doc_id"), "left_semi"),
+        Dedup.minhashBucketTable(corpusS), threshold = 0.4)
+      .select(
+        regexp_replace($"batch_id".cast("string"), "d", "").cast("long"),
+        regexp_replace($"corpus_id".cast("string"), "d", "").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(viaTable == long)
+  }
+
   test("simhashNearDups: string-id fallback matches the bounded-agg path") {
     val long = pairSet(Dedup.simhashNearDups(docsLong, "doc_id", "text",
       maxHamming = 10))
