@@ -714,6 +714,17 @@ object SparkEntry {
           round(col("cosine"), 6).as("cos6"), col("rank").cast("bigint").as("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "sim_knn_label" -> ((s, dir) => {
+      // k-NN label propagation: predict each query vector's label by
+      // majority vote over its 5 exact nearest neighbors (ties to the
+      // smallest label — integer logic, partition-independent)
+      val emb = t(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val q = emb.filter(col("vec_id") < 8)
+      Similarity.knnClassify(emb, "vec_id", "embedding", "label",
+          q, "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"))
+    }),
     "sim_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
         .withColumn("embedding", col("embedding").cast("array<double>"))
@@ -1800,6 +1811,24 @@ object SparkEntry {
            FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) q
            WHERE c.vec_id <> q.vec_id)
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    "sim_knn_label" ->
+      // the same neighbor determinism as sim_cosine_topk, then an
+      // integer majority vote (ties to the smallest label)
+      """WITH nb AS (SELECT query_id, vec_id FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                 CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+           FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) q
+           WHERE c.vec_id <> q.vec_id)
+         WHERE rank <= 5),
+         v AS (SELECT nb.query_id, e.label, count(*) AS votes
+           FROM nb JOIN embeddings e USING (vec_id) GROUP BY 1, 2)
+         SELECT query_id, label AS predicted_label, votes FROM (
+           SELECT query_id, label, votes, row_number() OVER (
+             PARTITION BY query_id ORDER BY votes DESC, label) AS rn
+           FROM v)
+         WHERE rn = 1 ORDER BY query_id""",
     // mean_byte sums codepoints, which equals UTF-8 byte values only for
     // ASCII text — asserted true for the documents fixture; byte_len uses
     // strlen (bytes) to stay byte-true regardless

@@ -106,6 +106,49 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** k-NN label vote, decoupled from the neighbor generator (the same
+    * pattern as Dedup.keepBestSurvivors): given ANY neighbor frame
+    * (query_id, vec_id, rank ≤ k) — brute-force, LSH or IVF top-k all
+    * emit that shape — attach each neighbor's label and predict, per
+    * query, the label with the most votes (ties to the smallest label:
+    * integer logic, deterministic on any partitioning). Returns
+    * (query_id, predicted_label, votes).
+    *
+    * This is k-NN label propagation — the weak-supervision /
+    * quality-label-transfer primitive of an embedding-indexed corpus:
+    * label a small seed set, push labels to every unlabeled point
+    * through its neighbors. Scale: one hash join of the neighbor list
+    * (k rows per query) against (id, label) and one tiny grouped count —
+    * the expensive part is the neighbor search, whose scale path is
+    * [[lshTopK]]/[[ivfTopK]].
+    */
+  def knnVote(neighbors: DataFrame, labels: DataFrame, idCol: String,
+      labelCol: String): DataFrame = {
+    val votes = neighbors
+      .join(labels.select(col(idCol).as("vec_id"),
+        col(labelCol).as("__label")), Seq("vec_id"))
+      .groupBy(col("query_id"), col("__label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("votes").desc, col("__label"))
+    votes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("__label").as("predicted_label"),
+        col("votes"))
+  }
+
+  /** Exact k-NN classification: brute-force cosine neighbors + majority
+    * label vote. For large corpora generate neighbors with
+    * [[lshTopK]]/[[ivfTopK]] and call [[knnVote]] directly.
+    */
+  def knnClassify(corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, queries: DataFrame, queryIdCol: String,
+      queryVecCol: String, k: Int): DataFrame =
+    knnVote(
+      bruteForceTopK(corpus, idCol, vecCol, queries, queryIdCol,
+        queryVecCol, k),
+      corpus, idCol, labelCol)
+
   /** All `tables` sign-pattern bucket ids (array<long>, one per hash
     * table) from planes·tables deterministic pseudo-random hyperplanes:
     * component (p, i) of table t = xxhash64(t·planes + p, i) scaled to
