@@ -183,6 +183,19 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
 
+  /** Merge freshly-computed signatures into a persisted index —
+    * newest-wins on id conflicts (a re-crawled document replaces its
+    * stale signatures; unchanged corpus rows pass through untouched).
+    * One anti-join on id, no full rebuild: write the result back (or
+    * into a new snapshot directory) to complete the
+    * index → probe → merge incremental-dedup lifecycle. At 100 TB the
+    * anti-join shuffles only (id, sig) rows — the index's own compact
+    * format.
+    */
+  def updateMinhashIndex(index: DataFrame, fresh: DataFrame): DataFrame =
+    index.join(fresh.select("id"), Seq("id"), "left_anti")
+      .unionByName(fresh)
+
   /** The corpus signature index in PROBE-READY form: one row per
     * (band, band_hash) bucket carrying its capped member list WITH
     * signatures — `(band, band_hash, members: array<struct<id, sig>>)`,

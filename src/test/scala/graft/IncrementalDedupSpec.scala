@@ -82,6 +82,32 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(got == 1L)
   }
 
+  test("index update: newest signatures win, untouched rows pass through") {
+    val old = Dedup.minhashSignatures(
+      docs(1L -> base, 2L -> (base + " old suffix")), "doc_id", "text")
+    val fresh = Dedup.minhashSignatures(
+      docs(2L -> (base + " new suffix"), 3L -> ("completely new arrival " +
+        "document with plenty of brand new never seen words in this row")),
+      "doc_id", "text")
+    val merged = Dedup.updateMinhashIndex(old, fresh)
+    assert(merged.count() == 3L)
+    // id 2's signature must be the FRESH one; id 1 untouched
+    val sigOf = merged.select(col("id"), col("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val freshSig = fresh.filter(col("id") === 2L)
+      .select(col("sig")).as[Seq[Long]].collect().head
+    val oldSig1 = old.filter(col("id") === 1L)
+      .select(col("sig")).as[Seq[Long]].collect().head
+    assert(sigOf(2L) == freshSig, "conflicting id must keep the new sig")
+    assert(sigOf(1L) == oldSig1, "non-conflicting id must pass through")
+    // a probe against the merged index sees the refreshed doc
+    val probe = Dedup.minhashNearDupsAgainst(merged,
+      Dedup.minhashSignatures(docs(10L -> (base + " new suffix")),
+        "doc_id", "text"), threshold = 0.5)
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(probe.contains((10L, 2L)), s"expected refreshed partner, got $probe")
+  }
+
   test("agrees with the self-join operator's pairs on a split corpus") {
     // est-jaccard >= thr is a weaker rung than exact jaccard >= thr, so
     // compare CANDIDATE-pair recovery: every (corpus, batch) pair the
