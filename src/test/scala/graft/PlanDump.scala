@@ -19,7 +19,8 @@ object PlanDump {
                   "j12_bloom_prune_join","dd_contamination",
                   "dd_semantic","dd_keep_best","ts_lm_score",
                   "ts_domain_mix","dd_repeated_ngram_scrub",
-                  "dd_incremental_minhash","dd_stream_incremental_batch")) {
+                  "dd_incremental_minhash","dd_stream_incremental_batch",
+                  "ts_lm_buckets","sim_knn_label")) {
       sb.append(s"\n## $q\n\n```\n")
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode)
