@@ -207,7 +207,7 @@ WHERE doc_id NOT IN (SELECT id FROM comp) OR doc_id IN (SELECT id FROM best)
 ORDER BY doc_id"""
 
 
-def validate(sf_dir, verify_dir):
+def validate(sf_dir, verify_dir, allow_missing=()):
     import glob
 
     import duckdb
@@ -224,9 +224,17 @@ def validate(sf_dir, verify_dir):
         import time
         if not glob.glob(f"{verify_dir}/{name}/*.parquet"):
             # a freshly-added query has no dump yet on the first generator
-            # run (the Scala oracle must exist before Verify can emit it);
-            # warn instead of crashing, then re-run after the next dump
-            print(f"{name}: SKIPPED (no dump under {verify_dir}/{name})")
+            # run (the Scala oracle must exist before Verify can emit it).
+            # Skipping is allowed ONLY for queries explicitly named via
+            # --allow-missing — a missing dump for an established query
+            # means the Verify run is broken/stale and must FAIL the
+            # validation, not silently weaken it.
+            if name in allow_missing:
+                print(f"{name}: SKIPPED (no dump; explicitly allowed)")
+            else:
+                ok = False
+                print(f"{name}: FAILED (no dump under {verify_dir}/{name}; "
+                      "pass --allow-missing=<name> only for a new query)")
             continue
         t0 = time.time()
         d = con.sql(sql).df()
@@ -278,9 +286,16 @@ object DedupOracles {{
 
 
 if __name__ == "__main__":
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    verify_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out01"
-    if validate(sf_dir, verify_dir):
+    allow = ()
+    args = []
+    for a in sys.argv[1:]:
+        if a.startswith("--allow-missing="):
+            allow = tuple(a.split("=", 1)[1].split(","))
+        else:
+            args.append(a)
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    verify_dir = args[1] if len(args) > 1 else "/tmp/verify_out01"
+    if validate(sf_dir, verify_dir, allow):
         emit_scala("src/main/scala/graft/DedupOracles.scala")
     else:
         sys.exit(1)

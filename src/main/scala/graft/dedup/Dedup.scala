@@ -109,6 +109,31 @@ object Dedup {
   def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
     graft.functions.HashFunctions.minhashSignature(shinglesCol, numHashes)
 
+  /** THE band-hash array — the one definition every LSH producer and
+    * probe must share: slot b = xxhash64(b, sig[b·r+1 .. b·r+r]). The
+    * self-join operator, the frozen-index builder, the batch probe and
+    * the streaming state machine all bucket on these values; a private
+    * copy drifting in any one of them would silently desynchronize
+    * probes from their index (zero matches, no error), so the
+    * expression lives here and nowhere else.
+    */
+  private[graft] def bandHashes(sig: Column, numHashes: Int,
+      bands: Int): Column = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    array((0 until bands).map(b =>
+      xxhash64(lit(b), slice(sig, b * rowsPerBand + 1, rowsPerBand))): _*)
+  }
+
+  /** Signature-agreement Jaccard estimate (matching slots / numHashes) —
+    * the shared verification rung of the index probes; exact in binary
+    * for power-of-two numHashes, so oracle compares are bit-stable.
+    */
+  private[graft] def sigAgreement(a: Column, b: Column,
+      numHashes: Int): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), m => m))
+      .cast("double") / numHashes
+
   /** Candidate near-duplicate pairs via banded LSH over the minhash
     * signature, then exact Jaccard verification on the shingle sets.
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
@@ -116,8 +141,6 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.8, maxBucket: Int = 64): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
     // string shingles feed the signature (seeded per-slot hashing of the
     // shingle STRINGS — the published MinHash formulation); the hashed
     // sorted-long sets feed verification, so the verification joins
@@ -136,9 +159,8 @@ object Dedup {
     // Only (id, band, band_hash) travels through the bucket shuffle — the
     // shingle arrays would otherwise be duplicated `bands` times.
     val banded = withSig.select(col("id"),
-        posexplode(array((0 until bands).map(b =>
-          xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
-          : _*)).as(Seq("band", "band_hash")))
+        posexplode(bandHashes(col("sig"), numHashes, bands))
+          .as(Seq("band", "band_hash")))
 
     // bounded k-smallest aggregation (integral ids): partial buffers never
     // exceed maxBucket ids, so a pathological hot band-bucket cannot OOM
@@ -211,12 +233,9 @@ object Dedup {
     */
   def minhashBucketTable(corpusSigs: DataFrame, numHashes: Int = 32,
       bands: Int = 8, maxBucket: Int = 64): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
     val banded = corpusSigs.filter(col("id").isNotNull).select(col("id"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
-        : _*)).as(Seq("band", "band_hash")))
+      posexplode(bandHashes(col("sig"), numHashes, bands))
+        .as(Seq("band", "band_hash")))
     val capped = banded.groupBy("band", "band_hash")
       .agg(smallestKIds(col("id"), corpusSigs.schema("id").dataType,
         maxBucket).as("member_ids"))
@@ -254,32 +273,35 @@ object Dedup {
   def minhashNearDupsAgainst(corpusSigs: DataFrame, batchSigs: DataFrame,
       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.8,
       maxBucket: Int = 64): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
-    def banded(sigs: DataFrame): DataFrame =
-      sigs.filter(col("id").isNotNull).select(col("id"),
-        posexplode(array((0 until bands).map(b =>
-          xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
-          : _*)).as(Seq("band", "band_hash")))
-    val buckets = banded(corpusSigs).groupBy("band", "band_hash")
+    val buckets = corpusSigs.filter(col("id").isNotNull)
+      .select(col("id"), posexplode(bandHashes(col("sig"), numHashes, bands))
+        .as(Seq("band", "band_hash")))
+      .groupBy("band", "band_hash")
       .agg(smallestKIds(col("id"), corpusSigs.schema("id").dataType,
         maxBucket).as("members"))
-    val pairs = banded(batchSigs)
+    // the batch side CARRIES its signature through the banding (bands ×
+    // numHashes·8 B per batch doc through the bucket join) so the
+    // typically computed-on-the-fly batch pipeline — text scan, shingle,
+    // sign — evaluates exactly ONCE; a separate sig re-attach join would
+    // re-run it (Spark does not reuse the subtree across consumers). The
+    // corpus side is the parquet-read index: its banding and its sig_b
+    // attach are two cheap scans of the compact table.
+    val pairs = batchSigs.filter(col("id").isNotNull)
+      .select(col("id"), col("sig"),
+        posexplode(bandHashes(col("sig"), numHashes, bands))
+          .as(Seq("band", "band_hash")))
       .join(buckets, Seq("band", "band_hash"))
-      .select(col("id").as("batch_id"),
+      .select(col("id").as("batch_id"), col("sig").as("sig_a"),
         explode(col("members")).as("corpus_id"))
       .dropDuplicates("batch_id", "corpus_id")
     // slot-agreement estimate: a bounded HOF over the candidate set only
     // (numHashes is a power of two in practice, so matches/numHashes is
     // exact in binary — the oracle compare is bit-stable)
     pairs
-      .join(batchSigs.select(col("id").as("batch_id"), col("sig").as("sig_a")),
-        Seq("batch_id"))
       .join(corpusSigs.select(col("id").as("corpus_id"), col("sig").as("sig_b")),
         Seq("corpus_id"))
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          m => m)).cast("double") / numHashes)
+        sigAgreement(col("sig_a"), col("sig_b"), numHashes))
       .filter(col("est_jaccard") >= threshold)
       .select("batch_id", "corpus_id", "est_jaccard")
   }

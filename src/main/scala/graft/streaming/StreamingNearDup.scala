@@ -124,7 +124,6 @@ object StreamingNearDup {
       horizon: String = "1 hour",
       exactVerify: Boolean = false): Dataset[CandidatePair] = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -159,12 +158,12 @@ object StreamingNearDup {
           numHashes).as("sig"),
         col("shingles"))
       .withWatermark("ts", horizon)
-    // identical band hash to the batch operator: xxhash64(band, slice)
+    // identical band hash to the batch operator — the ONE shared
+    // definition (graft.dedup.Dedup.bandHashes)
     val banded = sigs.select(col("id"), col("ts"), col("sig"),
         col("shingles"),
-        posexplode(array((0 until bands).map(b =>
-          xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
-          : _*)).as(Seq("band", "band_hash")))
+        posexplode(graft.dedup.Dedup.bandHashes(col("sig"), numHashes,
+          bands)).as(Seq("band", "band_hash")))
       .select(col("band"), col("band_hash").as("bandHash"), col("id"),
         col("ts"), col("sig"), col("shingles"))
       .as[BandRow]
@@ -286,7 +285,6 @@ object StreamingNearDup {
       bands: Int = 8, threshold: Double = 0.8,
       dedupHorizon: String = "1 hour"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
     // filter on the SHINGLE array, not the signature: an empty shingle
     // set still yields a numHashes-long all-MaxValue signature, and such
     // docs would phantom-pair with every other short doc at est 1.0
@@ -301,18 +299,37 @@ object StreamingNearDup {
       .select(col("batch_id"), col("ts"),
         graft.functions.HashFunctions.minhashSignature(col("__sh"),
           numHashes).as("sig"))
+    // guard against a bucket table built with DIFFERENT banding params:
+    // a bands/numHashes mismatch makes every band hash miss and the
+    // probe "succeeds" with zero pairs forever — a silent recall
+    // collapse. One bounded aggregation over the static table at
+    // plan-build time turns it into a hard failure (the table is the
+    // compact index; an empty table trivially passes — no pairs is then
+    // the correct answer).
+    val probe = bucketTable
+      .select(max(col("band")).as("mb"),
+        min(size(col("members")(0)("sig"))).as("nh"),
+        max(size(col("members")(0)("sig"))).as("nh2"))
+      .collect()(0)
+    if (!probe.isNullAt(0)) {
+      require(probe.getInt(0) == bands - 1,
+        s"bucketTable was built with ${probe.getInt(0) + 1} bands, " +
+          s"probe configured with $bands — rebuild or match the params")
+      require(probe.getInt(1) == numHashes && probe.getInt(2) == numHashes,
+        s"bucketTable signatures have ${probe.getInt(1)} slots, probe " +
+          s"configured with numHashes=$numHashes")
+    }
     val banded = sigs.select(col("batch_id"), col("ts"), col("sig"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
-        : _*)).as(Seq("band", "band_hash")))
+      posexplode(graft.dedup.Dedup.bandHashes(col("sig"), numHashes,
+        bands)).as(Seq("band", "band_hash")))
     val paired = banded
       .join(bucketTable, Seq("band", "band_hash")) // stream-static
       .select(col("batch_id"), col("ts"), col("sig"),
         explode(col("members")).as("m"))
       .select(col("batch_id"), col("ts"),
         col("m.id").as("corpus_id"),
-        (size(filter(zip_with(col("sig"), col("m.sig"), (x, y) => x === y),
-          eq => eq)).cast("double") / numHashes).as("est_jaccard"))
+        graft.dedup.Dedup.sigAgreement(col("sig"), col("m.sig"), numHashes)
+          .as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
     if (paired.isStreaming)
       paired.withWatermark("ts", dedupHorizon)

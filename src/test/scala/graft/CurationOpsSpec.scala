@@ -253,9 +253,10 @@ class CurationOpsSpec extends SparkTestBase {
   }
 
   test("lm buckets: per-language thirds, null bucket for unscorable docs") {
-    // 9 scorable docs per lang -> exactly 3 head / 3 middle / 3 tail
-    // (rn*100 <= n*33 with n=9 gives rn <= 2.97 -> 2... so check the
-    // integer contract precisely: head = floor-compatible count)
+    // 9 scorable docs per lang -> 2 head / 3 middle / 4 tail under the
+    // integer contract: head is rn*100 <= 9*33 = 297 -> rn <= 2, middle
+    // is rn*100 <= 9*66 = 594 -> rn <= 5 (NOT equal thirds — the floor
+    // behavior is the pinned CCNet semantics, don't "fix" it to 3/3/3)
     val docs = ((1L to 9L).map(i =>
         (i, s"tok${i % 7} tok${i % 5} tok${i % 3} tok$i end", "en")) ++
       (11L to 19L).map(i =>

@@ -11,7 +11,7 @@ class KnnClassifySpec extends SparkTestBase {
   import spark.implicits._
 
   // three tight clusters around orthogonal-ish axes; labels follow the
-  // cluster, one deliberate outlier per cluster
+  // cluster (no outliers — the 5/5 vote assertion depends on that)
   private def v(axis: Int, eps: Double): Seq[Double] =
     Seq.tabulate(6)(i => (if (i == axis) 1.0 else 0.0) + eps * (i + 1))
 

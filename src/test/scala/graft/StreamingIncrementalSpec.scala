@@ -83,6 +83,27 @@ class StreamingIncrementalSpec extends SparkTestBase {
     assert(got == batchPairs)
   }
 
+  test("probe rejects a bucket table built with different banding params") {
+    // a bands or numHashes mismatch would make every band hash miss and
+    // the probe "succeed" with zero pairs forever — the guard turns the
+    // silent recall collapse into a hard failure at plan-build time
+    val table16 = Dedup.minhashBucketTable(corpusSigs, bands = 16)
+    val e = intercept[IllegalArgumentException] {
+      StreamingNearDup.nearDupsAgainstIndex(
+        batchDocs.toDF("doc_id", "ts", "text"), table16, bands = 8)
+    }
+    assert(e.getMessage.contains("16 bands"), e.getMessage)
+    val table8 = Dedup.minhashBucketTable(
+      Dedup.minhashSignatures(corpusDocs.toDF("doc_id", "text"),
+        "doc_id", "text", numHashes = 16), numHashes = 16, bands = 8)
+    val e2 = intercept[IllegalArgumentException] {
+      StreamingNearDup.nearDupsAgainstIndex(
+        batchDocs.toDF("doc_id", "ts", "text"), table8, numHashes = 32,
+        bands = 8)
+    }
+    assert(e2.getMessage.contains("16 slots"), e2.getMessage)
+  }
+
   test("short documents never phantom-pair on the all-MaxValue signature") {
     // two docs under the shingle width share the degenerate empty-shingle
     // signature; neither may emit (the corpus doc must not even index)
