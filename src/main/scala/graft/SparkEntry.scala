@@ -682,6 +682,17 @@ object SparkEntry {
           shingleSize = 3, minOverlap = 2, maxBenchDf = 10)
         .orderBy(col("doc_id"), col("bench_id"))
     }),
+    "dd_decontaminate" -> ((s, dir) => {
+      // the decontamination endpoint: the corpus minus every doc the
+      // contamination check flags (same split/params as dd_contamination)
+      val d = t(s, dir, "documents")
+      Dedup.decontaminate(
+          d.filter(col("doc_id") % 17 =!= 0), "doc_id", "text",
+          d.filter(col("doc_id") % 17 === 0), "doc_id", "text",
+          shingleSize = 3, minOverlap = 2, maxBenchDf = 10)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
 
     "dd_embedding_neardups" -> ((s, dir) => {
       // embedding-cosine near-dup: LSH-bucketed all-pairs (pairs only
@@ -1150,6 +1161,36 @@ object SparkEntry {
                (fa, fe) -> fa + fe) / count(*) AS score
            FROM lp GROUP BY doc_id)"""
 
+  /** Shared DuckDB CTE chain for the contamination oracles (documents →
+    * `hits` = (doc_id, bench_id, overlap ≥ 2) on the %17 corpus/bench
+    * split); consumed by dd_contamination and dd_decontaminate.
+    */
+  private def contaminationCtes: String =
+    """toks AS (
+           SELECT doc_id AS id,
+             list_filter(string_split_regex(trim(regexp_replace(lower(text),
+               '[^a-z0-9\s]', '', 'g')), '\s+'), t -> length(t) > 0) AS tk
+           FROM documents),
+         sh AS (
+           SELECT id, list_distinct(CASE WHEN len(tk) >= 3 THEN
+             list_transform(tk[1:len(tk)-2],
+               (x, i) -> array_to_string(tk[i:i+2], ' '))
+             ELSE CAST([] AS VARCHAR[]) END) AS sh
+           FROM toks),
+         shf AS (SELECT * FROM sh WHERE len(sh) > 0),
+         bench_post AS (SELECT id AS bench_id, unnest(sh) AS g
+           FROM shf WHERE id % 17 = 0),
+         rare AS (SELECT g FROM bench_post GROUP BY g
+           HAVING count(*) <= 10),
+         corpus_post AS (SELECT id AS doc_id, unnest(sh) AS g
+           FROM shf WHERE id % 17 <> 0),
+         hits AS (SELECT c.doc_id, b.bench_id, count(*) AS overlap
+           FROM corpus_post c
+           JOIN (SELECT * FROM bench_post WHERE g IN (SELECT g FROM rare)) b
+             USING (g)
+           GROUP BY c.doc_id, b.bench_id
+           HAVING count(*) >= 2)"""
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops →
     * driver records a weaker rows-only check.
@@ -1569,31 +1610,15 @@ object SparkEntry {
       // overlap count runs on shingle STRINGS where Spark counts xxhash64
       // longs — identical counts absent a 64-bit collision inside one
       // doc pair (~1e-12 at this scale)
-      """WITH toks AS (
-           SELECT doc_id AS id,
-             list_filter(string_split_regex(trim(regexp_replace(lower(text),
-               '[^a-z0-9\s]', '', 'g')), '\s+'), t -> length(t) > 0) AS tk
-           FROM documents),
-         sh AS (
-           SELECT id, list_distinct(CASE WHEN len(tk) >= 3 THEN
-             list_transform(tk[1:len(tk)-2],
-               (x, i) -> array_to_string(tk[i:i+2], ' '))
-             ELSE CAST([] AS VARCHAR[]) END) AS sh
-           FROM toks),
-         shf AS (SELECT * FROM sh WHERE len(sh) > 0),
-         bench_post AS (SELECT id AS bench_id, unnest(sh) AS g
-           FROM shf WHERE id % 17 = 0),
-         rare AS (SELECT g FROM bench_post GROUP BY g
-           HAVING count(*) <= 10),
-         corpus_post AS (SELECT id AS doc_id, unnest(sh) AS g
-           FROM shf WHERE id % 17 <> 0)
-         SELECT c.doc_id, b.bench_id, count(*) AS overlap
-         FROM corpus_post c
-         JOIN (SELECT * FROM bench_post WHERE g IN (SELECT g FROM rare)) b
-           USING (g)
-         GROUP BY c.doc_id, b.bench_id
-         HAVING count(*) >= 2
+      s"""WITH $contaminationCtes
+         SELECT doc_id, bench_id, overlap FROM hits
          ORDER BY doc_id, bench_id""",
+    "dd_decontaminate" ->
+      s"""WITH $contaminationCtes
+         SELECT d.doc_id, d.n_chars FROM documents d
+         WHERE d.doc_id % 17 <> 0
+           AND d.doc_id NOT IN (SELECT doc_id FROM hits)
+         ORDER BY d.doc_id""",
     "dd_ngram_jaccard" ->
       """WITH toks AS (
            SELECT doc_id AS id,

@@ -452,6 +452,23 @@ object Dedup {
       .filter(col("overlap") >= minOverlap)
   }
 
+  /** The decontamination ENDPOINT: drop every corpus document sharing at
+    * least `minOverlap` distinct shingles with ANY benchmark document —
+    * what a training corpus actually executes before release, composed
+    * from [[contaminationPairs]] (same scale shape: the corpus side
+    * never shuffles on shingles) plus one anti-join on the contaminated
+    * ids.
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      shingleSize: Int = 3, minOverlap: Int = 2, maxBenchDf: Int = 1000,
+      broadcastBench: Boolean = true): DataFrame = {
+    val hits = contaminationPairs(docs, idCol, textCol, bench, benchIdCol,
+        benchTextCol, shingleSize, minOverlap, maxBenchDf, broadcastBench)
+      .select(col("doc_id").as(idCol)).distinct()
+    docs.join(hits, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------------- edit distance
 
   /** Edit-distance (Levenshtein) verified near-duplicate pairs with

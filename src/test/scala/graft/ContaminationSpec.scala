@@ -34,6 +34,22 @@ class ContaminationSpec extends SparkTestBase {
     assert(got.head._3 === 8L)
   }
 
+  test("decontaminate drops exactly the flagged docs, keeps the rest whole") {
+    val corpus = Seq(
+      (1L, "intro text the quick brown fox jumps over the lazy dog tonight outro"),
+      (2L, "totally different content with no shared phrases at all here"),
+      (3L, "a quick brown fox appeared suddenly near the river bank"))
+      .toDF("id", "text")
+    val kept = Dedup.decontaminate(corpus, "id", "text",
+        bench, "bid", "btext", shingleSize = 3, minOverlap = 2)
+    // doc 1 is the verbatim leak; 2 and 3 (single-graze, below the
+    // threshold) survive with their full rows intact
+    assert(kept.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 3L))
+    assert(kept.columns.toSeq == corpus.columns.toSeq,
+      "endpoint must return the caller's schema untouched")
+  }
+
   test("minOverlap = 1 also surfaces the single-shingle graze") {
     val corpus = Seq(
       (3L, "a quick brown fox appeared suddenly near the river bank"))
