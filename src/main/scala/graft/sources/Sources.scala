@@ -58,19 +58,31 @@ object Sources {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
-  /** Read a driver testdata table. The events table stores `ts` as parquet
-    * TIMESTAMP(NANOS), which Spark only reads as a raw long (with
-    * `spark.sql.legacy.parquet.nanosAsLong=true`, set by our sessions);
-    * convert to a micros timestamp with integer division — exactly the
-    * truncation DuckDB applies when casting TIMESTAMP_NS → TIMESTAMP, so
-    * oracle comparisons align.
+  /** Read a driver testdata table, normalizing timestamp physical layouts
+    * the driver has shipped across rounds so every downstream operator
+    * sees plain `timestamp` (TIMESTAMP_LTZ):
+    *
+    *  - TIMESTAMP(NANOS) columns, which Spark only reads as a raw long
+    *    (with `spark.sql.legacy.parquet.nanosAsLong=true`, set by our
+    *    sessions): converted to micros with integer division — exactly
+    *    the truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4 infers
+    *    as TIMESTAMP_NTZ: cast back to TIMESTAMP. All graft sessions pin
+    *    `spark.sql.session.timeZone=UTC`, so the cast reinterprets the
+    *    naive value as the same UTC instant DuckDB reads — oracle values
+    *    and schemas stay aligned with rounds where the files carried the
+    *    UTC annotation.
     */
   def readTable(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" &&
-        f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None => df
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      f.dataType match {
+        case LongType if f.name == "ts" =>
+          acc.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          acc.withColumn(f.name, col(f.name).cast(TimestampType))
+        case _ => acc
+      }
     }
   }
 

@@ -5,6 +5,7 @@ object CodegenCheck {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.codegen.fallback", "false")
       .config("spark.sql.ui.enabled", "false")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -9,6 +9,7 @@ object FacadeDemo {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions","4")
       .config("spark.sql.legacy.parquet.nanosAsLong","true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled","false")
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions._

@@ -4,6 +4,7 @@ object PlanCheck {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions","4")
       .config("spark.sql.legacy.parquet.nanosAsLong","true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled","false")
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.01"
