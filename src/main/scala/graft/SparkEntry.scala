@@ -980,7 +980,8 @@ object SparkEntry {
         threshold = 0.3, nCentroids = 16)
       val withQ = emb.join(t(s, dir, "documents")
         .select(col("doc_id").as("vec_id"), col("n_chars")), "vec_id")
-      Dedup.keepBestSurvivors(withQ, "vec_id", pairs, "n_chars")
+      // cell-confined pairs -> blocked CC: one aggregation, no iteration
+      Dedup.keepBestSurvivors(withQ, "vec_id", pairs, "n_chars", "block")
         .select(col("vec_id"), col("n_chars"))
         .orderBy(col("vec_id"))
     }),

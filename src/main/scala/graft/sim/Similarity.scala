@@ -366,6 +366,12 @@ object Similarity {
     * with the corpus (buckets = 2^planes): 4 planes is a test-scale
     * default; at 100 TB use enough planes that expected bucket size stays
     * near maxBucket.
+    *
+    * Emits (id_a, id_b, cosine, block): `block` is the LSH bucket both
+    * endpoints share. Vectors are single-assignment (one sign pattern
+    * each), so near-dup components never span blocks — pass `block` to
+    * [[graft.dedup.Dedup.connectedComponentsBlocked]] for one-shuffle
+    * clustering.
     */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Int, maxBucket: Int = 64): DataFrame = {
@@ -396,10 +402,16 @@ object Similarity {
       .agg(graft.dedup.Dedup.smallestKIds(col("id"), idType, maxBucket)
         .as("members"))
       .filter(size(col("members")) > 1)
-    // one bucket per vector → a pair can only form once; no dedup needed
+    // one bucket per vector → a pair can only form once; no dedup needed.
+    // The bucket rides along as `block`: every vector lives in exactly
+    // one bucket, so the pair graph is a disjoint union of per-bucket
+    // subgraphs — downstream connected components can run per-block in
+    // one aggregation (Dedup.connectedComponentsBlocked) instead of the
+    // iterative global loop.
     val pairIds = buckets
-      .select(explode(graft.dedup.Dedup.orderedPairs(col("members"))).as("p"))
-      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .select(col("__bucket").as("block"),
+        explode(graft.dedup.Dedup.orderedPairs(col("members"))).as("p"))
+      .select(col("block"), col("p.a").as("id_a"), col("p.b").as("id_b"))
     pairIds
       .join(v.select(col("id").as("id_a"), col("__v").as("__va"),
         col("__n").as("__na")), Seq("id_a"))
@@ -408,7 +420,7 @@ object Similarity {
       .withColumn("cosine",
         dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cosine"))
+      .select(col("id_a"), col("id_b"), col("cosine"), col("block"))
   }
 
   /** Semantic (cluster-scoped) near-duplicates — the SemDeDup recipe
@@ -429,6 +441,10 @@ object Similarity {
     * generation, and a dense cell contributes ≤ maxCell·(maxCell−1)/2
     * pairs. At 100 TB size nCentroids so expected cell population stays
     * near maxCell (the paper's own regime).
+    *
+    * Emits (id_a, id_b, cosine, block): `block` is the k-means cell both
+    * endpoints share (cells are single-assignment, so components never
+    * span blocks — see [[graft.dedup.Dedup.connectedComponentsBlocked]]).
     */
   def semanticNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nCentroids: Int = 16, maxCell: Int = 64,

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.sim.Similarity
+
+/** Blocked connected components: the one-aggregation CC for
+  * block-confined pair lists (single-assignment candidate generators).
+  * Pins exact parity with the iterative operator — on constructed
+  * graphs, on the real semantic-pair pipeline, and through the
+  * keepBestSurvivors endpoint — plus the string-id fallback gate.
+  */
+class BlockedCcSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def labels(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("id").cast("long"), col("component").cast("long"))
+      .as[(Long, Long)].collect().toMap
+
+  test("per-block union-find labels a transitive chain with its min id") {
+    // block 7 holds the chain 5-3-8-2 (edges shuffled), block 9 a pair;
+    // labels must be the component minimum, exactly like the iterative op
+    val pairs = Seq(
+      (7, 3L, 8L), (7, 5L, 3L), (7, 8L, 2L),
+      (9, 40L, 30L))
+      .toDF("block", "id_a", "id_b")
+    val got = labels(Dedup.connectedComponentsBlocked(pairs, "block"))
+    assert(got === Map(5L -> 2L, 3L -> 2L, 8L -> 2L, 2L -> 2L,
+      40L -> 30L, 30L -> 30L))
+  }
+
+  test("blocked CC equals iterative CC on constructed multi-block input") {
+    // several blocks, each with chains / triangles / isolated pairs
+    val pairs = (0 until 8).flatMap { b =>
+      val base = b * 100L
+      Seq((b, base + 1, base + 2), (b, base + 2, base + 3),
+        (b, base + 3, base + 1), // triangle
+        (b, base + 10, base + 11), // pair
+        (b, base + 20, base + 21), (b, base + 21, base + 22)) // chain
+    }.toDF("block", "id_a", "id_b")
+    val blocked = labels(Dedup.connectedComponentsBlocked(pairs, "block"))
+    val iter = labels(Dedup.connectedComponents(pairs.select("id_a", "id_b")))
+    assert(blocked === iter)
+  }
+
+  test("blocked CC equals iterative CC on real semantic pairs") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val pairs = Similarity.semanticNearDups(emb, "vec_id", "embedding",
+      threshold = 0.3, nCentroids = 8)
+    val blocked = labels(Dedup.connectedComponentsBlocked(pairs, "block"))
+    val iter = labels(Dedup.connectedComponents(pairs.select("id_a", "id_b")))
+    assert(blocked.nonEmpty, "expected semantic pairs at threshold 0.3")
+    assert(blocked === iter)
+  }
+
+  test("keepBestSurvivors blocked and iterative paths agree end-to-end") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+      .withColumn("quality", (col("vec_id") * 7919L) % 1000L)
+    val pairs = Similarity.semanticNearDups(emb, "vec_id", "embedding",
+      threshold = 0.3, nCentroids = 8)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").as[Long].collect().toSet
+    val blocked = ids(Dedup.keepBestSurvivors(emb, "vec_id", pairs,
+      "quality", "block"))
+    val iter = ids(Dedup.keepBestSurvivors(emb, "vec_id", pairs, "quality"))
+    assert(blocked === iter)
+    assert(blocked.size < emb.count(), "expected some rows pruned")
+  }
+
+  test("non-integral ids fall back to the iterative operator") {
+    val pairs = Seq(("b1", "idA", "idB"), ("b1", "idB", "idC"))
+      .toDF("block", "id_a", "id_b")
+    val got = Dedup.connectedComponentsBlocked(pairs, "block")
+      .as[(String, String)].collect().toMap
+    assert(got === Map("idA" -> "idA", "idB" -> "idA", "idC" -> "idA"))
+  }
+}
