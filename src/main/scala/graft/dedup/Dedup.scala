@@ -534,10 +534,16 @@ object Dedup {
     // materialize the edge list ONCE: every round joins against it, and
     // without the checkpoint each iteration would re-execute the whole
     // upstream candidate pipeline (LSH banding + verification) that
-    // produced the pairs
+    // produced the pairs. Checkpoint AFTER repartitioning on the join
+    // key: distinct() leaves hash(src,dst) partitioning, which no round
+    // can reuse, so every round would re-shuffle the full edge list —
+    // the dominant per-round cost at scale (edges ≫ labels). Partitioned
+    // on dst, each round's edges⋈labels join reuses the stored layout
+    // and only the (id, component) label table moves.
     val edges = cut(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct())
+      .distinct()
+      .repartition(col("dst")))
     // initial labels already adopt the neighborhood minimum: label(v) =
     // min(v, min neighbor). This is exactly what the first loop round
     // would compute (with identity labels the hop join is a no-op), so
