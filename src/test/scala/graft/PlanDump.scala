@@ -18,7 +18,8 @@ object PlanDump {
                   "a9_quantiles","ts_repetition","ts_strat_sample",
                   "a11_rollup","a12_pivot","w12_rolling_time",
                   "j12_bloom_prune_join","dd_contamination",
-                  "dd_semantic","dd_keep_best","ts_lm_score",
+                  "dd_semantic","dd_semantic_prune","dd_keep_best",
+                  "ts_lm_score",
                   "ts_domain_mix","dd_repeated_ngram_scrub",
                   "dd_incremental_minhash","dd_stream_incremental_batch",
                   "ts_lm_buckets","sim_knn_label")) {
