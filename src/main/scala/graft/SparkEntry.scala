@@ -711,6 +711,7 @@ object SparkEntry {
       Dedup.editDistancePairs(t(s, dir, "documents"), "doc_id", "text",
           "lang", lenBucket = 16, prefixLen = 256, maxDist = 25,
           maxBucket = 64)
+        .select(col("id_a"), col("id_b"), col("dist"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 

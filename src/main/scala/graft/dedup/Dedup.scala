@@ -479,7 +479,9 @@ object Dedup {
     * threshold form (`levenshtein(l, r, maxDist)`) abandons a pair as
     * soon as the running distance exceeds `maxDist` — O(maxDist·n)
     * instead of O(n²) per pair, the difference between feasible and not
-    * at corpus scale. Emits (id_a, id_b, dist), dist ≤ maxDist.
+    * at corpus scale. Emits (id_a, id_b, dist, block): dist ≤ maxDist,
+    * `block` the (lang, lb) blocking key both endpoints share —
+    * eligible for [[connectedComponentsBlocked]].
     *
     * Blocks never leave their partition: members are collected per block
     * key and pairs exploded in place, so the shuffle carries one row per
@@ -509,15 +511,20 @@ object Dedup {
       .groupBy(col("lang"), col("lb"))
       .agg(sort_array(collect_list(
         struct(col("id"), col("px"), col("hist")))).as("members"))
-      .select(explode(orderedPairs(col("members"))).as("p"))
+      .select(col("lang"), col("lb"),
+        explode(orderedPairs(col("members"))).as("p"))
       .filter(graft.functions.HashFunctions
         .longArrayL1(col("p.a.hist"), col("p.b.hist")) <= 2L * maxDist)
       .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
-        levenshtein(col("p.a.px"), col("p.b.px"), maxDist).as("dist"))
+        levenshtein(col("p.a.px"), col("p.b.px"), maxDist).as("dist"),
+        col("lang"), col("lb"))
     // each doc lives in exactly one block, so pairs are already unique —
-    // no distinct (and its shuffle) needed
+    // no distinct (and its shuffle) needed. The (lang, lb) block rides
+    // along as a struct `block` column: docs are single-assignment to
+    // their block, so these pairs qualify for connectedComponentsBlocked.
     pairs.filter(col("dist") >= 0 && col("dist") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"),
+        struct(col("lang"), col("lb")).as("block"))
   }
 
   // ------------------------------------- near-dup groups / survivor pick
@@ -620,10 +627,16 @@ object Dedup {
       return connectedComponents(pairs.select("id_a", "id_b"))
     val spark = pairs.sparkSession
     import spark.implicits._
+    // group on xxhash64(block), not the block value: an 8-byte shuffle
+    // key for any block type (numeric cells, sign patterns, composite
+    // structs). A hash collision only CO-GROUPS two blocks' edge lists —
+    // components come from the edges alone, so the union-find output is
+    // unchanged; the per-group bound merely becomes the sum of the two
+    // (capped) blocks.
     val out = pairs
-      .select(col(blockCol).cast("string"), col("id_a").cast("long"),
+      .select(xxhash64(col(blockCol)), col("id_a").cast("long"),
         col("id_b").cast("long"))
-      .as[(String, Long, Long)]
+      .as[(Long, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>
         // union by min id: the smaller root always becomes parent, so

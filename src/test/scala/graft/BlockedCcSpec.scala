@@ -70,6 +70,39 @@ class BlockedCcSpec extends SparkTestBase {
     assert(blocked.size < emb.count(), "expected some rows pruned")
   }
 
+  test("edit-distance pairs cluster via their struct block key") {
+    // three near-identical docs (1 edit apart pairwise) in one
+    // (lang, length) block, an unrelated pair in another: the struct
+    // block key groups exactly like the iterative operator
+    val mk = (i: Long, t: String, l: String) => (i, t, l)
+    val docs = Seq(
+      mk(1L, "the quick brown fox jumps over the lazy dog", "en"),
+      mk(2L, "the quick brown fox jumps over the lazy doh", "en"),
+      mk(3L, "the quick brown fox jumps over the lazy dot", "en"),
+      mk(40L, "ein schneller brauner fuchs springt heute", "de"),
+      mk(41L, "ein schneller brauner fuchs springt heufe", "de"))
+      .toDF("doc_id", "text", "lang")
+    val pairs = Dedup.editDistancePairs(docs, "doc_id", "text", "lang",
+      lenBucket = 16, maxDist = 5)
+    assert(pairs.columns.contains("block"))
+    val blocked = labels(Dedup.connectedComponentsBlocked(pairs, "block"))
+    val iter = labels(Dedup.connectedComponents(pairs.select("id_a", "id_b")))
+    assert(blocked === iter)
+    assert(blocked === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      40L -> 40L, 41L -> 40L))
+  }
+
+  test("block-key hash collisions co-group without merging components") {
+    // force EVERY block onto one shuffle key by using a constant block
+    // column: disjoint components must still come out disjoint, because
+    // clustering derives from the edges, not the grouping key
+    val pairs = Seq((1L, 2L), (30L, 40L), (500L, 600L))
+      .toDF("id_a", "id_b").withColumn("block", lit(0))
+    val got = labels(Dedup.connectedComponentsBlocked(pairs, "block"))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 30L -> 30L, 40L -> 30L,
+      500L -> 500L, 600L -> 500L))
+  }
+
   test("non-integral ids fall back to the iterative operator") {
     val pairs = Seq(("b1", "idA", "idB"), ("b1", "idB", "idC"))
       .toDF("block", "id_a", "id_b")

@@ -8,6 +8,7 @@ object FacadeDemo {
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions","4")
+      .config("spark.sql.session.timeZone","UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong","true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled","false")
       .config("spark.ui.enabled","false").getOrCreate()

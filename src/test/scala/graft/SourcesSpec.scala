@@ -9,6 +9,33 @@ import graft.text.TextPipeline
 
 class SourcesSpec extends SparkTestBase {
 
+  test("readTable normalizes NTZ-inferred timestamps (driver-owned sessions)") {
+    // our session builders disable parquet NTZ inference, but the driver
+    // smoke-checks SparkEntry.entry with a session we do not configure —
+    // readTable's cast is the defense there. Exercise that branch by
+    // turning inference back on at runtime: the un-annotated testdata
+    // timestamps then infer TIMESTAMP_NTZ on read, and readTable must
+    // still hand back plain TIMESTAMP with identical UTC instants.
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    val normal = Sources.readTable(spark, sf0001, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .orderBy("event_id").collect().toSeq
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "true")
+      val raw = spark.read.parquet(s"$sf0001/events.parquet")
+      assume(raw.schema("ts").dataType == TimestampNTZType,
+        "testdata currently carries tz-annotated timestamps; branch n/a")
+      val viaSeam = Sources.readTable(spark, sf0001, "events")
+      assert(viaSeam.schema("ts").dataType == TimestampType)
+      val got = viaSeam
+        .select(col("event_id"), unix_micros(col("ts")).as("us"))
+        .orderBy("event_id").collect().toSeq
+      assert(got == normal)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("pipe-delimited scan lowercases headers (S4)") {
     val dir = Files.createTempDirectory("graft_pipe").toFile
     val f = new java.io.File(dir, "symbols.txt")
