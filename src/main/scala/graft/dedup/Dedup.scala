@@ -536,8 +536,20 @@ object Dedup {
     * round is two hash joins + a groupBy min — no driver state; rounds
     * needed ≈ diameter of the largest dup cluster (tiny in practice).
     * Returns (id, component) where component = min id of the cluster.
+    *
+    * Size-adaptive fast path: the checkpoint materializes the edge
+    * list, so counting it is a scan of cached blocks. At or below
+    * `smallGraphEdges` directed edges (default 2^20 ≈ 16 MB of id
+    * pairs) the whole graph is ONE block of the single-aggregation
+    * union-find — the per-round driver scheduling that dominates small
+    * graphs disappears, the same way AQE converts a small shuffle join
+    * to a broadcast. Above the bound (any real corpus-scale dedup),
+    * the iterative rounds run unchanged; the bound is explicit, so the
+    * single task is never asked to hold more than smallGraphEdges
+    * pairs. Labels are identical on both paths (CcPropertySpec).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
+      smallGraphEdges: Long = 1L << 20): DataFrame = {
     // materialize the edge list ONCE: every round joins against it, and
     // without the checkpoint each iteration would re-execute the whole
     // upstream candidate pipeline (LSH banding + verification) that
@@ -551,6 +563,11 @@ object Dedup {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .repartition(col("dst")))
+    val idT = pairs.schema("id_a").dataType
+    if (integralIdTypes.contains(idT) && edges.count() <= smallGraphEdges)
+      return connectedComponentsBlocked(
+        edges.select(col("src").as("id_a"), col("dst").as("id_b"),
+          lit(0).as("block")), "block")
     // initial labels already adopt the neighborhood minimum: label(v) =
     // min(v, min neighbor). This is exactly what the first loop round
     // would compute (with identity labels the hop join is a no-op), so

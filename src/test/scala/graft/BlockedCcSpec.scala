@@ -40,7 +40,8 @@ class BlockedCcSpec extends SparkTestBase {
         (b, base + 20, base + 21), (b, base + 21, base + 22)) // chain
     }.toDF("block", "id_a", "id_b")
     val blocked = labels(Dedup.connectedComponentsBlocked(pairs, "block"))
-    val iter = labels(Dedup.connectedComponents(pairs.select("id_a", "id_b")))
+    val iter = labels(Dedup.connectedComponents(pairs.select("id_a", "id_b"),
+      smallGraphEdges = 0))
     assert(blocked === iter)
   }
 
@@ -50,7 +51,8 @@ class BlockedCcSpec extends SparkTestBase {
     val pairs = Similarity.semanticNearDups(emb, "vec_id", "embedding",
       threshold = 0.3, nCentroids = 8)
     val blocked = labels(Dedup.connectedComponentsBlocked(pairs, "block"))
-    val iter = labels(Dedup.connectedComponents(pairs.select("id_a", "id_b")))
+    val iter = labels(Dedup.connectedComponents(pairs.select("id_a", "id_b"),
+      smallGraphEdges = 0))
     assert(blocked.nonEmpty, "expected semantic pairs at threshold 0.3")
     assert(blocked === iter)
   }
@@ -86,7 +88,8 @@ class BlockedCcSpec extends SparkTestBase {
       lenBucket = 16, maxDist = 5)
     assert(pairs.columns.contains("block"))
     val blocked = labels(Dedup.connectedComponentsBlocked(pairs, "block"))
-    val iter = labels(Dedup.connectedComponents(pairs.select("id_a", "id_b")))
+    val iter = labels(Dedup.connectedComponents(pairs.select("id_a", "id_b"),
+      smallGraphEdges = 0))
     assert(blocked === iter)
     assert(blocked === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       40L -> 40L, 41L -> 40L))

@@ -58,7 +58,11 @@ class CcPropertySpec extends SparkTestBase {
         .as[(Long, Long)].collect().toMap
       assert(blocked === expected, s"blocked CC diverged in round $round")
       if (round % 4 == 0) {
-        val iter = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+        // smallGraphEdges = 0 forces the iterative rounds — otherwise
+        // these toy graphs would take the small-graph fast path and the
+        // comparison would be blocked-vs-blocked
+        val iter = Dedup.connectedComponents(pairs.select("id_a", "id_b"),
+          smallGraphEdges = 0)
           .as[(Long, Long)].collect().toMap
         assert(iter === expected, s"iterative CC diverged in round $round")
       }

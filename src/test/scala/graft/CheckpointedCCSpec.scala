@@ -22,10 +22,13 @@ class CheckpointedCCSpec extends SparkTestBase {
     spark.sparkContext.setCheckpointDir(dir)
     assert(spark.sparkContext.getCheckpointDir.isDefined)
 
-    // chain 1-2-3-4 plus the separate pair 10-11
+    // chain 1-2-3-4 plus the separate pair 10-11. smallGraphEdges = 0
+    // forces the iterative rounds: this spec exists to cover their
+    // reliable-checkpoint branch, which the small-graph fast path
+    // would otherwise bypass on a toy graph.
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
       .toDF("id_a", "id_b")
-    val labels = Dedup.connectedComponents(pairs)
+    val labels = Dedup.connectedComponents(pairs, smallGraphEdges = 0)
       .as[(Long, Long)].collect().toMap
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L))
