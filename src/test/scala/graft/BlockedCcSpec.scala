@@ -106,6 +106,17 @@ class BlockedCcSpec extends SparkTestBase {
       500L -> 500L, 600L -> 500L))
   }
 
+  test("empty pair lists yield empty components and untouched survivors") {
+    val noPairs = Seq.empty[(Int, Long, Long)].toDF("block", "id_a", "id_b")
+    assert(Dedup.connectedComponentsBlocked(noPairs, "block").count() === 0)
+    assert(Dedup.connectedComponents(noPairs.select("id_a", "id_b"))
+      .count() === 0)
+    val df = Seq((1L, 5L), (2L, 7L)).toDF("id", "q")
+    val kept = Dedup.keepBestSurvivors(df, "id",
+      noPairs.select("id_a", "id_b"), "q")
+    assert(kept.count() === 2)
+  }
+
   test("non-integral ids fall back to the iterative operator") {
     val pairs = Seq(("b1", "idA", "idB"), ("b1", "idB", "idC"))
       .toDF("block", "id_a", "id_b")
