@@ -55,3 +55,4 @@ for name in sorted(oracle):
 print(f"PASS {len(passes)} / {len(oracle)}")
 for n,d in fails: print("FAIL", n, d)
 for n,d in errs: print("ERR ", n, d)
+sys.exit(1 if fails or errs else 0)

@@ -535,7 +535,9 @@ object Dedup {
     * itself and its neighbors, until a fixed point (or `maxIter`). Each
     * round is two hash joins + a groupBy min — no driver state; rounds
     * needed ≈ diameter of the largest dup cluster (tiny in practice).
-    * Returns (id, component) where component = min id of the cluster.
+    * Returns (id, component) where component = min id of the cluster;
+    * pairs with a null endpoint carry no connectivity and are ignored
+    * (the same contract as [[connectedComponentsBlocked]]).
     *
     * Size-adaptive fast path: the checkpoint materializes the edge
     * list, so counting it is a scan of cached blocks. At or below
@@ -559,12 +561,23 @@ object Dedup {
     // the dominant per-round cost at scale (edges ≫ labels). Partitioned
     // on dst, each round's edges⋈labels join reuses the stored layout
     // and only the (id, component) label table moves.
-    val edges = cut(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // a pair with a null endpoint carries no connectivity information —
+    // drop it up front so both CC operators share one defined contract
+    // (null ids never appear in the output) instead of nulls degrading
+    // differently per path (unmatched join keys here, an encoder error
+    // in the typed blocked path)
+    val edges = cut(pairs
+      .filter(col("id_a").isNotNull && col("id_b").isNotNull)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.filter(col("id_a").isNotNull && col("id_b").isNotNull)
+        .select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .repartition(col("dst")))
     val idT = pairs.schema("id_a").dataType
-    if (integralIdTypes.contains(idT) && edges.count() <= smallGraphEdges)
+    // smallGraphEdges <= 0 disables the fast path outright (tests use 0
+    // to force the iterative rounds) and skips the count scan entirely
+    if (smallGraphEdges > 0 && integralIdTypes.contains(idT) &&
+        edges.count() <= smallGraphEdges)
       return connectedComponentsBlocked(
         edges.select(col("src").as("id_a"), col("dst").as("id_b"),
           lit(0).as("block")), "block")
@@ -633,9 +646,11 @@ object Dedup {
     *
     * Output matches [[connectedComponents]] exactly: (id, component)
     * with component = min id of the cluster, one row per id that
-    * appears in any pair. Integral ids take the typed union-find path;
-    * other id types fall back to the iterative operator (same gating
-    * contract as the bounded aggregators, see IdTypeGatingSpec).
+    * appears in any pair; pairs with a null endpoint are ignored (the
+    * shared contract with the iterative operator). Integral ids take
+    * the typed union-find path; other id types fall back to the
+    * iterative operator (same gating contract as the bounded
+    * aggregators, see IdTypeGatingSpec).
     */
   def connectedComponentsBlocked(pairs: DataFrame,
       blockCol: String): DataFrame = {
@@ -651,6 +666,7 @@ object Dedup {
     // unchanged; the per-group bound merely becomes the sum of the two
     // (capped) blocks.
     val out = pairs
+      .filter(col("id_a").isNotNull && col("id_b").isNotNull)
       .select(xxhash64(col(blockCol)), col("id_a").cast("long"),
         col("id_b").cast("long"))
       .as[(Long, Long, Long)]

@@ -76,13 +76,12 @@ class BlockedCcSpec extends SparkTestBase {
     // three near-identical docs (1 edit apart pairwise) in one
     // (lang, length) block, an unrelated pair in another: the struct
     // block key groups exactly like the iterative operator
-    val mk = (i: Long, t: String, l: String) => (i, t, l)
     val docs = Seq(
-      mk(1L, "the quick brown fox jumps over the lazy dog", "en"),
-      mk(2L, "the quick brown fox jumps over the lazy doh", "en"),
-      mk(3L, "the quick brown fox jumps over the lazy dot", "en"),
-      mk(40L, "ein schneller brauner fuchs springt heute", "de"),
-      mk(41L, "ein schneller brauner fuchs springt heufe", "de"))
+      (1L, "the quick brown fox jumps over the lazy dog", "en"),
+      (2L, "the quick brown fox jumps over the lazy doh", "en"),
+      (3L, "the quick brown fox jumps over the lazy dot", "en"),
+      (40L, "ein schneller brauner fuchs springt heute", "de"),
+      (41L, "ein schneller brauner fuchs springt heufe", "de"))
       .toDF("doc_id", "text", "lang")
     val pairs = Dedup.editDistancePairs(docs, "doc_id", "text", "lang",
       lenBucket = 16, maxDist = 5)
@@ -95,15 +94,31 @@ class BlockedCcSpec extends SparkTestBase {
       40L -> 40L, 41L -> 40L))
   }
 
-  test("block-key hash collisions co-group without merging components") {
-    // force EVERY block onto one shuffle key by using a constant block
-    // column: disjoint components must still come out disjoint, because
-    // clustering derives from the edges, not the grouping key
+  test("co-grouped blocks on one shuffle key never merge components") {
+    // a constant block column lands every edge on one grouping key —
+    // the exact state an xxhash64(block) collision would produce for
+    // two distinct blocks (a real 64-bit collision can't be staged).
+    // Disjoint components must still come out disjoint, because
+    // clustering derives from the edges, not the grouping key.
     val pairs = Seq((1L, 2L), (30L, 40L), (500L, 600L))
       .toDF("id_a", "id_b").withColumn("block", lit(0))
     val got = labels(Dedup.connectedComponentsBlocked(pairs, "block"))
     assert(got === Map(1L -> 1L, 2L -> 1L, 30L -> 30L, 40L -> 30L,
       500L -> 500L, 600L -> 500L))
+  }
+
+  test("pairs with a null endpoint are ignored by both operators") {
+    // a null id carries no connectivity: the shared contract drops the
+    // edge up front (the typed blocked path would otherwise fail in its
+    // encoder; the iterative path would emit murky null-keyed labels)
+    val pairs = Seq(
+      (Option(1L), Option(2L)), (Option.empty[Long], Option(3L)),
+      (Option(4L), Option.empty[Long]))
+      .toDF("id_a", "id_b").withColumn("block", lit(0))
+    val want = Map(1L -> 1L, 2L -> 1L)
+    assert(labels(Dedup.connectedComponentsBlocked(pairs, "block")) === want)
+    assert(labels(Dedup.connectedComponents(pairs.select("id_a", "id_b"),
+      smallGraphEdges = 0)) === want)
   }
 
   test("empty pair lists yield empty components and untouched survivors") {

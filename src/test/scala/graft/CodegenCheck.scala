@@ -1,14 +1,9 @@
 package graft
 object CodegenCheck {
   def main(args: Array[String]): Unit = {
-    val spark = org.apache.spark.sql.SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val spark = LocalSessions.builder(8, 8)
       .config("spark.sql.codegen.fallback", "false")
-      .config("spark.sql.ui.enabled", "false")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.sql.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (q <- Seq("dd_minhash", "dd_simhash", "dd_ngram_jaccard",
         "dd_embedding_neardups", "sim_cosine_topk", "sim_lsh_topk",

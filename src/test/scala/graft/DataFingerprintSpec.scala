@@ -23,7 +23,21 @@ import graft.sources.Sources
   */
 object DataFingerprint {
   val tables: Seq[String] = Seq("events", "documents", "embeddings")
-  val expectedPath = "src/test/resources/goldens/sf0.01/data_fingerprint.txt"
+
+  /** Fingerprint file, anchored at the repo root (the directory holding
+    * build.sbt, walked up from the working directory) rather than the
+    * bare cwd — an IDE test runner or a nested sbt launch would
+    * otherwise read/write the wrong tree and silently disarm the guard.
+    */
+  def expectedPath: String = {
+    var d = new java.io.File(".").getAbsoluteFile
+    while (d != null && !new java.io.File(d, "build.sbt").isFile)
+      d = d.getParentFile
+    require(d != null, "repo root (build.sbt) not found above " +
+      new java.io.File(".").getAbsolutePath)
+    new java.io.File(d,
+      "src/test/resources/goldens/sf0.01/data_fingerprint.txt").getPath
+  }
 
   def compute(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): Seq[String] = tables.map { t =>
@@ -40,12 +54,7 @@ object DataFingerprint {
     * after re-minting goldens/oracles against fresh testdata.
     */
   def main(args: Array[String]): Unit = {
-    val spark = org.apache.spark.sql.SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = LocalSessions.builder(8, 8).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val lines = compute(spark, "/root/testdata/sf0.01")
     java.nio.file.Files.writeString(

@@ -6,12 +6,7 @@ import graft.strategy.MACross
 import graft.text.TextPipeline
 object FacadeDemo {
   def main(args: Array[String]): Unit = {
-    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions","4")
-      .config("spark.sql.session.timeZone","UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong","true")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled","false")
-      .config("spark.ui.enabled","false").getOrCreate()
+    val spark = LocalSessions.builder(4, 4).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions._
     import spark.implicits._

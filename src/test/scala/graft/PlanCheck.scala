@@ -1,11 +1,7 @@
 package graft
 object PlanCheck {
   def main(args: Array[String]): Unit = {
-    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions","4")
-      .config("spark.sql.legacy.parquet.nanosAsLong","true")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled","false")
-      .config("spark.ui.enabled","false").getOrCreate()
+    val spark = LocalSessions.builder(4, 4).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.01"
     val qs = if (args.nonEmpty) args.toSeq

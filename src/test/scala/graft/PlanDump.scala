@@ -2,11 +2,7 @@ package graft
 import java.nio.file.{Files, Paths}
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions","4")
-      .config("spark.sql.legacy.parquet.nanosAsLong","true")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled","false")
-      .config("spark.ui.enabled","false").getOrCreate()
+    val spark = LocalSessions.builder(4, 4).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
     val sb = new StringBuilder

@@ -8,13 +8,8 @@ object PlanPeek {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val qs = args.drop(1).toSeq
-    val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = LocalSessions.builder(32, 32)
+      .config("spark.sql.adaptive.enabled", "true").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (q <- qs) {
       println(s"===== $q =====")

@@ -22,12 +22,7 @@ object RecallProbe {
     val nQueries = if (args.length > 1) args(1).toInt else 48
     val refineSample = if (args.length > 2) args(2).toInt else 256
     val lloydIters = if (args.length > 3) args(3).toInt else 2
-    val spark = org.apache.spark.sql.SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = LocalSessions.builder(8, 8).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .withColumn("embedding", col("embedding").cast("array<double>"))
