@@ -90,7 +90,8 @@ def l2f(v, c):
         f"list_transform({v}, (dx, di) -> (dx - ({c})[di]) * (dx - ({c})[di]))")
 
 
-def quantizer_prefix(n_centroids=16, refine_sample=256, lloyd_iters=2):
+def quantizer_prefix(n_centroids=16, refine_sample=256, lloyd_iters=2,
+                     emb_where=""):
     """Shared CTE chain replicating Similarity.ivfCentroids + the corpus
     cell assignment (`assigned`: vec_id, v, cell):
     (1) samp — the refine_sample corpus rows with the smallest
@@ -147,7 +148,7 @@ def quantizer_prefix(n_centroids=16, refine_sample=256, lloyd_iters=2):
     # WITH (probe/pair queries) or WITH RECURSIVE (the prune endpoint's
     # transitive closure)
     return f"""emb AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings{emb_where}),
 samp AS MATERIALIZED (SELECT v,
     row_number() OVER (ORDER BY idh, vec_id) AS srn
   FROM (SELECT v, vec_id, {idh} AS idh FROM emb)
@@ -267,6 +268,41 @@ WHERE vec_id NOT IN (SELECT id FROM comp) OR vec_id IN (SELECT id FROM best)
 ORDER BY vec_id"""
 
 
+def dd_semantic_incremental_sql(n_centroids=16, threshold=0.3, max_cell=64,
+                                refine_sample=256, lloyd_iters=2):
+    """Similarity.semanticCellIndex + semanticNearDupsAgainst: the
+    quantizer (deterministic sample, farthest-point seeds, Lloyd
+    passes, cell assignment) is built from the CORPUS split only
+    (vec_id % 4 <> 0) — the frozen index — and each batch row
+    (vec_id % 4 = 0) is assigned to its nearest stored centroid, then
+    verified by exact cosine against that single cell's max_cell
+    smallest corpus members. Mirrors the batch form of the streaming
+    probe: one equi-join, no state."""
+    dot = fold0("list_transform(b.v, (cx, ci) -> cx * s.v[ci])")
+    nrm = f"sqrt({fold0('list_transform(v, cx -> cx * cx)')})"
+    l2 = fold0("list_transform(v, (dx, di) -> (dx - cv[di]) * (dx - cv[di]))")
+    return f"""WITH {quantizer_prefix(n_centroids, refine_sample, lloyd_iters,
+                                      emb_where=" WHERE vec_id % 4 <> 0")},
+an AS MATERIALIZED (SELECT vec_id, v, {nrm} AS nm, cell FROM assigned),
+cap AS MATERIALIZED (SELECT vec_id, v, nm, cell FROM (
+    SELECT vec_id, v, nm, cell,
+      row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn FROM an)
+  WHERE rn <= {max_cell}),
+bemb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 4 = 0),
+bdist AS MATERIALIZED (SELECT bemb.vec_id, bemb.v, c.cell, {l2} AS d
+  FROM bemb CROSS JOIN cent c),
+bassign AS (SELECT vec_id, v, {nrm} AS nm, cell FROM (
+    SELECT vec_id, v, cell, row_number() OVER (
+      PARTITION BY vec_id ORDER BY d, cell) AS rn FROM bdist)
+  WHERE rn = 1),
+p AS (SELECT b.vec_id AS batch_id, s.vec_id AS corpus_id,
+    ({dot}) / (b.nm * s.nm) AS cosine
+  FROM bassign b JOIN cap s ON b.cell = s.cell)
+SELECT batch_id, corpus_id, round(cosine, 6) AS cos6 FROM p
+WHERE cosine >= {threshold} ORDER BY batch_id, corpus_id"""
+
+
 def validate(sf_dir, verify_dir):
     import glob
     import time
@@ -281,7 +317,8 @@ def validate(sf_dir, verify_dir):
                       ("sim_ivf_topk", sim_ivf_sql()),
                       ("dd_embedding_neardups", emb_neardups_sql()),
                       ("dd_semantic", dd_semantic_sql()),
-                      ("dd_semantic_prune", dd_semantic_prune_sql())]:
+                      ("dd_semantic_prune", dd_semantic_prune_sql()),
+                      ("dd_semantic_incremental", dd_semantic_incremental_sql())]:
         t0 = time.time()
         d = con.sql(sql).df()
         s = pd.concat([pd.read_parquet(f) for f in
@@ -309,7 +346,8 @@ def emit_scala(path):
                           ("simIvfTopK", sim_ivf_sql()),
                           ("ddEmbeddingNearDups", emb_neardups_sql()),
                           ("ddSemantic", dd_semantic_sql()),
-                          ("ddSemanticPrune", dd_semantic_prune_sql())])
+                          ("ddSemanticPrune", dd_semantic_prune_sql()),
+                          ("ddSemanticIncremental", dd_semantic_incremental_sql())])
     src = f"""package graft
 
 /** GENERATED by scripts/gen_sim_oracles.py — do not edit by hand.

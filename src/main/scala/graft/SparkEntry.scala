@@ -986,6 +986,24 @@ object SparkEntry {
         .select(col("vec_id"), col("n_chars"))
         .orderBy(col("vec_id"))
     }),
+    "dd_semantic_incremental" -> ((s, dir) => {
+      // incremental SemDeDup: the "day-N batch" (vec_id % 4 == 0) probes
+      // the frozen cell index of the historical corpus (vec_id % 4 != 0)
+      // — one stateless equi-join on the batch row's nearest stored
+      // centroid, exact cosine against the cell's capped members; the
+      // same pipeline runs streaming with zero state
+      val emb = t(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val index = Similarity.semanticCellIndex(
+        emb.filter(col("vec_id") % 4 =!= 0), "vec_id", "embedding",
+        nCentroids = 16, maxCell = 64)
+      Similarity.semanticNearDupsAgainst(index,
+          emb.filter(col("vec_id") % 4 === 0), "vec_id", "embedding",
+          threshold = 0.3)
+        .select(col("batch_id"), col("corpus_id"),
+          round(col("cosine"), 6).as("cos6"))
+        .orderBy(col("batch_id"), col("corpus_id"))
+    }),
     "dd_repeated_ngram_scrub" -> ((s, dir) => {
       // substring-granularity dedup: word positions covered by a 10-gram
       // occurring in >1 distinct docs are scrubbed from every document
@@ -1660,6 +1678,7 @@ object SparkEntry {
     "dd_embedding_neardups" -> SimOracles.ddEmbeddingNearDups,
     "dd_semantic" -> SimOracles.ddSemantic,
     "dd_semantic_prune" -> SimOracles.ddSemanticPrune,
+    "dd_semantic_incremental" -> SimOracles.ddSemanticIncremental,
     "dd_keep_best" -> DedupOracles.ddKeepBest,
     // repeated-ngram scrub: the oracle groups by the gram STRING where the
     // engine groups by xxhash64(gram) — identical results absent a 64-bit

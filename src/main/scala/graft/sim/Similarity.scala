@@ -460,4 +460,98 @@ object Similarity {
           .as("__bucket"))
     cappedBucketPairs(v, df.schema(idCol).dataType, threshold, maxCell)
   }
+
+  // ------------------------------------ incremental / streaming SemDeDup
+
+  /** The SemDeDup quantizer + cells in probe-ready, persistable form —
+    * the semantic twin of the MinHash signature index
+    * ([[graft.dedup.Dedup.minhashBucketTable]]): one row per cell,
+    * `(cell, centroid, members)` where members holds the cell's
+    * `maxCell` smallest corpus ids with their vector and PREcomputed
+    * norm (`array<struct<id, fp: struct<v, n>>>`, bounded by the same
+    * k-smallest aggregation as every bucketed operator — a dense cell
+    * cannot OOM an executor at index-build time). EMPTY cells keep a
+    * row with null members: the probe re-derives the full centroid set
+    * from this table, and a missing centroid would silently shift new
+    * batches' cell assignments.
+    *
+    * Build once over the historical corpus (one centroid construction +
+    * one assignment scan + one bounded aggregation), persist, then
+    * probe each new batch with [[semanticNearDupsAgainst]] — no corpus
+    * re-scan, exact-cosine verification against the stored vectors.
+    */
+  def semanticCellIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 16, maxCell: Int = 64, refineSample: Int = 256,
+      lloydIters: Int = 2): DataFrame = {
+    val centroids = ivfCentroids(corpus, idCol, vecCol, nCentroids,
+      refineSample, lloydIters)
+    val centroidSeq: Seq[Seq[Double]] = centroids.toSeq.map(_.toSeq)
+    val assigned = corpus.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"),
+        struct(col(vecCol).as("v"), norm(col(vecCol)).as("n")).as("__fp"),
+        graft.functions.VectorFunctions
+          .nearestCells(col(vecCol), centroidSeq, 1).getItem(0).as("cell"))
+    // two-step cap, the minhashBucketTable pattern: the id-only bounded
+    // aggregation keeps partial buffers ≤ maxCell (the hot-cell guard),
+    // then vectors re-join on the already-capped ids so the second
+    // aggregation's groups are ≤ maxCell rows by construction
+    val cappedIds = assigned.groupBy("cell")
+      .agg(graft.dedup.Dedup.smallestKIds(col("id"),
+        corpus.schema(idCol).dataType, maxCell).as("member_ids"))
+    val members = cappedIds
+      .select(col("cell"), explode(col("member_ids")).as("id"))
+      .join(assigned.select(col("id"), col("__fp")), Seq("id"))
+      .groupBy("cell")
+      .agg(sort_array(collect_list(struct(col("id"), col("__fp").as("fp"))))
+        .as("members"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    centroidSeq.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "centroid")
+      .join(members, Seq("cell"), "left")
+  }
+
+  /** Incremental semantic near-dup detection: a new batch of embeddings
+    * probed against a frozen [[semanticCellIndex]]. Each batch vector is
+    * assigned to its nearest stored centroid (the same deterministic
+    * quantizer the index was built with — the nCentroids-row centroid
+    * read is the only driver materialization, the established IVF
+    * contract) and verified by exact cosine against that single cell's
+    * ≤ maxCell stored members. Returns `(batch_id, corpus_id, cosine,
+    * block)` with cosine ≥ threshold; ids should be disjoint across
+    * index and batch (an id present in both pairs with itself).
+    *
+    * STREAMING-NATIVE with zero state: cells are single-assignment, so
+    * a pair can only ever form once and the whole probe is one
+    * stateless stream-static equi-join — no watermark, no dedup state,
+    * unlike the banded MinHash probe whose cross-band re-emissions need
+    * watermark-scoped dedup. The same code runs batch frames unchanged.
+    */
+  def semanticNearDupsAgainst(index: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val centRows = index.select(col("cell"), col("centroid")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1))
+      .sortBy(_._1)
+    require(centRows.nonEmpty, "semantic cell index is empty")
+    require(centRows.map(_._1).sameElements(centRows.indices),
+      "index cells must be contiguous 0..n-1 (one row per cell, " +
+        "empty cells included) — rebuild with semanticCellIndex")
+    val centroidSeq: Seq[Seq[Double]] = centRows.map(_._2.toSeq).toSeq
+    val probes = batch.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("batch_id"), col(vecCol).as("__bv"),
+        norm(col(vecCol)).as("__bn"),
+        graft.functions.VectorFunctions
+          .nearestCells(col(vecCol), centroidSeq, 1).getItem(0).as("cell"))
+    // null members (empty cells) contribute no rows to the explode
+    val stored = index
+      .select(col("cell"), explode(col("members")).as("m"))
+      .select(col("cell"), col("m.id").as("corpus_id"),
+        col("m.fp.v").as("__cv"), col("m.fp.n").as("__cn"))
+    probes.join(stored, Seq("cell"))
+      .withColumn("cosine",
+        dot(col("__bv"), col("__cv")) / (col("__bn") * col("__cn")))
+      .filter(col("cosine") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("cosine"),
+        col("cell").as("block"))
+  }
 }

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.sim.Similarity
+
+/** Incremental SemDeDup: a frozen cell index (semanticCellIndex) probed
+  * by new batches (semanticNearDupsAgainst), batch and streaming. Pins
+  * the planted cross-split near-dup, the per-cell member cap, empty-cell
+  * probes, the contiguous-cell index guard, and stream/batch parity of
+  * the IDENTICAL pipeline (the probe is one stateless stream-static
+  * equi-join — cells are single-assignment, so a pair forms exactly
+  * once and no dedup state is needed, unlike the banded MinHash probe).
+  */
+class SemanticIncrementalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // two well-separated clusters; corpus holds both, the batch probes
+  // with a near-copy of a cluster-A member plus an unrelated direction
+  private def vA(eps: Double) = Seq(10.0 + eps, 1.0, 10.0)
+  private val corpus = Seq(
+    (1L, vA(0.0)), (3L, vA(0.002)),
+    (5L, Seq(-10.0, 1.0, -10.0)), (7L, Seq(-10.0, 1.001, -10.0)))
+    .toDF("vec_id", "embedding")
+  private val batch = Seq(
+    (100L, vA(0.001)),                 // near-dup of corpus 1/3
+    (101L, Seq(0.0, 50.0, 0.0)))       // orthogonal-ish, pairs with nothing
+    .toDF("vec_id", "embedding")
+
+  private def index = Similarity.semanticCellIndex(corpus, "vec_id",
+    "embedding", nCentroids = 2, refineSample = 4)
+
+  test("a batch near-dup finds its frozen-corpus partners in one cell") {
+    val pairs = Similarity.semanticNearDupsAgainst(index, batch,
+        "vec_id", "embedding", threshold = 0.999)
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((100L, 1L), (100L, 3L)))
+  }
+
+  test("empty cells keep their centroid row and serve probes safely") {
+    // corpus only in cluster A -> with 2 centroids one cell may hold
+    // everything; a batch vector nearest the sparse/empty cell must not
+    // crash and yields no pairs
+    val thin = Seq((1L, vA(0.0)), (3L, vA(0.002)))
+      .toDF("vec_id", "embedding")
+    val idx = Similarity.semanticCellIndex(thin, "vec_id", "embedding",
+      nCentroids = 2, refineSample = 2)
+    assert(idx.count() === 2, "one row per cell, empty cells included")
+    val pairs = Similarity.semanticNearDupsAgainst(idx,
+        Seq((200L, Seq(-5.0, 0.0, -5.0))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", threshold = 0.5)
+    assert(pairs.count() === 0)
+  }
+
+  test("per-cell members are capped at the maxCell smallest ids") {
+    val many = (1L to 10L).map(i => (i, Seq(1.0, 2.0, 3.0)))
+      .toDF("vec_id", "embedding")
+    val idx = Similarity.semanticCellIndex(many, "vec_id", "embedding",
+      nCentroids = 1, maxCell = 3, refineSample = 4)
+    val pairs = Similarity.semanticNearDupsAgainst(idx,
+        Seq((100L, Seq(1.0, 2.0, 3.0))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", threshold = 0.5)
+      .select("corpus_id").as[Long].collect().toSet
+    assert(pairs === Set(1L, 2L, 3L), "only the 3 smallest corpus ids")
+  }
+
+  test("a truncated index (missing cells) is rejected, not mis-assigned") {
+    val bad = index.filter(col("cell") =!= 0)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticNearDupsAgainst(bad, batch, "vec_id",
+        "embedding", threshold = 0.5)
+    }
+    assert(e.getMessage.contains("contiguous"))
+  }
+
+  test("streamed probe equals the batch probe, across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val idx = index.persist()
+    try {
+      val want = Similarity.semanticNearDupsAgainst(idx, batch,
+          "vec_id", "embedding", threshold = 0.999)
+        .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+      val input = MemoryStream[(Long, Seq[Double])]
+      val q = Similarity.semanticNearDupsAgainst(idx,
+          input.toDS().toDF("vec_id", "embedding"),
+          "vec_id", "embedding", threshold = 0.999)
+        .writeStream.format("memory").queryName("sem_inc_out")
+        .outputMode("append").start()
+      input.addData((100L, vA(0.001).toSeq))
+      q.processAllAvailable()
+      input.addData((101L, Seq(0.0, 50.0, 0.0)))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("sem_inc_out")
+        .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+      assert(want === Set((100L, 1L), (100L, 3L)))
+      assert(got === want, s"streamed $got vs batch $want")
+    } finally idx.unpersist()
+  }
+}
