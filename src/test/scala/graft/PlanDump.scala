@@ -18,6 +18,7 @@ object PlanDump {
                   "ts_lm_score",
                   "ts_domain_mix","dd_repeated_ngram_scrub",
                   "dd_incremental_minhash","dd_stream_incremental_batch",
+                  "dd_semantic_incremental",
                   "ts_lm_buckets","sim_knn_label")) {
       sb.append(s"\n## $q\n\n```\n")
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
