@@ -283,7 +283,9 @@ def dd_semantic_incremental_sql(n_centroids=16, threshold=0.3, max_cell=64,
     l2 = fold0("list_transform(v, (dx, di) -> (dx - cv[di]) * (dx - cv[di]))")
     return f"""WITH {quantizer_prefix(n_centroids, refine_sample, lloyd_iters,
                                       emb_where=" WHERE vec_id % 4 <> 0")},
-an AS MATERIALIZED (SELECT vec_id, v, {nrm} AS nm, cell FROM assigned),
+an AS MATERIALIZED (SELECT * FROM (
+    SELECT vec_id, v, {nrm} AS nm, cell FROM assigned)
+  WHERE nm > 0),
 cap AS MATERIALIZED (SELECT vec_id, v, nm, cell FROM (
     SELECT vec_id, v, nm, cell,
       row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn FROM an)
@@ -292,10 +294,10 @@ bemb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
   FROM embeddings WHERE vec_id % 4 = 0),
 bdist AS MATERIALIZED (SELECT bemb.vec_id, bemb.v, c.cell, {l2} AS d
   FROM bemb CROSS JOIN cent c),
-bassign AS (SELECT vec_id, v, {nrm} AS nm, cell FROM (
+bassign AS (SELECT * FROM (SELECT vec_id, v, {nrm} AS nm, cell FROM (
     SELECT vec_id, v, cell, row_number() OVER (
       PARTITION BY vec_id ORDER BY d, cell) AS rn FROM bdist)
-  WHERE rn = 1),
+  WHERE rn = 1) WHERE nm > 0),
 p AS (SELECT b.vec_id AS batch_id, s.vec_id AS corpus_id,
     ({dot}) / (b.nm * s.nm) AS cosine
   FROM bassign b JOIN cap s ON b.cell = s.cell)

@@ -994,9 +994,12 @@ object SparkEntry {
       // same pipeline runs streaming with zero state
       val emb = t(s, dir, "embeddings")
         .withColumn("embedding", col("embedding").cast("array<double>"))
+      // localCheckpoint = the "frozen index" materialized: without it
+      // the centroid read and the member join would each re-run the
+      // corpus assignment (production reads the index from parquet)
       val index = Similarity.semanticCellIndex(
         emb.filter(col("vec_id") % 4 =!= 0), "vec_id", "embedding",
-        nCentroids = 16, maxCell = 64)
+        nCentroids = 16, maxCell = 64).localCheckpoint()
       Similarity.semanticNearDupsAgainst(index,
           emb.filter(col("vec_id") % 4 === 0), "vec_id", "embedding",
           threshold = 0.3)

@@ -566,11 +566,9 @@ object Dedup {
     // (null ids never appear in the output) instead of nulls degrading
     // differently per path (unmatched join keys here, an encoder error
     // in the typed blocked path)
-    val edges = cut(pairs
-      .filter(col("id_a").isNotNull && col("id_b").isNotNull)
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.filter(col("id_a").isNotNull && col("id_b").isNotNull)
-        .select(col("id_b").as("src"), col("id_a").as("dst")))
+    val nn = pairs.filter(col("id_a").isNotNull && col("id_b").isNotNull)
+    val edges = cut(nn.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(nn.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .repartition(col("dst")))
     val idT = pairs.schema("id_a").dataType

@@ -486,11 +486,16 @@ object Similarity {
     val centroids = ivfCentroids(corpus, idCol, vecCol, nCentroids,
       refineSample, lloydIters)
     val centroidSeq: Seq[Seq[Double]] = centroids.toSeq.map(_.toSeq)
+    // zero-norm vectors have no defined cosine: under Spark's
+    // NaN-compares-greatest semantics a 0/0 cosine would pass ANY
+    // threshold and pair the degenerate vector with a whole cell, so
+    // they are excluded from the index (and from probes) by contract
     val assigned = corpus.filter(col(idCol).isNotNull)
       .select(col(idCol).as("id"),
         struct(col(vecCol).as("v"), norm(col(vecCol)).as("n")).as("__fp"),
         graft.functions.VectorFunctions
           .nearestCells(col(vecCol), centroidSeq, 1).getItem(0).as("cell"))
+      .filter(col("__fp.n") > 0)
     // two-step cap, the minhashBucketTable pattern: the id-only bounded
     // aggregation keeps partial buffers ≤ maxCell (the hot-cell guard),
     // then vectors re-join on the already-capped ids so the second
@@ -520,6 +525,13 @@ object Similarity {
     * ≤ maxCell stored members. Returns `(batch_id, corpus_id, cosine,
     * block)` with cosine ≥ threshold; ids should be disjoint across
     * index and batch (an id present in both pairs with itself).
+    * Zero-norm vectors never pair — excluded on both sides, since 0/0
+    * cosine is NaN and NaN compares greater than any threshold.
+    *
+    * The index should be MATERIALIZED (read back from storage, or
+    * `persist`/`localCheckpoint` when built in the same plan): the
+    * centroid read and the member join are two consumers, and an
+    * unmaterialized index would re-run its corpus scan for each.
     *
     * STREAMING-NATIVE with zero state: cells are single-assignment, so
     * a pair can only ever form once and the whole probe is one
@@ -542,6 +554,7 @@ object Similarity {
         norm(col(vecCol)).as("__bn"),
         graft.functions.VectorFunctions
           .nearestCells(col(vecCol), centroidSeq, 1).getItem(0).as("cell"))
+      .filter(col("__bn") > 0) // zero-norm probes never pair (NaN guard)
     // null members (empty cells) contribute no rows to the explode
     val stored = index
       .select(col("cell"), explode(col("members")).as("m"))

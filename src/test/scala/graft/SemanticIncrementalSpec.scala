@@ -65,6 +65,23 @@ class SemanticIncrementalSpec extends SparkTestBase {
     assert(pairs === Set(1L, 2L, 3L), "only the 3 smallest corpus ids")
   }
 
+  test("zero-norm vectors never pair (NaN-cosine guard, both sides)") {
+    // a zero batch vector's cosine is 0/0 = NaN, which Spark compares
+    // greater than any threshold — without the guard it would "match"
+    // a whole cell. Zero corpus vectors likewise stay out of the index.
+    val zc = corpus.union(Seq((9L, Seq(0.0, 0.0, 0.0)))
+      .toDF("vec_id", "embedding"))
+    val idx = Similarity.semanticCellIndex(zc, "vec_id", "embedding",
+      nCentroids = 2, refineSample = 5)
+    val zb = batch.union(Seq((102L, Seq(0.0, 0.0, 0.0)))
+      .toDF("vec_id", "embedding"))
+    val pairs = Similarity.semanticNearDupsAgainst(idx, zb,
+        "vec_id", "embedding", threshold = 0.0)
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(!pairs.exists(p => p._1 == 102L || p._2 == 9L),
+      s"zero-norm vectors must never pair, got $pairs")
+  }
+
   test("a truncated index (missing cells) is rejected, not mis-assigned") {
     val bad = index.filter(col("cell") =!= 0)
     val e = intercept[IllegalArgumentException] {
