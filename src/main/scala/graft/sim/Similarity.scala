@@ -539,8 +539,11 @@ object Similarity {
     * unlike the banded MinHash probe whose cross-band re-emissions need
     * watermark-scoped dedup. The same code runs batch frames unchanged.
     */
-  def semanticNearDupsAgainst(index: DataFrame, batch: DataFrame,
-      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+  /** The stored quantizer, read back from an index: nCentroids rows to
+    * the driver (the established IVF bound), with the contiguity guard
+    * that keeps a truncated index from silently mis-assigning.
+    */
+  private def storedCentroids(index: DataFrame): Seq[Seq[Double]] = {
     val centRows = index.select(col("cell"), col("centroid")).collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1))
       .sortBy(_._1)
@@ -548,7 +551,12 @@ object Similarity {
     require(centRows.map(_._1).sameElements(centRows.indices),
       "index cells must be contiguous 0..n-1 (one row per cell, " +
         "empty cells included) — rebuild with semanticCellIndex")
-    val centroidSeq: Seq[Seq[Double]] = centRows.map(_._2.toSeq).toSeq
+    centRows.map(_._2.toSeq).toSeq
+  }
+
+  def semanticNearDupsAgainst(index: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val centroidSeq = storedCentroids(index)
     val probes = batch.filter(col(idCol).isNotNull)
       .select(col(idCol).as("batch_id"), col(vecCol).as("__bv"),
         norm(col(vecCol)).as("__bn"),
@@ -566,5 +574,53 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("batch_id"), col("corpus_id"), col("cosine"),
         col("cell").as("block"))
+  }
+
+  /** Merge freshly-arrived embeddings into a persisted
+    * [[semanticCellIndex]] — the semantic twin of
+    * [[graft.dedup.Dedup.updateMinhashIndex]], completing the
+    * index → probe → merge lifecycle. Fresh vectors are assigned to
+    * their nearest STORED centroid (no quantizer rebuild — the SemDeDup
+    * contract is periodic re-clustering as the corpus drifts; see the
+    * class docs), conflicts are newest-wins on id (a re-embedded
+    * document replaces its stale vector, possibly in a different
+    * cell), and every touched cell is re-capped to its `maxCell`
+    * smallest ids with the same bounded aggregation the build used.
+    * Empty cells keep their centroid row, so the merged index satisfies
+    * the probe's contiguity contract. Pass the SAME maxCell the index
+    * was built with — the index does not store it, exactly as the
+    * MinHash probe takes its banding params.
+    *
+    * Scale shape: one scan of the fresh batch, one anti-join + union on
+    * (id, cell, vector) rows, one re-cap aggregation — the big side
+    * (stored members) shuffles once in its own compact format.
+    */
+  def updateSemanticIndex(index: DataFrame, fresh: DataFrame,
+      idCol: String, vecCol: String, maxCell: Int = 64): DataFrame = {
+    val centroidSeq = storedCentroids(index)
+    val freshRows = fresh.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"),
+        struct(col(vecCol).as("v"), norm(col(vecCol)).as("n")).as("fp"),
+        graft.functions.VectorFunctions
+          .nearestCells(col(vecCol), centroidSeq, 1).getItem(0).as("cell"))
+      .filter(col("fp.n") > 0) // zero-norm contract, as at build time
+    val existing = index
+      .select(col("cell"), explode(col("members")).as("m"))
+      .select(col("cell"), col("m.id").as("id"), col("m.fp").as("fp"))
+    val all = existing
+      .join(freshRows.select("id"), Seq("id"), "left_anti")
+      .unionByName(freshRows.select(col("id"), col("cell"), col("fp"))
+        .select(col("cell"), col("id"), col("fp")))
+    val cappedIds = all.groupBy("cell")
+      .agg(graft.dedup.Dedup.smallestKIds(col("id"),
+        all.schema("id").dataType, maxCell).as("member_ids"))
+    val members = cappedIds
+      .select(col("cell"), explode(col("member_ids")).as("id"))
+      .join(all.select(col("id"), col("fp")), Seq("id"))
+      .groupBy("cell")
+      .agg(sort_array(collect_list(struct(col("id"), col("fp"))))
+        .as("members"))
+    index.select(col("cell"), col("centroid"))
+      .join(members, Seq("cell"), "left")
   }
 }

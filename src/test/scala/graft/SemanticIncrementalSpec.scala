@@ -91,6 +91,47 @@ class SemanticIncrementalSpec extends SparkTestBase {
     assert(e.getMessage.contains("contiguous"))
   }
 
+  test("index merge: new docs probe-able, newest-wins, caps re-enforced") {
+    val idx = index.localCheckpoint()
+    // 1) merge a brand-new near-dup of cluster A: a later probe finds it
+    val merged = Similarity.updateSemanticIndex(idx,
+      Seq((50L, vA(0.003))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding").localCheckpoint()
+    val afterAdd = Similarity.semanticNearDupsAgainst(merged,
+        Seq((300L, vA(0.004))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", threshold = 0.999)
+      .select("corpus_id").as[Long].collect().toSet
+    assert(afterAdd === Set(1L, 3L, 50L), s"got $afterAdd")
+    assert(merged.count() === idx.count(), "empty cells preserved")
+    // 2) newest-wins: re-embed corpus doc 3 into cluster B — it must
+    // stop pairing with cluster A and start pairing in B
+    val moved = Similarity.updateSemanticIndex(merged,
+      Seq((3L, Seq(-10.0, 1.0005, -10.0))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding").localCheckpoint()
+    val aSide = Similarity.semanticNearDupsAgainst(moved,
+        Seq((301L, vA(0.005))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", threshold = 0.999)
+      .select("corpus_id").as[Long].collect().toSet
+    val bSide = Similarity.semanticNearDupsAgainst(moved,
+        Seq((302L, Seq(-10.0, 1.0002, -10.0))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", threshold = 0.999)
+      .select("corpus_id").as[Long].collect().toSet
+    assert(aSide === Set(1L, 50L), s"stale copy of 3 must be gone: $aSide")
+    assert(bSide.contains(3L), s"re-embedded 3 must pair in B: $bSide")
+    // 3) caps re-enforced on merge: flood one cell past maxCell
+    val tiny = Similarity.semanticCellIndex(
+      Seq((5L, Seq(1.0, 2.0, 3.0)), (6L, Seq(1.0, 2.0, 3.0)))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nCentroids = 1, maxCell = 3, refineSample = 2)
+    val flooded = Similarity.updateSemanticIndex(tiny,
+      (1L to 10L).map(i => (i, Seq(1.0, 2.0, 3.0)))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding", maxCell = 3)
+    val kept = flooded.select(explode(col("members")).as("m"))
+      .select("m.id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 3L), s"re-cap must keep 3 smallest: $kept")
+  }
+
   test("streamed probe equals the batch probe, across micro-batches") {
     implicit val sc = spark.sqlContext
     val idx = index.persist()
