@@ -516,6 +516,21 @@ object Similarity {
       .join(members, Seq("cell"), "left")
   }
 
+  /** The stored quantizer, read back from an index: nCentroids rows to
+    * the driver (the established IVF bound), with the contiguity guard
+    * that keeps a truncated index from silently mis-assigning.
+    */
+  private def storedCentroids(index: DataFrame): Seq[Seq[Double]] = {
+    val centRows = index.select(col("cell"), col("centroid")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1))
+      .sortBy(_._1)
+    require(centRows.nonEmpty, "semantic cell index is empty")
+    require(centRows.map(_._1).sameElements(centRows.indices),
+      "index cells must be contiguous 0..n-1 (one row per cell, " +
+        "empty cells included) — rebuild with semanticCellIndex")
+    centRows.map(_._2.toSeq).toSeq
+  }
+
   /** Incremental semantic near-dup detection: a new batch of embeddings
     * probed against a frozen [[semanticCellIndex]]. Each batch vector is
     * assigned to its nearest stored centroid (the same deterministic
@@ -539,21 +554,6 @@ object Similarity {
     * unlike the banded MinHash probe whose cross-band re-emissions need
     * watermark-scoped dedup. The same code runs batch frames unchanged.
     */
-  /** The stored quantizer, read back from an index: nCentroids rows to
-    * the driver (the established IVF bound), with the contiguity guard
-    * that keeps a truncated index from silently mis-assigning.
-    */
-  private def storedCentroids(index: DataFrame): Seq[Seq[Double]] = {
-    val centRows = index.select(col("cell"), col("centroid")).collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1))
-      .sortBy(_._1)
-    require(centRows.nonEmpty, "semantic cell index is empty")
-    require(centRows.map(_._1).sameElements(centRows.indices),
-      "index cells must be contiguous 0..n-1 (one row per cell, " +
-        "empty cells included) — rebuild with semanticCellIndex")
-    centRows.map(_._2.toSeq).toSeq
-  }
-
   def semanticNearDupsAgainst(index: DataFrame, batch: DataFrame,
       idCol: String, vecCol: String, threshold: Double): DataFrame = {
     val centroidSeq = storedCentroids(index)
@@ -584,33 +584,63 @@ object Similarity {
     * contract is periodic re-clustering as the corpus drifts; see the
     * class docs), conflicts are newest-wins on id (a re-embedded
     * document replaces its stale vector, possibly in a different
-    * cell), and every touched cell is re-capped to its `maxCell`
-    * smallest ids with the same bounded aggregation the build used.
-    * Empty cells keep their centroid row, so the merged index satisfies
-    * the probe's contiguity contract. Pass the SAME maxCell the index
-    * was built with — the index does not store it, exactly as the
-    * MinHash probe takes its banding params.
+    * cell), and ONLY touched cells (fresh arrivals or vacated by a
+    * replaced id) are re-capped to their `maxCell` smallest ids with
+    * the same bounded aggregation the build used — untouched rows pass
+    * through with their member arrays intact. Duplicate ids WITHIN the
+    * fresh batch (at-least-once delivery, two re-embeddings in one
+    * batch) collapse to one deterministically-chosen row, and a doc
+    * re-embedded to a zero-norm vector is EVICTED (its id wins the
+    * conflict; the degenerate vector itself stays out, per the
+    * NaN-cosine contract). Empty cells keep their centroid row, so the
+    * merged index satisfies the probe's contiguity contract. Pass the
+    * SAME maxCell the index was built with — the index does not store
+    * it, exactly as the MinHash probe takes its banding params.
     *
     * Scale shape: one scan of the fresh batch, one anti-join + union on
-    * (id, cell, vector) rows, one re-cap aggregation — the big side
-    * (stored members) shuffles once in its own compact format.
+    * (id, cell, vector) rows, one re-cap aggregation over the touched
+    * cells only — the untouched bulk of a large index under a small
+    * daily batch is never exploded or re-aggregated.
     */
   def updateSemanticIndex(index: DataFrame, fresh: DataFrame,
       idCol: String, vecCol: String, maxCell: Int = 64): DataFrame = {
     val centroidSeq = storedCentroids(index)
-    val freshRows = fresh.filter(col(idCol).isNotNull)
+    // assign every non-null-id fresh row (zero-norm included for now:
+    // its id must still evict the stale copy), then collapse in-batch
+    // duplicate ids deterministically — at-least-once delivery or two
+    // re-embeddings of one doc in one batch must not leave two member
+    // rows for one id (that would break the cap and the probe's
+    // pair-forms-once contract). min_by on (cell, norm, vector) is an
+    // arbitrary but partition-order-independent pick.
+    val freshAll = fresh.filter(col(idCol).isNotNull)
       .select(col(idCol).as("id"),
         struct(col(vecCol).as("v"), norm(col(vecCol)).as("n")).as("fp"),
         graft.functions.VectorFunctions
           .nearestCells(col(vecCol), centroidSeq, 1).getItem(0).as("cell"))
-      .filter(col("fp.n") > 0) // zero-norm contract, as at build time
+      .groupBy("id")
+      .agg(min_by(struct(col("cell"), col("fp")),
+        struct(col("cell"), col("fp.n"), col("fp.v"))).as("cf"))
+      .select(col("id"), col("cf.cell").as("cell"), col("cf.fp").as("fp"))
+    // newest-wins on ALL fresh ids — including zero-norm re-embeds,
+    // whose stale vectors must leave the index even though the new
+    // vector itself is excluded by the NaN-cosine contract
+    val freshIds = freshAll.select("id")
+    val freshKeep = freshAll.filter(col("fp.n") > 0)
     val existing = index
       .select(col("cell"), explode(col("members")).as("m"))
       .select(col("cell"), col("m.id").as("id"), col("m.fp").as("fp"))
-    val all = existing
-      .join(freshRows.select("id"), Seq("id"), "left_anti")
-      .unionByName(freshRows.select(col("id"), col("cell"), col("fp"))
-        .select(col("cell"), col("id"), col("fp")))
+    // rebuild ONLY touched cells: those receiving fresh rows plus those
+    // holding a replaced id (a re-embedded doc may vacate its old
+    // cell). Untouched rows — the bulk of a large index under a small
+    // daily batch — pass through with their member arrays intact, no
+    // explode/re-aggregate.
+    val touched = freshKeep.select("cell")
+      .union(existing.join(freshIds, Seq("id"), "left_semi")
+        .select("cell"))
+      .distinct()
+    val all = existing.join(touched, Seq("cell"), "left_semi")
+      .join(freshIds, Seq("id"), "left_anti")
+      .unionByName(freshKeep)
     val cappedIds = all.groupBy("cell")
       .agg(graft.dedup.Dedup.smallestKIds(col("id"),
         all.schema("id").dataType, maxCell).as("member_ids"))
@@ -620,7 +650,11 @@ object Similarity {
       .groupBy("cell")
       .agg(sort_array(collect_list(struct(col("id"), col("fp"))))
         .as("members"))
-    index.select(col("cell"), col("centroid"))
+    val rebuilt = index.select(col("cell"), col("centroid"))
+      .join(touched, Seq("cell"), "left_semi")
       .join(members, Seq("cell"), "left")
+    index.join(touched, Seq("cell"), "left_anti")
+      .select(col("cell"), col("centroid"), col("members"))
+      .unionByName(rebuilt)
   }
 }

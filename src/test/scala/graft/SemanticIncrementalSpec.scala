@@ -132,6 +132,36 @@ class SemanticIncrementalSpec extends SparkTestBase {
     assert(kept === Set(1L, 2L, 3L), s"re-cap must keep 3 smallest: $kept")
   }
 
+  test("merge collapses in-batch duplicate ids and keeps the cap") {
+    // at-least-once delivery: the same id arrives twice in one batch.
+    // Exactly one member row may survive, and flooding a maxCell=3 cell
+    // with duplicated ids must still leave the 3 smallest UNIQUE ids.
+    val tiny = Similarity.semanticCellIndex(
+      Seq((5L, Seq(1.0, 2.0, 3.0))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nCentroids = 1, maxCell = 3, refineSample = 1)
+    val dupFresh = ((1L to 4L) ++ (1L to 4L))
+      .map(i => (i, Seq(1.0, 2.0, 3.0))).toDF("vec_id", "embedding")
+    val merged = Similarity.updateSemanticIndex(tiny, dupFresh,
+      "vec_id", "embedding", maxCell = 3)
+    val kept = merged.select(explode(col("members")).as("m"))
+      .select("m.id").as[Long].collect().toSeq
+    assert(kept.sorted === Seq(1L, 2L, 3L),
+      s"expected the 3 smallest unique ids exactly once, got $kept")
+  }
+
+  test("a doc re-embedded to a zero-norm vector is evicted, not kept stale") {
+    val idx = index.localCheckpoint()
+    val merged = Similarity.updateSemanticIndex(idx,
+      Seq((3L, Seq(0.0, 0.0, 0.0))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding").localCheckpoint()
+    val found = Similarity.semanticNearDupsAgainst(merged,
+        Seq((303L, vA(0.004))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", threshold = 0.999)
+      .select("corpus_id").as[Long].collect().toSet
+    assert(found === Set(1L),
+      s"doc 3's stale vector must leave the index, got $found")
+  }
+
   test("streamed probe equals the batch probe, across micro-batches") {
     implicit val sc = spark.sqlContext
     val idx = index.persist()
