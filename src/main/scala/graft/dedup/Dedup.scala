@@ -649,6 +649,15 @@ object Dedup {
     * the typed union-find path; other id types fall back to the
     * iterative operator (same gating contract as the bounded
     * aggregators, see IdTypeGatingSpec).
+    *
+    * MISUSE MODE: if the single-assignment precondition is violated (an
+    * id appears in pairs of two different blocks — e.g. MinHash banding
+    * fed here by mistake), the output silently carries DUPLICATE,
+    * conflicting (id, component) rows, which downstream survivor joins
+    * fan out on — wrong survivors, not an error. Set the session conf
+    * `graft.dedup.validateBlocks=true` to trade one extra shuffle for a
+    * hard failure naming the first offending id (debug/spec runs; the
+    * production default stays zero-overhead).
     */
   def connectedComponentsBlocked(pairs: DataFrame,
       blockCol: String): DataFrame = {
@@ -691,9 +700,25 @@ object Dedup {
         val ids = parent.keys.toArray // snapshot: find() path-compresses
         ids.iterator.map(x => (x, find(x)))
       }
-    out.toDF("id", "component")
+    val labels = out.toDF("id", "component")
       .select(col("id").cast(idT).as("id"),
         col("component").cast(idT).as("component"))
+    if (spark.conf.getOption("graft.dedup.validateBlocks")
+        .exists(_.toBoolean)) {
+      // one id per row iff every id lived in exactly one block's edge
+      // list; assert_true rides inside the kept column so the optimizer
+      // cannot prune it (the rangeJoin guard pattern)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      labels
+        .withColumn("__m", count(lit(1)).over(w))
+        .withColumn("component", when(assert_true(col("__m") === 1,
+          concat(lit("connectedComponentsBlocked: id "), col("id"),
+            lit(" appears in multiple blocks — single-assignment " +
+              "precondition violated; use connectedComponents for " +
+              "multi-bucket generators like MinHash banding"))).isNull,
+          col("component")))
+        .drop("__m")
+    } else labels
   }
 
   /** Lineage cut for the iterative rounds. `localCheckpoint` stores blocks

@@ -479,6 +479,14 @@ object Similarity {
     * one assignment scan + one bounded aggregation), persist, then
     * probe each new batch with [[semanticNearDupsAgainst]] — no corpus
     * re-scan, exact-cosine verification against the stored vectors.
+    *
+    * PRECONDITION: corpus ids are unique. A duplicate id (possibly with
+    * different vectors landing in different cells) would fan out the
+    * member re-join and break the probe's pair-forms-once contract; the
+    * member joins below key on (cell, id) so a same-cell duplicate
+    * cannot inflate arrays past `maxCell`, but cross-cell duplicates
+    * are the caller's to collapse first ([[updateSemanticIndex]] dedups
+    * its fresh batch; a build-time corpus is expected already unique).
     */
   def semanticCellIndex(corpus: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int = 16, maxCell: Int = 64, refineSample: Int = 256,
@@ -505,7 +513,8 @@ object Similarity {
         corpus.schema(idCol).dataType, maxCell).as("member_ids"))
     val members = cappedIds
       .select(col("cell"), explode(col("member_ids")).as("id"))
-      .join(assigned.select(col("id"), col("__fp")), Seq("id"))
+      .join(assigned.select(col("cell"), col("id"), col("__fp")),
+        Seq("cell", "id"))
       .groupBy("cell")
       .agg(sort_array(collect_list(struct(col("id"), col("__fp").as("fp"))))
         .as("members"))
@@ -646,7 +655,7 @@ object Similarity {
         all.schema("id").dataType, maxCell).as("member_ids"))
     val members = cappedIds
       .select(col("cell"), explode(col("member_ids")).as("id"))
-      .join(all.select(col("id"), col("fp")), Seq("id"))
+      .join(all.select(col("cell"), col("id"), col("fp")), Seq("cell", "id"))
       .groupBy("cell")
       .agg(sort_array(collect_list(struct(col("id"), col("fp"))))
         .as("members"))

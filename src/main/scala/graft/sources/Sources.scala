@@ -67,11 +67,13 @@ object Sources {
     *    sessions): converted to micros with integer division — exactly
     *    the truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP.
     *  - TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4 infers
-    *    as TIMESTAMP_NTZ: cast back to TIMESTAMP. All graft sessions pin
-    *    `spark.sql.session.timeZone=UTC`, so the cast reinterprets the
-    *    naive value as the same UTC instant DuckDB reads — oracle values
-    *    and schemas stay aligned with rounds where the files carried the
-    *    UTC annotation.
+    *    as TIMESTAMP_NTZ: cast back to TIMESTAMP. The cast reinterprets
+    *    the naive value in the SESSION time zone, so it is only correct
+    *    under UTC — all graft-owned sessions pin
+    *    `spark.sql.session.timeZone=UTC`, and for a driver-owned session
+    *    this seam does not configure, the require below turns what would
+    *    be a silent shift of every instant into a loud failure naming
+    *    the fix.
     */
   def readTable(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
@@ -80,6 +82,14 @@ object Sources {
         case LongType if f.name == "ts" =>
           acc.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         case TimestampNTZType =>
+          require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+            s"readTable($name): column '${f.name}' is TIMESTAMP_NTZ and " +
+              "the session time zone is " +
+              s"'${spark.conf.get("spark.sql.session.timeZone")}' — the " +
+              "NTZ->TIMESTAMP normalization reinterprets naive values in " +
+              "the session zone, which silently shifts every instant " +
+              "unless it is UTC. Set spark.sql.session.timeZone=UTC " +
+              "(graft-owned sessions do) before reading this table.")
           acc.withColumn(f.name, col(f.name).cast(TimestampType))
         case _ => acc
       }

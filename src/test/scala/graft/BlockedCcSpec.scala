@@ -139,4 +139,29 @@ class BlockedCcSpec extends SparkTestBase {
       .as[(String, String)].collect().toMap
     assert(got === Map("idA" -> "idA", "idB" -> "idA", "idC" -> "idA"))
   }
+
+  test("validateBlocks turns precondition misuse into a hard failure") {
+    // id 2 lives in blocks 1 AND 2 — a multi-bucket generator (MinHash
+    // banding) fed to the blocked operator by mistake. Default mode
+    // silently emits duplicate labels; the debug flag must fail loudly.
+    val bad = Seq((1, 1L, 2L), (2, 2L, 3L)).toDF("block", "id_a", "id_b")
+    assert(Dedup.connectedComponentsBlocked(bad, "block").count() === 4,
+      "default mode: duplicate (id, component) rows pass through")
+    val key = "graft.dedup.validateBlocks"
+    try {
+      spark.conf.set(key, "true")
+      val e = intercept[Exception] {
+        Dedup.connectedComponentsBlocked(bad, "block").collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("single-assignment")),
+        s"failure must name the violated precondition, got: $e")
+      // clean input still passes under the flag
+      val ok = Seq((1, 1L, 2L), (2, 30L, 40L)).toDF("block", "id_a", "id_b")
+      assert(labels(Dedup.connectedComponentsBlocked(ok, "block")) ===
+        Map(1L -> 1L, 2L -> 1L, 30L -> 30L, 40L -> 30L))
+    } finally spark.conf.unset(key)
+  }
 }

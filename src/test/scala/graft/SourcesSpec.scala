@@ -36,6 +36,33 @@ class SourcesSpec extends SparkTestBase {
     } finally spark.conf.set(key, prev)
   }
 
+  test("readTable fails loudly on NTZ columns under a non-UTC session") {
+    // the NTZ->TIMESTAMP cast reinterprets naive values in the SESSION
+    // zone; under anything but UTC that silently shifts every instant,
+    // so the seam must refuse instead (driver-owned sessions graft does
+    // not configure are exactly where this bites)
+    import org.apache.spark.sql.types.TimestampNTZType
+    val inferKey = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    val tzKey = "spark.sql.session.timeZone"
+    val prevInfer = spark.conf.get(inferKey)
+    val prevTz = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(inferKey, "true")
+      val raw = spark.read.parquet(s"$sf0001/events.parquet")
+      assume(raw.schema("ts").dataType == TimestampNTZType,
+        "testdata currently carries tz-annotated timestamps; branch n/a")
+      spark.conf.set(tzKey, "America/New_York")
+      val e = intercept[IllegalArgumentException] {
+        Sources.readTable(spark, sf0001, "events")
+      }
+      assert(e.getMessage.contains("session.timeZone=UTC"),
+        s"failure must name the fix, got: ${e.getMessage}")
+    } finally {
+      spark.conf.set(inferKey, prevInfer)
+      spark.conf.set(tzKey, prevTz)
+    }
+  }
+
   test("pipe-delimited scan lowercases headers (S4)") {
     val dir = Files.createTempDirectory("graft_pipe").toFile
     val f = new java.io.File(dir, "symbols.txt")
