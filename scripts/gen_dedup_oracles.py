@@ -141,6 +141,40 @@ SELECT batch_id, corpus_id, est_jaccard FROM est
 WHERE est_jaccard >= 0.5 ORDER BY batch_id, corpus_id"""
 
 
+def dd_incremental_verified_sql():
+    """Oracle for the exact-verified incremental probe
+    (Dedup.minhashNearDupsAgainstVerified): same banded probe as
+    dd_incremental_minhash, threshold 3/32 with epsilon 2/32 (chosen so
+    this corpus actually exercises the borderline band: the spurious
+    band-collision pairs sit at est 2/32-3/32 with true Jaccard ~0.01).
+    Pairs with est >= thr+eps pass on the estimate (jaccard = est);
+    pairs with est in [thr-eps, thr+eps) are re-verified by exact
+    shingle-set Jaccard and kept iff exact >= thr."""
+    return f"""WITH {sigl_ctes()},
+corpus AS (SELECT * FROM sigl WHERE id % 4 != 0),
+batch AS (SELECT * FROM sigl WHERE id % 4 = 0),
+cbanded AS (SELECT id, b, sig[2*b+1:2*b+2] AS slc FROM corpus, range(16) t(b)),
+bbanded AS (SELECT id, b, sig[2*b+1:2*b+2] AS slc FROM batch, range(16) t(b)),
+buckets AS (SELECT b, slc, list_sort(list(id))[1:64] AS members
+  FROM cbanded GROUP BY b, slc),
+cand AS (SELECT DISTINCT bb.id AS batch_id, m AS corpus_id
+  FROM bbanded bb JOIN buckets USING (b, slc), unnest(members) u(m)),
+est AS (SELECT batch_id, corpus_id,
+    len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) / 32.0
+      AS est_jaccard
+  FROM cand JOIN sigl sa ON cand.batch_id = sa.id
+            JOIN sigl sb ON cand.corpus_id = sb.id),
+verified AS (SELECT e.batch_id, e.corpus_id, e.est_jaccard,
+    CASE WHEN e.est_jaccard >= 0.15625 THEN e.est_jaccard
+         ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.sh, b.sh))) END AS jaccard
+  FROM est e JOIN shf a ON e.batch_id = a.id
+             JOIN shf b ON e.corpus_id = b.id
+  WHERE e.est_jaccard >= 0.03125)
+SELECT batch_id, corpus_id, est_jaccard, jaccard FROM verified
+WHERE jaccard >= 0.09375 ORDER BY batch_id, corpus_id"""
+
+
 def dd_simhash_sql():
     tok_hash = xxh64_str("tok", "CAST(42 AS HUGEINT)")
     return f"""WITH {TOKS},
@@ -220,6 +254,7 @@ def validate(sf_dir, verify_dir, allow_missing=()):
                       ("dd_drop_near_dups", dd_drop_sql()),
                       ("dd_keep_best", dd_keep_best_sql()),
                       ("dd_incremental_minhash", dd_incremental_sql()),
+                      ("dd_incremental_verified", dd_incremental_verified_sql()),
                       ("dd_stream_neardup_batch", dd_stream_sql())]:
         import time
         if not glob.glob(f"{verify_dir}/{name}/*.parquet"):
@@ -264,6 +299,8 @@ def emit_scala(path):
                           ("ddDropNearDups", dd_drop_sql()),
                           ("ddKeepBest", dd_keep_best_sql()),
                           ("ddIncrementalMinhash", dd_incremental_sql()),
+                          ("ddIncrementalVerified",
+                           dd_incremental_verified_sql()),
                           ("ddStreamNearDupBatch", dd_stream_sql())])
     src = f"""package graft
 

@@ -624,6 +624,24 @@ object SparkEntry {
           numHashes = 32, bands = 16, threshold = 0.5, maxBucket = 64)
         .orderBy(col("batch_id"), col("corpus_id"))
     }),
+    "dd_incremental_verified" -> ((s, dir) => {
+      // the exact-verify rung on the incremental probe: threshold 3/32
+      // with epsilon 2/32 puts this corpus's spurious band-collision
+      // candidates (est 2/32-3/32, true Jaccard ~0.01) INSIDE the
+      // borderline band, where the exact shingle re-check drops every
+      // one of them — the estimate-only probe at the same threshold
+      // would keep five. The real near-dups (est >= 30/32) pass on the
+      // estimate without touching corpus text.
+      val d = t(s, dir, "documents")
+      val sigs = Dedup.minhashSignatures(d, "doc_id", "text",
+        shingleSize = 3, numHashes = 32)
+      Dedup.minhashNearDupsAgainstVerified(
+          sigs.filter(col("id") % 4 =!= 0), sigs.filter(col("id") % 4 === 0),
+          d.filter(col("doc_id") % 4 =!= 0), d.filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", shingleSize = 3, numHashes = 32, bands = 16,
+          threshold = 0.09375, epsilon = 0.0625, maxBucket = 64)
+        .orderBy(col("batch_id"), col("corpus_id"))
+    }),
     "dd_stream_incremental_batch" -> ((s, dir) => {
       // batch twin of the STREAMING incremental probe (stream-static
       // bucket join): same probe-ready bucket table and pipeline the
@@ -1622,6 +1640,7 @@ object SparkEntry {
          ORDER BY id_a, id_b""",
     "dd_minhash" -> DedupOracles.ddMinhash,
     "dd_incremental_minhash" -> DedupOracles.ddIncrementalMinhash,
+    "dd_incremental_verified" -> DedupOracles.ddIncrementalVerified,
     // the streaming probe's batch twin must reproduce the batch
     // incremental operator bit-exactly — same oracle, on purpose
     "dd_stream_incremental_batch" -> DedupOracles.ddIncrementalMinhash,

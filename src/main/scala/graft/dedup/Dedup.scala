@@ -272,7 +272,18 @@ object Dedup {
     */
   def minhashNearDupsAgainst(corpusSigs: DataFrame, batchSigs: DataFrame,
       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.8,
-      maxBucket: Int = 64): DataFrame = {
+      maxBucket: Int = 64): DataFrame =
+    incrementalCandidates(corpusSigs, batchSigs, numHashes, bands, maxBucket)
+      .filter(col("est_jaccard") >= threshold)
+      .select("batch_id", "corpus_id", "est_jaccard")
+
+  /** The shared banded probe: every (batch_id, corpus_id) candidate with
+    * its signature-agreement estimate, unfiltered — the estimate-only
+    * probe and the exact-verified probe both cut from this.
+    */
+  private def incrementalCandidates(corpusSigs: DataFrame,
+      batchSigs: DataFrame, numHashes: Int, bands: Int,
+      maxBucket: Int): DataFrame = {
     val buckets = corpusSigs.filter(col("id").isNotNull)
       .select(col("id"), posexplode(bandHashes(col("sig"), numHashes, bands))
         .as(Seq("band", "band_hash")))
@@ -302,8 +313,75 @@ object Dedup {
         Seq("corpus_id"))
       .withColumn("est_jaccard",
         sigAgreement(col("sig_a"), col("sig_b"), numHashes))
-      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** [[minhashNearDupsAgainst]] with the EXACT-verification rung for the
+    * borderline band — the batch twin of the streaming probe's
+    * `exactVerify` ([[graft.streaming.StreamingNearDup]]). The
+    * signature-agreement estimate has ±O(1/√numHashes) spread (≈ 0.18 at
+    * 32 hashes), exactly the band around the threshold where it
+    * disagrees with true Jaccard, so: candidates with
+    * `est ≥ threshold + epsilon` are accepted on the estimate alone
+    * (`jaccard = est_jaccard`, no text touched); candidates with
+    * `est ∈ [threshold − epsilon, threshold + epsilon)` are re-verified
+    * EXACTLY — hashed shingle sets recomputed from the two text tables
+    * and intersected ([[graft.functions.HashFunctions.sortedLongJaccard]]) —
+    * and kept iff exact ≥ threshold (`jaccard` = the exact value). This
+    * both DROPS spurious band-collision pairs the estimate would accept
+    * and RESCUES true near-dups the estimate would miss.
+    *
+    * Returns (batch_id, corpus_id, est_jaccard, jaccard) with
+    * jaccard ≥ threshold.
+    *
+    * Scale shape: the typical incremental flow computes batch
+    * signatures on the fly, so `batchTexts` is already at hand; the
+    * CORPUS text — whose avoidance is the whole point of the signature
+    * index — is touched only for the borderline pairs' corpus ids: both
+    * text tables are semi-join-pruned to the borderline id sets before
+    * any shingling, so at 100 TB this reads a handful of corpus rows
+    * (point lookups under parquet predicate pushdown), not the corpus.
+    * The candidate probe feeds two consumers (confident + borderline);
+    * persist the probe output when the compact-index re-scan matters.
+    *
+    * Epsilon on the agreement scale is naturally a multiple of
+    * 1/numHashes (the estimate's granularity); threshold ± epsilon
+    * land bit-exact when both are binary fractions.
+    */
+  def minhashNearDupsAgainstVerified(corpusSigs: DataFrame,
+      batchSigs: DataFrame, corpusTexts: DataFrame, batchTexts: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int = 3,
+      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.8,
+      epsilon: Double = 0.0625, maxBucket: Int = 64): DataFrame = {
+    require(epsilon >= 0, s"epsilon must be non-negative, got $epsilon")
+    val cands = incrementalCandidates(corpusSigs, batchSigs, numHashes,
+        bands, maxBucket)
+      .filter(col("est_jaccard") >= threshold - epsilon)
       .select("batch_id", "corpus_id", "est_jaccard")
+    val confident = cands
+      .filter(col("est_jaccard") >= threshold + epsilon)
+      .withColumn("jaccard", col("est_jaccard"))
+    val borderline = cands.filter(col("est_jaccard") < threshold + epsilon)
+    // semi-join prune BEFORE shingling: only borderline ids' texts are
+    // ever tokenized, and only their rows are read from the text tables
+    def prunedShingles(texts: DataFrame, ids: DataFrame,
+        outId: String, outSh: String): DataFrame =
+      texts.filter(col(idCol).isNotNull)
+        .join(ids.select(col(outId).as(idCol)).distinct(),
+          Seq(idCol), "left_semi")
+        .select(col(idCol).as(outId),
+          graft.functions.HashFunctions
+            .hashedWordShingles(col(textCol), shingleSize).as(outSh))
+    val verified = borderline
+      .join(prunedShingles(batchTexts, borderline, "batch_id", "sh_a"),
+        Seq("batch_id"))
+      .join(prunedShingles(corpusTexts, borderline, "corpus_id", "sh_b"),
+        Seq("corpus_id"))
+      .withColumn("jaccard", graft.functions.HashFunctions
+        .sortedLongJaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .drop("sh_a", "sh_b")
+    confident.unionByName(verified)
+      .select("batch_id", "corpus_id", "est_jaccard", "jaccard")
   }
 
   // -------------------------------------------------------------- simhash

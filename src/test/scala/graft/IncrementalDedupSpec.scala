@@ -132,4 +132,73 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(missed.isEmpty,
       s"index probe missed ${missed.size} of ${exact.size} pairs: $missed")
   }
+
+  // ---- exact-verify rung: crafted overlap where est and exact DISAGREE
+  // around the threshold (est is k/32 slot agreement; exact is true
+  // shingle Jaccard — spread ±O(1/√32) puts them on opposite sides).
+  // The word pools are disjoint, so shared shingles come only from the
+  // shared prefix; measured (est, exact) per pair are pinned below.
+  private val pool = Seq("alpha", "bravo", "charlie", "delta", "echo",
+    "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima", "mike",
+    "november", "oscar", "papa", "quebec", "romeo", "sierra", "tango",
+    "uniform", "victor", "whiskey", "xray", "yankee", "zulu", "apple",
+    "banana", "cherry", "date")
+  private val corpusDocA = pool.take(20).mkString(" ")
+  private def prefixShare(k: Int) =
+    (pool.take(k) ++ pool.slice(20, 20 + (20 - k))).mkString(" ")
+
+  // bands = 16 (2 rows/band): the borderline pairs below collide in at
+  // least one band there; at 8 bands x 4 rows the rescued pair would
+  // never surface as a candidate at all
+  private def verifiedProbe(corpus: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame, thr: Double, eps: Double) =
+    Dedup.minhashNearDupsAgainstVerified(
+      Dedup.minhashSignatures(corpus, "doc_id", "text"),
+      Dedup.minhashSignatures(batch, "doc_id", "text"),
+      corpus, batch, "doc_id", "text", bands = 16,
+      threshold = thr, epsilon = eps)
+
+  test("verified probe DROPS a borderline pair the estimate over-accepts") {
+    // pair (1, 112): est = 15/32 = 0.46875 >= thr, exact = 10/26 ≈ 0.3846
+    // < thr — the estimate-only probe accepts a pair below the true
+    // threshold; the verified rung re-checks it exactly and drops it
+    val corpus = docs(1L -> corpusDocA)
+    val batch = docs(112L -> prefixShare(12))
+    val estOnly = Dedup.minhashNearDupsAgainst(
+      Dedup.minhashSignatures(corpus, "doc_id", "text"),
+      Dedup.minhashSignatures(batch, "doc_id", "text"),
+      bands = 16, threshold = 0.4)
+    assert(estOnly.count() == 1L, "estimate alone must over-accept here")
+    assert(verifiedProbe(corpus, batch, thr = 0.4, eps = 0.125).count() == 0L,
+      "exact verification must drop the spurious pair")
+  }
+
+  test("verified probe RESCUES a borderline pair the estimate misses") {
+    // pair (1, 111): est = 10/32 = 0.3125 < thr, exact = 1/3 >= thr —
+    // the estimate-only probe misses a true near-dup; the borderline
+    // band re-check rescues it with the exact value
+    val corpus = docs(1L -> corpusDocA)
+    val batch = docs(111L -> prefixShare(11))
+    val estOnly = Dedup.minhashNearDupsAgainst(
+      Dedup.minhashSignatures(corpus, "doc_id", "text"),
+      Dedup.minhashSignatures(batch, "doc_id", "text"),
+      bands = 16, threshold = 0.33)
+    assert(estOnly.count() == 0L, "estimate alone must miss this pair")
+    val got = verifiedProbe(corpus, batch, thr = 0.33, eps = 0.1)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(p => (p._1, p._2)) == Seq((111L, 1L)))
+    assert(got.head._3 == 0.3125, "est_jaccard rides along")
+    assert(math.abs(got.head._4 - 1.0 / 3) < 1e-15,
+      s"jaccard must be the exact value, got ${got.head._4}")
+  }
+
+  test("confident pairs pass on the estimate without touching text") {
+    // pair (1, 119): est = 30/32 = 0.9375 >= thr + eps — accepted with
+    // jaccard = est_jaccard (the exact rung never runs for it)
+    val corpus = docs(1L -> corpusDocA)
+    val batch = docs(119L -> prefixShare(19))
+    val got = verifiedProbe(corpus, batch, thr = 0.4, eps = 0.125)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq((119L, 1L, 0.9375, 0.9375)))
+  }
 }
