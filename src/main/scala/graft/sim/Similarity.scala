@@ -666,4 +666,85 @@ object Similarity {
       .select(col("cell"), col("centroid"), col("members"))
       .unionByName(rebuilt)
   }
+
+  /** Quantizer drift under a fresh batch — the EXECUTABLE half of the
+    * SemDeDup re-clustering contract ([[updateSemanticIndex]] assigns
+    * fresh vectors to frozen centroids forever; this measures when that
+    * stops being a good idea). One row:
+    * `(n_fresh, fresh_mean_dist, index_mean_dist, drift_ratio)` where
+    * the means are L2 assignment distances — fresh rows to their
+    * nearest STORED centroid versus the index's own members to theirs
+    * (the baseline re-derives from the stored vectors, so the index
+    * schema carries nothing extra) — and
+    * `drift_ratio = fresh_mean_dist / index_mean_dist`. A ratio near 1
+    * means fresh data still looks like the indexed corpus; a large
+    * ratio means fresh vectors land far from every centroid (a new
+    * mode the quantizer cannot see — cell-scoped probes will split
+    * near-dup groups across cells), which is the cue to call
+    * [[rebuildSemanticIndex]]. Infinity/NaN when the stored members
+    * sit exactly on their centroids (degenerate one-member cells) —
+    * read the two means directly in that case.
+    *
+    * Zero-norm and null-id fresh rows are excluded (the probe
+    * contract). Scale shape: one scan of the batch + one explode of
+    * the index members, two scalar aggregates, a broadcast-sized
+    * (nCentroids-row) centroid join — no corpus re-scan.
+    */
+  def semanticDrift(index: DataFrame, fresh: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val centroidSeq = storedCentroids(index)
+    // ||v - c|| via the precomputed norms: n² − 2·v·c + ||c||², clamped
+    // at 0 before sqrt (catastrophic cancellation near the centroid can
+    // land an ulp below zero)
+    def d(vec: Column, n: Column, cent: Column): Column =
+      sqrt(greatest(lit(0d),
+        n * n - lit(2d) * dot(vec, cent) + norm(cent) * norm(cent)))
+    val baseline = index
+      .select(col("centroid"), explode(col("members")).as("m"))
+      .select(d(col("m.fp.v"), col("m.fp.n"), col("centroid")).as("dd"))
+      .agg(avg("dd").as("index_mean_dist"))
+    val freshAgg = fresh.filter(col(idCol).isNotNull)
+      .select(col(vecCol).as("__v"), norm(col(vecCol)).as("__n"),
+        graft.functions.VectorFunctions
+          .nearestCells(col(vecCol), centroidSeq, 1).getItem(0).as("cell"))
+      .filter(col("__n") > 0)
+      .join(broadcast(index.select(col("cell"), col("centroid"))),
+        Seq("cell"))
+      .select(d(col("__v"), col("__n"), col("centroid")).as("dd"))
+      .agg(count(lit(1)).as("n_fresh"), avg("dd").as("fresh_mean_dist"))
+    freshAgg.crossJoin(baseline) // both one-row scalar frames
+      .withColumn("drift_ratio",
+        col("fresh_mean_dist") / col("index_mean_dist"))
+  }
+
+  /** Re-cluster a drifted [[semanticCellIndex]]: rebuild the quantizer
+    * AND the cells over the stored members ∪ the fresh batch
+    * (newest-wins on id, in-batch duplicates collapsed
+    * deterministically, zero-norm re-embeds evicted — the
+    * [[updateSemanticIndex]] conflict contract), by handing the merged
+    * corpus back to [[semanticCellIndex]]. This is the escalation path
+    * when [[semanticDrift]] trips; the cheap path (frozen centroids,
+    * touched cells only) remains [[updateSemanticIndex]].
+    *
+    * Scale note: unlike the merge, this re-runs centroid construction
+    * and re-caps EVERY cell — one bounded driver-local sample + two
+    * scans of (member ∪ fresh) vectors. Run it at re-clustering cadence,
+    * not per batch.
+    */
+  def rebuildSemanticIndex(index: DataFrame, fresh: DataFrame,
+      idCol: String, vecCol: String, nCentroids: Int = 16,
+      maxCell: Int = 64, refineSample: Int = 256,
+      lloydIters: Int = 2): DataFrame = {
+    val stored = index.select(explode(col("members")).as("m"))
+      .select(col("m.id").as(idCol), col("m.fp.v").as(vecCol))
+    val freshAll = fresh.filter(col(idCol).isNotNull)
+      .groupBy(idCol)
+      .agg(min_by(col(vecCol), struct(norm(col(vecCol)), col(vecCol)))
+        .as(vecCol))
+    val merged = stored
+      .join(freshAll.select(idCol), Seq(idCol), "left_anti")
+      .unionByName(freshAll.filter(norm(col(vecCol)) > 0))
+    semanticCellIndex(merged, idCol, vecCol, nCentroids, maxCell,
+      refineSample, lloydIters)
+  }
 }

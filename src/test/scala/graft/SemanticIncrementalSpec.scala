@@ -162,6 +162,78 @@ class SemanticIncrementalSpec extends SparkTestBase {
       s"doc 3's stale vector must leave the index, got $found")
   }
 
+  test("drift metric trips on a new mode and rebuild restores recall") {
+    // A new mode C arrives that straddles the frozen A/B boundary:
+    // c1/c2 are near-identical (cosine ≈ 0.9999997) yet their tiny ±x
+    // perturbation assigns them to DIFFERENT frozen cells — the frozen
+    // quantizer can never pair them, and no amount of merging fixes it.
+    val c1 = Seq(0.01, 30.0, 0.0)
+    val c2 = Seq(-0.01, 30.0, 0.0)
+    val idx = index.localCheckpoint()
+    // 1) the metric sees the mode: fresh C vectors land ~32 from every
+    // stored centroid while the index's own members sit ~1e-3 from
+    // theirs
+    val drift = Similarity.semanticDrift(idx,
+        Seq((200L, c1), (201L, c2)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+      .select("n_fresh", "fresh_mean_dist", "index_mean_dist",
+        "drift_ratio")
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(drift._1 === 2L)
+    assert(drift._4 > 100, s"drift must trip on the new mode, got $drift")
+    // 2) the cheap path really is blind: merge wave 1, probe wave 2 —
+    // split cells, no pair
+    val merged = Similarity.updateSemanticIndex(idx,
+      Seq((200L, c1)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding").localCheckpoint()
+    val before = Similarity.semanticNearDupsAgainst(merged,
+      Seq((201L, c2)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", threshold = 0.999)
+    assert(before.count() === 0, "frozen cells split the new mode")
+    // 3) rebuild with room for the mode: C gets its own centroid, the
+    // same probe now finds the pair, and C-mode drift subsides
+    val rebuilt = Similarity.rebuildSemanticIndex(idx,
+      Seq((200L, c1)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nCentroids = 3, refineSample = 8)
+      .localCheckpoint()
+    val after = Similarity.semanticNearDupsAgainst(rebuilt,
+        Seq((201L, c2)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", threshold = 0.999)
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(after === Set((201L, 200L)),
+      s"rebuild must restore probe recall, got $after")
+    val settled = Similarity.semanticDrift(rebuilt,
+        Seq((201L, c2)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+      .select("fresh_mean_dist").as[Double].collect().head
+    assert(settled < 0.1,
+      s"C-mode data must sit near the rebuilt quantizer, got $settled")
+  }
+
+  test("rebuild keeps merge conflict semantics (newest-wins, dedup)") {
+    val idx = index.localCheckpoint()
+    // doc 3 re-embedded into cluster B within the rebuild batch, id 60
+    // delivered twice — the rebuilt index must hold exactly one row per
+    // id with the fresh vector winning
+    val fresh = Seq(
+      (3L, Seq(-10.0, 1.0005, -10.0)),
+      (60L, vA(0.004)), (60L, vA(0.004)))
+      .toDF("vec_id", "embedding")
+    val rebuilt = Similarity.rebuildSemanticIndex(idx, fresh,
+      "vec_id", "embedding", nCentroids = 2, refineSample = 8)
+      .localCheckpoint()
+    val members = rebuilt
+      .select(explode(col("members")).as("m"))
+      .select("m.id").as[Long].collect().toSeq
+    assert(members.sorted === Seq(1L, 3L, 5L, 7L, 60L),
+      s"one row per id, got $members")
+    val bSide = Similarity.semanticNearDupsAgainst(rebuilt,
+        Seq((302L, Seq(-10.0, 1.0002, -10.0))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", threshold = 0.999)
+      .select("corpus_id").as[Long].collect().toSet
+    assert(bSide.contains(3L), s"re-embedded 3 must pair in B: $bSide")
+  }
+
   test("streamed probe equals the batch probe, across micro-batches") {
     implicit val sc = spark.sqlContext
     val idx = index.persist()
