@@ -14,8 +14,10 @@ import graft.textstats.TextStats
   * `simhash64(arr)`, `minhash_signature(arr, n)`, `word_shingles(s, n)`,
   * `vec_dot(a, b)`, `vec_norm(a)`, and `lang_marker_scores(toks)` (the
   * built-in marker lists, sorted lang order) to pure-SQL users alongside
-  * the Column API (graft.functions), plus the `asof_join` / `range_join`
-  * table-valued functions ([[graft.plans.TableFunctions]]).
+  * the Column API (graft.functions), plus the table-valued functions
+  * ([[graft.plans.TableFunctions]]): `asof_join` / `range_join` and the
+  * LLM-pipeline tier `minhash_near_dups` / `decontaminate` /
+  * `scrub_repeated_ngrams`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit = {

@@ -3,12 +3,13 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{BooleanType, DecimalType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
+import graft.dedup.Dedup
 import graft.ops.Joins
 
-/** SQL table-valued surface for the whole-relation join operators the
+/** SQL table-valued surface for the whole-relation operators the
   * expression registry cannot carry (they produce a plan, not a column):
   *
   * {{{
@@ -19,6 +20,22 @@ import graft.ops.Joins
   *                          60)                  -- bucket seconds
   * SELECT * FROM range_join('events', 'ts', 'windows', 'w_start', 'w_end',
   *                          60, 'ticker')        -- + equi-keys
+  * -- LLM-pipeline tier: verified near-dup pairs, benchmark
+  * -- decontamination, repeated-n-gram scrub — same engines as the
+  * -- Scala API, so a pure-SQL pipeline can be composed end-to-end:
+  * SELECT * FROM minhash_near_dups('documents', 'doc_id', 'text')
+  * SELECT * FROM minhash_near_dups('documents', 'doc_id', 'text',
+  *                                 3, 32, 8, 0.8)  -- shingle n, hashes,
+  *                                                 -- bands, threshold
+  * SELECT * FROM decontaminate('documents', 'doc_id', 'text',
+  *                             'bench', 'q_id', 'question')
+  * SELECT * FROM decontaminate('documents', 'doc_id', 'text',
+  *                             'bench', 'q_id', 'question',
+  *                             3, 2)               -- shingle n, min overlap
+  * SELECT * FROM scrub_repeated_ngrams('documents', 'doc_id', 'text')
+  * SELECT * FROM scrub_repeated_ngrams('documents', 'doc_id', 'text',
+  *                                     10, 1, true) -- gram width, max df,
+  *                                                  -- keep first copy
   * }}}
   *
   * Table arguments are names resolved against the calling session's
@@ -46,6 +63,26 @@ object TableFunctions {
     case Literal(v: Int, IntegerType) => v.toLong
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
+  }
+
+  /** SQL fractional literals parse as exact decimals (`0.8` is
+    * DECIMAL(1,1)), so a threshold argument must accept decimal, double,
+    * and integral literal forms.
+    */
+  private def dbl(e: Expression, what: String): Double = e match {
+    case Literal(v: Double, DoubleType) => v
+    case Literal(v: org.apache.spark.sql.types.Decimal, _: DecimalType) =>
+      v.toDouble
+    case Literal(v: Long, LongType) => v.toDouble
+    case Literal(v: Int, IntegerType) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
+  }
+
+  private def bool(e: Expression, what: String): Boolean = e match {
+    case Literal(v: Boolean, BooleanType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be a boolean literal, got $other")
   }
 
   private def keyList(s: String): Seq[String] =
@@ -93,5 +130,57 @@ object TableFunctions {
         str(args(4), "interval end column"),
         lng(args(5), "bucket seconds"),
         extraKeys).queryExecution.analyzed
+    }),
+    // LLM-pipeline tier. Same bucketed/bounded engines as the Scala API
+    // (the builder delegates, so plan shape and scale contract are
+    // identical); defaults mirror the Scala defaults. Note
+    // scrub_repeated_ngrams materializes its covered-positions table
+    // eagerly (the operator's internal checkpoint), so that work runs
+    // when the SQL statement is ANALYZED rather than when the result is
+    // consumed — same total cost, earlier timing.
+    "minhash_near_dups" -> (args => {
+      arity("minhash_near_dups", args, 3, 7)
+      val spark = SparkSession.active
+      Dedup.minhashNearDups(
+        spark.table(str(args(0), "docs table name")),
+        str(args(1), "id column"),
+        str(args(2), "text column"),
+        shingleSize =
+          if (args.length >= 4) lng(args(3), "shingle size").toInt else 3,
+        numHashes =
+          if (args.length >= 5) lng(args(4), "num hashes").toInt else 32,
+        bands = if (args.length >= 6) lng(args(5), "bands").toInt else 8,
+        threshold =
+          if (args.length == 7) dbl(args(6), "jaccard threshold") else 0.8)
+        .queryExecution.analyzed
+    }),
+    "decontaminate" -> (args => {
+      arity("decontaminate", args, 6, 8)
+      val spark = SparkSession.active
+      Dedup.decontaminate(
+        spark.table(str(args(0), "docs table name")),
+        str(args(1), "doc id column"),
+        str(args(2), "doc text column"),
+        spark.table(str(args(3), "bench table name")),
+        str(args(4), "bench id column"),
+        str(args(5), "bench text column"),
+        shingleSize =
+          if (args.length >= 7) lng(args(6), "shingle size").toInt else 3,
+        minOverlap =
+          if (args.length == 8) lng(args(7), "min overlap").toInt else 2)
+        .queryExecution.analyzed
+    }),
+    "scrub_repeated_ngrams" -> (args => {
+      arity("scrub_repeated_ngrams", args, 3, 6)
+      val spark = SparkSession.active
+      Dedup.scrubRepeatedNgrams(
+        spark.table(str(args(0), "docs table name")),
+        str(args(1), "id column"),
+        str(args(2), "text column"),
+        n = if (args.length >= 4) lng(args(3), "gram width").toInt else 10,
+        maxDocs = if (args.length >= 5) lng(args(4), "max docs").toInt else 1,
+        keepFirstCopy =
+          if (args.length == 6) bool(args(5), "keep first copy") else false)
+        .queryExecution.analyzed
     }))
 }
