@@ -165,16 +165,29 @@ assigned AS (SELECT vec_id, v, cell FROM (
 
 
 def sim_ivf_sql(n_centroids=16, n_probe=8, k=5, refine_sample=256,
-                lloyd_iters=2):
+                lloyd_iters=2, extra_probes=4, rho=1.05):
     """Similarity.ivfTopK: the shared quantizer prefix, then each query
-    probes its n_probe nearest cells and candidates are scored/ranked
-    exactly."""
-    return f"""WITH {quantizer_prefix(n_centroids, refine_sample, lloyd_iters)},
-probes AS (SELECT vec_id AS query_id, v AS qv, cell FROM (
-    SELECT vec_id, v, cell, row_number() OVER (
+    probes its n_probe nearest cells — PLUS, with extra_probes > 0, up
+    to that many boundary-fallback cells whose squared centroid distance
+    is within rho x the n_probe-th (the d values on both engines come
+    from the identical left fold, and d <= rho * dcut multiplies/compares
+    the same doubles, so the adaptive selection is bit-equal) — and
+    candidates are scored/ranked exactly."""
+    ranked = f"""SELECT vec_id, v, cell, d, row_number() OVER (
       PARTITION BY vec_id ORDER BY d, cell) AS rn
-    FROM cdist WHERE vec_id < 8)
-  WHERE rn <= {n_probe}),
+    FROM cdist WHERE vec_id < 8"""
+    if extra_probes > 0:
+        probes = f"""pr AS MATERIALIZED (SELECT * FROM ({ranked})),
+cut AS (SELECT vec_id, d * {rho!r} AS dcut FROM pr WHERE rn = {n_probe}),
+probes AS (SELECT pr.vec_id AS query_id, pr.v AS qv, pr.cell
+  FROM pr JOIN cut USING (vec_id)
+  WHERE rn <= {n_probe}
+     OR (rn <= {n_probe + extra_probes} AND pr.d <= dcut))"""
+    else:
+        probes = f"""probes AS (SELECT vec_id AS query_id, v AS qv, cell
+  FROM ({ranked}) WHERE rn <= {n_probe})"""
+    return f"""WITH {quantizer_prefix(n_centroids, refine_sample, lloyd_iters)},
+{probes},
 scored AS (SELECT p.query_id, a.vec_id, {cosine("a.v", "p.qv")} AS cosine
   FROM assigned a JOIN probes p USING (cell) WHERE a.vec_id <> p.query_id),
 r AS (SELECT query_id, vec_id, cosine, row_number() OVER (

@@ -770,7 +770,8 @@ object SparkEntry {
         .withColumn("embedding", col("embedding").cast("array<double>"))
       val q = emb.filter(col("vec_id") < 8)
       Similarity.ivfTopK(emb, "vec_id", "embedding",
-          q, "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 8)
+          q, "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 8,
+          extraProbes = 4, boundaryRho = 1.05)
         .select(col("query_id"), col("vec_id"),
           round(col("cosine"), 6).as("cos6"), col("rank").cast("bigint").as("rank"))
         .orderBy(col("query_id"), col("rank"))

@@ -194,6 +194,69 @@ object VectorKernels {
     new GenericArrayData(out)
   }
 
+  /** Boundary-fallback probe selection: the `nProbe` nearest cells by
+    * (squared-L2, cell asc) PLUS up to `extra` additional cells whose
+    * squared distance is within `rho` × the nProbe-th distance — the
+    * cheap insurance for queries sitting near a cell boundary, where a
+    * fixed-nProbe probe loses exactly the neighbors that straddle it.
+    * A query far from any boundary pays nothing (no extra cells pass
+    * the rho test); a boundary query widens its probe by at most
+    * `extra`. Same null contract and distance fold order as
+    * [[nearestCells]], so the DuckDB oracle reproduces the selection
+    * bit-exactly (d <= rho * d_nProbe compares identically computed
+    * doubles). A NaN nProbe-th distance admits no extras (NaN
+    * comparisons are false).
+    */
+  def nearestCellsAdaptive(x: ArrayData, isFloat: Boolean,
+      cents: Array[Array[Double]], nProbe: Int, extra: Int,
+      rho: Double): ArrayData = {
+    val n = x.numElements()
+    val nc = cents.length
+    if (nc == 0 || n == 0) return null
+    if (cents(0).length != n) return null
+    val d = new Array[Double](nc)
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val v = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      var c = 0
+      while (c < nc) {
+        val diff = v - cents(c)(i)
+        d(c) += diff * diff
+        c += 1
+      }
+      i += 1
+    }
+    def before(a: Int, b: Int): Boolean = {
+      val da = d(a); val db = d(b)
+      if (da.isNaN) db.isNaN && a < b
+      else if (db.isNaN) true
+      else if (da != db) da < db
+      else a < b
+    }
+    val kBase = math.min(nProbe, nc)
+    val kMax = math.min(nProbe + extra, nc)
+    val idx = Array.tabulate(nc)(identity)
+    // selection of the kMax smallest, then trim extras by the rho rule
+    var s = 0
+    while (s < kMax) {
+      var best = s
+      var j = s + 1
+      while (j < nc) {
+        if (before(idx(j), idx(best))) best = j
+        j += 1
+      }
+      val tmp = idx(s); idx(s) = idx(best); idx(best) = tmp
+      s += 1
+    }
+    val dCut = d(idx(kBase - 1)) * rho
+    var k = kBase
+    while (k < kMax && d(idx(k)) <= dCut) k += 1
+    val out = new Array[Int](k)
+    System.arraycopy(idx, 0, out, 0, k)
+    new GenericArrayData(out)
+  }
+
   /** Null on any null element. */
   def norm(x: ArrayData, isFloat: Boolean): java.lang.Double = {
     val n = x.numElements()
@@ -407,6 +470,64 @@ case class NearestCells(child: Expression, centroids: Seq[Seq[Double]], m: Int)
     copy(child = c)
 }
 
+/** [[NearestCells]] with the boundary-fallback probe rule
+  * ([[VectorKernels.nearestCellsAdaptive]]): the `nProbe` nearest cells
+  * plus up to `extra` cells within `rho` × the nProbe-th squared
+  * distance. Kept as a separate expression so existing fixed-probe
+  * plans (and their plan pins) are untouched.
+  */
+case class NearestCellsAdaptive(child: Expression,
+    centroids: Seq[Seq[Double]], nProbe: Int, extra: Int, rho: Double)
+    extends UnaryExpression {
+  require(centroids.nonEmpty,
+    "NearestCellsAdaptive requires at least one centroid")
+  require(centroids.forall(_.size == centroids.head.size),
+    s"NearestCellsAdaptive requires uniform centroid dimensions, got " +
+      centroids.map(_.size).distinct.sorted.mkString("{", ", ", "}"))
+  require(nProbe > 0, s"nProbe must be positive, got $nProbe")
+  require(extra >= 0, s"extra must be >= 0, got $extra")
+  require(rho >= 1.0, s"rho must be >= 1.0, got $rho")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_cells_adaptive"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType | FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<double>/array<float> argument, got " +
+        other.catalogString)
+  }
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  @transient private lazy val cents: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.nearestCellsAdaptive(input.asInstanceOf[ArrayData],
+      isFloat, cents, nProbe, extra, rho)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("ivfCentroids", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("cells")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+         |  graft.functions.VectorKernels.nearestCellsAdaptive($c, $isFloat,
+         |    $centsRef, $nProbe, $extra, ${rho}D);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCellsAdaptive =
+    copy(child = c)
+}
+
 object VectorFunctions {
   def dot(a: Column, b: Column): Column =
     GraftShims.column(DotProduct(GraftShims.expression(a), GraftShims.expression(b)))
@@ -419,4 +540,9 @@ object VectorFunctions {
 
   def nearestCells(vec: Column, centroids: Seq[Seq[Double]], m: Int): Column =
     GraftShims.column(NearestCells(GraftShims.expression(vec), centroids, m))
+
+  def nearestCellsAdaptive(vec: Column, centroids: Seq[Seq[Double]],
+      nProbe: Int, extra: Int, rho: Double): Column =
+    GraftShims.column(NearestCellsAdaptive(GraftShims.expression(vec),
+      centroids, nProbe, extra, rho))
 }

@@ -331,10 +331,23 @@ object Similarity {
     lloydRefine(farthestPointSeeds(sample, nCentroids), sample, lloydIters)
   }
 
+  /** @param extraProbes boundary-fallback probes: each query probes its
+    *   `nProbe` nearest cells PLUS up to this many additional cells
+    *   whose squared centroid distance is within `boundaryRho` × the
+    *   nProbe-th — queries far from any cell boundary pay nothing,
+    *   boundary queries (where fixed-nProbe loses exactly the
+    *   straddling neighbors) widen their probe. Measured recall@5 at
+    *   (16 cells, probe 8, extra 4, rho 1.05): 0.863 → 0.921 (sf0.01)
+    *   / 0.858 → 0.942 (sf0.1), past the LSH path's 0.904/0.929, for
+    *   ~1.3× probe volume. 0 = fixed-probe behavior.
+    * @param boundaryRho squared-distance ratio admitting a fallback
+    *   cell; only read when extraProbes > 0.
+    */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int, nCentroids: Int = 16, nProbe: Int = 4,
-      refineSample: Int = 256, lloydIters: Int = 2): DataFrame = {
+      refineSample: Int = 256, lloydIters: Int = 2,
+      extraProbes: Int = 0, boundaryRho: Double = 1.05): DataFrame = {
     val centroids = ivfCentroids(corpus, idCol, vecCol, nCentroids,
       refineSample, lloydIters)
 
@@ -347,9 +360,13 @@ object Similarity {
 
     val assigned = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__cv"),
       nearestCells(col(vecCol), 1).getItem(0).as("__cell"))
+    val probeCells =
+      if (extraProbes == 0) nearestCells(col(queryVecCol), nProbe)
+      else graft.functions.VectorFunctions.nearestCellsAdaptive(
+        col(queryVecCol), centroidSeq, nProbe, extraProbes, boundaryRho)
     val probes = broadcast(queries.select(col(queryIdCol).as("query_id"),
         col(queryVecCol).as("__qv"),
-        explode(nearestCells(col(queryVecCol), nProbe)).as("__cell")))
+        explode(probeCells).as("__cell")))
     val scored = assigned.join(probes, Seq("__cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("__cv"), col("__qv")))

@@ -22,6 +22,8 @@ object RecallProbe {
     val nQueries = if (args.length > 1) args(1).toInt else 48
     val refineSample = if (args.length > 2) args(2).toInt else 256
     val lloydIters = if (args.length > 3) args(3).toInt else 2
+    val nCentroids = if (args.length > 4) args(4).toInt else 16
+    val nProbe = if (args.length > 5) args(5).toInt else 8
     val spark = LocalSessions.builder(8, 8).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -36,10 +38,16 @@ object RecallProbe {
     val lsh = recall(Similarity.lshTopK(emb, "vec_id", "embedding",
       queries, "vec_id", "embedding", k, planes = 4, tables = 16))
     val ivf = recall(Similarity.ivfTopK(emb, "vec_id", "embedding",
-      queries, "vec_id", "embedding", k, nCentroids = 16, nProbe = 8,
+      queries, "vec_id", "embedding", k, nCentroids = nCentroids,
+      nProbe = nProbe,
       refineSample = refineSample, lloydIters = lloydIters))
+    val ivfAdaptive = recall(Similarity.ivfTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k, nCentroids = nCentroids,
+      nProbe = nProbe, refineSample = refineSample, lloydIters = lloydIters,
+      extraProbes = 4, boundaryRho = 1.05))
     println(f"RECALL sf=$dir queries=$nQueries lsh(4,16)=$lsh%.3f " +
-      f"ivf(16,8,s=$refineSample,it=$lloydIters)=$ivf%.3f")
+      f"ivf($nCentroids,$nProbe,s=$refineSample,it=$lloydIters)=$ivf%.3f " +
+      f"ivf_adaptive(+4@1.05)=$ivfAdaptive%.3f")
     // the second IVF quality axis: how much of the corpus does an
     // nProbe-cell probe actually scan? Skewed cells can fake recall by
     // funneling most of the corpus into the probed cells — report the

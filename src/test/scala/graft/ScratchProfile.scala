@@ -18,29 +18,36 @@ object ScratchProfile {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    val docs = Sources.readTable(spark, dir, "documents")
-    noop(docs.select(col("doc_id")))
+    // warmup
+    noop(Sources.readTable(spark, dir, "events").select(col("ts")))
 
-    // dd_semantic_prune stage by stage
-    val emb = Sources.readTable(spark, dir, "embeddings")
-      .withColumn("embedding", col("embedding").cast("array<double>"))
-    time("emb scan+cast")(noop(emb))
-    val pairs = graft.sim.Similarity.semanticNearDups(emb, "vec_id",
-      "embedding", threshold = 0.3, nCentroids = 16)
-    time("semanticNearDups")(noop(pairs))
-    time("semanticNearDups again")(noop(pairs))
-    var comps: org.apache.spark.sql.DataFrame = null
-    time("connectedComponents")(
-      { comps = graft.dedup.Dedup.connectedComponents(pairs); noop(comps) })
-    val withQ = emb.join(docs
-      .select(col("doc_id").as("vec_id"), col("n_chars")), "vec_id")
-    time("withQ join")(noop(withQ))
-    time("keepBestSurvivors full")(
-      noop(graft.dedup.Dedup.keepBestSurvivors(withQ, "vec_id", pairs,
-        "n_chars").select(col("vec_id"), col("n_chars"))
-        .orderBy(col("vec_id"))))
-    time("full query")(
-      noop(SparkEntry.queries("dd_semantic_prune")(spark, dir)))
+    // bt_metrics stage by stage
+    for (round <- 1 to 2) {
+      val bars = Sources.eventsAsBars(spark, dir)
+      time(s"r$round bars scan")(noop(bars))
+      val res = graft.engine.BacktestEngine.run(bars,
+        graft.strategy.MACross(5, 20), 10000.0)
+      time(s"r$round signals")(
+        noop(graft.strategy.MACross(5, 20).signals(bars).toDF()))
+      time(s"r$round orders count")(noop(res.orders.toDF()))
+      time(s"r$round daily")(noop(res.daily))
+      val ev = Sources.readTable(spark, dir, "events")
+      val dayAgg = ev.groupBy(date_trunc("DAY", col("ts")).as("__day"))
+        .agg((sum(col("value").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("SP500"))
+      time(s"r$round dayAgg")(noop(dayAgg))
+      val daily = res.daily
+        .withColumn("__day", date_trunc("DAY", col("date")))
+        .join(broadcast(dayAgg), Seq("__day"), "left")
+        .drop("__day")
+      time(s"r$round metrics")(
+        noop(graft.analytics.Metrics.compute(daily, res.orders, 10000.0, 0.03)))
+      res.unpersist()
+      time(s"r$round full query")(
+        noop(SparkEntry.queries("bt_metrics")(spark, dir)))
+      time(s"r$round stream_inc full")(
+        noop(SparkEntry.queries("dd_stream_incremental_batch")(spark, dir)))
+    }
     spark.stop()
   }
 }

@@ -16,7 +16,7 @@ import graft.sim.Similarity
   * so the floors are tight, not flaky). Measured on the 48-query
   * sample: LSH(4,16) 0.904, LSH(4,1) 0.150, IVF(16,8) 0.863 (0.692
   * before the round-7 farthest-point + Lloyd quantizer), IVF(16,2)
-  * 0.279 — recorded in COVERAGE.md.
+  * 0.279, adaptive IVF(16,8,+4@1.05) 0.921 — recorded in COVERAGE.md.
   */
 class SimilarityRecallSpec extends SparkTestBase {
 
@@ -69,6 +69,34 @@ class SimilarityRecallSpec extends SparkTestBase {
     info(f"ivf raw-seed recall $raw%.3f, refined $refined%.3f")
     assert(refined > raw,
       "farthest-point + Lloyd centroids must beat raw corpus points here")
+  }
+
+  test("adaptive boundary probes (extra=4, rho=1.05) recall@5 >= 0.9") {
+    val r = recallAtK(Similarity.ivfTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k, nCentroids = 16, nProbe = 8,
+      extraProbes = 4, boundaryRho = 1.05))
+    info(f"ivf adaptive c=16 probe=8+4@1.05 recall@5 = $r%.3f")
+    assert(r >= 0.9, f"adaptive IVF recall regressed: $r%.3f < 0.9")
+  }
+
+  test("adaptive probes strictly contain the fixed probe's results axis") {
+    // extra=0 must be the fixed-probe operator exactly (the default path
+    // and the adaptive kernel with no fallback budget agree row-for-row)
+    val fixed = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k, nCentroids = 16, nProbe = 8)
+    val zeroExtra = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k, nCentroids = 16, nProbe = 8,
+      extraProbes = 0)
+    assert(fixed.exceptAll(zeroExtra).count() === 0L)
+    assert(zeroExtra.exceptAll(fixed).count() === 0L)
+    // and the adaptive probe can only improve recall, never lose it
+    val rFixed = recallAtK(fixed)
+    val rAdaptive = recallAtK(Similarity.ivfTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k, nCentroids = 16, nProbe = 8,
+      extraProbes = 4, boundaryRho = 1.05))
+    info(f"ivf fixed recall $rFixed%.3f, adaptive $rAdaptive%.3f")
+    assert(rAdaptive >= rFixed,
+      "widening probes by boundary fallback must not lose recall")
   }
 
   test("IVF probes widen recall: nProbe=8 >= nProbe=2") {
