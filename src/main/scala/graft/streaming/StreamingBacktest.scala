@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -92,6 +92,97 @@ object StreamingBacktest {
               buy.get(ns), sell.get(ns), owned.get(ns)))
           }
         }
+        state.update(st)
+        out.iterator
+    }
+  }
+
+  /** Per-ticker streaming state for [[maCrossSignals]]: the rolling close
+    * window (one slot per BAR, null closes occupy a slot without counting
+    * — pandas `rolling(n).mean()` min_periods semantics), the previous
+    * crossover flag for edge detection, and the first-buy gate.
+    */
+  @SerialVersionUID(1L)
+  final class MaCrossState(val lagging: Int) extends Serializable {
+    // ring of the last `lagging` closes by row (null close = None slot)
+    var closes: Vector[Option[Double]] = Vector.empty
+    var prevCross: Option[Boolean] = None
+    var firstBuyNanos: Option[Long] = None
+    var lastTime: Long = Long.MinValue
+  }
+
+  implicit private val maCrossStateEnc: Encoder[MaCrossState] =
+    Encoders.javaSerialization[MaCrossState]
+
+  /** Streaming twin of [[graft.strategy.MACross]].signals — the rolling
+    * windows the batch strategy declares (no time bound, so Structured
+    * Streaming cannot run them as window functions) re-expressed as
+    * per-ticker `flatMapGroupsWithState`. Bit-exact with the batch
+    * operator on in-order bars: the rolling mean sums the frame's closes
+    * in ascending row order and divides once (exactly how WindowExec
+    * re-aggregates a sliding frame), requires `n` non-null closes among
+    * the last `n` rows (the min_periods guard), the crossover edge fires
+    * on the first bar (null-safe inequality against a missing previous
+    * flag), and sells are honored only strictly after the first buy —
+    * StreamingSignalsSpec pins row parity with `MACross(fast, lagging)
+    * .signals` across micro-batch splits. Same ordering contract as
+    * [[foldStream]]: per-ticker event-time order across batches; late
+    * rows are dropped, not applied retroactively.
+    */
+  def maCrossSignals(bars: DataFrame, fast: Int,
+      lagging: Int): Dataset[SignalBar] = {
+    require(fast >= 1 && lagging >= 1,
+      s"window widths must be >= 1, got fast=$fast lagging=$lagging")
+    val spark = bars.sparkSession
+    import spark.implicits._
+    val slim = bars.select(col("ticker"),
+        col("date").cast("timestamp").as("date"),
+        col("close").cast("double").as("close"))
+      .as[(String, Timestamp, Option[Double])]
+    val keep = math.max(fast, lagging)
+    slim.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (ticker: String, rows: Iterator[(String, Timestamp, Option[Double])],
+          state: GroupState[MaCrossState]) =>
+        val st = state.getOption.getOrElse(new MaCrossState(keep))
+        // frame mean over the last n ROW slots: null iff any slot of the
+        // last n is missing/None (count(c) over frame === n); the sum
+        // folds ascending from 0.0, one divide — WindowExec's order
+        def rollMean(n: Int): Option[Double] = {
+          if (st.closes.length < n) None
+          else {
+            val frame = st.closes.takeRight(n)
+            if (frame.exists(_.isEmpty)) None
+            else Some(frame.foldLeft(0.0)((a, v) => a + v.get) / n)
+          }
+        }
+        val batch = rows.toArray
+        scala.util.Sorting.stableSort(batch,
+          (a: (String, Timestamp, Option[Double]),
+              b: (String, Timestamp, Option[Double])) =>
+            Time.epochNanos(a._2) < Time.epochNanos(b._2))
+        val out = batch.iterator.flatMap { case (_, date, close) =>
+          if (Time.epochNanos(date) < st.lastTime) None
+          else {
+            st.lastTime = Time.epochNanos(date)
+            st.closes = (st.closes :+ close).takeRight(keep)
+            val cross = (for (f <- rollMean(fast); l <- rollMean(lagging))
+              yield f > l).getOrElse(false)
+            val edge = !st.prevCross.contains(cross)
+            st.prevCross = Some(cross)
+            val isBuy = cross && edge
+            val isSell = !cross && edge
+            if (isBuy && st.firstBuyNanos.isEmpty)
+              st.firstBuyNanos = Some(Time.epochNanos(date))
+            val honored = isBuy ||
+              (isSell && st.firstBuyNanos.exists(Time.epochNanos(date) > _))
+            if (honored)
+              // a flagged row's close decodes into SignalBar.close like the
+              // batch path (null close on a signal row fails there too)
+              Some(SignalBar(ticker, date, close.get, isBuy, isSell))
+            else None
+          }
+        }.toVector
         state.update(st)
         out.iterator
     }
