@@ -36,6 +36,12 @@ import graft.ops.Joins
   * SELECT * FROM scrub_repeated_ngrams('documents', 'doc_id', 'text',
   *                                     10, 1, true) -- gram width, max df,
   *                                                  -- keep first copy
+  * -- embedding tier (vector column must be array<double>/array<float>):
+  * SELECT * FROM semantic_near_dups('emb', 'vec_id', 'embedding', 0.9)
+  * SELECT * FROM semantic_near_dups('emb', 'vec_id', 'embedding', 0.9,
+  *                                  16, 64)         -- n centroids, max cell
+  * SELECT * FROM knn_classify('emb', 'vec_id', 'embedding', 'label',
+  *                            'probes', 'vec_id', 'embedding', 5)
   * }}}
   *
   * Table arguments are names resolved against the calling session's
@@ -181,6 +187,35 @@ object TableFunctions {
         maxDocs = if (args.length >= 5) lng(args(4), "max docs").toInt else 1,
         keepFirstCopy =
           if (args.length == 6) bool(args(5), "keep first copy") else false)
+        .queryExecution.analyzed
+    }),
+    // embedding tier: the vector column must already be array<double> /
+    // array<float> (CAST in the view if the table stores another type)
+    "semantic_near_dups" -> (args => {
+      arity("semantic_near_dups", args, 4, 6)
+      val spark = SparkSession.active
+      graft.sim.Similarity.semanticNearDups(
+        spark.table(str(args(0), "embeddings table name")),
+        str(args(1), "id column"),
+        str(args(2), "vector column"),
+        threshold = dbl(args(3), "cosine threshold"),
+        nCentroids =
+          if (args.length >= 5) lng(args(4), "n centroids").toInt else 16,
+        maxCell = if (args.length == 6) lng(args(5), "max cell").toInt else 64)
+        .queryExecution.analyzed
+    }),
+    "knn_classify" -> (args => {
+      arity("knn_classify", args, 8, 8)
+      val spark = SparkSession.active
+      graft.sim.Similarity.knnClassify(
+        spark.table(str(args(0), "corpus table name")),
+        str(args(1), "corpus id column"),
+        str(args(2), "corpus vector column"),
+        str(args(3), "label column"),
+        spark.table(str(args(4), "queries table name")),
+        str(args(5), "query id column"),
+        str(args(6), "query vector column"),
+        k = lng(args(7), "k").toInt)
         .queryExecution.analyzed
     }))
 }

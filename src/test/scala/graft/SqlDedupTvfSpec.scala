@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 import graft.dedup.Dedup
 
@@ -117,6 +118,36 @@ class SqlDedupTvfSpec extends SparkTestBase {
          FROM minhash_near_dups('sql_docs_clean', 'doc_id', 'text')
          WHERE jaccard >= 0.9""")
     assert(pairs.collect().head.getLong(0) >= 1L)
+  }
+
+  test("semantic_near_dups and knn_classify TVFs match the Scala operators") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    // two tight clusters plus one outlier; labels follow the clusters
+    val emb = Seq(
+      (1L, Array(1.0, 0.0, 0.05), "a"), (2L, Array(1.0, 0.01, 0.0), "a"),
+      (3L, Array(0.99, 0.0, 0.02), "a"),
+      (4L, Array(0.0, 1.0, 0.03), "b"), (5L, Array(0.01, 1.0, 0.0), "b"),
+      (6L, Array(0.0, 0.98, 0.01), "b"),
+      (7L, Array(0.5, 0.5, 8.0), "c"))
+      .toDF("vec_id", "embedding", "label")
+    emb.createOrReplaceTempView("sql_emb")
+    val probes = emb.filter(col("vec_id").isin(1L, 4L))
+    probes.createOrReplaceTempView("sql_probes")
+
+    val pairsSql = spark.sql(
+      "SELECT * FROM semantic_near_dups('sql_emb', 'vec_id', 'embedding', 0.9, 4, 64)")
+    sameRows(pairsSql, graft.sim.Similarity.semanticNearDups(
+      emb, "vec_id", "embedding", threshold = 0.9, nCentroids = 4))
+    assert(pairsSql.count() >= 2, "both planted clusters must pair")
+
+    val knnSql = spark.sql(
+      """SELECT * FROM knn_classify('sql_emb', 'vec_id', 'embedding', 'label',
+                                    'sql_probes', 'vec_id', 'embedding', 2)""")
+    sameRows(knnSql, graft.sim.Similarity.knnClassify(
+      emb, "vec_id", "embedding", "label", probes, "vec_id", "embedding", 2))
+    val got = knnSql.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "a" && got(4L) === "b")
   }
 
   test("TVF argument validation fails loudly") {
