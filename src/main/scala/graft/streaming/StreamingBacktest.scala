@@ -188,6 +188,76 @@ object StreamingBacktest {
     }
   }
 
+  /** Per-ticker streaming state for [[tenPercentSignals]]: the anchor
+    * close (the close of the last emitted trade row), the direction of
+    * that last move, and whether the unconditional first-bar buy fired.
+    */
+  @SerialVersionUID(1L)
+  final class TenPercentState extends Serializable {
+    var started: Boolean = false
+    var anchorClose: Double = Double.NaN
+    var lastMoveSell: Boolean = false
+    var lastTime: Long = Long.MinValue
+  }
+
+  implicit private val tenPercentStateEnc: Encoder[TenPercentState] =
+    Encoders.javaSerialization[TenPercentState]
+
+  /** Streaming twin of [[graft.strategy.TenPercent]].signals. The batch
+    * strategy is already a per-ticker sequential fold (the anchor is the
+    * close of the last trade row — a self-referencing state machine no
+    * window expresses), so the streaming form just persists that fold's
+    * three scalars as `GroupState`: buy the first bar unconditionally,
+    * then sell at anchor × sellMult, buy back at anchor × buyMult,
+    * alternating. Null closes carry NaN exactly like the batch fold (a
+    * NaN anchor silences every later comparison). Same ordering/late-row
+    * contract as [[foldStream]]; parity across micro-batch splits pinned
+    * by StreamingSignalsSpec.
+    */
+  def tenPercentSignals(bars: DataFrame, sellMult: Double = 1.05,
+      buyMult: Double = 0.99): Dataset[SignalBar] = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    val slim = bars.select(col("ticker"),
+        col("date").cast("timestamp").as("date"),
+        col("close").cast("double").as("close"))
+      .as[(String, Timestamp, Option[Double])]
+    slim.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (ticker: String, rows: Iterator[(String, Timestamp, Option[Double])],
+          state: GroupState[TenPercentState]) =>
+        val st = state.getOption.getOrElse(new TenPercentState)
+        val batch = rows.toArray
+        scala.util.Sorting.stableSort(batch,
+          (a: (String, Timestamp, Option[Double]),
+              b: (String, Timestamp, Option[Double])) =>
+            Time.epochNanos(a._2) < Time.epochNanos(b._2))
+        val out = batch.iterator.flatMap { case (_, date, close) =>
+          if (Time.epochNanos(date) < st.lastTime) None
+          else {
+            st.lastTime = Time.epochNanos(date)
+            val v = close.getOrElse(Double.NaN)
+            if (!st.started) {
+              st.started = true
+              st.anchorClose = v
+              st.lastMoveSell = false
+              Some(SignalBar(ticker, date, v, isBuy = true, isSell = false))
+            } else if (v >= st.anchorClose * sellMult && !st.lastMoveSell) {
+              st.anchorClose = v
+              st.lastMoveSell = true
+              Some(SignalBar(ticker, date, v, isBuy = false, isSell = true))
+            } else if (v <= st.anchorClose * buyMult && st.lastMoveSell) {
+              st.anchorClose = v
+              st.lastMoveSell = false
+              Some(SignalBar(ticker, date, v, isBuy = true, isSell = false))
+            } else None
+          }
+        }.toVector
+        state.update(st)
+        out.iterator
+    }
+  }
+
   /** Watermarked sliding-window aggregation over an event stream — the
     * streaming analogue of the rolling-indicator family (SURVEY.md §2.6):
     * per-window count/sum/min/max of `value`.

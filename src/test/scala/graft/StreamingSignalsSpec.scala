@@ -82,6 +82,26 @@ class StreamingSignalsSpec extends SparkTestBase {
     assert(streamed.head.isBuy, "first emitted signal must be the buy")
   }
 
+  test("tenPercentSignals equals batch TenPercent.signals across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Bar]
+    val query = StreamingBacktest.tenPercentSignals(input.toDF())
+      .writeStream.format("memory").queryName("tp_out")
+      .outputMode("append").start()
+    // one bar per batch: the anchor state machine crosses every boundary
+    bars.sortBy(b => (b.ticker, b.date.getTime)).foreach { b =>
+      input.addData(b); query.processAllAvailable()
+    }
+    query.stop()
+
+    val streamed = spark.table("tp_out").as[graft.model.SignalBar]
+      .orderBy("ticker", "date").collect()
+    val batch = graft.strategy.TenPercent().signals(bars.toDF())
+      .orderBy("ticker", "date").collect()
+    assert(streamed.toSeq === batch.toSeq)
+    assert(batch.count(_.isSell) >= 1, "path must trigger the sell leg")
+  }
+
   test("composed streaming backtest reproduces the batch trade table") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Bar]
