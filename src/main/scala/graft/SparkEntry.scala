@@ -308,6 +308,21 @@ object SparkEntry {
           graft.ops.ScaleOps.zorderKey2(x, y, 8).as("zkey"))
         .orderBy(col("o_orderkey"))
     }),
+    "sc_profile" -> ((s, dir) => {
+      // ingest-QC dataset profile: per-column row/null/distinct counts,
+      // exact min/max, decimal-exact sums — one aggregation pass
+      // (graft.ops.Profile.profileNumeric; exact distincts here, HLL
+      // sketches are the 100 TB knob)
+      graft.ops.Profile.profileNumeric(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    }),
+    "sc_histogram" -> ((s, dir) => {
+      // equi-width histogram (32 bins over the derived [min, max]) of
+      // l_extendedprice — integer counts, order-free, bounds pass +
+      // count pass (graft.ops.Profile.equiWidthHistogram)
+      graft.ops.Profile.equiWidthHistogram(t(s, dir, "lineitem"),
+        "l_extendedprice", nBins = 32)
+    }),
     "a12_pivot" -> ((s, dir) => {
       // long→wide pivot with an EXPLICIT category list, written as
       // conditional aggregates directly: ONE partial+final hash agg on
@@ -1072,6 +1087,23 @@ object SparkEntry {
           round(col("lm_score"), 6).as("lm_score6"))
         .orderBy(col("doc_id"))
     }),
+    "ts_bm25_topk" -> ((s, dir) => {
+      // BM25 ranked retrieval: every 13th document's first 8 tokens as
+      // the query set, top-5 hits over the full corpus, stop-term guard
+      // at df ≤ 50 % of docs (inverted-index probe shape — queries
+      // broadcast, postings pruned before the tf aggregation)
+      val docs = t(s, dir, "documents")
+      val tk = filter(split(lower(col("text")), "\\s+"),
+        x => length(x) > 0)
+      val queries = docs.filter(col("doc_id") % 13 === 0)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(tk, 1, 8)).as("qtext"))
+      graft.text.Retrieval.bm25TopK(docs, "doc_id", "text",
+          queries, "doc_id", "qtext", k = 5, maxDfFrac = 0.5)
+        .select(col("query_id"), col("doc_id"),
+          round(col("score"), 6).as("score6"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "ts_domain_mix" -> ((s, dir) => {
       // temperature-weighted language mixing (alpha = 0.5 flattens the
       // skewed language distribution), deterministic hash acceptance
@@ -1384,6 +1416,37 @@ object SparkEntry {
          SELECT o_orderkey, x, y, CAST(${zorderSql("x", "y", 8)} AS BIGINT)
            AS zkey
          FROM b ORDER BY o_orderkey""",
+    "sc_profile" -> {
+      // per-column stats block, one UNION ALL branch per column; sums
+      // through DECIMAL(18,2) (the house exact-sum pattern)
+      def branch(c: String): String =
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+            count(*) - count($c) AS n_nulls,
+            count(DISTINCT $c) AS n_distinct,
+            CAST(min($c) AS DOUBLE) AS min_value,
+            CAST(max($c) AS DOUBLE) AS max_value,
+            CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          FROM lineitem"""
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(branch).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
+    "sc_histogram" ->
+      """WITH mm AS (SELECT CAST(min(l_extendedprice) AS DOUBLE) AS mn,
+             CAST(max(l_extendedprice) AS DOUBLE) AS mx FROM lineitem),
+         b AS (SELECT
+             CASE WHEN mm.mx = mm.mn THEN 0
+               ELSE CAST(least(floor((CAST(l_extendedprice AS DOUBLE) - mm.mn)
+                 * CAST(32 AS DOUBLE) / (mm.mx - mm.mn)),
+                 CAST(31 AS DOUBLE)) AS INT) END AS bin,
+             mm.mn AS mn, mm.mx AS mx
+           FROM lineitem CROSS JOIN mm WHERE l_extendedprice IS NOT NULL)
+         SELECT bin,
+           mn + CAST(bin AS DOUBLE) * ((mx - mn) / CAST(32 AS DOUBLE))
+             AS bin_lo,
+           mn + CAST(bin + 1 AS DOUBLE) * ((mx - mn) / CAST(32 AS DOUBLE))
+             AS bin_hi,
+           count(*) AS n
+         FROM b GROUP BY bin, mn, mx ORDER BY bin""",
     "a12_pivot" ->
       """SELECT user_id,
            coalesce(CAST(sum(CASE WHEN event_type = 'click'
@@ -1841,6 +1904,56 @@ object SparkEntry {
          LEFT JOIN nrem n USING (doc_id)
          LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
          ORDER BY d.doc_id""",
+    "ts_bm25_topk" ->
+      // Okapi BM25 (Lucene idf), every-13th-doc first-8-token queries,
+      // stop-term guard df ≤ 0.5·N; per-(query, doc) contributions
+      // folded in TERM order (the pinned float-sum discipline), ranking
+      // by (score desc, doc_id) — the same ordering the bounded k-heap
+      // aggregation emits
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text),
+             '\s+'), t -> length(t) > 0) AS tk FROM documents),
+         corp AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS dl
+           FROM toks WHERE len(tk) > 0),
+         tf AS (SELECT doc_id, dl, w, count(*) AS tf
+           FROM (SELECT doc_id, dl, unnest(tk) AS w FROM corp)
+           GROUP BY doc_id, dl, w),
+         q AS (SELECT doc_id AS query_id, unnest(list_distinct(tk[1:8]))
+             AS w
+           FROM corp WHERE doc_id % 13 = 0),
+         stats AS (SELECT count(*) AS n,
+             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+           FROM corp),
+         dft AS (SELECT w, count(*) AS df FROM tf
+           WHERE w IN (SELECT w FROM q) GROUP BY w),
+         contrib AS (
+           SELECT q.query_id, tf.doc_id, tf.w,
+             ln(CAST(1.0 AS DOUBLE)
+                + (CAST(s.n AS DOUBLE) - CAST(d.df AS DOUBLE)
+                   + CAST(0.5 AS DOUBLE))
+                  / (CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+             * ((CAST(tf.tf AS DOUBLE)
+                 * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                / (CAST(tf.tf AS DOUBLE)
+                   + CAST(1.2 AS DOUBLE)
+                     * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+                        + CAST(0.75 AS DOUBLE)
+                          * (CAST(tf.dl AS DOUBLE) / s.avgdl)))) AS c
+           FROM tf JOIN q ON tf.w = q.w JOIN dft d ON d.w = tf.w
+           CROSS JOIN stats s
+           WHERE CAST(d.df AS DOUBLE)
+             <= CAST(0.5 AS DOUBLE) * CAST(s.n AS DOUBLE)),
+         sc AS (SELECT query_id, doc_id,
+             list_reduce(list_prepend(0.0, list(c ORDER BY w)),
+               (a, e) -> a + e) AS score
+           FROM contrib GROUP BY query_id, doc_id),
+         rk AS (SELECT query_id, doc_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id) AS INT) AS rank
+           FROM sc)
+         SELECT query_id, doc_id, round(score, 6) AS score6, rank
+         FROM rk WHERE rank <= 5
+         ORDER BY query_id, rank""",
     "ts_domain_mix" -> SplitOracle.tsDomainMix,
     "ts_lm_score" ->
       // corpus bigram LM (stupid backoff, trained on the bucket<80 hash

@@ -36,6 +36,11 @@ import graft.ops.Joins
   * SELECT * FROM scrub_repeated_ngrams('documents', 'doc_id', 'text',
   *                                     10, 1, true) -- gram width, max df,
   *                                                  -- keep first copy
+  * SELECT * FROM bm25_topk('documents', 'doc_id', 'text',
+  *                         'queries', 'q_id', 'q_text', 5)
+  * SELECT * FROM bm25_topk('documents', 'doc_id', 'text',
+  *                         'queries', 'q_id', 'q_text', 5,
+  *                         1.2, 0.75, 0.5)          -- k1, b, max df frac
   * -- embedding tier (vector column must be array<double>/array<float>):
   * SELECT * FROM semantic_near_dups('emb', 'vec_id', 'embedding', 0.9)
   * SELECT * FROM semantic_near_dups('emb', 'vec_id', 'embedding', 0.9,
@@ -187,6 +192,23 @@ object TableFunctions {
         maxDocs = if (args.length >= 5) lng(args(4), "max docs").toInt else 1,
         keepFirstCopy =
           if (args.length == 6) bool(args(5), "keep first copy") else false)
+        .queryExecution.analyzed
+    }),
+    "bm25_topk" -> (args => {
+      arity("bm25_topk", args, 7, 10)
+      val spark = SparkSession.active
+      graft.text.Retrieval.bm25TopK(
+        spark.table(str(args(0), "corpus table name")),
+        str(args(1), "corpus id column"),
+        str(args(2), "corpus text column"),
+        spark.table(str(args(3), "queries table name")),
+        str(args(4), "query id column"),
+        str(args(5), "query text column"),
+        k = lng(args(6), "k").toInt,
+        k1 = if (args.length >= 8) dbl(args(7), "k1") else 1.2,
+        b = if (args.length >= 9) dbl(args(8), "b") else 0.75,
+        maxDfFrac =
+          if (args.length == 10) dbl(args(9), "max df fraction") else 1.0)
         .queryExecution.analyzed
     }),
     // embedding tier: the vector column must already be array<double> /

@@ -53,7 +53,7 @@ object Similarity {
     * id types fall back to the ranking window (correct, but shuffles all
     * scored candidates — avoid for large corpora).
     */
-  private def rankTopK(scored: DataFrame, k: Int,
+  private[graft] def rankTopK(scored: DataFrame, k: Int,
       dedupCandidates: Boolean = false): DataFrame = {
     val idType = scored.schema("vec_id").dataType
     if (integralTypes.contains(idType)) {

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Retrieval
+
+/** BM25 ranked retrieval: scores against an independent in-JVM model
+  * (same term-ordered float fold), stop-term guard semantics, rank
+  * tie-break, id-type gating and partitioning invariance.
+  */
+class Bm25Spec extends SparkTestBase {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "spark shuffles data across the cluster"),
+    (2L, "the cluster runs spark executors"),
+    (3L, "pandas runs on one machine"),
+    (4L, "data pipelines clean data for training"),
+    (5L, "")
+  ).toDF("doc_id", "text")
+
+  /** Independent BM25 model: same tokenization, same Lucene idf, same
+    * term-sorted contribution fold — plain Scala doubles, so agreement
+    * with the operator is bit-exact (identical JVM arithmetic).
+    */
+  private def model(docs: Seq[(Long, String)], query: String, k1: Double,
+      b: Double, maxDfFrac: Double): Map[Long, Double] = {
+    def tok(s: String) = s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val corp = docs.map { case (id, t) => (id, tok(t)) }.filter(_._2.nonEmpty)
+    val n = corp.size
+    val avgdl = corp.map(_._2.size.toLong).sum.toDouble / n.toDouble
+    val df = corp.flatMap { case (_, tk) => tk.distinct }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val qts = tok(query).distinct
+      .filter(t => df.contains(t) && df(t).toDouble <= maxDfFrac * n.toDouble)
+    corp.flatMap { case (id, tk) =>
+      val tf = tk.groupBy(identity).view.mapValues(_.size).toMap
+      val cs = qts.filter(tf.contains).sorted.map { t =>
+        val idf = math.log(1.0 + (n.toDouble - df(t).toDouble + 0.5) /
+          (df(t).toDouble + 0.5))
+        val tfd = tf(t).toDouble
+        idf * ((tfd * (k1 + 1.0)) /
+          (tfd + k1 * ((1.0 - b) + b * (tk.size.toDouble / avgdl))))
+      }
+      if (cs.isEmpty) None
+      else Some(id -> cs.foldLeft(0.0)(_ + _))
+    }.toMap
+  }
+
+  test("scores match the independent model bit-exactly") {
+    val queries = Seq((100L, "spark cluster data")).toDF("qid", "qtext")
+    val got = Retrieval.bm25TopK(corpus, "doc_id", "text",
+        queries, "qid", "qtext", k = 10)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    val docs = Seq(
+      1L -> "spark shuffles data across the cluster",
+      2L -> "the cluster runs spark executors",
+      3L -> "pandas runs on one machine",
+      4L -> "data pipelines clean data for training",
+      5L -> "")
+    val want = model(docs, "spark cluster data", 1.2, 0.75, 1.0)
+    assert(got.map(_._2).toSet == want.keySet, s"hit set: ${got.toSeq}")
+    got.foreach { case (_, doc, score, _) =>
+      assert(score == want(doc), s"doc $doc: $score != ${want(doc)}")
+    }
+    // ranking is (score desc, doc_id asc)
+    val ranked = want.toSeq.sortBy { case (id, s) => (-s, id) }.map(_._1)
+    assert(got.map(_._2).toSeq == ranked)
+  }
+
+  test("stop-term guard drops high-df terms symmetrically") {
+    // "the" appears in 2/4 non-empty docs = 0.5 > 0.4 → excluded;
+    // "executors" (df 1) survives
+    val queries = Seq((100L, "the executors")).toDF("qid", "qtext")
+    val got = Retrieval.bm25TopK(corpus, "doc_id", "text",
+        queries, "qid", "qtext", k = 10, maxDfFrac = 0.4)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(got.map(_._2).toSeq == Seq(2L),
+      s"only the executors doc may match, got ${got.toSeq}")
+    val docs = Seq(1L -> "spark shuffles data across the cluster",
+      2L -> "the cluster runs spark executors",
+      3L -> "pandas runs on one machine",
+      4L -> "data pipelines clean data for training")
+    assert(got.head._3 == model(docs, "the executors", 1.2, 0.75, 0.4)(2L))
+  }
+
+  test("k truncates per query and ties break by ascending doc id") {
+    // identical docs → identical scores → rank order is doc_id
+    val twins = Seq((7L, "alpha beta"), (3L, "alpha beta"),
+      (9L, "alpha beta")).toDF("doc_id", "text")
+    val queries = Seq((1L, "alpha")).toDF("qid", "qtext")
+    val got = Retrieval.bm25TopK(twins, "doc_id", "text",
+        queries, "qid", "qtext", k = 2)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    assert(got.map(r => (r._2, r._4)).toSeq == Seq((3L, 1), (7L, 2)))
+  }
+
+  test("result is repartition-invariant (term-ordered fold)") {
+    val queries = Seq((100L, "spark cluster data"), (101L, "pandas training"))
+      .toDF("qid", "qtext")
+    val a = Retrieval.bm25TopK(corpus.repartition(13), "doc_id", "text",
+        queries, "qid", "qtext", k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val b = Retrieval.bm25TopK(corpus.coalesce(1), "doc_id", "text",
+        queries, "qid", "qtext", k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("string doc ids take the window fallback with identical results") {
+    val sCorpus = corpus.withColumn("doc_id",
+      concat(lit("d"), col("doc_id")))
+    val queries = Seq((100L, "spark cluster data")).toDF("qid", "qtext")
+    val viaString = Retrieval.bm25TopK(sCorpus, "doc_id", "text",
+        queries, "qid", "qtext", k = 3)
+      .as[(Long, String, Double, Int)].collect()
+      .map(r => (r._1, r._2.stripPrefix("d").toLong, r._3, r._4)).toSet
+    val viaLong = Retrieval.bm25TopK(corpus, "doc_id", "text",
+        queries, "qid", "qtext", k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(viaString == viaLong && viaLong.nonEmpty)
+  }
+
+  test("empty queries and empty documents are excluded, not errors") {
+    val queries = Seq((100L, "   "), (101L, "machine")).toDF("qid", "qtext")
+    val got = Retrieval.bm25TopK(corpus, "doc_id", "text",
+        queries, "qid", "qtext", k = 5)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(got.map(_._1).toSet == Set(101L))
+    assert(got.map(_._2).toSet == Set(3L))
+  }
+
+  test("parameter guards fail loudly") {
+    val q = Seq((1L, "x")).toDF("qid", "qtext")
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(corpus, "doc_id", "text", q, "qid", "qtext", k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(corpus, "doc_id", "text", q, "qid", "qtext",
+        k = 1, maxDfFrac = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(corpus, "doc_id", "text", q, "qid", "qtext",
+        k = 1, b = 1.5)
+    }
+  }
+}

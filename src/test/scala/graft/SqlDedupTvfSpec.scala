@@ -150,6 +150,32 @@ class SqlDedupTvfSpec extends SparkTestBase {
     assert(got(1L) === "a" && got(4L) === "b")
   }
 
+  test("bm25_topk TVF matches the Scala operator, defaults and full arity") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    docs.createOrReplaceTempView("sql_docs")
+    val queries = Seq((1L, "quick brown fox"), (2L, "meaning of life"))
+      .toDF("q_id", "q_text")
+    queries.createOrReplaceTempView("sql_queries")
+
+    val sqlDefault = spark.sql(
+      """SELECT * FROM bm25_topk('sql_docs', 'doc_id', 'text',
+                                 'sql_queries', 'q_id', 'q_text', 3)""")
+    sameRows(sqlDefault, graft.text.Retrieval.bm25TopK(docs, "doc_id",
+      "text", queries, "q_id", "q_text", k = 3))
+    // the fox docs must rank for query 1, the benchmark doc for query 2
+    val top = sqlDefault.filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(1L, 2L, 3L).contains(top(1L)) && top(2L) === 5L)
+
+    sameRows(
+      spark.sql("""SELECT * FROM bm25_topk('sql_docs', 'doc_id', 'text',
+                     'sql_queries', 'q_id', 'q_text', 3, 1.5, 0.5, 0.9)"""),
+      graft.text.Retrieval.bm25TopK(docs, "doc_id", "text",
+        queries, "q_id", "q_text", k = 3, k1 = 1.5, b = 0.5,
+        maxDfFrac = 0.9))
+  }
+
   test("TVF argument validation fails loudly") {
     GraftExtensions.register(spark)
     docs.createOrReplaceTempView("sql_docs")
