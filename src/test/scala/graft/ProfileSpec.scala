@@ -42,6 +42,28 @@ class ProfileSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("profileNumeric: exact distincts match count_distinct on " +
+      "NaN/-0.0/all-null edges") {
+    // the Expand-free pair path must agree with count_distinct exactly:
+    // NaN collapses to one value, -0.0 merges with 0.0, nulls drop
+    val d = Seq[(java.lang.Double, java.lang.Double)](
+      (Double.NaN, null), (Double.NaN, null), (-0.0, null), (0.0, null),
+      (3.5, null))
+      .toDF("a", "nul")
+    val got = Profile.profileNumeric(d, Seq("a", "nul"))
+      .select("column", "n_distinct").as[(String, Long)].collect().toMap
+    val want = d.select(count_distinct(col("a")), count_distinct(col("nul")))
+      .as[(Long, Long)].collect().head
+    assert(got("a") == want._1 && got("nul") == want._2, s"got $got")
+    assert(got("nul") == 0L)
+  }
+
+  test("profileNumeric rejects duplicate columns") {
+    intercept[IllegalArgumentException] {
+      Profile.profileNumeric(df, Seq("v", "v"))
+    }
+  }
+
   test("profileNumeric rejects missing and non-numeric columns") {
     intercept[IllegalArgumentException] {
       Profile.profileNumeric(df, Seq("nope"))
@@ -49,6 +71,56 @@ class ProfileSpec extends SparkTestBase {
     val withS = df.withColumn("s", lit("x"))
     intercept[IllegalArgumentException] {
       Profile.profileNumeric(withS, Seq("s"))
+    }
+  }
+
+  test("keySkew: counts, shares, hot-key stats on a constructed skew") {
+    // a×10, b×4, c×1, d×1 → n_rows=16, n_keys=4, mean=4;
+    // hotFactor=2 ⇒ hot iff n > 8: only a (10 rows, share 10/16)
+    val d = (Seq.fill(10)("a") ++ Seq.fill(4)("b") ++ Seq("c", "d"))
+      .toDF("k")
+    val got = Profile.keySkew(d, Seq("k"), topN = 2, hotFactor = 2.0)
+      .as[(String, Long, Double, Double, Long, Long, Long, Long, Double)]
+      .collect().toSeq
+    assert(got.map(_._1) == Seq("a", "b"))
+    val a = got.head
+    assert(a == (("a", 10L, 10.0 / 16.0, 10.0 / 4.0, 16L, 4L, 10L, 1L,
+      10.0 / 16.0)), s"got $a")
+    val b = got(1)
+    assert(b._2 == 4L && b._4 == 1.0 && b._8 == 1L)
+  }
+
+  test("keySkew: deterministic tie-break, null keys count as a group") {
+    val d = Seq[(java.lang.Long, String)]((1L, "x"), (1L, "y"),
+      (2L, "x"), (2L, "y"), (null, "z")).toDF("k", "p")
+    val got = Profile.keySkew(d, Seq("k"), topN = 3)
+      .select("k", "n").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getLong(1))
+      .toSeq
+    // ties (1→2, 2→2) break by key asc; null group present with n=1
+    assert(got == Seq(1L -> 2L, 2L -> 2L, -1L -> 1L), s"got $got")
+  }
+
+  test("keySkew: multi-column keys and repartition invariance") {
+    val d = Seq((1, "x"), (1, "x"), (1, "y"), (2, "x")).toDF("a", "b")
+    val one = Profile.keySkew(d.coalesce(1), Seq("a", "b"), topN = 4)
+      .collect().toSeq
+    val many = Profile.keySkew(d.repartition(7), Seq("a", "b"), topN = 4)
+      .collect().toSeq
+    assert(one == many)
+    assert(one.head.getInt(0) == 1 && one.head.getString(1) == "x"
+      && one.head.getLong(2) == 2L)
+  }
+
+  test("keySkew guards") {
+    intercept[IllegalArgumentException] {
+      Profile.keySkew(df, Seq("nope"))
+    }
+    intercept[IllegalArgumentException] {
+      Profile.keySkew(df, Seq("v"), topN = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Profile.keySkew(df, Seq.empty)
     }
   }
 
