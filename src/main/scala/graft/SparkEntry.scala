@@ -323,6 +323,14 @@ object SparkEntry {
       graft.ops.Profile.equiWidthHistogram(t(s, dir, "lineitem"),
         "l_extendedprice", nBins = 32)
     }),
+    "sc_skew" -> ((s, dir) => {
+      // key-skew profile of events.user_id (the would-be join/groupBy
+      // key): top-10 heaviest keys + hot-key stats at 1.2× the mean
+      // group size — ONE shuffle, TakeOrderedAndProject heap, broadcast
+      // stats (graft.ops.Profile.keySkew)
+      graft.ops.Profile.keySkew(t(s, dir, "events"), Seq("user_id"),
+        topN = 10, hotFactor = 1.2)
+    }),
     "a12_pivot" -> ((s, dir) => {
       // long→wide pivot with an EXPLICIT category list, written as
       // conditional aggregates directly: ONE partial+final hash agg on
@@ -1447,6 +1455,32 @@ object SparkEntry {
              AS bin_hi,
            count(*) AS n
          FROM b GROUP BY bin, mn, mx ORDER BY bin""",
+    "sc_skew" ->
+      // mirror of Profile.keySkew: group sizes → global stats + hot
+      // stats (n > 1.2×mean) + top-10 heap; sums cast to BIGINT (DuckDB
+      // widens sum(BIGINT) to HUGEINT), divisions parenthesized exactly
+      // as the Spark side computes them
+      """WITH sizes AS (SELECT user_id, count(*) AS kn FROM events
+             GROUP BY user_id),
+         base AS (SELECT count(*) AS nk, CAST(sum(kn) AS BIGINT) AS nr,
+             max(kn) AS mx FROM sizes),
+         hot AS (SELECT count(*) AS hot_keys,
+             CAST(coalesce(sum(kn), 0) AS BIGINT) AS hotrows
+           FROM sizes, base
+           WHERE CAST(kn AS DOUBLE) > CAST(1.2 AS DOUBLE)
+             * (CAST(nr AS DOUBLE) / CAST(nk AS DOUBLE))),
+         top AS (SELECT user_id, kn FROM sizes
+           ORDER BY kn DESC, user_id LIMIT 10)
+         SELECT t.user_id, CAST(t.kn AS BIGINT) AS n,
+           CAST(t.kn AS DOUBLE) / CAST(b.nr AS DOUBLE) AS share,
+           CAST(t.kn AS DOUBLE)
+             / (CAST(b.nr AS DOUBLE) / CAST(b.nk AS DOUBLE)) AS skew,
+           b.nr AS n_rows, CAST(b.nk AS BIGINT) AS n_keys,
+           CAST(b.mx AS BIGINT) AS max_n,
+           CAST(h.hot_keys AS BIGINT) AS hot_keys,
+           CAST(h.hotrows AS DOUBLE) / CAST(b.nr AS DOUBLE) AS hot_share
+         FROM top t CROSS JOIN base b CROSS JOIN hot h
+         ORDER BY n DESC, t.user_id""",
     "a12_pivot" ->
       """SELECT user_id,
            coalesce(CAST(sum(CASE WHEN event_type = 'click'
