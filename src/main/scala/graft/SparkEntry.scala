@@ -1112,6 +1112,50 @@ object SparkEntry {
           round(col("score"), 6).as("score6"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "ts_bm25_probe" -> ((s, dir) => {
+      // build the persistable postings index + stats, then answer from
+      // the INDEX only (corpus text untouched at probe time) — pinned
+      // bit-identical to the direct operator by the shared oracle
+      val docs = t(s, dir, "documents")
+      val post = graft.text.Retrieval.bm25Index(docs, "doc_id", "text")
+      val stats = graft.text.Retrieval.bm25IndexStats(post)
+      val tk = filter(split(lower(col("text")), "\\s+"),
+        x => length(x) > 0)
+      val queries = docs.filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(tk, 1, 6)).as("qtext"))
+      graft.text.Retrieval.bm25ProbeIndex(post, stats, queries,
+          "doc_id", "qtext", k = 5, maxDfFrac = 0.5)
+        .select(col("query_id"), col("doc_id"),
+          round(col("score"), 6).as("score6"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "ts_bm25_incremental" -> ((s, dir) => {
+      // incremental lifecycle: index the base split, merge a fresh
+      // batch newest-wins (docs % 3 = 0 or % 7 = 0 re-ingested with
+      // edited text — the % 21-ish overlap exercises replacement), and
+      // probe the merged index; oracle = direct BM25 over the merged
+      // corpus
+      val docs = t(s, dir, "documents")
+      val base = docs.filter(col("doc_id") % 3 =!= 0)
+      val fresh = docs
+        .filter(col("doc_id") % 3 === 0 || col("doc_id") % 7 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" upd")).as("text"))
+      val merged = graft.text.Retrieval.updateBm25Index(
+        graft.text.Retrieval.bm25Index(base, "doc_id", "text"),
+        fresh, "doc_id", "text")
+      val stats = graft.text.Retrieval.bm25IndexStats(merged)
+      val tk = filter(split(lower(col("text")), "\\s+"),
+        x => length(x) > 0)
+      val queries = docs.filter(col("doc_id") % 19 === 0)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(tk, 1, 6)).as("qtext"))
+      graft.text.Retrieval.bm25ProbeIndex(merged, stats, queries,
+          "doc_id", "qtext", k = 5, maxDfFrac = 0.5)
+        .select(col("query_id"), col("doc_id"),
+          round(col("score"), 6).as("score6"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "ts_domain_mix" -> ((s, dir) => {
       // temperature-weighted language mixing (alpha = 0.5 flattens the
       // skewed language distribution), deterministic hash acceptance
@@ -1205,6 +1249,67 @@ object SparkEntry {
         .orderBy(col("ticker"))
     }),
   )
+
+  /** Parameterized DuckDB twin of Retrieval.bm25TopK / bm25ProbeIndex:
+    * Okapi BM25 with the Lucene idf, per-(query, doc) contributions
+    * folded in TERM order (the pinned float-sum discipline), ranking by
+    * (score desc, doc_id) — the ordering the bounded k-heap emits.
+    * `corpusSql` yields (doc_id, text); `querySql` yields (query_id,
+    * text) whose first `sliceLen` distinct tokens form the query terms.
+    * Shared by the ts_bm25_topk / ts_bm25_probe / ts_bm25_incremental
+    * oracles so the three stay one formula.
+    */
+  private def bm25OracleSql(corpusSql: String, querySql: String,
+      sliceLen: Int, k: Int, maxDfFrac: Double): String =
+    s"""WITH src AS ($corpusSql),
+         toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text),
+             '\\s+'), t -> length(t) > 0) AS tk FROM src),
+         corp AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS dl
+           FROM toks WHERE len(tk) > 0),
+         tf AS (SELECT doc_id, dl, w, count(*) AS tf
+           FROM (SELECT doc_id, dl, unnest(tk) AS w FROM corp)
+           GROUP BY doc_id, dl, w),
+         qsrc AS ($querySql),
+         qtoks AS (
+           SELECT query_id, list_filter(string_split_regex(lower(text),
+             '\\s+'), t -> length(t) > 0) AS tk FROM qsrc),
+         q AS (SELECT query_id, unnest(list_distinct(tk[1:$sliceLen]))
+             AS w
+           FROM qtoks WHERE len(tk) > 0),
+         stats AS (SELECT count(*) AS n,
+             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+           FROM corp),
+         dft AS (SELECT w, count(*) AS df FROM tf
+           WHERE w IN (SELECT w FROM q) GROUP BY w),
+         contrib AS (
+           SELECT q.query_id, tf.doc_id, tf.w,
+             ln(CAST(1.0 AS DOUBLE)
+                + (CAST(s.n AS DOUBLE) - CAST(d.df AS DOUBLE)
+                   + CAST(0.5 AS DOUBLE))
+                  / (CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+             * ((CAST(tf.tf AS DOUBLE)
+                 * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                / (CAST(tf.tf AS DOUBLE)
+                   + CAST(1.2 AS DOUBLE)
+                     * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+                        + CAST(0.75 AS DOUBLE)
+                          * (CAST(tf.dl AS DOUBLE) / s.avgdl)))) AS c
+           FROM tf JOIN q ON tf.w = q.w JOIN dft d ON d.w = tf.w
+           CROSS JOIN stats s
+           WHERE CAST(d.df AS DOUBLE)
+             <= CAST($maxDfFrac AS DOUBLE) * CAST(s.n AS DOUBLE)),
+         sc AS (SELECT query_id, doc_id,
+             list_reduce(list_prepend(0.0, list(c ORDER BY w)),
+               (a, e) -> a + e) AS score
+           FROM contrib GROUP BY query_id, doc_id),
+         rk AS (SELECT query_id, doc_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id) AS INT) AS rank
+           FROM sc)
+         SELECT query_id, doc_id, round(score, 6) AS score6, rank
+         FROM rk WHERE rank <= $k
+         ORDER BY query_id, rank"""
 
   /** Shared DuckDB CTE chain reproducing TextStats.lmScore (documents →
     * per-doc stupid-backoff bigram score in `sc`); consumed by the
@@ -1939,55 +2044,25 @@ object SparkEntry {
          LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
          ORDER BY d.doc_id""",
     "ts_bm25_topk" ->
-      // Okapi BM25 (Lucene idf), every-13th-doc first-8-token queries,
-      // stop-term guard df ≤ 0.5·N; per-(query, doc) contributions
-      // folded in TERM order (the pinned float-sum discipline), ranking
-      // by (score desc, doc_id) — the same ordering the bounded k-heap
-      // aggregation emits
-      """WITH toks AS (
-           SELECT doc_id, list_filter(string_split_regex(lower(text),
-             '\s+'), t -> length(t) > 0) AS tk FROM documents),
-         corp AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS dl
-           FROM toks WHERE len(tk) > 0),
-         tf AS (SELECT doc_id, dl, w, count(*) AS tf
-           FROM (SELECT doc_id, dl, unnest(tk) AS w FROM corp)
-           GROUP BY doc_id, dl, w),
-         q AS (SELECT doc_id AS query_id, unnest(list_distinct(tk[1:8]))
-             AS w
-           FROM corp WHERE doc_id % 13 = 0),
-         stats AS (SELECT count(*) AS n,
-             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
-           FROM corp),
-         dft AS (SELECT w, count(*) AS df FROM tf
-           WHERE w IN (SELECT w FROM q) GROUP BY w),
-         contrib AS (
-           SELECT q.query_id, tf.doc_id, tf.w,
-             ln(CAST(1.0 AS DOUBLE)
-                + (CAST(s.n AS DOUBLE) - CAST(d.df AS DOUBLE)
-                   + CAST(0.5 AS DOUBLE))
-                  / (CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
-             * ((CAST(tf.tf AS DOUBLE)
-                 * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
-                / (CAST(tf.tf AS DOUBLE)
-                   + CAST(1.2 AS DOUBLE)
-                     * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
-                        + CAST(0.75 AS DOUBLE)
-                          * (CAST(tf.dl AS DOUBLE) / s.avgdl)))) AS c
-           FROM tf JOIN q ON tf.w = q.w JOIN dft d ON d.w = tf.w
-           CROSS JOIN stats s
-           WHERE CAST(d.df AS DOUBLE)
-             <= CAST(0.5 AS DOUBLE) * CAST(s.n AS DOUBLE)),
-         sc AS (SELECT query_id, doc_id,
-             list_reduce(list_prepend(0.0, list(c ORDER BY w)),
-               (a, e) -> a + e) AS score
-           FROM contrib GROUP BY query_id, doc_id),
-         rk AS (SELECT query_id, doc_id, score,
-             CAST(row_number() OVER (PARTITION BY query_id
-               ORDER BY score DESC, doc_id) AS INT) AS rank
-           FROM sc)
-         SELECT query_id, doc_id, round(score, 6) AS score6, rank
-         FROM rk WHERE rank <= 5
-         ORDER BY query_id, rank""",
+      // every-13th-doc first-8-token queries over the raw corpus,
+      // stop-term guard df <= 0.5*N (the shared bm25OracleSql twin)
+      bm25OracleSql("SELECT doc_id, text FROM documents",
+        "SELECT doc_id AS query_id, text FROM documents " +
+          "WHERE doc_id % 13 = 0", sliceLen = 8, k = 5, maxDfFrac = 0.5),
+    "ts_bm25_probe" ->
+      // probe-from-index == the direct operator, so the oracle is the
+      // same formula with the probe query slice
+      bm25OracleSql("SELECT doc_id, text FROM documents",
+        "SELECT doc_id AS query_id, text FROM documents " +
+          "WHERE doc_id % 17 = 0", sliceLen = 6, k = 5, maxDfFrac = 0.5),
+    "ts_bm25_incremental" ->
+      // merged corpus after the newest-wins update: docs in the fresh
+      // batch (doc_id % 3 = 0 OR % 7 = 0) carry the edited text
+      bm25OracleSql(
+        "SELECT doc_id, CASE WHEN doc_id % 3 = 0 OR doc_id % 7 = 0 " +
+          "THEN text || ' upd' ELSE text END AS text FROM documents",
+        "SELECT doc_id AS query_id, text FROM documents " +
+          "WHERE doc_id % 19 = 0", sliceLen = 6, k = 5, maxDfFrac = 0.5),
     "ts_domain_mix" -> SplitOracle.tsDomainMix,
     "ts_lm_score" ->
       // corpus bigram LM (stupid backoff, trained on the bucket<80 hash

@@ -87,42 +87,44 @@ object Retrieval {
     *   term). Exclusion is exact-semantics: the term contributes nothing
     *   for every query, symmetrically.
     */
-  def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,
-      queries: DataFrame, queryIdCol: String, queryTextCol: String,
-      k: Int, k1: Double = 1.2, b: Double = 0.75,
-      maxDfFrac: Double = 1.0): DataFrame = {
+  private def checkParams(k: Int, k1: Double, b: Double,
+      maxDfFrac: Double): Unit = {
     require(k > 0, s"k must be positive, got $k")
     require(k1 > 0, s"k1 must be positive, got $k1")
     require(b >= 0 && b <= 1, s"b must be in [0, 1], got $b")
     require(maxDfFrac > 0 && maxDfFrac <= 1,
       s"maxDfFrac must be in (0, 1], got $maxDfFrac")
+  }
 
-    val corp = corpus
-      .select(col(idCol).as("doc_id"), toks(col(textCol)).as("__tk"))
-      .filter(size(col("__tk")) > 0)
-      .select(col("doc_id"), col("__tk"),
-        size(col("__tk")).cast("long").as("__dl"))
-    val q = queries
-      .select(col(queryIdCol).as("query_id"),
-        toks(col(queryTextCol)).as("__qtk"))
-      .filter(size(col("__qtk")) > 0)
-      .select(col("query_id"), explode(array_distinct(col("__qtk"))).as("__w"))
-    val qw = q.select("__w").distinct()
+  /** (doc_id, __tk, __dl): tokenized corpus, empty docs dropped. */
+  private def tokenized(corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame = corpus
+    .select(col(idCol).as("doc_id"), toks(col(textCol)).as("__tk"))
+    .filter(size(col("__tk")) > 0)
+    .select(col("doc_id"), col("__tk"),
+      size(col("__tk")).cast("long").as("__dl"))
 
-    // N + avgdl: one scalar row (integer count, integer token sum, one
-    // division) — order-free, broadcast
-    val stats = broadcast(corp.agg(
-      count(lit(1)).as("__n"),
-      (sum(col("__dl")).cast("double") / count(lit(1)).cast("double"))
-        .as("__avgdl")))
+  /** (query_id, __w): one row per DISTINCT query term; empty queries
+    * dropped.
+    */
+  private def queryTerms(queries: DataFrame, queryIdCol: String,
+      queryTextCol: String): DataFrame = queries
+    .select(col(queryIdCol).as("query_id"),
+      toks(col(queryTextCol)).as("__qtk"))
+    .filter(size(col("__qtk")) > 0)
+    .select(col("query_id"), explode(array_distinct(col("__qtk"))).as("__w"))
 
-    // postings for QUERY TERMS ONLY: the broadcast semi-join prunes the
-    // token stream before the (doc, term) aggregation ever shuffles
-    val post = cut(corp
-      .select(col("doc_id"), col("__dl"), explode(col("__tk")).as("__w"))
-      .join(broadcast(qw), Seq("__w"), "left_semi")
-      .groupBy("doc_id", "__dl", "__w").agg(count(lit(1)).as("__tf")))
-
+  /** The shared scoring core. `post` must be the postings ALREADY pruned
+    * to the query term set — (doc_id, __dl, __w, __tf) — so the df
+    * derivation and the contribution join never touch a non-query term;
+    * `stats` one broadcast-able row (__n, __avgdl); `q` the exploded
+    * (query_id, __w) pairs.
+    */
+  private def scoreAndRank(post0: DataFrame, stats: DataFrame,
+      q: DataFrame, k: Int, k1: Double, b: Double,
+      maxDfFrac: Double): DataFrame = {
+    // the pruned postings feed two consumers (df counts + scoring)
+    val post = cut(post0)
     // df per query term from the pruned postings (one row per (doc,
     // term) ⇒ count = document frequency); bounded by |query terms|
     val dft = post.groupBy("__w").agg(count(lit(1)).as("__dfc"))
@@ -138,7 +140,7 @@ object Retrieval {
     val contrib = post
       .join(broadcast(q), Seq("__w"))
       .join(broadcast(dft), Seq("__w"))
-      .crossJoin(stats)
+      .crossJoin(broadcast(stats))
       .filter(dfD <= lit(maxDfFrac) * nD)
       .select(col("query_id"), col("doc_id"), col("__w"),
         (idf * tfPart).as("__c"))
@@ -156,5 +158,115 @@ object Retrieval {
     Similarity.rankTopK(scored, k)
       .select(col("query_id"), col("vec_id").as("doc_id"),
         col("cosine").as("score"), col("rank"))
+  }
+
+  def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      maxDfFrac: Double = 1.0): DataFrame = {
+    checkParams(k, k1, b, maxDfFrac)
+    val corp = tokenized(corpus, idCol, textCol)
+    val q = queryTerms(queries, queryIdCol, queryTextCol)
+    val qw = q.select("__w").distinct()
+
+    // N + avgdl: one scalar row (integer count, integer token sum, one
+    // division) — order-free, broadcast
+    val stats = corp.agg(
+      count(lit(1)).as("__n"),
+      (sum(col("__dl")).cast("double") / count(lit(1)).cast("double"))
+        .as("__avgdl"))
+
+    // postings for QUERY TERMS ONLY: the broadcast semi-join prunes the
+    // token stream before the (doc, term) aggregation ever shuffles
+    val post = corp
+      .select(col("doc_id"), col("__dl"), explode(col("__tk")).as("__w"))
+      .join(broadcast(qw), Seq("__w"), "left_semi")
+      .groupBy("doc_id", "__dl", "__w").agg(count(lit(1)).as("__tf"))
+
+    scoreAndRank(post, stats, q, k, k1, b, maxDfFrac)
+  }
+
+  // ------------------------------------------------------------------
+  // Persistable index lifecycle — build once, probe many, merge fresh
+  // batches newest-wins: the production shape when the corpus outlives
+  // any single query batch (re-tokenizing 100 TB per eval run is the
+  // thing this avoids). Mirrors the MinHash
+  // ([[graft.dedup.Dedup.updateMinhashIndex]]) and SemDeDup
+  // ([[graft.sim.Similarity.updateSemanticIndex]]) incremental tiers.
+  // ------------------------------------------------------------------
+
+  /** Build the persistable BM25 postings index: one row per (term,
+    * doc_id) — `(term, doc_id, tf, dl)` — the inverted index in long
+    * form. Empty-tokenization docs are absent (matching [[bm25TopK]]).
+    * ONE token-stream aggregation; at scale, write it
+    * sorted-by-term (parquet min/max pruning makes every probe's
+    * term semi-join skip non-matching row groups). Corpus stats for
+    * probing come from [[bm25IndexStats]] — compute BOTH at build time
+    * and persist them together.
+    */
+  def bm25Index(corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    tokenized(corpus, idCol, textCol)
+      .select(col("doc_id"), col("__dl"), explode(col("__tk")).as("__w"))
+      .groupBy("doc_id", "__dl", "__w").agg(count(lit(1)).as("__tf"))
+      .select(col("__w").as("term"), col("doc_id"), col("__tf").as("tf"),
+        col("__dl").as("dl"))
+
+  /** The one-row stats frame for a postings index: (n_docs, sum_dl).
+    * One partial-aggregable pass over the postings (per-doc dedup then
+    * count/sum); persist alongside the postings — a probe must never
+    * need a full-index scan just to learn N and avgdl.
+    */
+  def bm25IndexStats(postings: DataFrame): DataFrame =
+    postings.groupBy("doc_id").agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+
+  /** Top-k BM25 hits from a PERSISTED index — bit-identical to
+    * [[bm25TopK]] over the corpus the index was built from (same
+    * scoring core, same term-ordered fold), but the corpus text is
+    * never touched: the probe semi-joins the broadcast query terms
+    * against the postings (min/max-prunable when the index is stored
+    * term-sorted) and everything downstream is bounded by the pruned
+    * postings.
+    *
+    * @param stats the one-row (n_docs, sum_dl) frame persisted at build
+    *   time ([[bm25IndexStats]])
+    */
+  def bm25ProbeIndex(postings: DataFrame, stats: DataFrame,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      maxDfFrac: Double = 1.0): DataFrame = {
+    checkParams(k, k1, b, maxDfFrac)
+    val q = queryTerms(queries, queryIdCol, queryTextCol)
+    val qw = q.select("__w").distinct()
+    val st = stats.select(col("n_docs").as("__n"),
+      (col("sum_dl").cast("double") / col("n_docs").cast("double"))
+        .as("__avgdl"))
+    val post = postings
+      .select(col("doc_id"), col("dl").as("__dl"), col("term").as("__w"),
+        col("tf").as("__tf"))
+      .join(broadcast(qw), Seq("__w"), "left_semi")
+    scoreAndRank(post, st, q, k, k1, b, maxDfFrac)
+  }
+
+  /** Merge a fresh corpus batch into a persisted postings index,
+    * newest-wins: a doc id present in the fresh batch REPLACES all its
+    * old postings (re-ingested/edited documents never double-count).
+    * One anti-join over the index + a union — the same merge shape as
+    * the MinHash signature index. Returns the merged postings;
+    * recompute + re-persist the stats row via [[bm25IndexStats]] (the
+    * merge rewrites the postings anyway, so the one-pass stats
+    * recompute is the same cost class).
+    */
+  def updateBm25Index(postings: DataFrame, freshCorpus: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    // evict on the FRESH CORPUS ids (not the fresh postings): a
+    // re-ingested doc whose new text tokenizes to empty leaves the
+    // corpus, exactly as a fresh build would drop it
+    val fresh = bm25Index(freshCorpus, idCol, textCol)
+    val freshIds = freshCorpus.select(col(idCol).as("doc_id")).distinct()
+    postings.join(freshIds, Seq("doc_id"), "left_anti")
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      .unionByName(fresh)
   }
 }
