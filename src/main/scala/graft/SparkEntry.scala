@@ -323,6 +323,25 @@ object SparkEntry {
       graft.ops.Profile.equiWidthHistogram(t(s, dir, "lineitem"),
         "l_extendedprice", nBins = 32)
     }),
+    "sc_profile_drift" -> ((s, dir) => {
+      // feed-health check between two lineitem snapshots: the "after"
+      // feed nulls l_tax on every 3rd order (null spike), sign-flips
+      // l_quantity on every 1000th (range widening), drops l_discount
+      // and grows l_suppkey — profileDrift must flag each
+      val li = t(s, dir, "lineitem")
+      val before = graft.ops.Profile.profileNumeric(li,
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      val broken = li.select(
+        when(col("l_orderkey") % 1000 === 0, -col("l_quantity"))
+          .otherwise(col("l_quantity")).as("l_quantity"),
+        col("l_extendedprice"),
+        when(col("l_orderkey") % 3 === 0, lit(null))
+          .otherwise(col("l_tax")).as("l_tax"),
+        col("l_suppkey"))
+      val after = graft.ops.Profile.profileNumeric(broken,
+        Seq("l_quantity", "l_extendedprice", "l_tax", "l_suppkey"))
+      graft.ops.Profile.profileDrift(before, after, nullRateJump = 0.1)
+    }),
     "sc_skew" -> ((s, dir) => {
       // key-skew profile of events.user_id (the would-be join/groupBy
       // key): top-10 heaviest keys + hot-key stats at 1.2× the mean
@@ -1560,6 +1579,61 @@ object SparkEntry {
              AS bin_hi,
            count(*) AS n
          FROM b GROUP BY bin, mn, mx ORDER BY bin""",
+    "sc_profile_drift" -> {
+      // two profile blocks (the sc_profile branch pattern) full-outer
+      // joined into the drift report; flags as INTs, rates as single
+      // double divisions parenthesized like the Spark side
+      def branch(c: String, from: String): String =
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+            count(*) - count($c) AS n_nulls,
+            count(DISTINCT $c) AS n_distinct,
+            CAST(min($c) AS DOUBLE) AS min_value,
+            CAST(max($c) AS DOUBLE) AS max_value
+          FROM $from"""
+      val beforeCols = Seq("l_quantity", "l_extendedprice", "l_discount",
+        "l_tax")
+      val afterCols = Seq("l_quantity", "l_extendedprice", "l_tax",
+        "l_suppkey")
+      s"""WITH amod AS (SELECT
+           CASE WHEN l_orderkey % 1000 = 0 THEN -l_quantity
+             ELSE l_quantity END AS l_quantity,
+           l_extendedprice,
+           CASE WHEN l_orderkey % 3 = 0 THEN NULL ELSE l_tax END AS l_tax,
+           l_suppkey FROM lineitem),
+         pb AS (${beforeCols.map(branch(_, "lineitem"))
+          .mkString("\nUNION ALL\n")}),
+         pa AS (${afterCols.map(branch(_, "amod"))
+          .mkString("\nUNION ALL\n")}),
+         j AS (SELECT "column",
+             pb.n_rows AS n_rows_before, pa.n_rows AS n_rows_after,
+             CAST(pb.n_nulls AS DOUBLE) / CAST(pb.n_rows AS DOUBLE)
+               AS null_rate_before,
+             CAST(pa.n_nulls AS DOUBLE) / CAST(pa.n_rows AS DOUBLE)
+               AS null_rate_after,
+             pb.n_distinct AS n_distinct_before,
+             pa.n_distinct AS n_distinct_after,
+             (CAST(pa.n_nulls AS DOUBLE) / CAST(pa.n_rows AS DOUBLE)
+              - CAST(pb.n_nulls AS DOUBLE) / CAST(pb.n_rows AS DOUBLE))
+               > CAST(0.1 AS DOUBLE) AS f_null,
+             pb.n_distinct > 0 AND CAST(pa.n_distinct AS DOUBLE)
+               < CAST(0.5 AS DOUBLE) * CAST(pb.n_distinct AS DOUBLE)
+               AS f_dst,
+             pa.min_value < pb.min_value OR pa.max_value > pb.max_value
+               AS f_rng
+           FROM pb FULL OUTER JOIN pa USING ("column"))
+         SELECT "column",
+           CASE WHEN n_rows_before IS NULL THEN 'added'
+                WHEN n_rows_after IS NULL THEN 'removed'
+                WHEN coalesce(f_null, false) OR coalesce(f_dst, false)
+                  OR coalesce(f_rng, false) THEN 'drift'
+                ELSE 'ok' END AS status,
+           n_rows_before, n_rows_after, null_rate_before, null_rate_after,
+           n_distinct_before, n_distinct_after,
+           CAST(coalesce(f_null, false) AS INT) AS null_spike,
+           CAST(coalesce(f_dst, false) AS INT) AS distinct_collapse,
+           CAST(coalesce(f_rng, false) AS INT) AS range_widened
+         FROM j ORDER BY "column""""
+    },
     "sc_skew" ->
       // mirror of Profile.keySkew: group sizes → global stats + hot
       // stats (n > 1.2×mean) + top-10 heap; sums cast to BIGINT (DuckDB

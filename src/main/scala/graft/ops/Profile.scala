@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.NumericType
 
@@ -102,6 +102,70 @@ object Profile {
           col("min_value"), col("max_value"), col("sum_value"))
     }
     out.orderBy(col("column"))
+  }
+
+  /** Compare two [[profileNumeric]] outputs — the schema-drift /
+    * feed-health check between corpus snapshots (yesterday's ingest vs
+    * today's): a silently-nulled feed shows as a null-rate spike, an
+    * id-space collapse as a distinct-count drop, a unit blunder as a
+    * range widening — all BEFORE the snapshot joins the training
+    * corpus. One row per column (full outer join, so added/removed
+    * columns surface too):
+    *
+    *  - `status`: 'added' | 'removed' | 'drift' | 'ok' — 'drift' iff
+    *    any flag fires
+    *  - `null_spike` (1/0): null rate rose by more than `nullRateJump`
+    *  - `distinct_collapse` (1/0): distinct count fell below
+    *    `distinctDropFrac` × the before count
+    *  - `range_widened` (1/0): new min below the old, or new max above
+    *
+    * Pure plan-level arithmetic over two ≤|cols|-row frames (broadcast
+    * join, no shuffle); every value derives from the order-free
+    * profiles, so the drift report is itself bit-stable.
+    */
+  def profileDrift(before: DataFrame, after: DataFrame,
+      nullRateJump: Double = 0.01,
+      distinctDropFrac: Double = 0.5): DataFrame = {
+    require(nullRateJump >= 0,
+      s"nullRateJump must be non-negative, got $nullRateJump")
+    require(distinctDropFrac > 0 && distinctDropFrac <= 1,
+      s"distinctDropFrac must be in (0, 1], got $distinctDropFrac")
+    val want = Seq("column", "n_rows", "n_nulls", "n_distinct",
+      "min_value", "max_value", "sum_value")
+    Seq(("before", before), ("after", after)).foreach { case (side, df) =>
+      require(df.columns.toSeq == want,
+        s"$side frame is not a profileNumeric output: ${df.columns.toSeq}")
+    }
+    def rate(rows: Column, nulls: Column): Column =
+      nulls.cast("double") / rows.cast("double")
+    val b = before.select(col("column") +: want.tail.map(c =>
+      col(c).as(s"${c}_before")): _*)
+    val a = after.select(col("column") +: want.tail.map(c =>
+      col(c).as(s"${c}_after")): _*)
+    val nullSpike = (rate(col("n_rows_after"), col("n_nulls_after")) -
+      rate(col("n_rows_before"), col("n_nulls_before"))) > lit(nullRateJump)
+    val distinctCollapse = col("n_distinct_before") > 0 &&
+      col("n_distinct_after").cast("double") <
+        lit(distinctDropFrac) * col("n_distinct_before").cast("double")
+    val rangeWidened = col("min_value_after") < col("min_value_before") ||
+      col("max_value_after") > col("max_value_before")
+    broadcast(b).join(broadcast(a), Seq("column"), "full_outer")
+      .select(col("column"),
+        when(col("n_rows_before").isNull, lit("added"))
+          .when(col("n_rows_after").isNull, lit("removed"))
+          .when(nullSpike || distinctCollapse || rangeWidened, lit("drift"))
+          .otherwise(lit("ok")).as("status"),
+        col("n_rows_before"), col("n_rows_after"),
+        rate(col("n_rows_before"), col("n_nulls_before"))
+          .as("null_rate_before"),
+        rate(col("n_rows_after"), col("n_nulls_after"))
+          .as("null_rate_after"),
+        col("n_distinct_before"), col("n_distinct_after"),
+        coalesce(nullSpike, lit(false)).cast("int").as("null_spike"),
+        coalesce(distinctCollapse, lit(false)).cast("int")
+          .as("distinct_collapse"),
+        coalesce(rangeWidened, lit(false)).cast("int").as("range_widened"))
+      .orderBy(col("column"))
   }
 
   /** Key-skew profile for a prospective join / groupBy key — the

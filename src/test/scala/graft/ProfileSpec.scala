@@ -74,6 +74,42 @@ class ProfileSpec extends SparkTestBase {
     }
   }
 
+  test("profileDrift: statuses and flags on a constructed drift") {
+    val before = Seq[(java.lang.Double, java.lang.Double, java.lang.Double)](
+      (1.0, 5.0, 1.0), (2.0, 6.0, 2.0), (3.0, 7.0, 3.0), (4.0, 8.0, 4.0))
+      .toDF("stays", "nulled", "gone")
+    // 'nulled' gains 50% nulls (spike) and its distincts halve to 2
+    // (collapse at 0.6); 'stays' range widens low; 'fresh' is added
+    val after = Seq[(java.lang.Double, java.lang.Double, java.lang.Double)](
+      (-9.0, null, 1.0), (2.0, null, 1.0), (3.0, 6.0, 1.0), (4.0, 8.0, 1.0))
+      .toDF("stays", "nulled", "fresh")
+    val got = Profile.profileDrift(
+      Profile.profileNumeric(before, Seq("stays", "nulled", "gone")),
+      Profile.profileNumeric(after, Seq("stays", "nulled", "fresh")),
+      nullRateJump = 0.1, distinctDropFrac = 0.6)
+      .select("column", "status", "null_spike", "distinct_collapse",
+        "range_widened")
+      .as[(String, String, Int, Int, Int)].collect().toSeq
+    assert(got == Seq(
+      ("fresh", "added", 0, 0, 0),
+      ("gone", "removed", 0, 0, 0),
+      ("nulled", "drift", 1, 1, 0),
+      ("stays", "drift", 0, 0, 1)), s"got $got")
+  }
+
+  test("profileDrift: identical snapshots are all ok; guards fire") {
+    val p = Profile.profileNumeric(df, Seq("v", "id"))
+    val got = Profile.profileDrift(p, p)
+      .select("status").as[String].collect().toSeq
+    assert(got == Seq("ok", "ok"))
+    intercept[IllegalArgumentException] {
+      Profile.profileDrift(df, p)
+    }
+    intercept[IllegalArgumentException] {
+      Profile.profileDrift(p, p, distinctDropFrac = 0.0)
+    }
+  }
+
   test("keySkew: counts, shares, hot-key stats on a constructed skew") {
     // a×10, b×4, c×1, d×1 → n_rows=16, n_keys=4, mean=4;
     // hotFactor=2 ⇒ hot iff n > 8: only a (10 rows, share 10/16)
