@@ -1131,6 +1131,26 @@ object SparkEntry {
           round(col("score"), 6).as("score6"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "ts_bm25_eval" -> ((s, dir) => {
+      // retriever evaluation on the self-retrieval truth (a query built
+      // from a doc's first 8 tokens should rank its source doc):
+      // recall@5 / precision@5 / reciprocal rank per query
+      // (graft.text.Retrieval.rankingMetrics over the ts_bm25_topk run)
+      val docs = t(s, dir, "documents")
+      val tk = filter(split(lower(col("text")), "\\s+"),
+        x => length(x) > 0)
+      val queries = docs.filter(col("doc_id") % 13 === 0)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(tk, 1, 8)).as("qtext"))
+      val res = graft.text.Retrieval.bm25TopK(docs, "doc_id", "text",
+        queries, "doc_id", "qtext", k = 5, maxDfFrac = 0.5)
+      val truth = docs.filter(col("doc_id") % 13 === 0)
+        .select(col("doc_id").as("qid"), col("doc_id").as("did"))
+      graft.text.Retrieval.rankingMetrics(res, truth, "qid", "did", k = 5)
+        .select(col("query_id"), col("n_relevant"), col("n_hits"),
+          col("recall_at_k"), col("precision_at_k"), col("rr"))
+        .orderBy(col("query_id"))
+    }),
     "ts_bm25_probe" -> ((s, dir) => {
       // build the persistable postings index + stats, then answer from
       // the INDEX only (corpus text untouched at probe time) — pinned
@@ -2123,6 +2143,35 @@ object SparkEntry {
       bm25OracleSql("SELECT doc_id, text FROM documents",
         "SELECT doc_id AS query_id, text FROM documents " +
           "WHERE doc_id % 13 = 0", sliceLen = 8, k = 5, maxDfFrac = 0.5),
+    "ts_bm25_eval" ->
+      // self-retrieval truth over the ts_bm25_topk result: integer hit
+      // counts + single double divisions (recall@5, precision@5, rr)
+      s"""WITH res AS (${bm25OracleSql(
+            "SELECT doc_id, text FROM documents",
+            "SELECT doc_id AS query_id, text FROM documents " +
+              "WHERE doc_id % 13 = 0", sliceLen = 8, k = 5,
+            maxDfFrac = 0.5)}),
+         truth AS (SELECT DISTINCT doc_id AS query_id, doc_id
+           FROM documents WHERE doc_id % 13 = 0),
+         hits AS (SELECT r.query_id, r.rank FROM res r
+           JOIN truth t ON r.query_id = t.query_id
+             AND r.doc_id = t.doc_id),
+         agg AS (SELECT query_id, count(*) AS n_hits,
+             min(rank) AS first_rank
+           FROM hits GROUP BY query_id),
+         tc AS (SELECT query_id, count(*) AS n_relevant FROM truth
+           GROUP BY query_id)
+         SELECT tc.query_id, CAST(tc.n_relevant AS BIGINT) AS n_relevant,
+           CAST(coalesce(a.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(a.n_hits, 0) AS DOUBLE)
+             / CAST(tc.n_relevant AS DOUBLE) AS recall_at_k,
+           CAST(coalesce(a.n_hits, 0) AS DOUBLE)
+             / CAST(5 AS DOUBLE) AS precision_at_k,
+           CASE WHEN a.first_rank IS NULL THEN CAST(0 AS DOUBLE)
+             ELSE CAST(1 AS DOUBLE) / CAST(a.first_rank AS DOUBLE)
+             END AS rr
+         FROM tc LEFT JOIN agg a USING (query_id)
+         ORDER BY tc.query_id""",
     "ts_bm25_probe" ->
       // probe-from-index == the direct operator, so the oracle is the
       // same formula with the probe query slice

@@ -249,6 +249,51 @@ object Retrieval {
     scoreAndRank(post, st, q, k, k1, b, maxDfFrac)
   }
 
+  /** Per-query ranking-quality metrics for a retrieval result against a
+    * relevance table — how you know a retriever (BM25, LSH, IVF — any
+    * producer of the (query_id, doc_id, rank) shape) is good enough to
+    * curate with, measured at corpus scale instead of on a laptop
+    * sample. One row per TRUTH query (queries the retriever missed
+    * entirely score zero; result-only queries are ignored — they have
+    * no ground truth to score against):
+    *
+    *  - `n_relevant`, `n_hits`: truth size and how many of its docs
+    *    appear in the top-k
+    *  - `recall_at_k` = n_hits / n_relevant;
+    *    `precision_at_k` = n_hits / k
+    *  - `rr` = 1 / rank of the first relevant hit (0.0 when none) —
+    *    average it for MRR
+    *
+    * Truth pairs are deduplicated internally. Everything is integer
+    * counts and single double divisions — order-free, bit-stable,
+    * DuckDB-pinnable. Scale shape: results are ≤ k rows per query and
+    * truth is eval-set-sized, so both joins are small; nothing
+    * corpus-sized appears anywhere.
+    */
+  def rankingMetrics(results: DataFrame, truth: DataFrame,
+      queryIdCol: String, docIdCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val res = results.select(col("query_id"), col("doc_id"), col("rank"))
+      .filter(col("rank") <= k)
+    val tr = truth.select(col(queryIdCol).as("query_id"),
+      col(docIdCol).as("doc_id")).distinct()
+    val hits = res.join(tr, Seq("query_id", "doc_id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_hits"), min(col("rank")).as("__fr"))
+    val perQuery = tr.groupBy("query_id")
+      .agg(count(lit(1)).as("n_relevant"))
+    perQuery.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_relevant"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("n_relevant").cast("double")).as("recall_at_k"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") /
+          lit(k.toDouble)).as("precision_at_k"),
+        when(col("__fr").isNull, lit(0.0))
+          .otherwise(lit(1.0) / col("__fr").cast("double")).as("rr"))
+      .orderBy(col("query_id"))
+  }
+
   /** Merge a fresh corpus batch into a persisted postings index,
     * newest-wins: a doc id present in the fresh batch REPLACES all its
     * old postings (re-ingested/edited documents never double-count).
