@@ -41,6 +41,11 @@ import graft.ops.Joins
   * SELECT * FROM bm25_topk('documents', 'doc_id', 'text',
   *                         'queries', 'q_id', 'q_text', 5,
   *                         1.2, 0.75, 0.5)          -- k1, b, max df frac
+  * SELECT * FROM bm25_probe_topk('postings', 'stats',  -- persisted index
+  *                               'queries', 'q_id', 'q_text', 5)
+  * SELECT * FROM profile_numeric('lineitem', 'l_quantity, l_tax')
+  * SELECT * FROM profile_numeric('lineitem', 'l_tax', false) -- HLL mode
+  * SELECT * FROM key_skew('events', 'user_id', 10, 1.2) -- topN, hot factor
   * -- embedding tier (vector column must be array<double>/array<float>):
   * SELECT * FROM semantic_near_dups('emb', 'vec_id', 'embedding', 0.9)
   * SELECT * FROM semantic_near_dups('emb', 'vec_id', 'embedding', 0.9,
@@ -209,6 +214,42 @@ object TableFunctions {
         b = if (args.length >= 9) dbl(args(8), "b") else 0.75,
         maxDfFrac =
           if (args.length == 10) dbl(args(9), "max df fraction") else 1.0)
+        .queryExecution.analyzed
+    }),
+    "bm25_probe_topk" -> (args => {
+      arity("bm25_probe_topk", args, 6, 9)
+      val spark = SparkSession.active
+      graft.text.Retrieval.bm25ProbeIndex(
+        spark.table(str(args(0), "postings table name")),
+        spark.table(str(args(1), "stats table name")),
+        spark.table(str(args(2), "queries table name")),
+        str(args(3), "query id column"),
+        str(args(4), "query text column"),
+        k = lng(args(5), "k").toInt,
+        k1 = if (args.length >= 7) dbl(args(6), "k1") else 1.2,
+        b = if (args.length >= 8) dbl(args(7), "b") else 0.75,
+        maxDfFrac =
+          if (args.length == 9) dbl(args(8), "max df fraction") else 1.0)
+        .queryExecution.analyzed
+    }),
+    "profile_numeric" -> (args => {
+      arity("profile_numeric", args, 2, 3)
+      val spark = SparkSession.active
+      graft.ops.Profile.profileNumeric(
+        spark.table(str(args(0), "table name")),
+        keyList(str(args(1), "column list")),
+        exact = if (args.length == 3) bool(args(2), "exact") else true)
+        .queryExecution.analyzed
+    }),
+    "key_skew" -> (args => {
+      arity("key_skew", args, 2, 4)
+      val spark = SparkSession.active
+      graft.ops.Profile.keySkew(
+        spark.table(str(args(0), "table name")),
+        keyList(str(args(1), "key list")),
+        topN = if (args.length >= 3) lng(args(2), "top n").toInt else 20,
+        hotFactor =
+          if (args.length == 4) dbl(args(3), "hot factor") else 10.0)
         .queryExecution.analyzed
     }),
     // embedding tier: the vector column must already be array<double> /

@@ -132,4 +132,46 @@ class PlanPinSpec extends SparkTestBase {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"index probe must stay an equi-join:\n$plan")
   }
+
+  test("bm25: query terms broadcast into the postings prune, heap ranking") {
+    // the inverted-index probe contract: every corpus-sized side meets
+    // the query set through BROADCAST joins (term semi-join, per-term
+    // attach, df attach) — a sort-merge slip would shuffle the token
+    // stream on term — and ranking is the partial k-heap, not a window
+    for (q <- Seq("ts_bm25_topk", "ts_bm25_probe")) {
+      val plan = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q: query-side joins must broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q: nothing corpus-sized may shuffle on term:\n$plan")
+      assert(plan.contains("partial_topkagg"),
+        s"$q must rank via the partial k-heap aggregation:\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("BroadcastNestedLoopJoin BuildRight, Cross"),
+        s"$q: only the one-row stats cross join may nest:\n$plan")
+    }
+  }
+
+  test("sc_profile: exact distincts plan Expand-free") {
+    // the Expand plan replicates every input row |cols|+1 times into one
+    // mixed hash aggregate — the formulation profileNumeric deliberately
+    // avoids (measured ~4x slower); the pair path must also map-side
+    // combine its dedup aggregation
+    val plan = SparkEntry.queries("sc_profile")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      s"exact profile must stay Expand-free:\n$plan")
+    assert(plan.contains("HashAggregate"), s"expected hash aggregation:\n$plan")
+  }
+
+  test("sc_skew: top-N is a heap, stats joins broadcast") {
+    val plan = SparkEntry.queries("sc_skew")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-N must be the per-task heap, not a global sort:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the one-row stats frames must broadcast:\n$plan")
+  }
 }

@@ -176,6 +176,41 @@ class SqlDedupTvfSpec extends SparkTestBase {
         maxDfFrac = 0.9))
   }
 
+  test("bm25_probe_topk TVF answers from persisted index views") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val post = graft.text.Retrieval.bm25Index(docs, "doc_id", "text")
+    post.createOrReplaceTempView("sql_postings")
+    graft.text.Retrieval.bm25IndexStats(post)
+      .createOrReplaceTempView("sql_stats")
+    val queries = Seq((1L, "quick brown fox"), (2L, "meaning of life"))
+      .toDF("q_id", "q_text")
+    queries.createOrReplaceTempView("sql_queries")
+    sameRows(
+      spark.sql("""SELECT * FROM bm25_probe_topk('sql_postings',
+                     'sql_stats', 'sql_queries', 'q_id', 'q_text', 3)"""),
+      graft.text.Retrieval.bm25TopK(docs, "doc_id", "text",
+        queries, "q_id", "q_text", k = 3))
+  }
+
+  test("profile_numeric and key_skew TVFs match the Scala operators") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val d = Seq((1L, 2.5, "a"), (2L, 3.5, "a"), (3L, 4.5, "b"))
+      .toDF("id", "v", "k")
+    d.createOrReplaceTempView("sql_prof")
+    sameRows(
+      spark.sql("SELECT * FROM profile_numeric('sql_prof', 'v, id')"),
+      graft.ops.Profile.profileNumeric(d, Seq("v", "id")))
+    // HLL mode rides the optional third arg
+    sameRows(
+      spark.sql("SELECT * FROM profile_numeric('sql_prof', 'v', false)"),
+      graft.ops.Profile.profileNumeric(d, Seq("v"), exact = false))
+    sameRows(
+      spark.sql("SELECT * FROM key_skew('sql_prof', 'k', 5, 1.1)"),
+      graft.ops.Profile.keySkew(d, Seq("k"), topN = 5, hotFactor = 1.1))
+  }
+
   test("TVF argument validation fails loudly") {
     GraftExtensions.register(spark)
     docs.createOrReplaceTempView("sql_docs")
