@@ -19,7 +19,8 @@ object PlanDump {
                   "ts_domain_mix","dd_repeated_ngram_scrub",
                   "dd_incremental_minhash","dd_stream_incremental_batch",
                   "dd_semantic_incremental",
-                  "ts_lm_buckets","sim_knn_label")) {
+                  "ts_lm_buckets","sim_knn_label",
+                  "ts_bm25_topk","ts_bm25_probe","sc_profile","sc_skew")) {
       sb.append(s"\n## $q\n\n```\n")
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode)
