@@ -232,22 +232,65 @@ object Retrieval {
     * @param stats the one-row (n_docs, sum_dl) frame persisted at build
     *   time ([[bm25IndexStats]])
     */
+  /** @param pushTermLimit when positive and the query set has at most
+    *   this many distinct terms, the term list is collected (bounded by
+    *   the limit — query sets are eval-suite-sized by contract) and
+    *   pushed into the postings scan as an `IN` predicate, so a
+    *   term-sorted parquet index ([[writeBm25Index]]) skips every
+    *   non-matching row group at the source. Larger term sets fall back
+    *   to the broadcast semi-join (still pruned before any shuffle,
+    *   just without scan-level skipping). 0 disables the pushdown.
+    */
   def bm25ProbeIndex(postings: DataFrame, stats: DataFrame,
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75,
-      maxDfFrac: Double = 1.0): DataFrame = {
+      maxDfFrac: Double = 1.0, pushTermLimit: Int = 10000): DataFrame = {
     checkParams(k, k1, b, maxDfFrac)
+    require(pushTermLimit >= 0,
+      s"pushTermLimit must be non-negative, got $pushTermLimit")
     val q = queryTerms(queries, queryIdCol, queryTextCol)
     val qw = q.select("__w").distinct()
     val st = stats.select(col("n_docs").as("__n"),
       (col("sum_dl").cast("double") / col("n_docs").cast("double"))
         .as("__avgdl"))
-    val post = postings
+    val renamed = postings
       .select(col("doc_id"), col("dl").as("__dl"), col("term").as("__w"),
         col("tf").as("__tf"))
-      .join(broadcast(qw), Seq("__w"), "left_semi")
+    // scan-level term pruning: a bounded driver collect of the DISTINCT
+    // query terms (cap enforced BY the limit — we fetch cap+1 rows max)
+    // turns the prune into a data-source IN filter
+    val pushed = if (pushTermLimit > 0) {
+      val terms = qw.limit(pushTermLimit + 1).collect().map(_.getString(0))
+      if (terms.length <= pushTermLimit)
+        Some(renamed.filter(col("__w").isin(terms.toSeq: _*)))
+      else None
+    } else None
+    val post = pushed.getOrElse(
+      renamed.join(broadcast(qw), Seq("__w"), "left_semi"))
     scoreAndRank(post, st, q, k, k1, b, maxDfFrac)
   }
+
+  /** Persist a postings index + stats under `dir` in the probe-optimal
+    * layout: postings range-partitioned AND sorted by term, so each
+    * term's rows are contiguous and parquet min/max row-group statistics
+    * let a probe's pushed `IN` filter ([[bm25ProbeIndex]]'s
+    * `pushTermLimit`) skip everything else at the scan. Stats persist
+    * alongside as a one-row table — a reader never scans the postings
+    * just to learn N/avgdl.
+    */
+  def writeBm25Index(postings: DataFrame, stats: DataFrame,
+      dir: String): Unit = {
+    postings.repartitionByRange(col("term"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode("overwrite").parquet(s"$dir/postings")
+    stats.write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Read a persisted index back as (postings, stats). */
+  def readBm25Index(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/stats"))
 
   /** Per-query ranking-quality metrics for a retrieval result against a
     * relevance table — how you know a retriever (BM25, LSH, IVF — any

@@ -102,6 +102,52 @@ class Bm25IndexSpec extends SparkTestBase {
         "doc_id", "text", q, "qid", "qtext", k = 3)))
   }
 
+  test("persisted round-trip: term-sorted layout, probe parity, " +
+      "scan-level term pushdown") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx")
+      .toString
+    val post = Retrieval.bm25Index(corpus, "doc_id", "text")
+    val stats = Retrieval.bm25IndexStats(post)
+    Retrieval.writeBm25Index(post, stats, dir)
+    val (rp, rs) = Retrieval.readBm25Index(spark, dir)
+    assert(rp.as[(String, Long, Long, Long)].collect().toSet ==
+      post.as[(String, Long, Long, Long)].collect().toSet)
+    assert(rs.as[(Long, Long)].collect().head ==
+      stats.as[(Long, Long)].collect().head)
+    val probed = Retrieval.bm25ProbeIndex(rp, rs, queries,
+      "qid", "qtext", k = 5)
+    // the small query term set must reach the parquet scan as an IN
+    // filter (row-group skipping on the term-sorted layout). The
+    // operator's lineage cut checkpoints the pruned postings, so the
+    // final plan no longer shows the scan — assert on the exact
+    // scan-stage frame the pushdown path builds
+    import org.apache.spark.sql.functions.col
+    val scanPlan = rp.filter(col("term")
+        .isin("spark", "cluster", "data", "pandas", "training"))
+      .queryExecution.executedPlan.toString
+    assert(scanPlan.contains("PushedFilters: [In(term"),
+      s"query terms must push into the postings scan:\n$scanPlan")
+    assert(asSet(probed) == asSet(Retrieval.bm25TopK(corpus, "doc_id",
+      "text", queries, "qid", "qtext", k = 5)))
+  }
+
+  test("pushdown and semi-join prune paths agree; empty query sets " +
+      "are empty, not errors") {
+    val post = Retrieval.bm25Index(corpus, "doc_id", "text")
+    val stats = Retrieval.bm25IndexStats(post)
+    val viaPush = asSet(Retrieval.bm25ProbeIndex(post, stats, queries,
+      "qid", "qtext", k = 5))
+    val viaSemi = asSet(Retrieval.bm25ProbeIndex(post, stats, queries,
+      "qid", "qtext", k = 5, pushTermLimit = 0))
+    // cap exceeded → silent fallback to the semi-join, same answer
+    val viaTiny = asSet(Retrieval.bm25ProbeIndex(post, stats, queries,
+      "qid", "qtext", k = 5, pushTermLimit = 2))
+    assert(viaPush == viaSemi && viaSemi == viaTiny && viaPush.nonEmpty)
+    val none = Seq.empty[(Long, String)].toDF("qid", "qtext")
+    assert(Retrieval.bm25ProbeIndex(post, stats, none, "qid", "qtext",
+      k = 5).count() == 0L)
+  }
+
   test("probe parameter guards fail loudly") {
     val post = Retrieval.bm25Index(corpus, "doc_id", "text")
     val stats = Retrieval.bm25IndexStats(post)

@@ -36,7 +36,9 @@ class Bm25Spec extends SparkTestBase {
     corp.flatMap { case (id, tk) =>
       val tf = tk.groupBy(identity).view.mapValues(_.size).toMap
       val cs = qts.filter(tf.contains).sorted.map { t =>
-        val idf = math.log(1.0 + (n.toDouble - df(t).toDouble + 0.5) /
+        // Spark's Log expression evaluates via StrictMath.log (1 ulp
+        // off java.lang.Math.log on some inputs) — match it exactly
+        val idf = StrictMath.log(1.0 + (n.toDouble - df(t).toDouble + 0.5) /
           (df(t).toDouble + 0.5))
         val tfd = tf(t).toDouble
         idf * ((tfd * (k1 + 1.0)) /
@@ -128,6 +130,46 @@ class Bm25Spec extends SparkTestBase {
       .as[(Long, Long, Double, Int)].collect()
     assert(got.map(_._1).toSet == Set(101L))
     assert(got.map(_._2).toSet == Set(3L))
+  }
+
+  test("random corpora match the model bit-exactly (property)") {
+    val rnd = new scala.util.Random(20260814L)
+    val vocabAll = Vector("alpha", "beta", "gamma", "delta", "eps",
+      "zeta", "eta", "theta", "iota", "kappa", "lam", "mu")
+    for (round <- 1 to 6) {
+      val vocab = vocabAll.take(5 + rnd.nextInt(8))
+      def words(n: Int) =
+        Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      // some docs empty, token counts skewed small
+      val docs = (1L to (8 + rnd.nextInt(13)).toLong)
+        .map(i => (i, if (rnd.nextInt(8) == 0) "" else
+          words(1 + rnd.nextInt(12))))
+      // queries may hit unseen terms ("zzz") or be empty
+      val qs = (100L to (102 + rnd.nextInt(3)).toLong).map(i => (i,
+        rnd.nextInt(6) match {
+          case 0 => ""
+          case 1 => words(2) + " zzz"
+          case _ => words(1 + rnd.nextInt(5))
+        }))
+      val k = 1 + rnd.nextInt(5)
+      val (k1, b, frac) = (0.5 + rnd.nextDouble(),
+        rnd.nextDouble(), 0.3 + 0.7 * rnd.nextDouble())
+      val got = Retrieval.bm25TopK(
+          docs.toDF("doc_id", "text").repartition(1 + rnd.nextInt(7)),
+          "doc_id", "text", qs.toDF("qid", "qtext"), "qid", "qtext",
+          k = k, k1 = k1, b = b, maxDfFrac = frac)
+        .as[(Long, Long, Double, Int)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._4)).toMap
+      for ((qid, qtext) <- qs) {
+        val want = model(docs, qtext, k1, b, frac).toSeq
+          .sortBy { case (id, s) => (-s, id) }.take(k)
+        val gotQ = got.getOrElse(qid, Array.empty).toSeq
+          .map(r => (r._2, r._3))
+        assert(gotQ == want,
+          s"round $round query $qid '$qtext' k=$k k1=$k1 b=$b " +
+            s"frac=$frac: $gotQ != $want")
+      }
+    }
   }
 
   test("parameter guards fail loudly") {
