@@ -1577,7 +1577,7 @@ object SparkEntry {
             count(DISTINCT $c) AS n_distinct,
             CAST(min($c) AS DOUBLE) AS min_value,
             CAST(max($c) AS DOUBLE) AS max_value,
-            CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            CAST(sum(CAST($c AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
           FROM lineitem"""
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         .map(branch).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")

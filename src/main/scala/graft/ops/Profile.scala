@@ -11,9 +11,10 @@ import org.apache.spark.sql.types.NumericType
   *
   * Everything emitted is ORDER-FREE by construction, so results are
   * bit-identical on any partitioning and a DuckDB oracle can pin them:
-  * counts are integers, min/max are exact, and sums run through an
-  * exact decimal type (no float-order drift) before the final single
-  * rounding back to double.
+  * counts are integers, min/max come out as doubles (exact up to
+  * double's 2^53 integer range — the profile is a QC report, not an
+  * arithmetic source), and sums run through an exact decimal type (no
+  * float-order drift) before the final single rounding back to double.
   *
   * Scale notes:
   *  - [[profileNumeric]] with `exact = false` is ONE aggregation pass:
@@ -41,14 +42,17 @@ object Profile {
     * name. See object doc for the `exact` trade-off.
     *
     * @param sumType the exact decimal type sums accumulate in before the
-    *   single rounding back to double — size it to the data (the default
-    *   DECIMAL(18,2) covers money-style 2-decimal values and stays in
-    *   the engine's fast 64-bit decimal path; widen the scale for
-    *   finer-grained values).
+    *   single rounding back to double — size it to the data. The default
+    *   DECIMAL(38,6) absorbs 6-decimal values up to ~10^32. The per-value
+    *   cast is the contract's edge: values FINER than the scale round to
+    *   it before summing, and values beyond the precision cast to null
+    *   and silently drop from the sum (Spark non-ANSI cast) — narrow
+    *   scales like DECIMAL(18,2) are faster (64-bit decimal path) but
+    *   only safe when the data is known coarser than the scale.
     */
   def profileNumeric(df: DataFrame, cols: Seq[String],
       exact: Boolean = true,
-      sumType: String = "decimal(18,2)"): DataFrame = {
+      sumType: String = "decimal(38,6)"): DataFrame = {
     require(cols.nonEmpty, "cols must be non-empty")
     require(cols.distinct == cols, "cols must not repeat a column")
     cols.foreach { c =>
@@ -136,8 +140,12 @@ object Profile {
       require(df.columns.toSeq == want,
         s"$side frame is not a profileNumeric output: ${df.columns.toSeq}")
     }
+    // an empty snapshot (n_rows = 0) has no null rate — emit null, not
+    // the NaN of 0.0/0.0 (NaN compares greatest in Spark, which would
+    // false-fire null_spike on every column)
     def rate(rows: Column, nulls: Column): Column =
-      nulls.cast("double") / rows.cast("double")
+      when(rows === 0, lit(null).cast("double"))
+        .otherwise(nulls.cast("double") / rows.cast("double"))
     val b = before.select(col("column") +: want.tail.map(c =>
       col(c).as(s"${c}_before")): _*)
     val a = after.select(col("column") +: want.tail.map(c =>
@@ -235,10 +243,12 @@ object Profile {
     * [min, max] (derived in a first pass when `bounds` is None), the top
     * edge closed (x == max lands in the last bin). Returns (bin,
     * bin_lo, bin_hi, n) for OCCUPIED bins, ordered by bin — integer
-    * counts, order-free, exact on any partitioning. Null values are
-    * excluded. Degenerate ranges (min == max, or an all-null column)
-    * collapse to a single bin 0 row carrying the whole count (or an
-    * empty frame when there are no non-null rows).
+    * counts, order-free, exact on any partitioning. Null AND NaN values
+    * are excluded (a NaN would otherwise poison the derived max — Spark
+    * orders NaN greatest — and collapse every row into the last bin).
+    * Degenerate ranges (min == max, or an all-null column) collapse to
+    * a single bin 0 row carrying the whole count (or an empty frame
+    * when there are no non-null rows).
     */
   def equiWidthHistogram(df: DataFrame, c: String, nBins: Int,
       bounds: Option[(Double, Double)] = None): DataFrame = {
@@ -249,17 +259,16 @@ object Profile {
       s"column $c is ${f.dataType.simpleString}, not numeric")
     bounds.foreach { case (lo, hi) => require(lo <= hi,
       s"bounds must satisfy lo <= hi, got ($lo, $hi)") }
+    val xs = df.select(col(c).cast("double").as("__x"))
+      .filter(col("__x").isNotNull && !isnan(col("__x")))
     val withB = bounds match {
       case Some((lo, hi)) =>
-        df.select(col(c).cast("double").as("__x"))
-          .withColumn("__mn", lit(lo)).withColumn("__mx", lit(hi))
+        xs.withColumn("__mn", lit(lo)).withColumn("__mx", lit(hi))
           .filter(col("__x") >= col("__mn") && col("__x") <= col("__mx"))
       case None =>
-        val mm = broadcast(df.agg(
-          min(col(c)).cast("double").as("__mn"),
-          max(col(c)).cast("double").as("__mx")))
-        df.select(col(c).cast("double").as("__x"))
-          .filter(col("__x").isNotNull).crossJoin(mm)
+        val mm = broadcast(xs.agg(
+          min(col("__x")).as("__mn"), max(col("__x")).as("__mx")))
+        xs.crossJoin(mm)
     }
     // bin = clamp(floor((x - mn) * nBins / (mx - mn)), nBins - 1); the
     // degenerate mx == mn range divides to NaN/Inf → coalesce-style

@@ -45,6 +45,8 @@ import graft.ops.Joins
   *                               'queries', 'q_id', 'q_text', 5)
   * SELECT * FROM profile_numeric('lineitem', 'l_quantity, l_tax')
   * SELECT * FROM profile_numeric('lineitem', 'l_tax', false) -- HLL mode
+  * SELECT * FROM profile_numeric('lineitem', 'l_tax', true,
+  *                               'decimal(18,2)')    -- sum accumulator
   * SELECT * FROM key_skew('events', 'user_id', 10, 1.2) -- topN, hot factor
   * -- embedding tier (vector column must be array<double>/array<float>):
   * SELECT * FROM semantic_near_dups('emb', 'vec_id', 'embedding', 0.9)
@@ -79,6 +81,14 @@ object TableFunctions {
     case Literal(v: Int, IntegerType) => v.toLong
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
+  }
+
+  private def int(e: Expression, what: String): Int = {
+    val v = lng(e, what)
+    if (v < Int.MinValue || v > Int.MaxValue)
+      throw new IllegalArgumentException(
+        s"$what is out of Int range: $v")
+    v.toInt
   }
 
   /** SQL fractional literals parse as exact decimals (`0.8` is
@@ -149,11 +159,14 @@ object TableFunctions {
     }),
     // LLM-pipeline tier. Same bucketed/bounded engines as the Scala API
     // (the builder delegates, so plan shape and scale contract are
-    // identical); defaults mirror the Scala defaults. Note
-    // scrub_repeated_ngrams materializes its covered-positions table
-    // eagerly (the operator's internal checkpoint), so that work runs
-    // when the SQL statement is ANALYZED rather than when the result is
-    // consumed — same total cost, earlier timing.
+    // identical); defaults mirror the Scala defaults. Note that
+    // scrub_repeated_ngrams (its covered-positions checkpoint) and the
+    // bm25_topk / bm25_probe_topk functions (the pruned-postings
+    // lineage cut, plus the probe's bounded query-term collect) run
+    // Spark jobs when the SQL statement is ANALYZED rather than when
+    // the result is consumed — same total cost, earlier timing, and the
+    // materialized postings are frozen into the plan (re-issue the
+    // statement after the corpus table changes).
     "minhash_near_dups" -> (args => {
       arity("minhash_near_dups", args, 3, 7)
       val spark = SparkSession.active
@@ -162,10 +175,10 @@ object TableFunctions {
         str(args(1), "id column"),
         str(args(2), "text column"),
         shingleSize =
-          if (args.length >= 4) lng(args(3), "shingle size").toInt else 3,
+          if (args.length >= 4) int(args(3), "shingle size") else 3,
         numHashes =
-          if (args.length >= 5) lng(args(4), "num hashes").toInt else 32,
-        bands = if (args.length >= 6) lng(args(5), "bands").toInt else 8,
+          if (args.length >= 5) int(args(4), "num hashes") else 32,
+        bands = if (args.length >= 6) int(args(5), "bands") else 8,
         threshold =
           if (args.length == 7) dbl(args(6), "jaccard threshold") else 0.8)
         .queryExecution.analyzed
@@ -181,9 +194,9 @@ object TableFunctions {
         str(args(4), "bench id column"),
         str(args(5), "bench text column"),
         shingleSize =
-          if (args.length >= 7) lng(args(6), "shingle size").toInt else 3,
+          if (args.length >= 7) int(args(6), "shingle size") else 3,
         minOverlap =
-          if (args.length == 8) lng(args(7), "min overlap").toInt else 2)
+          if (args.length == 8) int(args(7), "min overlap") else 2)
         .queryExecution.analyzed
     }),
     "scrub_repeated_ngrams" -> (args => {
@@ -193,8 +206,8 @@ object TableFunctions {
         spark.table(str(args(0), "docs table name")),
         str(args(1), "id column"),
         str(args(2), "text column"),
-        n = if (args.length >= 4) lng(args(3), "gram width").toInt else 10,
-        maxDocs = if (args.length >= 5) lng(args(4), "max docs").toInt else 1,
+        n = if (args.length >= 4) int(args(3), "gram width") else 10,
+        maxDocs = if (args.length >= 5) int(args(4), "max docs") else 1,
         keepFirstCopy =
           if (args.length == 6) bool(args(5), "keep first copy") else false)
         .queryExecution.analyzed
@@ -209,7 +222,7 @@ object TableFunctions {
         spark.table(str(args(3), "queries table name")),
         str(args(4), "query id column"),
         str(args(5), "query text column"),
-        k = lng(args(6), "k").toInt,
+        k = int(args(6), "k"),
         k1 = if (args.length >= 8) dbl(args(7), "k1") else 1.2,
         b = if (args.length >= 9) dbl(args(8), "b") else 0.75,
         maxDfFrac =
@@ -225,7 +238,7 @@ object TableFunctions {
         spark.table(str(args(2), "queries table name")),
         str(args(3), "query id column"),
         str(args(4), "query text column"),
-        k = lng(args(5), "k").toInt,
+        k = int(args(5), "k"),
         k1 = if (args.length >= 7) dbl(args(6), "k1") else 1.2,
         b = if (args.length >= 8) dbl(args(7), "b") else 0.75,
         maxDfFrac =
@@ -233,12 +246,14 @@ object TableFunctions {
         .queryExecution.analyzed
     }),
     "profile_numeric" -> (args => {
-      arity("profile_numeric", args, 2, 3)
+      arity("profile_numeric", args, 2, 4)
       val spark = SparkSession.active
       graft.ops.Profile.profileNumeric(
         spark.table(str(args(0), "table name")),
         keyList(str(args(1), "column list")),
-        exact = if (args.length == 3) bool(args(2), "exact") else true)
+        exact = if (args.length >= 3) bool(args(2), "exact") else true,
+        sumType = if (args.length == 4) str(args(3), "sum type")
+          else "decimal(38,6)")
         .queryExecution.analyzed
     }),
     "key_skew" -> (args => {
@@ -247,7 +262,7 @@ object TableFunctions {
       graft.ops.Profile.keySkew(
         spark.table(str(args(0), "table name")),
         keyList(str(args(1), "key list")),
-        topN = if (args.length >= 3) lng(args(2), "top n").toInt else 20,
+        topN = if (args.length >= 3) int(args(2), "top n") else 20,
         hotFactor =
           if (args.length == 4) dbl(args(3), "hot factor") else 10.0)
         .queryExecution.analyzed
@@ -263,8 +278,8 @@ object TableFunctions {
         str(args(2), "vector column"),
         threshold = dbl(args(3), "cosine threshold"),
         nCentroids =
-          if (args.length >= 5) lng(args(4), "n centroids").toInt else 16,
-        maxCell = if (args.length == 6) lng(args(5), "max cell").toInt else 64)
+          if (args.length >= 5) int(args(4), "n centroids") else 16,
+        maxCell = if (args.length == 6) int(args(5), "max cell") else 64)
         .queryExecution.analyzed
     }),
     "knn_classify" -> (args => {
@@ -278,7 +293,7 @@ object TableFunctions {
         spark.table(str(args(4), "queries table name")),
         str(args(5), "query id column"),
         str(args(6), "query vector column"),
-        k = lng(args(7), "k").toInt)
+        k = int(args(7), "k"))
         .queryExecution.analyzed
     }))
 }

@@ -37,10 +37,10 @@ object StreamingRetrieval {
       queryIdCol: String, queryTextCol: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75,
       maxDfFrac: Double = 1.0): DataFrame => DataFrame = {
-    // validate params once at handler-build time, not per micro-batch
-    require(k > 0, s"k must be positive, got $k")
-    require(maxDfFrac > 0 && maxDfFrac <= 1,
-      s"maxDfFrac must be in (0, 1], got $maxDfFrac")
+    // validate ALL params at handler-build time (same checks the probe
+    // runs), so a bad k1/b fails before the stream ever starts instead
+    // of killing the running query in its first micro-batch
+    Retrieval.checkParams(k, k1, b, maxDfFrac)
     batch =>
       Retrieval.bm25ProbeIndex(postings, stats, batch,
         queryIdCol, queryTextCol, k, k1, b, maxDfFrac)

@@ -66,8 +66,11 @@ import graft.sim.Similarity
   */
 object Retrieval {
 
-  private def toks(c: Column): Column =
-    filter(split(lower(c), "\\s+"), t => length(t) > 0)
+  /** The text tier's shared tokenizer (lowercase, whitespace-split,
+    * empties dropped) — one definition, so BM25 stays in lockstep with
+    * the dedup/quality operators.
+    */
+  private def toks(c: Column): Column = TextPipeline.tokenize(c)
 
   /** Same reliable-or-local lineage cut as graft.dedup.Dedup.cut: the
     * pruned postings feed two consumers (df counts + scoring) and Spark
@@ -78,16 +81,7 @@ object Retrieval {
       df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
 
-  /** Top-k BM25 hits per query. Returns (query_id, doc_id, score, rank),
-    * rank 1..k by (score desc, doc_id asc); queries with no surviving
-    * term match are absent from the output.
-    *
-    * @param maxDfFrac exclude terms whose document frequency exceeds
-    *   this fraction of the corpus (stop-term guard; 1.0 = score every
-    *   term). Exclusion is exact-semantics: the term contributes nothing
-    *   for every query, symmetrically.
-    */
-  private def checkParams(k: Int, k1: Double, b: Double,
+  private[graft] def checkParams(k: Int, k1: Double, b: Double,
       maxDfFrac: Double): Unit = {
     require(k > 0, s"k must be positive, got $k")
     require(k1 > 0, s"k1 must be positive, got $k1")
@@ -160,6 +154,15 @@ object Retrieval {
         col("cosine").as("score"), col("rank"))
   }
 
+  /** Top-k BM25 hits per query. Returns (query_id, doc_id, score, rank),
+    * rank 1..k by (score desc, doc_id asc); queries with no surviving
+    * term match are absent from the output.
+    *
+    * @param maxDfFrac exclude terms whose document frequency exceeds
+    *   this fraction of the corpus (stop-term guard; 1.0 = score every
+    *   term). Exclusion is exact-semantics: the term contributes nothing
+    *   for every query, symmetrically.
+    */
   def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75,
@@ -231,8 +234,7 @@ object Retrieval {
     *
     * @param stats the one-row (n_docs, sum_dl) frame persisted at build
     *   time ([[bm25IndexStats]])
-    */
-  /** @param pushTermLimit when positive and the query set has at most
+    * @param pushTermLimit when positive and the query set has at most
     *   this many distinct terms, the term list is collected (bounded by
     *   the limit — query sets are eval-suite-sized by contract) and
     *   pushed into the postings scan as an `IN` predicate, so a
@@ -312,14 +314,26 @@ object Retrieval {
     * DuckDB-pinnable. Scale shape: results are ≤ k rows per query and
     * truth is eval-set-sized, so both joins are small; nothing
     * corpus-sized appears anywhere.
+    *
+    * `results` must carry the retrieval tier's standard (query_id,
+    * doc_id, rank) columns (validated loudly); the two id-column
+    * parameters name TRUTH's columns only.
     */
   def rankingMetrics(results: DataFrame, truth: DataFrame,
-      queryIdCol: String, docIdCol: String, k: Int): DataFrame = {
+      truthQueryIdCol: String, truthDocIdCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    // results must be the retrieval tier's standard shape; the id-column
+    // parameters name TRUTH's columns only (results of bm25TopK /
+    // bm25ProbeIndex / the ANN tier already carry these names)
+    Seq("query_id", "doc_id", "rank").foreach { c =>
+      require(results.columns.contains(c),
+        s"results must carry the (query_id, doc_id, rank) retrieval " +
+          s"shape; missing '$c' in ${results.columns.toSeq}")
+    }
     val res = results.select(col("query_id"), col("doc_id"), col("rank"))
       .filter(col("rank") <= k)
-    val tr = truth.select(col(queryIdCol).as("query_id"),
-      col(docIdCol).as("doc_id")).distinct()
+    val tr = truth.select(col(truthQueryIdCol).as("query_id"),
+      col(truthDocIdCol).as("doc_id")).distinct()
     val hits = res.join(tr, Seq("query_id", "doc_id"))
       .groupBy("query_id")
       .agg(count(lit(1)).as("n_hits"), min(col("rank")).as("__fr"))

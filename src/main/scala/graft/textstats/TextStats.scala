@@ -20,8 +20,10 @@ object TextStats {
     "fr" -> Seq("le", "la", "les", "et", "des", "est", "une", "dans", "que", "pour"),
     "es" -> Seq("el", "la", "los", "de", "que", "es", "una", "por", "con", "para"))
 
+  // the text tier's one shared tokenizer — BM25/dedup/quality stay in
+  // lockstep by construction
   private def tokens(c: Column): Column =
-    filter(split(lower(c), "\\s+"), t => length(t) > 0)
+    graft.text.TextPipeline.tokenize(c)
 
   /** Language-ID heuristic: fraction of tokens that are function words of
     * each candidate language; argmax with a deterministic tiebreak (score

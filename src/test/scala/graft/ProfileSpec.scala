@@ -58,6 +58,16 @@ class ProfileSpec extends SparkTestBase {
     assert(got("nul") == 0L)
   }
 
+  test("profileNumeric: default sum accumulator absorbs fine-grained " +
+      "values") {
+    // 0.001 would round to 0.00 under a (18,2) accumulator; the (38,6)
+    // default must sum it exactly
+    val d = Seq.fill(10)(0.001).toDF("x")
+    val got = Profile.profileNumeric(d, Seq("x"))
+      .select("sum_value").as[Double].collect().head
+    assert(got == 0.01, s"got $got")
+  }
+
   test("profileNumeric rejects duplicate columns") {
     intercept[IllegalArgumentException] {
       Profile.profileNumeric(df, Seq("v", "v"))
@@ -186,6 +196,33 @@ class ProfileSpec extends SparkTestBase {
     assert(got.map(r => (r._1, r._4)) == Seq((0, 3L)), s"got $got")
     val nulls = Seq[java.lang.Double](null, null).toDF("x")
     assert(Profile.equiWidthHistogram(nulls, "x", nBins = 4).count() == 0L)
+  }
+
+  test("histogram: NaN values are excluded, not binned") {
+    // a NaN poisons max() (Spark orders NaN greatest); without the
+    // filter every row would collapse into the last bin with NaN edges
+    val d = Seq(1.0, 2.0, 3.0, Double.NaN).toDF("x")
+    val got = Profile.equiWidthHistogram(d, "x", nBins = 2)
+      .as[(Int, Double, Double, Long)].collect().toSeq
+    assert(got.map(r => (r._1, r._4)) == Seq((0, 1L), (1, 2L)), s"got $got")
+    assert(got.last._3 == 3.0, "bounds derive from non-NaN values only")
+    val exp = Profile.equiWidthHistogram(d, "x", nBins = 2,
+      bounds = Some((1.0, 3.0))).as[(Int, Double, Double, Long)]
+      .collect().toSeq
+    assert(exp.map(r => (r._1, r._4)) == Seq((0, 1L), (1, 2L)),
+      "explicit-bounds path agrees")
+  }
+
+  test("profileDrift: an empty before-snapshot cannot false-fire flags") {
+    val empty = Seq.empty[(java.lang.Long, java.lang.Double)]
+      .toDF("id", "v")
+    val got = Profile.profileDrift(
+      Profile.profileNumeric(empty, Seq("v")),
+      Profile.profileNumeric(df, Seq("v")))
+      .select("status", "null_spike", "null_rate_before")
+      .as[(String, Int, Option[Double])].collect().head
+    // rates on a 0-row snapshot are null, not 0/0 NaN → no spike
+    assert(got == (("ok", 0, None)), s"got $got")
   }
 
   test("histogram counts are repartition-invariant") {

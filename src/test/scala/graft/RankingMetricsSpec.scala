@@ -46,5 +46,11 @@ class RankingMetricsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Retrieval.rankingMetrics(results, truth, "qid", "did", k = 0)
     }
+    // results must be the standard retrieval shape — loud, not a
+    // silent mis-scored join
+    val bad = intercept[IllegalArgumentException] {
+      Retrieval.rankingMetrics(truth, truth, "qid", "did", k = 3)
+    }
+    assert(bad.getMessage.contains("query_id"))
   }
 }
