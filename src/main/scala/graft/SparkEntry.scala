@@ -1287,7 +1287,129 @@ object SparkEntry {
         .select(col("ticker"), col("mentions"), col("best_net_worth"))
         .orderBy(col("ticker"))
     }),
+
+    "ts_bpe_train" -> ((s, dir) => {
+      // BPE tokenizer training (Sennrich et al.): ONE corpus word-count
+      // pass; the merge loop runs driver-local over the capped
+      // dictionary — vocabulary-bounded by construction, like
+      // production tokenizer trainers
+      graft.text.Bpe.mergeTable(s,
+          graft.text.Bpe.trainMerges(t(s, dir, "documents"), "text",
+            numMerges = 24, maxVocabWords = 4096))
+        .orderBy(col("rank"))
+    }),
+    "ts_bpe_encode" -> ((s, dir) => {
+      // corpus token frequencies under the learned tokenizer: the
+      // encoder is a codegen'd scan-stage expression (BpeEncode), the
+      // only shuffle is the final vocab-bounded hash aggregation
+      val docs = t(s, dir, "documents")
+      val merges = graft.text.Bpe.trainMerges(docs, "text",
+        numMerges = 24, maxVocabWords = 4096)
+      graft.text.Bpe.tokenFrequencies(docs, "text", merges)
+        .orderBy(col("n").desc, col("token"))
+    }),
+    "ts_nb_filter" -> ((s, dir) => {
+      // CCNet-style model-based quality filter: multinomial NB trained
+      // target-vs-background (curated = src0..src4 as the trusted
+      // reference set) on the hash-split train buckets, EVERY doc
+      // scored by the zero-shuffle codegen'd expression; log-odds =
+      // score(curated) − score(background), tie → background
+      val docs = t(s, dir, "documents")
+      val curated = col("source")
+        .isin("src0", "src1", "src2", "src3", "src4")
+      val trainDocs = docs
+        .filter(graft.ops.Sampling.hashBucket(col("doc_id"), 100) < 80)
+        .withColumn("__lb",
+          when(curated, "curated").otherwise("background"))
+      val model = graft.textstats.NaiveBayes.train(trainDocs, "text",
+        "__lb", maxVocab = 4096)
+      graft.textstats.NaiveBayes.score(docs, "doc_id", "text", model)
+        .groupBy("doc_id")
+        .agg(
+          max(when(col("label") === "curated", col("score"))).as("__sc"),
+          max(when(col("label") === "background", col("score")))
+            .as("__sb"))
+        .select(col("doc_id"),
+          when(col("__sc") > col("__sb"), "curated")
+            .otherwise("background").as("pred"),
+          round(col("__sc") - col("__sb"), 6).as("lodds6"))
+        .orderBy(col("doc_id"))
+    }),
   )
+
+  /** One left-to-right non-overlapping BPE merge pass as a DuckDB string
+    * fold: pieces fold into a chr(31)-separated accumulator; when the
+    * accumulator's last piece is `b.l` and the next element is `b.r`
+    * they fuse. The fused token can never itself equal `b.l` (it is
+    * l||r with r non-empty), so no re-merge guard is needed and the
+    * fold equals the greedy scan [[graft.text.Bpe.applyMergePass]]
+    * runs. `b.l IS NULL` is the merges-exhausted sentinel: pass
+    * through unchanged.
+    */
+  private def bpeMergePassSql: String =
+    """CASE WHEN b.l IS NULL THEN p ELSE
+         string_split(reduce(p, (acc, x) ->
+           CASE WHEN split_part(acc, chr(31), -1) = b.l AND x = b.r
+             THEN left(acc, length(acc) - length(b.l)) || b.l || b.r
+             ELSE acc || chr(31) || x END), chr(31)) END"""
+
+  /** Unrolled DuckDB twin of [[graft.text.Bpe]]: SQL has no loop, so the
+    * `numMerges` iterations are generated as chained CTEs — per rank, a
+    * dictionary-weighted adjacent-pair count (`pr_i`), the argmax with
+    * DuckDB's binary-collation tiebreak (`b_i` — the same codepoint
+    * order Bpe.cpCompare implements), and one merge pass over the
+    * segmentation (`seg_{i+1}`). `train = true` emits the merge table;
+    * otherwise the FULL dictionary is re-encoded through the same merge
+    * chain (`e_i`) and corpus token frequencies come out dictionary-
+    * weighted — mathematically the per-document encode the Spark side
+    * runs, since encoding is per-word deterministic.
+    */
+  private def bpeOracleSql(numMerges: Int, maxVocabWords: Int,
+      train: Boolean): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH toks AS (
+         SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+           t -> length(t) > 0) AS tk FROM documents),
+       wrds AS MATERIALIZED (SELECT unnest(tk) AS w FROM toks),
+       dict AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS c
+         FROM wrds GROUP BY w ORDER BY c DESC, w LIMIT $maxVocabWords),
+       seg0 AS MATERIALIZED (SELECT c, regexp_extract_all(w, '.') AS p
+         FROM dict)"""
+    for (i <- 0 until numMerges) {
+      sb ++= s""",
+       pr$i AS MATERIALIZED (SELECT p[j] AS l, p[j + 1] AS r, sum(c) AS pc
+         FROM seg$i, unnest(generate_series(1, length(p) - 1)) AS t(j)
+         GROUP BY 1, 2),
+       b$i AS MATERIALIZED (
+         SELECT * FROM (SELECT l, r, pc FROM pr$i
+           ORDER BY pc DESC, l, r LIMIT 1)
+         UNION ALL SELECT NULL, NULL, NULL
+         WHERE NOT EXISTS (SELECT 1 FROM pr$i)),
+       seg${i + 1} AS MATERIALIZED (SELECT c, $bpeMergePassSql AS p
+         FROM seg$i, b$i b)"""
+    }
+    if (train) {
+      val rows = (0 until numMerges).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS rank, l AS lft, r AS rgt, " +
+          s"CAST(pc AS BIGINT) AS freq FROM b$i WHERE l IS NOT NULL")
+      sb ++= s"""
+       SELECT * FROM (${rows.mkString(" UNION ALL ")}) ORDER BY rank"""
+    } else {
+      sb ++= """,
+       e0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS c,
+           regexp_extract_all(w, '.') AS p
+         FROM wrds GROUP BY w)"""
+      for (i <- 0 until numMerges)
+        sb ++= s""",
+       e${i + 1} AS MATERIALIZED (SELECT c, $bpeMergePassSql AS p
+         FROM e$i, b$i b)"""
+      sb ++= s"""
+       SELECT tkn AS token, CAST(sum(c) AS BIGINT) AS n
+       FROM e$numMerges, unnest(p) AS u(tkn)
+       GROUP BY tkn ORDER BY n DESC, token"""
+    }
+    sb.toString
+  }
 
   /** Parameterized DuckDB twin of Retrieval.bm25TopK / bm25ProbeIndex:
     * Okapi BM25 with the Lucene idf, per-(query, doc) contributions
@@ -2548,5 +2670,70 @@ object SparkEntry {
          FROM q JOIN b ON q.doc_id = b.doc_id
          WHERE score >= 1.0 AND n_tokens >= 20
          ORDER BY q.doc_id""",
+    "ts_bpe_train" ->
+      // unrolled 24-iteration dictionary-BPE chain (see bpeOracleSql)
+      bpeOracleSql(numMerges = 24, maxVocabWords = 4096, train = true),
+    "ts_bpe_encode" ->
+      // same chain + full-dictionary re-encode; frequencies are
+      // dictionary-weighted = the Spark side's per-document explode
+      bpeOracleSql(numMerges = 24, maxVocabWords = 4096, train = false),
+    "ts_nb_filter" ->
+      // multinomial NB with add-one smoothing: integer count tables,
+      // vocab capped at 4096 by (total desc, word), per-doc log-lik
+      // sums folded in POSITION order (the lmScore discipline), priors
+      // added outside the fold; round-6 absorbs the ln ulp residual
+      s"""WITH b AS MATERIALIZED (${SplitOracle.bucketCte}),
+         toks AS MATERIALIZED (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+               t -> length(t) > 0) AS tk FROM documents),
+         lab AS MATERIALIZED (SELECT doc_id,
+             CASE WHEN source IN ('src0','src1','src2','src3','src4')
+               THEN 'curated' ELSE 'background' END AS lb
+           FROM documents),
+         trd AS MATERIALIZED (SELECT l.doc_id, l.lb FROM lab l
+           JOIN b ON l.doc_id = b.doc_id WHERE b.bucket < 80),
+         trw AS MATERIALIZED (SELECT t2.lb, t.tk[j] AS w
+           FROM toks t JOIN trd t2 ON t.doc_id = t2.doc_id,
+             unnest(generate_series(1, len(t.tk))) AS u(j)),
+         cnts AS MATERIALIZED (SELECT lb, w,
+             CAST(count(*) AS BIGINT) AS c
+           FROM trw GROUP BY lb, w),
+         voc AS MATERIALIZED (SELECT w FROM (SELECT w, sum(c) AS tc
+           FROM cnts GROUP BY w ORDER BY tc DESC, w LIMIT 4096)),
+         vsz AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS v
+           FROM voc),
+         cv AS MATERIALIZED (SELECT c.lb, c.w, c.c FROM cnts c
+           JOIN voc ON c.w = voc.w),
+         tot AS MATERIALIZED (SELECT lb, CAST(sum(c) AS BIGINT) AS tl
+           FROM cv GROUP BY lb),
+         dc AS MATERIALIZED (SELECT lb, CAST(count(*) AS BIGINT) AS nd
+           FROM trd GROUP BY lb),
+         td AS MATERIALIZED (SELECT CAST(sum(nd) AS BIGINT) AS n
+           FROM dc),
+         pos AS MATERIALIZED (SELECT t.doc_id, j AS pos, t.tk[j] AS w
+           FROM toks t, unnest(generate_series(1, len(t.tk))) AS u(j)),
+         lp AS MATERIALIZED (SELECT p.doc_id, p.pos, d.lb,
+             ln(CAST(coalesce(cv.c, 0) + 1 AS DOUBLE)
+                / CAST(tot.tl + vsz.v AS DOUBLE)) AS lp
+           FROM pos p CROSS JOIN dc d
+           JOIN tot ON tot.lb = d.lb CROSS JOIN vsz
+           LEFT JOIN cv ON cv.lb = d.lb AND cv.w = p.w),
+         sums AS MATERIALIZED (SELECT doc_id, lb,
+             reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(lp ORDER BY pos)), (a, e) -> a + e) AS ts
+           FROM lp GROUP BY doc_id, lb),
+         sc AS MATERIALIZED (SELECT d.doc_id, dc.lb,
+             ln(CAST(dc.nd AS DOUBLE) / CAST(td.n AS DOUBLE))
+               + coalesce(s.ts, CAST(0.0 AS DOUBLE)) AS score
+           FROM documents d CROSS JOIN dc CROSS JOIN td
+           LEFT JOIN sums s ON s.doc_id = d.doc_id AND s.lb = dc.lb)
+         SELECT doc_id,
+           CASE WHEN max(CASE WHEN lb = 'curated' THEN score END)
+                  > max(CASE WHEN lb = 'background' THEN score END)
+             THEN 'curated' ELSE 'background' END AS pred,
+           round(max(CASE WHEN lb = 'curated' THEN score END)
+             - max(CASE WHEN lb = 'background' THEN score END), 6)
+             AS lodds6
+         FROM sc GROUP BY doc_id ORDER BY doc_id""",
   )
 }

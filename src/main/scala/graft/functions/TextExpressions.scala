@@ -52,6 +52,27 @@ object TextKernels {
     new GenericArrayData(counts.map(_ / denom))
   }
 
+  /** Per-label Naive Bayes log-likelihood sums in one walk, accumulated
+    * in position order per label; null tokens are skipped.
+    */
+  def nbTokenScores(arr: ArrayData,
+      lookup: java.util.HashMap[UTF8String, Array[Double]],
+      oov: Array[Double]): ArrayData = {
+    val n = arr.numElements()
+    val scores = new Array[Double](oov.length)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        var lp = lookup.get(arr.getUTF8String(i))
+        if (lp == null) lp = oov
+        var j = 0
+        while (j < scores.length) { scores(j) += lp(j); j += 1 }
+      }
+      i += 1
+    }
+    new GenericArrayData(scores)
+  }
+
   /** Exact unigram/bigram totals, distinct counts and top frequencies in
     * one walk with two per-row hash maps; a null token breaks the bigram
     * chain.
@@ -192,6 +213,143 @@ object GramStats {
     StructField("top_bigram_count", LongType, nullable = false)))
 }
 
+/** Per-label token-log-likelihood sums for a multinomial Naive Bayes
+  * model ([[graft.textstats.NaiveBayes]]): one walk of the token array,
+  * accumulating each label's Σ log-lik in POSITION order (the pinned
+  * float-sum discipline — deterministic on any partitioning). The
+  * model lookup maps word → per-label log-liks; unseen words take the
+  * `oov` vector. Priors are added OUTSIDE (a plain column op), so this
+  * kernel's fold order is exactly the oracle's
+  * `reduce(list_prepend(0.0, list(lp ORDER BY pos)))`.
+  */
+case class NbTokenScores(child: Expression,
+    lookup: java.util.HashMap[UTF8String, Array[Double]],
+    oov: Array[Double]) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "nb_token_scores"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<string> argument, got " +
+            other.catalogString)
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.nbTokenScores(input.asInstanceOf[ArrayData], lookup, oov)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mapRef = ctx.addReferenceObj("nbLookup", lookup,
+      "java.util.HashMap")
+    val oovRef = ctx.addReferenceObj("nbOov", oov, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.nbTokenScores($c, $mapRef, $oovRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): NbTokenScores =
+    copy(child = c)
+}
+
+/** Shared state of one BpeEncode instance: the rank-ordered merge table
+  * plus a bounded per-executor memo cache. Natural-corpus word
+  * frequencies are Zipfian, so almost every encode is a cache hit; the
+  * cache is a ConcurrentHashMap (codegen shares the reference object
+  * across task threads) cleared wholesale when it exceeds `maxCache` —
+  * bounded memory, and the output is a pure function of the inputs
+  * either way.
+  */
+final class BpeCodec(val merges: Array[(String, String)],
+    maxCache: Int = 1 << 16) extends Serializable {
+
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[UTF8String]]()
+
+  private def encodeWord(w: String): Array[UTF8String] = {
+    var pieces = graft.text.Bpe.splitCodepoints(w)
+    var m = 0
+    while (m < merges.length && pieces.length >= 2) {
+      pieces = graft.text.Bpe.applyMergePass(pieces, merges(m)._1,
+        merges(m)._2)
+      m += 1
+    }
+    pieces.map(UTF8String.fromString)
+  }
+
+  def encodeCached(w: UTF8String): Array[UTF8String] = {
+    val key = w.toString
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else {
+      val enc = encodeWord(key)
+      if (cache.size() > maxCache) cache.clear()
+      cache.put(key, enc)
+      enc
+    }
+  }
+
+  /** One walk of the word array; per-word pieces concatenate in word
+    * order. Null words are skipped (tokenizers upstream never emit
+    * them, but an explicit policy beats an NPE).
+    */
+  def encodeArray(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new java.util.ArrayList[UTF8String](n * 2)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val enc = encodeCached(arr.getUTF8String(i))
+        var j = 0
+        while (j < enc.length) { out.add(enc(j)); j += 1 }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** BPE-encode an array<string> of words with a learned merge table
+  * ([[graft.text.Bpe]]): per word, one full left-to-right
+  * non-overlapping pass per merge in rank order. Generates a static
+  * call into the shared [[BpeCodec]] so it stays inside whole-stage
+  * codegen — this sits in the scan stage of the token-frequency /
+  * sequence-packing queries, where per-row lambda interpretation would
+  * dominate at 100 TB.
+  */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<string> argument, got " +
+            other.catalogString)
+    }
+
+  @transient private lazy val codec = new BpeCodec(merges.toArray)
+
+  override def nullSafeEval(input: Any): Any =
+    codec.encodeArray(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val codecRef = ctx.addReferenceObj("bpeCodec", codec,
+      classOf[BpeCodec].getName)
+    defineCodeGen(ctx, ev, c => s"$codecRef.encodeArray($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BpeEncode =
+    copy(child = c)
+}
+
 object TextFunctions {
   /** Column API for LangMarkerScores; `langMarkers` iterated in sorted
     * language order so the output array order is deterministic.
@@ -206,4 +364,15 @@ object TextFunctions {
   /** Column API for GramStats. */
   def gramStats(tokens: Column): Column =
     GraftShims.column(GramStats(GraftShims.expression(tokens)))
+
+  /** Column API for BpeEncode; `merges` must already be in rank order. */
+  def bpeEncode(tokens: Column, merges: Seq[(String, String)]): Column =
+    GraftShims.column(BpeEncode(GraftShims.expression(tokens), merges))
+
+  /** Column API for NbTokenScores; label order is the caller's. */
+  def nbTokenScores(tokens: Column,
+      lookup: java.util.HashMap[UTF8String, Array[Double]],
+      oov: Array[Double]): Column =
+    GraftShims.column(NbTokenScores(GraftShims.expression(tokens), lookup,
+      oov))
 }
