@@ -1335,6 +1335,29 @@ object SparkEntry {
           round(col("__sc") - col("__sb"), 6).as("lodds6"))
         .orderBy(col("doc_id"))
     }),
+    "gr_pagerank" -> ((s, dir) => {
+      // link-graph centrality (the crawl-graph authority signal): a
+      // bipartite part<->supplier co-occurrence graph from a 2%
+      // lineitem part-slice, both directions (no dangling nodes by
+      // construction), 6 PageRank rounds — EXACT doubles, the fold
+      // order is pinned so no rounding is needed
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 50 === 0)
+        .select(concat(lit("p"), col("l_partkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      val both = li.union(
+        li.select(col("dst").as("src"), col("src").as("dst")))
+      graft.graph.GraphOps.pageRank(both, "src", "dst", iterations = 6)
+        .orderBy(col("node"))
+    }),
+    "ts_group_sample" -> ((s, dir) => {
+      // deterministic per-stratum sample: EXACTLY min(7, |lang|) docs
+      // per language, priority = xxhash64(doc_id) — bounded k-heap per
+      // group (≤ k rows/task/group through the exchange), append-stable
+      graft.ops.Sampling.sampleKPerGroup(t(s, dir, "documents"),
+          Seq("lang"), "doc_id", k = 7)
+        .orderBy(col("lang"), col("rank"))
+    }),
   )
 
   /** One left-to-right non-overlapping BPE merge pass as a DuckDB string
@@ -1408,6 +1431,49 @@ object SparkEntry {
        FROM e$numMerges, unnest(p) AS u(tkn)
        GROUP BY tkn ORDER BY n DESC, token"""
     }
+    sb.toString
+  }
+
+  /** Unrolled DuckDB twin of GraphOps.pageRank over the lineitem
+    * part↔supplier co-occurrence graph: per fixed round, contributions
+    * pr/outdeg joined onto the edge list, per-destination sums folded
+    * in SOURCE order (reduce over list(c ORDER BY s) — the identical
+    * float order the Spark side pins), update (1−d)/N + d·Σ. Exact
+    * doubles end to end.
+    */
+  private def pageRankOracleSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH e0 AS MATERIALIZED (SELECT DISTINCT
+         'p' || CAST(l_partkey AS VARCHAR) AS s,
+         's' || CAST(l_suppkey AS VARCHAR) AS d
+       FROM lineitem WHERE l_partkey % 50 = 0),
+     e AS MATERIALIZED (SELECT s, d FROM e0
+       UNION ALL SELECT d AS s, s AS d FROM e0),
+     od AS MATERIALIZED (SELECT s, CAST(count(*) AS BIGINT) AS od
+       FROM e GROUP BY s),
+     nodes AS MATERIALIZED (SELECT DISTINCT s AS n FROM e),
+     nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS c
+       FROM nodes),
+     pr0 AS MATERIALIZED (SELECT n AS node,
+         CAST(1.0 AS DOUBLE) / CAST(nn.c AS DOUBLE) AS pr
+       FROM nodes CROSS JOIN nn)"""
+    for (i <- 1 to iters) sb ++= s""",
+     c$i AS MATERIALIZED (SELECT e.d, e.s,
+         p.pr / CAST(od.od AS DOUBLE) AS c
+       FROM e JOIN pr${i - 1} p ON e.s = p.node JOIN od ON od.s = e.s),
+     s$i AS MATERIALIZED (SELECT d,
+         reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY s)),
+           (a, x) -> a + x) AS sm
+       FROM c$i GROUP BY d),
+     pr$i AS MATERIALIZED (SELECT nodes.n AS node,
+         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+             / CAST(nn.c AS DOUBLE)
+           + CAST(0.85 AS DOUBLE)
+             * coalesce(s$i.sm, CAST(0.0 AS DOUBLE)) AS pr
+       FROM nodes CROSS JOIN nn
+       LEFT JOIN s$i ON s$i.d = nodes.n)"""
+    sb ++= s"""
+     SELECT node, pr FROM pr$iters ORDER BY node"""
     sb.toString
   }
 
@@ -2735,5 +2801,18 @@ object SparkEntry {
              - max(CASE WHEN lb = 'background' THEN score END), 6)
              AS lodds6
          FROM sc GROUP BY doc_id ORDER BY doc_id""",
+    "gr_pagerank" ->
+      // unrolled 6-round PageRank chain with source-ordered float folds
+      pageRankOracleSql(iters = 6),
+    "ts_group_sample" ->
+      // rank by the raw signed Spark xxhash64 (pure-SQL twin), ties to
+      // doc_id — the exact (priority, id) order the bounded heap keeps
+      s"""WITH h AS MATERIALIZED (${SplitOracle.hashCte}),
+         r AS (SELECT d.lang, d.doc_id,
+             CAST(row_number() OVER (PARTITION BY d.lang
+               ORDER BY h.hv, d.doc_id) AS BIGINT) AS rank
+           FROM documents d JOIN h ON d.doc_id = h.doc_id)
+         SELECT lang, doc_id, rank FROM r WHERE rank <= 7
+         ORDER BY lang, rank""",
   )
 }

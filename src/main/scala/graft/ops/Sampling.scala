@@ -127,4 +127,45 @@ object Sampling {
     }.otherwise(lit(math.round(defaultFraction * denom)))
     df.filter(hashBucket(col(idCol), denom) < thr)
   }
+
+  /** Deterministic pseudo-random sample of EXACTLY min(k, |group|) rows
+    * per group — the per-stratum eyeball/debug sample `TABLESAMPLE`
+    * can't give (it re-rolls per run and can't bound per group).
+    * Priority = xxhash64(id) (seed 42); the k kept rows are the k
+    * smallest (priority, id) pairs, rank 1-based in that order —
+    * append-stable: adding rows only ever displaces from the tail.
+    *
+    * Scale: integral ids run the bounded SmallestKMembersAgg — partial
+    * buffers never exceed k, ≤ k rows per task per group cross the
+    * exchange, no per-group sort. Other id types take the window
+    * formulation (identical output — the established id-type gate).
+    * Null ids drop.
+    *
+    * Returns the group columns + idCol + `rank`.
+    */
+  def sampleKPerGroup(df: DataFrame, groupCols: Seq[String],
+      idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(groupCols.nonEmpty, "no group columns")
+    val idType = df.schema(idCol).dataType
+    val rows = df.filter(col(idCol).isNotNull)
+    if (graft.dedup.Dedup.integralIdTypes.contains(idType)) {
+      val agg = udaf(new graft.functions.SmallestKMembersAgg(k))
+      rows.groupBy(groupCols.map(col): _*)
+        .agg(agg(xxhash64(col(idCol)), col(idCol).cast("long"))
+          .as("__ms"))
+        .select(groupCols.map(col) :+
+          posexplode(col("__ms")).as(Seq("__p", "__m")): _*)
+        .select(groupCols.map(col) :+
+          col("__m.fp").cast(idType).as(idCol) :+
+          (col("__p") + 1).cast("long").as("rank"): _*)
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCols.map(col): _*)
+        .orderBy(xxhash64(col(idCol)), col(idCol))
+      rows.select(groupCols.map(col) :+ col(idCol) :+
+          row_number().over(w).cast("long").as("rank"): _*)
+        .filter(col("rank") <= k)
+    }
+  }
 }

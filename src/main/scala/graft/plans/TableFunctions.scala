@@ -295,5 +295,60 @@ object TableFunctions {
         str(args(6), "query vector column"),
         k = int(args(7), "k"))
         .queryExecution.analyzed
+    }),
+    // round-8 tiers. pagerank and nb_classify TRAIN/derive a bounded
+    // driver model at ANALYSIS time (the dictionary / count collects and
+    // the dangling check run when the statement is analyzed — the same
+    // early-timing note as bm25 above).
+    "pagerank" -> (args => {
+      arity("pagerank", args, 4, 6)
+      val spark = SparkSession.active
+      graft.graph.GraphOps.pageRank(
+        spark.table(str(args(0), "edges table name")),
+        str(args(1), "src column"),
+        str(args(2), "dst column"),
+        iterations = int(args(3), "iterations"),
+        damping =
+          if (args.length >= 5) dbl(args(4), "damping") else 0.85,
+        cutEvery = if (args.length == 6) int(args(5), "cut every") else 10)
+        .queryExecution.analyzed
+    }),
+    "nb_classify" -> (args => {
+      arity("nb_classify", args, 6, 7)
+      val spark = SparkSession.active
+      val model = graft.textstats.NaiveBayes.train(
+        spark.table(str(args(0), "train table name")),
+        str(args(1), "train text column"),
+        str(args(2), "label column"),
+        maxVocab =
+          if (args.length == 7) int(args(6), "max vocab") else 1 << 16)
+      graft.textstats.NaiveBayes.classify(
+        spark.table(str(args(3), "docs table name")),
+        str(args(4), "doc id column"),
+        str(args(5), "doc text column"), model)
+        .queryExecution.analyzed
+    }),
+    "bpe_token_frequencies" -> (args => {
+      arity("bpe_token_frequencies", args, 3, 4)
+      val spark = SparkSession.active
+      val docs = spark.table(str(args(0), "docs table name"))
+      val textCol = str(args(1), "text column")
+      val merges = graft.text.Bpe.trainMerges(docs, textCol,
+        numMerges = int(args(2), "num merges"),
+        maxVocabWords =
+          if (args.length == 4) int(args(3), "max vocab words")
+          else 1 << 16)
+      graft.text.Bpe.tokenFrequencies(docs, textCol, merges)
+        .queryExecution.analyzed
+    }),
+    "sample_k_per_group" -> (args => {
+      arity("sample_k_per_group", args, 4, 4)
+      val spark = SparkSession.active
+      graft.ops.Sampling.sampleKPerGroup(
+        spark.table(str(args(0), "table name")),
+        keyList(str(args(1), "group column list")),
+        str(args(2), "id column"),
+        k = int(args(3), "k"))
+        .queryExecution.analyzed
     }))
 }

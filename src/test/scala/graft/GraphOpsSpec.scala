@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.graph.GraphOps
+
+/** PageRank / degree operators (graft.graph.GraphOps). */
+class GraphOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Independent reference model: dense map-based PR, contributions
+    * summed in sorted-source order (the pinned float order).
+    */
+  private def refPageRank(edges: Seq[(String, String)], iters: Int,
+      d: Double = 0.85): Map[String, Double] = {
+    val e = edges.distinct
+    val out = e.groupBy(_._1).view.mapValues(_.size).toMap
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = nodes.length
+    var pr = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val in = e.groupBy(_._2)
+      pr = nodes.map { v =>
+        val sum = in.getOrElse(v, Seq.empty).sortBy(_._1)
+          .foldLeft(0.0)((a, ed) => a + pr(ed._1) / out(ed._1))
+        v -> ((1.0 - d) / n + d * sum)
+      }.toMap
+    }
+    pr
+  }
+
+  private def run(edges: Seq[(String, String)], iters: Int) =
+    GraphOps.pageRank(edges.toDF("s", "d"), "s", "d", iters)
+      .as[(String, Double)].collect().toMap
+
+  test("cycle converges to uniform; matches the reference model exactly") {
+    val cyc = Seq("a" -> "b", "b" -> "c", "c" -> "a")
+    val got = run(cyc, 5)
+    assert(got.keySet == Set("a", "b", "c"))
+    got.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-15))
+    assert(got == refPageRank(cyc, 5))
+  }
+
+  test("star graph concentrates rank on the hub; exact vs reference") {
+    // undirected star (both directions so no dangling): hub h, leaves
+    val edges = Seq("h" -> "l1", "h" -> "l2", "h" -> "l3",
+      "l1" -> "h", "l2" -> "h", "l3" -> "h")
+    val got = run(edges, 7)
+    val ref = refPageRank(edges, 7)
+    assert(got == ref) // bit-exact: same fold order
+    assert(got("h") > got("l1") && got("l1") == got("l2"))
+    // total mass is conserved (no dangling): sums to ~1
+    assert(math.abs(got.values.sum - 1.0) < 1e-12)
+  }
+
+  test("parallel edges collapse to one") {
+    val dup = Seq("a" -> "b", "a" -> "b", "b" -> "a")
+    val got = run(dup, 4)
+    assert(got == refPageRank(Seq("a" -> "b", "b" -> "a"), 4))
+  }
+
+  test("dangling nodes are rejected loudly") {
+    val ex = intercept[IllegalArgumentException](
+      run(Seq("a" -> "b"), 2))
+    assert(ex.getMessage.contains("dangling"))
+  }
+
+  test("null endpoints drop; repartition-invariant to the bit") {
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
+      ("c", "b"), ("b", "a"))
+    val withNull = (e.map { case (a, b) => (a: String, b: String) } :+
+      ((null: String), "a") :+ ("a", (null: String))).toDF("s", "d")
+    val one = GraphOps.pageRank(withNull, "s", "d", 6)
+      .as[(String, Double)].collect().toMap
+    val many = GraphOps.pageRank(withNull.repartition(7), "s", "d", 6)
+      .as[(String, Double)].collect().toMap
+    assert(one == many)
+    assert(one == refPageRank(e, 6))
+  }
+
+  test("degrees profile counts both directions with zero-fill") {
+    val e = Seq("a" -> "b", "a" -> "c", "b" -> "c").toDF("s", "d")
+    val got = GraphOps.degrees(e, "s", "d")
+      .as[(String, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got == Map("a" -> (2L, 0L), "b" -> (1L, 1L), "c" -> (0L, 2L)))
+  }
+
+  test("parameter guards") {
+    val e = Seq("a" -> "a").toDF("s", "d")
+    intercept[IllegalArgumentException](GraphOps.pageRank(e, "s", "d", 0))
+    intercept[IllegalArgumentException](
+      GraphOps.pageRank(e, "s", "d", 3, damping = 1.0))
+  }
+}

@@ -174,4 +174,38 @@ class PlanPinSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"),
       s"the one-row stats frames must broadcast:\n$plan")
   }
+
+  test("ts_bpe_encode: scan-stage encode, dictionary cap is a heap") {
+    // the corpus pass must be: scan -> codegen'd bpe_encode -> explode
+    // -> one hash aggregation; no join anywhere, and the trainer's
+    // dictionary cap is a TakeOrdered (per-task heap), not a full sort
+    val plan = SparkEntry.queries("ts_bpe_encode")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bpe_encode"),
+      s"encode must run as the expression in the scan stage:\n$plan")
+    assert(!plan.contains("Join"), s"token counting must not join:\n$plan")
+    val cap = graft.text.Bpe.wordCounts(
+        graft.sources.Sources.readTable(spark, sf0001, "documents"), "text")
+      .orderBy(org.apache.spark.sql.functions.col("n").desc,
+        org.apache.spark.sql.functions.col("word"))
+      .limit(4096).queryExecution.executedPlan.toString
+    assert(cap.contains("TakeOrderedAndProject"),
+      s"dictionary cap must be a per-task heap:\n$cap")
+  }
+
+  test("ts_nb_filter: zero-shuffle scoring, no token-stream join") {
+    // the NB score path's scale contract: the model rides the plan as a
+    // reference object inside nb_token_scores — the corpus token stream
+    // must never join or shuffle; the only exchange is the final
+    // per-doc pivot aggregation
+    val plan = SparkEntry.queries("ts_nb_filter")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("nb_token_scores"),
+      s"scoring must run as the codegen'd expression:\n$plan")
+    assert(!plan.contains("Join"),
+      s"the model must not join against the token stream:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2,
+      s"expected only the pivot aggregation exchange(s), got $exchanges:\n$plan")
+  }
 }

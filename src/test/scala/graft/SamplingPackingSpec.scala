@@ -115,4 +115,54 @@ class SamplingPackingSpec extends SparkTestBase {
       assert(maxc === (tot - 1) / 50) // stream fills chunks densely
     }
   }
+
+  test("sampleKPerGroup: exact k per group, hash-ranked, both id gates") {
+    import spark.implicits._
+    val df = (0L until 300L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    val got = Sampling.sampleKPerGroup(df, Seq("g"), "id", 5)
+      .as[(String, Long, Long)].collect()
+    assert(got.length == 15)
+    assert(got.groupBy(_._1).forall { case (_, rs) =>
+      rs.map(_._3).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L) })
+    // reference: k smallest (xxhash64(id), id) per group via the window
+    val expect = df.select(col("g"), col("id"), xxhash64(col("id")).as("h"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+        rs.sortBy(r => (r._3, r._2)).take(5).zipWithIndex
+          .map { case (r, i) => (g, r._2, i + 1L) }
+      }.toSet
+    assert(got.toSet == expect)
+    // string-id gate (window fallback) keeps identical semantics
+    val sdf = df.select(concat(lit("x"), col("id")).as("sid"), col("g"))
+    val gotS = Sampling.sampleKPerGroup(sdf, Seq("g"), "sid", 5)
+      .as[(String, String, Long)].collect()
+    val expectS = sdf.select(col("g"), col("sid"),
+        xxhash64(col("sid")).as("h"))
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+        rs.sortBy(r => (r._3, r._2)).take(5).zipWithIndex
+          .map { case (r, i) => (g, r._2, i + 1L) }
+      }.toSet
+    assert(gotS.toSet == expectS)
+    // append stability: new rows can only displace survivors toward the
+    // tail (a fresh smaller priority inserts ahead), never promote them
+    // or reorder them relative to each other
+    val more = ((0L until 300L) ++ (1000L until 1100L))
+      .map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    val after = Sampling.sampleKPerGroup(more, Seq("g"), "id", 5)
+      .as[(String, Long, Long)].collect().toSet
+    after.foreach { case (g, id, newRk) =>
+      got.find(x => x._1 == g && x._2 == id).foreach { case (_, _, rk) =>
+        assert(newRk >= rk, s"($g,$id) promoted $rk -> $newRk")
+      }
+    }
+    // groups smaller than k return the whole group
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "g")
+    assert(Sampling.sampleKPerGroup(tiny, Seq("g"), "id", 5)
+      .count() == 3)
+    intercept[IllegalArgumentException](
+      Sampling.sampleKPerGroup(tiny, Seq("g"), "id", 0))
+    intercept[IllegalArgumentException](
+      Sampling.sampleKPerGroup(tiny, Seq.empty, "id", 2))
+  }
 }

@@ -211,6 +211,39 @@ class SqlDedupTvfSpec extends SparkTestBase {
       graft.ops.Profile.keySkew(d, Seq("k"), topN = 5, hotFactor = 1.1))
   }
 
+  test("pagerank, nb_classify, bpe and sampling TVFs match the Scala " +
+      "operators") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c",
+      "c" -> "b", "b" -> "a").toDF("s", "d")
+    edges.createOrReplaceTempView("sql_edges")
+    sameRows(
+      spark.sql("SELECT * FROM pagerank('sql_edges', 's', 'd', 4)"),
+      graft.graph.GraphOps.pageRank(edges, "s", "d", 4))
+
+    val train = Seq((1L, "good clean text", "good"),
+      (2L, "spam spam buy", "bad")).toDF("id", "text", "lb")
+    train.createOrReplaceTempView("sql_nb_train")
+    docs.createOrReplaceTempView("sql_docs")
+    val model = graft.textstats.NaiveBayes.train(train, "text", "lb")
+    sameRows(
+      spark.sql("""SELECT * FROM nb_classify('sql_nb_train', 'text', 'lb',
+                                             'sql_docs', 'doc_id', 'text')"""),
+      graft.textstats.NaiveBayes.classify(docs, "doc_id", "text", model))
+
+    val merges = graft.text.Bpe.trainMerges(docs, "text", numMerges = 6)
+    sameRows(
+      spark.sql(
+        "SELECT * FROM bpe_token_frequencies('sql_docs', 'text', 6)"),
+      graft.text.Bpe.tokenFrequencies(docs, "text", merges))
+
+    sameRows(
+      spark.sql(
+        "SELECT * FROM sample_k_per_group('sql_docs', 'text', 'doc_id', 2)"),
+      graft.ops.Sampling.sampleKPerGroup(docs, Seq("text"), "doc_id", 2))
+  }
+
   test("TVF argument validation fails loudly") {
     GraftExtensions.register(spark)
     docs.createOrReplaceTempView("sql_docs")
