@@ -1358,6 +1358,14 @@ object SparkEntry {
           Seq("lang"), "doc_id", k = 7)
         .orderBy(col("lang"), col("rank"))
     }),
+    "sim_jl_project" -> ((s, dir) => {
+      // Johnson-Lindenstrauss 64->16 sign projection: hash-derived sign
+      // matrix (nothing to persist), codegen'd row-local folds — zero
+      // shuffles, EXACT doubles (no ln/pow; sqrt(16) IEEE-exact)
+      graft.sim.Projection.jlProjectTable(t(s, dir, "embeddings"),
+          "vec_id", "embedding", dim = 64, outDim = 16)
+        .orderBy(col("vec_id"), col("proj_dim"))
+    }),
   )
 
   /** One left-to-right non-overlapping BPE merge pass as a DuckDB string
@@ -2814,5 +2822,20 @@ object SparkEntry {
            FROM documents d JOIN h ON d.doc_id = h.doc_id)
          SELECT lang, doc_id, rank FROM r WHERE rank <= 7
          ORDER BY lang, rank""",
+    "sim_jl_project" ->
+      // pure-SQL XXH64 sign matrix + element-ordered reduce folds — the
+      // identical float order the kernel pins, exact doubles
+      s"""WITH sg AS MATERIALIZED (${SplitOracle.jlSignCte}),
+         v AS MATERIALIZED (SELECT vec_id, i,
+             CAST(embedding[i + 1] AS DOUBLE) AS x
+           FROM embeddings, unnest(generate_series(0, 63)) AS u(i)),
+         pr AS (SELECT v.vec_id, sg.j AS proj_dim,
+             reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(v.x * sg.s ORDER BY v.i)), (a, e) -> a + e)
+               / sqrt(CAST(16 AS DOUBLE)) AS coord
+           FROM v JOIN sg ON sg.i = v.i
+           GROUP BY v.vec_id, sg.j)
+         SELECT vec_id, proj_dim, coord FROM pr
+         ORDER BY vec_id, proj_dim""",
   )
 }

@@ -85,6 +85,35 @@ object VectorKernels {
     java.lang.Double.valueOf(acc)
   }
 
+  /** JL sign projection: per output coordinate, a left-to-right fold in
+    * element order, one √k division at the end. Null (Java null return)
+    * on length mismatch or any null element.
+    */
+  def jlProject(x: ArrayData, isFloat: Boolean,
+      signs: Array[Array[Byte]]): ArrayData = {
+    val d = signs(0).length
+    if (x.numElements() != d) return null
+    val k = signs.length
+    val out = new Array[Double](k)
+    // divide (not multiply-by-reciprocal): the oracle computes sm/sqrt(k)
+    val sqrtK = math.sqrt(k.toDouble)
+    var j = 0
+    while (j < k) {
+      val row = signs(j)
+      var acc = 0.0
+      var i = 0
+      while (i < d) {
+        if (x.isNullAt(i)) return null
+        val v = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        acc += (if (row(i) > 0) v else -v)
+        i += 1
+      }
+      out(j) = acc / sqrtK
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** All `tables` LSH sign-pattern bucket ids in ONE pass over the vector.
     * weight(pp, i) = hashInt(i, seed(pp)) / Long.MaxValue with
     * seed(pp) = hashInt(pp, 42) reproduces the SQL `xxhash64(lit(pp), i)`
@@ -528,9 +557,61 @@ case class NearestCellsAdaptive(child: Expression,
     copy(child = c)
 }
 
+/** Johnson–Lindenstrauss sign projection: out[j] = Σ_i v[i]·s[j][i] / √k,
+  * each output coordinate folded LEFT-TO-RIGHT in element order (the
+  * vec_dot discipline — bit-identical to the HOF fold and the DuckDB
+  * oracle's `list(... ORDER BY i)` reduce). Null on a null element or a
+  * length ≠ the sign matrix's row width. Generates a static kernel call
+  * so it stays inside whole-stage codegen.
+  */
+case class JlProject(child: Expression, signs: Seq[Seq[Byte]])
+    extends UnaryExpression {
+  require(signs.nonEmpty && signs.forall(_.length == signs.head.length),
+    "sign matrix must be rectangular and non-empty")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "jl_project"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double>, got ${other.catalogString}")
+  }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  @transient private lazy val mat: Array[Array[Byte]] =
+    signs.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.jlProject(input.asInstanceOf[ArrayData], isFloat, mat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("jlSigns", mat, "byte[][]")
+    val f = isFloat
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+      org.apache.spark.sql.catalyst.util.ArrayData jlOut =
+        graft.functions.VectorKernels.jlProject($c, $f, $matRef);
+      if (jlOut == null) { ${ev.isNull} = true; } else { ${ev.value} = jlOut; }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): JlProject =
+    copy(child = c)
+}
+
 object VectorFunctions {
   def dot(a: Column, b: Column): Column =
     GraftShims.column(DotProduct(GraftShims.expression(a), GraftShims.expression(b)))
+
+  def jlProject(vec: Column, signs: Array[Array[Byte]]): Column =
+    GraftShims.column(JlProject(GraftShims.expression(vec),
+      signs.map(_.toSeq).toSeq))
 
   def norm(a: Column): Column =
     GraftShims.column(L2Norm(GraftShims.expression(a)))

@@ -350,5 +350,16 @@ object TableFunctions {
         str(args(2), "id column"),
         k = int(args(3), "k"))
         .queryExecution.analyzed
+    }),
+    "jl_project" -> (args => {
+      arity("jl_project", args, 5, 5)
+      val spark = SparkSession.active
+      graft.sim.Projection.jlProjectTable(
+        spark.table(str(args(0), "table name")),
+        str(args(1), "id column"),
+        str(args(2), "vector column"),
+        dim = int(args(3), "input dim"),
+        outDim = int(args(4), "output dim"))
+        .queryExecution.analyzed
     }))
 }

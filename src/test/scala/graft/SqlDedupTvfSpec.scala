@@ -242,6 +242,13 @@ class SqlDedupTvfSpec extends SparkTestBase {
       spark.sql(
         "SELECT * FROM sample_k_per_group('sql_docs', 'text', 'doc_id', 2)"),
       graft.ops.Sampling.sampleKPerGroup(docs, Seq("text"), "doc_id", 2))
+
+    val emb = Seq((1L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),
+      (2L, Seq(-1.0f, 0.5f, 0.0f, 2.0f))).toDF("vec_id", "v")
+    emb.createOrReplaceTempView("sql_emb")
+    sameRows(
+      spark.sql("SELECT * FROM jl_project('sql_emb', 'vec_id', 'v', 4, 2)"),
+      graft.sim.Projection.jlProjectTable(emb, "vec_id", "v", 4, 2))
   }
 
   test("TVF argument validation fails loudly") {
