@@ -1366,6 +1366,39 @@ object SparkEntry {
           "vec_id", "embedding", dim = 64, outDim = 16)
         .orderBy(col("vec_id"), col("proj_dim"))
     }),
+    "gr_degrees" -> ((s, dir) => {
+      // graph profile: in/out degree per node of the directed
+      // part->supplier co-occurrence graph (one aggregation per
+      // direction, full-outer zero-filled)
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 50 === 0)
+        .select(concat(lit("p"), col("l_partkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      graft.graph.GraphOps.degrees(li, "src", "dst")
+        .orderBy(col("node"))
+    }),
+    "sc_profile_text" -> ((s, dir) => {
+      // string-column ingest QC: rows/nulls/distincts/empties and
+      // length min/max/sum per column, one scan + the Expand-free
+      // exact-distinct pair aggregation
+      graft.ops.Profile.profileText(t(s, dir, "documents"),
+        Seq("text", "lang", "source"))
+    }),
+    "sim_jl_topk" -> ((s, dir) => {
+      // two-stage ANN: coarse top-40 on 32-dim projected cosine (2x
+      // cheaper corpus pass), exact rerank of the broadcast candidate
+      // list on the full 64-dim vectors
+      val emb = t(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val q = emb.filter(col("vec_id") < 8)
+      graft.sim.Projection.jlTopK(emb, "vec_id", "embedding",
+          q, "vec_id", "embedding", k = 5, dim = 64, projDim = 32,
+          overFetch = 8)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cosine"), 6).as("cos6"),
+          col("rank").cast("bigint").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
   )
 
   /** One left-to-right non-overlapping BPE merge pass as a DuckDB string
@@ -2834,8 +2867,77 @@ object SparkEntry {
                  list(v.x * sg.s ORDER BY v.i)), (a, e) -> a + e)
                / sqrt(CAST(16 AS DOUBLE)) AS coord
            FROM v JOIN sg ON sg.i = v.i
+           WHERE sg.j < 16
            GROUP BY v.vec_id, sg.j)
          SELECT vec_id, proj_dim, coord FROM pr
          ORDER BY vec_id, proj_dim""",
+    "gr_degrees" ->
+      """WITH e AS (SELECT DISTINCT
+             'p' || CAST(l_partkey AS VARCHAR) AS s,
+             's' || CAST(l_suppkey AS VARCHAR) AS d
+           FROM lineitem WHERE l_partkey % 50 = 0),
+         o AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS out_deg
+           FROM e GROUP BY s),
+         i AS (SELECT d AS node, CAST(count(*) AS BIGINT) AS in_deg
+           FROM e GROUP BY d)
+         SELECT coalesce(o.node, i.node) AS node,
+           coalesce(o.out_deg, 0) AS out_deg,
+           coalesce(i.in_deg, 0) AS in_deg
+         FROM o FULL OUTER JOIN i ON o.node = i.node
+         ORDER BY node""",
+    "sc_profile_text" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS "column",
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           CAST(coalesce(sum(CASE WHEN $c = '' THEN 1 ELSE 0 END), 0)
+             AS BIGINT) AS n_empty,
+           CAST(min(length($c)) AS BIGINT) AS min_len,
+           CAST(max(length($c)) AS BIGINT) AS max_len,
+           CAST(coalesce(sum(length($c)), 0) AS BIGINT) AS sum_len
+         FROM documents"""
+      s"""SELECT * FROM (${Seq("text", "lang", "source").map(one)
+          .mkString(" UNION ALL ")})
+         ORDER BY "column""""
+    },
+    "sim_jl_topk" ->
+      // the same sign-matrix + fold chain builds projected vectors;
+      // coarse rank on projected cosine, exact rerank on the full
+      // vectors (list_cosine_similarity + round-6, the sim_cosine_topk
+      // convention)
+      s"""WITH sg AS MATERIALIZED (${SplitOracle.jlSignCte}),
+         v AS MATERIALIZED (SELECT vec_id, i,
+             CAST(embedding[i + 1] AS DOUBLE) AS x
+           FROM embeddings, unnest(generate_series(0, 63)) AS u(i)),
+         pc AS MATERIALIZED (SELECT v.vec_id, sg.j,
+             reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(v.x * sg.s ORDER BY v.i)), (a, e) -> a + e)
+               / sqrt(CAST(32 AS DOUBLE)) AS coord
+           FROM v JOIN sg ON sg.i = v.i
+           GROUP BY v.vec_id, sg.j),
+         pl AS MATERIALIZED (SELECT vec_id, list(coord ORDER BY j) AS p
+           FROM pc GROUP BY vec_id),
+         qs AS MATERIALIZED (SELECT vec_id, p FROM pl WHERE vec_id < 8),
+         coarse AS MATERIALIZED (SELECT query_id, vec_id FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(c.p, q.p) DESC,
+                   c.vec_id) AS crank
+             FROM pl c, qs q WHERE c.vec_id <> q.vec_id)
+           WHERE crank <= 40),
+         rer AS (SELECT cand.query_id, cand.vec_id,
+             round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+               CAST(qe.embedding AS DOUBLE[])), 6) AS cos6,
+             row_number() OVER (PARTITION BY cand.query_id
+               ORDER BY list_cosine_similarity(
+                 CAST(c.embedding AS DOUBLE[]),
+                 CAST(qe.embedding AS DOUBLE[])) DESC,
+                 cand.vec_id) AS rank
+           FROM coarse cand
+           JOIN embeddings c ON c.vec_id = cand.vec_id
+           JOIN embeddings qe ON qe.vec_id = cand.query_id)
+         SELECT query_id, vec_id, cos6, rank FROM rer WHERE rank <= 5
+         ORDER BY query_id, rank""",
   )
 }

@@ -176,6 +176,67 @@ object Profile {
       .orderBy(col("column"))
   }
 
+  /** Text-column twin of [[profileNumeric]] — the ingest-QC pass for
+    * string columns: rows, nulls, distincts, EMPTY-string count and
+    * character-length min/max/sum per column in one scan (plus the
+    * Expand-free pair aggregation for exact distincts — all string
+    * columns share one native type, so it is a single pair stream).
+    * Every emitted value is an integer or a bounded extremum —
+    * order-free, bit-stable on any partitioning and engine.
+    * `exact = false` switches distincts to one-scan HLL++ sketches,
+    * the 100 TB knob. A column of empty strings vs a column of nulls
+    * vs a collapsed-vocabulary column are three different feed
+    * failures; this separates them.
+    */
+  def profileText(df: DataFrame, cols: Seq[String],
+      exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    require(cols.distinct == cols, "cols must not repeat a column")
+    cols.foreach { c =>
+      val f = df.schema.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"no such column: $c"))
+      require(f.dataType == org.apache.spark.sql.types.StringType,
+        s"column $c is ${f.dataType.simpleString}, not string")
+    }
+    val aggs = cols.flatMap { c =>
+      (if (exact) Nil
+       else Seq(approx_count_distinct(col(c)).as(s"__dst_$c"))) ++ Seq(
+        count(col(c)).as(s"__cnt_$c"),
+        sum(when(col(c) === "", 1L).otherwise(0L)).as(s"__emp_$c"),
+        min(length(col(c))).cast("long").as(s"__mnl_$c"),
+        max(length(col(c))).cast("long").as(s"__mxl_$c"),
+        sum(length(col(c)).cast("long")).as(s"__sml_$c"))
+    }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val perCol = one.select(explode(array(cols.map(c => struct(
+        lit(c).as("column"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"__cnt_$c")).as("n_nulls"),
+        (if (exact) lit(0L) else col(s"__dst_$c")).as("n_distinct"),
+        coalesce(col(s"__emp_$c"), lit(0L)).as("n_empty"),
+        col(s"__mnl_$c").as("min_len"),
+        col(s"__mxl_$c").as("max_len"),
+        coalesce(col(s"__sml_$c"), lit(0L)).as("sum_len"))): _*))
+        .as("__p"))
+      .select(col("__p.*"))
+    val out = if (!exact) perCol else {
+      val names = array(cols.map(lit): _*)
+      val dst = df
+        .select(posexplode(array(cols.map(col): _*)).as(Seq("__i", "__v")))
+        .filter(col("__v").isNotNull)
+        .select("__i", "__v").distinct()
+        .groupBy("__i").agg(count(lit(1)).as("__nd"))
+        .select(element_at(names, col("__i") + 1).as("column"),
+          col("__nd"))
+      perCol.drop("n_distinct")
+        .join(broadcast(dst), Seq("column"), "left")
+        .select(col("column"), col("n_rows"), col("n_nulls"),
+          coalesce(col("__nd"), lit(0L)).as("n_distinct"),
+          col("n_empty"), col("min_len"), col("max_len"), col("sum_len"))
+    }
+    out.orderBy(col("column"))
+  }
+
   /** Key-skew profile for a prospective join / groupBy key — the
     * diagnostic that decides between a plain shuffle join, a broadcast,
     * or [[graft.ops.ScaleOps.saltedJoin]]/[[graft.ops.ScaleOps.saltedAggregate]]

@@ -351,6 +351,15 @@ object TableFunctions {
         k = int(args(3), "k"))
         .queryExecution.analyzed
     }),
+    "profile_text" -> (args => {
+      arity("profile_text", args, 2, 3)
+      val spark = SparkSession.active
+      graft.ops.Profile.profileText(
+        spark.table(str(args(0), "table name")),
+        keyList(str(args(1), "column list")),
+        exact = if (args.length == 3) bool(args(2), "exact") else true)
+        .queryExecution.analyzed
+    }),
     "jl_project" -> (args => {
       arity("jl_project", args, 5, 5)
       val spark = SparkSession.active

@@ -62,4 +62,43 @@ object Projection {
           .as(Seq("proj_dim", "coord")))
       .select(col(idCol), col("proj_dim").cast("long").as("proj_dim"),
         col("coord"))
+
+  /** Two-stage ANN through the projection: coarse top-(k·overFetch) per
+    * query on PROJECTED cosine (dim/projDim× cheaper per pair — the
+    * whole corpus pays 16-dim folds instead of 64-dim), exact rerank of
+    * the surviving candidates on the full vectors. `overFetch` large
+    * enough to cover the corpus makes the result IDENTICAL to
+    * [[Similarity.bruteForceTopK]] (the rerank is exact) — that
+    * equivalence is spec-pinned; small overFetch trades recall for the
+    * cheap coarse pass like every two-stage retriever.
+    *
+    * Scale: the corpus is scanned twice (coarse pass; rerank join); the
+    * candidate list is |queries|·k·overFetch rows — broadcast back, so
+    * nothing corpus-sized shuffles; both rankings are the bounded
+    * k-heap aggregation.
+    */
+  def jlTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, dim: Int, projDim: Int = 16, overFetch: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(overFetch >= 1, s"overFetch must be positive, got $overFetch")
+    val cp = corpus.select(col(idCol).as("vec_id"),
+      jlProject(col(vecCol), dim, projDim).as("__cp"))
+    val qp = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      col(queryVecCol).as("__qv"),
+      jlProject(col(queryVecCol), dim, projDim).as("__qp")))
+    val coarse = cp.crossJoin(qp.select(col("query_id"), col("__qp")))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", Similarity.cosine(col("__cp"), col("__qp")))
+      .select("query_id", "vec_id", "cosine")
+    val cands = Similarity.rankTopK(coarse, k * overFetch)
+      .select("query_id", "vec_id")
+    val rerank = corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).as("__cv"))
+      .join(broadcast(cands), Seq("vec_id"))
+      .join(qp.select(col("query_id"), col("__qv")), Seq("query_id"))
+      .withColumn("cosine", Similarity.cosine(col("__cv"), col("__qv")))
+      .select("query_id", "vec_id", "cosine")
+    Similarity.rankTopK(rerank, k)
+  }
 }

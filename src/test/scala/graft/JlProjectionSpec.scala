@@ -99,11 +99,70 @@ class JlProjectionSpec extends SparkTestBase {
     assert(one == many)
   }
 
+  test("jlTopK with corpus-covering overFetch equals brute force exactly") {
+    val emb = graft.sources.Sources.readTable(spark, sf001, "embeddings")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val q = emb.filter(col("vec_id") < 5)
+    val brute = graft.sim.Similarity.bruteForceTopK(emb, "vec_id",
+        "embedding", q, "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // overFetch 200 × k 5 = 1000 candidates > the 500-row corpus: the
+    // coarse pass keeps everything, so the exact rerank IS brute force
+    val full = graft.sim.Projection.jlTopK(emb, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 5, dim = 64, projDim = 16,
+        overFetch = 200)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(full == brute)
+  }
+
+  test("jlTopK recall floor in the loose regime; exact in the design " +
+      "regime (planted near-dups)") {
+    // LOOSE regime: this corpus's neighbor cosines are nearly uniform
+    // (max natural pair ~0.55 — the SemDeDup framing), the hardest case
+    // for any projection. Measured grid (sf0.01, 46 queries):
+    // 16/m4 0.257, 16/m16 0.626, 32/m8 0.600, 32/m16 0.748.
+    val emb = graft.sources.Sources.readTable(spark, sf001, "embeddings")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val q = emb.filter(col("vec_id") % 11 === 0)
+    val truth = graft.sim.Similarity.bruteForceTopK(emb, "vec_id",
+        "embedding", q, "vec_id", "embedding", k = 5)
+      .select("query_id", "vec_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val got = graft.sim.Projection.jlTopK(emb, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 5, dim = 64, projDim = 32,
+        overFetch = 8)
+      .select("query_id", "vec_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val recalls = truth.map { case (qid, t) =>
+      got.getOrElse(qid, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"JLRECALL@5 64->32 m=8: $mean%.3f over ${recalls.size} queries")
+    assert(mean >= 0.5, f"mean recall $mean%.3f below floor")
+
+    // DESIGN regime: a planted near-identical vector (the dedup use
+    // case) survives even an aggressive 64->16, m=2 setting at rank 1
+    val base = emb.limit(1).as[(Long, Seq[Double], Int)].collect().head
+    val planted = (Seq((9999L, base._2.map(_ * 1.0001), 0)) ++
+      emb.as[(Long, Seq[Double], Int)].collect())
+      .toDF("vec_id", "embedding", "label")
+    val probe = planted.filter(col("vec_id") === 9999L)
+    val top1 = graft.sim.Projection.jlTopK(planted, "vec_id", "embedding",
+        probe, "vec_id", "embedding", k = 1, dim = 64, projDim = 16,
+        overFetch = 2)
+      .as[(Long, Long, Double, Int)].collect().head
+    assert(top1._2 == base._1 && top1._3 > 0.999)
+  }
+
   test("parameter guards") {
     val df = Seq((1L, Seq(1.0f))).toDF("id", "v")
     intercept[IllegalArgumentException](
       Projection.jlProject(col("v"), 0, 1))
     intercept[IllegalArgumentException](
       Projection.jlProject(col("v"), 4, 5))
+    intercept[IllegalArgumentException](
+      Projection.jlTopK(df, "id", "v", df, "id", "v", k = 0, dim = 1))
   }
 }

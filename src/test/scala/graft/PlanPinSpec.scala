@@ -193,6 +193,32 @@ class PlanPinSpec extends SparkTestBase {
       s"dictionary cap must be a per-task heap:\n$cap")
   }
 
+  test("gr_pagerank: rank joins stay equi-joins, one agg per round") {
+    // the iteration contract: the rank frame meets the cut edge list
+    // through equi-joins only (never a nested-loop product; AQE picks
+    // broadcast at runtime — checkpointed frames carry no static
+    // stats), and each of the 6 rounds contributes exactly one
+    // source-ordered dst fold
+    val plan = SparkEntry.queries("gr_pagerank")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"rank joins must stay equi-joins:\n$plan")
+    val folds = "collect_list".r.findAllIn(plan).length
+    assert(folds >= 6, s"expected >= 6 per-round contribution folds:\n$plan")
+  }
+
+  test("sim_jl_topk: projection in the scan stage, both rankings heaps") {
+    val plan = SparkEntry.queries("sim_jl_topk")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("jl_project"),
+      s"projection must run as the codegen'd expression:\n$plan")
+    assert(plan.contains("partial_topkagg"),
+      s"coarse and rerank rankings must be the bounded k-heap:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"candidates must broadcast back for the rerank:\n$plan")
+  }
+
   test("ts_nb_filter: zero-shuffle scoring, no token-stream join") {
     // the NB score path's scale contract: the model rides the plan as a
     // reference object inside nb_token_scores — the corpus token stream

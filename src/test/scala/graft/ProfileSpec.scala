@@ -233,4 +233,41 @@ class ProfileSpec extends SparkTestBase {
       .collect().toSeq
     assert(a == b)
   }
+
+  test("profileText: nulls vs empties vs distinct collapse separate") {
+    val d = Seq(
+      ("abc", ""), ("abc", null), ("de", ""), (null, "xyzw"))
+      .toDF("a", "b")
+    val got = Profile.profileText(d, Seq("a", "b")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toMap
+    // a: 4 rows, 1 null, distinct {abc, de}, 0 empty, len 2..3, sum 8
+    assert(got("a") == ((4L, 1L, 2L, 0L, 2L, 3L, 8L)))
+    // b: 1 null, distinct {"", xyzw}, 2 empty, len 0..4, sum 4
+    assert(got("b") == ((4L, 1L, 2L, 2L, 0L, 4L, 4L)))
+  }
+
+  test("profileText: approx mode keeps every non-distinct field; " +
+      "all-null column zero-fills") {
+    val d = Seq((null: String, "x"), (null: String, "y"))
+      .toDF("a", "b")
+    val ex = Profile.profileText(d, Seq("a", "b")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(ex("a") == ((2L, 2L, 0L, 0L)))
+    val approx = Profile.profileText(d, Seq("a", "b"), exact = false)
+    assert(approx.columns.toSeq ==
+      Profile.profileText(d, Seq("a", "b")).columns.toSeq)
+    // min/max lengths of the all-null column are null
+    val aRow = Profile.profileText(d, Seq("a")).collect().head
+    assert(aRow.isNullAt(5) && aRow.isNullAt(6) && aRow.getLong(7) == 0L)
+  }
+
+  test("profileText guards reject non-string and missing columns") {
+    val d = Seq((1L, "x")).toDF("n", "s")
+    intercept[IllegalArgumentException](Profile.profileText(d, Seq("n")))
+    intercept[IllegalArgumentException](Profile.profileText(d, Seq("zz")))
+    intercept[IllegalArgumentException](Profile.profileText(d, Seq.empty))
+  }
 }

@@ -209,6 +209,9 @@ class SqlDedupTvfSpec extends SparkTestBase {
     sameRows(
       spark.sql("SELECT * FROM key_skew('sql_prof', 'k', 5, 1.1)"),
       graft.ops.Profile.keySkew(d, Seq("k"), topN = 5, hotFactor = 1.1))
+    sameRows(
+      spark.sql("SELECT * FROM profile_text('sql_prof', 'k')"),
+      graft.ops.Profile.profileText(d, Seq("k")))
   }
 
   test("pagerank, nb_classify, bpe and sampling TVFs match the Scala " +
