@@ -1366,6 +1366,24 @@ object SparkEntry {
           "vec_id", "embedding", dim = 64, outDim = 16)
         .orderBy(col("vec_id"), col("proj_dim"))
     }),
+    "ts_bpe_pack" -> ((s, dir) => {
+      // the composed pretraining front-end: train the tokenizer on the
+      // corpus, BPE-encode every document in the scan stage, pack the
+      // per-shard subword streams into fixed-size chunks — tokenize →
+      // pack end-to-end, integer-exact
+      val docs = t(s, dir, "documents")
+      val merges = graft.text.Bpe.trainMerges(docs, "text",
+        numMerges = 24, maxVocabWords = 4096)
+      val withTok = docs.select(col("doc_id"),
+        size(graft.text.Bpe.encode(
+            graft.text.TextPipeline.tokenize(col("text")), merges))
+          .cast("bigint").as("n_tok"))
+      graft.ops.Packing.packChunks(withTok, "doc_id", "n_tok",
+          maxTokens = 512L, nShards = 8)
+        .select(col("doc_id"), col("shard"), col("start_tok"),
+          col("first_chunk"), col("last_chunk"), col("n_chunks"))
+        .orderBy(col("doc_id"))
+    }),
     "gr_degrees" -> ((s, dir) => {
       // graph profile: in/out degree per node of the directed
       // part->supplier co-occurrence graph (one aggregation per
@@ -1428,11 +1446,16 @@ object SparkEntry {
     * weighted — mathematically the per-document encode the Spark side
     * runs, since encoding is per-word deterministic.
     */
-  private def bpeOracleSql(numMerges: Int, maxVocabWords: Int,
-      train: Boolean): String = {
+  /** The shared WITH-body prefix: dictionary, merge chain, and (when
+    * `withEncode`) the full-dictionary re-encode chain `e_i`. Composed
+    * by the three BPE oracles.
+    */
+  private def bpeChainSql(numMerges: Int, maxVocabWords: Int,
+      withEncode: Boolean): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH toks AS (
-         SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'),
            t -> length(t) > 0) AS tk FROM documents),
        wrds AS MATERIALIZED (SELECT unnest(tk) AS w FROM toks),
        dict AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS c
@@ -1452,28 +1475,64 @@ object SparkEntry {
        seg${i + 1} AS MATERIALIZED (SELECT c, $bpeMergePassSql AS p
          FROM seg$i, b$i b)"""
     }
-    if (train) {
-      val rows = (0 until numMerges).map(i =>
-        s"SELECT CAST($i AS BIGINT) AS rank, l AS lft, r AS rgt, " +
-          s"CAST(pc AS BIGINT) AS freq FROM b$i WHERE l IS NOT NULL")
-      sb ++= s"""
-       SELECT * FROM (${rows.mkString(" UNION ALL ")}) ORDER BY rank"""
-    } else {
+    if (withEncode) {
       sb ++= """,
        e0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS c,
            regexp_extract_all(w, '.') AS p
          FROM wrds GROUP BY w)"""
       for (i <- 0 until numMerges)
         sb ++= s""",
-       e${i + 1} AS MATERIALIZED (SELECT c, $bpeMergePassSql AS p
+       e${i + 1} AS MATERIALIZED (SELECT w, c, $bpeMergePassSql AS p
          FROM e$i, b$i b)"""
-      sb ++= s"""
-       SELECT tkn AS token, CAST(sum(c) AS BIGINT) AS n
-       FROM e$numMerges, unnest(p) AS u(tkn)
-       GROUP BY tkn ORDER BY n DESC, token"""
     }
     sb.toString
   }
+
+  private def bpeOracleSql(numMerges: Int, maxVocabWords: Int,
+      train: Boolean): String =
+    if (train) {
+      val rows = (0 until numMerges).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS rank, l AS lft, r AS rgt, " +
+          s"CAST(pc AS BIGINT) AS freq FROM b$i WHERE l IS NOT NULL")
+      s"""${bpeChainSql(numMerges, maxVocabWords, withEncode = false)}
+       SELECT * FROM (${rows.mkString(" UNION ALL ")}) ORDER BY rank"""
+    } else
+      s"""${bpeChainSql(numMerges, maxVocabWords, withEncode = true)}
+       SELECT tkn AS token, CAST(sum(c) AS BIGINT) AS n
+       FROM e$numMerges, unnest(p) AS u(tkn)
+       GROUP BY tkn ORDER BY n DESC, token"""
+
+  /** Composed tokenize→pack twin: per-doc subword counts from the
+    * encode chain (per-word piece counts joined back onto each
+    * document's word stream — integer-exact ≡ the per-doc encode,
+    * since encoding is per-word), then the ts_pack_chunks interval
+    * arithmetic.
+    */
+  private def bpePackOracleSql(numMerges: Int, maxVocabWords: Int,
+      maxTokens: Int, nShards: Int): String =
+    s"""${bpeChainSql(numMerges, maxVocabWords, withEncode = true)},
+       wl AS MATERIALIZED (SELECT w, CAST(length(p) AS BIGINT) AS np
+         FROM e$numMerges),
+       dn AS MATERIALIZED (SELECT doc_id,
+           CAST(coalesce(sum(np), 0) AS BIGINT) AS n_tok
+         FROM (SELECT t.doc_id, u.w FROM toks t, unnest(t.tk) AS u(w))
+         JOIN wl USING (w) GROUP BY doc_id),
+       tc AS (SELECT d.doc_id, d.doc_id % $nShards AS shard,
+           coalesce(dn.n_tok, 0) AS n_tok
+         FROM documents d LEFT JOIN dn USING (doc_id)),
+       cum AS (SELECT doc_id, shard, n_tok,
+           CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS end_tok
+         FROM tc)
+       SELECT doc_id, shard, end_tok - n_tok AS start_tok,
+         (end_tok - n_tok) // $maxTokens AS first_chunk,
+         CASE WHEN n_tok > 0 THEN (end_tok - 1) // $maxTokens
+              ELSE (end_tok - n_tok) // $maxTokens END AS last_chunk,
+         CASE WHEN n_tok > 0 THEN
+             (end_tok - 1) // $maxTokens - (end_tok - n_tok) // $maxTokens + 1
+              ELSE 0 END AS n_chunks
+       FROM cum ORDER BY doc_id"""
 
   /** Unrolled DuckDB twin of GraphOps.pageRank over the lineitem
     * part↔supplier co-occurrence graph: per fixed round, contributions
@@ -2871,6 +2930,11 @@ object SparkEntry {
            GROUP BY v.vec_id, sg.j)
          SELECT vec_id, proj_dim, coord FROM pr
          ORDER BY vec_id, proj_dim""",
+    "ts_bpe_pack" ->
+      // tokenizer-train chain + per-word piece counts joined onto each
+      // doc's word stream + the pack interval arithmetic
+      bpePackOracleSql(numMerges = 24, maxVocabWords = 4096,
+        maxTokens = 512, nShards = 8),
     "gr_degrees" ->
       """WITH e AS (SELECT DISTINCT
              'p' || CAST(l_partkey AS VARCHAR) AS s,
