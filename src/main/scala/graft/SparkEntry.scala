@@ -2880,9 +2880,9 @@ object SparkEntry {
            FROM toks t, unnest(generate_series(1, len(t.tk))) AS u(j)),
          lp AS MATERIALIZED (SELECT p.doc_id, p.pos, d.lb,
              ln(CAST(coalesce(cv.c, 0) + 1 AS DOUBLE)
-                / CAST(tot.tl + vsz.v AS DOUBLE)) AS lp
+                / CAST(coalesce(tot.tl, 0) + vsz.v AS DOUBLE)) AS lp
            FROM pos p CROSS JOIN dc d
-           JOIN tot ON tot.lb = d.lb CROSS JOIN vsz
+           LEFT JOIN tot ON tot.lb = d.lb CROSS JOIN vsz
            LEFT JOIN cv ON cv.lb = d.lb AND cv.w = p.w),
          sums AS MATERIALIZED (SELECT doc_id, lb,
              reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -2967,9 +2967,10 @@ object SparkEntry {
     },
     "sim_jl_topk" ->
       // the same sign-matrix + fold chain builds projected vectors;
-      // coarse rank on projected cosine, exact rerank on the full
-      // vectors (list_cosine_similarity + round-6, the sim_cosine_topk
-      // convention)
+      // BOTH cosine passes reproduce the kernels' exact fold order
+      // (products and squares in element order, dot/(na*nb)) — the
+      // coarse 40-candidate boundary and the final ranks are therefore
+      // bit-comparable cross-engine, no unpinned builtin in the path
       s"""WITH sg AS MATERIALIZED (${SplitOracle.jlSignCte}),
          v AS MATERIALIZED (SELECT vec_id, i,
              CAST(embedding[i + 1] AS DOUBLE) AS x
@@ -2980,27 +2981,41 @@ object SparkEntry {
                / sqrt(CAST(32 AS DOUBLE)) AS coord
            FROM v JOIN sg ON sg.i = v.i
            GROUP BY v.vec_id, sg.j),
-         pl AS MATERIALIZED (SELECT vec_id, list(coord ORDER BY j) AS p
-           FROM pc GROUP BY vec_id),
-         qs AS MATERIALIZED (SELECT vec_id, p FROM pl WHERE vec_id < 8),
+         qs AS MATERIALIZED (SELECT vec_id, j, coord FROM pc
+           WHERE vec_id < 8),
          coarse AS MATERIALIZED (SELECT query_id, vec_id FROM (
-             SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-               row_number() OVER (PARTITION BY q.vec_id
-                 ORDER BY list_cosine_similarity(c.p, q.p) DESC,
-                   c.vec_id) AS crank
-             FROM pl c, qs q WHERE c.vec_id <> q.vec_id)
+             SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY dt / (na * nb) DESC, vec_id) AS crank
+             FROM (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                 reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(c.coord * q.coord ORDER BY c.j)),
+                   (a, e) -> a + e) AS dt,
+                 sqrt(reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(c.coord * c.coord ORDER BY c.j)),
+                   (a, e) -> a + e)) AS na,
+                 sqrt(reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(q.coord * q.coord ORDER BY c.j)),
+                   (a, e) -> a + e)) AS nb
+               FROM pc c JOIN qs q ON c.j = q.j
+               WHERE c.vec_id <> q.vec_id
+               GROUP BY q.vec_id, c.vec_id))
            WHERE crank <= 40),
-         rer AS (SELECT cand.query_id, cand.vec_id,
-             round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
-               CAST(qe.embedding AS DOUBLE[])), 6) AS cos6,
-             row_number() OVER (PARTITION BY cand.query_id
-               ORDER BY list_cosine_similarity(
-                 CAST(c.embedding AS DOUBLE[]),
-                 CAST(qe.embedding AS DOUBLE[])) DESC,
-                 cand.vec_id) AS rank
-           FROM coarse cand
-           JOIN embeddings c ON c.vec_id = cand.vec_id
-           JOIN embeddings qe ON qe.vec_id = cand.query_id)
+         rer AS (SELECT query_id, vec_id,
+             round(dt / (na * nb), 6) AS cos6,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY dt / (na * nb) DESC, vec_id) AS rank
+           FROM (SELECT cand.query_id, cand.vec_id,
+               reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(c.x * q.x ORDER BY c.i)), (a, e) -> a + e) AS dt,
+               sqrt(reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(c.x * c.x ORDER BY c.i)), (a, e) -> a + e)) AS na,
+               sqrt(reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(q.x * q.x ORDER BY c.i)), (a, e) -> a + e)) AS nb
+             FROM coarse cand
+             JOIN v c ON c.vec_id = cand.vec_id
+             JOIN v q ON q.vec_id = cand.query_id AND q.i = c.i
+             GROUP BY cand.query_id, cand.vec_id))
          SELECT query_id, vec_id, cos6, rank FROM rer WHERE rank <= 5
          ORDER BY query_id, rank""",
   )

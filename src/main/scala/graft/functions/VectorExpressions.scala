@@ -592,11 +592,12 @@ case class JlProject(child: Expression, signs: Seq[Seq[Byte]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val matRef = ctx.addReferenceObj("jlSigns", mat, "byte[][]")
     val f = isFloat
+    val out = ctx.freshName("jlOut")
     nullSafeCodeGen(ctx, ev, c => {
       s"""
-      org.apache.spark.sql.catalyst.util.ArrayData jlOut =
+      org.apache.spark.sql.catalyst.util.ArrayData $out =
         graft.functions.VectorKernels.jlProject($c, $f, $matRef);
-      if (jlOut == null) { ${ev.isNull} = true; } else { ${ev.value} = jlOut; }
+      if ($out == null) { ${ev.isNull} = true; } else { ${ev.value} = $out; }
       """
     })
   }

@@ -76,6 +76,8 @@ object GraphOps {
         sum(when(col("__has").isNull, 1L).otherwise(0L)).as("__dg"))
       .head()
     val n = stats.getLong(0)
+    require(n > 0L,
+      "empty graph: no edges survive the null filter — nothing to rank")
     val nDangling = stats.getLong(1)
     require(nDangling == 0L,
       s"$nDangling dangling node(s) (no out-edge): their rank mass " +

@@ -129,8 +129,9 @@ object Sampling {
   }
 
   /** Deterministic pseudo-random sample of EXACTLY min(k, |group|) rows
-    * per group — the per-stratum eyeball/debug sample `TABLESAMPLE`
-    * can't give (it re-rolls per run and can't bound per group).
+    * per group (ids unique per group — see below) — the per-stratum
+    * eyeball/debug sample `TABLESAMPLE` can't give (it re-rolls per run
+    * and can't bound per group).
     * Priority = xxhash64(id) (seed 42); the k kept rows are the k
     * smallest (priority, id) pairs, rank 1-based in that order —
     * append-stable: adding rows only ever displaces from the tail.
@@ -139,7 +140,9 @@ object Sampling {
     * buffers never exceed k, ≤ k rows per task per group cross the
     * exchange, no per-group sort. Other id types take the window
     * formulation (identical output — the established id-type gate).
-    * Null ids drop.
+    * Null ids drop. Ids must be UNIQUE within their group (the
+    * BoundedAggs contract): a duplicated id dedups on the bounded path
+    * but ranks twice on the window path.
     *
     * Returns the group columns + idCol + `rank`.
     */

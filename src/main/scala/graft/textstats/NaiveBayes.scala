@@ -79,7 +79,12 @@ object NaiveBayes {
     }
   }
 
-  private def tokens(c: Column): Column = graft.text.TextPipeline.tokenize(c)
+  // a NULL text scores like an empty document (prior only) rather than
+  // poisoning the row with null scores — the oracle's left-join +
+  // coalesce(0) semantics
+  private def tokens(c: Column): Column =
+    coalesce(graft.text.TextPipeline.tokenize(c),
+      array().cast("array<string>"))
 
   /** Train on the rows of `df` (each row is one labeled document). The
     * distributed work is one (label, word) count aggregation; the
@@ -98,9 +103,17 @@ object NaiveBayes {
     val labels = docCounts.map(_._1)
     val idx = labels.zipWithIndex.toMap
 
-    val cnts = df.select(col(labelCol).as("__lb"),
+    // ONE token pass: the (label, word) count table is vocab-bounded —
+    // cut it (localCheckpoint unless a checkpoint dir is configured) so
+    // the cap's TakeOrdered and the kept-join don't each re-run the
+    // corpus explode+aggregate
+    val cnts0 = df.select(col(labelCol).as("__lb"),
         explode(tokens(col(textCol))).as("__w"))
       .groupBy("__lb", "__w").agg(count(lit(1)).as("__c"))
+    val cnts =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        cnts0.checkpoint(eager = true)
+      else cnts0.localCheckpoint(eager = true)
     // cap the vocabulary at the top maxVocab words by TOTAL count —
     // a TakeOrdered over the vocab-bounded count table, then one
     // broadcast semi-join to keep only capped words
@@ -111,6 +124,9 @@ object NaiveBayes {
     val kept = cnts.join(broadcast(vocab), Seq("__w"), "left_semi")
       .collect() // bounded: ≤ maxVocab × |labels| rows
       .map(r => (r.getString(1), r.getString(0), r.getLong(2)))
+    require(kept.nonEmpty,
+      "training corpus has no tokens: every log-likelihood would be " +
+        "ln(x/0) — label some non-empty documents")
 
     val counts = kept.groupBy(_._2).map { case (w, rows) =>
       val arr = new Array[Long](labels.length)

@@ -91,5 +91,30 @@ class GraphOpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](GraphOps.pageRank(e, "s", "d", 0))
     intercept[IllegalArgumentException](
       GraphOps.pageRank(e, "s", "d", 3, damping = 1.0))
+    intercept[IllegalArgumentException](
+      GraphOps.pageRank(e.filter("s = 'zz'"), "s", "d", 3))
+  }
+
+  test("property: random undirected graphs match the reference model " +
+      "bit-for-bit under random partitionings") {
+    val rnd = new scala.util.Random(17)
+    for (round <- 1 to 8) {
+      val n = 3 + rnd.nextInt(18)
+      val half = (0 until (n * 2)).map { _ =>
+        (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}")
+      }.filter(p => p._1 != p._2)
+      // union both directions: no dangling by construction; isolated
+      // self-loop nodes keep outdeg >= 1 too
+      val edges = (half ++ half.map(_.swap)).distinct
+      if (edges.nonEmpty) {
+        val iters = 1 + rnd.nextInt(7)
+        val df = edges.toDF("s", "d").repartition(1 + rnd.nextInt(7))
+        val got = GraphOps.pageRank(df, "s", "d", iters)
+          .as[(String, Double)].collect().toMap
+        assert(got == refPageRank(edges, iters),
+          s"round $round: n=$n iters=$iters edges=${edges.size}")
+        assert(math.abs(got.values.sum - 1.0) < 1e-9)
+      }
+    }
   }
 }

@@ -105,6 +105,19 @@ class NaiveBayesSpec extends SparkTestBase {
     assert(s1 == s2)
   }
 
+  test("a null text scores like an empty document (prior only)") {
+    val d = labeled((1L, "a a", "x"), (2L, "b", "y"))
+    val m = NaiveBayes.train(d, "text", "lb")
+    val got = NaiveBayes.score(
+        Seq((1L, null: String), (2L, "")).toDF("id", "text"),
+        "id", "text", m)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(got((1L, "x")) == m.logPrior(0) &&
+      got((2L, "x")) == m.logPrior(0))
+    assert(got((1L, "y")) == m.logPrior(1))
+  }
+
   test("guards: empty or null-labeled training sets are rejected") {
     intercept[IllegalArgumentException](
       NaiveBayes.train(labeled(), "text", "lb"))
