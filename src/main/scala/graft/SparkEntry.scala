@@ -1366,6 +1366,32 @@ object SparkEntry {
           "vec_id", "embedding", dim = 64, outDim = 16)
         .orderBy(col("vec_id"), col("proj_dim"))
     }),
+    "ts_rrf_fusion" -> ((s, dir) => {
+      // hybrid retrieval: reciprocal-rank fusion of the sparse (BM25
+      // over documents) and dense (exact cosine over embeddings)
+      // top-5 lists for the shared id-space queries id < 8 — rank-only
+      // fusion, no score calibration; the synthetic corpora pin the
+      // fusion arithmetic, not retrieval quality
+      val docs = t(s, dir, "documents")
+      val tk = filter(split(lower(col("text")), "\\s+"),
+        x => length(x) > 0)
+      val queries = docs.filter(col("doc_id") < 8)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(tk, 1, 8)).as("qtext"))
+      val sparse = graft.text.Retrieval.bm25TopK(docs, "doc_id", "text",
+          queries, "doc_id", "qtext", k = 5, maxDfFrac = 0.5)
+        .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+      val emb = t(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val dense = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("vec_id").as("id"), col("rank"))
+      graft.text.Retrieval.rrfFusion(Seq(sparse, dense), "query_id",
+          "id", "rank", k = 5)
+        .select(col("query_id"), col("vec_id").as("id"),
+          col("rrf_score"), col("rank").cast("bigint").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "ts_bpe_pack" -> ((s, dir) => {
       // the composed pretraining front-end: train the tokenizer on the
       // corpus, BPE-encode every document in the scan stage, pack the
@@ -2930,6 +2956,39 @@ object SparkEntry {
            GROUP BY v.vec_id, sg.j)
          SELECT vec_id, proj_dim, coord FROM pr
          ORDER BY vec_id, proj_dim""",
+    "ts_rrf_fusion" ->
+      // sparse list = the shared bm25 formula; dense list = the
+      // sim_cosine_topk ranking; contributions 1/(60+rank) folded in
+      // source order — exact doubles end to end
+      s"""WITH sp AS (${bm25OracleSql(
+            "SELECT doc_id, text FROM documents",
+            "SELECT doc_id AS query_id, text FROM documents " +
+              "WHERE doc_id < 8", sliceLen = 8, k = 5,
+            maxDfFrac = 0.5)}),
+         dn AS (SELECT query_id, vec_id, rank FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(
+                   CAST(c.embedding AS DOUBLE[]),
+                   CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+             FROM embeddings c,
+               (SELECT * FROM embeddings WHERE vec_id < 8) q
+             WHERE c.vec_id <> q.vec_id)
+           WHERE rank <= 5),
+         u AS (SELECT query_id, doc_id AS id, 0 AS src,
+             CAST(1.0 AS DOUBLE) / (60 + rank) AS c FROM sp
+           UNION ALL SELECT query_id, vec_id AS id, 1 AS src,
+             CAST(1.0 AS DOUBLE) / (60 + rank) AS c FROM dn),
+         sc AS (SELECT query_id, id,
+             reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(c ORDER BY src)), (a, e) -> a + e) AS s
+           FROM u GROUP BY query_id, id),
+         rk AS (SELECT query_id, id, s AS rrf_score,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY s DESC, id) AS BIGINT) AS rank
+           FROM sc)
+         SELECT query_id, id, rrf_score, rank FROM rk WHERE rank <= 5
+         ORDER BY query_id, rank""",
     "ts_bpe_pack" ->
       // tokenizer-train chain + per-word piece counts joined onto each
       // doc's word stream + the pack interval arithmetic

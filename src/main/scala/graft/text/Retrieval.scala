@@ -371,4 +371,44 @@ object Retrieval {
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
       .unionByName(fresh)
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard hybrid
+    * retriever: merge ANY ranked result lists (BM25, dense ANN, a
+    * second index…) by rrf(q, d) = Σ_sources 1/(rrfK + rank_s(q, d)),
+    * re-ranked (score desc, id asc), top k per query. Rank-only fusion
+    * needs no score calibration between sources — exactly why hybrid
+    * stacks use it.
+    *
+    * Inputs are (query_id, id, rank) frames — the shape every retriever
+    * here emits. Scale: each source contributes ≤ its own k rows per
+    * query, so the union is (Σ k_s)·|queries| rows; one hash
+    * aggregation on (query_id, id) + the bounded k-heap ranking.
+    * Determinism: contributions fold in SOURCE-INDEX order inside the
+    * row (sort_array over (source, 1/(rrfK+rank)) structs), so the
+    * double sum is fixed-order — bit-stable and oracle-comparable; a
+    * (query, id) pair appearing twice in ONE source is rejected
+    * upstream by rank uniqueness (ranks are row_numbers), duplicates
+    * across sources are the point.
+    */
+  def rrfFusion(results: Seq[DataFrame], queryIdCol: String,
+      idCol: String, rankCol: String, k: Int,
+      rrfK: Int = 60): DataFrame = {
+    require(results.nonEmpty, "no result frames to fuse")
+    require(k >= 1, s"k must be positive, got $k")
+    require(rrfK >= 0, s"rrfK must be non-negative, got $rrfK")
+    val tagged = results.zipWithIndex.map { case (df, s) =>
+      df.select(col(queryIdCol).as("query_id"), col(idCol).as("vec_id"),
+        lit(s).as("__src"),
+        (lit(1.0) / (lit(rrfK).cast("double") + col(rankCol).cast("double")))
+          .as("__c"))
+    }.reduce(_ unionByName _)
+    val scored = tagged.groupBy(col("query_id"), col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("__src"), col("__c"))))
+        .as("__cs"))
+      .select(col("query_id"), col("vec_id"),
+        aggregate(transform(col("__cs"), x => x("__c")), lit(0.0),
+          (a, v) => a + v).as("cosine"))
+    graft.sim.Similarity.rankTopK(scored, k)
+      .withColumnRenamed("cosine", "rrf_score")
+  }
 }

@@ -53,4 +53,50 @@ class RankingMetricsSpec extends SparkTestBase {
     }
     assert(bad.getMessage.contains("query_id"))
   }
+
+  test("rrfFusion: hand-computed hybrid merge, ties to the smaller id") {
+    import spark.implicits._
+    // source 0: q1 ranks [10, 11, 12]; source 1: q1 ranks [11, 13, 14]
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("query_id", "id", "rank")
+    val b = Seq((1L, 11L, 1), (1L, 13L, 2), (1L, 14L, 3))
+      .toDF("query_id", "id", "rank")
+    val got = Retrieval.rrfFusion(Seq(a, b), "query_id", "id", "rank",
+        k = 5, rrfK = 60)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(_._3)
+    // 11 appears in both: 1/62 + 1/61 tops everything
+    assert(got.head._1 == 11L)
+    assert(math.abs(got.head._2 - (1.0 / 62 + 1.0 / 61)) < 1e-15)
+    // 10 (1/61) next, then 13 (1/62), then 12 and 14 tie at 1/63 ->
+    // smaller id first
+    assert(got.map(_._1).toSeq == Seq(11L, 10L, 13L, 12L, 14L))
+    // single-source fusion is a no-op re-rank of that source
+    val solo = Retrieval.rrfFusion(Seq(a), "query_id", "id", "rank", k = 2)
+      .collect().map(_.getLong(1)).toSeq
+    assert(solo == Seq(10L, 11L))
+    intercept[IllegalArgumentException](
+      Retrieval.rrfFusion(Seq.empty, "query_id", "id", "rank", k = 2))
+    intercept[IllegalArgumentException](
+      Retrieval.rrfFusion(Seq(a), "query_id", "id", "rank", k = 0))
+  }
+
+  test("rrfFusion is repartition-invariant to the bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val a = (1 to 200).map(_ => (rnd.nextInt(5).toLong,
+        rnd.nextInt(40).toLong, rnd.nextInt(20) + 1))
+      .distinct.groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+      .toDF("query_id", "id", "rank")
+    val one = Retrieval.rrfFusion(Seq(a, a.limit(50)), "query_id", "id",
+        "rank", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val many = Retrieval.rrfFusion(
+        Seq(a.repartition(7), a.limit(50).repartition(3)), "query_id",
+        "id", "rank", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    assert(one == many)
+  }
 }
