@@ -1453,6 +1453,15 @@ object SparkEntry {
     * fold equals the greedy scan [[graft.text.Bpe.applyMergePass]]
     * runs. `b.l IS NULL` is the merges-exhausted sentinel: pass
     * through unchanged.
+    *
+    * Separator constraint: chr(31) (U+001F) is the piece separator
+    * inside the fold, so a corpus token CONTAINING U+001F would
+    * corrupt the split_part/left arithmetic and silently diverge from
+    * the Spark side. The `\s+` tokenizer both engines share does not
+    * strip it, so the oracle's `wrds` CTE ASSERTS its absence — any
+    * such token makes the oracle error loudly (DuckDB `error()`)
+    * instead of hash-mismatching silently; the driver corpus contains
+    * none, so results are unchanged.
     */
   private def bpeMergePassSql: String =
     """CASE WHEN b.l IS NULL THEN p ELSE
@@ -1483,7 +1492,10 @@ object SparkEntry {
          SELECT doc_id,
            list_filter(string_split_regex(lower(text), '\\s+'),
            t -> length(t) > 0) AS tk FROM documents),
-       wrds AS MATERIALIZED (SELECT unnest(tk) AS w FROM toks),
+       wrds AS MATERIALIZED (SELECT CASE WHEN contains(u.t, chr(31))
+           THEN error('BPE oracle: token contains the U+001F separator')
+           ELSE u.t END AS w
+         FROM toks, unnest(tk) AS u(t)),
        dict AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS c
          FROM wrds GROUP BY w ORDER BY c DESC, w LIMIT $maxVocabWords),
        seg0 AS MATERIALIZED (SELECT c, regexp_extract_all(w, '.') AS p

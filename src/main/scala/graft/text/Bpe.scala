@@ -38,11 +38,17 @@ import graft.functions.TextFunctions
   * ties to the codepoint-wise smallest (left, right) — the same total
   * order as DuckDB's binary VARCHAR collation, so the learned table is
   * bit-reproducible cross-engine. Merges are applied as one full
-  * left-to-right non-overlapping pass per rank, in rank order; a pair of
-  * rank r can only involve tokens formed by merges < r, so no
-  * earlier-rank pair is ever re-created by a later pass and sequential
-  * rank-order application equals the lowest-rank-first priority-queue
-  * formulation.
+  * left-to-right non-overlapping pass per rank, in rank order. This is
+  * a deliberate, self-consistent semantics: [[trainMerges]],
+  * [[graft.functions.BpeEncode]] and the DuckDB oracle all apply
+  * merges this way, so the learned table and every encoded output
+  * agree bit-for-bit across engines. (It is NOT claimed equal to the
+  * lowest-rank-first priority-queue formulation in every corner: two
+  * distinct merges can fuse to the same string and re-create an
+  * earlier-rank pair after that rank's pass already ran — a case the
+  * queue would merge and a rank-order pass leaves split. All three
+  * implementations here share one behavior, which is the property
+  * correctness rests on.)
   */
 object Bpe {
 
