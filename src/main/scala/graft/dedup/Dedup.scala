@@ -986,4 +986,50 @@ object Dedup {
           .otherwise(coalesce(col("__clean"), lit(""))).as("text_clean"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
   }
+
+  /** Per-document duplication fraction — the SOFT version of
+    * [[scrubRepeatedNgrams]]: instead of rewriting text, score each
+    * document by the fraction of its word n-gram occurrences whose
+    * gram appears in more than `maxDocs` distinct documents. This is
+    * the corpus-duplication profile quality pipelines report and
+    * threshold on (a mostly-duplicated page is a removal candidate even
+    * when no single gram run crosses the scrub bar), and the cheap
+    * pre-flight before committing to a destructive scrub.
+    *
+    * Output: (idCol, n_grams, n_dup_grams, dup_frac) — `dup_frac` the
+    * single division n_dup/n_grams (NULL when the document is shorter
+    * than n words, so has no grams: unknown, not 0). Integer counts +
+    * one division ⇒ bit-stable on any partitioning.
+    *
+    * Scale: identical shape to the scrub's first two stages — grams
+    * travel the shuffle as 64-bit hashes, the repeated-gram set is
+    * bounded by duplicated-text volume, and the per-doc tallies are one
+    * co-partitioned join + one hash aggregation. Nothing quadratic.
+    */
+  def dupGramFraction(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 10, maxDocs: Int = 1): DataFrame = {
+    require(n >= 2, s"gram width must be >= 2 words, got $n")
+    require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
+    val grams = df.select(col(idCol), posexplode(
+      graft.functions.HashFunctions.rawWordGramHashes(col(textCol), n))
+      .as(Seq("__p", "__h")))
+    val rep = grams.groupBy("__h")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") > maxDocs)
+      .select("__h")
+    val perDoc = grams
+      .join(rep, Seq("__h"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__ndup"))
+    // total grams = the kernel's own array length (no separate word
+    // count whose tokenizer could disagree with the gram walk)
+    val totals = df.select(col(idCol),
+      size(graft.functions.HashFunctions.rawWordGramHashes(col(textCol), n))
+        .cast("long").as("n_grams"))
+    totals.join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("__ndup"), lit(0L)).as("n_dup_grams"),
+        when(col("n_grams") > 0L,
+          coalesce(col("__ndup"), lit(0L)).cast("double") /
+            col("n_grams").cast("double")).as("dup_frac"))
+  }
 }

@@ -89,8 +89,101 @@ object GraphOps {
     // every iteration joins only the rank frame against this
     val eo = cut(e.join(outDeg, Seq("__s")))
 
-    var pr = nodes.select(col("__n"),
+    val pr0 = nodes.select(col("__n"),
       (lit(1.0) / n.toDouble).as("__pr"))
+    val pr = iterateRanks(nodes.select(col("__n"), lit(base).as("__tp")),
+      eo, pr0, iterations, damping, cutEvery)
+    pr.select(col("__n").as("node"), col("__pr").as("pr"))
+  }
+
+  /** Seed-personalized PageRank — the TrustRank family (Gyöngyi et al.
+    * 2004): random-walk-with-restart where the teleport lands on a
+    * SEED set instead of uniformly, so rank mass measures proximity to
+    * the seeds. With hand-vetted quality sites as seeds this is the
+    * crawl-curation trust signal (spam sits far from every seed); with
+    * known-spam seeds it is the inverse blacklist signal. Same
+    * per-round shape, determinism contract (source-ordered folds,
+    * EXACT doubles) and dangling-node rejection as [[pageRank]]; only
+    * the start vector and teleport differ — 1/|S| on seeds, 0
+    * elsewhere.
+    *
+    * `seeds` is any frame whose `seedCol` names graph nodes; seed
+    * values that are not nodes of `edges` are rejected loudly (a
+    * silently-dropped seed would skew every score). Returns (node, pr)
+    * for every node; nodes unreachable from the seed set score 0.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, seedCol: String,
+      iterations: Int, damping: Double = 0.85,
+      cutEvery: Int = 10): DataFrame = {
+    require(iterations >= 1 && iterations <= 100,
+      s"iterations must be in [1, 100], got $iterations")
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0, 1), got $damping")
+    require(cutEvery >= 1, s"cutEvery must be positive, got $cutEvery")
+    val e = cut(edges
+      .select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .filter(col("__s").isNotNull && col("__d").isNotNull)
+      .distinct())
+    val outDeg = e.groupBy(col("__s")).agg(count(lit(1)).as("__od"))
+    val nodes = cut(e.select(col("__s").as("__n"))
+      .union(e.select(col("__d").as("__n"))).distinct())
+    val sd = seeds.select(col(seedCol).as("__n"))
+      .filter(col("__n").isNotNull).distinct()
+
+    // N, dangling count, seed count, and stray-seed count in ONE action
+    // over the node ∪ seed universe
+    val stats = nodes.withColumn("__in_g", lit(1))
+      .join(sd.withColumn("__in_s", lit(1)), Seq("__n"), "full_outer")
+      .join(outDeg.select(col("__s").as("__n"), lit(1).as("__has")),
+        Seq("__n"), "left")
+      .agg(sum(coalesce(col("__in_g"), lit(0))).as("__n"),
+        sum(when(col("__in_g").isNotNull && col("__has").isNull, 1L)
+          .otherwise(0L)).as("__dg"),
+        sum(when(col("__in_g").isNotNull && col("__in_s").isNotNull, 1L)
+          .otherwise(0L)).as("__ns"),
+        sum(when(col("__in_g").isNull, 1L).otherwise(0L)).as("__stray"))
+      .head()
+    require(!stats.isNullAt(0) && stats.getLong(0) > 0L,
+      "empty graph: no edges survive the null filter — nothing to rank")
+    val nDangling = stats.getLong(1)
+    require(nDangling == 0L,
+      s"$nDangling dangling node(s) (no out-edge): their rank mass " +
+        "would leak every iteration. Union both edge directions " +
+        "(undirected graphs) or handle sinks explicitly.")
+    val nSeeds = stats.getLong(2)
+    require(nSeeds > 0L, "no seed is a node of the graph — the " +
+      "teleport vector would be all-zero")
+    val nStray = stats.getLong(3)
+    require(nStray == 0L,
+      s"$nStray seed(s) are not nodes of the graph; drop them " +
+        "explicitly (a silently-ignored seed would skew every score)")
+
+    val eo = cut(e.join(outDeg, Seq("__s")))
+    val seedBase = (1.0 - damping) / nSeeds
+    val nodesTp = nodes
+      .join(sd.withColumn("__in_s", lit(1)), Seq("__n"), "left")
+      .select(col("__n"),
+        when(col("__in_s").isNotNull, lit(seedBase)).otherwise(lit(0.0))
+          .as("__tp"),
+        when(col("__in_s").isNotNull, lit(1.0 / nSeeds))
+          .otherwise(lit(0.0)).as("__pr"))
+    val pr = iterateRanks(nodesTp.select(col("__n"), col("__tp")), eo,
+      nodesTp.select(col("__n"), col("__pr")), iterations, damping,
+      cutEvery)
+    pr.select(col("__n").as("node"), col("__pr").as("pr"))
+  }
+
+  /** The shared power-iteration loop: per round, one equi-join of the
+    * rank frame against the degree-annotated edge list `eo`, one hash
+    * aggregation on dst with SOURCE-ordered contribution folds, and
+    * the update `tp(n) + damping · Σ`. `nodesTp` carries (__n, __tp)
+    * — the per-node teleport mass; `pr0` carries (__n, __pr).
+    */
+  private def iterateRanks(nodesTp: DataFrame, eo: DataFrame,
+      pr0: DataFrame, iterations: Int, damping: Double,
+      cutEvery: Int): DataFrame = {
+    var pr = pr0
     var i = 0
     while (i < iterations) {
       val contrib = eo
@@ -104,14 +197,14 @@ object GraphOps {
         .select(col("__d"),
           aggregate(transform(col("__cs"), x => x("__c")), lit(0.0),
             (a, v) => a + v).as("__sm"))
-      pr = nodes.join(sums, col("__n") === col("__d"), "left")
+      pr = nodesTp.join(sums, col("__n") === col("__d"), "left")
         .select(col("__n"),
-          (lit(base) + lit(damping) * coalesce(col("__sm"), lit(0.0)))
+          (col("__tp") + lit(damping) * coalesce(col("__sm"), lit(0.0)))
             .as("__pr"))
       i += 1
       if (i % cutEvery == 0 && i < iterations) pr = cut(pr)
     }
-    pr.select(col("__n").as("node"), col("__pr").as("pr"))
+    pr
   }
 
   /** In/out degree per node of the (collapsed) simple digraph — the

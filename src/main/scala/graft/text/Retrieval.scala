@@ -351,6 +351,60 @@ object Retrieval {
       .orderBy(col("query_id"))
   }
 
+  /** nDCG@k — the rank-POSITION-sensitive companion to
+    * [[rankingMetrics]] (recall@k treats rank 1 and rank k alike;
+    * nDCG is what retrieval leaderboards actually report). Binary
+    * relevance: DCG = Σ over relevant hits of log(2)/log(rank+1),
+    * IDCG = the same sum over the ideal ranking 1..min(n_relevant, k),
+    * ndcg = DCG/IDCG ∈ [0, 1]. One row per truth query; queries the
+    * retriever missed entirely score 0.0, result-only queries are
+    * ignored (no truth to score against) — the rankingMetrics
+    * contract.
+    *
+    * Determinism: both folds run in RANK order inside a row (sorted
+    * hit list / an integer sequence), so the double sums are
+    * partition-independent; log(rank+1) is the only transcendental —
+    * round the emitted doubles (the tier's round-6 discipline) when
+    * pinning cross-engine. Scale shape is rankingMetrics': every frame
+    * is eval-set-sized, ≤ k hit rows per query.
+    */
+  def ndcgAtK(results: DataFrame, truth: DataFrame,
+      truthQueryIdCol: String, truthDocIdCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    Seq("query_id", "doc_id", "rank").foreach { c =>
+      require(results.columns.contains(c),
+        s"results must carry the (query_id, doc_id, rank) retrieval " +
+          s"shape; missing '$c' in ${results.columns.toSeq}")
+    }
+    val ln2 = log(lit(2.0))
+    val res = results.select(col("query_id"), col("doc_id"), col("rank"))
+      .filter(col("rank") <= k)
+    val tr = truth.select(col(truthQueryIdCol).as("query_id"),
+      col(truthDocIdCol).as("doc_id")).distinct()
+    // DCG: relevant hits folded in rank order inside the row
+    val dcg = res.join(tr, Seq("query_id", "doc_id"))
+      .groupBy("query_id")
+      .agg(aggregate(
+        transform(sort_array(collect_list(col("rank").cast("long"))),
+          r => ln2 / log(r.cast("double") + 1.0)),
+        lit(0.0), (a, v) => a + v).as("__dcg"))
+    // IDCG: the ideal ranking is 1..min(n_relevant, k) — a row-local
+    // integer-sequence fold, always > 0 (every truth query has >= 1
+    // relevant doc)
+    val perQuery = tr.groupBy("query_id")
+      .agg(count(lit(1)).as("n_relevant"))
+      .withColumn("__idcg", aggregate(
+        transform(sequence(lit(1L), least(col("n_relevant"), lit(k.toLong))),
+          r => ln2 / log(r.cast("double") + 1.0)),
+        lit(0.0), (a, v) => a + v))
+    perQuery.join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_relevant"),
+        coalesce(col("__dcg"), lit(0.0)).as("dcg"),
+        col("__idcg").as("idcg"),
+        (coalesce(col("__dcg"), lit(0.0)) / col("__idcg")).as("ndcg"))
+      .orderBy(col("query_id"))
+  }
+
   /** Merge a fresh corpus batch into a persisted postings index,
     * newest-wins: a doc id present in the fresh batch REPLACES all its
     * old postings (re-ingested/edited documents never double-count).

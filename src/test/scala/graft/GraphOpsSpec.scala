@@ -95,6 +95,104 @@ class GraphOpsSpec extends SparkTestBase {
       GraphOps.pageRank(e.filter("s = 'zz'"), "s", "d", 3))
   }
 
+  /** Independent reference model for seed-personalized PR: teleport
+    * 1/|S| on seeds, 0 elsewhere; same sorted-source fold order.
+    */
+  private def refPersonalized(edges: Seq[(String, String)],
+      seeds: Set[String], iters: Int,
+      d: Double = 0.85): Map[String, Double] = {
+    val e = edges.distinct
+    val out = e.groupBy(_._1).view.mapValues(_.size).toMap
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val ns = seeds.size
+    var pr = nodes.map(v => v -> (if (seeds(v)) 1.0 / ns else 0.0)).toMap
+    for (_ <- 1 to iters) {
+      val in = e.groupBy(_._2)
+      pr = nodes.map { v =>
+        val sum = in.getOrElse(v, Seq.empty).sortBy(_._1)
+          .foldLeft(0.0)((a, ed) => a + pr(ed._1) / out(ed._1))
+        val tp = if (seeds(v)) (1.0 - d) / ns else 0.0
+        v -> (tp + d * sum)
+      }.toMap
+    }
+    pr
+  }
+
+  private def runSeeded(edges: Seq[(String, String)], seeds: Seq[String],
+      iters: Int) =
+    GraphOps.personalizedPageRank(edges.toDF("s", "d"), "s", "d",
+        seeds.toDF("n"), "n", iters)
+      .as[(String, Double)].collect().toMap
+
+  test("trustrank: mass concentrates near the seed; matches the " +
+      "reference model exactly; total mass conserved") {
+    // undirected chain a-b-c-d (both directions: no dangling)
+    val half = Seq("a" -> "b", "b" -> "c", "c" -> "d")
+    val edges = half ++ half.map(_.swap)
+    val got = runSeeded(edges, Seq("a"), 6)
+    assert(got == refPersonalized(edges, Set("a"), 6))
+    // the seed holds the most mass, the farthest node the least (the
+    // walk oscillates between odd/even distances, so full monotone
+    // decay is NOT guaranteed at finite iterations)
+    assert(got("a") == got.values.max && got("d") == got.values.min,
+      s"got $got")
+    assert(math.abs(got.values.sum - 1.0) < 1e-12)
+  }
+
+  test("trustrank with ALL nodes as seeds equals plain pageRank " +
+      "bit-for-bit") {
+    val half = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c")
+    val edges = half ++ half.map(_.swap)
+    val plain = run(edges, 5)
+    val seeded = runSeeded(edges, Seq("a", "b", "c"), 5)
+    assert(plain == seeded)
+  }
+
+  test("trustrank: unreachable nodes score zero") {
+    // two disconnected 2-cycles; seed only in the first
+    val edges = Seq("a" -> "b", "b" -> "a", "x" -> "y", "y" -> "x")
+    val got = runSeeded(edges, Seq("a"), 4)
+    assert(got("x") == 0.0 && got("y") == 0.0)
+    assert(got("a") > 0.0 && got("b") > 0.0)
+  }
+
+  test("trustrank guards: stray seeds and seedless graphs are " +
+      "rejected loudly; duplicate seeds collapse") {
+    val edges = Seq("a" -> "b", "b" -> "a")
+    val stray = intercept[IllegalArgumentException](
+      runSeeded(edges, Seq("a", "zz"), 3))
+    assert(stray.getMessage.contains("not nodes"))
+    val none = intercept[IllegalArgumentException](
+      runSeeded(edges, Seq("zz"), 3))
+    assert(none.getMessage.contains("no seed"))
+    assert(runSeeded(edges, Seq("a", "a"), 3) ==
+      refPersonalized(edges, Set("a"), 3))
+  }
+
+  test("trustrank property: random graphs + random seed sets match " +
+      "the reference model bit-for-bit under random partitionings") {
+    val rnd = new scala.util.Random(29)
+    for (round <- 1 to 6) {
+      val n = 3 + rnd.nextInt(15)
+      val half = (0 until (n * 2)).map { _ =>
+        (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}")
+      }.filter(p => p._1 != p._2)
+      val edges = (half ++ half.map(_.swap)).distinct
+      if (edges.nonEmpty) {
+        val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+        val seeds = rnd.shuffle(nodes).take(1 + rnd.nextInt(nodes.size))
+        val iters = 1 + rnd.nextInt(6)
+        val got = GraphOps.personalizedPageRank(
+            edges.toDF("s", "d").repartition(1 + rnd.nextInt(5)),
+            "s", "d", seeds.toDF("n").repartition(2), "n", iters)
+          .as[(String, Double)].collect().toMap
+        assert(got == refPersonalized(edges, seeds.toSet, iters),
+          s"round $round: n=$n iters=$iters seeds=${seeds.size}")
+        assert(math.abs(got.values.sum - 1.0) < 1e-9)
+      }
+    }
+  }
+
   test("property: random undirected graphs match the reference model " +
       "bit-for-bit under random partitionings") {
     val rnd = new scala.util.Random(17)

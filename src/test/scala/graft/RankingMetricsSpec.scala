@@ -99,4 +99,61 @@ class RankingMetricsSpec extends SparkTestBase {
         r.getInt(3))).toSet
     assert(one == many)
   }
+
+  // Catalyst's log is StrictMath.log (fdlibm) — Math.log can differ
+  // by 1 ulp (e.g. on 3.0), so the model must use the same
+  private def disc(r: Long): Double =
+    StrictMath.log(2.0) / StrictMath.log(r + 1.0)
+
+  test("ndcg: hand-computed DCG/IDCG per query") {
+    // truth: q1 → {d2, d3} (d2 hits at rank 2); q2 → {d5} (rank 1 —
+    // perfect); q3 → {d7} (missed); q4 → {d1} (query absent from
+    // results)
+    val truth = Seq((1L, 2L), (1L, 3L), (2L, 5L), (3L, 7L), (4L, 1L))
+      .toDF("qid", "did")
+    val got = Retrieval.ndcgAtK(results, truth, "qid", "did", k = 3)
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    val idcg2 = disc(1) + disc(2)
+    assert(got == Seq(
+      (1L, 2L, disc(2), idcg2, disc(2) / idcg2),
+      (2L, 1L, disc(1), disc(1), 1.0),
+      (3L, 1L, 0.0, disc(1), 0.0),
+      (4L, 1L, 0.0, disc(1), 0.0)), s"got $got")
+  }
+
+  test("ndcg: perfect prefix ranking scores exactly 1.0") {
+    val res = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L)).toDF("qid", "did")
+    val got = Retrieval.ndcgAtK(res, truth, "qid", "did", k = 3)
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(got._5 == 1.0, s"got $got")
+  }
+
+  test("ndcg: k cutoff excludes deeper hits; truth is deduped; IDCG " +
+      "caps at k") {
+    val res = Seq((1L, 2L, 1), (1L, 3L, 4)).toDF("query_id", "doc_id", "rank")
+    // 5 relevant docs (one duplicated), k=3 → idcg over ranks 1..3 only
+    val truth = Seq((1L, 2L), (1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L),
+      (1L, 6L)).toDF("qid", "did")
+    val got = Retrieval.ndcgAtK(res, truth, "qid", "did", k = 3)
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    val idcg3 = disc(1) + disc(2) + disc(3)
+    assert(got == (1L, 5L, disc(1), idcg3, disc(1) / idcg3), s"got $got")
+  }
+
+  test("ndcg: repartition invariance to the bit") {
+    val rnd = new scala.util.Random(11)
+    val res = (1 to 300).map(_ => (rnd.nextInt(8).toLong,
+        rnd.nextInt(50).toLong, rnd.nextInt(10) + 1))
+      .groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+      .toDF("query_id", "doc_id", "rank")
+    val truth = (1 to 100).map(_ => (rnd.nextInt(8).toLong,
+        rnd.nextInt(50).toLong)).toDF("qid", "did")
+    val a = Retrieval.ndcgAtK(res, truth, "qid", "did", k = 5)
+      .collect().toSeq
+    val b = Retrieval.ndcgAtK(res.repartition(7), truth.repartition(5),
+        "qid", "did", k = 5).collect().toSeq
+    assert(a == b)
+  }
 }
