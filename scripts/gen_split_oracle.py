@@ -50,6 +50,17 @@ def jl_sign_cte(dim=64, out_dim=32):
   FROM (SELECT unnest(generate_series(0, {dim * out_dim - 1})) AS pid)"""
 
 
+def word_bucket_cte(buckets=64):
+    """(w, b) over the documents corpus' distinct \\s+-lowercase
+    vocabulary: b = pmod(xxhash64(w, seed 42), buckets) — the hashed
+    unigram feature bucket of graft.text.Dsir.wordBucket."""
+    from xxh64_sql import xxh64_str
+    h = signed(xxh64_str("w", "CAST(42 AS HUGEINT)"))
+    return f"""SELECT w, (((({h}) % {buckets}) + {buckets}) % {buckets}) AS b
+  FROM (SELECT DISTINCT unnest(list_filter(string_split_regex(
+      lower(text), '\\s+'), t -> length(t) > 0)) AS w FROM documents)"""
+
+
 def ts_hash_split_sql():
     return f"""WITH b AS ({bucket_cte()})
 SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
@@ -134,6 +145,9 @@ object SplitOracle {{
   /** Reusable CTE body (j, i, s): the 32x64 JL sign matrix (the k-dim
     * matrix for any k <= 32 is its j < k prefix). */
   val jlSignCte: String = "{esc(jl_sign_cte())}"
+  /** Reusable CTE body (w, b): pmod-64 hashed unigram feature bucket
+    * over the documents vocabulary (graft.text.Dsir.wordBucket). */
+  val wordBucketCte: String = "{esc(word_bucket_cte())}"
 }}
 """
     with open(path, "w") as f:

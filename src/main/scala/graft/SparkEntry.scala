@@ -1443,6 +1443,80 @@ object SparkEntry {
           col("rank").cast("bigint").as("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "ts_chunk_overlap" -> ((s, dir) => {
+      // RAG-corpus chunking: 64-word windows advancing by 48 (16-word
+      // overlap), row-local integer arithmetic, fingerprinted text
+      graft.text.Chunking.slidingChunks(t(s, dir, "documents"),
+          "doc_id", "text", chunkWords = 64, strideWords = 48)
+        .select(col("doc_id"), col("chunk_id"), col("start_word"),
+          col("n_words"), md5(col("chunk_text")).as("fp"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+    "dd_dup_fraction" -> ((s, dir) => {
+      // the scrub family's soft twin: per-doc fraction of 10-gram
+      // occurrences shared with another doc — the duplication profile
+      // thresholded on before committing to a destructive scrub
+      graft.dedup.Dedup.dupGramFraction(t(s, dir, "documents"),
+          "doc_id", "text", n = 10, maxDocs = 1)
+        .orderBy(col("doc_id"))
+    }),
+    "ts_bm25_ndcg" -> ((s, dir) => {
+      // rank-position-sensitive retrieval eval: nDCG@5 over the
+      // ts_bm25_topk run against a two-doc relevance set per query
+      // (the source doc + its successor), round-6 on the log folds
+      val docs = t(s, dir, "documents")
+      val tk = filter(split(lower(col("text")), "\\s+"),
+        x => length(x) > 0)
+      val queries = docs.filter(col("doc_id") % 13 === 0)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(tk, 1, 8)).as("qtext"))
+      val res = graft.text.Retrieval.bm25TopK(docs, "doc_id", "text",
+        queries, "doc_id", "qtext", k = 5, maxDfFrac = 0.5)
+      val truth = queries.select(col("doc_id").as("qid"),
+          explode(array(col("doc_id"), col("doc_id") + 1L)).as("did"))
+        .join(docs.select(col("doc_id").as("did")), Seq("did"),
+          "left_semi")
+      graft.text.Retrieval.ndcgAtK(res, truth, "qid", "did", k = 5)
+        .select(col("query_id"), col("n_relevant"),
+          round(col("dcg"), 6).as("dcg6"),
+          round(col("idcg"), 6).as("idcg6"),
+          round(col("ndcg"), 6).as("ndcg6"))
+        .orderBy(col("query_id"))
+    }),
+    "ts_dsir_select" -> ((s, dir) => {
+      // DSIR data selection: hashed-unigram importance weights of every
+      // doc under target = the src0 slice, top-100 by the ROUNDED
+      // score (the lm_buckets ranking discipline — ulp-stable), rank
+      // window over the bounded top-k only
+      val docs = t(s, dir, "documents")
+      val target = docs.filter(col("source") === "src0")
+      val lr = graft.text.Dsir.featureLogRatios(target, docs, "text",
+        buckets = 64)
+      graft.text.Dsir.importanceWeights(docs, "doc_id", "text", lr)
+        .withColumn("logw6", round(col("logw"), 6))
+        .orderBy(col("logw6").desc, col("doc_id")).limit(100)
+        .select(col("doc_id"), col("n_tokens"), col("logw6"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("logw6").desc, col("doc_id"))).cast("long"))
+    }),
+    "gr_trustrank" -> ((s, dir) => {
+      // seed-personalized PageRank (TrustRank): teleport mass lands on
+      // the %100 part nodes only — proximity-to-seed trust scores over
+      // the same co-occurrence graph as gr_pagerank; EXACT doubles
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 50 === 0)
+        .select(concat(lit("p"), col("l_partkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      val both = li.union(
+        li.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 100 === 0)
+        .select(concat(lit("p"), col("l_partkey")).as("seed"))
+      graft.graph.GraphOps.personalizedPageRank(both, "src", "dst",
+          seeds, "seed", iterations = 6)
+        .orderBy(col("node"))
+    }),
   )
 
   /** One left-to-right non-overlapping BPE merge pass as a DuckDB string
@@ -1579,7 +1653,15 @@ object SparkEntry {
     * float order the Spark side pins), update (1−d)/N + d·Σ. Exact
     * doubles end to end.
     */
-  private def pageRankOracleSql(iters: Int): String = {
+  /** Unrolled PageRank / TrustRank chain over the part↔supplier
+    * co-occurrence graph. `seeded = false` is the uniform-teleport
+    * gr_pagerank oracle; `seeded = true` personalizes to the %100 part
+    * nodes (pr0 = 1/|S| on seeds, 0 elsewhere; teleport (1−d)/|S| on
+    * seeds only) — the gr_trustrank twin. Both fold per-dst
+    * contributions in SOURCE order (EXACT doubles, no rounding).
+    */
+  private def pageRankOracleSql(iters: Int,
+      seeded: Boolean = false): String = {
     val sb = new StringBuilder
     sb ++= """WITH e0 AS MATERIALIZED (SELECT DISTINCT
          'p' || CAST(l_partkey AS VARCHAR) AS s,
@@ -1591,10 +1673,35 @@ object SparkEntry {
        FROM e GROUP BY s),
      nodes AS MATERIALIZED (SELECT DISTINCT s AS n FROM e),
      nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS c
-       FROM nodes),
+       FROM nodes)"""
+    if (!seeded)
+      sb ++= """,
      pr0 AS MATERIALIZED (SELECT n AS node,
          CAST(1.0 AS DOUBLE) / CAST(nn.c AS DOUBLE) AS pr
        FROM nodes CROSS JOIN nn)"""
+    else
+      sb ++= """,
+     sd AS MATERIALIZED (SELECT DISTINCT
+         'p' || CAST(l_partkey AS VARCHAR) AS n
+       FROM lineitem WHERE l_partkey % 100 = 0),
+     ns AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS c FROM sd),
+     pr0 AS MATERIALIZED (SELECT nodes.n AS node,
+         CASE WHEN sd.n IS NOT NULL
+           THEN CAST(1.0 AS DOUBLE) / CAST(ns.c AS DOUBLE)
+           ELSE CAST(0.0 AS DOUBLE) END AS pr
+       FROM nodes CROSS JOIN ns LEFT JOIN sd ON sd.n = nodes.n)"""
+    val tp =
+      if (!seeded)
+        """(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+             / CAST(nn.c AS DOUBLE)"""
+      else
+        """CASE WHEN sd.n IS NOT NULL
+             THEN (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+               / CAST(ns.c AS DOUBLE)
+             ELSE CAST(0.0 AS DOUBLE) END"""
+    val tpJoin =
+      if (!seeded) "CROSS JOIN nn"
+      else "CROSS JOIN ns LEFT JOIN sd ON sd.n = nodes.n"
     for (i <- 1 to iters) sb ++= s""",
      c$i AS MATERIALIZED (SELECT e.d, e.s,
          p.pr / CAST(od.od AS DOUBLE) AS c
@@ -1604,11 +1711,10 @@ object SparkEntry {
            (a, x) -> a + x) AS sm
        FROM c$i GROUP BY d),
      pr$i AS MATERIALIZED (SELECT nodes.n AS node,
-         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
-             / CAST(nn.c AS DOUBLE)
+         $tp
            + CAST(0.85 AS DOUBLE)
              * coalesce(s$i.sm, CAST(0.0 AS DOUBLE)) AS pr
-       FROM nodes CROSS JOIN nn
+       FROM nodes $tpJoin
        LEFT JOIN s$i ON s$i.d = nodes.n)"""
     sb ++= s"""
      SELECT node, pr FROM pr$iters ORDER BY node"""
@@ -3089,5 +3195,137 @@ object SparkEntry {
              GROUP BY cand.query_id, cand.vec_id))
          SELECT query_id, vec_id, cos6, rank FROM rer WHERE rank <= 5
          ORDER BY query_id, rank""",
+    "ts_chunk_overlap" ->
+      // 64-word windows, stride 48: the tokenizer-overflow stop rule
+      // (stop WITH the first window whose start+64 >= n) as integer
+      // arithmetic; chunk text fingerprinted
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text),
+             '\s+'), t -> length(t) > 0) AS tk FROM documents),
+         kc AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n,
+             CASE WHEN len(tk) = 0 THEN 0
+                  WHEN len(tk) <= 64 THEN 1
+                  ELSE 1 + (len(tk) - 64 + 47) // 48 END AS k
+           FROM toks),
+         ch AS (SELECT doc_id, n, tk,
+             unnest(range(0, k)) AS c
+           FROM kc WHERE k > 0)
+         SELECT doc_id, CAST(c AS BIGINT) AS chunk_id,
+           CAST(c * 48 AS BIGINT) AS start_word,
+           CAST(least(c * 48 + 64, n) - c * 48 AS BIGINT) AS n_words,
+           md5(array_to_string(
+             tk[c * 48 + 1 : least(c * 48 + 64, n)], ' ')) AS fp
+         FROM ch ORDER BY doc_id, chunk_id""",
+    "dd_dup_fraction" ->
+      // the scrub family's string-gram twin: occurrences of 10-grams
+      // appearing in > 1 doc, over the kernel's gram count
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         grams AS (
+           SELECT doc_id, unnest(range(0, len(w) - 10 + 1)) AS p, w
+           FROM toks WHERE len(w) >= 10),
+         g2 AS (
+           SELECT doc_id, p,
+                  list_aggregate(w[p+1:p+10], 'string_agg', ' ') AS g
+           FROM grams),
+         rep AS (SELECT g FROM g2 GROUP BY g
+                 HAVING count(DISTINCT doc_id) > 1),
+         pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+                FROM g2 JOIN rep USING (g) GROUP BY doc_id),
+         tot AS (SELECT doc_id,
+             CAST(greatest(len(w) - 9, 0) AS BIGINT) AS n_grams
+           FROM toks)
+         SELECT t.doc_id, t.n_grams,
+           coalesce(pd.n_dup, 0) AS n_dup_grams,
+           CASE WHEN t.n_grams > 0
+             THEN CAST(coalesce(pd.n_dup, 0) AS DOUBLE)
+               / CAST(t.n_grams AS DOUBLE) END AS dup_frac
+         FROM tot t LEFT JOIN pd USING (doc_id)
+         ORDER BY t.doc_id""",
+    "ts_bm25_ndcg" ->
+      // DCG folds the relevant hits' discounts in RANK order, IDCG the
+      // integer-sequence ideal; round-6 absorbs ln() ulps (StrictMath
+      // vs libm)
+      s"""WITH res AS (${bm25OracleSql(
+            "SELECT doc_id, text FROM documents",
+            "SELECT doc_id AS query_id, text FROM documents " +
+              "WHERE doc_id % 13 = 0", sliceLen = 8, k = 5,
+            maxDfFrac = 0.5)}),
+         truth AS (SELECT DISTINCT q.query_id, u.did
+           FROM (SELECT doc_id AS query_id FROM documents
+                 WHERE doc_id % 13 = 0) q,
+             unnest([q.query_id, q.query_id + 1]) AS u(did)
+           WHERE u.did IN (SELECT doc_id FROM documents)),
+         hits AS (SELECT r.query_id, r.rank FROM res r
+           JOIN truth t ON r.query_id = t.query_id
+             AND r.doc_id = t.did),
+         dc AS (SELECT query_id,
+             reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(ln(CAST(2.0 AS DOUBLE))
+                 / ln(CAST(rank + 1 AS DOUBLE)) ORDER BY rank)),
+               (a, e) -> a + e) AS dcg
+           FROM hits GROUP BY query_id),
+         tc AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_relevant
+           FROM truth GROUP BY query_id),
+         ic AS (SELECT query_id, n_relevant,
+             reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, least(n_relevant, 5) + 1),
+                 r -> ln(CAST(2.0 AS DOUBLE))
+                   / ln(CAST(r + 1 AS DOUBLE)))),
+               (a, e) -> a + e) AS idcg
+           FROM tc)
+         SELECT ic.query_id, ic.n_relevant,
+           round(coalesce(dc.dcg, CAST(0.0 AS DOUBLE)), 6) AS dcg6,
+           round(ic.idcg, 6) AS idcg6,
+           round(coalesce(dc.dcg, CAST(0.0 AS DOUBLE)) / ic.idcg, 6)
+             AS ndcg6
+         FROM ic LEFT JOIN dc USING (query_id)
+         ORDER BY ic.query_id""",
+    "ts_dsir_select" ->
+      // hashed-unigram importance: pure-SQL XXH64 word buckets,
+      // add-one-smoothed target/raw histograms, per-doc log-ratio fold
+      // in POSITION order, ranking on the ROUNDED score
+      s"""WITH toks AS MATERIALIZED (
+           SELECT doc_id, list_filter(string_split_regex(lower(text),
+             '\\s+'), t -> length(t) > 0) AS tk FROM documents),
+         wb AS MATERIALIZED (${SplitOracle.wordBucketCte}),
+         tw AS (SELECT t.doc_id, u.w
+           FROM toks t JOIN documents d ON t.doc_id = d.doc_id,
+             unnest(t.tk) AS u(w)
+           WHERE d.source = 'src0'),
+         tc AS MATERIALIZED (SELECT wb.b, CAST(count(*) AS BIGINT) AS n
+           FROM tw JOIN wb ON wb.w = tw.w GROUP BY wb.b),
+         rw AS (SELECT t.doc_id, u.w FROM toks t, unnest(t.tk) AS u(w)),
+         rc AS MATERIALIZED (SELECT wb.b, CAST(count(*) AS BIGINT) AS n
+           FROM rw JOIN wb ON wb.w = rw.w GROUP BY wb.b),
+         tt AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS s FROM tc),
+         rt AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS s FROM rc),
+         lr AS MATERIALIZED (SELECT g.b,
+             ln(CAST(coalesce(tc.n, 0) + 1 AS DOUBLE)
+               / (CAST(tt.s AS DOUBLE) + CAST(64 AS DOUBLE)))
+           - ln(CAST(coalesce(rc.n, 0) + 1 AS DOUBLE)
+               / (CAST(rt.s AS DOUBLE) + CAST(64 AS DOUBLE))) AS lr
+           FROM (SELECT unnest(range(0, 64)) AS b) g
+           CROSS JOIN tt CROSS JOIN rt
+           LEFT JOIN tc ON tc.b = g.b LEFT JOIN rc ON rc.b = g.b),
+         posw AS (SELECT doc_id, i, tk[i] AS w
+           FROM toks, unnest(generate_series(1, len(tk))) AS u(i)),
+         ds AS (SELECT p.doc_id,
+             reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(lr.lr ORDER BY p.i)), (a, e) -> a + e) AS logw
+           FROM posw p JOIN wb ON wb.w = p.w JOIN lr ON lr.b = wb.b
+           GROUP BY p.doc_id),
+         alld AS (SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+             round(coalesce(ds.logw, CAST(0.0 AS DOUBLE)), 6) AS logw6
+           FROM toks t LEFT JOIN ds ON ds.doc_id = t.doc_id),
+         rk AS (SELECT doc_id, n_tokens, logw6,
+             CAST(row_number() OVER (ORDER BY logw6 DESC, doc_id)
+               AS BIGINT) AS rank
+           FROM alld)
+         SELECT doc_id, n_tokens, logw6, rank FROM rk WHERE rank <= 100
+         ORDER BY rank""",
+    "gr_trustrank" ->
+      // the seeded teleport variant of the unrolled PageRank chain
+      pageRankOracleSql(iters = 6, seeded = true),
   )
 }
