@@ -161,13 +161,15 @@ object GraphOps {
 
     val eo = cut(e.join(outDeg, Seq("__s")))
     val seedBase = (1.0 - damping) / nSeeds
-    val nodesTp = nodes
+    // cut once: every iteration joins this frame, and without the cut
+    // each round would re-run the seed distinct + membership join
+    val nodesTp = cut(nodes
       .join(sd.withColumn("__in_s", lit(1)), Seq("__n"), "left")
       .select(col("__n"),
         when(col("__in_s").isNotNull, lit(seedBase)).otherwise(lit(0.0))
           .as("__tp"),
         when(col("__in_s").isNotNull, lit(1.0 / nSeeds))
-          .otherwise(lit(0.0)).as("__pr"))
+          .otherwise(lit(0.0)).as("__pr")))
     val pr = iterateRanks(nodesTp.select(col("__n"), col("__tp")), eo,
       nodesTp.select(col("__n"), col("__pr")), iterations, damping,
       cutEvery)

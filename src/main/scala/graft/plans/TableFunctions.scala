@@ -54,6 +54,15 @@ import graft.ops.Joins
   *                                  16, 64)         -- n centroids, max cell
   * SELECT * FROM knn_classify('emb', 'vec_id', 'embedding', 'label',
   *                            'probes', 'vec_id', 'embedding', 5)
+  * -- round-9 tier: RAG chunking, the soft duplication profile, and
+  * -- seed-personalized PageRank (TrustRank):
+  * SELECT * FROM sliding_chunks('documents', 'doc_id', 'text', 64, 48)
+  * SELECT * FROM dup_gram_fraction('documents', 'doc_id', 'text')
+  * SELECT * FROM dup_gram_fraction('documents', 'doc_id', 'text',
+  *                                 10, 1)          -- gram width, max df
+  * SELECT * FROM trustrank('edges', 'src', 'dst', 'seeds', 'node', 8)
+  * SELECT * FROM trustrank('edges', 'src', 'dst', 'seeds', 'node', 8,
+  *                         0.85)                   -- damping
   * }}}
   *
   * Table arguments are names resolved against the calling session's
@@ -369,6 +378,43 @@ object TableFunctions {
         str(args(2), "vector column"),
         dim = int(args(3), "input dim"),
         outDim = int(args(4), "output dim"))
+        .queryExecution.analyzed
+    }),
+    // round-9 tier
+    "sliding_chunks" -> (args => {
+      arity("sliding_chunks", args, 5, 5)
+      val spark = SparkSession.active
+      graft.text.Chunking.slidingChunks(
+        spark.table(str(args(0), "table name")),
+        str(args(1), "id column"),
+        str(args(2), "text column"),
+        chunkWords = int(args(3), "chunk words"),
+        strideWords = int(args(4), "stride words"))
+        .queryExecution.analyzed
+    }),
+    "dup_gram_fraction" -> (args => {
+      arity("dup_gram_fraction", args, 3, 5)
+      val spark = SparkSession.active
+      graft.dedup.Dedup.dupGramFraction(
+        spark.table(str(args(0), "table name")),
+        str(args(1), "id column"),
+        str(args(2), "text column"),
+        n = if (args.length >= 4) int(args(3), "gram width") else 10,
+        maxDocs = if (args.length == 5) int(args(4), "max docs") else 1)
+        .queryExecution.analyzed
+    }),
+    "trustrank" -> (args => {
+      arity("trustrank", args, 6, 7)
+      val spark = SparkSession.active
+      graft.graph.GraphOps.personalizedPageRank(
+        spark.table(str(args(0), "edges table name")),
+        str(args(1), "src column"),
+        str(args(2), "dst column"),
+        spark.table(str(args(3), "seeds table name")),
+        str(args(4), "seed column"),
+        iterations = int(args(5), "iterations"),
+        damping =
+          if (args.length == 7) dbl(args(6), "damping") else 0.85)
         .queryExecution.analyzed
     }))
 }

@@ -234,4 +234,44 @@ class PlanPinSpec extends SparkTestBase {
     assert(exchanges <= 2,
       s"expected only the pivot aggregation exchange(s), got $exchanges:\n$plan")
   }
+
+  test("ts_chunk_overlap: row-local chunking — no join, only the " +
+      "output-sort exchange") {
+    val plan = SparkEntry.queries("ts_chunk_overlap")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"chunking must not join:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 1,
+      s"only the final orderBy may exchange, got $exchanges:\n$plan")
+  }
+
+  test("ts_dsir_select: zero-shuffle scoring (the log-ratio table " +
+      "rides the plan), selection is a TakeOrdered") {
+    val plan = SparkEntry.queries("ts_dsir_select")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"the bucket model must not join against the token stream:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k selection must be a TakeOrdered, not a global sort:\n$plan")
+  }
+
+  test("dd_dup_fraction: single-pass gram kernel, no product joins") {
+    val plan = SparkEntry.queries("dd_dup_fraction")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("raw_word_gram_hashes"),
+      s"grams must come from the codegen'd byte-range kernel:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the repeated-gram probe must stay an equi-join:\n$plan")
+  }
+
+  test("gr_trustrank: rank joins stay equi-joins, one fold per round") {
+    val plan = SparkEntry.queries("gr_trustrank")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"rank joins must stay equi-joins:\n$plan")
+    val folds = "collect_list".r.findAllIn(plan).length
+    assert(folds >= 6, s"expected >= 6 per-round contribution folds:\n$plan")
+  }
 }

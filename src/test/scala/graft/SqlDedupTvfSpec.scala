@@ -254,6 +254,34 @@ class SqlDedupTvfSpec extends SparkTestBase {
       graft.sim.Projection.jlProjectTable(emb, "vec_id", "v", 4, 2))
   }
 
+  test("sliding_chunks, dup_gram_fraction and trustrank TVFs match " +
+      "the Scala operators") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    docs.createOrReplaceTempView("sql_docs")
+
+    sameRows(
+      spark.sql(
+        "SELECT * FROM sliding_chunks('sql_docs', 'doc_id', 'text', 5, 3)"),
+      graft.text.Chunking.slidingChunks(docs, "doc_id", "text", 5, 3))
+
+    sameRows(
+      spark.sql(
+        "SELECT * FROM dup_gram_fraction('sql_docs', 'doc_id', 'text', 4, 1)"),
+      Dedup.dupGramFraction(docs, "doc_id", "text", 4, 1))
+
+    val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
+      .toDF("s", "d")
+    val seeds = Seq("a").toDF("n")
+    edges.createOrReplaceTempView("sql_edges")
+    seeds.createOrReplaceTempView("sql_seeds")
+    sameRows(
+      spark.sql("""SELECT * FROM trustrank('sql_edges', 's', 'd',
+                                           'sql_seeds', 'n', 4)"""),
+      graft.graph.GraphOps.personalizedPageRank(edges, "s", "d",
+        seeds, "n", 4))
+  }
+
   test("TVF argument validation fails loudly") {
     GraftExtensions.register(spark)
     docs.createOrReplaceTempView("sql_docs")
