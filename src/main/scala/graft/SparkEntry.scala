@@ -1500,6 +1500,32 @@ object SparkEntry {
           org.apache.spark.sql.expressions.Window
             .orderBy(col("logw6").desc, col("doc_id"))).cast("long"))
     }),
+    "sim_label_centroids" -> ((s, dir) => {
+      // per-label mean embedding via the fixed-point order-free
+      // reduction: contributions quantized once (round(x*1e10) as
+      // long), integer-summed — exact on any partitioning
+      graft.sim.Spectral.labelCentroids(t(s, dir, "embeddings"),
+          "label", "embedding", dim = 64)
+        .orderBy(col("label"), col("dim_idx"))
+    }),
+    "sim_power_iter" -> ((s, dir) => {
+      // top principal direction of the embedding second-moment matrix:
+      // 4 power-iteration rounds, one distributed pass each (dot in
+      // element order, fixed-point sums), driver holds 64 doubles
+      graft.sim.Spectral.powerIterTopComponent(t(s, dir, "embeddings"),
+          "embedding", dim = 64, iterations = 4)
+        .orderBy(col("dim_idx"))
+    }),
+    "ts_gopher_filter" -> ((s, dir) => {
+      // Gopher-rule composite gate with a per-rule reasons bitmask:
+      // word-count floor 30, mean-word-length [3,10], alpha fraction,
+      // symbol ratio, >= 2 distinct stop words — integer-exact edges
+      graft.textstats.TextStats.gopherFilter(t(s, dir, "documents"),
+          "doc_id", "text", minWords = 30,
+          stopWords = Seq("the", "a", "and", "of", "to"),
+          minStopHits = 2)
+        .orderBy(col("doc_id"))
+    }),
     "gr_trustrank" -> ((s, dir) => {
       // seed-personalized PageRank (TrustRank): teleport mass lands on
       // the %100 part nodes only — proximity-to-seed trust scores over
@@ -3327,5 +3353,103 @@ object SparkEntry {
     "gr_trustrank" ->
       // the seeded teleport variant of the unrolled PageRank chain
       pageRankOracleSql(iters = 6, seeded = true),
+    "sim_label_centroids" ->
+      // the fixed-point reduction in SQL: identical quantization
+      // (round(x*1e10) -> BIGINT), integer sums, identical de-scale
+      // division order (q/scale)/n — exact doubles
+      """WITH v AS (SELECT label, i,
+           CAST(embedding[i + 1] AS DOUBLE) AS x
+         FROM embeddings, unnest(generate_series(0, 63)) AS u(i))
+         SELECT label, CAST(i AS BIGINT) AS dim_idx,
+           CAST(CAST(sum(CAST(round(x * 1e10) AS BIGINT)) AS BIGINT)
+               AS DOUBLE) / 1e10 / CAST(count(*) AS DOUBLE) AS coord,
+           CAST(count(*) AS BIGINT) AS n
+         FROM v GROUP BY label, i ORDER BY label, dim_idx""",
+    "sim_power_iter" ->
+      // 4 unrolled power-iteration rounds: element-ordered dot folds,
+      // fixed-point contribution sums, max-normalization — the exact
+      // arithmetic of Spectral.powerIterTopComponent, no rounding at
+      // the output
+      powerIterOracleSql(iters = 4),
+    "ts_gopher_filter" ->
+      // integer rule edges (sum vs bound*n), distinct stop hits,
+      // '#'/'...' symbol runs — exact doubles from single divisions
+      """WITH tk AS (SELECT doc_id, text,
+           list_filter(string_split_regex(lower(text), '\s+'),
+             t -> length(t) > 0) AS t FROM documents),
+         st AS (SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n,
+             reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(t, x -> CAST(length(x) AS BIGINT))),
+               (a, e) -> a + e) AS sumlen,
+             CAST(len(list_filter(t,
+               x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS alpha,
+             CAST(length(regexp_replace(text, '[^#]', '', 'g'))
+               AS BIGINT)
+             + (CAST(length(text) - length(replace(text, '...', ''))
+                 AS BIGINT) // 3) AS sym,
+             CAST(len(list_filter(list_distinct(t), x ->
+               list_contains(['the', 'a', 'and', 'of', 'to'], x)))
+               AS BIGINT) AS stops
+           FROM tk),
+         rs AS (SELECT doc_id, n, sumlen, alpha, sym, stops,
+             (CASE WHEN n < 30 OR n > 100000 THEN 1 ELSE 0 END
+              + CASE WHEN n = 0 OR sumlen < 3 * n OR sumlen > 10 * n
+                  THEN 2 ELSE 0 END
+              + CASE WHEN n = 0 OR CAST(alpha AS DOUBLE)
+                    < CAST(0.8 AS DOUBLE) * CAST(n AS DOUBLE)
+                  THEN 4 ELSE 0 END
+              + CASE WHEN n > 0 AND CAST(sym AS DOUBLE)
+                    > CAST(0.1 AS DOUBLE) * CAST(n AS DOUBLE)
+                  THEN 8 ELSE 0 END
+              + CASE WHEN stops < 2 THEN 16 ELSE 0 END) AS reasons
+           FROM st)
+         SELECT doc_id, n AS n_words,
+           CASE WHEN n > 0
+             THEN CAST(sumlen AS DOUBLE) / CAST(n AS DOUBLE) END
+             AS mean_word_len,
+           CASE WHEN n > 0
+             THEN CAST(alpha AS DOUBLE) / CAST(n AS DOUBLE) END
+             AS alpha_frac,
+           CASE WHEN n > 0
+             THEN CAST(sym AS DOUBLE) / CAST(n AS DOUBLE) END
+             AS symbol_ratio,
+           stops AS n_stop_hits,
+           CAST(reasons AS BIGINT) AS reasons,
+           reasons = 0 AS keep
+         FROM rs ORDER BY doc_id""",
   )
+
+  /** Unrolled DuckDB twin of [[graft.sim.Spectral.powerIterTopComponent]]
+    * over the 64-dim embeddings: per round, the element-ordered dot
+    * fold, per-dimension fixed-point sums (round(s·x·1e10) as BIGINT),
+    * de-scale and max-normalize. Start vector 1/√64 = 0.125 (IEEE
+    * exact), so every round's doubles are bit-identical cross-engine.
+    */
+  private def powerIterOracleSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH v AS MATERIALIZED (SELECT vec_id, i,
+         CAST(embedding[i + 1] AS DOUBLE) AS x
+       FROM embeddings, unnest(generate_series(0, 63)) AS u(i)),
+     p0 AS MATERIALIZED (SELECT unnest(range(0, 64)) AS j,
+         CAST(1.0 AS DOUBLE) / sqrt(CAST(64 AS DOUBLE)) AS vv)"""
+    for (i <- 1 to iters) sb ++= s""",
+     s$i AS MATERIALIZED (SELECT vec_id,
+         reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(v.x * p.vv ORDER BY v.i)), (a, e) -> a + e) AS s
+       FROM v JOIN p${i - 1} p ON p.j = v.i GROUP BY vec_id),
+     q$i AS MATERIALIZED (SELECT v.i AS j,
+         CAST(sum(CAST(round((s$i.s * v.x) * 1e10) AS BIGINT))
+           AS BIGINT) AS q
+       FROM v JOIN s$i USING (vec_id) GROUP BY v.i),
+     w$i AS MATERIALIZED (SELECT j,
+         CAST(q AS DOUBLE) / 1e10 AS w FROM q$i),
+     m$i AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w$i),
+     p$i AS MATERIALIZED (SELECT j, w / m$i.m AS vv
+       FROM w$i CROSS JOIN m$i)"""
+    sb ++= s"""
+     SELECT CAST(j AS BIGINT) AS dim_idx, vv AS coord FROM p$iters
+     ORDER BY dim_idx"""
+    sb.toString
+  }
 }

@@ -72,6 +72,77 @@ object TextStats {
             + least(col("stopword_ratio"), lit(0.2))))
   }
 
+  /** Gopher document-level quality rules (Rae et al. 2021 §A1.1) as an
+    * explicit keep/reject filter with a per-rule REASONS bitmask — the
+    * published-thresholds composite a curation run actually gates on,
+    * versus [[qualityFeatures]]' soft score. The word-stream-applicable
+    * subset (the paper's bullet/ellipsis LINE rules need line structure
+    * a flat word stream lacks — documented, not silently faked):
+    *
+    *  - bit 1: word count outside [minWords, maxWords]
+    *  - bit 2: mean word length outside [minMeanLen, maxMeanLen]
+    *  - bit 4: fraction of words containing an alphabetic char below
+    *    minAlphaFrac
+    *  - bit 8: symbol-to-word ratio ('#' chars + '...' runs) above
+    *    maxSymbolRatio
+    *  - bit 16: fewer than minStopHits DISTINCT stop words present
+    *
+    * `keep` = reasons == 0. Everything derives from integer counts and
+    * single divisions in one scan — order-free, bit-stable,
+    * cross-engine-pinnable; the length-range tests compare integers
+    * (sum vs bound·n), never floats. Empty documents fail bits
+    * 1|2|4|16 (no evidence ≠ passing).
+    */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Int = 3, maxMeanLen: Int = 10,
+      minAlphaFrac: Double = 0.8, maxSymbolRatio: Double = 0.1,
+      stopWords: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+      minStopHits: Int = 2): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords,
+      s"need 1 <= minWords <= maxWords, got [$minWords, $maxWords]")
+    require(minMeanLen >= 1 && maxMeanLen >= minMeanLen,
+      s"need 1 <= minMeanLen <= maxMeanLen, got [$minMeanLen, $maxMeanLen]")
+    require(stopWords.nonEmpty && minStopHits >= 1,
+      "need a non-empty stop list and minStopHits >= 1")
+    val c = col(textCol)
+    val toks = tokens(c)
+    val n = size(toks).cast("long")
+    val sumLen = aggregate(transform(toks, t => length(t).cast("long")),
+      lit(0L), (a, v) => a + v)
+    val alphaW = size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("long")
+    val hashes = length(regexp_replace(c, "[^#]", "")).cast("long")
+    val dots = ((length(c) - length(replace(c, lit("..."), lit("")))) /
+      lit(3)).cast("long")
+    val stopHits = size(array_intersect(array_distinct(toks),
+      array(stopWords.map(lit): _*))).cast("long")
+    val wordsBad = n < minWords.toLong || n > maxWords.toLong
+    // integer cross-compare: mean in [lo, hi] <=> lo*n <= sum <= hi*n
+    val meanBad = n === 0L || sumLen < lit(minMeanLen.toLong) * n ||
+      sumLen > lit(maxMeanLen.toLong) * n
+    val alphaBad = n === 0L ||
+      alphaW.cast("double") < lit(minAlphaFrac) * n.cast("double")
+    val symBad = n > 0L &&
+      (hashes + dots).cast("double") > lit(maxSymbolRatio) * n.cast("double")
+    val stopBad = stopHits < minStopHits.toLong
+    val reasons = when(wordsBad, 1L).otherwise(0L) +
+      when(meanBad, 2L).otherwise(0L) +
+      when(alphaBad, 4L).otherwise(0L) +
+      when(symBad, 8L).otherwise(0L) +
+      when(stopBad, 16L).otherwise(0L)
+    df.select(col(idCol), n.as("n_words"),
+      when(n > 0L, sumLen.cast("double") / n.cast("double"))
+        .as("mean_word_len"),
+      when(n > 0L, alphaW.cast("double") / n.cast("double"))
+        .as("alpha_frac"),
+      when(n > 0L, (hashes + dots).cast("double") / n.cast("double"))
+        .as("symbol_ratio"),
+      stopHits.as("n_stop_hits"),
+      reasons.as("reasons"),
+      (reasons === 0L).as("keep"))
+  }
+
   /** Whitespace token count. */
   def tokenCount(c: Column): Column = size(tokens(c))
 
