@@ -61,6 +61,30 @@ def word_bucket_cte(buckets=64):
       lower(text), '\\s+'), t -> length(t) > 0)) AS w FROM documents)"""
 
 
+def vec_hash_cte():
+    """(vec_id, hv) over embeddings — the RAW signed Spark
+    xxhash64(vec_id) (seed 42); the hash-ranked k-means seeding
+    priority (graft.sim.KMeans.seedCentroids: seeds = k smallest
+    (hv, vec_id))."""
+    h = signed(xxh64_long("vec_id", "CAST(42 AS HUGEINT)"))
+    return f"""SELECT vec_id, ({h}) AS hv
+  FROM embeddings"""
+
+
+def cms_bucket_cte(depth=4, width=1024):
+    """(w, bs) over the documents corpus' distinct \\s+-lowercase
+    vocabulary: bs[i+1] = pmod(xxhash64(w, seed i), width) for
+    i in 0..depth-1 — the Count-Min Sketch row buckets of
+    graft.sketch.CountMin (signed pmod, exactly Spark's)."""
+    from xxh64_sql import xxh64_str_seeds
+    multi = xxh64_str_seeds("w", depth)
+    sg = signed("xH")
+    return f"""SELECT w, list_transform({multi},
+      xH -> (((({sg}) % {width}) + {width}) % {width})) AS bs
+  FROM (SELECT DISTINCT unnest(list_filter(string_split_regex(
+      lower(text), '\\s+'), t -> length(t) > 0)) AS w FROM documents)"""
+
+
 def ts_hash_split_sql():
     return f"""WITH b AS ({bucket_cte()})
 SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
@@ -148,6 +172,13 @@ object SplitOracle {{
   /** Reusable CTE body (w, b): pmod-64 hashed unigram feature bucket
     * over the documents vocabulary (graft.text.Dsir.wordBucket). */
   val wordBucketCte: String = "{esc(word_bucket_cte())}"
+  /** Reusable CTE body (vec_id, hv): the raw signed xxhash64 seeding
+    * priority over embeddings (graft.sim.KMeans). */
+  val vecHashCte: String = "{esc(vec_hash_cte())}"
+  /** Reusable CTE body (w, bs): depth-4 width-1024 Count-Min row
+    * buckets over the documents vocabulary (graft.sketch.CountMin,
+    * seeds 0..3, signed pmod). */
+  val cmsBucketCte: String = "{esc(cms_bucket_cte())}"
 }}
 """
     with open(path, "w") as f:

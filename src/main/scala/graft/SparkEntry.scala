@@ -1526,6 +1526,29 @@ object SparkEntry {
           minStopHits = 2)
         .orderBy(col("doc_id"))
     }),
+    "sim_kmeans" -> ((s, dir) => {
+      // fully-distributed Lloyd k-means: hash-ranked seeding, 3 rounds
+      // of one map-side-combined fixed-point aggregation each, driver
+      // state = k*dim doubles; bit-exact on any partitioning
+      graft.sim.KMeans.kmeansCentroids(t(s, dir, "embeddings"),
+          "vec_id", "embedding", dim = 64, k = 4, iterations = 3)
+        .orderBy(col("cluster"), col("dim_idx"))
+    }),
+    "sim_kmeans_assign" -> ((s, dir) => {
+      // per-row argmin assignment under the final sim_kmeans model:
+      // element-ordered squared-L2 folds, first-of-min tie-break
+      graft.sim.KMeans.kmeansAssign(t(s, dir, "embeddings"),
+          "vec_id", "embedding", dim = 64, k = 4, iterations = 3)
+        .orderBy(col("vec_id"))
+    }),
+    "sc_cms_counts" -> ((s, dir) => {
+      // Count-Min sketch self-audit: one-pass 4x1024 integer sketch
+      // (order-free merges), exact top-20 tokens with their sketch
+      // estimates and the collision overcount side by side
+      graft.sketch.CountMin.topKWithEstimates(t(s, dir, "documents"),
+          "text", k = 20, depth = 4, width = 1024)
+        .orderBy(col("exact_cnt").desc, col("token"))
+    }),
     "gr_trustrank" -> ((s, dir) => {
       // seed-personalized PageRank (TrustRank): teleport mass lands on
       // the %100 part nodes only — proximity-to-seed trust scores over
@@ -3418,7 +3441,93 @@ object SparkEntry {
            CAST(reasons AS BIGINT) AS reasons,
            reasons = 0 AS keep
          FROM rs ORDER BY doc_id""",
+    "sim_kmeans" ->
+      // unrolled 3-round Lloyd: seeding, folds, fixed-point sums and
+      // empty-cluster carryover all bit-identical to KMeans
+      kmeansOracleSql(k = 4, iters = 3, assign = false),
+    "sim_kmeans_assign" ->
+      // one extra argmin pass under the round-3 model
+      kmeansOracleSql(k = 4, iters = 3, assign = true),
+    "sc_cms_counts" ->
+      // the sketch rebuilt cell-by-cell in SQL: per-token Count-Min
+      // buckets from the pure-SQL XXH64 (seeds 0..3, signed pmod
+      // 1024), cell = sum of counts of tokens bucketing there,
+      // estimate = min over the 4 rows — all integer, bit-exact
+      s"""WITH bl AS MATERIALIZED (${SplitOracle.cmsBucketCte}),
+         tk AS MATERIALIZED (SELECT unnest(list_filter(
+             string_split_regex(lower(text), '\\s+'),
+             t -> length(t) > 0)) AS token FROM documents),
+         ex AS MATERIALIZED (SELECT token,
+             CAST(count(*) AS BIGINT) AS exact_cnt
+           FROM tk GROUP BY token),
+         cells AS MATERIALIZED (SELECT u.i AS i, bl.bs[u.i] AS b,
+             CAST(sum(e.exact_cnt) AS BIGINT) AS cnt
+           FROM ex e JOIN bl ON bl.w = e.token,
+             unnest(generate_series(1, 4)) AS u(i)
+           GROUP BY u.i, bl.bs[u.i]),
+         pr AS MATERIALIZED (SELECT token, exact_cnt FROM ex
+           ORDER BY exact_cnt DESC, token LIMIT 20)
+         SELECT pr.token, pr.exact_cnt,
+           CAST(min(c.cnt) AS BIGINT) AS est_cnt,
+           CAST(min(c.cnt) - pr.exact_cnt AS BIGINT) AS overcount
+         FROM pr JOIN bl ON bl.w = pr.token,
+           unnest(generate_series(1, 4)) AS u(i)
+         JOIN cells c ON c.i = u.i AND c.b = bl.bs[u.i]
+         GROUP BY pr.token, pr.exact_cnt
+         ORDER BY exact_cnt DESC, token""",
   )
+
+  /** Unrolled DuckDB twin of [[graft.sim.KMeans]] over the 64-dim
+    * embeddings (k=4, 3 Lloyd rounds): identical hash-ranked seeding
+    * (the pure-SQL XXH64 vec-hash CTE), per-round element-ordered
+    * squared-L2 folds with dist-then-cluster tie-break (= Spark's
+    * first-of-min), fixed-point centroid sums, empty-cluster carryover
+    * via LEFT JOIN + COALESCE. `assign = true` adds a final argmin
+    * pass under the converged model (kmeansAssign's contract).
+    */
+  private def kmeansOracleSql(k: Int, iters: Int,
+      assign: Boolean): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH v AS MATERIALIZED (SELECT vec_id, i,
+         CAST(embedding[i + 1] AS DOUBLE) AS x
+       FROM embeddings, unnest(generate_series(0, 63)) AS u(i)),
+     hs AS MATERIALIZED (${SplitOracle.vecHashCte}),
+     sd AS MATERIALIZED (SELECT vec_id,
+         row_number() OVER (ORDER BY hv, vec_id) - 1 AS c
+       FROM hs ORDER BY hv, vec_id LIMIT $k),
+     p0 AS MATERIALIZED (SELECT sd.c AS c, v.i AS j, v.x AS vv
+       FROM sd JOIN v USING (vec_id))"""
+    val rounds = if (assign) iters + 1 else iters
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+     d$r AS MATERIALIZED (SELECT v.vec_id, p.c,
+         reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list((v.x - p.vv) * (v.x - p.vv) ORDER BY v.i)),
+           (a, e) -> a + e) AS dist
+       FROM v JOIN p${r - 1} p ON p.j = v.i GROUP BY v.vec_id, p.c),
+     a$r AS MATERIALIZED (SELECT vec_id, c FROM (SELECT vec_id, c,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+       FROM d$r) WHERE rn = 1)"""
+      if (r <= iters) sb ++= s""",
+     s$r AS MATERIALIZED (SELECT a.c, v.i AS j,
+         CAST(sum(CAST(round(v.x * 1e10) AS BIGINT)) AS BIGINT) AS q,
+         CAST(count(*) AS BIGINT) AS n
+       FROM v JOIN a$r a USING (vec_id) GROUP BY a.c, v.i),
+     p$r AS MATERIALIZED (SELECT p.c, p.j,
+         COALESCE(CAST(s.q AS DOUBLE) / 1e10 / CAST(s.n AS DOUBLE),
+           p.vv) AS vv,
+         COALESCE(s.n, CAST(0 AS BIGINT)) AS n
+       FROM p${r - 1} p LEFT JOIN s$r s ON s.c = p.c AND s.j = p.j)"""
+    }
+    if (assign) sb ++= s"""
+     SELECT vec_id, CAST(c AS BIGINT) AS cluster FROM a$rounds
+     ORDER BY vec_id"""
+    else sb ++= s"""
+     SELECT CAST(c AS BIGINT) AS cluster, CAST(j AS BIGINT) AS dim_idx,
+       vv AS coord, n
+     FROM p$iters ORDER BY cluster, dim_idx"""
+    sb.toString
+  }
 
   /** Unrolled DuckDB twin of [[graft.sim.Spectral.powerIterTopComponent]]
     * over the 64-dim embeddings: per round, the element-ordered dot

@@ -146,6 +146,26 @@ case class RawWordGramHashes(child: Expression, n: Int)
   * levenshtein >= L1/2). Computed once per capped block member, not per
   * candidate pair.
   */
+/** Count-Min row buckets of a string: array<long> of length `depth`,
+  * element i = pmod(xxhash64(input, seed i), width). Sits in the probe
+  * side of sketch lookups; one pass, all rows of the sketch at once.
+  */
+case class CmsBuckets(child: Expression, depth: Int, width: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "cms_buckets"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.cmsBuckets(input.asInstanceOf[UTF8String], depth, width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.cmsBuckets($c, $depth, $width)")
+
+  override protected def withNewChildInternal(c: Expression): CmsBuckets =
+    copy(child = c)
+}
+
 case class CharHist64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "char_hist64"
@@ -332,6 +352,10 @@ object HashFunctions {
   def sortedLongJaccard(a: Column, b: Column): Column =
     GraftShims.column(SortedLongJaccard(
       GraftShims.expression(a), GraftShims.expression(b)))
+
+  /** Column API for CmsBuckets. */
+  def cmsBuckets(c: Column, depth: Int, width: Int): Column =
+    GraftShims.column(CmsBuckets(GraftShims.expression(c), depth, width))
 
   /** Column API for CharHist64. */
   def charHist64(c: Column): Column =

@@ -149,6 +149,23 @@ object HashKernels {
     new GenericArrayData(mins)
   }
 
+  /** Count-Min row buckets of a token: element i is
+    * pmod(xxhash64(token, seed i), width) — the same raw-seed
+    * convention as [[minhashSignature]], so the pure-SQL XXH64 oracle
+    * family covers it (SplitOracle.cmsBucketCte pins depth 4 / width
+    * 1024). Signed pmod, exactly Spark's `pmod` on the signed hash.
+    */
+  def cmsBuckets(input: UTF8String, depth: Int, width: Int): ArrayData = {
+    val out = new Array[Long](depth)
+    var i = 0
+    while (i < depth) {
+      val h = XxHash64Function.hash(input, StringType, i.toLong)
+      out(i) = ((h % width) + width) % width
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash: bit b set when the majority of token hashes set it. */
   def simhash64(arr: ArrayData): Long = {
     val n = arr.numElements()

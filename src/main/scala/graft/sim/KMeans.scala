@@ -1,0 +1,154 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fully-distributed Lloyd k-means over an embedding column — the
+  * clustering pass SemDeDup-style curation pipelines and IVF indexes
+  * are built on. The existing quantizer ([[Similarity]]) refines
+  * centroids over a BOUNDED DRIVER SAMPLE (256 rows) — the right call
+  * for seeding, but the sample's view of cluster mass is only as good
+  * as 256 rows. This operator is the full-corpus refinement: every
+  * Lloyd round is ONE distributed map-side-combined aggregation over
+  * all rows, and the driver holds exactly k·dim doubles of model state
+  * (the bounded-model discipline of the IVF/NB/DSIR tiers).
+  *
+  * Determinism, the non-negotiable:
+  *  - Seeding is hash-ranked, not sampled: the k rows with the
+  *    smallest (xxhash64(id), id) — a pure function of the data, the
+  *    same on any cluster, and append-stable in the
+  *    [[graft.ops.Sampling]] sense (new rows only displace seeds if
+  *    they hash lower).
+  *  - Assignment is row-local exact double arithmetic: squared L2 via
+  *    an ELEMENT-ORDERED fold of (x_j − c_j)², argmin with
+  *    first-of-min (= lowest cluster id) tie-break — reproducible
+  *    cross-engine because the fold order is pinned.
+  *  - Centroid updates accumulate in FIXED POINT ([[Spectral]]):
+  *    per-row contributions quantized once (round(x·scale) as long),
+  *    integer-summed (exact, order-free), de-scaled on the driver —
+  *    bit-stable on ANY partitioning. Empty clusters keep their
+  *    previous centroid (deterministic, no resampling).
+  *
+  * The DuckDB oracle twins unroll the identical rounds (same seeding
+  * hash via the pure-SQL XXH64, same fold order, same quantization),
+  * so results are bit-exact cross-engine.
+  *
+  * Scale: per round, the corpus is scanned once; the shuffle carries
+  * only k·dim (cluster, dim) groups of partial integer sums. Overflow
+  * headroom as in [[Spectral]]: ~10^8 rows per cluster at the default
+  * scale 1e10 for unit-scale embeddings; `scale` is the documented
+  * knob for bigger corpora.
+  */
+object KMeans {
+
+  /** Element-ordered squared-L2 fold between a vector column and a
+    * centroid literal — the pinned arithmetic both engines run.
+    */
+  private def sqDist(v: Column, centroid: Array[Double]): Column =
+    aggregate(
+      zip_with(v, array(centroid.toSeq.map(lit): _*),
+        (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** 0-based argmin cluster under `centroids`, first-of-min tie-break.
+    */
+  private def assignExpr(v: Column,
+      centroids: Array[Array[Double]]): Column = {
+    val dists = array(centroids.toSeq.map(c => sqDist(v, c)): _*)
+    (array_position(dists, array_min(dists)) - 1L).cast("int")
+  }
+
+  /** Null/length-checked double-cast vector column. */
+  private def checkedVec(vecCol: String, dim: Int): Column =
+    when(col(vecCol).isNotNull && size(col(vecCol)) === dim,
+      col(vecCol).cast("array<double>"))
+      .otherwise(raise_error(lit(s"kmeans: vector must be non-null " +
+        s"with exactly $dim elements")))
+
+  /** The k hash-ranked seed vectors (k rows to the driver — bounded by
+    * construction; TakeOrderedAndProject, never a sort of the corpus).
+    */
+  private def seedCentroids(df: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int): Array[Array[Double]] = {
+    val rows = df
+      .select(col(idCol).cast("long").as("__id"),
+        checkedVec(vecCol, dim).as("__v"))
+      .orderBy(xxhash64(col("__id")), col("__id"))
+      .limit(k)
+      .collect()
+    require(rows.length == k,
+      s"kmeans: need at least k=$k rows, got ${rows.length}")
+    rows.map(_.getSeq[Double](1).toArray)
+  }
+
+  /** Runs `iterations` Lloyd rounds; returns (centroids, counts) where
+    * counts are the LAST round's cluster sizes (0 for a cluster that
+    * went empty and kept its previous centroid).
+    */
+  private def lloyd(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int, iterations: Int,
+      scale: Double): (Array[Array[Double]], Array[Long]) = {
+    var centroids = seedCentroids(df, idCol, vecCol, dim, k)
+    val counts = Array.fill(k)(0L)
+    val vecs = df.select(checkedVec(vecCol, dim).as("__v"))
+    var r = 0
+    while (r < iterations) {
+      val rows = vecs
+        .select(assignExpr(col("__v"), centroids).as("__c"), col("__v"))
+        .select(col("__c"), posexplode(col("__v")).as(Seq("__j", "__x")))
+        .groupBy(col("__c"), col("__j"))
+        .agg(sum(round(col("__x") * scale).cast("long")).as("__q"),
+          count(lit(1)).as("__n"))
+        .collect()
+      java.util.Arrays.fill(counts, 0L)
+      val next = centroids.map(_.clone())
+      rows.foreach { row =>
+        val c = row.getInt(0)
+        next(c)(row.getInt(1)) =
+          row.getLong(2).toDouble / scale / row.getLong(3).toDouble
+        counts(c) = row.getLong(3)
+      }
+      centroids = next
+      r += 1
+    }
+    (centroids, counts)
+  }
+
+  /** Final centroids as (cluster, dim_idx, coord, n) — `n` the last
+    * round's cluster size. `iterations` Lloyd rounds from the
+    * hash-ranked seeds.
+    */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int, iterations: Int,
+      scale: Double = 1e10): DataFrame = {
+    validate(dim, k, iterations, scale)
+    val spark = df.sparkSession
+    val (cs, ns) = lloyd(df, idCol, vecCol, dim, k, iterations, scale)
+    import spark.implicits._
+    (for { c <- 0 until k; j <- 0 until dim }
+      yield (c.toLong, j.toLong, cs(c)(j), ns(c)))
+      .toDF("cluster", "dim_idx", "coord", "n")
+  }
+
+  /** Per-row assignment (idCol, cluster) under the FINAL centroids —
+    * one extra distributed argmin pass after the last update, so the
+    * output is consistent with [[kmeansCentroids]]' model.
+    */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int, iterations: Int,
+      scale: Double = 1e10): DataFrame = {
+    validate(dim, k, iterations, scale)
+    val (cs, _) = lloyd(df, idCol, vecCol, dim, k, iterations, scale)
+    df.select(col(idCol),
+      assignExpr(checkedVec(vecCol, dim), cs).cast("long").as("cluster"))
+  }
+
+  private def validate(dim: Int, k: Int, iterations: Int,
+      scale: Double): Unit = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    require(k >= 1 && k <= 4096, s"k must be in [1, 4096], got $k")
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50], got $iterations")
+    require(scale > 0.0, s"scale must be positive, got $scale")
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sketch.CountMin
+
+/** Count-Min sketch: cell-level parity with a reference model, the
+  * est ≥ exact guarantee, planted-collision overcount, order/partition
+  * invariance, and the guards.
+  */
+class CountMinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def bucket(tok: String, seed: Int, width: Int): Int = {
+    val h = XxHash64Function.hash(
+      UTF8String.fromString(tok), StringType, seed.toLong)
+    (((h % width) + width) % width).toInt
+  }
+
+  private def refSketch(tokens: Seq[String], depth: Int,
+      width: Int): Array[Long] = {
+    val m = new Array[Long](depth * width)
+    tokens.foreach { t =>
+      (0 until depth).foreach(i => m(i * width + bucket(t, i, width)) += 1L)
+    }
+    m
+  }
+
+  test("sketch equals the reference matrix cell for cell") {
+    val docs = Seq("a b a", "c a", "b").toDF("text")
+    val got = CountMin.sketch(docs,
+        graft.text.TextPipeline.tokenize(col("text")), 4, 32)
+      .as[Array[Long]].head()
+    val exp = refSketch(Seq("a", "b", "a", "c", "a", "b"), 4, 32)
+    assert(got.toSeq == exp.toSeq)
+  }
+
+  test("estimates: est >= exact always; exact when collision-free") {
+    val docs = Seq.tabulate(50)(i => s"tok$i tok${i % 7}").toDF("text")
+    val out = CountMin.topKWithEstimates(docs, "text", k = 10,
+      depth = 4, width = 1024).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val exact = r.getAs[Long]("exact_cnt")
+      val est = r.getAs[Long]("est_cnt")
+      assert(est >= exact, s"$r violates est >= exact")
+      assert(r.getAs[Long]("overcount") == est - exact)
+    }
+    // 57 distinct tokens in 1024 buckets x 4 rows: no token shares all
+    // 4 cells with another here — every estimate is exact
+    assert(out.forall(_.getAs[Long]("overcount") == 0L))
+  }
+
+  test("planted full collision overcounts by the colliding mass") {
+    // depth 1, tiny width: collisions are certain; pick two tokens
+    // that share the single row's bucket
+    val w = 4
+    val all = (0 until 200).map(i => s"t$i")
+    val a = all.head
+    val b = all.tail.find(t => bucket(t, 0, w) == bucket(a, 0, w)).get
+    val docs = Seq(s"$a $a $a", s"$b $b").toDF("text")
+    val out = CountMin.topKWithEstimates(docs, "text", k = 2,
+      depth = 1, width = w).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("est_cnt"))
+      .toMap
+    assert(out(a) == 5L && out(b) == 5L) // each absorbs the other's mass
+  }
+
+  test("sketch is bit-identical on any partitioning and row order") {
+    val docs = Seq.tabulate(40)(i => s"w$i w${i % 5} w${i % 11}")
+    val one = CountMin.sketch(docs.toDF("text"),
+        graft.text.TextPipeline.tokenize(col("text")), 4, 64)
+      .as[Array[Long]].head().toSeq
+    val other = CountMin.sketch(
+        docs.reverse.toDF("text").repartition(7),
+        graft.text.TextPipeline.tokenize(col("text")), 4, 64)
+      .as[Array[Long]].head().toSeq
+    assert(one == other)
+  }
+
+  test("null tokens and null arrays are skipped, not counted") {
+    val docs = Seq(Some(Seq(Some("x"), None)), None)
+      .toDF("toks")
+    val got = CountMin.sketch(docs, col("toks"), 2, 16)
+      .as[Array[Long]].head()
+    assert(got.sum == 2L) // one token x two rows of the sketch
+  }
+
+  test("guards: bad depth/width/k rejected loudly") {
+    val docs = Seq("a").toDF("text")
+    intercept[IllegalArgumentException](
+      CountMin.topKWithEstimates(docs, "text", 1, depth = 0, width = 8))
+    intercept[IllegalArgumentException](
+      CountMin.topKWithEstimates(docs, "text", 1, depth = 4, width = 1))
+    intercept[IllegalArgumentException](
+      CountMin.topKWithEstimates(docs, "text", 0, depth = 4, width = 8))
+    intercept[IllegalArgumentException](
+      CountMin.sketch(docs, col("text"), 17, 8))
+  }
+}

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sim.KMeans
+
+/** Distributed Lloyd k-means: parity with a literal reference model
+  * (same seeding, folds, fixed-point updates), planted-cluster
+  * recovery, centroid/assignment consistency, empty-cluster
+  * carryover, bit-stable partition invariance, and the loud guards.
+  */
+class KMeansSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** In-memory reference of the exact operator semantics. */
+  private def refKMeans(rows: Seq[(Long, Seq[Double])], dim: Int,
+      k: Int, iters: Int, scale: Double)
+      : (Array[Array[Double]], Array[Long], Map[Long, Int]) = {
+    def h(id: Long): Long =
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        id, org.apache.spark.sql.types.LongType, 42L)
+    var cs = rows.sortBy(r => (h(r._1), r._1)).take(k)
+      .map(_._2.toArray).toArray
+    val ns = Array.fill(k)(0L)
+    def assign(v: Seq[Double]): Int = {
+      val d = cs.map(c => (0 until dim)
+        .foldLeft(0.0)((acc, j) => acc + (v(j) - c(j)) * (v(j) - c(j))))
+      d.indexOf(d.min)
+    }
+    for (_ <- 1 to iters) {
+      val byC = rows.groupBy(r => assign(r._2))
+      java.util.Arrays.fill(ns, 0L)
+      val next = cs.map(_.clone())
+      byC.foreach { case (c, rs) =>
+        ns(c) = rs.size.toLong
+        (0 until dim).foreach { j =>
+          val q = rs.map(r => math.round(r._2(j) * scale)).sum
+          next(c)(j) = q.toDouble / scale / rs.size
+        }
+      }
+      cs = next
+    }
+    (cs, ns, rows.map(r => r._1 -> assign(r._2)).toMap)
+  }
+
+  private val data: Seq[(Long, Seq[Double])] = (0L until 40L).map { i =>
+    // two planted clusters around (0,0,0,0) and (10,10,10,10) plus a
+    // deterministic per-row wobble
+    val base = if (i % 2 == 0) 0.0 else 10.0
+    (i, Seq.tabulate(4)(j => base + ((i * 7 + j * 3) % 11) * 0.01))
+  }
+
+  test("kmeansCentroids matches the reference model bit-for-bit") {
+    val df = data.toDF("id", "v")
+    val got = KMeans.kmeansCentroids(df, "id", "v", dim = 4, k = 3,
+        iterations = 3)
+      .orderBy("cluster", "dim_idx")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    val (cs, ns, _) = refKMeans(data, 4, 3, 3, 1e10)
+    val exp = for (c <- 0 until 3; j <- 0 until 4)
+      yield (c.toLong, j.toLong, cs(c)(j), ns(c))
+    assert(got == exp)
+  }
+
+  test("kmeansAssign agrees with the reference and recovers the planted clusters") {
+    val df = data.toDF("id", "v")
+    val got = KMeans.kmeansAssign(df, "id", "v", dim = 4, k = 2,
+        iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    val (_, _, exp) = refKMeans(data, 4, 2, 4, 1e10)
+    assert(got == exp.map { case (k2, v) => (k2, v.toLong) })
+    // planted structure: all even ids share one cluster, odd the other
+    val evens = data.map(_._1).filter(_ % 2 == 0).map(got)
+    val odds = data.map(_._1).filter(_ % 2 == 1).map(got)
+    assert(evens.distinct.size == 1 && odds.distinct.size == 1 &&
+      evens.head != odds.head)
+  }
+
+  test("results are bit-identical on any partitioning") {
+    val a = KMeans.kmeansCentroids(data.toDF("id", "v"), "id", "v",
+      dim = 4, k = 3, iterations = 3).orderBy("cluster", "dim_idx")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    val b = KMeans.kmeansCentroids(
+        data.toDF("id", "v").repartition(7, col("id")), "id", "v",
+        dim = 4, k = 3, iterations = 3).orderBy("cluster", "dim_idx")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(a == b)
+  }
+
+  test("an empty cluster keeps its previous centroid with n = 0") {
+    // only two distinct vectors but k = 3: by pigeonhole two seeds are
+    // identical, the higher-indexed duplicate loses every tie (the
+    // first-of-min tie-break) and must carry its seed vector with n=0
+    val tight = Seq(
+      (1L, Seq(0.0, 0.0)), (2L, Seq(0.0, 0.0)), (3L, Seq(0.0, 0.0)),
+      (4L, Seq(10.0, 10.0)), (5L, Seq(10.0, 10.0)),
+      (6L, Seq(10.0, 10.0)))
+    val got = KMeans.kmeansCentroids(tight.toDF("id", "v"), "id", "v",
+        dim = 2, k = 3, iterations = 2)
+      .orderBy("cluster", "dim_idx")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    val (cs, ns, _) = refKMeans(tight, 2, 3, 2, 1e10)
+    val exp = for (c <- 0 until 3; j <- 0 until 2)
+      yield (c.toLong, j.toLong, cs(c)(j), ns(c))
+    assert(got == exp)
+    assert(ns.contains(0L), s"expected an empty cluster, got ${ns.toSeq}")
+  }
+
+  test("guards: malformed vectors, too few rows, bad params") {
+    val df = data.toDF("id", "v")
+    val bad = Seq((1L, Seq(1.0))).toDF("id", "v")
+    val e = intercept[Exception](
+      KMeans.kmeansCentroids(bad, "id", "v", dim = 4, k = 1,
+        iterations = 1).collect())
+    assert(e.getMessage.contains("kmeans") ||
+      e.getCause != null && e.getCause.getMessage.contains("kmeans"))
+    val few = intercept[IllegalArgumentException](
+      KMeans.kmeansCentroids(Seq((1L, Seq(1.0, 2.0, 3.0, 4.0)))
+        .toDF("id", "v"), "id", "v", dim = 4, k = 5, iterations = 1))
+    assert(few.getMessage.contains("at least"))
+    intercept[IllegalArgumentException](
+      KMeans.kmeansCentroids(df, "id", "v", dim = 0, k = 2,
+        iterations = 1))
+    intercept[IllegalArgumentException](
+      KMeans.kmeansCentroids(df, "id", "v", dim = 4, k = 2,
+        iterations = 0))
+    intercept[IllegalArgumentException](
+      KMeans.kmeansCentroids(df, "id", "v", dim = 4, k = 2,
+        iterations = 1, scale = 0.0))
+  }
+}
