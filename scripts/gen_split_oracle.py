@@ -85,6 +85,23 @@ def cms_bucket_cte(depth=4, width=1024):
       lower(text), '\\s+'), t -> length(t) > 0)) AS w FROM documents)"""
 
 
+def event_id_hash_cte():
+    """(u) — UNSIGNED Spark xxhash64(event_id) (seed 42) over events;
+    the HyperLogLog register hash (graft.sketch.HyperLogLog: idx = top
+    8 bits of u, rho from the low 56)."""
+    h = xxh64_long("event_id", "CAST(42 AS HUGEINT)")
+    return f"""SELECT ({h}) AS u
+  FROM events WHERE event_id IS NOT NULL"""
+
+
+def user_id_hash_cte():
+    """(u) — UNSIGNED Spark xxhash64(user_id) (seed 42) over events,
+    same role as eventIdHashCte."""
+    h = xxh64_long("user_id", "CAST(42 AS HUGEINT)")
+    return f"""SELECT ({h}) AS u
+  FROM events WHERE user_id IS NOT NULL"""
+
+
 def ts_hash_split_sql():
     return f"""WITH b AS ({bucket_cte()})
 SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
@@ -179,6 +196,12 @@ object SplitOracle {{
     * buckets over the documents vocabulary (graft.sketch.CountMin,
     * seeds 0..3, signed pmod). */
   val cmsBucketCte: String = "{esc(cms_bucket_cte())}"
+  /** Reusable CTE body (u): unsigned xxhash64(event_id) over events
+    * (graft.sketch.HyperLogLog). */
+  val eventIdHashCte: String = "{esc(event_id_hash_cte())}"
+  /** Reusable CTE body (u): unsigned xxhash64(user_id) over events
+    * (graft.sketch.HyperLogLog). */
+  val userIdHashCte: String = "{esc(user_id_hash_cte())}"
 }}
 """
     with open(path, "w") as f:

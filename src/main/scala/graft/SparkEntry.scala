@@ -1549,6 +1549,25 @@ object SparkEntry {
           "text", k = 20, depth = 4, width = 1024)
         .orderBy(col("exact_cnt").desc, col("token"))
     }),
+    "sc_hll_distinct" -> ((s, dir) => {
+      // HyperLogLog distinct-count self-audit over two cardinality
+      // regimes: event_id (every row distinct — the raw-estimate
+      // branch) and user_id (tiny cardinality — linear counting);
+      // exact counts ride along as the audit
+      val ev = t(s, dir, "events")
+      def one(name: String, c: org.apache.spark.sql.Column) =
+        graft.sketch.HyperLogLog.distinctEstimate(ev, c, p = 8)
+          .select(lit(name).as("col_name"), col("zero_registers"),
+            col("raw_est"), col("est"))
+      def exact(name: String, c: org.apache.spark.sql.Column) =
+        ev.agg(count_distinct(c).cast("long").as("exact_distinct"))
+          .select(lit(name).as("col_name"), col("exact_distinct"))
+      one("event_id", col("event_id"))
+        .unionByName(one("user_id", col("user_id")))
+        .join(exact("event_id", col("event_id"))
+          .unionByName(exact("user_id", col("user_id"))), "col_name")
+        .orderBy(col("col_name"))
+    }),
     "gr_trustrank" -> ((s, dir) => {
       // seed-personalized PageRank (TrustRank): teleport mass lands on
       // the %100 part nodes only — proximity-to-seed trust scores over
@@ -3475,7 +3494,65 @@ object SparkEntry {
          JOIN cells c ON c.i = u.i AND c.b = bl.bs[u.i]
          GROUP BY pr.token, pr.exact_cnt
          ORDER BY exact_cnt DESC, token""",
+    "sc_hll_distinct" ->
+      // the register table rebuilt in SQL (top-8-bit index, bin()
+      // bit-length rank), the harmonic fold over the SAME printed
+      // 1/2^k literals, identical alpha literal expression; ln ulps
+      // absorbed by the round-6 output both engines apply
+      hllOracleSql(p = 8),
   )
+
+  /** DuckDB twin of [[graft.sketch.HyperLogLog.distinctEstimate]] over
+    * events.event_id and events.user_id: unsigned pure-SQL xxhash64,
+    * idx = u // 2^(64−p), rho = (64−p+1) − bitlen(low window) (the
+    * all-zero window pinned to 64−p+1), dense register grid, register-
+    * ordered fold over the shared exact 1/2^k literal list.
+    */
+  private def hllOracleSql(p: Int): String = {
+    val m = 1 << p
+    val win = 1L << (64 - p)
+    val maxRho = 64 - p + 1
+    val md = s"CAST(${m.toDouble} AS DOUBLE)"
+    val inv = graft.sketch.HyperLogLog.inv2Literals(p)
+    def chain(tag: String, cte: String) = s"""
+     h_$tag AS MATERIALIZED ($cte),
+     r_$tag AS (SELECT CAST(u // $win AS BIGINT) AS idx,
+         CAST(u % $win AS BIGINT) AS wv FROM h_$tag),
+     g_$tag AS (SELECT idx, max(CASE WHEN wv = 0 THEN $maxRho
+         ELSE $maxRho - length(bin(wv)) END) AS mrho
+       FROM r_$tag GROUP BY idx),
+     reg_$tag AS (SELECT j, COALESCE(g.mrho, 0) AS mrho
+       FROM (SELECT unnest(range(0, $m)) AS j)
+       LEFT JOIN g_$tag g ON g.idx = j),
+     agg_$tag AS (SELECT
+         CAST(sum(CASE WHEN mrho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v,
+         reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(($inv)[mrho + 1] ORDER BY j)), (a, e) -> a + e) AS ssum
+       FROM reg_$tag),
+     est_$tag AS (SELECT '$tag' AS col_name, v AS zero_registers,
+         (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+             + CAST(1.079 AS DOUBLE) / $md))
+           * $md * $md / ssum AS raw_est
+       FROM agg_$tag)"""
+    s"""WITH${chain("event_id", SplitOracle.eventIdHashCte)},${
+        chain("user_id", SplitOracle.userIdHashCte)},
+     ex AS (SELECT 'event_id' AS col_name,
+         CAST(count(DISTINCT event_id) AS BIGINT) AS exact_distinct
+       FROM events
+       UNION ALL SELECT 'user_id',
+         CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
+     SELECT e.col_name, e.zero_registers, e.raw_est,
+       CASE WHEN e.raw_est <= CAST(${2.5 * m} AS DOUBLE)
+           AND e.zero_registers > 0
+         THEN round($md * ln($md
+           / CAST(e.zero_registers AS DOUBLE)), 6)
+         ELSE round(e.raw_est, 6) END AS est,
+       ex.exact_distinct
+     FROM (SELECT * FROM est_event_id
+           UNION ALL SELECT * FROM est_user_id) e
+     JOIN ex ON ex.col_name = e.col_name
+     ORDER BY e.col_name"""
+  }
 
   /** Unrolled DuckDB twin of [[graft.sim.KMeans]] over the 64-dim
     * embeddings (k=4, 3 Lloyd rounds): identical hash-ranked seeding

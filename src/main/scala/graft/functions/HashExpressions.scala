@@ -166,6 +166,24 @@ case class CmsBuckets(child: Expression, depth: Int, width: Int)
     copy(child = c)
 }
 
+/** HyperLogLog packed register (idx·64 + rho) of a LONG hash value —
+  * see [[HashKernels.hllPacked]]. Scan-stage, codegen'd.
+  */
+case class HllPacked(child: Expression, p: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hll_packed"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.hllPacked(input.asInstanceOf[Long], p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.hllPacked($c, $p)")
+
+  override protected def withNewChildInternal(c: Expression): HllPacked =
+    copy(child = c)
+}
+
 case class CharHist64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "char_hist64"
@@ -356,6 +374,10 @@ object HashFunctions {
   /** Column API for CmsBuckets. */
   def cmsBuckets(c: Column, depth: Int, width: Int): Column =
     GraftShims.column(CmsBuckets(GraftShims.expression(c), depth, width))
+
+  /** Column API for HllPacked. */
+  def hllPacked(c: Column, p: Int): Column =
+    GraftShims.column(HllPacked(GraftShims.expression(c), p))
 
   /** Column API for CharHist64. */
   def charHist64(c: Column): Column =

@@ -166,6 +166,21 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** HyperLogLog register update of a 64-bit hash, packed as
+    * idx·64 + rho: idx = the top p bits, rho = 1 + leading zeros of
+    * the remaining (64−p)-bit window (= 64−p+1 when the window is
+    * all-zero). rho ≤ 57 < 64, so the packing is lossless and both
+    * engines decode with // 64 and % 64.
+    */
+  def hllPacked(h: Long, p: Int): Long = {
+    val idx = h >>> (64 - p)
+    val w = h & ((1L << (64 - p)) - 1)
+    val rho =
+      if (w == 0L) 64 - p + 1
+      else java.lang.Long.numberOfLeadingZeros(w) - p + 1
+    idx * 64L + rho
+  }
+
   /** 64-bit SimHash: bit b set when the majority of token hashes set it. */
   def simhash64(arr: ArrayData): Long = {
     val n = arr.numElements()

@@ -1,0 +1,97 @@
+package graft.sketch
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HyperLogLog distinct-count estimation (Flajolet et al. 2007) — the
+  * other half of the sketch tier next to [[CountMin]]: COUNT(DISTINCT)
+  * over a 100 TB column in one pass with 2^p integer registers where
+  * the exact count would shuffle every distinct value. Register j
+  * holds max ρ over rows bucketing there (ρ = 1 + leading zeros of
+  * the hash's low 64−p bits); max is associative/commutative, so the
+  * register table is bit-identical on any partitioning.
+  *
+  * Determinism of the ESTIMATE, not just the registers: the harmonic
+  * sum Σ 2^−M_j folds in register order over EXACT literal values
+  * (1/2^k is IEEE-representable for k ≤ 57; the lookup table is
+  * printed into both engines rather than recomputed through pow), and
+  * the bias constant α_m is spelled as the identical literal
+  * expression. The only transcendental is the linear-counting branch's
+  * ln, absorbed by the established round-6 output rounding.
+  *
+  * Plan shape: scan-stage codegen'd register packing
+  * ([[graft.functions.HashKernels.hllPacked]]), one map-side-combined
+  * max-aggregation over ≤ 2^p groups, a broadcast join against the
+  * 2^p-row dense grid, and a single-row fold — the corpus never
+  * shuffles.
+  */
+object HyperLogLog {
+
+  /** 1/2^k for k = 0..maxRho as exact literals, shared with the SQL
+    * oracle ([[inv2Literals]]).
+    */
+  private def inv2(maxRho: Int): Array[Double] =
+    Array.tabulate(maxRho + 1)(k => 1.0 / java.lang.Math.scalb(1.0, k))
+
+  /** The literal list as SQL text — printed from the same doubles the
+    * Spark plan embeds, so both engines fold identical values.
+    */
+  def inv2Literals(p: Int): String =
+    inv2(64 - p + 1).map(d => s"CAST($d AS DOUBLE)").mkString("[", ", ", "]")
+
+  private def validate(p: Int): Unit =
+    require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")
+
+  /** Dense 2^p-row register table (j, mrho) for `id` (nulls skipped —
+    * a null has no identity to count; mrho = 0 for untouched
+    * registers).
+    */
+  def registers(df: DataFrame, id: Column, p: Int): DataFrame = {
+    validate(p)
+    val m = 1 << p
+    val packed = graft.functions.HashFunctions
+      .hllPacked(xxhash64(id), p)
+    val sparse = df
+      .where(id.isNotNull)
+      .select(packed.as("pk"))
+      .select(shiftrightunsigned(col("pk"), 6).as("idx"),
+        col("pk").bitwiseAND(lit(63L)).as("rho"))
+      .groupBy(col("idx"))
+      .agg(max(col("rho")).as("mrho"))
+    df.sparkSession.range(m).toDF("j")
+      .join(broadcast(sparse), col("j") === col("idx"), "left")
+      .select(col("j"), coalesce(col("mrho"), lit(0L)).as("mrho"))
+  }
+
+  /** One-row estimate: (zero_registers, raw_est, est). `raw_est` is
+    * the uncorrected α_m·m²/Σ2^−M_j; `est` applies linear counting
+    * when raw ≤ 2.5m and zero registers remain, rounded to 6 decimals
+    * (the ln-ulp absorb).
+    */
+  def distinctEstimate(df: DataFrame, id: Column, p: Int = 8): DataFrame = {
+    validate(p)
+    val m = 1 << p
+    val inv = inv2(64 - p + 1)
+    val invLit = array(inv.toSeq.map(lit): _*)
+    val folded = registers(df, id, p)
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("j"), col("mrho"))))
+        .as("rs"))
+      .select(
+        size(filter(col("rs"), r => r.getField("mrho") === 0L))
+          .cast("long").as("zero_registers"),
+        aggregate(
+          transform(col("rs"),
+            r => element_at(invLit, (r.getField("mrho") + 1L).cast("int"))),
+          lit(0.0), (a, x) => a + x).as("ssum"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val raw = alpha * lit(m.toDouble) * lit(m.toDouble) / col("ssum")
+    folded.select(
+      col("zero_registers"),
+      raw.as("raw_est"),
+      when(raw <= lit(2.5 * m) && col("zero_registers") > 0L,
+        round(lit(m.toDouble) *
+          log(lit(m.toDouble) / col("zero_registers").cast("double")), 6))
+        .otherwise(round(raw, 6)).as("est"))
+  }
+}

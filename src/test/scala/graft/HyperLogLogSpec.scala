@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+import org.apache.spark.sql.types.LongType
+
+import graft.sketch.HyperLogLog
+
+/** HyperLogLog: register parity with a reference model, estimate
+  * accuracy on both branches (raw and linear counting), partition
+  * invariance, null skipping, and the guards.
+  */
+class HyperLogLogSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def refRegisters(ids: Seq[Long], p: Int): Array[Long] = {
+    val m = new Array[Long](1 << p)
+    ids.foreach { id =>
+      val h = XxHash64Function.hash(id, LongType, 42L)
+      val idx = (h >>> (64 - p)).toInt
+      val w = h & ((1L << (64 - p)) - 1)
+      val rho =
+        if (w == 0L) 64 - p + 1
+        else java.lang.Long.numberOfLeadingZeros(w) - p + 1
+      if (rho > m(idx)) m(idx) = rho.toLong
+    }
+    m
+  }
+
+  test("registers equal the reference model") {
+    val ids = (0L until 500L) ++ (0L until 100L) // duplicates included
+    val got = HyperLogLog.registers(ids.toDF("id"), col("id"), 8)
+      .orderBy("j").as[(Long, Long)].collect().map(_._2)
+    assert(got.toSeq == refRegisters(ids, 8).toSeq)
+  }
+
+  test("raw branch: estimate within 3 sigma of a large true cardinality") {
+    val n = 5000L
+    val out = HyperLogLog.distinctEstimate(
+      (0L until n).toDF("id"), col("id"), 8).head()
+    val est = out.getAs[Double]("est")
+    // sigma ~ 1.04/sqrt(256) ~ 6.5%
+    assert(math.abs(est - n) / n < 0.20, s"est $est for true $n")
+    assert(out.getAs[Double]("raw_est") > 2.5 * 256) // raw branch taken
+  }
+
+  test("linear branch: near-exact at tiny cardinality") {
+    val out = HyperLogLog.distinctEstimate(
+      Seq.fill(50)(0L to 9L).flatten.toDF("id"), col("id"), 8).head()
+    assert(out.getAs[Long]("zero_registers") >= 246L)
+    assert(math.abs(out.getAs[Double]("est") - 10.0) < 1.0)
+  }
+
+  test("estimate is bit-identical on any partitioning and row order") {
+    val ids = (0L until 300L).map(i => i * 17 % 97)
+    val a = HyperLogLog.distinctEstimate(ids.toDF("id"), col("id"), 8)
+      .head()
+    val b = HyperLogLog.distinctEstimate(
+      ids.reverse.toDF("id").repartition(7), col("id"), 8).head()
+    assert(a == b)
+  }
+
+  test("null ids are skipped") {
+    val withNulls = Seq[Option[Long]](Some(1L), None, Some(2L), None)
+      .toDF("id")
+    val justVals = Seq(1L, 2L).toDF("id")
+    assert(HyperLogLog.distinctEstimate(withNulls, col("id"), 8).head() ==
+      HyperLogLog.distinctEstimate(justVals, col("id"), 8).head())
+  }
+
+  test("guards: p out of range rejected") {
+    val df = Seq(1L).toDF("id")
+    intercept[IllegalArgumentException](
+      HyperLogLog.distinctEstimate(df, col("id"), 3))
+    intercept[IllegalArgumentException](
+      HyperLogLog.registers(df, col("id"), 17))
+  }
+}
