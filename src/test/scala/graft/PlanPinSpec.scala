@@ -274,4 +274,62 @@ class PlanPinSpec extends SparkTestBase {
     val folds = "collect_list".r.findAllIn(plan).length
     assert(folds >= 6, s"expected >= 6 per-round contribution folds:\n$plan")
   }
+
+  test("ts_gopher_filter: one scan, no join, only the presentation sort") {
+    val plan = SparkEntry.queries("ts_gopher_filter")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"the gate is row-local:\n$plan")
+    val exchanges = "(?m)^\\s*[+:*-]*\\s*\\(?\\d*\\)?\\s*Exchange".r
+      .findAllIn(plan).size
+    assert(exchanges <= 1,
+      s"only the final orderBy may shuffle ($exchanges > 1):\n$plan")
+  }
+
+  test("sim_label_centroids: one grouped fixed-point agg, map-side combined") {
+    val plan = SparkEntry.queries("sim_label_centroids")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum"),
+      s"fixed-point sums must combine map-side:\n$plan")
+    val exchanges = "(?m)^\\s*[+:*-]*\\s*\\(?\\d*\\)?\\s*Exchange".r
+      .findAllIn(plan).size
+    assert(exchanges <= 2,
+      s"(label, dim) agg + presentation sort only ($exchanges > 2):\n$plan")
+  }
+
+  test("kmeans assignment pass is row-local — zero exchanges, no join") {
+    // the per-round shuffles are the tiny (cluster, dim) partial-sum
+    // groups inside lloyd; the returned assignment pass itself must be
+    // a pure scan-stage argmin
+    val df = graft.sim.KMeans.kmeansAssign(
+      graft.sources.Sources.readTable(spark, sf0001, "embeddings"),
+      "vec_id", "embedding", dim = 64, k = 2, iterations = 1)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"assignment must be row-local:\n$plan")
+  }
+
+  test("sc_cms_counts: sketch partially aggregates; probe side broadcasts") {
+    val plan = SparkEntry.queries("sc_cms_counts")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_countminagg"),
+      s"sketch buffers must combine map-side:\n$plan")
+    assert(plan.contains("Broadcast"),
+      s"the one-row sketch must broadcast to the probes:\n$plan")
+    assert(plan.contains("cms_buckets"),
+      s"probe buckets must use the codegen'd kernel:\n$plan")
+  }
+
+  test("sc_hll_distinct: scan-stage packing, partial max, broadcast grid") {
+    val plan = SparkEntry.queries("sc_hll_distinct")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hll_packed"),
+      s"register packing must be the codegen'd kernel:\n$plan")
+    assert(plan.contains("partial_max"),
+      s"register maxima must combine map-side:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the sparse registers must broadcast onto the dense grid:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("SortMergeJoin"),
+      s"no corpus-shuffling join shapes:\n$plan")
+  }
 }
