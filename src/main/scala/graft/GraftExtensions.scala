@@ -5,15 +5,16 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CharHist64, DotProduct, GramStats, HashedWordShingles, L2Norm, LangMarkerScores, LongArrayL1, LshBuckets, MinHashSignature, RawWordGramHashes, SimHash64, SortedLongJaccard, WordShingles}
+import graft.functions.{CharHist64, CmsBuckets, DotProduct, GramStats, HashedWordShingles, HllPacked, L2Norm, LangMarkerScores, LongArrayL1, LshBuckets, MinHashSignature, RawWordGramHashes, SimHash64, SortedLongJaccard, WordShingles}
 import graft.textstats.TextStats
 
 /** SQL surface for the engine's custom Catalyst expressions: register via
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or on a
   * live session with `GraftExtensions.register(spark)`. Gives
   * `simhash64(arr)`, `minhash_signature(arr, n)`, `word_shingles(s, n)`,
-  * `vec_dot(a, b)`, `vec_norm(a)`, and `lang_marker_scores(toks)` (the
-  * built-in marker lists, sorted lang order) to pure-SQL users alongside
+  * `vec_dot(a, b)`, `vec_norm(a)`, `lang_marker_scores(toks)` (the
+  * built-in marker lists, sorted lang order), `cms_buckets(s, d, w)`
+  * and `hll_packed(h, p)` to pure-SQL users alongside
   * the Column API (graft.functions), plus the table-valued functions
   * ([[graft.plans.TableFunctions]]): `asof_join` / `range_join` and the
   * LLM-pipeline tier `minhash_near_dups` / `decontaminate` /
@@ -75,7 +76,12 @@ object GraftExtensions {
         intArg(args(2), "tables")) }),
     "raw_word_gram_hashes" -> (args => {
       arity("raw_word_gram_hashes", args, 2)
-      RawWordGramHashes(args.head, intArg(args(1), "n")) }))
+      RawWordGramHashes(args.head, intArg(args(1), "n")) }),
+    "cms_buckets" -> (args => { arity("cms_buckets", args, 3)
+      CmsBuckets(args.head, intArg(args(1), "depth"),
+        intArg(args(2), "width")) }),
+    "hll_packed" -> (args => { arity("hll_packed", args, 2)
+      HllPacked(args.head, intArg(args(1), "p")) }))
 
   /** Register on an already-built session. Also registers the
     * `backtest_fold` aggregate — a udaf goes through the UDF registry,

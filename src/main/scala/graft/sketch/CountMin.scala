@@ -106,6 +106,23 @@ object CountMin {
       (b, i) => element_at(cms, (i * width + b + 1L).cast("int"))))
   }
 
+  /** Element-wise sum of two sketches — the incremental lifecycle: a
+    * per-batch sketch merges into the persisted corpus sketch without
+    * touching corpus text, and merge(sketch(A), sketch(B)) equals
+    * sketch(A ∪ B) bit-for-bit (integer adds; spec-pinned). Mismatched
+    * (depth, width) surface as a length mismatch and fail loudly.
+    */
+  def mergeSketches(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("cms").as("__a"))
+      .crossJoin(b.select(col("cms").as("__b")))
+      .select(when(size(col("__a")) === size(col("__b")),
+        zip_with(col("__a"), col("__b"), (x, y) => x + y))
+        .otherwise(raise_error(concat(lit("mergeSketches: size "),
+          size(col("__a")).cast("string"), lit(" vs "),
+          size(col("__b")).cast("string"),
+          lit(" — sketches built with different (depth, width)"))))
+        .as("cms"))
+
   /** The self-audit endpoint: exact top-k tokens (count desc, token
     * asc) with their sketch estimates side by side —
     * (token, exact_cnt, est_cnt, overcount). `overcount` =

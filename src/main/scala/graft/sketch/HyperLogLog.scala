@@ -63,17 +63,32 @@ object HyperLogLog {
       .select(col("j"), coalesce(col("mrho"), lit(0L)).as("mrho"))
   }
 
-  /** One-row estimate: (zero_registers, raw_est, est). `raw_est` is
-    * the uncorrected α_m·m²/Σ2^−M_j; `est` applies linear counting
-    * when raw ≤ 2.5m and zero registers remain, rounded to 6 decimals
-    * (the ln-ulp absorb).
+  /** Max-merge of two dense register tables built with the same p —
+    * HLL's union property: mergeRegisters(reg(A), reg(B)) equals
+    * reg(A ∪ B) bit-for-bit (max is associative/commutative/
+    * idempotent), so per-batch register tables persist and fold into
+    * a corpus table without re-reading corpus rows.
     */
-  def distinctEstimate(df: DataFrame, id: Column, p: Int = 8): DataFrame = {
+  def mergeRegisters(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("j"), col("mrho").as("__ma"))
+      .join(b.select(col("j"), col("mrho").as("__mb")), Seq("j"),
+        "full_outer")
+      .select(col("j"),
+        greatest(coalesce(col("__ma"), lit(0L)),
+          coalesce(col("__mb"), lit(0L))).as("mrho"))
+
+  /** One-row estimate from a dense register table (j, mrho):
+    * (zero_registers, raw_est, est). `raw_est` is the uncorrected
+    * α_m·m²/Σ2^−M_j; `est` applies linear counting when raw ≤ 2.5m
+    * and zero registers remain, rounded to 6 decimals (the ln-ulp
+    * absorb).
+    */
+  def estimateFromRegisters(regs: DataFrame, p: Int): DataFrame = {
     validate(p)
     val m = 1 << p
     val inv = inv2(64 - p + 1)
     val invLit = array(inv.toSeq.map(lit): _*)
-    val folded = registers(df, id, p)
+    val folded = regs
       .groupBy()
       .agg(sort_array(collect_list(struct(col("j"), col("mrho"))))
         .as("rs"))
@@ -94,4 +109,10 @@ object HyperLogLog {
           log(lit(m.toDouble) / col("zero_registers").cast("double")), 6))
         .otherwise(round(raw, 6)).as("est"))
   }
+
+  /** One-row estimate straight from an id column — [[registers]] +
+    * [[estimateFromRegisters]].
+    */
+  def distinctEstimate(df: DataFrame, id: Column, p: Int = 8): DataFrame =
+    estimateFromRegisters(registers(df, id, p), p)
 }

@@ -89,6 +89,30 @@ class CountMinSpec extends SparkTestBase {
     assert(got.sum == 2L) // one token x two rows of the sketch
   }
 
+  test("merge(sketch(A), sketch(B)) equals sketch(A union B) bit-for-bit") {
+    val a = Seq("x y x", "z").toDF("text")
+    val b = Seq("y q", "x q q").toDF("text")
+    val both = Seq("x y x", "z", "y q", "x q q").toDF("text")
+    def sk(df: org.apache.spark.sql.DataFrame) = CountMin.sketch(df,
+      graft.text.TextPipeline.tokenize(col("text")), 4, 64)
+    val merged = CountMin.mergeSketches(sk(a), sk(b))
+      .as[Array[Long]].head().toSeq
+    val oneShot = sk(both).as[Array[Long]].head().toSeq
+    assert(merged == oneShot)
+  }
+
+  test("merging sketches of different shapes fails loudly") {
+    val a = CountMin.sketch(Seq("x").toDF("text"),
+      graft.text.TextPipeline.tokenize(col("text")), 4, 64)
+    val b = CountMin.sketch(Seq("x").toDF("text"),
+      graft.text.TextPipeline.tokenize(col("text")), 4, 32)
+    val e = intercept[Exception](
+      CountMin.mergeSketches(a, b).collect())
+    assert(e.getMessage.contains("mergeSketches") ||
+      (e.getCause != null &&
+        e.getCause.getMessage.contains("mergeSketches")))
+  }
+
   test("guards: bad depth/width/k rejected loudly") {
     val docs = Seq("a").toDF("text")
     intercept[IllegalArgumentException](

@@ -49,6 +49,27 @@ class ExtensionsSpec extends SparkTestBase {
     assert(viaCol === viaSql)
   }
 
+  test("sketch expressions are callable from SQL and agree with the Column API") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq("token").toDF("t")
+    df.createOrReplaceTempView("sk_toks")
+    val viaSql = spark.sql("SELECT cms_buckets(t, 4, 1024) FROM sk_toks")
+      .collect()(0).getSeq[Long](0)
+    val viaCol = df.select(graft.functions.HashFunctions
+      .cmsBuckets(col("t"), 4, 1024)).collect()(0).getSeq[Long](0)
+    assert(viaSql === viaCol && viaSql.length === 4 &&
+      viaSql.forall(b => b >= 0 && b < 1024))
+    val hllSql = spark.sql(
+      "SELECT hll_packed(xxhash64(CAST(7 AS BIGINT)), 8) AS pk")
+      .collect()(0).getLong(0)
+    val hllKernel = graft.functions.HashKernels.hllPacked(
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        7L, org.apache.spark.sql.types.LongType, 42L), 8)
+    assert(hllSql === hllKernel)
+  }
+
   test("long_array_l1 propagates null elements instead of reading them as 0") {
     GraftExtensions.register(spark)
     // the fast kernel reads slots with getLong — a null element would

@@ -68,6 +68,21 @@ class HyperLogLogSpec extends SparkTestBase {
       HyperLogLog.distinctEstimate(justVals, col("id"), 8).head())
   }
 
+  test("mergeRegisters(reg(A), reg(B)) equals reg(A union B), and so do estimates") {
+    val a = (0L until 120L).toDF("id")
+    val b = (80L until 260L).toDF("id")
+    val both = ((0L until 120L) ++ (80L until 260L)).toDF("id")
+    val merged = HyperLogLog.mergeRegisters(
+      HyperLogLog.registers(a, col("id"), 8),
+      HyperLogLog.registers(b, col("id"), 8))
+    val mergedRows = merged.orderBy("j").as[(Long, Long)].collect().toSeq
+    val oneShot = HyperLogLog.registers(both, col("id"), 8)
+      .orderBy("j").as[(Long, Long)].collect().toSeq
+    assert(mergedRows == oneShot)
+    assert(HyperLogLog.estimateFromRegisters(merged, 8).head() ==
+      HyperLogLog.distinctEstimate(both, col("id"), 8).head())
+  }
+
   test("guards: p out of range rejected") {
     val df = Seq(1L).toDF("id")
     intercept[IllegalArgumentException](
