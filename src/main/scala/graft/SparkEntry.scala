@@ -1350,6 +1350,20 @@ object SparkEntry {
       graft.graph.GraphOps.pageRank(both, "src", "dst", iterations = 6)
         .orderBy(col("node"))
     }),
+    "gr_labelprop" -> ((s, dir) => {
+      // community detection over the same co-occurrence graph as
+      // gr_pagerank: 4 synchronous label-propagation rounds, integer
+      // votes, (count desc, label asc) argmin — fully deterministic
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 50 === 0)
+        .select(concat(lit("p"), col("l_partkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      val both = li.union(
+        li.select(col("dst").as("src"), col("src").as("dst")))
+      graft.graph.GraphOps.labelPropagation(both, "src", "dst",
+          iterations = 4)
+        .orderBy(col("node"))
+    }),
     "ts_group_sample" -> ((s, dir) => {
       // deterministic per-stratum sample: EXACTLY min(7, |lang|) docs
       // per language, priority = xxhash64(doc_id) — bounded k-heap per
@@ -1728,6 +1742,39 @@ object SparkEntry {
     * seeds only) — the gr_trustrank twin. Both fold per-dst
     * contributions in SOURCE order (EXACT doubles, no rounding).
     */
+  /** Unrolled DuckDB twin of
+    * [[graft.graph.GraphOps.labelPropagation]] over the gr_pagerank
+    * co-occurrence graph: per round, integer in-neighbor label votes,
+    * the (count desc, label asc) winner via row_number, and
+    * keep-own-label for nodes with no votes (LEFT JOIN + COALESCE).
+    * All integer/string — bit-exact.
+    */
+  private def labelPropOracleSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH e0 AS MATERIALIZED (SELECT DISTINCT
+         'p' || CAST(l_partkey AS VARCHAR) AS s,
+         's' || CAST(l_suppkey AS VARCHAR) AS d
+       FROM lineitem WHERE l_partkey % 50 = 0),
+     e AS MATERIALIZED (SELECT s, d FROM e0
+       UNION ALL SELECT d AS s, s AS d FROM e0),
+     nodes AS MATERIALIZED (SELECT DISTINCT n FROM
+       (SELECT s AS n FROM e UNION ALL SELECT d AS n FROM e)),
+     l0 AS MATERIALIZED (SELECT n AS node, n AS lab FROM nodes)"""
+    for (r <- 1 to iters) sb ++= s""",
+     v$r AS MATERIALIZED (SELECT e.d AS node, l.lab AS lab,
+         CAST(count(*) AS BIGINT) AS c
+       FROM e JOIN l${r - 1} l ON l.node = e.s GROUP BY e.d, l.lab),
+     w$r AS MATERIALIZED (SELECT node, lab FROM (SELECT node, lab,
+         row_number() OVER (PARTITION BY node ORDER BY c DESC, lab)
+           AS rn FROM v$r) WHERE rn = 1),
+     l$r AS MATERIALIZED (SELECT l.node,
+         COALESCE(w.lab, l.lab) AS lab
+       FROM l${r - 1} l LEFT JOIN w$r w ON w.node = l.node)"""
+    sb ++= s"""
+     SELECT node, lab AS community FROM l$iters ORDER BY node"""
+    sb.toString
+  }
+
   private def pageRankOracleSql(iters: Int,
       seeded: Boolean = false): String = {
     val sb = new StringBuilder
@@ -3460,6 +3507,10 @@ object SparkEntry {
            CAST(reasons AS BIGINT) AS reasons,
            reasons = 0 AS keep
          FROM rs ORDER BY doc_id""",
+    "gr_labelprop" ->
+      // unrolled synchronous rounds: integer votes, (count desc,
+      // label asc) winner, keep-own-label for vote-less nodes
+      labelPropOracleSql(iters = 4),
     "sim_kmeans" ->
       // unrolled 3-round Lloyd: seeding, folds, fixed-point sums and
       // empty-cluster carryover all bit-identical to KMeans

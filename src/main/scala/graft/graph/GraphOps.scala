@@ -209,6 +209,59 @@ object GraphOps {
     pr
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) — the cheap
+    * community-detection pass a crawl-curation pipeline runs to group
+    * pages/domains before per-community sampling. Labels start as the
+    * node ids; each round EVERY node simultaneously adopts the most
+    * frequent label among its in-neighbors, ties broken by the
+    * SMALLEST label. The classic algorithm visits nodes in random
+    * order — this engine never ships nondeterminism, so the
+    * synchronous variant with a total tie order is the operator:
+    * integer votes + (count desc, label asc) argmin make every round
+    * bit-identical on any partitioning and cross-engine.
+    *
+    * Provide both edge directions for undirected semantics (the
+    * [[pageRank]] convention); multi-edges collapse to simple edges.
+    * A node with no in-edges keeps its current label.
+    *
+    * Scale: per round one equi-join on the label frame plus two
+    * partial-combinable hash aggregations ((node, label) vote counts,
+    * then the per-node argmin via min over (−count, label) structs —
+    * no ranking window, nothing row_number-sorts the vote table);
+    * lineage cut every 3 rounds like the rank loops.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1 && iterations <= 20,
+      s"iterations must be in [1, 20], got $iterations")
+    val e = edges
+      .select(col(srcCol).cast("string").as("__s"),
+        col(dstCol).cast("string").as("__d"))
+      .filter(col("__s").isNotNull && col("__d").isNotNull)
+      .distinct()
+    val eo = cut(e)
+    val nodes = cut(eo.select(col("__s").as("__n"))
+      .union(eo.select(col("__d").as("__n"))).distinct())
+    var lab = nodes.select(col("__n"), col("__n").as("__l"))
+    var i = 0
+    while (i < iterations) {
+      val winners = eo
+        .join(lab.select(col("__n").as("__s"), col("__l")), Seq("__s"))
+        .groupBy(col("__d"), col("__l"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("__d"))
+        .agg(min(struct((-col("__c")).as("nc"), col("__l").as("l")))
+          .as("__w"))
+        .select(col("__d").as("__wd"), col("__w")("l").as("__wl"))
+      lab = lab
+        .join(winners, col("__n") === col("__wd"), "left")
+        .select(col("__n"), coalesce(col("__wl"), col("__l")).as("__l"))
+      i += 1
+      if (i % 3 == 0 && i < iterations) lab = cut(lab)
+    }
+    lab.select(col("__n").as("node"), col("__l").as("community"))
+  }
+
   /** In/out degree per node of the (collapsed) simple digraph — the
     * cheap first-pass graph profile. One aggregation per direction.
     */

@@ -193,6 +193,76 @@ class GraphOpsSpec extends SparkTestBase {
     }
   }
 
+  /** Reference model of the synchronous deterministic LPA variant. */
+  private def refLabelProp(edges: Seq[(String, String)],
+      iters: Int): Map[String, String] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    var lab = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      val next = nodes.map { n =>
+        val votes = e.filter(_._2 == n).map(x => lab(x._1))
+          .groupBy(identity).view.mapValues(_.size).toSeq
+        n -> (if (votes.isEmpty) lab(n)
+              else votes.minBy { case (l, c) => (-c, l) }._1)
+      }.toMap
+      lab = next
+    }
+    lab
+  }
+
+  test("labelPropagation: two planted cliques resolve to two communities") {
+    def clique(ns: Seq[String]) =
+      for (a <- ns; b <- ns if a != b) yield (a, b)
+    val edges = clique(Seq("a1", "a2", "a3", "a4")) ++
+      clique(Seq("b1", "b2", "b3"))
+    val got = GraphOps.labelPropagation(edges.toDF("s", "d"), "s", "d",
+      iterations = 5).as[(String, String)].collect().toMap
+    assert(got == refLabelProp(edges, 5))
+    val aComm = Seq("a1", "a2", "a3", "a4").map(got)
+    assert(aComm.distinct.size == 1)
+    val bComm = Seq("b1", "b2", "b3").map(got)
+    assert(bComm.distinct.size == 1 && bComm.head != aComm.head)
+  }
+
+  test("labelPropagation: vote-less nodes keep their label; " +
+      "repartition-invariant to the bit") {
+    val edges = Seq(("x", "y"), ("y", "z")) // z has no out-edge: x gets no votes? x has none in
+    val df = edges.toDF("s", "d")
+    val got = GraphOps.labelPropagation(df, "s", "d", 3)
+      .as[(String, String)].collect().toMap
+    assert(got == refLabelProp(edges, 3))
+    assert(got("x") == "x") // no in-neighbors: keeps its own label
+    val re = GraphOps.labelPropagation(df.repartition(7), "s", "d", 3)
+      .as[(String, String)].collect().toMap
+    assert(re == got)
+  }
+
+  test("labelPropagation property: random graphs match the reference") {
+    val rnd = new scala.util.Random(2026)
+    for (_ <- 1 to 5) {
+      val n = 2 + rnd.nextInt(8)
+      val edges = (1 to (n * 2)).map(_ =>
+        (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}"))
+        .filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        val iters = 1 + rnd.nextInt(4)
+        val got = GraphOps.labelPropagation(edges.toDF("s", "d"),
+          "s", "d", iters).as[(String, String)].collect().toMap
+        assert(got == refLabelProp(edges, iters),
+          s"mismatch on $edges iters=$iters")
+      }
+    }
+  }
+
+  test("labelPropagation guards") {
+    val df = Seq(("a", "b")).toDF("s", "d")
+    intercept[IllegalArgumentException](
+      GraphOps.labelPropagation(df, "s", "d", 0))
+    intercept[IllegalArgumentException](
+      GraphOps.labelPropagation(df, "s", "d", 21))
+  }
+
   test("property: random undirected graphs match the reference model " +
       "bit-for-bit under random partitionings") {
     val rnd = new scala.util.Random(17)
