@@ -85,6 +85,20 @@ def cms_bucket_cte(depth=4, width=1024):
       lower(text), '\\s+'), t -> length(t) > 0)) AS w FROM documents)"""
 
 
+def key_bucket_cte(table, keycol, depth=4, width=1024):
+    """(w, bs) over a table's distinct CAST(key AS VARCHAR) values:
+    the Count-Min row buckets of graft.sketch.CountMin when sketching
+    a join key column (seeds 0..depth-1, signed pmod — identical to
+    cms_bucket_cte's convention)."""
+    from xxh64_sql import xxh64_str_seeds
+    multi = xxh64_str_seeds("w", depth)
+    sg = signed("xH")
+    return f"""SELECT w, list_transform({multi},
+      xH -> (((({sg}) % {width}) + {width}) % {width})) AS bs
+  FROM (SELECT DISTINCT CAST({keycol} AS VARCHAR) AS w FROM {table}
+        WHERE {keycol} IS NOT NULL)"""
+
+
 def event_id_hash_cte():
     """(u) — UNSIGNED Spark xxhash64(event_id) (seed 42) over events;
     the HyperLogLog register hash (graft.sketch.HyperLogLog: idx = top
@@ -199,6 +213,15 @@ object SplitOracle {{
   /** Reusable CTE body (u): unsigned xxhash64(event_id) over events
     * (graft.sketch.HyperLogLog). */
   val eventIdHashCte: String = "{esc(event_id_hash_cte())}"
+  /** Reusable CTE body (w, bs): Count-Min buckets of lineitem's
+    * distinct l_orderkey strings (graft.sketch.CountMin join-size
+    * estimate). */
+  val lineitemKeyBucketCte: String =
+    "{esc(key_bucket_cte('lineitem', 'l_orderkey'))}"
+  /** Reusable CTE body (w, bs): Count-Min buckets of orders' distinct
+    * o_orderkey strings. */
+  val ordersKeyBucketCte: String =
+    "{esc(key_bucket_cte('orders', 'o_orderkey'))}"
   /** Reusable CTE body (u): unsigned xxhash64(user_id) over events
     * (graft.sketch.HyperLogLog). */
   val userIdHashCte: String = "{esc(user_id_hash_cte())}"

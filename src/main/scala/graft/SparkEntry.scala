@@ -1563,6 +1563,27 @@ object SparkEntry {
           "text", k = 20, depth = 4, width = 1024)
         .orderBy(col("exact_cnt").desc, col("token"))
     }),
+    "sc_cms_join_est" -> ((s, dir) => {
+      // planner-style pre-join cardinality check: two one-pass key
+      // sketches, inner-product estimate (min over rows of the cell
+      // products) >= the true join size — integer-exact, audited
+      // against the actual join count
+      import graft.sketch.CountMin
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val ska = CountMin.sketch(li,
+        array(col("l_orderkey").cast("string")), 4, 1024)
+      val skb = CountMin.sketch(ord,
+        array(col("o_orderkey").cast("string")), 4, 1024)
+      val est = CountMin.joinSizeEstimate(ska, skb, 4, 1024)
+      val exact = li.join(ord,
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("exact_join_rows"))
+      est.crossJoin(exact)
+        .select(col("exact_join_rows"), col("est_join_rows"),
+          (col("est_join_rows") - col("exact_join_rows"))
+            .as("overcount"))
+    }),
     "sc_hll_distinct" -> ((s, dir) => {
       // HyperLogLog distinct-count self-audit over two cardinality
       // regimes: event_id (every row distinct — the raw-estimate
@@ -3545,6 +3566,42 @@ object SparkEntry {
          JOIN cells c ON c.i = u.i AND c.b = bl.bs[u.i]
          GROUP BY pr.token, pr.exact_cnt
          ORDER BY exact_cnt DESC, token""",
+    "sc_cms_join_est" ->
+      // both sketches rebuilt cell-by-cell from the key bucket CTEs,
+      // per-row cell products on a dense row grid (missing overlap =
+      // 0), min over rows — all integer, bit-exact
+      s"""WITH bla AS MATERIALIZED (${SplitOracle.lineitemKeyBucketCte}),
+         blb AS MATERIALIZED (${SplitOracle.ordersKeyBucketCte}),
+         ea AS MATERIALIZED (SELECT CAST(l_orderkey AS VARCHAR) AS w,
+             CAST(count(*) AS BIGINT) AS c
+           FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+         eb AS MATERIALIZED (SELECT CAST(o_orderkey AS VARCHAR) AS w,
+             CAST(count(*) AS BIGINT) AS c
+           FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1),
+         ca AS MATERIALIZED (SELECT u.i AS i, bla.bs[u.i] AS b,
+             CAST(sum(ea.c) AS BIGINT) AS cnt
+           FROM ea JOIN bla ON bla.w = ea.w,
+             unnest(generate_series(1, 4)) AS u(i)
+           GROUP BY u.i, bla.bs[u.i]),
+         cb AS MATERIALIZED (SELECT u.i AS i, blb.bs[u.i] AS b,
+             CAST(sum(eb.c) AS BIGINT) AS cnt
+           FROM eb JOIN blb ON blb.w = eb.w,
+             unnest(generate_series(1, 4)) AS u(i)
+           GROUP BY u.i, blb.bs[u.i]),
+         prod AS (SELECT ca.i AS i,
+             CAST(sum(ca.cnt * cb.cnt) AS BIGINT) AS p
+           FROM ca JOIN cb ON cb.i = ca.i AND cb.b = ca.b
+           GROUP BY ca.i),
+         pr AS (SELECT g.i, COALESCE(prod.p, CAST(0 AS BIGINT)) AS p
+           FROM (SELECT unnest(generate_series(1, 4)) AS i) g
+           LEFT JOIN prod ON prod.i = g.i),
+         ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_join_rows
+           FROM lineitem l JOIN orders o
+             ON o.o_orderkey = l.l_orderkey)
+         SELECT ex.exact_join_rows,
+           (SELECT min(p) FROM pr) AS est_join_rows,
+           (SELECT min(p) FROM pr) - ex.exact_join_rows AS overcount
+         FROM ex""",
     "sc_hll_distinct" ->
       // the register table rebuilt in SQL (top-8-bit index, bin()
       // bit-length rank), the harmonic fold over the SAME printed

@@ -123,6 +123,31 @@ object CountMin {
           lit(" — sketches built with different (depth, width)"))))
         .as("cms"))
 
+  /** Equi-join cardinality estimate from two sketches (Cormode &
+    * Muthukrishnan's inner-product estimate): per sketch row i,
+    * Σ_b A[i,b]·B[i,b] ≥ the true join size Σ_k cntA(k)·cntB(k), and
+    * the min over rows tightens it — the planner-style pre-join size
+    * check that costs two one-pass sketches instead of the join.
+    * All integer arithmetic (cell products + sums), so the estimate is
+    * bit-identical on any partitioning and cross-engine. Overflow
+    * headroom: cell counts up to ~3·10^9 are safe (product + width-sum
+    * stays under 2^63 at the pinned 4×1024).
+    */
+  def joinSizeEstimate(a: DataFrame, b: DataFrame, depth: Int,
+      width: Int): DataFrame = {
+    validate(depth, width)
+    a.select(col("cms").as("__a"))
+      .crossJoin(b.select(col("cms").as("__b")))
+      .select(array_min(transform(
+        sequence(lit(0), lit(depth - 1)),
+        i => aggregate(
+          zip_with(slice(col("__a"), i * lit(width) + lit(1), lit(width)),
+            slice(col("__b"), i * lit(width) + lit(1), lit(width)),
+            (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v)))
+        .as("est_join_rows"))
+  }
+
   /** The self-audit endpoint: exact top-k tokens (count desc, token
     * asc) with their sketch estimates side by side —
     * (token, exact_cnt, est_cnt, overcount). `overcount` =

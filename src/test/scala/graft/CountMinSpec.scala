@@ -113,6 +113,29 @@ class CountMinSpec extends SparkTestBase {
         e.getCause.getMessage.contains("mergeSketches")))
   }
 
+  test("joinSizeEstimate: est >= true size; exact when collision-free; " +
+      "matches the reference inner product") {
+    val d = 4; val w = 256
+    val aKeys = Seq("k1", "k1", "k2", "k3", "k3", "k3")
+    val bKeys = Seq("k1", "k2", "k2", "k4")
+    def sk(keys: Seq[String]) = CountMin.sketch(
+      keys.map(k => Seq(k)).toDF("toks"), col("toks"), d, w)
+    val est = CountMin.joinSizeEstimate(sk(aKeys), sk(bKeys), d, w)
+      .as[Long].head()
+    // true join size: k1 2*1 + k2 1*2 = 4
+    val truth = 4L
+    assert(est >= truth)
+    // reference: min over rows of the cell inner products
+    val ra = refSketch(aKeys, d, w)
+    val rb = refSketch(bKeys, d, w)
+    val ref = (0 until d).map { i =>
+      (0 until w).map(b => ra(i * w + b) * rb(i * w + b)).sum
+    }.min
+    assert(est == ref)
+    // 5 distinct keys in 256x4: no pair shares all rows -> exact
+    assert(est == truth)
+  }
+
   test("guards: bad depth/width/k rejected loudly") {
     val docs = Seq("a").toDF("text")
     intercept[IllegalArgumentException](
