@@ -115,4 +115,26 @@ object HyperLogLog {
     */
   def distinctEstimate(df: DataFrame, id: Column, p: Int = 8): DataFrame =
     estimateFromRegisters(registers(df, id, p), p)
+
+  /** One-row set-operation estimates from two register tables:
+    * (est_a, est_b, est_union, est_intersection). Union is exact HLL
+    * ([[mergeRegisters]] — the union sketch IS the sketch of the
+    * union); intersection is inclusion–exclusion
+    * est_a + est_b − est_union, clamped at 0 (IE can go negative
+    * within sketch error; a negative overlap estimate is noise, not
+    * signal). The audit shape for "how much does corpus B overlap
+    * corpus A" without joining either.
+    */
+  def setEstimates(a: DataFrame, b: DataFrame, p: Int): DataFrame = {
+    validate(p)
+    def est(regs: DataFrame, name: String) =
+      estimateFromRegisters(regs, p).select(col("est").as(name))
+    est(a, "est_a")
+      .crossJoin(est(b, "est_b"))
+      .crossJoin(est(mergeRegisters(a, b), "est_union"))
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        greatest(lit(0.0),
+          round(col("est_a") + col("est_b") - col("est_union"), 6))
+          .as("est_intersection"))
+  }
 }

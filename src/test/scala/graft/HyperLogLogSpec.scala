@@ -83,6 +83,30 @@ class HyperLogLogSpec extends SparkTestBase {
       HyperLogLog.distinctEstimate(both, col("id"), 8).head())
   }
 
+  test("setEstimates: union exact-HLL, intersection via inclusion-exclusion") {
+    val a = (0L until 400L).toDF("id")
+    val b = (200L until 600L).toDF("id") // true overlap 200
+    val ra = HyperLogLog.registers(a, col("id"), 8)
+    val rb = HyperLogLog.registers(b, col("id"), 8)
+    val out = HyperLogLog.setEstimates(ra, rb, 8).head()
+    val estU = out.getAs[Double]("est_union")
+    val trueU = 600.0
+    assert(math.abs(estU - trueU) / trueU < 0.25, s"union est $estU")
+    // union estimate must equal the one-shot estimate of A union B
+    val oneShot = HyperLogLog.distinctEstimate(
+      ((0L until 400L) ++ (200L until 600L)).toDF("id"), col("id"), 8)
+      .head().getAs[Double]("est")
+    assert(estU == oneShot)
+    val estI = out.getAs[Double]("est_intersection")
+    assert(estI >= 0.0 && math.abs(estI - 200.0) < 150.0,
+      s"intersection est $estI") // IE compounds error; loose bound
+    // disjoint sets: intersection clamps at >= 0, never negative
+    val rc = HyperLogLog.registers((1000L until 1400L).toDF("id"),
+      col("id"), 8)
+    assert(HyperLogLog.setEstimates(ra, rc, 8).head()
+      .getAs[Double]("est_intersection") >= 0.0)
+  }
+
   test("guards: p out of range rejected") {
     val df = Seq(1L).toDF("id")
     intercept[IllegalArgumentException](

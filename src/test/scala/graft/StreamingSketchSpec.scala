@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.sketch.{CountMin, HyperLogLog}
+
+/** Streaming incremental sketches: per-micro-batch sketches folded into
+  * a running corpus sketch via the merge endpoints must equal the
+  * one-shot batch sketch of all data — the foreachBatch lifecycle a
+  * production profile runs (sketch each arriving batch, merge, persist;
+  * never re-read corpus rows). The merges are associative and
+  * commutative, so ANY micro-batch split yields the identical sketch.
+  */
+class StreamingSketchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq.tabulate(30)(i => (i.toLong, s"w$i w${i % 5} shared"))
+
+  test("foreachBatch-merged CMS equals the one-shot sketch of all data") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    var acc: Option[DataFrame] = None
+    val q = input.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = CountMin.sketch(batch,
+          graft.text.TextPipeline.tokenize(col("text")), 4, 64)
+        // materialize the per-batch sketch so the accumulated plan
+        // never references a consumed streaming source
+        val rows = s.as[Array[Long]].collect().toSeq.toDF("cms")
+        acc = Some(acc.fold(rows)(prev =>
+          CountMin.mergeSketches(prev, rows)
+            .as[Array[Long]].collect().toSeq.toDF("cms")))
+      }
+      .start()
+    input.addData(docs.take(11): _*)
+    q.processAllAvailable()
+    input.addData(docs.slice(11, 19): _*)
+    q.processAllAvailable()
+    input.addData(docs.drop(19): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val merged = acc.get.as[Array[Long]].head().toSeq
+    val oneShot = CountMin.sketch(docs.toDF("doc_id", "text"),
+        graft.text.TextPipeline.tokenize(col("text")), 4, 64)
+      .as[Array[Long]].head().toSeq
+    assert(merged == oneShot)
+  }
+
+  test("foreachBatch-merged HLL registers equal the one-shot registers") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Long]
+    var acc: Option[DataFrame] = None
+    val q = input.toDS().toDF("id").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val regs = HyperLogLog.registers(batch, col("id"), 8)
+        val rows = regs.as[(Long, Long)].collect().toSeq.toDF("j", "mrho")
+        acc = Some(acc.fold(rows)(prev =>
+          HyperLogLog.mergeRegisters(prev, rows)
+            .as[(Long, Long)].collect().toSeq.toDF("j", "mrho")))
+      }
+      .start()
+    val ids = (0L until 120L) ++ (60L until 200L) // overlap across batches
+    input.addData(ids.take(70): _*)
+    q.processAllAvailable()
+    input.addData(ids.drop(70): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val merged = acc.get.orderBy("j").as[(Long, Long)].collect().toSeq
+    val oneShot = HyperLogLog.registers(ids.toDF("id"), col("id"), 8)
+      .orderBy("j").as[(Long, Long)].collect().toSeq
+    assert(merged == oneShot)
+    // and therefore the estimates agree too
+    assert(HyperLogLog.estimateFromRegisters(
+        merged.toDF("j", "mrho"), 8).head() ==
+      HyperLogLog.distinctEstimate(ids.toDF("id"), col("id"), 8).head())
+  }
+}
