@@ -116,6 +116,17 @@ def user_id_hash_cte():
   FROM events WHERE user_id IS NOT NULL"""
 
 
+def user_id_day_hash_cte():
+    """(day_us, u) — UNSIGNED Spark xxhash64(user_id) (seed 42) with
+    the event's UTC day as epoch micros; the per-window HyperLogLog
+    register hash (graft.sketch.HyperLogLog.groupedEstimate over
+    date_trunc('day', ts))."""
+    h = xxh64_long("user_id", "CAST(42 AS HUGEINT)")
+    return f"""SELECT epoch_us(CAST(date_trunc('day', ts) AS TIMESTAMP))
+      AS day_us, ({h}) AS u
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL"""
+
+
 def ts_hash_split_sql():
     return f"""WITH b AS ({bucket_cte()})
 SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
@@ -225,6 +236,9 @@ object SplitOracle {{
   /** Reusable CTE body (u): unsigned xxhash64(user_id) over events
     * (graft.sketch.HyperLogLog). */
   val userIdHashCte: String = "{esc(user_id_hash_cte())}"
+  /** Reusable CTE body (day_us, u): unsigned xxhash64(user_id) keyed
+    * by the event's UTC day (graft.sketch.HyperLogLog.groupedEstimate). */
+  val userIdDayHashCte: String = "{esc(user_id_day_hash_cte())}"
 }}
 """
     with open(path, "w") as f:

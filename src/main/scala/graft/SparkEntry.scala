@@ -1584,6 +1584,23 @@ object SparkEntry {
           (col("est_join_rows") - col("exact_join_rows"))
             .as("overcount"))
     }),
+    "ev_hll_daily" -> ((s, dir) => {
+      // windowed distinct-user estimation: per UTC day, <= 256 HLL
+      // registers replace a per-window COUNT(DISTINCT) state; the
+      // grouped fold runs over register VALUES (n_k * 2^-k, k
+      // ascending) so no per-group dense grid is needed; exact counts
+      // ride along as the audit
+      val ev = t(s, dir, "events").where(col("ts").isNotNull)
+      val day = unix_micros(date_trunc("day", col("ts")))
+      val est = graft.sketch.HyperLogLog.groupedEstimate(
+          ev, day, col("user_id"), p = 8)
+        .withColumnRenamed("grp", "day_us")
+      val exact = ev.where(col("user_id").isNotNull)
+        .groupBy(day.as("day_us"))
+        .agg(count_distinct(col("user_id")).cast("long")
+          .as("exact_users"))
+      est.join(exact, "day_us").orderBy(col("day_us"))
+    }),
     "sc_hll_distinct" -> ((s, dir) => {
       // HyperLogLog distinct-count self-audit over two cardinality
       // regimes: event_id (every row distinct — the raw-estimate
@@ -3602,6 +3619,11 @@ object SparkEntry {
            (SELECT min(p) FROM pr) AS est_join_rows,
            (SELECT min(p) FROM pr) - ex.exact_join_rows AS overcount
          FROM ex""",
+    "ev_hll_daily" ->
+      // per-day registers + the register-VALUE fold (n_k * 2^-k in k
+      // order over the shared printed literals); same estimator
+      // branches and round-6 absorb as sc_hll_distinct
+      hllDailyOracleSql(p = 8),
     "sc_hll_distinct" ->
       // the register table rebuilt in SQL (top-8-bit index, bin()
       // bit-length rank), the harmonic fold over the SAME printed
@@ -3609,6 +3631,51 @@ object SparkEntry {
       // absorbed by the round-6 output both engines apply
       hllOracleSql(p = 8),
   )
+
+  /** DuckDB twin of [[graft.sketch.HyperLogLog.groupedEstimate]] over
+    * the events table's UTC days: per-day sparse registers, then the
+    * register-VALUE fold (counts of registers holding k, folded in k
+    * order over the shared exact 1/2^k literals) — the grouped path's
+    * own pinned float order, replicated exactly.
+    */
+  private def hllDailyOracleSql(p: Int): String = {
+    val m = 1 << p
+    val win = 1L << (64 - p)
+    val maxRho = 64 - p + 1
+    val md = s"CAST(${m.toDouble} AS DOUBLE)"
+    val inv = graft.sketch.HyperLogLog.inv2Literals(p)
+    s"""WITH hd AS MATERIALIZED (${SplitOracle.userIdDayHashCte}),
+     r AS (SELECT day_us, CAST(u // $win AS BIGINT) AS idx,
+         CAST(u % $win AS BIGINT) AS wv FROM hd),
+     g AS (SELECT day_us, idx, max(CASE WHEN wv = 0 THEN $maxRho
+         ELSE $maxRho - length(bin(wv)) END) AS mrho
+       FROM r GROUP BY day_us, idx),
+     vc AS (SELECT day_us, mrho, CAST(count(*) AS BIGINT) AS ck
+       FROM g GROUP BY day_us, mrho),
+     f AS (SELECT day_us, CAST($m - sum(ck) AS BIGINT) AS n0,
+         reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(CAST(ck AS DOUBLE) * ($inv)[mrho + 1] ORDER BY mrho)),
+           (a, e) -> a + e) AS psum
+       FROM vc GROUP BY day_us),
+     e2 AS (SELECT day_us, n0,
+         (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+             + CAST(1.079 AS DOUBLE) / $md)) * $md * $md
+           / (CAST(n0 AS DOUBLE) * CAST(1.0 AS DOUBLE) + psum)
+           AS raw_est
+       FROM f),
+     ex AS (SELECT epoch_us(CAST(date_trunc('day', ts) AS TIMESTAMP))
+           AS day_us,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+       FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+       GROUP BY 1)
+     SELECT e2.day_us, e2.n0 AS zero_registers, e2.raw_est,
+       CASE WHEN e2.raw_est <= CAST(${2.5 * m} AS DOUBLE) AND e2.n0 > 0
+         THEN round($md * ln($md / CAST(e2.n0 AS DOUBLE)), 6)
+         ELSE round(e2.raw_est, 6) END AS est,
+       ex.exact_users
+     FROM e2 JOIN ex ON ex.day_us = e2.day_us
+     ORDER BY e2.day_us"""
+  }
 
   /** DuckDB twin of [[graft.sketch.HyperLogLog.distinctEstimate]] over
     * events.event_id and events.user_id: unsigned pure-SQL xxhash64,

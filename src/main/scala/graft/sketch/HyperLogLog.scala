@@ -116,6 +116,59 @@ object HyperLogLog {
   def distinctEstimate(df: DataFrame, id: Column, p: Int = 8): DataFrame =
     estimateFromRegisters(registers(df, id, p), p)
 
+  /** Per-group distinct estimate — the windowed form ("distinct users
+    * per day/window") that replaces an exploding per-window
+    * COUNT(DISTINCT) state with ≤ 2^p registers per group. One sparse
+    * (grp, idx) max-aggregation, then a per-group fold over REGISTER
+    * VALUES rather than register positions: ssum =
+    * n_0·1 + Σ_k n_k·2^−k with n_k the count of registers holding k —
+    * ≤ 64−p+1 terms folded in k order (n_k·2^−k is exact: an integer
+    * times a power of two), so the grouped estimate has its own pinned
+    * deterministic float order without densifying a grid per group.
+    * Output: (grp, zero_registers, raw_est, est) — same estimator
+    * branches/rounding as [[estimateFromRegisters]]. Groups with no
+    * non-null ids are absent (no evidence, no row).
+    */
+  def groupedEstimate(df: DataFrame, grp: Column, id: Column,
+      p: Int): DataFrame = {
+    validate(p)
+    val m = 1 << p
+    val inv = inv2(64 - p + 1)
+    val invLit = array(inv.toSeq.map(lit): _*)
+    val packed = graft.functions.HashFunctions
+      .hllPacked(xxhash64(id), p)
+    val sparse = df
+      .where(id.isNotNull)
+      .select(grp.as("grp"), packed.as("pk"))
+      .select(col("grp"), shiftrightunsigned(col("pk"), 6).as("idx"),
+        col("pk").bitwiseAND(lit(63L)).as("rho"))
+      .groupBy(col("grp"), col("idx"))
+      .agg(max(col("rho")).as("mrho"))
+    val folded = sparse
+      .groupBy(col("grp"), col("mrho"))
+      .agg(count(lit(1)).as("ck"))
+      .groupBy(col("grp"))
+      .agg(sort_array(collect_list(struct(col("mrho"), col("ck"))))
+        .as("vs"))
+      .select(col("grp"),
+        (lit(m.toLong) - aggregate(col("vs"),
+          lit(0L), (a, r) => a + r.getField("ck"))).as("n0"),
+        aggregate(col("vs"), lit(0.0), (a, r) =>
+          a + r.getField("ck").cast("double") *
+            element_at(invLit, (r.getField("mrho") + 1L).cast("int")))
+          .as("psum"))
+    val ssum = col("n0").cast("double") * lit(1.0) + col("psum")
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val raw = alpha * lit(m.toDouble) * lit(m.toDouble) / ssum
+    folded.select(
+      col("grp"), col("n0").as("zero_registers"),
+      raw.as("raw_est"),
+      when(raw <= lit(2.5 * m) && col("n0") > 0L,
+        round(lit(m.toDouble) *
+          log(lit(m.toDouble) / col("n0").cast("double")), 6))
+        .otherwise(round(raw, 6)).as("est"))
+  }
+
   /** One-row set-operation estimates from two register tables:
     * (est_a, est_b, est_union, est_intersection). Union is exact HLL
     * ([[mergeRegisters]] — the union sketch IS the sketch of the

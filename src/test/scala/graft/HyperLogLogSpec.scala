@@ -107,6 +107,37 @@ class HyperLogLogSpec extends SparkTestBase {
       .getAs[Double]("est_intersection") >= 0.0)
   }
 
+  test("groupedEstimate matches a bit-exact reference of the value-order fold") {
+    val p = 8; val m = 1 << p
+    val rows = Seq.tabulate(300)(i => (s"g${i % 3}", (i % 97).toLong)) ++
+      Seq(("gnull", -1L)) // sentinel replaced by null below
+    val df = rows.toDF("g", "id")
+      .withColumn("id", when(col("id") >= 0L, col("id")))
+    val got = HyperLogLog.groupedEstimate(df, col("g"), col("id"), p)
+      .orderBy("grp").collect()
+    // the all-null group must be absent
+    assert(!got.map(_.getString(0)).contains("gnull") && got.length == 3)
+    val inv = Array.tabulate(64 - p + 2)(k => 1.0 / math.pow(2.0, k))
+    got.foreach { r =>
+      val g = r.getString(0)
+      val ids = rows.filter(x => x._1 == g && x._2 >= 0).map(_._2)
+      val regs = refRegisters(ids, p).filter(_ > 0)
+      val n0 = m - regs.length
+      assert(r.getLong(1) == n0.toLong)
+      val psum = regs.groupBy(identity).toSeq.sortBy(_._1)
+        .foldLeft(0.0) { case (a, (k, ks)) =>
+          a + ks.length.toDouble * inv(k.toInt) }
+      val ssum = n0.toDouble * 1.0 + psum
+      val alpha = 0.7213 / (1.0 + 1.079 / m.toDouble)
+      val raw = alpha * m.toDouble * m.toDouble / ssum
+      assert(r.getDouble(2) == raw, s"raw mismatch for $g")
+    }
+    // partition invariance, bit for bit
+    val re = HyperLogLog.groupedEstimate(df.repartition(7), col("g"),
+      col("id"), p).orderBy("grp").collect()
+    assert(got.toSeq == re.toSeq)
+  }
+
   test("guards: p out of range rejected") {
     val df = Seq(1L).toDF("id")
     intercept[IllegalArgumentException](
