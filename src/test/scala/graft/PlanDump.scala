@@ -20,7 +20,10 @@ object PlanDump {
                   "dd_incremental_minhash","dd_stream_incremental_batch",
                   "dd_semantic_incremental",
                   "ts_lm_buckets","sim_knn_label",
-                  "ts_bm25_topk","ts_bm25_probe","sc_profile","sc_skew")) {
+                  "ts_bm25_topk","ts_bm25_probe","sc_profile","sc_skew",
+                  "ts_gopher_filter","sim_label_centroids",
+                  "sc_cms_counts","sc_cms_join_est","sc_hll_distinct",
+                  "ev_hll_daily","gr_labelprop")) {
       sb.append(s"\n## $q\n\n```\n")
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode)
