@@ -3658,8 +3658,7 @@ object SparkEntry {
            (a, e) -> a + e) AS psum
        FROM vc GROUP BY day_us),
      e2 AS (SELECT day_us, n0,
-         (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
-             + CAST(1.079 AS DOUBLE) / $md)) * $md * $md
+         ${graft.sketch.HyperLogLog.alphaLiteral(p)} * $md * $md
            / (CAST(n0 AS DOUBLE) * CAST(1.0 AS DOUBLE) + psum)
            AS raw_est
        FROM f),
@@ -3705,8 +3704,7 @@ object SparkEntry {
            list(($inv)[mrho + 1] ORDER BY j)), (a, e) -> a + e) AS ssum
        FROM reg_$tag),
      est_$tag AS (SELECT '$tag' AS col_name, v AS zero_registers,
-         (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
-             + CAST(1.079 AS DOUBLE) / $md))
+         ${graft.sketch.HyperLogLog.alphaLiteral(p)}
            * $md * $md / ssum AS raw_est
        FROM agg_$tag)"""
     s"""WITH${chain("event_id", SplitOracle.eventIdHashCte)},${

@@ -152,8 +152,24 @@ case class RawWordGramHashes(child: Expression, n: Int)
   */
 case class CmsBuckets(child: Expression, depth: Int, width: Int)
     extends UnaryExpression {
+  require(depth >= 1 && depth <= 16,
+    s"cms_buckets: depth must be in [1, 16], got $depth")
+  require(width >= 2 && width.toLong * depth <= (1L << 24),
+    s"cms_buckets: need width >= 2 and depth*width <= 2^24, " +
+      s"got ${depth}x$width")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "cms_buckets"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a STRING input, got ${t.catalogString}")
+    }
 
   override def nullSafeEval(input: Any): Any =
     HashKernels.cmsBuckets(input.asInstanceOf[UTF8String], depth, width)
@@ -170,8 +186,20 @@ case class CmsBuckets(child: Expression, depth: Int, width: Int)
   * see [[HashKernels.hllPacked]]. Scan-stage, codegen'd.
   */
 case class HllPacked(child: Expression, p: Int) extends UnaryExpression {
+  require(p >= 4 && p <= 16, s"hll_packed: p must be in [4, 16], got $p")
+
   override def dataType: DataType = LongType
   override def prettyName: String = "hll_packed"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a BIGINT hash input, got ${t.catalogString}")
+    }
 
   override def nullSafeEval(input: Any): Any =
     HashKernels.hllPacked(input.asInstanceOf[Long], p)

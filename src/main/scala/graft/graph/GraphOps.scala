@@ -222,7 +222,10 @@ object GraphOps {
     *
     * Provide both edge directions for undirected semantics (the
     * [[pageRank]] convention); multi-edges collapse to simple edges.
-    * A node with no in-edges keeps its current label.
+    * A node with no in-edges keeps its current label. Node/label types
+    * are PRESERVED (the pageRank convention — no silent stringify), so
+    * "smallest label" means the node type's own ordering: numeric for
+    * numeric ids, lexicographic for strings.
     *
     * Scale: per round one equi-join on the label frame plus two
     * partial-combinable hash aggregations ((node, label) vote counts,
@@ -235,8 +238,7 @@ object GraphOps {
     require(iterations >= 1 && iterations <= 20,
       s"iterations must be in [1, 20], got $iterations")
     val e = edges
-      .select(col(srcCol).cast("string").as("__s"),
-        col(dstCol).cast("string").as("__d"))
+      .select(col(srcCol).as("__s"), col(dstCol).as("__d"))
       .filter(col("__s").isNotNull && col("__d").isNotNull)
       .distinct()
     val eo = cut(e)

@@ -58,18 +58,24 @@ object KMeans {
     (array_position(dists, array_min(dists)) - 1L).cast("int")
   }
 
-  /** Null/length-checked double-cast vector column. */
+  /** Shared null/length-checked double-cast vector column. */
   private def checkedVec(vecCol: String, dim: Int): Column =
-    when(col(vecCol).isNotNull && size(col(vecCol)) === dim,
-      col(vecCol).cast("array<double>"))
-      .otherwise(raise_error(lit(s"kmeans: vector must be non-null " +
-        s"with exactly $dim elements")))
+    Spectral.checkedVec(vecCol, dim, "kmeans")
 
   /** The k hash-ranked seed vectors (k rows to the driver — bounded by
     * construction; TakeOrderedAndProject, never a sort of the corpus).
+    * The id column must be integral: a silent cast of a non-numeric id
+    * to a NULL long would hash every row identically and degrade the
+    * deterministic seeding to a partition-order pick.
     */
   private def seedCentroids(df: DataFrame, idCol: String,
       vecCol: String, dim: Int, k: Int): Array[Array[Double]] = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = df.schema(idCol).dataType
+    require(Seq(LongType, IntegerType, ShortType, ByteType)
+      .contains(idType),
+      s"kmeans: idCol '$idCol' must be an integral type for " +
+        s"deterministic hash-ranked seeding, got ${idType.catalogString}")
     val rows = df
       .select(col(idCol).cast("long").as("__id"),
         checkedVec(vecCol, dim).as("__v"))

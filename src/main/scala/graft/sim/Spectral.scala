@@ -37,6 +37,19 @@ object Spectral {
   private def quant(x: Column, scale: Double): Column =
     round(x * scale).cast("long")
 
+  /** Shared null/length-checked double-cast vector column — one
+    * definition for every fixed-point vector operator ([[Spectral]],
+    * [[KMeans]]); a silently-skipped or short row would bias every
+    * reduction, so malformed vectors fail loudly with the operator
+    * name.
+    */
+  private[sim] def checkedVec(vecCol: String, dim: Int,
+      op: String): Column =
+    when(col(vecCol).isNotNull && size(col(vecCol)) === dim,
+      col(vecCol).cast("array<double>"))
+      .otherwise(raise_error(lit(s"$op: vector must be non-null " +
+        s"with exactly $dim elements")))
+
   /** Per-label mean vector. Output: (labelCol, dim_idx, coord, n) —
     * `coord` the fixed-point-exact mean component, `n` the label's row
     * count. Rows whose vector is null or not `dim`-long are rejected
@@ -47,11 +60,7 @@ object Spectral {
     require(dim >= 1, s"dim must be >= 1, got $dim")
     require(scale > 0.0, s"scale must be positive, got $scale")
     val checked = df.select(col(labelCol).as("__lb"),
-      when(col(vecCol).isNotNull && size(col(vecCol)) === dim,
-        col(vecCol).cast("array<double>"))
-        .otherwise(raise_error(concat(lit(s"labelCentroids: vector " +
-          s"must be non-null with exactly $dim elements; offending " +
-          s"label: "), col(labelCol).cast("string")))).as("__v"))
+      checkedVec(vecCol, dim, "labelCentroids").as("__v"))
     checked
       .select(col("__lb"), posexplode(col("__v")).as(Seq("__j", "__x")))
       .groupBy(col("__lb"), col("__j"))
@@ -83,10 +92,7 @@ object Spectral {
     require(scale > 0.0, s"scale must be positive, got $scale")
     val spark = df.sparkSession
     val vecs = df.select(
-      when(col(vecCol).isNotNull && size(col(vecCol)) === dim,
-        col(vecCol).cast("array<double>"))
-        .otherwise(raise_error(lit(s"powerIterTopComponent: vector " +
-          s"must be non-null with exactly $dim elements"))).as("__v"))
+      checkedVec(vecCol, dim, "powerIterTopComponent").as("__v"))
     var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
     var i = 0
     while (i < iterations) {

@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   * sum Σ 2^−M_j folds in register order over EXACT literal values
   * (1/2^k is IEEE-representable for k ≤ 57; the lookup table is
   * printed into both engines rather than recomputed through pow), and
-  * the bias constant α_m is spelled as the identical literal
-  * expression. The only transcendental is the linear-counting branch's
+  * the bias constant α_m is one double printed into both engines
+  * ([[alphaLiteral]] — the published small-m constants below m = 128).
+  * The only transcendental is the linear-counting branch's
   * ln, absorbed by the established round-6 output rounding.
   *
   * Plan shape: scan-stage codegen'd register packing
@@ -39,8 +40,28 @@ object HyperLogLog {
   def inv2Literals(p: Int): String =
     inv2(64 - p + 1).map(d => s"CAST($d AS DOUBLE)").mkString("[", ", ", "]")
 
+  /** Bias constant α_m of Flajolet et al. 2007: the published small-m
+    * constants for m = 16/32/64, the asymptotic formula for m ≥ 128.
+    * One double, computed once and PRINTED into both engines
+    * ([[alphaLiteral]]) so they multiply the identical value.
+    */
+  def alphaM(p: Int): Double = (1 << p) match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case m => 0.7213 / (1.0 + 1.079 / m.toDouble)
+  }
+
+  /** α_m as SQL text, from the same double the Spark plan embeds. */
+  def alphaLiteral(p: Int): String = s"CAST(${alphaM(p)} AS DOUBLE)"
+
   private def validate(p: Int): Unit =
     require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")
+
+  private def cut(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
 
   /** Dense 2^p-row register table (j, mrho) for `id` (nulls skipped —
     * a null has no identity to count; mrho = 0 for untouched
@@ -99,7 +120,7 @@ object HyperLogLog {
           transform(col("rs"),
             r => element_at(invLit, (r.getField("mrho") + 1L).cast("int"))),
           lit(0.0), (a, x) => a + x).as("ssum"))
-    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val alpha = lit(alphaM(p))
     val raw = alpha * lit(m.toDouble) * lit(m.toDouble) / col("ssum")
     folded.select(
       col("zero_registers"),
@@ -158,7 +179,7 @@ object HyperLogLog {
             element_at(invLit, (r.getField("mrho") + 1L).cast("int")))
           .as("psum"))
     val ssum = col("n0").cast("double") * lit(1.0) + col("psum")
-    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val alpha = lit(alphaM(p))
     val raw = alpha * lit(m.toDouble) * lit(m.toDouble) / ssum
     folded.select(
       col("grp"), col("n0").as("zero_registers"),
@@ -180,11 +201,16 @@ object HyperLogLog {
     */
   def setEstimates(a: DataFrame, b: DataFrame, p: Int): DataFrame = {
     validate(p)
+    // each register table feeds two consumers (its own estimate + the
+    // union merge): materialize the tiny 2^p-row tables once so the
+    // corpus scan behind each runs once, not twice
+    val ac = cut(a)
+    val bc = cut(b)
     def est(regs: DataFrame, name: String) =
       estimateFromRegisters(regs, p).select(col("est").as(name))
-    est(a, "est_a")
-      .crossJoin(est(b, "est_b"))
-      .crossJoin(est(mergeRegisters(a, b), "est_union"))
+    est(ac, "est_a")
+      .crossJoin(est(bc, "est_b"))
+      .crossJoin(est(mergeRegisters(ac, bc), "est_union"))
       .select(col("est_a"), col("est_b"), col("est_union"),
         greatest(lit(0.0),
           round(col("est_a") + col("est_b") - col("est_union"), 6))

@@ -79,7 +79,11 @@ object Dsir {
       logRatios: Array[Double]): DataFrame = {
     require(logRatios.nonEmpty, "logRatios must be non-empty")
     val lrLit = array(logRatios.toSeq.map(lit): _*)
-    val toks = TextPipeline.tokenize(col(textCol))
+    // a NULL text is an evidence-free doc, same as an empty one —
+    // coalesce keeps the documented "ratio 1 → logw 0.0" contract
+    // instead of leaking NULLs that would sort apart from real scores
+    val toks = coalesce(TextPipeline.tokenize(col(textCol)),
+      array().cast("array<string>"))
     df.select(col(idCol),
       size(toks).cast("long").as("n_tokens"),
       aggregate(

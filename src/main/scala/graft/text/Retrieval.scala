@@ -377,8 +377,13 @@ object Retrieval {
           s"shape; missing '$c' in ${results.columns.toSeq}")
     }
     val ln2 = log(lit(2.0))
+    // a doc retrieved at several ranks counts ONCE, at its best rank —
+    // otherwise a duplicated hit would double its gain and push ndcg
+    // past 1.0 (truth is deduplicated below for the same reason)
     val res = results.select(col("query_id"), col("doc_id"), col("rank"))
       .filter(col("rank") <= k)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(min(col("rank")).as("rank"))
     val tr = truth.select(col(truthQueryIdCol).as("query_id"),
       col(truthDocIdCol).as("doc_id")).distinct()
     // DCG: relevant hits folded in rank order inside the row

@@ -255,6 +255,17 @@ class GraphOpsSpec extends SparkTestBase {
     }
   }
 
+  test("labelPropagation preserves node type; numeric ties break numerically") {
+    // nodes 9 and 10 vote-tie on node 2: smallest label must be 9
+    // (numeric order), not "10" (lexicographic) — type is preserved
+    val edges = Seq((9L, 2L), (10L, 2L)).toDF("s", "d")
+    val out = GraphOps.labelPropagation(edges, "s", "d", 1)
+    assert(out.schema("node").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val got = out.as[(Long, Long)].collect().toMap
+    assert(got(2L) == 9L, s"numeric tie must pick 9, got ${got(2L)}")
+  }
+
   test("labelPropagation guards") {
     val df = Seq(("a", "b")).toDF("s", "d")
     intercept[IllegalArgumentException](

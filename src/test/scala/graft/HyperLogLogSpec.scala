@@ -128,8 +128,7 @@ class HyperLogLogSpec extends SparkTestBase {
         .foldLeft(0.0) { case (a, (k, ks)) =>
           a + ks.length.toDouble * inv(k.toInt) }
       val ssum = n0.toDouble * 1.0 + psum
-      val alpha = 0.7213 / (1.0 + 1.079 / m.toDouble)
-      val raw = alpha * m.toDouble * m.toDouble / ssum
+      val raw = HyperLogLog.alphaM(p) * m.toDouble * m.toDouble / ssum
       assert(r.getDouble(2) == raw, s"raw mismatch for $g")
     }
     // partition invariance, bit for bit

@@ -121,6 +121,16 @@ class RankingMetricsSpec extends SparkTestBase {
       (4L, 1L, 0.0, disc(1), 0.0)), s"got $got")
   }
 
+  test("ndcg: a doc retrieved at several ranks counts once, at its " +
+      "best rank — ndcg stays within [0, 1]") {
+    val res = Seq((1L, 10L, 1), (1L, 10L, 3)).toDF("query_id", "doc_id",
+      "rank")
+    val truth = Seq((1L, 10L)).toDF("qid", "did")
+    val got = Retrieval.ndcgAtK(res, truth, "qid", "did", k = 3)
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(got == ((1L, 1L, disc(1), disc(1), 1.0)), s"got $got")
+  }
+
   test("ndcg: perfect prefix ranking scores exactly 1.0") {
     val res = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
       .toDF("query_id", "doc_id", "rank")
