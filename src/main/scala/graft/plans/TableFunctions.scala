@@ -63,6 +63,7 @@ import graft.ops.Joins
   * SELECT * FROM trustrank('edges', 'src', 'dst', 'seeds', 'node', 8)
   * SELECT * FROM trustrank('edges', 'src', 'dst', 'seeds', 'node', 8,
   *                         0.85)                   -- damping
+  * SELECT * FROM label_propagation('edges', 'src', 'dst', 4)
   * }}}
   *
   * Table arguments are names resolved against the calling session's
@@ -415,6 +416,16 @@ object TableFunctions {
         iterations = int(args(5), "iterations"),
         damping =
           if (args.length == 7) dbl(args(6), "damping") else 0.85)
+        .queryExecution.analyzed
+    }),
+    "label_propagation" -> (args => {
+      arity("label_propagation", args, 4, 4)
+      val spark = SparkSession.active
+      graft.graph.GraphOps.labelPropagation(
+        spark.table(str(args(0), "edges table name")),
+        str(args(1), "src column"),
+        str(args(2), "dst column"),
+        iterations = int(args(3), "iterations"))
         .queryExecution.analyzed
     }))
 }

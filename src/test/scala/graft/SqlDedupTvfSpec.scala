@@ -280,6 +280,10 @@ class SqlDedupTvfSpec extends SparkTestBase {
                                            'sql_seeds', 'n', 4)"""),
       graft.graph.GraphOps.personalizedPageRank(edges, "s", "d",
         seeds, "n", 4))
+
+    sameRows(
+      spark.sql("SELECT * FROM label_propagation('sql_edges', 's', 'd', 3)"),
+      graft.graph.GraphOps.labelPropagation(edges, "s", "d", 3))
   }
 
   test("TVF argument validation fails loudly") {
