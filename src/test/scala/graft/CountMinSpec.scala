@@ -136,6 +136,25 @@ class CountMinSpec extends SparkTestBase {
     assert(est == truth)
   }
 
+  test("property: random corpora match the reference matrix under " +
+      "random shapes and partitionings") {
+    val rnd = new scala.util.Random(4099)
+    for (trial <- 1 to 5) {
+      val depth = 1 + rnd.nextInt(5)
+      val width = Seq(16, 32, 100, 256)(rnd.nextInt(4))
+      val nDocs = 1 + rnd.nextInt(25)
+      val docs = Seq.fill(nDocs)(
+        Seq.fill(1 + rnd.nextInt(8))(s"t${rnd.nextInt(40)}")
+          .mkString(" "))
+      val got = CountMin.sketch(
+          docs.toDF("text").repartition(1 + rnd.nextInt(5)),
+          graft.text.TextPipeline.tokenize(col("text")), depth, width)
+        .as[Array[Long]].head().toSeq
+      val exp = refSketch(docs.flatMap(_.split(" ")), depth, width).toSeq
+      assert(got == exp, s"trial $trial: ${depth}x$width, $nDocs docs")
+    }
+  }
+
   test("guards: bad depth/width/k rejected loudly") {
     val docs = Seq("a").toDF("text")
     intercept[IllegalArgumentException](

@@ -106,6 +106,36 @@ class KMeansSpec extends SparkTestBase {
     assert(ns.contains(0L), s"expected an empty cluster, got ${ns.toSeq}")
   }
 
+  test("property: random corpora match the reference model bit-for-bit " +
+      "under random partitionings") {
+    val rnd = new scala.util.Random(1137)
+    for (trial <- 1 to 5) {
+      val dim = 2 + rnd.nextInt(4)
+      val n = 8 + rnd.nextInt(30)
+      val k = 2 + rnd.nextInt(3)
+      val iters = 1 + rnd.nextInt(3)
+      val rows = (0 until n).map { i =>
+        (i.toLong + rnd.nextInt(5) * 1000L,
+          Seq.fill(dim)(math.rint(rnd.nextGaussian() * 100) / 100))
+      }.distinctBy(_._1)
+      if (rows.length >= k) {
+        val df = rows.toDF("id", "v").repartition(1 + rnd.nextInt(6))
+        val got = KMeans.kmeansCentroids(df, "id", "v", dim, k, iters)
+          .orderBy("cluster", "dim_idx")
+          .as[(Long, Long, Double, Long)].collect().toSeq
+        val (cs, ns, _) = refKMeans(rows, dim, k, iters, 1e10)
+        val exp = for (c <- 0 until k; j <- 0 until dim)
+          yield (c.toLong, j.toLong, cs(c)(j), ns(c))
+        assert(got == exp, s"trial $trial: dim=$dim n=${rows.length} " +
+          s"k=$k iters=$iters")
+        val gotA = KMeans.kmeansAssign(df, "id", "v", dim, k, iters)
+          .as[(Long, Long)].collect().toMap
+        val (_, _, expA) = refKMeans(rows, dim, k, iters, 1e10)
+        assert(gotA == expA.map { case (id, c) => (id, c.toLong) })
+      }
+    }
+  }
+
   test("guards: malformed vectors, too few rows, bad params") {
     val df = data.toDF("id", "v")
     val bad = Seq((1L, Seq(1.0))).toDF("id", "v")
