@@ -49,6 +49,36 @@ class StreamingSketchSpec extends SparkTestBase {
     assert(merged == oneShot)
   }
 
+  test("sketches survive the parquet persist/reload the lifecycle docs " +
+      "promise, and merge identically after the round trip") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sketch_rt").toString
+    try {
+      val a = docs.take(15).toDF("doc_id", "text")
+      val b = docs.drop(15).toDF("doc_id", "text")
+      def cms(df: DataFrame) = CountMin.sketch(df,
+        graft.text.TextPipeline.tokenize(col("text")), 4, 64)
+      cms(a).write.parquet(s"$dir/cms")
+      HyperLogLog.registers(a, col("doc_id"), 8)
+        .write.parquet(s"$dir/hll")
+      val mergedCms = CountMin.mergeSketches(
+          spark.read.parquet(s"$dir/cms"), cms(b))
+        .as[Array[Long]].head().toSeq
+      assert(mergedCms ==
+        cms(docs.toDF("doc_id", "text")).as[Array[Long]].head().toSeq)
+      val mergedHll = HyperLogLog.mergeRegisters(
+          spark.read.parquet(s"$dir/hll"),
+          HyperLogLog.registers(b, col("doc_id"), 8))
+        .orderBy("j").as[(Long, Long)].collect().toSeq
+      assert(mergedHll == HyperLogLog.registers(
+          docs.toDF("doc_id", "text"), col("doc_id"), 8)
+        .orderBy("j").as[(Long, Long)].collect().toSeq)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir))
+    }
+  }
+
   test("foreachBatch-merged HLL registers equal the one-shot registers") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Long]
