@@ -1021,10 +1021,14 @@ object Dedup {
       .join(rep, Seq("__h"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("__ndup"))
     // total grams = the kernel's own array length (no separate word
-    // count whose tokenizer could disagree with the gram walk)
+    // count whose tokenizer could disagree with the gram walk); NULL
+    // text counts as empty (0 grams, dup_frac NULL) — the Dsir
+    // null-text-as-empty convention, not a NULL-poisoned output row
     val totals = df.select(col(idCol),
-      size(graft.functions.HashFunctions.rawWordGramHashes(col(textCol), n))
-        .cast("long").as("n_grams"))
+      coalesce(
+        size(graft.functions.HashFunctions
+          .rawWordGramHashes(col(textCol), n)).cast("long"),
+        lit(0L)).as("n_grams"))
     totals.join(perDoc, Seq(idCol), "left")
       .select(col(idCol), col("n_grams"),
         coalesce(col("__ndup"), lit(0L)).as("n_dup_grams"),

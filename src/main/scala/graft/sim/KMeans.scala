@@ -138,7 +138,10 @@ object KMeans {
 
   /** Per-row assignment (idCol, cluster) under the FINAL centroids —
     * one extra distributed argmin pass after the last update, so the
-    * output is consistent with [[kmeansCentroids]]' model.
+    * output is consistent with [[kmeansCentroids]]' model. Re-runs the
+    * full Lloyd training; when the centroids are already computed (or
+    * persisted), use the [[assignWithCentroids]] overload instead and
+    * pay only the assignment pass.
     */
   def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, k: Int, iterations: Int,
@@ -147,6 +150,54 @@ object KMeans {
     val (cs, _) = lloyd(df, idCol, vecCol, dim, k, iterations, scale)
     df.select(col(idCol),
       assignExpr(checkedVec(vecCol, dim), cs).cast("long").as("cluster"))
+  }
+
+  /** Per-row assignment under a PRECOMPUTED model — the reuse path
+    * that makes the kmeansCentroids → assign pairing cost ONE training
+    * run instead of two, and lets a persisted centroid table drive
+    * assignment of new batches without retraining. `centroids` is the
+    * (cluster, dim_idx, coord) shape [[kmeansCentroids]] emits (extra
+    * columns like `n` are ignored); clusters must be 0..k−1 each with
+    * exactly `dim` coords — a ragged or gapped model fails loudly.
+    * Driver state: the k·dim bounded model pull, nothing else.
+    */
+  def assignWithCentroids(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, centroids: DataFrame): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    df.select(col(idCol),
+      assignExpr(checkedVec(vecCol, dim),
+        centroidMatrix(centroids, dim)).cast("long").as("cluster"))
+  }
+
+  /** Collects a (cluster, dim_idx, coord) frame into the dense k×dim
+    * model, validating completeness: every (c, j) cell exactly once,
+    * clusters contiguous from 0. k ≤ 4096 — the bounded-driver cap.
+    */
+  private def centroidMatrix(centroids: DataFrame,
+      dim: Int): Array[Array[Double]] = {
+    val rows = centroids.select(col("cluster").cast("int").as("c"),
+      col("dim_idx").cast("int").as("j"),
+      col("coord").cast("double").as("x")).collect()
+    require(rows.nonEmpty, "assignWithCentroids: empty centroid frame")
+    val k = rows.iterator.map(_.getInt(0)).max + 1
+    require(k >= 1 && k <= 4096,
+      s"assignWithCentroids: cluster ids must be 0..k-1 with k <= " +
+        s"4096, got max id ${k - 1}")
+    require(rows.length == k * dim,
+      s"assignWithCentroids: expected k*dim = ${k * dim} centroid " +
+        s"cells, got ${rows.length} — ragged or duplicated model")
+    val cs = Array.fill(k, dim)(Double.NaN)
+    rows.foreach { r =>
+      val (c, j) = (r.getInt(0), r.getInt(1))
+      require(c >= 0 && j >= 0 && j < dim,
+        s"assignWithCentroids: cell ($c, $j) outside k x dim")
+      require(cs(c)(j).isNaN,
+        s"assignWithCentroids: duplicate centroid cell ($c, $j)")
+      cs(c)(j) = r.getDouble(2)
+    }
+    require(cs.forall(_.forall(!_.isNaN)),
+      "assignWithCentroids: missing centroid cells (gapped model)")
+    cs
   }
 
   private def validate(dim: Int, k: Int, iterations: Int,

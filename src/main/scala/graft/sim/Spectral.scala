@@ -41,14 +41,20 @@ object Spectral {
     * definition for every fixed-point vector operator ([[Spectral]],
     * [[KMeans]]); a silently-skipped or short row would bias every
     * reduction, so malformed vectors fail loudly with the operator
-    * name.
+    * name. NULL ELEMENTS are rejected too (checked after the double
+    * cast, so a non-numeric element whose cast nulls out also fails):
+    * sum() would silently skip them while count() still counts the
+    * row — exactly the biased-centroid hazard the guard exists for.
     */
   private[sim] def checkedVec(vecCol: String, dim: Int,
-      op: String): Column =
-    when(col(vecCol).isNotNull && size(col(vecCol)) === dim,
-      col(vecCol).cast("array<double>"))
+      op: String): Column = {
+    val casted = col(vecCol).cast("array<double>")
+    when(col(vecCol).isNotNull && size(col(vecCol)) === dim &&
+        !exists(casted, _.isNull),
+      casted)
       .otherwise(raise_error(lit(s"$op: vector must be non-null " +
-        s"with exactly $dim elements")))
+        s"with exactly $dim non-null numeric elements")))
+  }
 
   /** Per-label mean vector. Output: (labelCol, dim_idx, coord, n) —
     * `coord` the fixed-point-exact mean component, `n` the label's row

@@ -109,19 +109,28 @@ object CountMin {
   /** Element-wise sum of two sketches — the incremental lifecycle: a
     * per-batch sketch merges into the persisted corpus sketch without
     * touching corpus text, and merge(sketch(A), sketch(B)) equals
-    * sketch(A ∪ B) bit-for-bit (integer adds; spec-pinned). Mismatched
-    * (depth, width) surface as a length mismatch and fail loudly.
+    * sketch(A ∪ B) bit-for-bit (integer adds; spec-pinned). BOTH
+    * inputs must have been built with this (depth, width): a bare
+    * length check would let 4×1024 merge with 8×512 into a
+    * meaningless sketch, so each side is validated against the
+    * declared shape (d·w cells) and a mismatch fails loudly.
     */
-  def mergeSketches(a: DataFrame, b: DataFrame): DataFrame =
+  def mergeSketches(a: DataFrame, b: DataFrame, depth: Int,
+      width: Int): DataFrame = {
+    validate(depth, width)
+    val cells = depth * width
+    def shaped(c: Column, side: String): Column =
+      when(size(c) === cells, c)
+        .otherwise(raise_error(concat(
+          lit(s"mergeSketches: $side sketch has "),
+          size(c).cast("string"),
+          lit(s" cells, expected depth*width = $cells — built with a " +
+            "different (depth, width)"))))
     a.select(col("cms").as("__a"))
       .crossJoin(b.select(col("cms").as("__b")))
-      .select(when(size(col("__a")) === size(col("__b")),
-        zip_with(col("__a"), col("__b"), (x, y) => x + y))
-        .otherwise(raise_error(concat(lit("mergeSketches: size "),
-          size(col("__a")).cast("string"), lit(" vs "),
-          size(col("__b")).cast("string"),
-          lit(" — sketches built with different (depth, width)"))))
-        .as("cms"))
+      .select(zip_with(shaped(col("__a"), "left"),
+        shaped(col("__b"), "right"), (x, y) => x + y).as("cms"))
+  }
 
   /** Equi-join cardinality estimate from two sketches (Cormode &
     * Muthukrishnan's inner-product estimate): per sketch row i,

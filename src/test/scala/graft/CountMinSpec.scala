@@ -95,7 +95,7 @@ class CountMinSpec extends SparkTestBase {
     val both = Seq("x y x", "z", "y q", "x q q").toDF("text")
     def sk(df: org.apache.spark.sql.DataFrame) = CountMin.sketch(df,
       graft.text.TextPipeline.tokenize(col("text")), 4, 64)
-    val merged = CountMin.mergeSketches(sk(a), sk(b))
+    val merged = CountMin.mergeSketches(sk(a), sk(b), 4, 64)
       .as[Array[Long]].head().toSeq
     val oneShot = sk(both).as[Array[Long]].head().toSeq
     assert(merged == oneShot)
@@ -107,7 +107,20 @@ class CountMinSpec extends SparkTestBase {
     val b = CountMin.sketch(Seq("x").toDF("text"),
       graft.text.TextPipeline.tokenize(col("text")), 4, 32)
     val e = intercept[Exception](
-      CountMin.mergeSketches(a, b).collect())
+      CountMin.mergeSketches(a, b, 4, 64).collect())
+    assert(e.getMessage.contains("mergeSketches") ||
+      (e.getCause != null &&
+        e.getCause.getMessage.contains("mergeSketches")))
+  }
+
+  test("merging equal-length sketches of different declared shapes " +
+      "fails loudly (4x32 vs declared 8x16 has the same cell count " +
+      "only if products differ — both sides checked against d*w)") {
+    // 4x32 = 128 cells; declared shape 8x512 expects 4096 — left fails
+    val a = CountMin.sketch(Seq("x").toDF("text"),
+      graft.text.TextPipeline.tokenize(col("text")), 4, 32)
+    val e = intercept[Exception](
+      CountMin.mergeSketches(a, a, 8, 512).collect())
     assert(e.getMessage.contains("mergeSketches") ||
       (e.getCause != null &&
         e.getCause.getMessage.contains("mergeSketches")))

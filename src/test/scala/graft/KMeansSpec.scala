@@ -136,6 +136,66 @@ class KMeansSpec extends SparkTestBase {
     }
   }
 
+  test("assignWithCentroids under a precomputed model equals the " +
+      "trained kmeansAssign, including after a parquet round trip") {
+    val df = data.toDF("id", "v")
+    val trained = KMeans.kmeansAssign(df, "id", "v", dim = 4, k = 3,
+      iterations = 3).as[(Long, Long)].collect().toMap
+    val model = KMeans.kmeansCentroids(df, "id", "v", dim = 4, k = 3,
+      iterations = 3)
+    val reused = KMeans.assignWithCentroids(df, "id", "v", dim = 4,
+      model).as[(Long, Long)].collect().toMap
+    assert(reused == trained)
+    // the persisted-model path (extra column n present, round-tripped)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_km_model").toString
+    try {
+      model.write.parquet(s"$dir/m")
+      val fromDisk = KMeans.assignWithCentroids(df, "id", "v", dim = 4,
+        spark.read.parquet(s"$dir/m")).as[(Long, Long)].collect().toMap
+      assert(fromDisk == trained)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir))
+    }
+  }
+
+  test("assignWithCentroids rejects ragged, gapped and empty models") {
+    val df = data.toDF("id", "v")
+    val empty = Seq.empty[(Long, Long, Double)]
+      .toDF("cluster", "dim_idx", "coord")
+    assert(intercept[IllegalArgumentException](
+      KMeans.assignWithCentroids(df, "id", "v", dim = 4, empty))
+      .getMessage.contains("empty"))
+    // cluster 1 missing dim 3 => ragged
+    val ragged = (for (c <- 0L until 2L; j <- 0L until 4L
+        if !(c == 1L && j == 3L)) yield (c, j, 1.0))
+      .toDF("cluster", "dim_idx", "coord")
+    assert(intercept[IllegalArgumentException](
+      KMeans.assignWithCentroids(df, "id", "v", dim = 4, ragged))
+      .getMessage.contains("cells"))
+    // clusters 0 and 2 but no 1 => right cell count is impossible, but
+    // a duplicated cell could fake it — both guards must hold
+    val gapped = (for (c <- Seq(0L, 2L); j <- 0L until 4L)
+        yield (c, j, 1.0)) // 8 cells vs k*dim = 12
+      .toDF("cluster", "dim_idx", "coord")
+    intercept[IllegalArgumentException](
+      KMeans.assignWithCentroids(df, "id", "v", dim = 4, gapped))
+  }
+
+  test("vectors with NULL elements are rejected loudly, not " +
+      "silently skipped (the biased-centroid guard)") {
+    val bad = Seq((1L, Seq[Option[Double]](Some(1.0), None, Some(3.0),
+      Some(4.0))), (2L, Seq[Option[Double]](Some(1.0), Some(2.0),
+      Some(3.0), Some(4.0)))).toDF("id", "v")
+    val e = intercept[Exception](
+      KMeans.kmeansCentroids(bad, "id", "v", dim = 4, k = 1,
+        iterations = 1).collect())
+    val msg = e.getMessage +
+      (if (e.getCause != null) e.getCause.getMessage else "")
+    assert(msg.contains("kmeans"))
+  }
+
   test("guards: malformed vectors, too few rows, bad params") {
     val df = data.toDF("id", "v")
     val bad = Seq((1L, Seq(1.0))).toDF("id", "v")

@@ -39,8 +39,19 @@ class SpectralSpec extends SparkTestBase {
     val bad = Seq((1, Seq(1.0, 2.0))).toDF("label", "v")
     val e = intercept[Exception](
       Spectral.labelCentroids(bad, "label", "v", dim = 3).collect())
-    assert(e.getMessage.contains("exactly 3 elements") ||
+    assert(e.getMessage.contains("exactly 3 non-null") ||
       e.getCause != null)
+  }
+
+  test("labelCentroids rejects vectors with NULL elements loudly " +
+      "(sum would skip them while count still counts the row)") {
+    val bad = Seq((1, Seq[Option[Double]](Some(1.0), None, Some(3.0))))
+      .toDF("label", "v")
+    val e = intercept[Exception](
+      Spectral.labelCentroids(bad, "label", "v", dim = 3).collect())
+    val msg = e.getMessage +
+      (if (e.getCause != null) e.getCause.getMessage else "")
+    assert(msg.contains("labelCentroids"))
   }
 
   test("powerIterTopComponent finds a planted dominant axis") {

@@ -30,7 +30,7 @@ class StreamingSketchSpec extends SparkTestBase {
         // never references a consumed streaming source
         val rows = s.as[Array[Long]].collect().toSeq.toDF("cms")
         acc = Some(acc.fold(rows)(prev =>
-          CountMin.mergeSketches(prev, rows)
+          CountMin.mergeSketches(prev, rows, 4, 64)
             .as[Array[Long]].collect().toSeq.toDF("cms")))
       }
       .start()
@@ -62,7 +62,7 @@ class StreamingSketchSpec extends SparkTestBase {
       HyperLogLog.registers(a, col("doc_id"), 8)
         .write.parquet(s"$dir/hll")
       val mergedCms = CountMin.mergeSketches(
-          spark.read.parquet(s"$dir/cms"), cms(b))
+          spark.read.parquet(s"$dir/cms"), cms(b), 4, 64)
         .as[Array[Long]].head().toSeq
       assert(mergedCms ==
         cms(docs.toDF("doc_id", "text")).as[Array[Long]].head().toSeq)
