@@ -1769,16 +1769,18 @@ object SparkEntry {
   /** Unrolled DuckDB twin of GraphOps.pageRank over the lineitem
     * part↔supplier co-occurrence graph: per fixed round, contributions
     * pr/outdeg joined onto the edge list, per-destination sums folded
-    * in SOURCE order (reduce over list(c ORDER BY s) — the identical
-    * float order the Spark side pins), update (1−d)/N + d·Σ. Exact
-    * doubles end to end.
+    * in the engine's two-level bounded order, update (1−d)/N + d·Σ.
+    * Exact doubles end to end.
     */
   /** Unrolled PageRank / TrustRank chain over the part↔supplier
     * co-occurrence graph. `seeded = false` is the uniform-teleport
     * gr_pagerank oracle; `seeded = true` personalizes to the %100 part
     * nodes (pr0 = 1/|S| on seeds, 0 elsewhere; teleport (1−d)/|S| on
-    * seeds only) — the gr_trustrank twin. Both fold per-dst
-    * contributions in SOURCE order (EXACT doubles, no rounding).
+    * seeds only) — the gr_trustrank twin. Both replay the engine's
+    * TWO-LEVEL bounded fold: per destination, contributions fold
+    * src-ascending within a pmod(xxhash64(src), 1024) bucket (the
+    * [[GraphOracles.nodeBucketExpr]] twin), then the bucket partials
+    * fold bucket-ascending (EXACT doubles, no rounding).
     */
   /** Unrolled DuckDB twin of
     * [[graft.graph.GraphOps.labelPropagation]] over the gr_pagerank
@@ -1826,6 +1828,11 @@ object SparkEntry {
        FROM e GROUP BY s),
      nodes AS MATERIALIZED (SELECT DISTINCT s AS n FROM e),
      nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS c
+       FROM nodes),"""
+    // the engine's bounded-fold bucket per node: pmod(xxhash64(n),
+    // 1024) via the pure-SQL XXH64 twin — one evaluation per NODE
+    sb ++= s"""
+     bk AS MATERIALIZED (SELECT n, ${GraphOracles.nodeBucketExpr} AS b
        FROM nodes)"""
     if (!seeded)
       sb ++= """,
@@ -1855,20 +1862,27 @@ object SparkEntry {
     val tpJoin =
       if (!seeded) "CROSS JOIN nn"
       else "CROSS JOIN ns LEFT JOIN sd ON sd.n = nodes.n"
+    // two-level bounded fold, the engine's pinned order: contributions
+    // src-ascending WITHIN a bucket, bucket partials bucket-ascending
     for (i <- 1 to iters) sb ++= s""",
-     c$i AS MATERIALIZED (SELECT e.d, e.s,
+     c$i AS MATERIALIZED (SELECT e.d, e.s, bk.b,
          p.pr / CAST(od.od AS DOUBLE) AS c
-       FROM e JOIN pr${i - 1} p ON e.s = p.node JOIN od ON od.s = e.s),
-     s$i AS MATERIALIZED (SELECT d,
+       FROM e JOIN pr${i - 1} p ON e.s = p.node JOIN od ON od.s = e.s
+       JOIN bk ON bk.n = e.s),
+     s$i AS MATERIALIZED (SELECT d, b,
          reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY s)),
+           (a, x) -> a + x) AS ps
+       FROM c$i GROUP BY d, b),
+     t$i AS MATERIALIZED (SELECT d,
+         reduce(list_prepend(CAST(0.0 AS DOUBLE), list(ps ORDER BY b)),
            (a, x) -> a + x) AS sm
-       FROM c$i GROUP BY d),
+       FROM s$i GROUP BY d),
      pr$i AS MATERIALIZED (SELECT nodes.n AS node,
          $tp
            + CAST(0.85 AS DOUBLE)
-             * coalesce(s$i.sm, CAST(0.0 AS DOUBLE)) AS pr
+             * coalesce(t$i.sm, CAST(0.0 AS DOUBLE)) AS pr
        FROM nodes $tpJoin
-       LEFT JOIN s$i ON s$i.d = nodes.n)"""
+       LEFT JOIN t$i ON t$i.d = nodes.n)"""
     sb ++= s"""
      SELECT node, pr FROM pr$iters ORDER BY node"""
     sb.toString

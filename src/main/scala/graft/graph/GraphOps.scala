@@ -12,27 +12,37 @@ import org.apache.spark.sql.functions._
   * decoupling the dedup tier's survivor policies established.
   *
   * Scale design:
-  *  - each iteration is ONE hash aggregation on the destination key
-  *    plus one equi-join of the (nodes-sized) rank frame against the
-  *    edge list — the textbook distributed PR shape. The edge list is
-  *    the big side and never re-derives: it is computed once, and every
-  *    iteration's join shuffles only the rank frame against it.
+  *  - each iteration is one equi-join of the (nodes-sized) rank frame
+  *    against the edge list plus TWO hash aggregations — the two-level
+  *    bounded fold below. The edge list is the big side and never
+  *    re-derives: it is computed once, and every iteration's join
+  *    shuffles only the rank frame against it.
   *  - iteration lineage is CUT per round (reliable checkpoint when a
   *    checkpoint dir is configured, local otherwise) — the CC-rounds
   *    discipline; without it each round would recompute every prior
   *    round.
-  *  - per-destination contributions fold in SOURCE order inside the
-  *    aggregation (sort_array over the collected in-edge structs), so
-  *    the float sum has a fixed order — bit-stable on any partitioning
-  *    and reproducible cross-engine. Per-dst state is bounded by the
-  *    in-degree; a pathological hub (in-degree ≫ memory) needs the
-  *    caller to pre-aggregate its block structure, the same documented
-  *    skew hatch as the CCNet per-language sort.
+  *  - per-destination contributions fold in a TWO-LEVEL deterministic
+  *    order: in-edges bucket by `pmod(xxhash64(src), srcBuckets)` (a
+  *    pure function of the source value), contributions fold
+  *    src-ascending WITHIN a (dst, bucket) group, and the per-bucket
+  *    partials fold bucket-ascending per dst. The float order is still
+  *    fully pinned — bit-stable on any partitioning and reproducible
+  *    cross-engine — but no aggregation buffer ever holds more than
+  *    one bucket's in-edges (≈ in-degree / srcBuckets) or one dst's
+  *    `srcBuckets` partials. A 10M-in-degree crawl-graph hub that
+  *    would OOM a single per-dst collect_list spreads across
+  *    `srcBuckets` groups on DIFFERENT tasks; the first-level
+  *    aggregation also spills (sort-based fallback) because groups are
+  *    fine-grained. This removes the old "caller must pre-aggregate a
+  *    pathological hub" hatch.
   *
   * Determinism: N, out-degrees and in-edge multisets are integers; rank
   * updates are IEEE double ops in a pinned order — `(1−d)/N + d·Σ` with
-  * Σ folded src-ascending — so results compare EXACTLY (no rounding)
-  * against the DuckDB twin.
+  * Σ folded (bucket asc, src asc within bucket) — so results compare
+  * EXACTLY (no rounding) against the DuckDB twin, which replays the
+  * identical two-level fold (same xxhash64 buckets via the pure-SQL
+  * XXH64 twin). `srcBuckets = 1` degenerates to the single global
+  * src-ascending fold (the pre-bucketing contract).
   */
 object GraphOps {
 
@@ -51,15 +61,24 @@ object GraphOps {
     * `cutEvery` rounds the chain is cut anyway to bound plan size.
     *
     * Returns (node, pr) for every node.
+    *
+    * `srcBuckets` is the bounded-fold fan-out (the per-buffer cap is
+    * ≈ max in-degree / srcBuckets): part of the determinism contract —
+    * changing it changes the pinned float fold order (results differ
+    * at ulp level), so it defaults to a fixed 1024 and the DuckDB twin
+    * pins the same value. Keep it a power of two if you need the
+    * unsigned-modulo oracle twin to match.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, damping: Double = 0.85,
-      cutEvery: Int = 10): DataFrame = {
+      cutEvery: Int = 10, srcBuckets: Int = 1024): DataFrame = {
     require(iterations >= 1 && iterations <= 100,
       s"iterations must be in [1, 100], got $iterations")
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0, 1), got $damping")
     require(cutEvery >= 1, s"cutEvery must be positive, got $cutEvery")
+    require(srcBuckets >= 1 && srcBuckets <= (1 << 20),
+      s"srcBuckets must be in [1, 2^20], got $srcBuckets")
     val e = cut(edges
       .select(col(srcCol).as("__s"), col(dstCol).as("__d"))
       .filter(col("__s").isNotNull && col("__d").isNotNull)
@@ -85,9 +104,12 @@ object GraphOps {
         "(undirected graphs) or handle sinks explicitly.")
     val base = (1.0 - damping) / n
 
-    // the edge list annotated with per-source out-degree, computed once:
-    // every iteration joins only the rank frame against this
-    val eo = cut(e.join(outDeg, Seq("__s")))
+    // the edge list annotated with per-source out-degree AND fold
+    // bucket, computed once: every iteration joins only the rank frame
+    // against this
+    val eo = cut(e.join(outDeg, Seq("__s"))
+      .withColumn("__b",
+        pmod(xxhash64(col("__s")), lit(srcBuckets.toLong)).cast("int")))
 
     val pr0 = nodes.select(col("__n"),
       (lit(1.0) / n.toDouble).as("__pr"))
@@ -111,16 +133,19 @@ object GraphOps {
     * values that are not nodes of `edges` are rejected loudly (a
     * silently-dropped seed would skew every score). Returns (node, pr)
     * for every node; nodes unreachable from the seed set score 0.
+    * `srcBuckets` as in [[pageRank]].
     */
   def personalizedPageRank(edges: DataFrame, srcCol: String,
       dstCol: String, seeds: DataFrame, seedCol: String,
       iterations: Int, damping: Double = 0.85,
-      cutEvery: Int = 10): DataFrame = {
+      cutEvery: Int = 10, srcBuckets: Int = 1024): DataFrame = {
     require(iterations >= 1 && iterations <= 100,
       s"iterations must be in [1, 100], got $iterations")
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0, 1), got $damping")
     require(cutEvery >= 1, s"cutEvery must be positive, got $cutEvery")
+    require(srcBuckets >= 1 && srcBuckets <= (1 << 20),
+      s"srcBuckets must be in [1, 2^20], got $srcBuckets")
     val e = cut(edges
       .select(col(srcCol).as("__s"), col(dstCol).as("__d"))
       .filter(col("__s").isNotNull && col("__d").isNotNull)
@@ -159,7 +184,9 @@ object GraphOps {
       s"$nStray seed(s) are not nodes of the graph; drop them " +
         "explicitly (a silently-ignored seed would skew every score)")
 
-    val eo = cut(e.join(outDeg, Seq("__s")))
+    val eo = cut(e.join(outDeg, Seq("__s"))
+      .withColumn("__b",
+        pmod(xxhash64(col("__s")), lit(srcBuckets.toLong)).cast("int")))
     val seedBase = (1.0 - damping) / nSeeds
     // cut once: every iteration joins this frame, and without the cut
     // each round would re-run the seed distinct + membership join
@@ -177,10 +204,19 @@ object GraphOps {
   }
 
   /** The shared power-iteration loop: per round, one equi-join of the
-    * rank frame against the degree-annotated edge list `eo`, one hash
-    * aggregation on dst with SOURCE-ordered contribution folds, and
-    * the update `tp(n) + damping · Σ`. `nodesTp` carries (__n, __tp)
-    * — the per-node teleport mass; `pr0` carries (__n, __pr).
+    * rank frame against the degree+bucket-annotated edge list `eo`
+    * (columns __s, __d, __od, __b), then the TWO-LEVEL bounded fold —
+    * src-ordered within each (dst, bucket) group, bucket-ordered
+    * across the per-bucket partials — and the update
+    * `tp(n) + damping · Σ`. `nodesTp` carries (__n, __tp) — the
+    * per-node teleport mass; `pr0` carries (__n, __pr).
+    *
+    * Buffer bounds: level 1 holds one bucket's in-edge structs
+    * (≈ in-degree / srcBuckets, spread across tasks by the (d, b)
+    * shuffle key); level 2 holds ≤ srcBuckets partials per dst. The
+    * level-2 shuffle carries at most srcBuckets rows per destination —
+    * at crawl scale that is nodes-sized traffic, negligible next to
+    * the edge-sized level-1 shuffle.
     */
   private def iterateRanks(nodesTp: DataFrame, eo: DataFrame,
       pr0: DataFrame, iterations: Int, damping: Double,
@@ -190,14 +226,21 @@ object GraphOps {
     while (i < iterations) {
       val contrib = eo
         .join(pr.select(col("__n").as("__s"), col("__pr")), Seq("__s"))
-        .select(col("__d"), col("__s"),
+        .select(col("__d"), col("__s"), col("__b"),
           (col("__pr") / col("__od").cast("double")).as("__c"))
-      // fold in-edge contributions in SOURCE order: fixed float order
-      val sums = contrib.groupBy(col("__d"))
+      // level 1: fold contributions in SOURCE order within the bucket
+      val partials = contrib.groupBy(col("__d"), col("__b"))
         .agg(sort_array(collect_list(struct(col("__s"), col("__c"))))
           .as("__cs"))
-        .select(col("__d"),
+        .select(col("__d"), col("__b"),
           aggregate(transform(col("__cs"), x => x("__c")), lit(0.0),
+            (a, v) => a + v).as("__ps"))
+      // level 2: fold the bucket partials in BUCKET order
+      val sums = partials.groupBy(col("__d"))
+        .agg(sort_array(collect_list(struct(col("__b"), col("__ps"))))
+          .as("__bs"))
+        .select(col("__d"),
+          aggregate(transform(col("__bs"), x => x("__ps")), lit(0.0),
             (a, v) => a + v).as("__sm"))
       pr = nodesTp.join(sums, col("__n") === col("__d"), "left")
         .select(col("__n"),

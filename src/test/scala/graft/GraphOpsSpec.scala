@@ -8,11 +8,34 @@ import graft.graph.GraphOps
 class GraphOpsSpec extends SparkTestBase {
   import spark.implicits._
 
+  /** pmod(xxhash64(s), buckets) — the engine's fold-bucket function,
+    * replayed with the same Catalyst hash the column expression uses.
+    */
+  private def bucketOf(s: String, buckets: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      .hash(org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType, 42L)
+    val m = (h % buckets).toInt
+    if (m < 0) m + buckets else m
+  }
+
+  /** The engine's pinned two-level fold: src-ascending within a hash
+    * bucket, bucket-ascending across partials (each level starts its
+    * own 0.0 accumulator, like the aggregate() exprs).
+    */
+  private def twoLevelSum(inEdges: Seq[(String, String)],
+      contrib: String => Double, buckets: Int): Double =
+    inEdges.groupBy(ed => bucketOf(ed._1, buckets)).toSeq.sortBy(_._1)
+      .foldLeft(0.0) { case (acc, (_, eds)) =>
+        acc + eds.sortBy(_._1)
+          .foldLeft(0.0)((p, ed) => p + contrib(ed._1))
+      }
+
   /** Independent reference model: dense map-based PR, contributions
-    * summed in sorted-source order (the pinned float order).
+    * summed in the pinned two-level (bucket asc, src asc) order.
     */
   private def refPageRank(edges: Seq[(String, String)], iters: Int,
-      d: Double = 0.85): Map[String, Double] = {
+      d: Double = 0.85, buckets: Int = 1024): Map[String, Double] = {
     val e = edges.distinct
     val out = e.groupBy(_._1).view.mapValues(_.size).toMap
     val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
@@ -21,8 +44,8 @@ class GraphOpsSpec extends SparkTestBase {
     for (_ <- 1 to iters) {
       val in = e.groupBy(_._2)
       pr = nodes.map { v =>
-        val sum = in.getOrElse(v, Seq.empty).sortBy(_._1)
-          .foldLeft(0.0)((a, ed) => a + pr(ed._1) / out(ed._1))
+        val sum = twoLevelSum(in.getOrElse(v, Seq.empty),
+          s => pr(s) / out(s), buckets)
         v -> ((1.0 - d) / n + d * sum)
       }.toMap
     }
@@ -93,6 +116,59 @@ class GraphOpsSpec extends SparkTestBase {
       GraphOps.pageRank(e, "s", "d", 3, damping = 1.0))
     intercept[IllegalArgumentException](
       GraphOps.pageRank(e.filter("s = 'zz'"), "s", "d", 3))
+    intercept[IllegalArgumentException](
+      GraphOps.pageRank(e, "s", "d", 3, srcBuckets = 0))
+    intercept[IllegalArgumentException](
+      GraphOps.pageRank(e, "s", "d", 3, srcBuckets = (1 << 20) + 1))
+  }
+
+  test("srcBuckets = 1 degenerates to the single global src-ascending " +
+      "fold (the pre-bucketing contract)") {
+    val half = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c",
+      "d" -> "a", "e" -> "a", "f" -> "a")
+    val edges = (half ++ half.map(_.swap)).distinct
+    // single-bucket ref = one sorted fold over all in-edges
+    def refFlat(iters: Int): Map[String, Double] =
+      refPageRank(edges, iters, buckets = 1)
+    val got = GraphOps.pageRank(edges.toDF("s", "d"), "s", "d", 5,
+      srcBuckets = 1).as[(String, Double)].collect().toMap
+    assert(got == refFlat(5))
+  }
+
+  test("a 100k-in-degree hub passes under a small bucket cap, " +
+      "bit-exact vs the reference, and the cap changes only the fold " +
+      "order (values agree to ~1e-12 across caps)") {
+    // undirected star: hub h with 100_000 leaves (both directions so
+    // no node dangles). With srcBuckets = 8 no aggregation buffer ever
+    // holds more than ~12.5k in-edge structs — the shape that used to
+    // OOM as a single per-dst collect_list at crawl scale.
+    val nLeaves = 100000
+    val leaves = (0 until nLeaves).map(i => f"l$i%06d")
+    val edges = leaves.map(l => ("h", l)) ++ leaves.map(l => (l, "h"))
+    val df = edges.toDF("s", "d").repartition(16)
+    val got = GraphOps.pageRank(df, "s", "d", iterations = 2,
+      srcBuckets = 8).as[(String, Double)].collect().toMap
+    // in-memory two-level reference at the same cap
+    val e = edges
+    val out = e.groupBy(_._1).view.mapValues(_.size).toMap
+    val n = nLeaves + 1
+    var pr = (("h" :: leaves.toList)).map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 2) {
+      val in = e.groupBy(_._2)
+      pr = pr.keys.map { v =>
+        val sum = twoLevelSum(in.getOrElse(v, Seq.empty),
+          s => pr(s) / out(s), 8)
+        v -> (0.15 / n + 0.85 * sum)
+      }.toMap
+    }
+    assert(got.size == n)
+    assert(got("h") == pr("h"), s"hub: got ${got("h")}, exp ${pr("h")}")
+    assert(got == pr)
+    // different caps pin different float orders: same math, ulp-level
+    // differences only
+    val under4 = GraphOps.pageRank(df, "s", "d", iterations = 2,
+      srcBuckets = 4).as[(String, Double)].collect().toMap
+    assert(math.abs(under4("h") - got("h")) < 1e-12)
   }
 
   /** Independent reference model for seed-personalized PR: teleport
@@ -100,7 +176,7 @@ class GraphOpsSpec extends SparkTestBase {
     */
   private def refPersonalized(edges: Seq[(String, String)],
       seeds: Set[String], iters: Int,
-      d: Double = 0.85): Map[String, Double] = {
+      d: Double = 0.85, buckets: Int = 1024): Map[String, Double] = {
     val e = edges.distinct
     val out = e.groupBy(_._1).view.mapValues(_.size).toMap
     val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
@@ -109,8 +185,8 @@ class GraphOpsSpec extends SparkTestBase {
     for (_ <- 1 to iters) {
       val in = e.groupBy(_._2)
       pr = nodes.map { v =>
-        val sum = in.getOrElse(v, Seq.empty).sortBy(_._1)
-          .foldLeft(0.0)((a, ed) => a + pr(ed._1) / out(ed._1))
+        val sum = twoLevelSum(in.getOrElse(v, Seq.empty),
+          s => pr(s) / out(s), buckets)
         val tp = if (seeds(v)) (1.0 - d) / ns else 0.0
         v -> (tp + d * sum)
       }.toMap

@@ -193,19 +193,27 @@ class PlanPinSpec extends SparkTestBase {
       s"dictionary cap must be a per-task heap:\n$cap")
   }
 
-  test("gr_pagerank: rank joins stay equi-joins, one agg per round") {
+  test("gr_pagerank: rank joins stay equi-joins, two BOUNDED folds " +
+      "per round (bucketed level 1 + per-dst level 2)") {
     // the iteration contract: the rank frame meets the cut edge list
     // through equi-joins only (never a nested-loop product; AQE picks
     // broadcast at runtime — checkpointed frames carry no static
-    // stats), and each of the 6 rounds contributes exactly one
-    // source-ordered dst fold
+    // stats), and each of the 6 rounds contributes exactly two folds —
+    // the (dst, bucket) level whose buffer is capped at
+    // in-degree/srcBuckets, then the per-dst level capped at
+    // srcBuckets partials. No aggregation may group on __d alone with
+    // raw in-edge structs (the unbounded-hub shape this pin exists to
+    // forbid).
     val plan = SparkEntry.queries("gr_pagerank")(spark, sf0001)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"rank joins must stay equi-joins:\n$plan")
     val folds = "collect_list".r.findAllIn(plan).length
-    assert(folds >= 6, s"expected >= 6 per-round contribution folds:\n$plan")
+    assert(folds >= 12,
+      s"expected >= 12 folds (2 bounded levels x 6 rounds):\n$plan")
+    assert(plan.contains("__b"),
+      s"level-1 folds must group on the (dst, bucket) key:\n$plan")
   }
 
   test("sim_jl_topk: projection in the scan stage, both rankings heaps") {
@@ -265,14 +273,18 @@ class PlanPinSpec extends SparkTestBase {
       s"the repeated-gram probe must stay an equi-join:\n$plan")
   }
 
-  test("gr_trustrank: rank joins stay equi-joins, one fold per round") {
+  test("gr_trustrank: rank joins stay equi-joins, two BOUNDED folds " +
+      "per round") {
     val plan = SparkEntry.queries("gr_trustrank")(spark, sf0001)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"rank joins must stay equi-joins:\n$plan")
     val folds = "collect_list".r.findAllIn(plan).length
-    assert(folds >= 6, s"expected >= 6 per-round contribution folds:\n$plan")
+    assert(folds >= 12,
+      s"expected >= 12 folds (2 bounded levels x 6 rounds):\n$plan")
+    assert(plan.contains("__b"),
+      s"level-1 folds must group on the (dst, bucket) key:\n$plan")
   }
 
   test("ts_gopher_filter: one scan, no join, only the presentation sort") {
