@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.plans", name),
         builder))
     }
+    // plans the deferred-training TVF leaves (pagerank / trustrank /
+    // label_propagation / nb_classify / bpe_token_frequencies) at
+    // execution time — EXPLAIN launches zero jobs
+    e.injectPlannerStrategy(_ => graft.plans.DeferredBuildStrategy)
   }
 }
 
@@ -97,6 +101,11 @@ object GraftExtensions {
       spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")
     }
+    if (!spark.experimental.extraStrategies
+        .contains(graft.plans.DeferredBuildStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+
+          graft.plans.DeferredBuildStrategy
     graft.engine.BacktestFoldAgg.register(spark)
   }
 }

@@ -1,9 +1,10 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-import org.apache.spark.sql.types.{BooleanType, DecimalType, DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{BooleanType, DataType, DecimalType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.dedup.Dedup
@@ -123,6 +124,13 @@ object TableFunctions {
 
   private def keyList(s: String): Seq[String] =
     s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** The union-coerced common type of two columns — pure schema
+    * analysis (no jobs); the node type the graph operators emit.
+    */
+  private def unionType(df: DataFrame, a: String, b: String): DataType =
+    df.select(col(a).as("__t")).union(df.select(col(b).as("__t")))
+      .schema("__t").dataType
 
   private def arity(name: String, args: Seq[Expression], lo: Int,
       hi: Int): Unit =
@@ -306,50 +314,70 @@ object TableFunctions {
         k = int(args(7), "k"))
         .queryExecution.analyzed
     }),
-    // round-8 tiers. pagerank and nb_classify TRAIN/derive a bounded
-    // driver model at ANALYSIS time (the dictionary / count collects and
-    // the dangling check run when the statement is analyzed — the same
-    // early-timing note as bm25 above).
+    // round-8 tiers. pagerank / nb_classify / bpe_token_frequencies
+    // TRAIN a bounded driver model while BUILDING their DataFrame, so
+    // they return a DeferredBuildPlan: analysis (and EXPLAIN) only
+    // derives the output schema from the input tables — the training
+    // jobs run at first execution (see graft.plans.DeferredPlan).
     "pagerank" -> (args => {
       arity("pagerank", args, 4, 6)
       val spark = SparkSession.active
-      graft.graph.GraphOps.pageRank(
-        spark.table(str(args(0), "edges table name")),
-        str(args(1), "src column"),
-        str(args(2), "dst column"),
-        iterations = int(args(3), "iterations"),
-        damping =
-          if (args.length >= 5) dbl(args(4), "damping") else 0.85,
-        cutEvery = if (args.length == 6) int(args(5), "cut every") else 10)
-        .queryExecution.analyzed
+      val edges = spark.table(str(args(0), "edges table name"))
+      val srcCol = str(args(1), "src column")
+      val dstCol = str(args(2), "dst column")
+      val iterations = int(args(3), "iterations")
+      val damping =
+        if (args.length >= 5) dbl(args(4), "damping") else 0.85
+      val cutEvery =
+        if (args.length == 6) int(args(5), "cut every") else 10
+      DeferredBuildPlan(StructType(Seq(
+        StructField("node", unionType(edges, srcCol, dstCol)),
+        StructField("pr", DoubleType))), "pagerank",
+        () => graft.graph.GraphOps.pageRank(edges, srcCol, dstCol,
+          iterations, damping, cutEvery))
     }),
     "nb_classify" -> (args => {
       arity("nb_classify", args, 6, 7)
       val spark = SparkSession.active
-      val model = graft.textstats.NaiveBayes.train(
-        spark.table(str(args(0), "train table name")),
-        str(args(1), "train text column"),
-        str(args(2), "label column"),
-        maxVocab =
-          if (args.length == 7) int(args(6), "max vocab") else 1 << 16)
-      graft.textstats.NaiveBayes.classify(
-        spark.table(str(args(3), "docs table name")),
-        str(args(4), "doc id column"),
-        str(args(5), "doc text column"), model)
-        .queryExecution.analyzed
+      val train = spark.table(str(args(0), "train table name"))
+      val trainText = str(args(1), "train text column")
+      val labelCol = str(args(2), "label column")
+      val docs = spark.table(str(args(3), "docs table name"))
+      val idCol = str(args(4), "doc id column")
+      val docText = str(args(5), "doc text column")
+      val maxVocab =
+        if (args.length == 7) int(args(6), "max vocab") else 1 << 16
+      DeferredBuildPlan(StructType(Seq(
+        StructField(idCol, docs.schema(idCol).dataType),
+        StructField("pred", StringType),
+        StructField("margin", DoubleType))), "nb_classify",
+        () => {
+          val model = graft.textstats.NaiveBayes.train(train, trainText,
+            labelCol, maxVocab = maxVocab)
+          graft.textstats.NaiveBayes.classify(docs, idCol, docText,
+            model)
+        })
     }),
     "bpe_token_frequencies" -> (args => {
       arity("bpe_token_frequencies", args, 3, 4)
       val spark = SparkSession.active
       val docs = spark.table(str(args(0), "docs table name"))
       val textCol = str(args(1), "text column")
-      val merges = graft.text.Bpe.trainMerges(docs, textCol,
-        numMerges = int(args(2), "num merges"),
-        maxVocabWords =
-          if (args.length == 4) int(args(3), "max vocab words")
-          else 1 << 16)
-      graft.text.Bpe.tokenFrequencies(docs, textCol, merges)
-        .queryExecution.analyzed
+      val numMerges = int(args(2), "num merges")
+      val maxVocabWords =
+        if (args.length == 4) int(args(3), "max vocab words")
+        else 1 << 16
+      // touch the text column so a bad name fails at analysis, not at
+      // first execution
+      docs.schema(textCol)
+      DeferredBuildPlan(StructType(Seq(
+        StructField("token", StringType),
+        StructField("n", LongType))), "bpe_token_frequencies",
+        () => {
+          val merges = graft.text.Bpe.trainMerges(docs, textCol,
+            numMerges = numMerges, maxVocabWords = maxVocabWords)
+          graft.text.Bpe.tokenFrequencies(docs, textCol, merges)
+        })
     }),
     "sample_k_per_group" -> (args => {
       arity("sample_k_per_group", args, 4, 4)
@@ -407,25 +435,33 @@ object TableFunctions {
     "trustrank" -> (args => {
       arity("trustrank", args, 6, 7)
       val spark = SparkSession.active
-      graft.graph.GraphOps.personalizedPageRank(
-        spark.table(str(args(0), "edges table name")),
-        str(args(1), "src column"),
-        str(args(2), "dst column"),
-        spark.table(str(args(3), "seeds table name")),
-        str(args(4), "seed column"),
-        iterations = int(args(5), "iterations"),
-        damping =
-          if (args.length == 7) dbl(args(6), "damping") else 0.85)
-        .queryExecution.analyzed
+      val edges = spark.table(str(args(0), "edges table name"))
+      val srcCol = str(args(1), "src column")
+      val dstCol = str(args(2), "dst column")
+      val seeds = spark.table(str(args(3), "seeds table name"))
+      val seedCol = str(args(4), "seed column")
+      val iterations = int(args(5), "iterations")
+      val damping =
+        if (args.length == 7) dbl(args(6), "damping") else 0.85
+      seeds.schema(seedCol) // fail fast on a bad seed column name
+      DeferredBuildPlan(StructType(Seq(
+        StructField("node", unionType(edges, srcCol, dstCol)),
+        StructField("pr", DoubleType))), "trustrank",
+        () => graft.graph.GraphOps.personalizedPageRank(edges, srcCol,
+          dstCol, seeds, seedCol, iterations, damping))
     }),
     "label_propagation" -> (args => {
       arity("label_propagation", args, 4, 4)
       val spark = SparkSession.active
-      graft.graph.GraphOps.labelPropagation(
-        spark.table(str(args(0), "edges table name")),
-        str(args(1), "src column"),
-        str(args(2), "dst column"),
-        iterations = int(args(3), "iterations"))
-        .queryExecution.analyzed
+      val edges = spark.table(str(args(0), "edges table name"))
+      val srcCol = str(args(1), "src column")
+      val dstCol = str(args(2), "dst column")
+      val iterations = int(args(3), "iterations")
+      val t = unionType(edges, srcCol, dstCol)
+      DeferredBuildPlan(StructType(Seq(
+        StructField("node", t), StructField("community", t))),
+        "label_propagation",
+        () => graft.graph.GraphOps.labelPropagation(edges, srcCol,
+          dstCol, iterations))
     }))
 }

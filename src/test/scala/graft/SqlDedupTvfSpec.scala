@@ -286,6 +286,55 @@ class SqlDedupTvfSpec extends SparkTestBase {
       graft.graph.GraphOps.labelPropagation(edges, "s", "d", 3))
   }
 
+  test("deferred TVFs: analysis and EXPLAIN launch ZERO Spark jobs — " +
+      "training runs at first execution") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    docs.createOrReplaceTempView("sql_docs")
+    Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")).toDF("s", "d")
+      .createOrReplaceTempView("sql_edges")
+    Seq("a").toDF("n").createOrReplaceTempView("sql_seeds")
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.add(js.jobId)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val stmts = Seq(
+        "SELECT * FROM pagerank('sql_edges', 's', 'd', 4)",
+        "SELECT * FROM trustrank('sql_edges', 's', 'd', " +
+          "'sql_seeds', 'n', 4)",
+        "SELECT * FROM label_propagation('sql_edges', 's', 'd', 3)",
+        "SELECT * FROM nb_classify('sql_docs', 'text', 'text', " +
+          "'sql_docs', 'doc_id', 'text')",
+        "SELECT * FROM bpe_token_frequencies('sql_docs', 'text', 4)")
+      val explains = stmts.map(s =>
+        spark.sql(s"EXPLAIN EXTENDED $s").collect()
+          .map(_.getString(0)).mkString("\n"))
+      explains.foreach(p => assert(p.contains("DeferredBuild"),
+        s"expected the deferred leaf in the plan:\n$p"))
+      // let any stray job-start events drain before asserting
+      Thread.sleep(1000)
+      assert(jobs.isEmpty,
+        s"EXPLAIN of deferred TVFs must launch no jobs, got $jobs")
+      // executing DOES run jobs and yields the operator's rows
+      val n = spark.sql(stmts.head).count()
+      assert(n == 3)
+      Thread.sleep(500)
+      assert(!jobs.isEmpty, "execution should have launched jobs")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    // schema errors still surface at ANALYSIS, not first execution
+    intercept[Exception](
+      spark.sql("SELECT * FROM pagerank('sql_edges', 'nope', 'd', 4)"))
+    intercept[Exception](
+      spark.sql("SELECT * FROM trustrank('sql_edges', 's', 'd', " +
+        "'sql_seeds', 'nope', 4)"))
+  }
+
   test("TVF argument validation fails loudly") {
     GraftExtensions.register(spark)
     docs.createOrReplaceTempView("sql_docs")
