@@ -199,14 +199,32 @@ def main():
     od = od.astype({"seq": "int64", "start_us": "int64",
                     "end_us": "Int64"})
     od.to_parquet(f"{out_dir}/bt_orders.parquet", index=False)
-    pd.DataFrame(all_nw).to_parquet(f"{out_dir}/bt_backtest_fold.parquet",
-                                    index=False)
+
+    def write_preserving_nan(df, path):
+        """pandas->parquet turns float NaN into parquet NULL (pyarrow's
+        nan_as_null default); the reference REALLY produces NaN net
+        worths on zero-priced bars (inf-share orders), and the engine
+        reproduces them — the fixture must keep NaN a VALUE so the
+        DuckDB oracle compares NaN vs NaN, not NULL vs NaN."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        cols = {}
+        for c in df.columns:
+            if df[c].dtype == "float64":
+                cols[c] = pa.array(df[c].to_numpy(), type=pa.float64(),
+                                   from_pandas=False)
+            else:
+                cols[c] = pa.array(df[c])
+        pq.write_table(pa.table(cols), path)
+
+    write_preserving_nan(pd.DataFrame(all_nw),
+                         f"{out_dir}/bt_backtest_fold.parquet")
     pd.DataFrame(opt_rows).to_parquet(f"{out_dir}/opt_grid.parquet",
                                       index=False)
     pd.DataFrame(all_daily).to_parquet(f"{out_dir}/bt_daily.parquet",
                                        index=False)
-    pd.DataFrame(tenpct_rows).to_parquet(f"{out_dir}/bt_tenpct_fold.parquet",
-                                         index=False)
+    write_preserving_nan(pd.DataFrame(tenpct_rows),
+                         f"{out_dir}/bt_tenpct_fold.parquet")
     cs = pd.DataFrame(common_rows,
                       columns=["ticker", "mentions", "best_net_worth"])
     cs = cs.astype({"mentions": "int64"})

@@ -6,6 +6,18 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // pick the golden-fixture set matching THIS scale factor (the bt/opt
+    // oracles read reference-run parquet minted per SF by
+    // scripts/gen_bt_goldens.py). Must happen before anything touches
+    // Goldens.dir (it is resolved once per JVM); an explicit
+    // -Dgraft.goldens.dir / $GRAFT_GOLDENS_DIR still wins.
+    if (sys.props.get("graft.goldens.dir").isEmpty &&
+        sys.env.get("GRAFT_GOLDENS_DIR").isEmpty) {
+      val sfName = new java.io.File(sfDir).getName
+      val cand = new java.io.File(s"src/test/resources/goldens/$sfName")
+      if (cand.isDirectory)
+        System.setProperty("graft.goldens.dir", cand.getAbsolutePath)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

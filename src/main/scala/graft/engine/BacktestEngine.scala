@@ -2,7 +2,7 @@ package graft.engine
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -159,6 +159,16 @@ object BacktestEngine {
     * with buy/sell null-filled to 0 and shares_owned forward-filled
     * (W6/W10). Float association mirrors the pandas expression order so
     * results are bit-comparable.
+    *
+    * NON-FINITE semantics (reached through a zero-priced bar, which
+    * gives the reference an inf-share order — see OrderBook.buy): the
+    * pandas expression recovers from NaN where a plain running sum
+    * would not. `cumsum(skipna=True)` SKIPS NaN contributions in the
+    * accumulator and emits NaN only at the NaN row itself, and
+    * `fillna(method="ffill")` treats a NaN shares_owned snapshot (e.g.
+    * inf − inf after selling an inf-share order) as MISSING — replaced
+    * by the previous value. Both are replicated here; finite series
+    * are unaffected (verified: golden aapl floats bit-identical).
     */
   def withNetWorth(daily: DataFrame, trades: DataFrame,
       initialAmount: Double): DataFrame = {
@@ -168,14 +178,20 @@ object BacktestEngine {
         col("sell_shares"), col("shares_owned").as("__so_sparse")),
       Seq("ticker", "date"), "left")
 
+    def nanToNull(c: Column): Column =
+      when(isnan(c), lit(null).cast("double")).otherwise(c)
+    def cumSumSkipNaN(c: Column): Column =
+      when(isnan(c), lit(Double.NaN))
+        .otherwise(TimeSeriesOps.cumSum(nanToNull(c), w))
     joined
-      .withColumn("shares_owned", TimeSeriesOps.ffillZero(col("__so_sparse"), w))
+      .withColumn("shares_owned",
+        TimeSeriesOps.ffillZero(nanToNull(col("__so_sparse")), w))
       .withColumn("buy", coalesce(col("buy_shares"), lit(0.0)))
       .withColumn("sell", coalesce(col("sell_shares"), lit(0.0)))
       .withColumn("net_worth",
         col("shares_owned") * col("close")
-          - TimeSeriesOps.cumSum(col("buy") * col("close"), w)
-          + TimeSeriesOps.cumSum(col("sell") * col("close"), w)
+          - cumSumSkipNaN(col("buy") * col("close"))
+          + cumSumSkipNaN(col("sell") * col("close"))
           + lit(initialAmount))
       .drop("__so_sparse", "buy_shares", "sell_shares")
   }

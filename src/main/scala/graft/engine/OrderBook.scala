@@ -261,16 +261,23 @@ final class TradingSession(initialAmount: Double) extends Serializable {
     val uid = orders.freshId()
     val amount = currAmnt()
     var n = numShares
-    // CPython raises ZeroDivisionError on `amount // 0.0` (strats.py:382);
-    // crashing a 1000-executor job on one zero-priced bar is not an
-    // option, so the engine-safe divergence is to REJECT the order (the
-    // same nullif-over-error choice as the ANSI division guards). The
-    // guard mirrors the reference's own division precondition
-    // (num_shares == -1 AND current_amount > 0): with amount <= 0 the
-    // reference skips the division and PLACES a -1-share order
-    // (0 < 0*-1 is false) — that quirk path must fall through here too.
-    if (n == -1d && amount > 0 && price == 0d) return
-    if (n == -1d && amount > 0) n = pyFloorDiv(amount, price)
+    // A ZERO price does not crash the reference: strats.py:382's
+    // `current_amount // price` runs on numpy float64 (pandas Series
+    // elements), where x // 0.0 is IEEE ±inf (nan for 0 // 0) with a
+    // warning — NOT CPython's ZeroDivisionError. The affordability
+    // check then compares amount < 0 * inf = nan, which is False, so
+    // the reference PLACES an inf-share order and the portfolio
+    // arithmetic propagates inf/nan from there (observed on the
+    // driver's zero-priced bars: reference net worths of ±inf/nan).
+    // Replicate exactly: plain IEEE division when price == 0 (numpy's
+    // floor_divide-by-zero result), pyFloorDiv otherwise; NaN
+    // comparisons below behave identically in Java and numpy. The
+    // reference's division precondition (num_shares == -1 AND
+    // current_amount > 0) is mirrored: with amount <= 0 it skips the
+    // division and places a -1-share order (0 < 0*-1 is false) — that
+    // quirk path falls through here too.
+    if (n == -1d && amount > 0)
+      n = if (price == 0d) amount / price else pyFloorDiv(amount, price)
     if (amount < price * n) return
     val order = orders.newOrder(n, uid, date, price, stopLoss)
     activeOrders += n
