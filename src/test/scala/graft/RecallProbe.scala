@@ -45,9 +45,17 @@ object RecallProbe {
       queries, "vec_id", "embedding", k, nCentroids = nCentroids,
       nProbe = nProbe, refineSample = refineSample, lloydIters = lloydIters,
       extraProbes = 4, boundaryRho = 1.05))
+    // the full-corpus distributed Lloyd quantizer feeding the IVF probe
+    val kmModel = graft.sim.KMeans.kmeansCentroids(emb, "vec_id",
+      "embedding", dim = 64, k = nCentroids, iterations = 4)
+    val kmCs = graft.sim.KMeans.centroidsArray(kmModel, dim = 64)
+    val ivfKMeans = recall(Similarity.ivfTopKWithCentroids(emb, "vec_id",
+      "embedding", queries, "vec_id", "embedding", k, kmCs,
+      nProbe = nProbe, extraProbes = 4, boundaryRho = 1.05))
     println(f"RECALL sf=$dir queries=$nQueries lsh(4,16)=$lsh%.3f " +
       f"ivf($nCentroids,$nProbe,s=$refineSample,it=$lloydIters)=$ivf%.3f " +
-      f"ivf_adaptive(+4@1.05)=$ivfAdaptive%.3f")
+      f"ivf_adaptive(+4@1.05)=$ivfAdaptive%.3f " +
+      f"ivf_kmeans_full(k=$nCentroids,it=4,+4@1.05)=$ivfKMeans%.3f")
     // the second IVF quality axis: how much of the corpus does an
     // nProbe-cell probe actually scan? Skewed cells can fake recall by
     // funneling most of the corpus into the probed cells — report the

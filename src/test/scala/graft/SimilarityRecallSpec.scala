@@ -99,6 +99,27 @@ class SimilarityRecallSpec extends SparkTestBase {
       "widening probes by boundary fallback must not lose recall")
   }
 
+  test("IVF under the FULL-CORPUS distributed k-means quantizer " +
+      "(adaptive probes) holds the 0.92 floor and is not beaten by " +
+      "the 256-row sample quantizer") {
+    // the kmeansCentroids -> centroidsArray -> ivfTopKWithCentroids
+    // seam: the quantizer sees every corpus row's cluster mass, not a
+    // 256-row sample's view of it
+    val model = graft.sim.KMeans.kmeansCentroids(emb, "vec_id",
+      "embedding", dim = 64, k = 16, iterations = 4)
+    val cs = graft.sim.KMeans.centroidsArray(model, dim = 64)
+    val rFull = recallAtK(Similarity.ivfTopKWithCentroids(emb, "vec_id",
+      "embedding", queries, "vec_id", "embedding", k, cs, nProbe = 8,
+      extraProbes = 4, boundaryRho = 1.05))
+    val rSample = recallAtK(Similarity.ivfTopK(emb, "vec_id",
+      "embedding", queries, "vec_id", "embedding", k, nCentroids = 16,
+      nProbe = 8, extraProbes = 4, boundaryRho = 1.05))
+    info(f"ivf adaptive: full-corpus kmeans quantizer $rFull%.3f, " +
+      f"sample quantizer $rSample%.3f")
+    assert(rFull >= 0.92,
+      f"full-corpus-quantizer IVF recall regressed: $rFull%.3f < 0.92")
+  }
+
   test("IVF probes widen recall: nProbe=8 >= nProbe=2") {
     val r2 = recallAtK(Similarity.ivfTopK(emb, "vec_id", "embedding",
       queries, "vec_id", "embedding", k, nCentroids = 16, nProbe = 2))
