@@ -349,32 +349,23 @@ object TextStats {
       .withColumn("__cs", col("__ce") - col("__cnt"))
       .withColumn("__H", expr(s"(__n * $headPct) div 100"))
       .withColumn("__M", expr(s"(__n * ${headPct + midPct}) div 100"))
-    val inOneBucket = col("__ce") <= col("__H") ||
-      (col("__cs") >= col("__H") && col("__ce") <= col("__M")) ||
-      col("__cs") >= col("__M")
-    val interior = cum.filter(inOneBucket)
-      .select(col("__lg"), col("__s"),
-        when(col("__ce") <= col("__H"), "head")
-          .when(col("__ce") <= col("__M"), "middle")
-          .otherwise("tail").as("bucket"))
-    val boundary = cum.filter(!inOneBucket)
-      .select(col("__lg"), col("__s"), col("__cs"), col("__H"),
-        col("__M"))
-    val interiorDocs = docs.join(interior, Seq("__lg", "__s"))
-      .select(col("__bid"), col("bucket"))
-    // only the cut-straddling tie groups rank by id (bounded by the
-    // tie-group size, not the language size)
+    // one corpus join on (lang, s) whose exchange the tie window then
+    // REUSES (same partition key): groups entirely inside one bucket
+    // label by histogram lookup, only the cut-straddling tie groups
+    // consult the id rank — the window sorts tie groups (bounded),
+    // never a language partition
     val wTie = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__lg"), col("__s")).orderBy(col("__bid"))
-    val boundaryDocs = docs.join(boundary, Seq("__lg", "__s"))
+    val rn = col("__cs") + row_number().over(wTie)
+    val ranked = docs.join(cum, Seq("__lg", "__s"))
       .select(col("__bid"),
-        (col("__cs") + row_number().over(wTie)).as("__rn"),
-        col("__H"), col("__M"))
-      .select(col("__bid"),
-        when(col("__rn") <= col("__H"), "head")
-          .when(col("__rn") <= col("__M"), "middle")
-          .otherwise("tail").as("bucket"))
-    val ranked = interiorDocs.union(boundaryDocs)
+        when(col("__ce") <= col("__H"), "head")
+          .when(col("__cs") >= col("__M"), "tail")
+          .when(col("__cs") >= col("__H") && col("__ce") <= col("__M"),
+            "middle")
+          .otherwise(when(rn <= col("__H"), "head")
+            .when(rn <= col("__M"), "middle")
+            .otherwise("tail")).as("bucket"))
     df.select(col(idCol), col(langCol))
       .join(ranked, col(idCol) === col("__bid"), "left")
       .select(col(idCol), col(langCol), col("bucket"))
