@@ -184,6 +184,36 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "j13_auto_join" -> ((s, dir) => {
+      // measurement-driven join strategy (graft.ops.JoinPlanner): the
+      // planner measures the sides and PICKS the join. On this data
+      // the 5-row event_type dim broadcasts under the default limit;
+      // once the limit forbids broadcasting, the fact side's skew
+      // profile (each of 5 keys holds ~1/5 of the rows, far past the
+      // 5% hot-key share) demands salt. Both decisions are pinned
+      // loudly here, the CMS estimate must upper-bound the true join
+      // size, and the salted result provably equals the plain join —
+      // the oracle IS the plain join.
+      val ev = t(s, dir, "events")
+      val dim = ev.select(col("event_type")).distinct()
+        .withColumn("type_code", length(col("event_type")).cast("long"))
+      val bcast = graft.ops.JoinPlanner.plan(ev, dim, Seq("event_type"))
+      require(bcast.strategy == "broadcast",
+        s"expected the 5-row dim to broadcast, got $bcast")
+      val (joined, d) = graft.ops.JoinPlanner.autoJoin(ev, dim,
+        Seq("event_type"), uniqueCol = col("event_id"),
+        broadcastRowLimit = 1)
+      require(d.strategy == "salted",
+        s"expected the skewed fact to salt, got $d")
+      require(d.estJoinRows >= d.largeRows,
+        s"CMS estimate ${d.estJoinRows} must upper-bound the true " +
+          s"join size ${d.largeRows}")
+      joined
+        .groupBy(col("event_type"), col("type_code"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+        .orderBy(col("event_type"))
+    }),
+
     "j12_bloom_prune_join" -> ((s, dir) => {
       // Bloom semi-join reduction (graft.ops.ScaleOps.bloomPruneJoin):
       // the small-size parts filter lineitem in its scan stage through a
@@ -2158,6 +2188,14 @@ object SparkEntry {
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE p_size <= 5
          ORDER BY l_orderkey, l_linenumber""",
+    "j13_auto_join" ->
+      // the planner-driven salted join provably equals the plain join
+      """SELECT event_type, CAST(length(event_type) AS BIGINT)
+           AS type_code,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             AS value_sum
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "sc_zorder" ->
       s"""WITH b AS (SELECT o_orderkey,
            CAST(o_custkey % 256 AS BIGINT) AS x,

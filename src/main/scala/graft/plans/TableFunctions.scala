@@ -65,6 +65,12 @@ import graft.ops.Joins
   * SELECT * FROM trustrank('edges', 'src', 'dst', 'seeds', 'node', 8,
   *                         0.85)                   -- damping
   * SELECT * FROM label_propagation('edges', 'src', 'dst', 4)
+  * -- round-10: distributed Lloyd k-means (train / assign / assign
+  * -- under a persisted model table):
+  * SELECT * FROM kmeans_centroids('emb', 'vec_id', 'embedding', 64, 16, 4)
+  * SELECT * FROM kmeans_assign('emb', 'vec_id', 'embedding', 64, 16, 4)
+  * SELECT * FROM kmeans_assign_model('emb', 'vec_id', 'embedding', 64,
+  *                                   'model')      -- kmeans_centroids shape
   * }}}
   *
   * Table arguments are names resolved against the calling session's
@@ -463,5 +469,60 @@ object TableFunctions {
         "label_propagation",
         () => graft.graph.GraphOps.labelPropagation(edges, srcCol,
           dstCol, iterations))
+    }),
+    // round-10: distributed Lloyd k-means as SQL (deferred like the
+    // other model-training TVFs — EXPLAIN launches zero jobs)
+    "kmeans_centroids" -> (args => {
+      arity("kmeans_centroids", args, 6, 6)
+      val spark = SparkSession.active
+      val df = spark.table(str(args(0), "table name"))
+      val idCol = str(args(1), "id column")
+      val vecCol = str(args(2), "vector column")
+      val dim = int(args(3), "dim")
+      val k = int(args(4), "k")
+      val iterations = int(args(5), "iterations")
+      df.schema(idCol); df.schema(vecCol) // fail fast at analysis
+      DeferredBuildPlan(StructType(Seq(
+        StructField("cluster", LongType),
+        StructField("dim_idx", LongType),
+        StructField("coord", DoubleType),
+        StructField("n", LongType))), "kmeans_centroids",
+        () => graft.sim.KMeans.kmeansCentroids(df, idCol, vecCol, dim,
+          k, iterations))
+    }),
+    "kmeans_assign" -> (args => {
+      arity("kmeans_assign", args, 6, 6)
+      val spark = SparkSession.active
+      val df = spark.table(str(args(0), "table name"))
+      val idCol = str(args(1), "id column")
+      val vecCol = str(args(2), "vector column")
+      val dim = int(args(3), "dim")
+      val k = int(args(4), "k")
+      val iterations = int(args(5), "iterations")
+      df.schema(vecCol)
+      DeferredBuildPlan(StructType(Seq(
+        StructField(idCol, df.schema(idCol).dataType),
+        StructField("cluster", LongType))), "kmeans_assign",
+        () => graft.sim.KMeans.kmeansAssign(df, idCol, vecCol, dim, k,
+          iterations))
+    }),
+    // assignment under a PRECOMPUTED model table — the persisted-model
+    // reuse path (KMeans.assignWithCentroids)
+    "kmeans_assign_model" -> (args => {
+      arity("kmeans_assign_model", args, 5, 5)
+      val spark = SparkSession.active
+      val df = spark.table(str(args(0), "table name"))
+      val idCol = str(args(1), "id column")
+      val vecCol = str(args(2), "vector column")
+      val dim = int(args(3), "dim")
+      val model = spark.table(str(args(4), "centroids table name"))
+      df.schema(vecCol)
+      model.schema("cluster"); model.schema("dim_idx")
+      model.schema("coord") // the kmeansCentroids shape, checked early
+      DeferredBuildPlan(StructType(Seq(
+        StructField(idCol, df.schema(idCol).dataType),
+        StructField("cluster", LongType))), "kmeans_assign_model",
+        () => graft.sim.KMeans.assignWithCentroids(df, idCol, vecCol,
+          dim, model))
     }))
 }

@@ -93,8 +93,15 @@ object KMeans {
     */
   private def lloyd(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, k: Int, iterations: Int,
+      scale: Double): (Array[Array[Double]], Array[Long]) =
+    lloydFrom(df, vecCol, dim,
+      seedCentroids(df, idCol, vecCol, dim, k), iterations, scale)
+
+  private def lloydFrom(df: DataFrame, vecCol: String, dim: Int,
+      initial: Array[Array[Double]], iterations: Int,
       scale: Double): (Array[Array[Double]], Array[Long]) = {
-    var centroids = seedCentroids(df, idCol, vecCol, dim, k)
+    var centroids = initial
+    val k = initial.length
     val counts = Array.fill(k)(0L)
     val vecs = df.select(checkedVec(vecCol, dim).as("__v"))
     var r = 0
@@ -132,6 +139,33 @@ object KMeans {
     val (cs, ns) = lloyd(df, idCol, vecCol, dim, k, iterations, scale)
     import spark.implicits._
     (for { c <- 0 until k; j <- 0 until dim }
+      yield (c.toLong, j.toLong, cs(c)(j), ns(c)))
+      .toDF("cluster", "dim_idx", "coord", "n")
+  }
+
+  /** Full-corpus Lloyd refinement from CALLER-SUPPLIED starting
+    * centroids — the quantizer-improvement seam: seed with the
+    * spread (farthest-point + sample-Lloyd) [[Similarity.ivfCentroids]]
+    * model, then let every corpus row vote on the refinement instead
+    * of a 256-row sample. Same fixed-point determinism contract as
+    * [[kmeansCentroids]]; empty clusters keep their previous centroid.
+    * Output: (cluster, dim_idx, coord, n), clusters indexed by the
+    * position in `initial`.
+    */
+  def kmeansRefine(df: DataFrame, vecCol: String, dim: Int,
+      initial: Array[Array[Double]], iterations: Int,
+      scale: Double = 1e10): DataFrame = {
+    require(initial.nonEmpty && initial.length <= 4096,
+      s"initial centroid count must be in [1, 4096], got " +
+        s"${initial.length}")
+    require(initial.forall(_.length == dim),
+      s"every initial centroid must have exactly dim = $dim coords")
+    validate(dim, initial.length, iterations, scale)
+    val spark = df.sparkSession
+    val (cs, ns) = lloydFrom(df, vecCol, dim, initial, iterations,
+      scale)
+    import spark.implicits._
+    (for { c <- cs.indices; j <- 0 until dim }
       yield (c.toLong, j.toLong, cs(c)(j), ns(c)))
       .toDF("cluster", "dim_idx", "coord", "n")
   }

@@ -52,10 +52,21 @@ object RecallProbe {
     val ivfKMeans = recall(Similarity.ivfTopKWithCentroids(emb, "vec_id",
       "embedding", queries, "vec_id", "embedding", k, kmCs,
       nProbe = nProbe, extraProbes = 4, boundaryRho = 1.05))
+    // spread seeds + full-corpus refinement: the sample quantizer's
+    // farthest-point centroids refined by distributed Lloyd rounds
+    val seedCs = Similarity.ivfCentroids(emb, "vec_id", "embedding",
+      nCentroids, refineSample, lloydIters)
+    val refined = graft.sim.KMeans.centroidsArray(
+      graft.sim.KMeans.kmeansRefine(emb, "embedding", dim = 64,
+        seedCs, iterations = 2), dim = 64)
+    val ivfRefined = recall(Similarity.ivfTopKWithCentroids(emb,
+      "vec_id", "embedding", queries, "vec_id", "embedding", k,
+      refined, nProbe = nProbe, extraProbes = 4, boundaryRho = 1.05))
     println(f"RECALL sf=$dir queries=$nQueries lsh(4,16)=$lsh%.3f " +
       f"ivf($nCentroids,$nProbe,s=$refineSample,it=$lloydIters)=$ivf%.3f " +
       f"ivf_adaptive(+4@1.05)=$ivfAdaptive%.3f " +
-      f"ivf_kmeans_full(k=$nCentroids,it=4,+4@1.05)=$ivfKMeans%.3f")
+      f"ivf_kmeans_full(k=$nCentroids,it=4,+4@1.05)=$ivfKMeans%.3f " +
+      f"ivf_kmeans_refined(seeded,it=2,+4@1.05)=$ivfRefined%.3f")
     // the second IVF quality axis: how much of the corpus does an
     // nProbe-cell probe actually scan? Skewed cells can fake recall by
     // funneling most of the corpus into the probed cells — report the

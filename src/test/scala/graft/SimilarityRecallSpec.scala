@@ -120,6 +120,28 @@ class SimilarityRecallSpec extends SparkTestBase {
       f"full-corpus-quantizer IVF recall regressed: $rFull%.3f < 0.92")
   }
 
+  test("spread seeds + full-corpus refinement (kmeansRefine over the " +
+      "ivfCentroids model) beats every other quantizer: recall@5 >= " +
+      "0.95") {
+    // the production quantizer pipeline: farthest-point sample seeds
+    // (spread), then distributed Lloyd rounds where every corpus row
+    // votes. Measured 0.967 (sf0.01) / 0.954 (sf0.1) vs the sample
+    // quantizer's 0.921 / 0.942 and hash-seeded full kmeans'
+    // 0.925 / 0.913.
+    val seeds = Similarity.ivfCentroids(emb, "vec_id", "embedding",
+      nCentroids = 16, refineSample = 256, lloydIters = 2)
+    val refined = graft.sim.KMeans.centroidsArray(
+      graft.sim.KMeans.kmeansRefine(emb, "embedding", dim = 64,
+        seeds, iterations = 2), dim = 64)
+    val r = recallAtK(Similarity.ivfTopKWithCentroids(emb, "vec_id",
+      "embedding", queries, "vec_id", "embedding", k, refined,
+      nProbe = 8, extraProbes = 4, boundaryRho = 1.05))
+    info(f"ivf adaptive, seeded + full-corpus-refined quantizer " +
+      f"recall@5 = $r%.3f")
+    assert(r >= 0.95,
+      f"refined-quantizer IVF recall regressed: $r%.3f < 0.95")
+  }
+
   test("IVF probes widen recall: nProbe=8 >= nProbe=2") {
     val r2 = recallAtK(Similarity.ivfTopK(emb, "vec_id", "embedding",
       queries, "vec_id", "embedding", k, nCentroids = 16, nProbe = 2))

@@ -286,6 +286,34 @@ class SqlDedupTvfSpec extends SparkTestBase {
       graft.graph.GraphOps.labelPropagation(edges, "s", "d", 3))
   }
 
+  test("kmeans TVFs match the Scala operators, including assignment " +
+      "under a persisted model table") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val emb = (0L until 40L).map { i =>
+      val base = if (i % 2 == 0) 0.0 else 10.0
+      (i, Seq.tabulate(4)(j => base + ((i * 7 + j * 3) % 11) * 0.01))
+    }.toDF("vec_id", "v")
+    emb.createOrReplaceTempView("sql_kme")
+    sameRows(
+      spark.sql(
+        "SELECT * FROM kmeans_centroids('sql_kme', 'vec_id', 'v', 4, 3, 2)"),
+      graft.sim.KMeans.kmeansCentroids(emb, "vec_id", "v", 4, 3, 2))
+    sameRows(
+      spark.sql(
+        "SELECT * FROM kmeans_assign('sql_kme', 'vec_id', 'v', 4, 3, 2)"),
+      graft.sim.KMeans.kmeansAssign(emb, "vec_id", "v", 4, 3, 2))
+    graft.sim.KMeans.kmeansCentroids(emb, "vec_id", "v", 4, 3, 2)
+      .createOrReplaceTempView("sql_kme_model")
+    sameRows(
+      spark.sql("""SELECT * FROM kmeans_assign_model('sql_kme',
+                     'vec_id', 'v', 4, 'sql_kme_model')"""),
+      graft.sim.KMeans.kmeansAssign(emb, "vec_id", "v", 4, 3, 2))
+    // bad columns fail at analysis
+    intercept[Exception](spark.sql(
+      "SELECT * FROM kmeans_centroids('sql_kme', 'vec_id', 'nope', 4, 3, 2)"))
+  }
+
   test("deferred TVFs: analysis and EXPLAIN launch ZERO Spark jobs — " +
       "training runs at first execution") {
     import spark.implicits._
