@@ -91,7 +91,7 @@ def l2f(v, c):
 
 
 def quantizer_prefix(n_centroids=16, refine_sample=256, lloyd_iters=2,
-                     emb_where=""):
+                     emb_where="", with_assigned=True):
     """Shared CTE chain replicating Similarity.ivfCentroids + the corpus
     cell assignment (`assigned`: vec_id, v, cell):
     (1) samp — the refine_sample corpus rows with the smallest
@@ -147,6 +147,13 @@ def quantizer_prefix(n_centroids=16, refine_sample=256, lloyd_iters=2,
     # returned WITHOUT the leading "WITH" so callers can choose plain
     # WITH (probe/pair queries) or WITH RECURSIVE (the prune endpoint's
     # transitive closure)
+    tail = "" if not with_assigned else f""",
+cdist AS MATERIALIZED (SELECT e.vec_id, e.v, c.cell, {l2} AS d
+  FROM emb e CROSS JOIN cent c),
+assigned AS (SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell, row_number() OVER (
+      PARTITION BY vec_id ORDER BY d, cell) AS rn FROM cdist)
+  WHERE rn = 1)"""
     return f"""emb AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings{emb_where}),
 samp AS MATERIALIZED (SELECT v,
@@ -155,13 +162,7 @@ samp AS MATERIALIZED (SELECT v,
   QUALIFY row_number() OVER (ORDER BY idh, vec_id) <= {refine_sample}),
 {quantizer},
 cent AS MATERIALIZED (SELECT mc AS cell, cents[mc + 1] AS cv
-  FROM cl{lloyd_iters} CROSS JOIN range(0, {n_centroids}) t(mc)),
-cdist AS MATERIALIZED (SELECT e.vec_id, e.v, c.cell, {l2} AS d
-  FROM emb e CROSS JOIN cent c),
-assigned AS (SELECT vec_id, v, cell FROM (
-    SELECT vec_id, v, cell, row_number() OVER (
-      PARTITION BY vec_id ORDER BY d, cell) AS rn FROM cdist)
-  WHERE rn = 1)"""
+  FROM cl{lloyd_iters} CROSS JOIN range(0, {n_centroids}) t(mc)){tail}"""
 
 
 def sim_ivf_sql(n_centroids=16, n_probe=8, k=5, refine_sample=256,
@@ -362,7 +363,14 @@ def emit_scala(path):
                           ("ddEmbeddingNearDups", emb_neardups_sql()),
                           ("ddSemantic", dd_semantic_sql()),
                           ("ddSemanticPrune", dd_semantic_prune_sql()),
-                          ("ddSemanticIncremental", dd_semantic_incremental_sql())])
+                          ("ddSemanticIncremental",
+                           dd_semantic_incremental_sql()),
+                          # the Similarity.ivfCentroids replay up to the
+                          # (cell, cv) table — WITHOUT the leading WITH,
+                          # for composition (sim_ivf_refined splices the
+                          # distributed fixed-point rounds after it)
+                          ("quantizerCentPrefix",
+                           quantizer_prefix(with_assigned=False))])
     src = f"""package graft
 
 /** GENERATED by scripts/gen_sim_oracles.py — do not edit by hand.

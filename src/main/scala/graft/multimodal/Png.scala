@@ -1,0 +1,288 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** REAL compressed-image codec: a pure-JVM PNG encoder/decoder (W3C
+  * PNG spec / RFC 2083 — public). This closes the multimodal tier's
+  * "compressed codecs" gap for the one compressed format the JVM can
+  * handle with zero external libraries: DEFLATE lives in
+  * `java.util.zip` (`Deflater`/`Inflater`), and the rest of PNG is
+  * chunk framing (CRC-32, also `java.util.zip`) plus the five
+  * scanline filters (None/Sub/Up/Average/Paeth).
+  *
+  * Scope is the still-dominant truecolor profile: 8-bit RGB (color
+  * type 2), non-interlaced. Everything else fails loudly (`None`), the
+  * [[RealMedia]] discipline — a silently-misdecoded image would poison
+  * every downstream feature. Lossy codecs (JPEG/MP3/H.264) remain
+  * documented stand-ins in [[Multimodal.FakeCodec]]: their DCT/huffman
+  * stacks have no JVM-built-in and are out of scope in this container.
+  *
+  * Verification mirrors `mm_decode_real` (reference treats media as
+  * opaque payloads; cf. strat_backtest's byte-column handling): the
+  * synthetic table encodes REAL PNG bytes from integer pixel formulas
+  * (cycling through all five filter types row-by-row, so every filter
+  * reversal path executes on every image), and the oracle recomputes
+  * the channel sums in closed form — an inflate bug, a filter-reversal
+  * bug, or a chunk-walk bug cannot hash-match.
+  */
+object Png {
+
+  private val Signature: Array[Byte] =
+    Array(137, 80, 78, 71, 13, 10, 26, 10).map(_.toByte)
+
+  // ------------------------------------------------------------- encode
+
+  /** Encode 8-bit RGB as a real PNG. `filterOf(y)` picks the scanline
+    * filter type (0–4) per row — the test/corpus hook that forces the
+    * decoder through every reversal path. IDAT is split into ≤1 KiB
+    * chunks so decoders must handle multi-IDAT streams (the spec
+    * allows any split).
+    */
+  def encodePng(w: Int, h: Int, pix: (Int, Int) => (Int, Int, Int),
+      filterOf: Int => Int = _ => 0): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+    val stride = w * 3
+    val raw = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = pix(x, y)
+        val o = y * stride + x * 3
+        raw(o) = r.toByte; raw(o + 1) = g.toByte; raw(o + 2) = b.toByte
+        x += 1
+      }
+      y += 1
+    }
+    // forward-filter each scanline: filt = raw - predictor (mod 256)
+    val filtered = new Array[Byte](h * (1 + stride))
+    y = 0
+    while (y < h) {
+      val ft = filterOf(y)
+      require(ft >= 0 && ft <= 4, s"bad filter type $ft for row $y")
+      filtered(y * (1 + stride)) = ft.toByte
+      var i = 0
+      while (i < stride) {
+        val cur = raw(y * stride + i) & 0xff
+        val a = if (i >= 3) raw(y * stride + i - 3) & 0xff else 0
+        val b = if (y > 0) raw((y - 1) * stride + i) & 0xff else 0
+        val c = if (i >= 3 && y > 0) raw((y - 1) * stride + i - 3) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 => paeth(a, b, c)
+        }
+        filtered(y * (1 + stride) + 1 + i) = (cur - pred).toByte
+        i += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(filtered); deflater.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!deflater.finished()) {
+      val n = deflater.deflate(tmp)
+      zbuf.write(tmp, 0, n)
+    }
+    deflater.end()
+    val z = zbuf.toByteArray
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Signature)
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(w).putInt(h)
+    ihdr.put(8.toByte).put(2.toByte) // bit depth 8, truecolor RGB
+    ihdr.put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, no interlace
+    writeChunk(out, "IHDR", ihdr.array())
+    if (z.isEmpty) writeChunk(out, "IDAT", Array.emptyByteArray)
+    var off = 0
+    while (off < z.length) {
+      val n = math.min(1024, z.length - off)
+      writeChunk(out, "IDAT", java.util.Arrays.copyOfRange(z, off, off + n))
+      off += n
+    }
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  private def writeChunk(out: java.io.ByteArrayOutputStream,
+      typ: String, data: Array[Byte]): Unit = {
+    val t = typ.getBytes("ASCII")
+    val len = java.nio.ByteBuffer.allocate(4).putInt(data.length).array()
+    out.write(len)
+    out.write(t); out.write(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(t); crc.update(data)
+    out.write(java.nio.ByteBuffer.allocate(4)
+      .putInt(crc.getValue.toInt).array())
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  // ------------------------------------------------------------- decode
+
+  /** Parse a PNG; returns (width, height, row-major RGB bytes), or
+    * `None` for anything malformed or out of profile: bad signature,
+    * CRC mismatch on any walked chunk, non-8-bit, non-RGB, interlaced,
+    * truncated DEFLATE stream, or an inflated payload whose length
+    * disagrees with the header. Ancillary chunks are skipped after CRC
+    * verification (the spec's rule: unknown ancillary is ignorable,
+    * corrupt framing never is).
+    */
+  def decodePng(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (bytes == null || bytes.length < Signature.length + 12) return None
+    var i = 0
+    while (i < Signature.length) {
+      if (bytes(i) != Signature(i)) return None
+      i += 1
+    }
+    var pos = Signature.length
+    var w = -1; var h = -1
+    val zcat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    var sawIhdr = false
+    while (!sawEnd) {
+      if (bytes.length - pos < 12) return None
+      val len = ((bytes(pos) & 0xff) << 24) | ((bytes(pos + 1) & 0xff) << 16) |
+        ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
+      if (len < 0 || bytes.length - pos - 12 < len) return None
+      val typ = new String(bytes, pos + 4, 4, "ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, pos + 4, 4 + len)
+      val stored = ((bytes(pos + 8 + len) & 0xffL) << 24) |
+        ((bytes(pos + 9 + len) & 0xffL) << 16) |
+        ((bytes(pos + 10 + len) & 0xffL) << 8) |
+        (bytes(pos + 11 + len) & 0xffL)
+      if (crc.getValue != stored) return None
+      typ match {
+        case "IHDR" =>
+          if (sawIhdr || len != 13) return None
+          sawIhdr = true
+          val bb = java.nio.ByteBuffer.wrap(bytes, pos + 8, 13)
+          w = bb.getInt(); h = bb.getInt()
+          val depth = bb.get(); val color = bb.get()
+          bb.get() // compression (only 0 defined)
+          bb.get() // filter method (only 0 defined)
+          val interlace = bb.get()
+          if (w <= 0 || h <= 0 || depth != 8 || color != 2 ||
+            interlace != 0) return None
+          // dimension bomb guard: stride math must stay in Int
+          if (w.toLong * h * 3 > Int.MaxValue - h) return None
+        case "IDAT" =>
+          if (!sawIhdr) return None
+          zcat.write(bytes, pos + 8, len)
+        case "IEND" => sawEnd = true
+        case _ => // ancillary: CRC already verified, content ignored
+      }
+      pos += 12 + len
+    }
+    if (!sawIhdr) return None
+
+    val stride = w * 3
+    val expect = h * (1 + stride)
+    val filtered = new Array[Byte](expect)
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(zcat.toByteArray)
+    var got = 0
+    try {
+      while (got < expect && !inflater.finished()) {
+        val n = inflater.inflate(filtered, got, expect - got)
+        if (n == 0 && inflater.needsInput()) return None // truncated
+        got += n
+      }
+      // stream must end exactly at the expected payload length
+      if (got != expect) return None
+      val probe = new Array[Byte](1)
+      if (!inflater.finished() && inflater.inflate(probe) > 0) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inflater.end()
+
+    // reverse the per-scanline filters into raw RGB
+    val raw = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      val ft = filtered(y * (1 + stride)) & 0xff
+      if (ft > 4) return None
+      var k = 0
+      while (k < stride) {
+        val fx = filtered(y * (1 + stride) + 1 + k) & 0xff
+        val a = if (k >= 3) raw(y * stride + k - 3) & 0xff else 0
+        val b = if (y > 0) raw((y - 1) * stride + k) & 0xff else 0
+        val c = if (k >= 3 && y > 0) raw((y - 1) * stride + k - 3) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case _ => paeth(a, b, c)
+        }
+        raw(y * stride + k) = (fx + pred).toByte
+        k += 1
+      }
+      y += 1
+    }
+    Some((w, h, raw))
+  }
+
+  // ----------------------------------------------- synthetic table + query
+
+  final case class PngRow(media_id: Long, png: Array[Byte])
+  final case class PngFeatures(media_id: Long, w: Long, h: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long, rs_sum_r: Long)
+
+  /** Deterministic PNG corpus: every doc id becomes a real PNG whose
+    * pixels follow integer formulas and whose scanline filters cycle
+    * `(id + y) % 5` — each image exercises all five filter reversals.
+    * Closed-form reproducible by the oracle.
+    */
+  def syntheticPngTable(docs: DataFrame): Dataset[PngRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val w = 8 + (id % 16).toInt
+      val h = 8 + (id % 12).toInt
+      PngRow(id, encodePng(w, h, (x, y) => (
+        ((id + 2 * x + 7 * y) % 256).toInt,
+        ((3 * id + x + 4 * y) % 256).toInt,
+        ((x.toLong * y + 5 * id) % 256).toInt),
+        y => ((id + y) % 5).toInt))
+    }
+  }
+
+  /** Decode the real PNG bytes and extract exact integer features:
+    * channel sums plus the red-channel sum of an 8×8 nearest-neighbor
+    * resize (reusing [[RealMedia.resizeNearest]] — the features are
+    * sums, not means, so the oracle compare is float-free).
+    */
+  def extractPngFeatures(media: Dataset[PngRow]): Dataset[PngFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val (w, h, rgb) = decodePng(m.png).getOrElse(
+          throw new IllegalStateException(
+            s"bad PNG for media ${m.media_id}"))
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var k = 0
+        while (k < w * h * 3) {
+          sr += rgb(k) & 0xff; sg += rgb(k + 1) & 0xff; sb += rgb(k + 2) & 0xff
+          k += 3
+        }
+        val rs = RealMedia.resizeNearest(w, h, rgb, 8, 8)
+        var rsr = 0L
+        var q = 0
+        while (q < 8 * 8 * 3) { rsr += rs(q) & 0xff; q += 3 }
+        PngFeatures(m.media_id, w.toLong, h.toLong, sr, sg, sb, rsr)
+      }
+    }
+  }
+}
