@@ -684,6 +684,28 @@ object SparkEntry {
           shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "dd_lsh_plan" -> ((s, dir) => {
+      // the banded-LSH parameter planner (MMDS §3.4.3 S-curve) over a
+      // signature-budget × threshold grid: for each (numHashes, t) the
+      // divisor pair (bands, rows) whose inflection (1/b)^(1/r) is
+      // nearest t (1e-9-quantized objective, ties to more bands) plus
+      // the collision probability at t. The oracle re-derives every
+      // choice by brute force over the same divisor lattice in SQL.
+      import s.implicits._
+      val grid = for {
+        n <- Seq(16, 32, 64, 128)
+        ti <- 5 to 9
+      } yield {
+        val p = Dedup.lshPlan(n, ti / 10.0)
+        (n.toLong, p.threshold, p.bands.toLong, p.rowsPerBand.toLong,
+          p.inflection, p.pCollide)
+      }
+      grid.toDF("num_hashes", "threshold", "bands", "rows_per_band",
+          "inflection", "p_collide")
+        .withColumn("inflection", round(col("inflection"), 6))
+        .withColumn("p_collide", round(col("p_collide"), 6))
+        .orderBy(col("num_hashes"), col("threshold"))
+    }),
     "dd_incremental_minhash" -> ((s, dir) => {
       // incremental dedup: the "day-N batch" (doc_id % 4 == 0) probes the
       // frozen signature index of the historical corpus (doc_id % 4 != 0)
@@ -2602,6 +2624,31 @@ object SparkEntry {
          WHERE levenshtein(a.px, b2.px) <= 25
          ORDER BY id_a, id_b""",
     "dd_minhash" -> DedupOracles.ddMinhash,
+    // brute-force re-derivation of every planner choice: same divisor
+    // lattice, same 1e-9-quantized |inflection - t| objective, same
+    // more-bands tie-break; pow ulps are absorbed by the quantization
+    // and the round-6 outputs
+    "dd_lsh_plan" ->
+      """WITH grid AS (
+           SELECT n, CAST(ti AS DOUBLE) / 10.0 AS t
+           FROM (VALUES (16), (32), (64), (128)) g(n), range(5, 10) r(ti)),
+         cand AS (
+           SELECT n, t, b, n // b AS r,
+             power(1.0 / b, 1.0 / (n // b)) AS infl
+           FROM grid, range(1, 129) cb(b)
+           WHERE b <= n AND n % b = 0),
+         best AS (
+           SELECT * FROM (
+             SELECT n, t, b, r, infl,
+               row_number() OVER (PARTITION BY n, t
+                 ORDER BY CAST(round(abs(infl - t) * 1e9) AS BIGINT),
+                   b DESC) AS rn
+             FROM cand) WHERE rn = 1)
+         SELECT CAST(n AS BIGINT) AS num_hashes, t AS threshold,
+           CAST(b AS BIGINT) AS bands, CAST(r AS BIGINT) AS rows_per_band,
+           round(infl, 6) AS inflection,
+           round(1.0 - power(1.0 - power(t, r), b), 6) AS p_collide
+         FROM best ORDER BY num_hashes, threshold""",
     "dd_incremental_minhash" -> DedupOracles.ddIncrementalMinhash,
     "dd_incremental_verified" -> DedupOracles.ddIncrementalVerified,
     // the streaming probe's batch twin must reproduce the batch

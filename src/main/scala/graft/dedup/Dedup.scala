@@ -134,6 +134,59 @@ object Dedup {
     size(filter(zip_with(a, b, (x, y) => x === y), m => m))
       .cast("double") / numHashes
 
+  /** A banded-LSH parameter choice: `bands`·`rowsPerBand` = numHashes,
+    * `inflection` = (1/bands)^(1/rowsPerBand) (where the S-curve crosses
+    * ~50 % collision odds), `pCollide` = 1 − (1 − t^r)^b at the target
+    * threshold (the planner's recall estimate for true near-dups AT the
+    * threshold — pairs above it collide with higher probability).
+    */
+  final case class LshPlan(numHashes: Int, threshold: Double, bands: Int,
+      rowsPerBand: Int, inflection: Double, pCollide: Double)
+
+  /** Banded-LSH parameter planner (the S-curve analysis of Leskovec/
+    * Rajaraman/Ullman, "Mining of Massive Datasets" §3.4.3): among the
+    * divisor pairs (b, r) of `numHashes`, pick the banding whose
+    * S-curve inflection (1/b)^(1/r) sits closest to the target Jaccard
+    * `threshold` — below-threshold pairs then mostly miss every band
+    * (few false candidates to verify) while above-threshold pairs
+    * mostly collide somewhere (few false negatives). Ties prefer MORE
+    * bands: the lower inflection leans toward recall, and the exact
+    * verification rung already controls precision.
+    *
+    * Why a planner at 100 TB: the band count is THE knob that trades
+    * candidate-verification cost (grows with b) against missed
+    * near-dups, and the right value moves with the threshold — a
+    * hard-coded b=8 tuned for t≈0.6 silently loses recall at t=0.9.
+    * The objective is quantized to 1e-9 before ranking so the DuckDB
+    * oracle twin (engine `pow` values can differ at 1 ulp) ranks
+    * candidates identically.
+    */
+  def lshPlan(numHashes: Int, threshold: Double): LshPlan = {
+    require(numHashes > 0, s"numHashes must be positive, got $numHashes")
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0, 1), got $threshold")
+    val cands = (1 to numHashes).filter(numHashes % _ == 0).map { b =>
+      val r = numHashes / b
+      (b, r, math.pow(1.0 / b, 1.0 / r))
+    }
+    val (b, r, infl) = cands.minBy { case (cb, _, ci) =>
+      (math.round(math.abs(ci - threshold) * 1e9), -cb)
+    }
+    val p = 1.0 - math.pow(1.0 - math.pow(threshold, r), b)
+    LshPlan(numHashes, threshold, b, r, infl, p)
+  }
+
+  /** [[minhashNearDups]] with the band count chosen by [[lshPlan]] for
+    * the verification threshold — keeps the banding aligned with the
+    * verify rung as thresholds change instead of trusting a hand-tuned
+    * constant.
+    */
+  def minhashNearDupsPlanned(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 32, threshold: Double = 0.8,
+      maxBucket: Int = 64): DataFrame =
+    minhashNearDups(df, idCol, textCol, shingleSize, numHashes,
+      lshPlan(numHashes, threshold).bands, threshold, maxBucket)
+
   /** Candidate near-duplicate pairs via banded LSH over the minhash
     * signature, then exact Jaccard verification on the shingle sets.
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.

@@ -207,6 +207,22 @@ object TableFunctions {
           if (args.length == 7) dbl(args(6), "jaccard threshold") else 0.8)
         .queryExecution.analyzed
     }),
+    "lsh_plan" -> (args => {
+      // pure decision function (no tables): the one-row plan the
+      // S-curve planner picks for (num_hashes, threshold) — compose
+      // its bands output into minhash_near_dups by hand or via the
+      // Scala minhashNearDupsPlanned
+      arity("lsh_plan", args, 2, 2)
+      val spark = SparkSession.active
+      import spark.implicits._
+      val p = Dedup.lshPlan(int(args(0), "num hashes"),
+        dbl(args(1), "jaccard threshold"))
+      Seq((p.numHashes, p.threshold, p.bands, p.rowsPerBand,
+          p.inflection, p.pCollide))
+        .toDF("num_hashes", "threshold", "bands", "rows_per_band",
+          "inflection", "p_collide")
+        .queryExecution.analyzed
+    }),
     "decontaminate" -> (args => {
       arity("decontaminate", args, 6, 8)
       val spark = SparkSession.active

@@ -363,6 +363,27 @@ class SqlDedupTvfSpec extends SparkTestBase {
         "'sql_seeds', 'nope', 4)"))
   }
 
+  test("lsh_plan TVF matches the Scala planner and composes into minhash_near_dups") {
+    GraftExtensions.register(spark)
+    val rows = spark.sql("SELECT * FROM lsh_plan(32, 0.8)").collect()
+    assert(rows.length === 1)
+    val p = Dedup.lshPlan(32, 0.8)
+    val r = rows(0)
+    assert(r.getInt(r.fieldIndex("bands")) === p.bands)
+    assert(r.getInt(r.fieldIndex("rows_per_band")) === p.rowsPerBand)
+    assert(r.getDouble(r.fieldIndex("inflection")) === p.inflection)
+    assert(r.getDouble(r.fieldIndex("p_collide")) === p.pCollide)
+    // the planned band count drives minhash_near_dups in pure SQL and
+    // lands exactly where the Scala wire-through lands
+    docs.createOrReplaceTempView("sql_docs")
+    val bands = spark.sql("SELECT bands FROM lsh_plan(32, 0.5)")
+      .collect()(0).getInt(0)
+    sameRows(
+      spark.sql("SELECT * FROM minhash_near_dups('sql_docs', 'doc_id', " +
+        s"'text', 3, 32, $bands, 0.5)"),
+      Dedup.minhashNearDupsPlanned(docs, "doc_id", "text", threshold = 0.5))
+  }
+
   test("TVF argument validation fails loudly") {
     GraftExtensions.register(spark)
     docs.createOrReplaceTempView("sql_docs")
