@@ -68,14 +68,7 @@ object Png {
         val a = if (i >= 3) raw(y * stride + i - 3) & 0xff else 0
         val b = if (y > 0) raw((y - 1) * stride + i) & 0xff else 0
         val c = if (i >= 3 && y > 0) raw((y - 1) * stride + i - 3) & 0xff else 0
-        val pred = ft match {
-          case 0 => 0
-          case 1 => a
-          case 2 => b
-          case 3 => (a + b) / 2
-          case 4 => paeth(a, b, c)
-        }
-        filtered(y * (1 + stride) + 1 + i) = (cur - pred).toByte
+        filtered(y * (1 + stride) + 1 + i) = (cur - predictor(ft, a, b, c)).toByte
         i += 1
       }
       y += 1
@@ -125,6 +118,19 @@ object Png {
     val p = a + b - c
     val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** The spec's five scanline predictors — ONE definition shared by the
+    * encode forward-filter and the decode reversal so the two loops
+    * cannot drift (a one-sided fix would silently break round-trips).
+    * Filter types > 4 are rejected before this is reached.
+    */
+  private def predictor(ft: Int, a: Int, b: Int, c: Int): Int = ft match {
+    case 0 => 0
+    case 1 => a
+    case 2 => b
+    case 3 => (a + b) / 2
+    case _ => paeth(a, b, c)
   }
 
   // ------------------------------------------------------------- decode
@@ -195,13 +201,25 @@ object Png {
     try {
       while (got < expect && !inflater.finished()) {
         val n = inflater.inflate(filtered, got, expect - got)
-        if (n == 0 && inflater.needsInput()) return None // truncated
+        // needsDictionary: an FDICT zlib stream — out of profile (PNG
+        // forbids preset dictionaries); without this check inflate()
+        // returns 0 with needsInput()=false forever
+        if (n == 0 && (inflater.needsInput() || inflater.needsDictionary()))
+          return None // truncated or preset-dictionary stream
         got += n
       }
       // stream must end exactly at the expected payload length
       if (got != expect) return None
+      // drain to the finished state: a stream that cannot finish here is
+      // missing its adler32 trailer (truncated), carries payload beyond
+      // the header's h·(1+stride) (n > 0), or demands a dictionary —
+      // all malformed
       val probe = new Array[Byte](1)
-      if (!inflater.finished() && inflater.inflate(probe) > 0) return None
+      while (!inflater.finished()) {
+        val n = inflater.inflate(probe)
+        if (n > 0) return None
+        if (inflater.needsInput() || inflater.needsDictionary()) return None
+      }
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inflater.end()
@@ -218,14 +236,7 @@ object Png {
         val a = if (k >= 3) raw(y * stride + k - 3) & 0xff else 0
         val b = if (y > 0) raw((y - 1) * stride + k) & 0xff else 0
         val c = if (k >= 3 && y > 0) raw((y - 1) * stride + k - 3) & 0xff else 0
-        val pred = ft match {
-          case 0 => 0
-          case 1 => a
-          case 2 => b
-          case 3 => (a + b) / 2
-          case _ => paeth(a, b, c)
-        }
-        raw(y * stride + k) = (fx + pred).toByte
+        raw(y * stride + k) = (fx + predictor(ft, a, b, c)).toByte
         k += 1
       }
       y += 1

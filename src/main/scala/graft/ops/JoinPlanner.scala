@@ -82,8 +82,13 @@ object JoinPlanner {
       // profile pass entirely
       return JoinDecision("broadcast", smallRows, -1L, -1.0, -1.0, est,
         salts)
-    val skew = Profile.keySkew(large, keyCols, topN = 1,
-      hotFactor = hotFactor).head()
+    val skewRows = Profile.keySkew(large, keyCols, topN = 1,
+      hotFactor = hotFactor).collect()
+    if (skewRows.isEmpty)
+      // a zero-row large side has no skew profile (keySkew emits no
+      // rows); nothing to protect — the plain shuffle join is free
+      return JoinDecision("shuffle", smallRows, 0L, 0.0, 0.0, est, salts)
+    val skew = skewRows(0)
     val largeRows = skew.getAs[Long]("n_rows")
     val topShare = skew.getAs[Double]("share")
     val hotSh = skew.getAs[Double]("hot_share")

@@ -367,6 +367,10 @@ object TableFunctions {
       val docs = spark.table(str(args(3), "docs table name"))
       val idCol = str(args(4), "doc id column")
       val docText = str(args(5), "doc text column")
+      // surface column-name typos at ANALYSIS time like every other
+      // deferred TVF (schema lookups throw on a missing field) — not
+      // deep inside training at first execution
+      train.schema(trainText); train.schema(labelCol); docs.schema(docText)
       val maxVocab =
         if (args.length == 7) int(args(6), "max vocab") else 1 << 16
       DeferredBuildPlan(StructType(Seq(

@@ -226,16 +226,24 @@ object KMeans {
     require(rows.length == k * dim,
       s"assignWithCentroids: expected k*dim = ${k * dim} centroid " +
         s"cells, got ${rows.length} — ragged or duplicated model")
-    val cs = Array.fill(k, dim)(Double.NaN)
+    // presence tracked explicitly (not via a NaN sentinel, which would
+    // misreport a corrupt NaN coord as a "gapped model"); null/NaN
+    // coords are rejected with their own message — getDouble on a null
+    // cell would silently read 0.0
+    val cs = Array.ofDim[Double](k, dim)
+    val seen = Array.ofDim[Boolean](k, dim)
     rows.foreach { r =>
       val (c, j) = (r.getInt(0), r.getInt(1))
       require(c >= 0 && j >= 0 && j < dim,
         s"assignWithCentroids: cell ($c, $j) outside k x dim")
-      require(cs(c)(j).isNaN,
+      require(!seen(c)(j),
         s"assignWithCentroids: duplicate centroid cell ($c, $j)")
+      require(!r.isNullAt(2) && !r.getDouble(2).isNaN,
+        s"assignWithCentroids: null/NaN coord at cell ($c, $j)")
+      seen(c)(j) = true
       cs(c)(j) = r.getDouble(2)
     }
-    require(cs.forall(_.forall(!_.isNaN)),
+    require(seen.forall(_.forall(identity)),
       "assignWithCentroids: missing centroid cells (gapped model)")
     cs
   }

@@ -45,15 +45,18 @@ object Spectral {
     * cast, so a non-numeric element whose cast nulls out also fails):
     * sum() would silently skip them while count() still counts the
     * row — exactly the biased-centroid hazard the guard exists for.
+    * NaN elements are rejected for the same reason: the fixed-point
+    * long cast maps NaN to 0 (non-ANSI Spark), silently zeroing that
+    * contribution while the row still counts.
     */
   private[sim] def checkedVec(vecCol: String, dim: Int,
       op: String): Column = {
     val casted = col(vecCol).cast("array<double>")
     when(col(vecCol).isNotNull && size(col(vecCol)) === dim &&
-        !exists(casted, _.isNull),
+        !exists(casted, e => e.isNull || isnan(e)),
       casted)
       .otherwise(raise_error(lit(s"$op: vector must be non-null " +
-        s"with exactly $dim non-null numeric elements")))
+        s"with exactly $dim non-null, non-NaN numeric elements")))
   }
 
   /** Per-label mean vector. Output: (labelCol, dim_idx, coord, n) —

@@ -138,22 +138,31 @@ object CountMin {
     * the min over rows tightens it — the planner-style pre-join size
     * check that costs two one-pass sketches instead of the join.
     * All integer arithmetic (cell products + sums), so the estimate is
-    * bit-identical on any partitioning and cross-engine. Overflow
-    * headroom: cell counts up to ~3·10^9 are safe (product + width-sum
-    * stays under 2^63 at the pinned 4×1024).
+    * bit-identical on any partitioning and cross-engine. Overflow is
+    * GUARDED, not silent: each row-sum is bounded by
+    * width·max(A)·max(B), and the estimate fails loudly when that
+    * bound approaches 2^63 (hot cells ~3·10^9 each at the pinned
+    * 4×1024 — beyond it the wrapped Long would masquerade as a tiny
+    * join) instead of wrapping negative.
     */
   def joinSizeEstimate(a: DataFrame, b: DataFrame, depth: Int,
       width: Int): DataFrame = {
     validate(depth, width)
+    val overflowBound = array_max(col("__a")).cast("double") *
+      array_max(col("__b")).cast("double") * lit(width.toDouble)
     a.select(col("cms").as("__a"))
       .crossJoin(b.select(col("cms").as("__b")))
-      .select(array_min(transform(
-        sequence(lit(0), lit(depth - 1)),
-        i => aggregate(
-          zip_with(slice(col("__a"), i * lit(width) + lit(1), lit(width)),
-            slice(col("__b"), i * lit(width) + lit(1), lit(width)),
-            (x, y) => x * y),
-          lit(0L), (acc, v) => acc + v)))
+      .select(when(overflowBound < lit(4.5e18),
+        array_min(transform(
+          sequence(lit(0), lit(depth - 1)),
+          i => aggregate(
+            zip_with(slice(col("__a"), i * lit(width) + lit(1), lit(width)),
+              slice(col("__b"), i * lit(width) + lit(1), lit(width)),
+              (x, y) => x * y),
+            lit(0L), (acc, v) => acc + v))))
+        .otherwise(raise_error(lit("joinSizeEstimate: cell counts too " +
+          "large — width*maxA*maxB would overflow Long; pre-aggregate " +
+          "or widen the sketch")))
         .as("est_join_rows"))
   }
 

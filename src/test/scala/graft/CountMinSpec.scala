@@ -149,6 +149,20 @@ class CountMinSpec extends SparkTestBase {
     assert(est == truth)
   }
 
+  test("joinSizeEstimate fails loudly instead of wrapping when cell " +
+      "counts would overflow the Long inner product") {
+    val big = Seq(Seq.fill(4 * 8)(3000000000L)).toDF("cms")
+    val e = intercept[Exception](
+      CountMin.joinSizeEstimate(big, big, 4, 8).collect())
+    val msg = e.getMessage +
+      (if (e.getCause != null) e.getCause.getMessage else "")
+    assert(msg.contains("overflow"), msg)
+    // just inside the bound: width*maxA*maxB = 4e18 < 4.5e18 computes
+    val ok = Seq(Seq.fill(4 * 4)(1000000000L)).toDF("cms")
+    val est = CountMin.joinSizeEstimate(ok, ok, 4, 4).as[Long].head()
+    assert(est == 4L * 1000000000L * 1000000000L)
+  }
+
   test("property: random corpora match the reference matrix under " +
       "random shapes and partitionings") {
     val rnd = new scala.util.Random(4099)

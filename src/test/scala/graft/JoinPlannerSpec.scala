@@ -44,6 +44,13 @@ class JoinPlannerSpec extends SparkTestBase {
     assert(shuffle.strategy == "shuffle", s"got $shuffle")
   }
 
+  test("an empty large side decides shuffle instead of crashing") {
+    val empty = skewed.filter(lit(false))
+    val d = JoinPlanner.plan(empty, dim, Seq("k"), broadcastRowLimit = 10)
+    assert(d.strategy == "shuffle", s"got $d")
+    assert(d.largeRows == 0L && d.smallRows == 201L)
+  }
+
   test("autoJoin returns the same rows as a plain join on every path") {
     val plain = skewed.join(dim, Seq("k")).orderBy("row_id", "attr")
       .collect().toSeq

@@ -183,6 +183,35 @@ class KMeansSpec extends SparkTestBase {
       KMeans.assignWithCentroids(df, "id", "v", dim = 4, gapped))
   }
 
+  test("a null/NaN coord in a persisted model is rejected as corrupt, " +
+      "not misreported as a gapped model") {
+    val df = data.toDF("id", "v")
+    val nanModel = (for (c <- 0L until 2L; j <- 0L until 4L)
+        yield (c, j, if (c == 0L && j == 1L) Double.NaN else 1.0))
+      .toDF("cluster", "dim_idx", "coord")
+    val e = intercept[IllegalArgumentException](
+      KMeans.assignWithCentroids(df, "id", "v", dim = 4, nanModel))
+    assert(e.getMessage.contains("null/NaN coord"), e.getMessage)
+    val nullModel = (for (c <- 0L until 2L; j <- 0L until 4L)
+        yield (c, j, if (c == 1L && j == 0L) None else Some(1.0)))
+      .toDF("cluster", "dim_idx", "coord")
+    val e2 = intercept[IllegalArgumentException](
+      KMeans.assignWithCentroids(df, "id", "v", dim = 4, nullModel))
+    assert(e2.getMessage.contains("null/NaN coord"), e2.getMessage)
+  }
+
+  test("vectors with NaN elements are rejected loudly (the fixed-point " +
+      "cast would silently zero the contribution)") {
+    val bad = Seq((1L, Seq(1.0, Double.NaN, 3.0, 4.0)),
+      (2L, Seq(1.0, 2.0, 3.0, 4.0))).toDF("id", "v")
+    val e = intercept[Exception](
+      KMeans.kmeansCentroids(bad, "id", "v", dim = 4, k = 1,
+        iterations = 1).collect())
+    val msg = e.getMessage +
+      (if (e.getCause != null) e.getCause.getMessage else "")
+    assert(msg.contains("non-NaN"), msg)
+  }
+
   test("vectors with NULL elements are rejected loudly, not " +
       "silently skipped (the biased-centroid guard)") {
     val bad = Seq((1L, Seq[Option[Double]](Some(1.0), None, Some(3.0),

@@ -112,6 +112,62 @@ class PngSpec extends SparkTestBase {
     }).isEmpty)
   }
 
+  private def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(java.nio.ByteBuffer.allocate(4).putInt(data.length).array())
+    val t = typ.getBytes("ASCII")
+    out.write(t); out.write(data)
+    val crc = new java.util.zip.CRC32(); crc.update(t); crc.update(data)
+    out.write(java.nio.ByteBuffer.allocate(4)
+      .putInt(crc.getValue.toInt).array())
+    out.toByteArray
+  }
+
+  test("FDICT (preset-dictionary) zlib stream returns None, not a hang") {
+    // zlib header 0x78 0x20: CM=8, CINFO=7, FDICT set, (0x7820 % 31)==0
+    // — Inflater then reports needsDictionary() with inflate()==0 and
+    // needsInput()==false; without the dictionary check decodePng spins
+    val sig = Array(137, 80, 78, 71, 13, 10, 26, 10).map(_.toByte)
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(2).putInt(2)
+      .put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val fdict = Array(0x78, 0x20, 1, 2, 3, 4, 5, 6, 7, 8).map(_.toByte)
+    val bytes = sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", fdict) ++
+      chunk("IEND", Array.emptyByteArray)
+    assert(Png.decodePng(bytes).isEmpty)
+  }
+
+  test("missing adler32 trailer (all deflate blocks present) is rejected") {
+    // rebuild a valid PNG as one IDAT whose zlib stream drops the 4
+    // trailing adler bytes — chunk CRCs valid, payload inflates to the
+    // full expected length, only the drain-to-finished check can reject
+    val full = Png.encodePng(16, 16, rgbOf(3), y => y % 5)
+    val z = new java.io.ByteArrayOutputStream()
+    var ihdrData: Array[Byte] = null
+    var pos = 8
+    while (pos + 12 <= full.length) {
+      val len = java.nio.ByteBuffer.wrap(full, pos, 4).getInt
+      new String(full, pos + 4, 4, "ASCII") match {
+        case "IHDR" => ihdrData = java.util.Arrays.copyOfRange(
+          full, pos + 8, pos + 8 + len)
+        case "IDAT" => z.write(full, pos + 8, len)
+        case _ =>
+      }
+      pos += 12 + len
+    }
+    val zb = z.toByteArray
+    assert(zb.length > 4)
+    val noAdler = java.util.Arrays.copyOfRange(zb, 0, zb.length - 4)
+    val sig = java.util.Arrays.copyOfRange(full, 0, 8)
+    val bytes = sig ++ chunk("IHDR", ihdrData) ++ chunk("IDAT", noAdler) ++
+      chunk("IEND", Array.emptyByteArray)
+    assert(Png.decodePng(bytes).isEmpty)
+    // control: the same reframe WITH the trailer still decodes
+    val okBytes = sig ++ chunk("IHDR", ihdrData) ++ chunk("IDAT", zb) ++
+      chunk("IEND", Array.emptyByteArray)
+    assert(Png.decodePng(okBytes).isDefined)
+  }
+
   test("truncated DEFLATE stream (valid chunk framing) is rejected") {
     // re-frame the image keeping only the first IDAT's first half,
     // with a VALID CRC — only the inflate-length check can catch it
