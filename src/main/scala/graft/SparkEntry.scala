@@ -1267,6 +1267,21 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("mix_threshold"))
         .orderBy(col("doc_id"))
     }),
+    "ts_token_budget" -> ((s, dir) => {
+      // per-language token-budget fill (the "N tokens of each domain"
+      // training-mix step): rank by n_chars (stand-in score — the
+      // ranking column is the caller's choice), keep the maximal
+      // rank-prefix whose running whitespace-token total stays within
+      // 3000 tokens per language (every language straddles at sf0.01).
+      // Engine shape is the histogram prefix + tie-group running sum
+      // (no language sorted whole); the oracle runs the DIRECT
+      // full-sort cumulative formulation — the row sets must agree.
+      val docs = t(s, dir, "documents").withColumn("n_ws_tokens",
+        TextStats.tokenCount(col("text")).cast("long"))
+      graft.ops.Sampling.tokenBudgetSelect(docs, "doc_id", "lang",
+          "n_ws_tokens", "n_chars", budget = 3000L)
+        .orderBy(col("doc_id"))
+    }),
     "ts_lm_buckets" -> ((s, dir) => {
       // CCNet head/middle/tail: per-language thirds by corpus LM score
       // (integer percentile test, rounded-score ranking — bit-stable)
@@ -2909,6 +2924,24 @@ object SparkEntry {
            round(sc.score, 6) AS lm_score6
          FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
          ORDER BY d.doc_id""",
+    // the DIRECT formulation of the token-budget fill: full per-language
+    // sort by (score6 desc, doc_id), inclusive running token sum, keep
+    // run <= budget — the engine's histogram-prefix shape must produce
+    // the identical row set
+    "ts_token_budget" ->
+      """WITH docs AS (SELECT doc_id, lang,
+             CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+               t -> length(t) > 0)) AS BIGINT) AS tk,
+             round(CAST(n_chars AS DOUBLE), 6) AS s
+           FROM documents
+           WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+             AND text IS NOT NULL AND n_chars IS NOT NULL),
+         ord AS (SELECT doc_id, lang, tk,
+             sum(tk) OVER (PARTITION BY lang ORDER BY s DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+           FROM docs WHERE tk >= 0)
+         SELECT doc_id, lang, tk AS n_tokens
+         FROM ord WHERE run <= 3000 ORDER BY doc_id""",
     "ts_lm_buckets" ->
       // CCNet head/middle/tail per language: rank by the ROUNDED score
       // (the cross-engine-pinned rounding) with id tiebreak; percentile

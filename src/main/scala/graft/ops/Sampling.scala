@@ -171,4 +171,58 @@ object Sampling {
         .filter(col("rank") <= k)
     }
   }
+
+  /** Per-domain token-budget selection — the "fill the training mix"
+    * step of a pretraining pipeline ("N tokens of web, M of code, …"):
+    * within each domain, documents are ranked by (score ROUNDED to 6
+    * decimals desc, id asc) and the maximal rank-prefix whose running
+    * token total stays ≤ `budget` is kept. Documents are atomic: the
+    * first doc whose inclusive running sum crosses the budget is
+    * dropped along with everything ranked after it (zero-token docs at
+    * exactly the boundary still fit). Rows whose id, token count, or
+    * score is null (or tokens < 0) cannot be ranked or costed and are
+    * excluded. Rows with a NULL domain are excluded too (they form no
+    * budgetable domain; and the histogram re-join is null-unsafe, so
+    * keeping them would silently drop rather than group them).
+    *
+    * Scale (the lmQualityBuckets histogram discipline — no domain
+    * partition is ever sorted whole): ONE corpus-sized hash aggregation
+    * builds the per-(domain, score6) token-sum histogram; cumulative
+    * sums run over the HISTOGRAM (distinct rounded scores ≪ documents
+    * whenever scores tie); the corpus then joins back on (domain,
+    * score6) and the per-TIE-GROUP running sum reuses that exchange —
+    * the window sorts tie groups (bounded by tie-group size, spread
+    * across tasks), never a domain. Keep test: histogram prefix +
+    * in-group running sum ≤ budget — provably the same rows as the
+    * direct full-sort cumulative formulation (the DuckDB oracle runs
+    * the direct form).
+    */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, domainCol: String,
+      tokensCol: String, scoreCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val docs = df.select(col(idCol).as("__id"),
+        col(domainCol).as("__dm"),
+        col(tokensCol).cast("long").as("__tk"),
+        round(col(scoreCol).cast("double"), 6).as("__s"))
+      .filter(col("__id").isNotNull && col("__dm").isNotNull &&
+        col("__tk").isNotNull && col("__tk") >= 0 && col("__s").isNotNull)
+    // per-(domain, score6) token-sum histogram — the one corpus-sized
+    // exchange; ties collapse, a hot domain spreads by score
+    val hist = docs.groupBy(col("__dm"), col("__s"))
+      .agg(sum(col("__tk")).as("__gt"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__dm")).orderBy(col("__s").desc)
+    val cum = hist.select(col("__dm"), col("__s"),
+        (sum(col("__gt")).over(wCum) - col("__gt")).as("__cs"))
+    // join on (domain, score6); the tie window reuses the partitioning
+    val wTie = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__dm"), col("__s")).orderBy(col("__id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs.join(cum, Seq("__dm", "__s"))
+      .withColumn("__run", col("__cs") + sum(col("__tk")).over(wTie))
+      .filter(col("__run") <= budget)
+      .select(col("__id").as(idCol), col("__dm").as(domainCol),
+        col("__tk").as("n_tokens"))
+  }
 }

@@ -415,6 +415,20 @@ object TableFunctions {
         k = int(args(3), "k"))
         .queryExecution.analyzed
     }),
+    "token_budget" -> (args => {
+      // per-domain token-budget fill: keep the maximal score-ranked
+      // prefix whose running token total stays within the budget
+      arity("token_budget", args, 6, 6)
+      val spark = SparkSession.active
+      graft.ops.Sampling.tokenBudgetSelect(
+        spark.table(str(args(0), "docs table name")),
+        str(args(1), "id column"),
+        str(args(2), "domain column"),
+        str(args(3), "tokens column"),
+        str(args(4), "score column"),
+        budget = lng(args(5), "token budget"))
+        .queryExecution.analyzed
+    }),
     "profile_text" -> (args => {
       arity("profile_text", args, 2, 3)
       val spark = SparkSession.active

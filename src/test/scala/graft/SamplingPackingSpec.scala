@@ -67,6 +67,64 @@ class SamplingPackingSpec extends SparkTestBase {
     assert(grown === a)
   }
 
+  test("tokenBudgetSelect: histogram-prefix shape equals the direct " +
+      "full-sort cumulative rule, ties and boundary exact") {
+    import spark.implicits._
+    // crafted: ties in score (the straddling tie group), a doc landing
+    // exactly ON the budget, a zero-token doc at the boundary, and a
+    // domain entirely under budget
+    val docs = Seq(
+      // domain a, budget 10: score 5.0 group = ids 1,2,3 (tk 4, 3, 3)
+      // run: 4, 7, 10 -> all kept (id 3 exactly on budget)
+      (1L, "a", 4L, 5.0), (2L, "a", 3L, 5.0), (3L, "a", 3L, 5.0),
+      // next group score 4.0: id 4 (tk 0) run 10 -> kept; id 5 (tk 1)
+      // run 11 -> dropped, and id 6 after it dropped too
+      (4L, "a", 0L, 4.0), (5L, "a", 1L, 4.0), (6L, "a", 9L, 3.0),
+      // domain b entirely under budget
+      (7L, "b", 2L, 1.0), (8L, "b", 3L, 9.9)).toDF("id", "dm", "tk", "sc")
+    val kept = Sampling.tokenBudgetSelect(docs, "id", "dm", "tk", "sc",
+      budget = 10L).as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(kept.map(_._1) === Seq(1L, 2L, 3L, 4L, 7L, 8L))
+    assert(kept.map(_._3) === Seq(4L, 3L, 3L, 0L, 2L, 3L))
+    // direct-rule reference on a randomized corpus, multiple budgets
+    val rnd = new scala.util.Random(20260815)
+    val corpus = (1L to 400L).map(i => (i,
+      s"d${rnd.nextInt(4)}", rnd.nextInt(20).toLong,
+      math.floor(rnd.nextDouble() * 10) / 2.0)) // coarse scores => ties
+    val cdf = corpus.toDF("id", "dm", "tk", "sc")
+    for (budget <- Seq(5L, 40L, 300L, 100000L)) {
+      val got = Sampling.tokenBudgetSelect(cdf, "id", "dm", "tk", "sc",
+        budget).as[(Long, String, Long)].collect().map(_._1).toSet
+      val want = corpus.groupBy(_._2).values.flatMap { rows =>
+        val ordered = rows.sortBy(r => (-r._4, r._1))
+        val runs = ordered.scanLeft(0L)(_ + _._3).tail
+        ordered.zip(runs).takeWhile(_._2 <= budget).map(_._1._1)
+      }.toSet
+      assert(got === want, s"budget=$budget")
+    }
+    // nulls/negatives excluded, never crash the selection
+    val withBad = docs.union(Seq((9L, null.asInstanceOf[String], 1L, 1.0),
+      (10L, "a", -1L, 1.0)).toDF("id", "dm", "tk", "sc"))
+    val cleaned = Sampling.tokenBudgetSelect(withBad, "id", "dm", "tk",
+      "sc", budget = 10L).as[(Long, String, Long)].collect().map(_._1).toSet
+    assert(cleaned === Set(1L, 2L, 3L, 4L, 7L, 8L))
+    intercept[IllegalArgumentException](
+      Sampling.tokenBudgetSelect(docs, "id", "dm", "tk", "sc", 0L))
+  }
+
+  test("tokenBudgetSelect: repartition invariance (row set identical " +
+      "on any layout)") {
+    import spark.implicits._
+    val corpus = (1L to 300L).map(i =>
+      (i, s"d${i % 3}", (i * 7 % 15), (i % 9).toDouble))
+      .toDF("id", "dm", "tk", "sc")
+    val base = Sampling.tokenBudgetSelect(corpus, "id", "dm", "tk", "sc",
+      100L).as[(Long, String, Long)].collect().toSet
+    val shuffled = Sampling.tokenBudgetSelect(corpus.repartition(17),
+      "id", "dm", "tk", "sc", 100L).as[(Long, String, Long)].collect().toSet
+    assert(base === shuffled && base.nonEmpty)
+  }
+
   test("packChunks: intervals are contiguous per shard and spans correct") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)

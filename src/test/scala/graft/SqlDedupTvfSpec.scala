@@ -246,6 +246,16 @@ class SqlDedupTvfSpec extends SparkTestBase {
         "SELECT * FROM sample_k_per_group('sql_docs', 'text', 'doc_id', 2)"),
       graft.ops.Sampling.sampleKPerGroup(docs, Seq("text"), "doc_id", 2))
 
+    val budgeted = docs
+      .withColumn("tk", org.apache.spark.sql.functions.length(col("text")))
+      .withColumn("dm", org.apache.spark.sql.functions.lit("all"))
+    budgeted.createOrReplaceTempView("sql_budget_docs")
+    sameRows(
+      spark.sql("SELECT * FROM token_budget('sql_budget_docs', 'doc_id', " +
+        "'dm', 'tk', 'tk', 150)"),
+      graft.ops.Sampling.tokenBudgetSelect(budgeted, "doc_id", "dm",
+        "tk", "tk", 150L))
+
     val emb = Seq((1L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),
       (2L, Seq(-1.0f, 0.5f, 0.0f, 2.0f))).toDF("vec_id", "v")
     emb.createOrReplaceTempView("sql_emb")
