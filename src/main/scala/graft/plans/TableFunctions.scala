@@ -415,6 +415,20 @@ object TableFunctions {
         k = int(args(3), "k"))
         .queryExecution.analyzed
     }),
+    "funnel" -> (args => {
+      // ordered-funnel analysis: steps as a comma list, horizon in
+      // MICROSECONDS; one row per key with step times + conversion
+      arity("funnel", args, 6, 6)
+      val spark = SparkSession.active
+      graft.ts.TimeSeriesOps.funnel(
+        spark.table(str(args(0), "events table name")),
+        str(args(1), "key column"),
+        str(args(2), "event type column"),
+        str(args(3), "timestamp column"),
+        keyList(str(args(4), "step list")),
+        horizonUs = lng(args(5), "horizon micros"))
+        .queryExecution.analyzed
+    }),
     "token_budget" -> (args => {
       // per-domain token-budget fill: keep the maximal score-ranked
       // prefix whose running token total stays within the budget

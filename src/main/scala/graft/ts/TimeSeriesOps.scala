@@ -193,4 +193,50 @@ object TimeSeriesOps {
     df.withColumn(out,
       sum(isStart).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
+
+  /** Ordered-funnel analysis — the event-analytics staple: for each
+    * key, step i completes at the EARLIEST event of `steps(i)` strictly
+    * after step i−1's completion (step 0 at the key's earliest
+    * `steps(0)` event); the key converts when the last step completes
+    * within `horizonUs` microseconds of step 0. One row per key:
+    * `step0_us .. step{k-1}_us` (null from the first incomplete step —
+    * the chain enforces the prefix property), `steps_completed`,
+    * `converted` (false, never null, when incomplete).
+    *
+    * Shape: ONE exchange on the key. Each step is a conditional min
+    * window over the same partitioning with an UNBOUNDED frame and no
+    * ordering — k chained Window operators reuse the one exchange, no
+    * sort anywhere, no event-list collection (per-window state is one
+    * timestamp); the final dedup to one row per key is a hash
+    * aggregation riding the same partitioning. Step count is capped at
+    * 8 (each step adds a window pass; a funnel deeper than that is a
+    * modeling smell, and the cap bounds the plan).
+    */
+  def funnel(df: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String], horizonUs: Long): DataFrame = {
+    require(steps.nonEmpty && steps.size <= 8,
+      s"steps must be 1..8 events, got ${steps.size}")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct, got $steps")
+    require(horizonUs > 0, s"horizonUs must be positive, got $horizonUs")
+    val w = Window.partitionBy(col(keyCol))
+    var acc = df.select(col(keyCol), col(typeCol).as("__t"),
+      unix_micros(col(tsCol)).as("__us"))
+    steps.zipWithIndex.foreach { case (s, i) =>
+      val cond =
+        if (i == 0) col("__t") === s
+        else col("__t") === s && col("__us") > col(s"__s${i - 1}")
+      acc = acc.withColumn(s"__s$i", min(when(cond, col("__us"))).over(w))
+    }
+    val stepCols = steps.indices.map(i =>
+      min(col(s"__s$i")).as(s"step${i}_us"))
+    acc.groupBy(col(keyCol))
+      .agg(stepCols.head, stepCols.tail: _*)
+      .withColumn("steps_completed",
+        steps.indices.map(i => when(col(s"step${i}_us").isNotNull, 1L)
+          .otherwise(0L)).reduce(_ + _))
+      .withColumn("converted", coalesce(
+        col(s"step${steps.size - 1}_us") - col("step0_us") <= horizonUs,
+        lit(false)))
+  }
 }

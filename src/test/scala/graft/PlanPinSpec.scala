@@ -344,4 +344,45 @@ class PlanPinSpec extends SparkTestBase {
       !plan.contains("SortMergeJoin"),
       s"no corpus-shuffling join shapes:\n$plan")
   }
+
+  test("ev_funnel: one data exchange, chained unordered windows, no join") {
+    // the funnel's scale contract: each step is a conditional-min window
+    // over the SAME user partitioning (unbounded frame, no ordering) and
+    // the per-user dedup is a map-side-combined agg riding it — one
+    // corpus exchange plus the presentation sort, never a join or a
+    // per-step shuffle
+    val plan = SparkEntry.queries("ev_funnel")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"funnel must not plan a join:\n$plan")
+    assert("windowspecdefinition".r.findAllIn(plan).size >= 3,
+      s"three chained step windows expected:\n$plan")
+    assert(plan.contains("partial_min"),
+      s"the per-user dedup must combine map-side:\n$plan")
+    val exchanges = "Exchange (hash|range)partitioning".r
+      .findAllIn(plan).size
+    assert(exchanges <= 2,
+      s"funnel grew extra shuffles ($exchanges > 2):\n$plan")
+  }
+
+  test("ts_token_budget: histogram broadcasts, corpus shuffles once") {
+    // budget fill's scale contract: the per-(domain, score) histogram —
+    // not the corpus — flows through the cumulative window and then
+    // BROADCASTS back; the corpus pays exactly one hash exchange (the
+    // tie-window partitioning the broadcast join feeds) plus the
+    // presentation sort
+    val plan = SparkEntry.queries("ts_token_budget")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the histogram must broadcast onto the corpus:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"no corpus-shuffling join shapes:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"the histogram agg must combine map-side:\n$plan")
+    val exchanges = "Exchange (hash|range)partitioning".r
+      .findAllIn(plan).size
+    assert(exchanges <= 4,
+      s"token budget grew extra shuffles ($exchanges > 4):\n$plan")
+  }
 }

@@ -256,6 +256,18 @@ class SqlDedupTvfSpec extends SparkTestBase {
       graft.ops.Sampling.tokenBudgetSelect(budgeted, "doc_id", "dm",
         "tk", "tk", 150L))
 
+    val ev = Seq(
+      (1L, "view", new java.sql.Timestamp(10000L)),
+      (1L, "buy", new java.sql.Timestamp(20000L)),
+      (2L, "buy", new java.sql.Timestamp(5000L)))
+      .toDF("user_id", "event_type", "ts")
+    ev.createOrReplaceTempView("sql_events")
+    sameRows(
+      spark.sql("SELECT * FROM funnel('sql_events', 'user_id', " +
+        "'event_type', 'ts', 'view,buy', 60000000)"),
+      graft.ts.TimeSeriesOps.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "buy"), 60000000L))
+
     val emb = Seq((1L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),
       (2L, Seq(-1.0f, 0.5f, 0.0f, 2.0f))).toDF("vec_id", "v")
     emb.createOrReplaceTempView("sql_emb")

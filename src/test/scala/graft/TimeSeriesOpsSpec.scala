@@ -116,4 +116,52 @@ class TimeSeriesOpsSpec extends SparkTestBase {
       .map(_.getTimestamp(1)).toSeq
     assert(got === Seq(ts(6), ts(7), ts(8)))
   }
+
+  test("funnel: strictly-after chaining, prefix property, horizon " +
+      "boundary, out-of-order events") {
+    def sec(s: Long): Timestamp = new Timestamp(s * 1000L)
+    val events = Seq(
+      // u1: clean completion, span exactly == horizon (20s) -> converts
+      (1L, "view", sec(10)), (1L, "click", sec(20)), (1L, "purchase", sec(30)),
+      // u2: a purchase BEFORE the funnel starts must not count
+      (2L, "purchase", sec(5)), (2L, "view", sec(10)),
+      (2L, "click", sec(20)), (2L, "purchase", sec(25)),
+      // u3: click at EXACTLY the view time is not strictly after; the
+      // later click chains, but its purchase precedes it -> 2 steps
+      (3L, "view", sec(10)), (3L, "click", sec(10)),
+      (3L, "purchase", sec(12)), (3L, "click", sec(15)),
+      // u4: never views -> zero steps, converted false (not null)
+      (4L, "click", sec(5)), (4L, "purchase", sec(6)))
+      .toDF("user_id", "event_type", "ts")
+    val got = TimeSeriesOps.funnel(events, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"), horizonUs = 20000000L)
+      .orderBy("user_id")
+      .select("user_id", "step0_us", "step1_us", "step2_us",
+        "steps_completed", "converted")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+        r.getLong(4), r.getBoolean(5))).toSeq
+    def us(s: Long) = Some(s * 1000000L)
+    assert(got === Seq(
+      (1L, us(10), us(20), us(30), 3L, true),
+      (2L, us(10), us(20), us(25), 3L, true),
+      (3L, us(10), us(15), None, 2L, false),
+      (4L, None, None, None, 0L, false)))
+    // layout invariance: same rows on any partitioning
+    val shuffled = TimeSeriesOps.funnel(events.repartition(7), "user_id",
+      "event_type", "ts", Seq("view", "click", "purchase"), 20000000L)
+      .collect().map(_.toSeq).toSet
+    assert(shuffled === TimeSeriesOps.funnel(events, "user_id",
+      "event_type", "ts", Seq("view", "click", "purchase"), 20000000L)
+      .collect().map(_.toSeq).toSet)
+    // guards
+    intercept[IllegalArgumentException](TimeSeriesOps.funnel(events,
+      "user_id", "event_type", "ts", Seq.empty, 1L))
+    intercept[IllegalArgumentException](TimeSeriesOps.funnel(events,
+      "user_id", "event_type", "ts", Seq("a", "a"), 1L))
+    intercept[IllegalArgumentException](TimeSeriesOps.funnel(events,
+      "user_id", "event_type", "ts", (1 to 9).map("s" + _), 1L))
+    intercept[IllegalArgumentException](TimeSeriesOps.funnel(events,
+      "user_id", "event_type", "ts", Seq("view"), 0L))
+  }
 }
