@@ -34,9 +34,17 @@ final class Backtest(
       case Some(idx) => res.daily.transform(BacktestEngine.joinIndex(_, idx))
       case None => res.daily
     }
-    result = Some(BacktestResult(daily, res.orders))
+    // carry the engine's foldCache through: dropping it here would
+    // orphan the persisted fold blocks — result.unpersist() could
+    // never release them
+    result = Some(BacktestResult(daily, res.orders, res.foldCache))
     daily
   }
+
+  /** Release the persisted fold/daily blocks of the last [[run]] — call
+    * when iterating over many strategies in one session.
+    */
+  def unpersist(): Unit = result.foreach(_.unpersist())
 
   /** Final net worth per ticker — the reference's `run().net_worth[-1]`. */
   def finalNetWorth(): DataFrame = {

@@ -861,9 +861,7 @@ object Dedup {
     * checkpoints instead.
     */
   private def cut(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+    graft.ops.Lineage.cut(df)
 
   /** Drop near-duplicates: keep one survivor (the minimum id) per
     * connected near-dup cluster found by MinHash LSH. The standard

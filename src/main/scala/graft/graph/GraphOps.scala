@@ -326,7 +326,5 @@ object GraphOps {
   }
 
   private def cut(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+    graft.ops.Lineage.cut(df)
 }

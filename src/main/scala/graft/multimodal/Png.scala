@@ -175,10 +175,14 @@ object Png {
           val bb = java.nio.ByteBuffer.wrap(bytes, pos + 8, 13)
           w = bb.getInt(); h = bb.getInt()
           val depth = bb.get(); val color = bb.get()
-          bb.get() // compression (only 0 defined)
-          bb.get() // filter method (only 0 defined)
+          // compression and filter METHOD bytes: only 0 is defined by
+          // the spec — a nonzero value decoded under method-0 semantics
+          // would silently produce wrong pixels, so reject
+          val compression = bb.get()
+          val filterMethod = bb.get()
           val interlace = bb.get()
           if (w <= 0 || h <= 0 || depth != 8 || color != 2 ||
+            compression != 0 || filterMethod != 0 ||
             interlace != 0) return None
           // dimension bomb guard: stride math must stay in Int
           if (w.toLong * h * 3 > Int.MaxValue - h) return None

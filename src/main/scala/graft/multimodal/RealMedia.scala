@@ -103,6 +103,11 @@ object RealMedia {
       if (len < 0) return None
       cid match {
         case "fmt " =>
+          // a declared fmt length under 16 would misread the next
+          // chunk's bytes as format fields and desynchronize the walk;
+          // a truncated buffer would throw BufferUnderflowException
+          // mid-parse — both violate the Option contract, so reject
+          if (len < 16 || bb.remaining() < len) return None
           val fmt = bb.getShort(); val ch = bb.getShort()
           rate = bb.getInt()
           bb.getInt(); bb.getShort()

@@ -86,8 +86,12 @@ object Sampling {
       s"targetFraction must be in (0, 1], got $targetFraction")
     // (domain, count) sorted by domain inside ONE row: the Σ n^α fold
     // and the total-N sum then run left-to-right over a fixed order, so
-    // the thresholds are bit-reproducible on any partitioning
-    val dc = df.groupBy(col(domainCol).as("__d")).count()
+    // the thresholds are bit-reproducible on any partitioning.
+    // NULL-domain rows are excluded BEFORE the histogram, not just at
+    // the join: they can never be drawn, so counting them would inflate
+    // N and Z and overstate every real domain's accept rate
+    val dc = df.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol).as("__d")).count()
       .agg(sort_array(collect_list(struct(col("__d"), col("count").as("__n"))))
         .as("__dc"))
       .select(col("__dc"),

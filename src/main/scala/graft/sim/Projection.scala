@@ -79,7 +79,8 @@ object Projection {
     */
   def jlTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
-      k: Int, dim: Int, projDim: Int = 16, overFetch: Int = 4): DataFrame = {
+      k: Int, dim: Int, projDim: Int = 16, overFetch: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     require(overFetch >= 1, s"overFetch must be positive, got $overFetch")
     val cp = corpus.select(col(idCol).as("vec_id"),
@@ -87,8 +88,11 @@ object Projection {
     val qp = broadcast(queries.select(col(queryIdCol).as("query_id"),
       col(queryVecCol).as("__qv"),
       jlProject(col(queryVecCol), dim, projDim).as("__qp")))
-    val coarse = cp.crossJoin(qp.select(col("query_id"), col("__qp")))
-      .filter(col("vec_id") =!= col("query_id"))
+    val paired = cp.crossJoin(qp.select(col("query_id"), col("__qp")))
+    // excludeSelf as in Similarity.bruteForceTopK: drop only for
+    // self-retrieval id spaces, never across unrelated tables
+    val coarse = (if (excludeSelf)
+        paired.filter(col("vec_id") =!= col("query_id")) else paired)
       .withColumn("cosine", Similarity.cosine(col("__cp"), col("__qp")))
       .select("query_id", "vec_id", "cosine")
     val cands = Similarity.rankTopK(coarse, k * overFetch)

@@ -40,8 +40,16 @@ object Similarity {
   def norm(a: Column): Column =
     graft.functions.VectorFunctions.norm(a)
 
-  /** Cosine similarity. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity. NULL when either vector has zero norm: the
+    * 0/0 is undefined — as NaN it would rank greatest in every top-k
+    * and pass any threshold (non-ANSI), and under ANSI mode the raw
+    * division would kill the whole job on one degenerate row. NULL
+    * rides the existing null-cosine filters instead, in either mode.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = norm(a) * norm(b)
+    when(denom =!= 0.0, dot(a, b) / denom)
+  }
 
   private val integralTypes: Set[DataType] =
     Set(ByteType, ShortType, IntegerType, LongType)
@@ -59,13 +67,17 @@ object Similarity {
     if (integralTypes.contains(idType)) {
       // duplicate candidates (multi-table LSH) are collapsed INSIDE the
       // k-heap — no dropDuplicates shuffle needed before ranking.
-      // Null guard: TopKAgg's input encoder is primitive (Double, Long),
-      // so a corrupt embedding's NULL cosine (DotProduct length-mismatch
-      // contract) must be dropped here — the window fallback applies the
-      // identical filter, so both branches emit the same set
+      // Null/NaN guard: TopKAgg's input encoder is primitive (Double,
+      // Long), so a corrupt embedding's NULL cosine (DotProduct
+      // length-mismatch contract) must be dropped here; a zero-norm
+      // vector's 0/0 NaN cosine must too — TopKAgg ranks NaN greatest,
+      // so one degenerate corpus vector would otherwise occupy rank 1
+      // for EVERY query. The window fallback applies the identical
+      // filter, so both branches emit the same set
       val topk = udaf(new TopKAgg(k))
       scored
-        .filter(col("cosine").isNotNull && col("vec_id").isNotNull)
+        .filter(col("cosine").isNotNull && !isnan(col("cosine")) &&
+          col("vec_id").isNotNull)
         .groupBy("query_id")
         .agg(topk(col("cosine"), col("vec_id").cast("long")).as("__topk"))
         .select(col("query_id"),
@@ -80,7 +92,8 @@ object Similarity {
       // within rank k whenever a query has fewer than k valid candidates,
       // breaking parity between the two branches
       val base0 = scored.select("query_id", "vec_id", "cosine")
-        .filter(col("cosine").isNotNull && col("vec_id").isNotNull)
+        .filter(col("cosine").isNotNull && !isnan(col("cosine")) &&
+          col("vec_id").isNotNull)
       val base = if (dedupCandidates) base0.distinct() else base0
       val w = Window.partitionBy("query_id")
         .orderBy(col("cosine").desc, col("vec_id"))
@@ -93,15 +106,22 @@ object Similarity {
   /** Exact brute-force cosine top-k: for each query row (small set,
     * broadcast), the k nearest corpus rows. Returns (query_id, vec_id,
     * cosine, rank).
+    *
+    * `excludeSelf` (default true) drops candidates whose corpus id
+    * equals the query id — correct for self-retrieval (queries drawn
+    * from the corpus). Pass FALSE when the query table has an
+    * UNRELATED id space: an accidental id collision would otherwise
+    * silently drop a legitimate neighbor.
     */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
-      k: Int): DataFrame = {
+      k: Int, excludeSelf: Boolean = true): DataFrame = {
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__cv"))
     val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
       col(queryVecCol).as("__qv")))
-    val scored = c.crossJoin(q)
-      .filter(col("vec_id") =!= col("query_id"))
+    val paired = c.crossJoin(q)
+    val scored = (if (excludeSelf)
+        paired.filter(col("vec_id") =!= col("query_id")) else paired)
       .withColumn("cosine", cosine(col("__cv"), col("__qv")))
     rankTopK(scored, k)
   }
@@ -140,13 +160,16 @@ object Similarity {
   /** Exact k-NN classification: brute-force cosine neighbors + majority
     * label vote. For large corpora generate neighbors with
     * [[lshTopK]]/[[ivfTopK]] and call [[knnVote]] directly.
+    * `excludeSelf` as in [[bruteForceTopK]]: pass false when the probe
+    * table's ids are unrelated to the corpus ids (an id collision would
+    * otherwise silently drop a voter).
     */
   def knnClassify(corpus: DataFrame, idCol: String, vecCol: String,
       labelCol: String, queries: DataFrame, queryIdCol: String,
-      queryVecCol: String, k: Int): DataFrame =
+      queryVecCol: String, k: Int, excludeSelf: Boolean = true): DataFrame =
     knnVote(
       bruteForceTopK(corpus, idCol, vecCol, queries, queryIdCol,
-        queryVecCol, k),
+        queryVecCol, k, excludeSelf),
       corpus, idCol, labelCol)
 
   /** All `tables` sign-pattern bucket ids (array<long>, one per hash
@@ -181,7 +204,8 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
-      k: Int, planes: Int = 4, tables: Int = 8): DataFrame = {
+      k: Int, planes: Int = 4, tables: Int = 8,
+      excludeSelf: Boolean = true): DataFrame = {
     def withBuckets(df: DataFrame, id: String, vec: String,
         idAs: String, vecAs: String) =
       df.select(col(id).as(idAs), col(vec).as(vecAs),
@@ -190,8 +214,9 @@ object Similarity {
     val c = withBuckets(corpus, idCol, vecCol, "vec_id", "__cv")
     val q = broadcast(
       withBuckets(queries, queryIdCol, queryVecCol, "query_id", "__qv"))
-    val scored = c.join(q, Seq("__table", "__bucket"))
-      .filter(col("vec_id") =!= col("query_id"))
+    val paired = c.join(q, Seq("__table", "__bucket"))
+    val scored = (if (excludeSelf)
+        paired.filter(col("vec_id") =!= col("query_id")) else paired)
       .withColumn("cosine", cosine(col("__cv"), col("__qv")))
     rankTopK(scored, k, dedupCandidates = tables > 1)
   }
@@ -347,12 +372,13 @@ object Similarity {
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int, nCentroids: Int = 16, nProbe: Int = 4,
       refineSample: Int = 256, lloydIters: Int = 2,
-      extraProbes: Int = 0, boundaryRho: Double = 1.05): DataFrame =
+      extraProbes: Int = 0, boundaryRho: Double = 1.05,
+      excludeSelf: Boolean = true): DataFrame =
     ivfTopKWithCentroids(corpus, idCol, vecCol, queries, queryIdCol,
       queryVecCol, k,
       ivfCentroids(corpus, idCol, vecCol, nCentroids, refineSample,
         lloydIters),
-      nProbe, extraProbes, boundaryRho)
+      nProbe, extraProbes, boundaryRho, excludeSelf)
 
   /** The IVF probe under EXTERNAL centroids — the quantizer-reuse seam:
     * feed the sample-refined [[ivfCentroids]], a persisted quantizer, or
@@ -367,7 +393,7 @@ object Similarity {
       vecCol: String, queries: DataFrame, queryIdCol: String,
       queryVecCol: String, k: Int, centroids: Array[Array[Double]],
       nProbe: Int, extraProbes: Int = 0,
-      boundaryRho: Double = 1.05): DataFrame = {
+      boundaryRho: Double = 1.05, excludeSelf: Boolean = true): DataFrame = {
     require(centroids.nonEmpty, "IVF: empty centroid set")
     // all centroid distances in ONE codegen'd vector pass
     // (graft.functions.NearestCells) — the former formulation ran one
@@ -385,8 +411,9 @@ object Similarity {
     val probes = broadcast(queries.select(col(queryIdCol).as("query_id"),
         col(queryVecCol).as("__qv"),
         explode(probeCells).as("__cell")))
-    val scored = assigned.join(probes, Seq("__cell"))
-      .filter(col("vec_id") =!= col("query_id"))
+    val paired = assigned.join(probes, Seq("__cell"))
+    val scored = (if (excludeSelf)
+        paired.filter(col("vec_id") =!= col("query_id")) else paired)
       .withColumn("cosine", cosine(col("__cv"), col("__qv")))
     rankTopK(scored, k)
   }
@@ -452,9 +479,15 @@ object Similarity {
         col("__n").as("__na")), Seq("id_a"))
       .join(v.select(col("id").as("id_b"), col("__v").as("__vb"),
         col("__n").as("__nb")), Seq("id_b"))
+      // zero-norm guard at the shared verify rung (both the LSH and
+      // the semantic path inherit it): the 0/0 cosine is NULL — as NaN
+      // it would pass ANY threshold under Spark's NaN-greatest
+      // comparison and pair the degenerate vector with its whole
+      // bucket; under ANSI mode the raw division would kill the job
       .withColumn("cosine",
-        dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
-      .filter(col("cosine") >= threshold)
+        when(col("__na") * col("__nb") =!= 0.0,
+          dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))))
+      .filter(!isnan(col("cosine")) && col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"), col("block"))
   }
 
@@ -613,8 +646,12 @@ object Similarity {
       .select(col("cell"), col("m.id").as("corpus_id"),
         col("m.fp.v").as("__cv"), col("m.fp.n").as("__cn"))
     probes.join(stored, Seq("cell"))
+      // the index build guards zero norms, but a hand-merged index may
+      // not — NULL the undefined cosine instead of NaN-ranking (or, in
+      // ANSI mode, dividing by zero and killing the job)
       .withColumn("cosine",
-        dot(col("__bv"), col("__cv")) / (col("__bn") * col("__cn")))
+        when(col("__bn") * col("__cn") =!= 0.0,
+          dot(col("__bv"), col("__cv")) / (col("__bn") * col("__cn"))))
       .filter(col("cosine") >= threshold)
       .select(col("batch_id"), col("corpus_id"), col("cosine"),
         col("cell").as("block"))

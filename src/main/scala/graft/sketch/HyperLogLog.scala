@@ -59,9 +59,7 @@ object HyperLogLog {
     require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")
 
   private def cut(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+    graft.ops.Lineage.cut(df)
 
   /** Dense 2^p-row register table (j, mrho) for `id` (nulls skipped —
     * a null has no identity to count; mrho = 0 for untouched

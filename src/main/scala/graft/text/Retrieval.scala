@@ -77,9 +77,7 @@ object Retrieval {
     * does not reuse the exchange across them.
     */
   private def cut(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+    graft.ops.Lineage.cut(df)
 
   private[graft] def checkParams(k: Int, k1: Double, b: Double,
       maxDfFrac: Double): Unit = {

@@ -110,10 +110,7 @@ object NaiveBayes {
     val cnts0 = df.select(col(labelCol).as("__lb"),
         explode(tokens(col(textCol))).as("__w"))
       .groupBy("__lb", "__w").agg(count(lit(1)).as("__c"))
-    val cnts =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        cnts0.checkpoint(eager = true)
-      else cnts0.localCheckpoint(eager = true)
+    val cnts = graft.ops.Lineage.cut(cnts0)
     // cap the vocabulary at the top maxVocab words by TOTAL count —
     // a TakeOrdered over the vocab-bounded count table, then one
     // broadcast semi-join to keep only capped words

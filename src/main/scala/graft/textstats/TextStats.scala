@@ -32,14 +32,19 @@ object TextStats {
   def langId(c: Column): Column = {
     val scores = graft.functions.TextFunctions.langMarkerScores(tokens(c),
       langMarkers)
+    // struct sort is lexicographic, so a desc sort on (score, lang)
+    // would break ties toward the LARGEST language code; carrying the
+    // NEGATED alphabetical rank between score and lang makes the desc
+    // sort pick the smallest lang on ties — the documented
+    // (score desc, language asc) contract
     val scored = langMarkers.keys.toSeq.sorted.zipWithIndex.map {
       case (lang, i) =>
-        struct(scores.getItem(i).as("score"), lit(lang).as("lang"))
+        struct(scores.getItem(i).as("score"), lit(-i).as("__nrank"),
+          lit(lang).as("lang"))
     }
-    // array_max on (score, lang) structs orders lexicographically:
-    // max score wins, ties broken by max lang — flip: we want smallest
-    // lang on ties, so compare on (score, negated-rank) via sort.
-    sort_array(array(scored: _*), asc = false).getItem(0)
+    val pick = sort_array(array(scored: _*), asc = false).getItem(0)
+    struct(pick.getField("score").as("score"),
+      pick.getField("lang").as("lang"))
   }
 
   /** Quality-scoring features: char/word counts, mean word length,
@@ -251,10 +256,7 @@ object TextStats {
     // reliable-or-local discipline as the CC rounds
     // (graft.dedup.Dedup.cut).
     val uni0 = trainToks.groupBy("__w").agg(count(lit(1)).as("__cu"))
-    val uni =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        uni0.checkpoint(eager = true)
-      else uni0.localCheckpoint(eager = true)
+    val uni = graft.ops.Lineage.cut(uni0)
     val biCounts = bi.filter(col("__train")).groupBy("__w1", "__w2")
       .agg(count(lit(1)).as("__cb"))
     // T (train tokens) and V (train vocab) are integer scalars —

@@ -233,6 +233,23 @@ class CurationOpsSpec extends SparkTestBase {
       === Seq(1L, 3L))
   }
 
+  test("null-domain rows do not inflate N/Z — thresholds equal the " +
+      "null-free corpus") {
+    // a 50% null-domain corpus must produce EXACTLY the thresholds of
+    // its non-null half: counting undrawable rows in the normalizer
+    // would overstate every real domain's accept rate
+    val clean = (1L to 200L).map(i =>
+      (i, if (i % 4 == 0) "rare" else "en")).toDF("doc_id", "domain")
+    val withNulls = clean.union((201L to 400L)
+      .map(i => (i, null.asInstanceOf[String])).toDF("doc_id", "domain"))
+    def thresholds(df: org.apache.spark.sql.DataFrame) =
+      Sampling.temperatureMix(df, "doc_id", "domain",
+        alpha = 0.5, targetFraction = 0.3)
+        .select("domain", "mix_threshold").distinct()
+        .as[(String, Long)].collect().toMap
+    assert(thresholds(withNulls) === thresholds(clean))
+  }
+
   test("lm score and temperature mix are invariant under repartitioning") {
     // the operators' float folds are pinned to row-internal order, so
     // physical layout must not change a single bit of the output

@@ -105,6 +105,8 @@ class PngSpec extends SparkTestBase {
     }
     assert(Png.decodePng(patched(_(16 + 8) = 16.toByte)).isEmpty) // depth
     assert(Png.decodePng(patched(_(16 + 9) = 0.toByte)).isEmpty) // gray
+    assert(Png.decodePng(patched(_(16 + 10) = 1.toByte)).isEmpty) // compression method
+    assert(Png.decodePng(patched(_(16 + 11) = 1.toByte)).isEmpty) // filter method
     assert(Png.decodePng(patched(_(16 + 12) = 1.toByte)).isEmpty) // adam7
     // dimension bomb: w=h=46341 (3*w*h overflows Int) must be rejected
     assert(Png.decodePng(patched { p =>

@@ -87,6 +87,15 @@ class RealMediaSpec extends SparkTestBase {
     val stereo = RealMedia.encodeWav(8000, Array[Short](1, 2, 3))
     stereo(22) = 2 // channels field
     assert(RealMedia.decodeWav(stereo).isEmpty)
+    // fmt chunk declares 16 bytes but the buffer truncates mid-parse:
+    // must return None, not throw BufferUnderflowException
+    val good = RealMedia.encodeWav(8000, Array[Short](1, 2, 3))
+    assert(RealMedia.decodeWav(good.take(12 + 8 + 4)).isEmpty)
+    // fmt chunk with a declared length < 16 would misalign the walk
+    val shortFmt = good.clone()
+    java.nio.ByteBuffer.wrap(shortFmt, 16, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(0)
+    assert(RealMedia.decodeWav(shortFmt).isEmpty)
   }
 
   test("decoded features equal the closed-form formulas end-to-end") {

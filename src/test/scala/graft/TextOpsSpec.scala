@@ -276,6 +276,15 @@ class TextOpsSpec extends SparkTestBase {
       .collect().map(_.getString(0)).toList
     assert(langs === List("en", "de"))
 
+    // tie-break: the documented (score desc, language ASC) contract —
+    // "la" scores 1.0 for both es and fr (shared marker), so the pick
+    // must be the alphabetically smaller 'es'; "le the" ties en/fr at
+    // 0.5 and must pick 'en'
+    val ties = Seq("la", "le the").toDF("text")
+      .select(TextStats.langId(col("text")).getField("lang"))
+      .collect().map(_.getString(0)).toList
+    assert(ties === List("es", "en"))
+
     val q = TextStats.qualityFeatures(
       Seq("Good plain sentence with many common the of and words here.").toDF("text"),
       "text").collect()(0)
