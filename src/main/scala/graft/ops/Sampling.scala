@@ -45,6 +45,24 @@ object Sampling {
       fractions: Seq[(String, Double)], denom: Int = 10000): DataFrame =
     df.withColumn("split", splitColumn(col(idCol), fractions, denom))
 
+  /** Leakage-safe (group-aware) split: the split label is a pure hash
+    * of a GROUP id — e.g. the near-dup component id from
+    * [[graft.dedup.Dedup.connectedComponents]] survivors, or a source
+    * domain — so every member of a group lands in the SAME split. The
+    * standard eval-decontamination discipline: splitting near-identical
+    * documents by row id leaks train text into the test set. Same
+    * determinism contract as [[hashSplit]] (append-stable, layout-free,
+    * scan-stage); rows with a NULL group cannot be co-assigned and are
+    * rejected loudly rather than silently scattered.
+    */
+  def groupAwareSplit(df: DataFrame, groupCol: String,
+      fractions: Seq[(String, Double)], denom: Int = 10000): DataFrame =
+    df.withColumn("split", splitColumn(
+      when(col(groupCol).isNotNull, col(groupCol))
+        .otherwise(raise_error(lit(s"groupAwareSplit: null $groupCol — " +
+          "a null group cannot be co-assigned; fill or drop first"))),
+      fractions, denom))
+
   /** Deterministic `fraction` sample: keep rows whose salted hash bucket
     * falls under the fraction. Different salts give independent samples.
     */

@@ -67,6 +67,36 @@ class SamplingPackingSpec extends SparkTestBase {
     assert(grown === a)
   }
 
+  test("groupAwareSplit: co-assignment, hashSplit equivalence, null " +
+      "groups rejected") {
+    import spark.implicits._
+    // docs with a group (dup-cluster) id: every member of a group must
+    // land in the same split
+    val docs = (1L to 500L).map(i => (i, i % 37)).toDF("doc_id", "cluster")
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val split = Sampling.groupAwareSplit(docs, "cluster", fr)
+    val perGroup = split.groupBy("cluster")
+      .agg(countDistinct(col("split")).as("n"))
+      .agg(max(col("n"))).as[Long].head()
+    assert(perGroup === 1L, "a group must never straddle splits")
+    // the label is exactly hashSplit's label computed on the group id
+    val viaHash = Sampling.hashSplit(
+      docs.select(col("cluster").as("id")).distinct(), "id", fr)
+      .as[(Long, String)].collect().toMap
+    val got = split.select("cluster", "split").distinct()
+      .as[(Long, String)].collect().toMap
+    assert(got === viaHash)
+    assert(got.values.toSet.size === 3)
+    // null group: loud failure, not silent scattering
+    val withNull = docs.union(Seq((501L, null.asInstanceOf[java.lang.Long]))
+      .toDF("doc_id", "cluster"))
+    val e = intercept[Exception](
+      Sampling.groupAwareSplit(withNull, "cluster", fr).collect())
+    val msg = e.getMessage +
+      (if (e.getCause != null) e.getCause.getMessage else "")
+    assert(msg.contains("groupAwareSplit"), msg)
+  }
+
   test("tokenBudgetSelect: histogram-prefix shape equals the direct " +
       "full-sort cumulative rule, ties and boundary exact") {
     import spark.implicits._
