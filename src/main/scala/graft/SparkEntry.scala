@@ -1070,6 +1070,19 @@ object SparkEntry {
           horizonUs = 72L * 3600 * 1000000)
         .orderBy(col("user_id"))
     }),
+    "ev_stream_funnel_batch" -> ((s, dir) => {
+      // the STREAMING funnel's finalize path run in batch mode: the
+      // same buffered-times chain the watermark timeout evaluates
+      // (StreamingFunnel.finalizeChain), over fully-buffered groups.
+      // Covers users with >= 1 step-typed event (the stream never sees
+      // the others) — the oracle restricts identically.
+      val rows = graft.streaming.StreamingFunnel.funnelRowsBatch(
+        t(s, dir, "events"), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"),
+        horizonUs = 72L * 3600 * 1000000)
+      graft.streaming.StreamingFunnel.asColumns(rows, 3)
+        .orderBy(col("user_id"))
+    }),
     "ts_tfidf" -> ((s, dir) => {
       TextStats.tfidf(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("token"), col("term_count"),
@@ -3192,6 +3205,31 @@ object SparkEntry {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              AS session_id
          FROM g ORDER BY user_id, ts_us, event_id""",
+    // the streaming funnel's batch twin must equal the same
+    // conditional-min chain, restricted to users with >= 1 step-typed
+    // event (the stream operator never sees users without one)
+    "ev_stream_funnel_batch" ->
+      """WITH e AS (SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+           WHERE event_type IN ('view', 'click', 'purchase')),
+         f0 AS (SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN us END) AS step0_us
+           FROM e GROUP BY user_id),
+         f1 AS (SELECT e.user_id, min(f0.step0_us) AS step0_us,
+             min(CASE WHEN event_type = 'click' AND us > f0.step0_us
+               THEN us END) AS step1_us
+           FROM e JOIN f0 USING (user_id) GROUP BY e.user_id),
+         f2 AS (SELECT e.user_id, min(f1.step0_us) AS step0_us,
+             min(f1.step1_us) AS step1_us,
+             min(CASE WHEN event_type = 'purchase' AND us > f1.step1_us
+               THEN us END) AS step2_us
+           FROM e JOIN f1 USING (user_id) GROUP BY e.user_id)
+         SELECT user_id, step0_us, step1_us, step2_us,
+           CAST((step0_us IS NOT NULL) AS BIGINT)
+             + CAST((step1_us IS NOT NULL) AS BIGINT)
+             + CAST((step2_us IS NOT NULL) AS BIGINT) AS steps_completed,
+           COALESCE(step2_us - step0_us <= 259200000000, false) AS converted
+         FROM f2 ORDER BY user_id""",
     // the k-pass conditional-min replay of the funnel chain: each CTE
     // pins one step's earliest-strictly-after time; null propagates the
     // prefix property exactly like the engine's chained windows
