@@ -92,7 +92,15 @@ object Bench {
     val results = ordered.flatMap { case (name, _) =>
       val times = samples(name).sorted
       if (times.isEmpty) None
-      else Some((name, times(times.size / 2), times.head))
+      else {
+        // true median: even successful-rep counts (reps=4, or one
+        // failed rep of 3) average the two middle elements — the JSON
+        // reports agg:"median" and must mean it
+        val med =
+          if (times.size % 2 == 1) times(times.size / 2)
+          else (times(times.size / 2 - 1) + times(times.size / 2)) / 2.0
+        Some((name, med, times.head))
+      }
     }
     def jmap(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -218,13 +218,13 @@ object KMeans {
     val rows = centroids.select(col("cluster").cast("int").as("c"),
       col("dim_idx").cast("int").as("j"),
       col("coord").cast("double").as("x")).collect()
-    require(rows.nonEmpty, "assignWithCentroids: empty centroid frame")
+    require(rows.nonEmpty, "centroid model: empty centroid frame")
     val k = rows.iterator.map(_.getInt(0)).max + 1
     require(k >= 1 && k <= 4096,
-      s"assignWithCentroids: cluster ids must be 0..k-1 with k <= " +
+      s"centroid model: cluster ids must be 0..k-1 with k <= " +
         s"4096, got max id ${k - 1}")
     require(rows.length == k * dim,
-      s"assignWithCentroids: expected k*dim = ${k * dim} centroid " +
+      s"centroid model: expected k*dim = ${k * dim} centroid " +
         s"cells, got ${rows.length} — ragged or duplicated model")
     // presence tracked explicitly (not via a NaN sentinel, which would
     // misreport a corrupt NaN coord as a "gapped model"); null/NaN
@@ -235,16 +235,16 @@ object KMeans {
     rows.foreach { r =>
       val (c, j) = (r.getInt(0), r.getInt(1))
       require(c >= 0 && j >= 0 && j < dim,
-        s"assignWithCentroids: cell ($c, $j) outside k x dim")
+        s"centroid model: cell ($c, $j) outside k x dim")
       require(!seen(c)(j),
-        s"assignWithCentroids: duplicate centroid cell ($c, $j)")
+        s"centroid model: duplicate centroid cell ($c, $j)")
       require(!r.isNullAt(2) && !r.getDouble(2).isNaN,
-        s"assignWithCentroids: null/NaN coord at cell ($c, $j)")
+        s"centroid model: null/NaN coord at cell ($c, $j)")
       seen(c)(j) = true
       cs(c)(j) = r.getDouble(2)
     }
     require(seen.forall(_.forall(identity)),
-      "assignWithCentroids: missing centroid cells (gapped model)")
+      "centroid model: missing centroid cells (gapped model)")
     cs
   }
 

@@ -11,11 +11,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * times are buffered per step while the user is active; when the
   * watermark passes `quiet` beyond the user's newest event the funnel
   * FINALIZES: the exact batch chain (step i = earliest `steps(i)` time
-  * strictly after step i−1) runs over the buffered times and ONE row
-  * per user is emitted (Append mode). Buffering-then-finalizing is
-  * what makes the result EXACT under any within-watermark arrival
-  * order — an online chain that kept only the current step times could
-  * not revise step 1 when an earlier step-0 event arrives late.
+  * strictly after step i−1) runs over the buffered times and one row
+  * per (user, quiet-session) is emitted (Append mode).
+  * Buffering-then-finalizing is what makes the result EXACT under any
+  * within-watermark arrival order — an online chain that kept only the
+  * current step times could not revise step 1 when an earlier step-0
+  * event arrives late.
+  *
+  * Row contract: a user whose event-time gap exceeds `quiet` is
+  * finalized mid-stream and re-buffered, so such a user emits one row
+  * PER quiet-session, each chained over that session's events only.
+  * Batch equivalence with [[funnelRowsBatch]] therefore holds exactly
+  * when each user's events fall within one quiet window (the spec's
+  * arrangement); across sessions the streaming result is the
+  * per-session funnel — the sessionized reading of the same analysis.
   *
   * Scale contract:
   *  - State per user = the step-typed event TIMES only (longs — never
@@ -100,6 +109,14 @@ object StreamingFunnel {
       steps: Seq[String]): Dataset[StepEvent] = {
     val spark = events.sparkSession
     import spark.implicits._
+    // the state key is a Long: a non-integral key (e.g. string user
+    // ids, which the batch operator accepts) would cast to null and
+    // surface as an opaque encoder NPE — reject it by name instead
+    val keyType = events.schema(keyCol).dataType
+    require(graft.dedup.Dedup.integralIdTypes.contains(keyType),
+      s"StreamingFunnel: key column '$keyCol' must be integral (the " +
+        s"streaming state key is a Long), got $keyType — hash or " +
+        "dictionary-encode the key first, or use TimeSeriesOps.funnel")
     val stepIdx = steps.zipWithIndex
       .foldLeft(lit(-1)) { case (acc, (s, i)) =>
         when(col(typeCol) === s, lit(i)).otherwise(acc)
@@ -112,8 +129,8 @@ object StreamingFunnel {
   }
 
   private def insert(buf: FunnelBuffer, e: StepEvent, cap: Int,
-      k: Int): FunnelBuffer = {
-    val ts = if (buf == null) Array.fill(k)(Array.emptyLongArray)
+      steps: Seq[String]): FunnelBuffer = {
+    val ts = if (buf == null) Array.fill(steps.size)(Array.emptyLongArray)
       else buf.times
     // full microsecond precision: getTime is MILLIS — dropping the
     // sub-ms micros would desynchronize the chain from the batch
@@ -122,7 +139,7 @@ object StreamingFunnel {
     if (ts(e.step).length >= cap)
       throw new IllegalStateException(
         s"StreamingFunnel: user ${e.user_id} exceeded $cap buffered " +
-          s"'${e.step}'-step events inside one quiet window — a " +
+          s"'${steps(e.step)}'-step events inside one quiet window — a " +
           "degenerate emitter; pre-filter it or raise maxEventsPerStep")
     val next = ts.clone()
     next(e.step) = ts(e.step) :+ us
@@ -142,7 +159,6 @@ object StreamingFunnel {
     checkArgs(steps, horizonUs, maxEventsPerStep)
     val spark = events.sparkSession
     import spark.implicits._
-    val k = steps.size
     val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
       org.apache.spark.unsafe.types.UTF8String.fromString(quiet))
     require(iv.months == 0,
@@ -165,7 +181,7 @@ object StreamingFunnel {
               finalizeChain(buf.times, horizonUs).copy(user_id = user))
           } else {
             var buf = state.getOption.orNull
-            rows.foreach { e => buf = insert(buf, e, maxEventsPerStep, k) }
+            rows.foreach { e => buf = insert(buf, e, maxEventsPerStep, steps) }
             state.update(buf)
             // finalize once the watermark passes `quiet` beyond the
             // user's newest event — the sessionization-style contract
@@ -186,12 +202,11 @@ object StreamingFunnel {
     checkArgs(steps, horizonUs, maxEventsPerStep)
     val spark = events.sparkSession
     import spark.implicits._
-    val k = steps.size
     stepEvents(events, keyCol, typeCol, tsCol, steps)
       .groupByKey(_.user_id)
       .mapGroups { (user, rows) =>
         var buf: FunnelBuffer = null
-        rows.foreach { e => buf = insert(buf, e, maxEventsPerStep, k) }
+        rows.foreach { e => buf = insert(buf, e, maxEventsPerStep, steps) }
         finalizeChain(buf.times, horizonUs).copy(user_id = user)
       }
   }

@@ -117,6 +117,28 @@ class StreamingFunnelSpec extends SparkTestBase {
     assert(msg.contains("exceeded"), msg)
   }
 
+  test("a non-integral key is rejected by name, not an encoder NPE") {
+    val df = Seq(("alice", "view", sec(1L)))
+      .toDF("user_id", "event_type", "ts")
+    val e = intercept[IllegalArgumentException](
+      StreamingFunnel.funnelRowsBatch(
+        df, "user_id", "event_type", "ts", steps, 1000000L))
+    assert(e.getMessage.contains("must be integral"), e.getMessage)
+    assert(e.getMessage.contains("user_id"), e.getMessage)
+  }
+
+  test("the buffer-cap diagnostic names the STEP, not its index") {
+    val noisy = (1 to 20).map(i => (7L, "view", sec(i.toLong)))
+    val e = intercept[Exception](
+      StreamingFunnel.funnelRowsBatch(
+        noisy.toDF("user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts", steps, 1000000L,
+        maxEventsPerStep = 8).collect())
+    val msg = e.getMessage +
+      (if (e.getCause != null) e.getCause.getMessage else "")
+    assert(msg.contains("'view'-step"), msg)
+  }
+
   test("guards: empty/duplicate/oversized steps, bad horizon and cap") {
     val df = events.toDF("user_id", "event_type", "ts")
     intercept[IllegalArgumentException](StreamingFunnel.funnelRowsBatch(
