@@ -76,8 +76,13 @@ object CountMin {
       s"need width >= 2 and depth*width <= 2^24, got ${depth}x$width")
   }
 
-  /** One-row DataFrame (`cms`: array<long>, row-major d×w) sketching
-    * every token of `tokensCol` (array<string>) across all rows.
+  /** One-row DataFrame (`depth`: int, `width`: int, `cms`: array<long>,
+    * row-major d×w) sketching every token of `tokensCol`
+    * (array<string>) across all rows. The sketch CARRIES its shape:
+    * a bare cell array is ambiguous (4×1024 and 8×512 have the same
+    * 4096 cells but mean different things), so merge/estimate consumers
+    * validate the STORED shape against the declared one and a mismatch
+    * fails loudly instead of aliasing into a meaningless sketch.
     */
   def sketch(df: DataFrame, tokensCol: Column, depth: Int,
       width: Int): DataFrame = {
@@ -89,6 +94,34 @@ object CountMin {
       .as[Seq[String]]
       .select(agg.toColumn)
       .toDF("cms")
+      .select(lit(depth).as("depth"), lit(width).as("width"), col("cms"))
+  }
+
+  /** Validated one-column (`alias`) projection of a sketch frame: the
+    * stored (depth, width) must equal the declared shape and the cell
+    * array must be depth·width long — each checked per row with a
+    * diagnostic naming both shapes. The metadata columns are REQUIRED
+    * (attach them to a hand-built frame — they are what makes two
+    * same-cell-count sketches distinguishable).
+    */
+  private def shapeChecked(op: String, df: DataFrame, side: String,
+      depth: Int, width: Int, alias: String): DataFrame = {
+    require(df.columns.contains("cms"),
+      s"$op: $side sketch frame has no 'cms' column")
+    require(df.columns.contains("depth") && df.columns.contains("width"),
+      s"$op: $side sketch carries no (depth, width) metadata — build " +
+        "it with CountMin.sketch, or attach the columns; a bare cell " +
+        "array cannot be shape-checked (4x1024 aliases 8x512)")
+    val ok = col("depth") === lit(depth) && col("width") === lit(width) &&
+      size(col("cms")) === lit(depth * width)
+    df.select(when(ok, col("cms"))
+      .otherwise(raise_error(concat(
+        lit(s"$op: $side sketch is "), col("depth").cast("string"),
+        lit("x"), col("width").cast("string"), lit(" ("),
+        size(col("cms")).cast("string"),
+        lit(s" cells), declared ${depth}x$width (${depth * width} " +
+          "cells) — shapes must match exactly"))))
+      .as(alias))
   }
 
   /** Point-query estimate column: min over the d rows of the sketch
@@ -110,26 +143,20 @@ object CountMin {
     * per-batch sketch merges into the persisted corpus sketch without
     * touching corpus text, and merge(sketch(A), sketch(B)) equals
     * sketch(A ∪ B) bit-for-bit (integer adds; spec-pinned). BOTH
-    * inputs must have been built with this (depth, width): a bare
-    * length check would let 4×1024 merge with 8×512 into a
-    * meaningless sketch, so each side is validated against the
-    * declared shape (d·w cells) and a mismatch fails loudly.
+    * inputs must have been built with this (depth, width): each side's
+    * STORED (depth, width) metadata is validated against the declared
+    * shape — a 4×1024 and an 8×512 sketch have the same 4096 cells,
+    * so a bare length check could not catch the mismatch; the carried
+    * shape can. Output keeps the metadata (merges compose).
     */
   def mergeSketches(a: DataFrame, b: DataFrame, depth: Int,
       width: Int): DataFrame = {
     validate(depth, width)
-    val cells = depth * width
-    def shaped(c: Column, side: String): Column =
-      when(size(c) === cells, c)
-        .otherwise(raise_error(concat(
-          lit(s"mergeSketches: $side sketch has "),
-          size(c).cast("string"),
-          lit(s" cells, expected depth*width = $cells — built with a " +
-            "different (depth, width)"))))
-    a.select(col("cms").as("__a"))
-      .crossJoin(b.select(col("cms").as("__b")))
-      .select(zip_with(shaped(col("__a"), "left"),
-        shaped(col("__b"), "right"), (x, y) => x + y).as("cms"))
+    shapeChecked("mergeSketches", a, "left", depth, width, "__a")
+      .crossJoin(shapeChecked("mergeSketches", b, "right", depth, width,
+        "__b"))
+      .select(lit(depth).as("depth"), lit(width).as("width"),
+        zip_with(col("__a"), col("__b"), (x, y) => x + y).as("cms"))
   }
 
   /** Equi-join cardinality estimate from two sketches (Cormode &
@@ -150,8 +177,9 @@ object CountMin {
     validate(depth, width)
     val overflowBound = array_max(col("__a")).cast("double") *
       array_max(col("__b")).cast("double") * lit(width.toDouble)
-    a.select(col("cms").as("__a"))
-      .crossJoin(b.select(col("cms").as("__b")))
+    shapeChecked("joinSizeEstimate", a, "left", depth, width, "__a")
+      .crossJoin(shapeChecked("joinSizeEstimate", b, "right", depth,
+        width, "__b"))
       .select(when(overflowBound < lit(4.5e18),
         array_min(transform(
           sequence(lit(0), lit(depth - 1)),

@@ -33,7 +33,7 @@ class CountMinSpec extends SparkTestBase {
     val docs = Seq("a b a", "c a", "b").toDF("text")
     val got = CountMin.sketch(docs,
         graft.text.TextPipeline.tokenize(col("text")), 4, 32)
-      .as[Array[Long]].head()
+      .select("cms").as[Array[Long]].head()
     val exp = refSketch(Seq("a", "b", "a", "c", "a", "b"), 4, 32)
     assert(got.toSeq == exp.toSeq)
   }
@@ -73,11 +73,11 @@ class CountMinSpec extends SparkTestBase {
     val docs = Seq.tabulate(40)(i => s"w$i w${i % 5} w${i % 11}")
     val one = CountMin.sketch(docs.toDF("text"),
         graft.text.TextPipeline.tokenize(col("text")), 4, 64)
-      .as[Array[Long]].head().toSeq
+      .select("cms").as[Array[Long]].head().toSeq
     val other = CountMin.sketch(
         docs.reverse.toDF("text").repartition(7),
         graft.text.TextPipeline.tokenize(col("text")), 4, 64)
-      .as[Array[Long]].head().toSeq
+      .select("cms").as[Array[Long]].head().toSeq
     assert(one == other)
   }
 
@@ -85,7 +85,7 @@ class CountMinSpec extends SparkTestBase {
     val docs = Seq(Some(Seq(Some("x"), None)), None)
       .toDF("toks")
     val got = CountMin.sketch(docs, col("toks"), 2, 16)
-      .as[Array[Long]].head()
+      .select("cms").as[Array[Long]].head()
     assert(got.sum == 2L) // one token x two rows of the sketch
   }
 
@@ -96,8 +96,8 @@ class CountMinSpec extends SparkTestBase {
     def sk(df: org.apache.spark.sql.DataFrame) = CountMin.sketch(df,
       graft.text.TextPipeline.tokenize(col("text")), 4, 64)
     val merged = CountMin.mergeSketches(sk(a), sk(b), 4, 64)
-      .as[Array[Long]].head().toSeq
-    val oneShot = sk(both).as[Array[Long]].head().toSeq
+      .select("cms").as[Array[Long]].head().toSeq
+    val oneShot = sk(both).select("cms").as[Array[Long]].head().toSeq
     assert(merged == oneShot)
   }
 
@@ -126,6 +126,24 @@ class CountMinSpec extends SparkTestBase {
         e.getCause.getMessage.contains("mergeSketches")))
   }
 
+  test("same-cell-count different-shape merge fails loudly via the " +
+      "CARRIED shape (4x32 vs 8x16 both have 128 cells)") {
+    def sk(d: Int, w: Int) = CountMin.sketch(Seq("x").toDF("text"),
+      graft.text.TextPipeline.tokenize(col("text")), d, w)
+    val e = intercept[Exception](
+      CountMin.mergeSketches(sk(4, 32), sk(8, 16), 4, 32).collect())
+    val msg = e.getMessage +
+      (if (e.getCause != null) e.getCause.getMessage else "")
+    assert(msg.contains("8x16") && msg.contains("4x32"), msg)
+  }
+
+  test("sketch frames without shape metadata are rejected by name") {
+    val bare = Seq(Seq.fill(4 * 16)(1L)).toDF("cms")
+    val e = intercept[IllegalArgumentException](
+      CountMin.mergeSketches(bare, bare, 4, 16))
+    assert(e.getMessage.contains("metadata"), e.getMessage)
+  }
+
   test("joinSizeEstimate: est >= true size; exact when collision-free; " +
       "matches the reference inner product") {
     val d = 4; val w = 256
@@ -151,14 +169,16 @@ class CountMinSpec extends SparkTestBase {
 
   test("joinSizeEstimate fails loudly instead of wrapping when cell " +
       "counts would overflow the Long inner product") {
-    val big = Seq(Seq.fill(4 * 8)(3000000000L)).toDF("cms")
+    val big = Seq((4, 8, Seq.fill(4 * 8)(3000000000L)))
+      .toDF("depth", "width", "cms")
     val e = intercept[Exception](
       CountMin.joinSizeEstimate(big, big, 4, 8).collect())
     val msg = e.getMessage +
       (if (e.getCause != null) e.getCause.getMessage else "")
     assert(msg.contains("overflow"), msg)
     // just inside the bound: width*maxA*maxB = 4e18 < 4.5e18 computes
-    val ok = Seq(Seq.fill(4 * 4)(1000000000L)).toDF("cms")
+    val ok = Seq((4, 4, Seq.fill(4 * 4)(1000000000L)))
+      .toDF("depth", "width", "cms")
     val est = CountMin.joinSizeEstimate(ok, ok, 4, 4).as[Long].head()
     assert(est == 4L * 1000000000L * 1000000000L)
   }
@@ -176,7 +196,7 @@ class CountMinSpec extends SparkTestBase {
       val got = CountMin.sketch(
           docs.toDF("text").repartition(1 + rnd.nextInt(5)),
           graft.text.TextPipeline.tokenize(col("text")), depth, width)
-        .as[Array[Long]].head().toSeq
+        .select("cms").as[Array[Long]].head().toSeq
       val exp = refSketch(docs.flatMap(_.split(" ")), depth, width).toSeq
       assert(got == exp, s"trial $trial: ${depth}x$width, $nDocs docs")
     }

@@ -28,10 +28,14 @@ class StreamingSketchSpec extends SparkTestBase {
           graft.text.TextPipeline.tokenize(col("text")), 4, 64)
         // materialize the per-batch sketch so the accumulated plan
         // never references a consumed streaming source
-        val rows = s.as[Array[Long]].collect().toSeq.toDF("cms")
+        val rows = s.select("cms").as[Array[Long]].collect().toSeq
+          .toDF("cms").select(lit(4).as("depth"), lit(64).as("width"),
+            col("cms"))
         acc = Some(acc.fold(rows)(prev =>
           CountMin.mergeSketches(prev, rows, 4, 64)
-            .as[Array[Long]].collect().toSeq.toDF("cms")))
+            .select("cms").as[Array[Long]].collect().toSeq
+            .toDF("cms").select(lit(4).as("depth"), lit(64).as("width"),
+              col("cms"))))
       }
       .start()
     input.addData(docs.take(11): _*)
@@ -42,10 +46,10 @@ class StreamingSketchSpec extends SparkTestBase {
     q.processAllAvailable()
     q.stop()
 
-    val merged = acc.get.as[Array[Long]].head().toSeq
+    val merged = acc.get.select("cms").as[Array[Long]].head().toSeq
     val oneShot = CountMin.sketch(docs.toDF("doc_id", "text"),
         graft.text.TextPipeline.tokenize(col("text")), 4, 64)
-      .as[Array[Long]].head().toSeq
+      .select("cms").as[Array[Long]].head().toSeq
     assert(merged == oneShot)
   }
 
@@ -63,9 +67,9 @@ class StreamingSketchSpec extends SparkTestBase {
         .write.parquet(s"$dir/hll")
       val mergedCms = CountMin.mergeSketches(
           spark.read.parquet(s"$dir/cms"), cms(b), 4, 64)
-        .as[Array[Long]].head().toSeq
-      assert(mergedCms ==
-        cms(docs.toDF("doc_id", "text")).as[Array[Long]].head().toSeq)
+        .select("cms").as[Array[Long]].head().toSeq
+      assert(mergedCms == cms(docs.toDF("doc_id", "text"))
+        .select("cms").as[Array[Long]].head().toSeq)
       val mergedHll = HyperLogLog.mergeRegisters(
           spark.read.parquet(s"$dir/hll"),
           HyperLogLog.registers(b, col("doc_id"), 8))
