@@ -25,7 +25,7 @@ Validate against a Spark Verify dump, then emit:
 import sys
 
 sys.path.insert(0, "scripts")
-from xxh64_sql import xxh64_str, xxh64_str_seeds, signed
+from xxh64_sql import xxh64_long, xxh64_str, xxh64_str_seeds, signed
 
 TOKS = r"""
 toks AS (
@@ -241,6 +241,34 @@ WHERE doc_id NOT IN (SELECT id FROM comp) OR doc_id IN (SELECT id FROM best)
 ORDER BY doc_id"""
 
 
+def dd_group_split_sql():
+    """Leakage-safe group-aware split (Sampling.groupAwareSplit over the
+    near-dup component id): the transitive-closure components of the
+    minhash pair list label each doc with its cluster's min member id
+    (singletons are their own group); the 80/10/10 split label is then
+    the seed-42 xxhash64 of the COMPONENT pmod 100 — every cluster
+    member lands in the same split (the eval-decontamination
+    discipline; splitting by row id would leak near-identical text
+    across train/test)."""
+    h = signed(xxh64_long("component", "CAST(42 AS HUGEINT)"))
+    return f"""WITH RECURSIVE {minhash_pairs_ctes()},
+edges AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM mh_pairs
+  UNION SELECT id_b, id_a FROM mh_pairs),
+reach(u, v) AS (SELECT u, v FROM edges
+  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+comp AS (SELECT u AS id, least(u, min(v)) AS component
+  FROM reach GROUP BY u),
+wc AS (SELECT doc_id, COALESCE(c.component, doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+gb AS (SELECT doc_id, component,
+    (((({h}) % 100) + 100) % 100) AS bucket
+  FROM wc)
+SELECT doc_id, CAST(component AS BIGINT) AS component,
+  CASE WHEN bucket < 80 THEN 'train'
+       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+FROM gb ORDER BY doc_id"""
+
+
 def validate(sf_dir, verify_dir, allow_missing=()):
     import glob
 
@@ -255,7 +283,8 @@ def validate(sf_dir, verify_dir, allow_missing=()):
                       ("dd_keep_best", dd_keep_best_sql()),
                       ("dd_incremental_minhash", dd_incremental_sql()),
                       ("dd_incremental_verified", dd_incremental_verified_sql()),
-                      ("dd_stream_neardup_batch", dd_stream_sql())]:
+                      ("dd_stream_neardup_batch", dd_stream_sql()),
+                      ("dd_group_split", dd_group_split_sql())]:
         import time
         if not glob.glob(f"{verify_dir}/{name}/*.parquet"):
             # a freshly-added query has no dump yet on the first generator
@@ -301,7 +330,8 @@ def emit_scala(path):
                           ("ddIncrementalMinhash", dd_incremental_sql()),
                           ("ddIncrementalVerified",
                            dd_incremental_verified_sql()),
-                          ("ddStreamNearDupBatch", dd_stream_sql())])
+                          ("ddStreamNearDupBatch", dd_stream_sql()),
+                          ("ddGroupSplit", dd_group_split_sql())])
     src = f"""package graft
 
 /** GENERATED by scripts/gen_dedup_oracles.py — do not edit by hand.

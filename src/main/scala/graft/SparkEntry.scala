@@ -1070,6 +1070,16 @@ object SparkEntry {
           horizonUs = 72L * 3600 * 1000000)
         .orderBy(col("user_id"))
     }),
+    "ev_funnel_summary" -> ((s, dir) => {
+      // the funnel's reporting twin: per-step reach, conversion rates
+      // vs previous/first step, exact median seconds from the previous
+      // step — medians via the bounded (step, gap_s) histogram, never
+      // a percentile buffer or a full gap sort
+      TimeSeriesOps.funnelSummary(t(s, dir, "events"), "user_id",
+          "event_type", "ts", Seq("view", "click", "purchase"),
+          horizonUs = 72L * 3600 * 1000000)
+        .orderBy(col("step_idx"))
+    }),
     "ev_stream_funnel_batch" -> ((s, dir) => {
       // the STREAMING funnel's finalize path run in batch mode: the
       // same buffered-times chain the watermark timeout evaluates
@@ -1107,6 +1117,26 @@ object SparkEntry {
           "n_chars", shingleSize = 3, numHashes = 32, bands = 16,
           threshold = 0.5)
         .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+    "dd_group_split" -> ((s, dir) => {
+      // leakage-safe group-aware split: the 80/10/10 label hashes the
+      // near-dup COMPONENT id (cluster min member id; singletons are
+      // their own group), so every member of a near-dup cluster lands
+      // in the same split — splitting by row id would leak
+      // near-identical text across train/test
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      val comps = Dedup.connectedComponents(pairs)
+      val withComp = docs.join(comps, docs("doc_id") === comps("id"),
+          "left")
+        .select(docs("doc_id"),
+          coalesce(col("component"), docs("doc_id")).as("component"))
+      graft.ops.Sampling.groupAwareSplit(withComp, "component",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), denom = 100)
+        .select(col("doc_id"),
+          col("component").cast("long").as("component"), col("split"))
         .orderBy(col("doc_id"))
     }),
     "dd_semantic" -> ((s, dir) => {
@@ -2695,6 +2725,9 @@ object SparkEntry {
     "dd_stream_incremental_batch" -> DedupOracles.ddIncrementalMinhash,
     "dd_simhash" -> DedupOracles.ddSimhash,
     "dd_drop_near_dups" -> DedupOracles.ddDropNearDups,
+    // groupAwareSplit over the same transitive-closure components:
+    // split label = xxhash64(component) pmod 100 through 80/10/10
+    "dd_group_split" -> DedupOracles.ddGroupSplit,
     "dd_stream_neardup_batch" -> DedupOracles.ddStreamNearDupBatch,
     "dd_contamination" ->
       // same canonical tokenization CTEs as the near-dup oracles; the
@@ -3254,6 +3287,68 @@ object SparkEntry {
              + CAST((step2_us IS NOT NULL) AS BIGINT) AS steps_completed,
            COALESCE(step2_us - step0_us <= 259200000000, false) AS converted
          FROM f2 ORDER BY user_id""",
+    // the same f0/f1/f2 chain, then per-step reach counts, rate
+    // divisions guarded against 0 denominators (DuckDB x/0.0 is NULL
+    // where Spark doubles give NaN/inf — both sides guard explicitly),
+    // and the exact two-middle-positions median over the
+    // (step, gap-second) histogram — all-integer until the final /2.0
+    "ev_funnel_summary" ->
+      """WITH e AS (SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         f0 AS (SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN us END) AS step0_us
+           FROM e GROUP BY user_id),
+         f1 AS (SELECT e.user_id, min(f0.step0_us) AS step0_us,
+             min(CASE WHEN event_type = 'click' AND us > f0.step0_us
+               THEN us END) AS step1_us
+           FROM e JOIN f0 USING (user_id) GROUP BY e.user_id),
+         f2 AS (SELECT e.user_id, min(f1.step0_us) AS step0_us,
+             min(f1.step1_us) AS step1_us,
+             min(CASE WHEN event_type = 'purchase' AND us > f1.step1_us
+               THEN us END) AS step2_us
+           FROM e JOIN f1 USING (user_id) GROUP BY e.user_id),
+         per AS (
+           SELECT 0 AS step_idx, 'view' AS step_name,
+             step0_us IS NOT NULL AS reached, CAST(NULL AS BIGINT) AS gap_us
+           FROM f2
+           UNION ALL
+           SELECT 1, 'click', step1_us IS NOT NULL,
+             CASE WHEN step1_us IS NOT NULL THEN step1_us - step0_us END
+           FROM f2
+           UNION ALL
+           SELECT 2, 'purchase', step2_us IS NOT NULL,
+             CASE WHEN step2_us IS NOT NULL THEN step2_us - step1_us END
+           FROM f2),
+         cnt AS (SELECT step_idx, step_name,
+             sum(CASE WHEN reached THEN 1 ELSE 0 END) AS n_reached
+           FROM per GROUP BY 1, 2),
+         hist AS (SELECT step_idx, gap_us // 1000000 AS gap_s,
+             count(*) AS c
+           FROM per WHERE gap_us IS NOT NULL GROUP BY 1, 2),
+         cum AS (SELECT step_idx, gap_s,
+             CAST(sum(c) OVER (PARTITION BY step_idx ORDER BY gap_s
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm,
+             CAST(sum(c) OVER (PARTITION BY step_idx) AS BIGINT) AS n
+           FROM hist),
+         med AS (SELECT step_idx,
+             min(CASE WHEN cm >= (n + 1) // 2 THEN gap_s END) AS v1,
+             min(CASE WHEN cm >= n // 2 + 1 THEN gap_s END) AS v2
+           FROM cum GROUP BY 1)
+         SELECT CAST(c.step_idx AS BIGINT) AS step_idx,
+           c.step_name AS step_name,
+           CAST(c.n_reached AS BIGINT) AS n_reached,
+           CASE WHEN lag(c.n_reached) OVER (ORDER BY c.step_idx) > 0
+             THEN CAST(c.n_reached AS DOUBLE)
+               / lag(c.n_reached) OVER (ORDER BY c.step_idx) END
+             AS conv_from_prev,
+           CASE WHEN first_value(c.n_reached) OVER (ORDER BY c.step_idx
+               ROWS UNBOUNDED PRECEDING) > 0
+             THEN CAST(c.n_reached AS DOUBLE)
+               / first_value(c.n_reached) OVER (ORDER BY c.step_idx
+                 ROWS UNBOUNDED PRECEDING) END AS conv_from_first,
+           (m.v1 + m.v2) / 2.0 AS med_gap_s
+         FROM cnt c LEFT JOIN med m ON m.step_idx = c.step_idx
+         ORDER BY c.step_idx""",
     "ts_tfidf" ->
       """WITH terms AS (SELECT doc_id,
              unnest(list_filter(string_split_regex(lower(text), '\s+'),

@@ -131,6 +131,17 @@ object TableFunctions {
   private def keyList(s: String): Seq[String] =
     s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
+  /** "name:frac,name:frac" split-fraction list (hash_split /
+    * group_split); Sampling.splitColumn validates the fractions sum. */
+  private def fractions(s: String): Seq[(String, Double)] =
+    keyList(s).map { p =>
+      val i = p.lastIndexOf(':')
+      if (i <= 0 || i >= p.length - 1)
+        throw new IllegalArgumentException(
+          s"split fraction entry '$p' must be name:fraction")
+      (p.substring(0, i), p.substring(i + 1).toDouble)
+    }
+
   /** The union-coerced common type of two columns — pure schema
     * analysis (no jobs); the node type the graph operators emit.
     */
@@ -429,6 +440,20 @@ object TableFunctions {
         horizonUs = lng(args(5), "horizon micros"))
         .queryExecution.analyzed
     }),
+    "funnel_summary" -> (args => {
+      // per-step funnel reporting: reach counts, conversion rates,
+      // exact median gap seconds (histogram-median discipline)
+      arity("funnel_summary", args, 6, 6)
+      val spark = SparkSession.active
+      graft.ts.TimeSeriesOps.funnelSummary(
+        spark.table(str(args(0), "events table name")),
+        str(args(1), "key column"),
+        str(args(2), "event type column"),
+        str(args(3), "timestamp column"),
+        keyList(str(args(4), "step list")),
+        horizonUs = lng(args(5), "horizon micros"))
+        .queryExecution.analyzed
+    }),
     "token_budget" -> (args => {
       // per-domain token-budget fill: keep the maximal score-ranked
       // prefix whose running token total stays within the budget
@@ -572,5 +597,31 @@ object TableFunctions {
         StructField("cluster", LongType))), "kmeans_assign_model",
         () => graft.sim.KMeans.assignWithCentroids(df, idCol, vecCol,
           dim, model))
+    }),
+    // deterministic split label from a pure hash of the ROW id — no
+    // randomness, append/layout-stable (Sampling.hashSplit). Fractions
+    // as "train:0.8,val:0.1,test:0.1".
+    "hash_split" -> (args => {
+      arity("hash_split", args, 4, 4)
+      val spark = SparkSession.active
+      graft.ops.Sampling.hashSplit(
+        spark.table(str(args(0), "table name")),
+        str(args(1), "id column"),
+        fractions(str(args(2), "fraction list")),
+        denom = int(args(3), "denominator"))
+        .queryExecution.analyzed
+    }),
+    // leakage-safe split: the label hashes a GROUP id (e.g. the
+    // near-dup component id), so every member of a group co-assigns
+    // to the same split (Sampling.groupAwareSplit)
+    "group_split" -> (args => {
+      arity("group_split", args, 4, 4)
+      val spark = SparkSession.active
+      graft.ops.Sampling.groupAwareSplit(
+        spark.table(str(args(0), "table name")),
+        str(args(1), "group column"),
+        fractions(str(args(2), "fraction list")),
+        denom = int(args(3), "denominator"))
+        .queryExecution.analyzed
     }))
 }

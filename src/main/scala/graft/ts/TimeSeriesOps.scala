@@ -203,14 +203,23 @@ object TimeSeriesOps {
     * the chain enforces the prefix property), `steps_completed`,
     * `converted` (false, never null, when incomplete).
     *
-    * Shape: ONE exchange on the key. Each step is a conditional min
-    * window over the same partitioning with an UNBOUNDED frame and no
+    * Shape: only STEP-TYPED rows enter the window exchange — the
+    * step-type filter sits under the windows, so it pushes into the
+    * scan (among hundreds of event types, a 3-step funnel shuffles the
+    * ~3 relevant types, not the corpus; at 100 TB that is the ~100×
+    * difference between the exchange you'd want and one that drags
+    * every event along). Each step is then a conditional min window
+    * over the same partitioning with an UNBOUNDED frame and no
     * ordering — k chained Window operators reuse the one exchange, no
     * sort anywhere, no event-list collection (per-window state is one
-    * timestamp); the final dedup to one row per key is a hash
-    * aggregation riding the same partitioning. Step count is capped at
-    * 8 (each step adds a window pass; a funnel deeper than that is a
-    * modeling smell, and the cap bounds the plan).
+    * timestamp); the dedup to one row per key is a hash aggregation
+    * riding the same partitioning. The all-keys output (zero-step keys
+    * included, matching the unfiltered formulation row-for-row) comes
+    * from a null-safe left join of the distinct-key universe — a
+    * map-side-combined keys-only aggregate whose exchange carries one
+    * key per task, never event rows. Step count is capped at 8 (each
+    * step adds a window pass; a funnel deeper than that is a modeling
+    * smell, and the cap bounds the plan).
     */
   def funnel(df: DataFrame, keyCol: String, typeCol: String,
       tsCol: String, steps: Seq[String], horizonUs: Long): DataFrame = {
@@ -219,9 +228,10 @@ object TimeSeriesOps {
     require(steps.distinct.size == steps.size,
       s"funnel steps must be distinct, got $steps")
     require(horizonUs > 0, s"horizonUs must be positive, got $horizonUs")
-    val w = Window.partitionBy(col(keyCol))
-    var acc = df.select(col(keyCol), col(typeCol).as("__t"),
-      unix_micros(col(tsCol)).as("__us"))
+    val w = Window.partitionBy(col("__k"))
+    var acc = df.select(col(keyCol).as("__k"), col(typeCol).as("__t"),
+        unix_micros(col(tsCol)).as("__us"))
+      .filter(col("__t").isin(steps: _*))
     steps.zipWithIndex.foreach { case (s, i) =>
       val cond =
         if (i == 0) col("__t") === s
@@ -230,13 +240,89 @@ object TimeSeriesOps {
     }
     val stepCols = steps.indices.map(i =>
       min(col(s"__s$i")).as(s"step${i}_us"))
-    acc.groupBy(col(keyCol))
+    val chained = acc.groupBy(col("__k"))
       .agg(stepCols.head, stepCols.tail: _*)
+    // null-safe (<=>): the unfiltered formulation groups null keys into
+    // one row, and a plain equi-join would silently drop it
+    df.select(col(keyCol)).distinct()
+      .join(chained, col(keyCol) <=> col("__k"), "left")
+      .drop("__k")
       .withColumn("steps_completed",
         steps.indices.map(i => when(col(s"step${i}_us").isNotNull, 1L)
           .otherwise(0L)).reduce(_ + _))
       .withColumn("converted", coalesce(
         col(s"step${steps.size - 1}_us") - col("step0_us") <= horizonUs,
         lit(false)))
+  }
+
+  /** Per-step funnel reporting over [[funnel]]'s output — the summary a
+    * daily conversion dashboard runs: one row per step with the reach
+    * count, conversion rates vs the previous step and vs step 0, and
+    * the exact median time from the previous step in whole seconds.
+    *
+    * Median discipline (the lmQualityBuckets shape — no step's gaps are
+    * ever sorted whole, and no unbounded percentile buffer): gaps
+    * quantize to seconds (bounded domain ≪ keys), ONE hash aggregation
+    * builds the per-(step, gap_s) histogram, cumulative counts run over
+    * the HISTOGRAM, and the median is read off the two middle positions
+    * — integer arithmetic end-to-end, so the result is bit-identical
+    * cross-engine ((v1+v2)/2.0 with v1, v2 the lower/upper middle
+    * gap-seconds). Rates are exact bigint-over-bigint divisions,
+    * null (not NaN/inf) when the denominator is 0 — cross-engine-safe.
+    */
+  def funnelSummary(df: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String], horizonUs: Long): DataFrame = {
+    val f = funnel(df, keyCol, typeCol, tsCol, steps, horizonUs)
+    val perStep = f.select(explode(array(steps.zipWithIndex.map {
+      case (s, i) =>
+        struct(lit(i.toLong).as("step_idx"), lit(s).as("step_name"),
+          col(s"step${i}_us").isNotNull.as("reached"),
+          (if (i == 0) lit(null).cast("long")
+           else col(s"step${i}_us") - col(s"step${i - 1}_us"))
+            .as("gap_us"))
+    }: _*)).as("e")).select(col("e.*"))
+    // ONE corpus-side aggregation builds the (step, gap-second) cell
+    // table (`div` keeps the quantization integral; a null cell carries
+    // the gap-less rows' reach counts) — the funnel subtree is evaluated
+    // once, and everything downstream is histogram-sized
+    val cells = perStep.groupBy(col("step_idx"), col("step_name"),
+        expr("gap_us div 1000000").as("gap_s"))
+      .agg(sum(when(col("reached"), 1L).otherwise(0L)).as("__r"),
+        count(col("gap_us")).as("__c"))
+    val counts = cells.groupBy(col("step_idx"), col("step_name"))
+      .agg(sum(col("__r")).as("n_reached"))
+    val hist = cells.filter(col("gap_s").isNotNull)
+      .select(col("step_idx"), col("gap_s"), col("__c"))
+    val wCum = Window.partitionBy(col("step_idx")).orderBy(col("gap_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("step_idx"))
+    val med = hist
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .groupBy(col("step_idx"))
+      .agg(
+        // `div`, not `/`: Spark's / on longs is DOUBLE division, and
+        // an integer cum compared to x.5 would shift the middle
+        // positions on even counts
+        min(when(col("__cum") >= expr("(__n + 1L) div 2L"),
+          col("gap_s"))).as("__v1"),
+        min(when(col("__cum") >= expr("__n div 2L + 1L"),
+          col("gap_s"))).as("__v2"))
+      .select(col("step_idx").as("__mi"),
+        ((col("__v1") + col("__v2")) / lit(2.0)).as("med_gap_s"))
+    val wPrev = Window.orderBy(col("step_idx")) // ≤ 8 rows — driver-tiny
+    counts
+      .join(med, col("step_idx") === col("__mi"), "left").drop("__mi")
+      .withColumn("__prev", lag(col("n_reached"), 1).over(wPrev))
+      .withColumn("__n0", first(col("n_reached")).over(
+        wPrev.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("step_idx"), col("step_name"), col("n_reached"),
+        when(col("__prev") > 0L,
+          col("n_reached").cast("double") / col("__prev"))
+          .as("conv_from_prev"),
+        when(col("__n0") > 0L,
+          col("n_reached").cast("double") / col("__n0"))
+          .as("conv_from_first"),
+        col("med_gap_s"))
   }
 }

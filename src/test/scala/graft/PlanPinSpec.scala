@@ -345,24 +345,60 @@ class PlanPinSpec extends SparkTestBase {
       s"no corpus-shuffling join shapes:\n$plan")
   }
 
-  test("ev_funnel: one data exchange, chained unordered windows, no join") {
-    // the funnel's scale contract: each step is a conditional-min window
-    // over the SAME user partitioning (unbounded frame, no ordering) and
-    // the per-user dedup is a map-side-combined agg riding it — one
-    // corpus exchange plus the presentation sort, never a join or a
-    // per-step shuffle
+  test("ev_funnel: step-filtered window exchange, pushed scan filter, " +
+      "keys-only universe") {
+    // the funnel's scale contract: ONLY step-typed rows enter the
+    // window exchange (the step-type filter reaches the parquet scan,
+    // so among hundreds of event types the corpus never shuffles);
+    // each step is a conditional-min window over that one partitioning
+    // (unbounded frame) with the per-user dedup combining map-side; the
+    // all-keys output joins back a keys-only distinct universe whose
+    // scan reads just the key column
     val plan = SparkEntry.queries("ev_funnel")(spark, sf0001)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
-      s"funnel must not plan a join:\n$plan")
+    assert(plan.contains("IN (view,click,purchase)") &&
+      "DataFilters: \\[event_type#\\d+ IN \\(view,click,purchase\\)"
+        .r.findFirstIn(plan).isDefined,
+      s"the step-type filter must push into the events scan:\n$plan")
     assert("windowspecdefinition".r.findAllIn(plan).size >= 3,
       s"three chained step windows expected:\n$plan")
     assert(plan.contains("partial_min"),
       s"the per-user dedup must combine map-side:\n$plan")
+    assert("FileScan parquet \\[user_id#\\d+L\\]".r
+      .findFirstIn(plan).isDefined,
+      s"the distinct-key universe must scan the key column only:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("SortMergeJoin"),
+      s"the universe join must stay broadcast at this SF:\n$plan")
+    // filtered corpus exchange + universe keys exchange + presentation
+    // sort — a per-step shuffle would blow past this
     val exchanges = "Exchange (hash|range)partitioning".r
       .findAllIn(plan).size
-    assert(exchanges <= 2,
-      s"funnel grew extra shuffles ($exchanges > 2):\n$plan")
+    assert(exchanges <= 3,
+      s"funnel grew extra shuffles ($exchanges > 3):\n$plan")
+  }
+
+  test("ev_funnel_summary: the corpus-priced funnel subtree executes " +
+      "once (runtime exchange reuse), downstream is histogram-sized") {
+    // the reporting twin's scale contract: the count and gap-histogram
+    // consumers both derive from the ONE (step, step_name, gap-second)
+    // cell aggregation; the corpus-priced pieces under it — the
+    // step-filtered window exchange (via the chained side's broadcast)
+    // and the keys-only universe exchange — are shared at RUNTIME by
+    // AQE exchange reuse, so the funnel windows execute once even
+    // though the static plan prints a subtree per consumer branch.
+    // What re-executes per branch is only the per-user explode over the
+    // reused join output (users ≪ events)
+    val df = SparkEntry.queries("ev_funnel_summary")(spark, sf0001)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert("ReusedExchange".r.findAllIn(plan).size >= 2,
+      s"the universe and funnel-chain exchanges must be reused, not " +
+        s"recomputed:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"the cell aggregation must combine map-side:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian anywhere:\n$plan")
   }
 
   test("ts_token_budget: histogram broadcasts, corpus shuffles once") {

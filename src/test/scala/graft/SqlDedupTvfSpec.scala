@@ -406,6 +406,42 @@ class SqlDedupTvfSpec extends SparkTestBase {
       Dedup.minhashNearDupsPlanned(docs, "doc_id", "text", threshold = 0.5))
   }
 
+  test("hash_split, group_split and funnel_summary TVFs match the " +
+      "Scala operators") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    docs.createOrReplaceTempView("sql_docs")
+    sameRows(
+      spark.sql("SELECT * FROM hash_split('sql_docs', 'doc_id', " +
+        "'train:0.8,val:0.1,test:0.1', 100)"),
+      graft.ops.Sampling.hashSplit(docs, "doc_id", fr, denom = 100))
+
+    val grouped = docs.withColumn("grp",
+      org.apache.spark.sql.functions.pmod(col("doc_id"),
+        org.apache.spark.sql.functions.lit(2L)))
+    grouped.createOrReplaceTempView("sql_grouped")
+    val viaTvf = spark.sql("SELECT * FROM group_split('sql_grouped', " +
+      "'grp', 'train:0.8,val:0.1,test:0.1', 100)")
+    sameRows(viaTvf,
+      graft.ops.Sampling.groupAwareSplit(grouped, "grp", fr, denom = 100))
+    // co-assignment: one split per group
+    assert(viaTvf.select("grp", "split").distinct().count() ===
+      viaTvf.select("grp").distinct().count())
+
+    val ev = Seq(
+      (1L, "view", new java.sql.Timestamp(10000L)),
+      (1L, "buy", new java.sql.Timestamp(20000L)),
+      (2L, "buy", new java.sql.Timestamp(5000L)))
+      .toDF("user_id", "event_type", "ts")
+    ev.createOrReplaceTempView("sql_events")
+    sameRows(
+      spark.sql("SELECT * FROM funnel_summary('sql_events', 'user_id', " +
+        "'event_type', 'ts', 'view,buy', 60000000)"),
+      graft.ts.TimeSeriesOps.funnelSummary(ev, "user_id", "event_type",
+        "ts", Seq("view", "buy"), 60000000L))
+  }
+
   test("TVF argument validation fails loudly") {
     GraftExtensions.register(spark)
     docs.createOrReplaceTempView("sql_docs")
@@ -419,5 +455,10 @@ class SqlDedupTvfSpec extends SparkTestBase {
                                                5, 1, 'yes')""")
     }
     assert(e2.getMessage.contains("boolean"))
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT * FROM hash_split('sql_docs', 'doc_id', " +
+        "'train=0.8', 100)")
+    }
+    assert(e3.getMessage.contains("name:fraction"))
   }
 }

@@ -164,4 +164,48 @@ class TimeSeriesOpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](TimeSeriesOps.funnel(events,
       "user_id", "event_type", "ts", Seq("view"), 0L))
   }
+
+  test("funnel: keys with ZERO step-typed events (and the null-key " +
+      "group) still emit — the step filter must not drop them") {
+    def sec(s: Long): Timestamp = new Timestamp(s * 1000L)
+    val events = Seq(
+      (Some(1L), "view", sec(10)), (Some(1L), "click", sec(20)),
+      // u7 only emits non-step types: must appear with 0 steps
+      (Some(7L), "scroll", sec(5)), (Some(7L), "hover", sec(6)),
+      // the null-key group rides the unfiltered formulation as one row
+      (None, "view", sec(10)), (None, "scroll", sec(11)))
+      .toDF("user_id", "event_type", "ts")
+    val got = TimeSeriesOps.funnel(events, "user_id", "event_type", "ts",
+      Seq("view", "click"), horizonUs = 3600000000L)
+      .collect().map(r => (Option(r.get(0)),
+        r.getAs[Long]("steps_completed"),
+        r.getAs[Boolean]("converted"))).toSet
+    assert(got === Set(
+      (Some(1L), 2L, true),
+      (Some(7L), 0L, false),
+      (None, 1L, false)))
+  }
+
+  test("funnelSummary: reach counts, guarded rates, exact " +
+      "two-middle-positions medians (odd and even gap counts)") {
+    def sec(s: Long): Timestamp = new Timestamp(s * 1000L)
+    val events = Seq(
+      (1L, "view", sec(10)), (1L, "click", sec(20)), (1L, "purchase", sec(30)),
+      (2L, "view", sec(10)), (2L, "click", sec(20)), (2L, "purchase", sec(25)),
+      (3L, "view", sec(10)), (3L, "click", sec(15)),
+      (5L, "view", sec(40)),
+      (6L, "scroll", sec(1))) // zero-step user counts in no step
+      .toDF("user_id", "event_type", "ts")
+    val got = TimeSeriesOps.funnelSummary(events, "user_id", "event_type",
+        "ts", Seq("view", "click", "purchase"), horizonUs = 3600000000L)
+      .orderBy("step_idx")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))).toSeq
+    assert(got === Seq(
+      (0L, "view", 4L, None, Some(1.0), None),
+      // gaps {10,10,5}s: odd count, both middles = 10
+      (1L, "click", 3L, Some(0.75), Some(0.75), Some(10.0)),
+      // gaps {10,5}s: even count, median averages the middles = 7.5
+      (2L, "purchase", 2L, Some(2.0 / 3.0), Some(0.5), Some(7.5))))
+  }
 }
