@@ -1018,6 +1018,20 @@ object SparkEntry {
       graft.multimodal.Png.extractPngFeatures(media).toDF()
         .orderBy(col("media_id"))
     }),
+    "mm_jpeg_decode" -> ((s, dir) => {
+      // REAL lossy codec: genuine baseline-sequential JPEG bytes
+      // (canonical huffman from DHT, byte stuffing, differential DC,
+      // run/size AC with EOB/ZRL, dequant, zigzag, pinned separable
+      // IDCT, JFIF YCbCr->RGB) decoded by the pure-JVM multimodal.Jpeg;
+      // integer channel sums. Decoding a lossy format is deterministic:
+      // the corpus is synthesized in COEFFICIENT space and every float
+      // is pinned (shared 17-digit IDCT basis, fixed fold order), so
+      // the oracle replays the decoder's exact output.
+      val media = graft.multimodal.Jpeg.syntheticJpegTable(
+        t(s, dir, "documents"))
+      graft.multimodal.Jpeg.extractJpegFeatures(media).toDF()
+        .orderBy(col("media_id"))
+    }),
     "bt_signals" -> ((s, dir) => {
       // MA-cross signal generation over events-as-bars, decimal-exact SMAs
       // so the comparison itself (fast > slow) is oracle-exact:
@@ -3131,6 +3145,9 @@ object SparkEntry {
              k -> (id + 2*(((k % 8)*w) // 8) + 7*(((k // 8)*h) // 8)) % 256))
              AS BIGINT) AS rs_sum_r
          FROM m ORDER BY media_id""",
+    // generated: replays the synthetic corpus' closed-form quantized
+    // coefficients through the decoder's exact pinned arithmetic
+    "mm_jpeg_decode" -> JpegOracle.mmJpegDecode,
     "ts_quality" ->
       """WITH toks AS (SELECT doc_id, text,
              list_filter(string_split_regex(lower(text), '\s+'),

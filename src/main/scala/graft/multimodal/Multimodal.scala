@@ -8,12 +8,17 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, decode/feature-extract/resize/frame-sample
   * as partition-wise transforms.
   *
-  * The actual codec step is STUBBED (image/audio libraries are not in this
-  * container): `FakeCodec` is a deterministic stand-in that parses our own
-  * synthetic 16-byte header. Everything AROUND the codec — the schema, the
-  * batch shape (mapPartitions ⇒ one codec init per partition, the same
-  * shape a Pandas-UDF `mapInPandas` gives PySpark), partition sizing, and
-  * metadata propagation — is real and tested.
+  * The codec step here is STUBBED: `FakeCodec` is a deterministic
+  * stand-in that parses our own synthetic 16-byte header. Real codecs
+  * exist beside it for every format the JVM can honestly decode with
+  * zero external libraries: [[RealMedia]] (PPM/WAV), [[Png]]
+  * (DEFLATE-compressed lossless), and [[Jpeg]] (baseline-sequential
+  * lossy, huffman + IDCT + YCbCr) — the stand-in now covers only
+  * audio/video compression (MP3/H.264). Everything AROUND the codec —
+  * the schema, the batch shape (mapPartitions ⇒ one codec init per
+  * partition, the same shape a Pandas-UDF `mapInPandas` gives
+  * PySpark), partition sizing, and metadata propagation — is real and
+  * tested.
   */
 object Multimodal {
 

@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   * Scope is the still-dominant truecolor profile: 8-bit RGB (color
   * type 2), non-interlaced. Everything else fails loudly (`None`), the
   * [[RealMedia]] discipline — a silently-misdecoded image would poison
-  * every downstream feature. Lossy codecs (JPEG/MP3/H.264) remain
-  * documented stand-ins in [[Multimodal.FakeCodec]]: their DCT/huffman
-  * stacks have no JVM-built-in and are out of scope in this container.
+  * every downstream feature. The lossy image path is covered by
+  * [[Jpeg]] (baseline-sequential, round 11); audio/video codecs
+  * (MP3/H.264) remain documented stand-ins in
+  * [[Multimodal.FakeCodec]].
   *
   * Verification mirrors `mm_decode_real` (reference treats media as
   * opaque payloads; cf. strat_backtest's byte-column handling): the

@@ -1,0 +1,201 @@
+package graft
+
+import graft.multimodal.{Jpeg, JpegTables}
+
+/** Baseline JPEG codec: closed-form reconstruction anchors, the
+  * huffman/zigzag/stuffing machinery against IDCT ground truth,
+  * grayscale, and the loud-failure battery for everything out of the
+  * baseline 4:4:4 profile.
+  */
+class JpegSpec extends SparkTestBase {
+
+  private def zeroCoef(c: Int, bi: Int, k: Int): Int = 0
+
+  test("pinned constants: zigzag anchors, basis anchors, nonzero quant") {
+    val zz = JpegTables.Zigzag
+    assert(zz.take(10).toSeq ===
+      Seq(0, 1, 8, 16, 9, 2, 3, 10, 17, 24))
+    assert(zz.takeRight(4).toSeq === Seq(47, 55, 62, 63))
+    assert(zz.sorted.toSeq === (0 until 64))
+    // T(x)(0) = (1/sqrt 2)/2 for every x; row norms ~ 1/2
+    (0 until 8).foreach { x =>
+      assert(math.abs(JpegTables.Basis(x * 8) - 1.0 / math.sqrt(2.0) / 2.0)
+        < 1e-15)
+    }
+    assert(JpegTables.QuantLuma.forall(q => q >= 1 && q <= 255))
+    assert(JpegTables.QuantChroma.forall(q => q >= 1 && q <= 255))
+  }
+
+  test("all-zero coefficients decode to a uniform gray-128 image") {
+    val bytes = Jpeg.encodeJpeg(16, 8, zeroCoef)
+    val Some((w, h, rgb)) = Jpeg.decodeJpeg(bytes)
+    assert(w === 16 && h === 8)
+    assert(rgb.forall(b => (b & 0xff) === 128))
+  }
+
+  test("DC-only blocks reconstruct to the closed-form constant") {
+    // dc=16, luma Q(0)=1: every Y pixel = floor(16*T00^2*... the
+    // separable fold gives 16*T(x)(0)*T(y)(0); expected computed from
+    // the PINNED table, not from the decoder
+    val bytes = Jpeg.encodeJpeg(8, 8,
+      (c, _, k) => if (k == 0 && c == 0) 16 else 0)
+    val Some((_, _, rgb)) = Jpeg.decodeJpeg(bytes)
+    val t0 = JpegTables.Basis(0)
+    val q0 = JpegTables.QuantLuma(0)
+    val expY = (math.floor(16.0 * q0 * t0 * t0 + 0.5) + 128).toInt
+    // Cb/Cr are 128 -> r = g = b = Y
+    assert(rgb.forall(b => (b & 0xff) === expY), s"expected $expY")
+  }
+
+  test("huffman + zigzag + ZRL/EOB reproduce IDCT ground truth " +
+      "(single coefficient 19 zigzag steps in -> ZRL + run path)") {
+    // one AC at zigzag position 20 with 19 zeros before it: the
+    // encoder must emit ZRL (16 zeros) + run-3 symbol; any slip in the
+    // run arithmetic or the zigzag map lands the coefficient elsewhere
+    def coef(c: Int, bi: Int, k: Int): Int =
+      if (c == 0 && k == 20) -33 else 0 // luma only; chroma stays 128
+    val bytes = Jpeg.encodeJpeg(8, 8, coef)
+    val Some((_, _, rgb)) = Jpeg.decodeJpeg(bytes)
+    // ground truth: dequantize + pinned IDCT directly
+    val dq = new Array[Int](64)
+    dq(JpegTables.Zigzag(20)) = -33 * JpegTables.QuantLuma(20)
+    val y = Jpeg.idctBlock(dq)
+    val dqz = new Array[Int](64) // chroma planes: all-zero -> 128
+    dq.indices.foreach { i =>
+      val yv = y(i)
+      def clamp(d: Double): Int = {
+        val v = math.floor(d + 0.5).toLong
+        math.min(math.max(v, 0L), 255L).toInt
+      }
+      assert((rgb(3 * i) & 0xff) === clamp(yv + 1.402 * 0))
+      assert((rgb(3 * i + 1) & 0xff) === clamp(yv - 0.0 - 0.0))
+      assert((rgb(3 * i + 2) & 0xff) === clamp(yv + 0.0))
+    }
+    assert(dqz.forall(_ == 0))
+  }
+
+  test("the synthetic corpus exercises byte stuffing and decodes") {
+    // scan a few ids for a stuffed FF 00 inside the entropy segment —
+    // the corpus must hit the stuffing path, not merely allow it
+    val stuffed = (0L until 64L).exists { id =>
+      val b = Jpeg.encodeJpeg(16, 16,
+        (c, bi, k) => Jpeg.syntheticCoef(id, c, bi, k))
+      assert(Jpeg.decodeJpeg(b).isDefined, s"id $id must decode")
+      val scan = b.indices.dropWhile(i =>
+        !((b(i) & 0xff) == 0xFF && (b(i + 1) & 0xff) == 0xDA))
+      scan.exists(i => i + 1 < b.length - 2 &&
+        (b(i) & 0xff) == 0xFF && (b(i + 1) & 0xff) == 0x00)
+    }
+    assert(stuffed, "no id in 0..63 produced a stuffed byte — corpus " +
+      "too tame to exercise the stuffing path")
+  }
+
+  test("grayscale (1 component) decodes with Y replicated") {
+    val bytes = Jpeg.encodeJpeg(8, 8,
+      (c, _, k) => if (k == 0) 24 else 0, ncomp = 1)
+    val Some((w, h, rgb)) = Jpeg.decodeJpeg(bytes)
+    assert(w === 8 && h === 8)
+    (0 until 64).foreach { i =>
+      assert(rgb(3 * i) === rgb(3 * i + 1) && rgb(3 * i) === rgb(3 * i + 2))
+    }
+  }
+
+  test("DC differential chains across MCUs (second block decodes " +
+      "relative to the first)") {
+    // dc: block 0 -> 40, block 1 -> -23; diffs 40 then -63 — sign and
+    // magnitude-bit handling both on the line
+    val bytes = Jpeg.encodeJpeg(16, 8,
+      (c, bi, k) => if (k == 0) (if (bi == 0) 40 else -23) else 0)
+    val Some((w, _, rgb)) = Jpeg.decodeJpeg(bytes)
+    val t0 = JpegTables.Basis(0)
+    def expY(dc: Int, q: Int) =
+      (math.floor(dc.toDouble * q * t0 * t0 + 0.5) + 128).toInt
+    // pixel (0,0) in MCU 0 and MCU 1 (x=8)
+    val y0 = expY(40, JpegTables.QuantLuma(0))
+    val y1 = expY(-23, JpegTables.QuantLuma(0))
+    def rAt(x: Int): Int = rgb(3 * x) & 0xff
+    // chroma dc also 40/-23 under the chroma table — compute full rgb
+    val c0 = expY(40, JpegTables.QuantChroma(0))
+    val c1 = expY(-23, JpegTables.QuantChroma(0))
+    def red(y: Int, cr: Int): Int = {
+      val v = math.floor(y + 1.402 * (cr - 128) + 0.5).toLong
+      math.min(math.max(v, 0L), 255L).toInt
+    }
+    assert(rAt(0) === red(y0, c0))
+    assert(rAt(8) === red(y1, c1))
+  }
+
+  test("malformed and out-of-profile inputs all return None, never " +
+      "garbage") {
+    val good = Jpeg.encodeJpeg(8, 8,
+      (c, bi, k) => Jpeg.syntheticCoef(3L, c, bi, k))
+    assert(Jpeg.decodeJpeg(good).isDefined)
+    def mut(f: Array[Byte] => Array[Byte]): Option[_] =
+      Jpeg.decodeJpeg(f(good.clone()))
+    // truncation at every boundary class
+    assert(Jpeg.decodeJpeg(null) === None)
+    assert(Jpeg.decodeJpeg(Array.emptyByteArray) === None)
+    assert(mut(_.take(2)) === None)       // SOI only
+    assert(mut(_.take(40)) === None)      // mid-segment
+    assert(mut(_.dropRight(1)) === None)  // missing half of EOI
+    assert(mut(_.dropRight(2)) === None)  // missing EOI
+    assert(mut(b => b ++ Array[Byte](0)) === None) // trailing garbage
+    // bad SOI
+    assert(mut { b => b(1) = 0xD9.toByte; b } === None)
+    // SOF0 -> SOF2 (progressive)
+    val sofAt = good.indices.find(i =>
+      (good(i) & 0xff) == 0xFF && (good(i + 1) & 0xff) == 0xC0).get
+    assert(mut { b => b(sofAt + 1) = 0xC2.toByte; b } === None)
+    // 12-bit precision
+    assert(mut { b => b(sofAt + 4) = 12.toByte; b } === None)
+    // 2x2 sampling on component 0
+    assert(mut { b => b(sofAt + 11) = 0x22.toByte; b } === None)
+    // DRI segment injected before SOS
+    val sosAt = good.indices.find(i =>
+      (good(i) & 0xff) == 0xFF && (good(i + 1) & 0xff) == 0xDA).get
+    val dri = Array(0xFF, 0xDD, 0x00, 0x04, 0x00, 0x08).map(_.toByte)
+    assert(Jpeg.decodeJpeg(
+      good.take(sosAt) ++ dri ++ good.drop(sosAt)) === None)
+    // zero quant entry (DQT payload starts after marker+len+PqTq)
+    val dqtAt = good.indices.find(i =>
+      (good(i) & 0xff) == 0xFF && (good(i + 1) & 0xff) == 0xDB).get
+    assert(mut { b => b(dqtAt + 5) = 0.toByte; b } === None)
+    // a raw 0xFF inside entropy data missing its stuffed 0x00: flip a
+    // mid-scan byte to 0xFF whose successor is not 0x00
+    val scanStart = sosAt + 2 +
+      (((good(sosAt + 2) & 0xff) << 8) | (good(sosAt + 3) & 0xff))
+    val tamperAt = (scanStart until good.length - 3).find { i =>
+      (good(i) & 0xff) != 0xFF && (good(i + 1) & 0xff) != 0x00 &&
+        (good(i - 1) & 0xff) != 0xFF
+    }.get
+    assert(mut { b => b(tamperAt) = 0xFF.toByte; b } === None)
+    // non-whole-MCU dimensions are out of profile (encoder refuses;
+    // a hand-tampered SOF must be rejected by the decoder too)
+    assert(mut { b => b(sofAt + 8) = 12.toByte; b } === None)
+    intercept[IllegalArgumentException](Jpeg.encodeJpeg(12, 8, zeroCoef))
+    intercept[IllegalArgumentException](
+      Jpeg.encodeJpeg(8, 8, zeroCoef, ncomp = 2))
+  }
+
+  test("features over the synthetic corpus match a driver-side " +
+      "reimplementation for a sample of ids") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L, 7L, 12L).toDF("doc_id")
+    val got = Jpeg.extractJpegFeatures(Jpeg.syntheticJpegTable(docs))
+      .collect().map(f => f.media_id -> f).toMap
+    got.foreach { case (id, f) =>
+      val w = 8 * (1 + (id % 2).toInt)
+      val h = 8 * (1 + ((id / 2) % 2).toInt)
+      assert(f.w === w && f.h === h)
+      val Some((_, _, rgb)) = Jpeg.decodeJpeg(Jpeg.encodeJpeg(w, h,
+        (c, bi, k) => Jpeg.syntheticCoef(id, c, bi, k)))
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var i = 0
+      while (i < rgb.length) {
+        sr += rgb(i) & 0xff; sg += rgb(i + 1) & 0xff; sb += rgb(i + 2) & 0xff
+        i += 3
+      }
+      assert((f.sum_r, f.sum_g, f.sum_b) === ((sr, sg, sb)), s"id $id")
+    }
+  }
+}
