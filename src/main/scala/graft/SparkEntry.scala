@@ -1032,6 +1032,16 @@ object SparkEntry {
       graft.multimodal.Jpeg.extractJpegFeatures(media).toDF()
         .orderBy(col("media_id"))
     }),
+    "mm_jpeg420_decode" -> ((s, dir) => {
+      // the dominant real-world JPEG profile: 4:2:0 chroma subsampling
+      // — four interleaved luma blocks per 16x16 MCU, one Cb/Cr block,
+      // chroma upsampled by replication; same pinned arithmetic, same
+      // coefficient-space corpus discipline as mm_jpeg_decode
+      val media = graft.multimodal.Jpeg.syntheticJpeg420Table(
+        t(s, dir, "documents"))
+      graft.multimodal.Jpeg.extractJpegFeatures(media).toDF()
+        .orderBy(col("media_id"))
+    }),
     "bt_signals" -> ((s, dir) => {
       // MA-cross signal generation over events-as-bars, decimal-exact SMAs
       // so the comparison itself (fast > slow) is oracle-exact:
@@ -3148,6 +3158,7 @@ object SparkEntry {
     // generated: replays the synthetic corpus' closed-form quantized
     // coefficients through the decoder's exact pinned arithmetic
     "mm_jpeg_decode" -> JpegOracle.mmJpegDecode,
+    "mm_jpeg420_decode" -> JpegOracle.mmJpeg420Decode,
     "ts_quality" ->
       """WITH toks AS (SELECT doc_id, text,
              list_filter(string_split_regex(lower(text), '\s+'),

@@ -14,10 +14,13 @@ import org.apache.spark.sql.functions._
   * quantization tables, zigzag ordering, a separable IDCT, level
   * shift + clamp, and JFIF YCbCr→RGB conversion.
   *
-  * Scope is baseline sequential, 8-bit, 1 or 3 components, 4:4:4 (all
-  * sampling factors 1×1), dimensions in whole MCUs. Everything else —
-  * progressive (SOF2), restart intervals (DRI/RSTn), subsampling,
-  * 12-bit, arithmetic coding — fails loudly (`None`), the
+  * Scope is baseline sequential, 8-bit, 1 or 3 components, in the two
+  * sampling profiles that dominate real corpora: 4:4:4 (all factors
+  * 1×1) and 4:2:0 (luma 2×2, chroma 1×1 — four interleaved luma
+  * blocks per 16×16 MCU, chroma upsampled by replication), dimensions
+  * in whole MCUs. Everything else — progressive (SOF2), restart
+  * intervals (DRI/RSTn), other sampling combinations, 12-bit,
+  * arithmetic coding — fails loudly (`None`), the
   * [[RealMedia]]/[[Png]] discipline: a silently-misdecoded image would
   * poison every downstream feature.
   *
@@ -147,10 +150,12 @@ object Jpeg {
     * data, EOI.
     */
   def encodeJpeg(w: Int, h: Int, coef: (Int, Int, Int) => Int,
-      ncomp: Int = 3): Array[Byte] = {
-    require(w > 0 && h > 0 && w % 8 == 0 && h % 8 == 0,
-      s"dimensions must be positive whole MCUs, got ${w}x$h")
+      ncomp: Int = 3, chroma420: Boolean = false): Array[Byte] = {
     require(ncomp == 1 || ncomp == 3, s"ncomp must be 1 or 3, got $ncomp")
+    require(!chroma420 || ncomp == 3, "4:2:0 needs 3 components")
+    val mcuPx = if (chroma420) 16 else 8
+    require(w > 0 && h > 0 && w % mcuPx == 0 && h % mcuPx == 0,
+      s"dimensions must be positive whole MCUs (${mcuPx}px), got ${w}x$h")
     val out = new java.io.ByteArrayOutputStream()
     out.write(0xFF); out.write(0xD8) // SOI
     writeSegment(out, 0xE0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0,
@@ -169,8 +174,11 @@ object Jpeg {
     sof.write((h >> 8) & 0xFF); sof.write(h & 0xFF)
     sof.write((w >> 8) & 0xFF); sof.write(w & 0xFF)
     sof.write(ncomp)
-    for ((cid, qid) <- Seq((1, 0), (2, 1), (3, 1)).take(ncomp)) {
-      sof.write(cid); sof.write(0x11); sof.write(qid)
+    for (((cid, qid), c0) <- Seq((1, 0), (2, 1), (3, 1)).take(ncomp)
+        .zipWithIndex) {
+      sof.write(cid)
+      sof.write(if (chroma420 && c0 == 0) 0x22 else 0x11)
+      sof.write(qid)
     }
     writeSegment(out, 0xC0, sof.toByteArray)
     // DHT: all four tables in one segment
@@ -204,37 +212,45 @@ object Jpeg {
       // negatives in "one's complement of |v|" form (T.81 F.1.2.1)
       bw.write(if (v < 0) v + (1 << s) - 1 else v, s)
     val prevDc = new Array[Int](ncomp)
-    val mcus = (w / 8) * (h / 8)
-    var bi = 0
-    while (bi < mcus) {
-      var c = 0
-      while (c < ncomp) {
-        // DC: differential category + magnitude bits
-        val dc = coef(c, bi, 0)
-        val diff = dc - prevDc(c)
-        prevDc(c) = dc
-        val s = category(diff)
-        writeHuff(dcTab(c), s)
-        if (s > 0) writeMagnitude(diff, s)
-        // AC: run/size symbols with ZRL and EOB
-        var k = 1
-        var lastNz = 0
-        var kk = 1
-        while (kk < 64) { if (coef(c, bi, kk) != 0) lastNz = kk; kk += 1 }
-        while (k <= lastNz) {
-          var run = 0
-          while (coef(c, bi, k) == 0) { run += 1; k += 1 }
-          while (run >= 16) { writeHuff(acTab(c), 0xF0); run -= 16 }
-          val v = coef(c, bi, k)
-          val sz = category(v)
-          writeHuff(acTab(c), (run << 4) | sz)
-          writeMagnitude(v, sz)
-          k += 1
-        }
-        if (lastNz < 63) writeHuff(acTab(c), 0x00) // EOB
-        c += 1
+    def encodeBlock(c: Int, bi: Int): Unit = {
+      // DC: differential category + magnitude bits
+      val dc = coef(c, bi, 0)
+      val diff = dc - prevDc(c)
+      prevDc(c) = dc
+      val s = category(diff)
+      writeHuff(dcTab(c), s)
+      if (s > 0) writeMagnitude(diff, s)
+      // AC: run/size symbols with ZRL and EOB
+      var k = 1
+      var lastNz = 0
+      var kk = 1
+      while (kk < 64) { if (coef(c, bi, kk) != 0) lastNz = kk; kk += 1 }
+      while (k <= lastNz) {
+        var run = 0
+        while (coef(c, bi, k) == 0) { run += 1; k += 1 }
+        while (run >= 16) { writeHuff(acTab(c), 0xF0); run -= 16 }
+        val v = coef(c, bi, k)
+        val sz = category(v)
+        writeHuff(acTab(c), (run << 4) | sz)
+        writeMagnitude(v, sz)
+        k += 1
       }
-      bi += 1
+      if (lastNz < 63) writeHuff(acTab(c), 0x00) // EOB
+    }
+    val mcus = (w / mcuPx) * (h / mcuPx)
+    var m = 0
+    while (m < mcus) {
+      if (chroma420) {
+        // T.81 interleave: the 4 luma blocks (raster order within the
+        // MCU; bi = m*4 + raster index), then one Cb, one Cr (bi = m)
+        var b = 0
+        while (b < 4) { encodeBlock(0, m * 4 + b); b += 1 }
+        encodeBlock(1, m); encodeBlock(2, m)
+      } else {
+        var c = 0
+        while (c < ncomp) { encodeBlock(c, m); c += 1 }
+      }
+      m += 1
     }
     bw.flush()
     out.write(0xFF); out.write(0xD9) // EOI
@@ -366,6 +382,9 @@ object Jpeg {
     val dcTabs = new Array[DecodeTable](4)
     val acTabs = new Array[DecodeTable](4)
     var compQuant: Array[Int] = null
+    var compH: Array[Int] = null
+    var compV: Array[Int] = null
+    var hMax = 1; var vMax = 1
     var compDc: Array[Int] = null
     var compAc: Array[Int] = null
     var sawSof = false
@@ -391,19 +410,30 @@ object Jpeg {
           h = u16(body + 1); w = u16(body + 3)
           ncomp = bytes(body + 5) & 0xFF
           if (w <= 0 || h <= 0 || (ncomp != 1 && ncomp != 3)) return None
-          // whole-MCU 4:4:4 profile; dimension-bomb guard for stride math
-          if (w % 8 != 0 || h % 8 != 0) return None
           if (w.toLong * h * 3 > Int.MaxValue - 64) return None
           if (bodyLen != 6 + 3 * ncomp) return None
           compQuant = new Array[Int](ncomp)
+          compH = new Array[Int](ncomp)
+          compV = new Array[Int](ncomp)
           var c = 0
           while (c < ncomp) {
             val samp = bytes(body + 7 + 3 * c) & 0xFF
-            if (samp != 0x11) return None // 4:4:4 only
+            compH(c) = samp >> 4; compV(c) = samp & 0x0F
             compQuant(c) = bytes(body + 8 + 3 * c) & 0xFF
             if (compQuant(c) > 3) return None
             c += 1
           }
+          // supported sampling profiles: 4:4:4 (all 1x1) and 4:2:0
+          // (luma 2x2, chroma 1x1); anything else is out of profile
+          val is444 = (0 until ncomp).forall(c2 =>
+            compH(c2) == 1 && compV(c2) == 1)
+          val is420 = ncomp == 3 && compH(0) == 2 && compV(0) == 2 &&
+            compH(1) == 1 && compV(1) == 1 &&
+            compH(2) == 1 && compV(2) == 1
+          if (!is444 && !is420) return None
+          // whole-MCU dimensions (16x16 for 4:2:0, 8x8 for 4:4:4)
+          hMax = compH.max; vMax = compV.max
+          if (w % (8 * hMax) != 0 || h % (8 * vMax) != 0) return None
         case 0xC4 => // DHT: one or more tables
           var p = body
           while (p < body + bodyLen) {
@@ -473,8 +503,13 @@ object Jpeg {
     }
 
     val zz = JpegTables.Zigzag
-    val mcusX = w / 8; val mcusY = h / 8
-    val planes = Array.fill(ncomp)(new Array[Int](w * h))
+    val mcusX = w / (8 * hMax); val mcusY = h / (8 * vMax)
+    // per-component plane dimensions: subsampled chroma stores at its
+    // native resolution and upsamples by replication at conversion
+    val planeW = Array.tabulate(ncomp)(c2 => w * compH(c2) / hMax)
+    val planeH = Array.tabulate(ncomp)(c2 => h * compV(c2) / vMax)
+    val planes = Array.tabulate(ncomp)(c2 =>
+      new Array[Int](planeW(c2) * planeH(c2)))
     val prevDc = new Array[Int](ncomp)
     val br = new BitReader(bytes, sosAt)
     val dq = new Array[Int](64)
@@ -484,42 +519,55 @@ object Jpeg {
       while (mx < mcusX) {
         var ci = 0
         while (ci < ncomp) {
-          java.util.Arrays.fill(dq, 0)
-          val q = quant(compQuant(ci))
-          // DC
-          val s = br.decodeHuff(dcTabs(compDc(ci)))
-          if (br.bad || s < 0 || s > 11) return None
-          val diff = extend(br.receive(s), s)
-          if (br.bad) return None
-          prevDc(ci) += diff
-          dq(0) = prevDc(ci) * q(0)
-          // AC
-          var k = 1
-          var eob = false
-          while (k < 64 && !eob) {
-            val rs = br.decodeHuff(acTabs(compAc(ci)))
-            if (br.bad || rs < 0) return None
-            val run = rs >> 4; val size = rs & 0x0F
-            if (size == 0) {
-              if (run == 15) k += 16 // ZRL
-              else if (run == 0) eob = true
-              else return None
-            } else {
-              k += run
-              if (k > 63 || size > 10) return None
-              val v = extend(br.receive(size), size)
+          // T.81 interleave order: the component's V×H blocks in
+          // raster order within the MCU
+          var bv = 0
+          while (bv < compV(ci)) {
+            var bh = 0
+            while (bh < compH(ci)) {
+              java.util.Arrays.fill(dq, 0)
+              val q = quant(compQuant(ci))
+              // DC
+              val s = br.decodeHuff(dcTabs(compDc(ci)))
+              if (br.bad || s < 0 || s > 11) return None
+              val diff = extend(br.receive(s), s)
               if (br.bad) return None
-              dq(zz(k)) = v * q(k)
-              k += 1
+              prevDc(ci) += diff
+              dq(0) = prevDc(ci) * q(0)
+              // AC
+              var k = 1
+              var eob = false
+              while (k < 64 && !eob) {
+                val rs = br.decodeHuff(acTabs(compAc(ci)))
+                if (br.bad || rs < 0) return None
+                val run = rs >> 4; val size = rs & 0x0F
+                if (size == 0) {
+                  if (run == 15) k += 16 // ZRL
+                  else if (run == 0) eob = true
+                  else return None
+                } else {
+                  k += run
+                  if (k > 63 || size > 10) return None
+                  val v = extend(br.receive(size), size)
+                  if (br.bad) return None
+                  dq(zz(k)) = v * q(k)
+                  k += 1
+                }
+              }
+              if (k > 64) return None
+              // IDCT into the component plane at this block's position
+              val px = idctBlock(dq)
+              val baseRow = my * compV(ci) * 8 + bv * 8
+              val baseCol = mx * compH(ci) * 8 + bh * 8
+              var i = 0
+              while (i < 64) {
+                planes(ci)((baseRow + i / 8) * planeW(ci) +
+                  baseCol + i % 8) = px(i)
+                i += 1
+              }
+              bh += 1
             }
-          }
-          if (k > 64) return None
-          // IDCT into the component plane at this MCU's position
-          val px = idctBlock(dq)
-          var i = 0
-          while (i < 64) {
-            planes(ci)((my * 8 + i / 8) * w + mx * 8 + i % 8) = px(i)
-            i += 1
+            bv += 1
           }
           ci += 1
         }
@@ -542,7 +590,14 @@ object Jpeg {
         rgb(3 * i) = y.toByte; rgb(3 * i + 1) = y.toByte
         rgb(3 * i + 2) = y.toByte
       } else {
-        val yv = planes(0)(i); val cb = planes(1)(i); val cr = planes(2)(i)
+        val row = i / w; val col = i % w
+        val yv = planes(0)(i)
+        // chroma upsampling by replication: subsampled planes index at
+        // (row·V/vMax, col·H/hMax) — identity under 4:4:4
+        def chroma(c2: Int): Int =
+          planes(c2)((row * compV(c2) / vMax) * planeW(c2) +
+            col * compH(c2) / hMax)
+        val cb = chroma(1); val cr = chroma(2)
         def clamp(d: Double): Byte = {
           val v = math.floor(d + 0.5).toLong
           math.min(math.max(v, 0L), 255L).toByte
@@ -574,6 +629,21 @@ object Jpeg {
       val w = 8 * (1 + (id % 2).toInt)
       val h = 8 * (1 + ((id / 2) % 2).toInt)
       JpegRow(id, encodeJpeg(w, h, (c, bi, k) => syntheticCoef(id, c, bi, k)))
+    }
+  }
+
+  /** The 4:2:0 corpus: 16×16..32×32 images, four interleaved luma
+    * blocks per MCU (per-component block index bi = mcu·4 + raster b
+    * for luma, bi = mcu for chroma) — same coefficient formulas.
+    */
+  def syntheticJpeg420Table(docs: DataFrame): Dataset[JpegRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val w = 16 * (1 + (id % 2).toInt)
+      val h = 16 * (1 + ((id / 2) % 2).toInt)
+      JpegRow(id, encodeJpeg(w, h, (c, bi, k) => syntheticCoef(id, c, bi, k),
+        ncomp = 3, chroma420 = true))
     }
   }
 

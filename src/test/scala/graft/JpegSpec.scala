@@ -177,6 +177,65 @@ class JpegSpec extends SparkTestBase {
       Jpeg.encodeJpeg(8, 8, zeroCoef, ncomp = 2))
   }
 
+  test("4:2:0: luma interleave order places the four MCU blocks in " +
+      "raster quadrants") {
+    // per-block DC only: block b of the (single) MCU gets dc = 8*(b+1)
+    // — a quadrant swap or interleave slip moves the wrong constant
+    // into the wrong 8x8 region
+    val bytes = Jpeg.encodeJpeg(16, 16,
+      (c, bi, k) => if (c == 0 && k == 0) 8 * (bi + 1) else 0,
+      chroma420 = true)
+    val Some((w, h, rgb)) = Jpeg.decodeJpeg(bytes)
+    assert(w === 16 && h === 16)
+    val t0 = JpegTables.Basis(0)
+    def expY(dc: Int) =
+      (math.floor(dc.toDouble * JpegTables.QuantLuma(0) * t0 * t0 + 0.5)
+        + 128).toInt
+    def yAt(row: Int, col: Int): Int = rgb(3 * (row * 16 + col)) & 0xff
+    // chroma flat 128 -> r == Y
+    assert(yAt(0, 0) === expY(8))    // block 0: top-left
+    assert(yAt(0, 8) === expY(16))   // block 1: top-right
+    assert(yAt(8, 0) === expY(24))   // block 2: bottom-left
+    assert(yAt(8, 8) === expY(32))   // block 3: bottom-right
+  }
+
+  test("4:2:0: each chroma sample replicates over its 2x2 luma square") {
+    // flat luma, one chroma AC coefficient -> a non-flat 8x8 chroma
+    // plane; replication means every 2x2 pixel square is uniform while
+    // the squares differ
+    val bytes = Jpeg.encodeJpeg(16, 16,
+      (c, bi, k) => if (c == 1 && k == 1) 40 else 0, chroma420 = true)
+    val Some((_, _, rgb)) = Jpeg.decodeJpeg(bytes)
+    def px(row: Int, col: Int): (Int, Int, Int) = {
+      val o = 3 * (row * 16 + col)
+      ((rgb(o) & 0xff, rgb(o + 1) & 0xff, rgb(o + 2) & 0xff))
+    }
+    for (cy <- 0 until 8; cx <- 0 until 8) {
+      val base = px(2 * cy, 2 * cx)
+      assert(px(2 * cy, 2 * cx + 1) === base)
+      assert(px(2 * cy + 1, 2 * cx) === base)
+      assert(px(2 * cy + 1, 2 * cx + 1) === base)
+    }
+    val distinct = (for (cy <- 0 until 8; cx <- 0 until 8)
+      yield px(2 * cy, 2 * cx)).toSet
+    assert(distinct.size > 1, "chroma AC must vary across samples")
+  }
+
+  test("4:2:0 guards: 16px-whole-MCU dims enforced, other sampling " +
+      "combos rejected") {
+    intercept[IllegalArgumentException](
+      Jpeg.encodeJpeg(8, 8, zeroCoef, chroma420 = true))
+    intercept[IllegalArgumentException](
+      Jpeg.encodeJpeg(16, 16, zeroCoef, ncomp = 1, chroma420 = true))
+    val good = Jpeg.encodeJpeg(16, 16, zeroCoef, chroma420 = true)
+    assert(Jpeg.decodeJpeg(good).isDefined)
+    val sofAt = good.indices.find(i =>
+      (good(i) & 0xff) == 0xFF && (good(i + 1) & 0xff) == 0xC0).get
+    // luma sampling 2x1 (4:2:2) is out of profile
+    val b = good.clone(); b(sofAt + 11) = 0x21.toByte
+    assert(Jpeg.decodeJpeg(b) === None)
+  }
+
   test("features over the synthetic corpus match a driver-side " +
       "reimplementation for a sample of ids") {
     import spark.implicits._
