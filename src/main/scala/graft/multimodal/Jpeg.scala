@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   * sampling profiles that dominate real corpora: 4:4:4 (all factors
   * 1×1) and 4:2:0 (luma 2×2, chroma 1×1 — four interleaved luma
   * blocks per 16×16 MCU, chroma upsampled by replication), dimensions
-  * in whole MCUs. Everything else — progressive (SOF2), restart
-  * intervals (DRI/RSTn), other sampling combinations, 12-bit,
-  * arithmetic coding — fails loudly (`None`), the
+  * in whole MCUs, with or without restart intervals (DRI/RSTn —
+  * byte-aligned cyclic markers, DC-prediction resets; wrong or missing
+  * markers are malformed). Everything else — progressive (SOF2),
+  * other sampling combinations, 12-bit, arithmetic coding — fails
+  * loudly (`None`), the
   * [[RealMedia]]/[[Png]] discipline: a silently-misdecoded image would
   * poison every downstream feature.
   *
@@ -142,17 +144,22 @@ object Jpeg {
     out.write(payload, 0, payload.length)
   }
 
-  /** Encode a baseline 4:4:4 JPEG (3-component YCbCr, or grayscale
-    * with `ncomp = 1`) whose quantized coefficients at zigzag k of
-    * block bi, component c are `coef(c, bi, k)`. `w`/`h` must be
-    * multiples of 8 (whole MCUs). Emits real JFIF bytes: APP0, both
-    * DQT tables, SOF0, all four DHT tables, SOS, stuffed entropy-coded
-    * data, EOI.
+  /** Encode a baseline JPEG — 4:4:4 (3-component YCbCr or grayscale
+    * with `ncomp = 1`) or 4:2:0 (`chroma420`) — whose quantized
+    * coefficients at zigzag k of per-component block bi are
+    * `coef(c, bi, k)`. `w`/`h` must be whole MCUs (8 px, 16 px for
+    * 4:2:0). `restartInterval` > 0 emits a DRI segment and cyclic
+    * RSTn markers with DC resets between intervals. Emits real JFIF
+    * bytes: APP0, both DQT tables, SOF0, all four DHT tables, [DRI,]
+    * SOS, stuffed entropy-coded data, EOI.
     */
   def encodeJpeg(w: Int, h: Int, coef: (Int, Int, Int) => Int,
-      ncomp: Int = 3, chroma420: Boolean = false): Array[Byte] = {
+      ncomp: Int = 3, chroma420: Boolean = false,
+      restartInterval: Int = 0): Array[Byte] = {
     require(ncomp == 1 || ncomp == 3, s"ncomp must be 1 or 3, got $ncomp")
     require(!chroma420 || ncomp == 3, "4:2:0 needs 3 components")
+    require(restartInterval >= 0 && restartInterval <= 65535,
+      s"restartInterval must be a u16, got $restartInterval")
     val mcuPx = if (chroma420) 16 else 8
     require(w > 0 && h > 0 && w % mcuPx == 0 && h % mcuPx == 0,
       s"dimensions must be positive whole MCUs (${mcuPx}px), got ${w}x$h")
@@ -190,6 +197,10 @@ object Jpeg {
       spec.values.foreach(dht.write)
     }
     writeSegment(out, 0xC4, dht.toByteArray)
+    if (restartInterval > 0)
+      writeSegment(out, 0xDD, Array( // DRI
+        ((restartInterval >> 8) & 0xFF).toByte,
+        (restartInterval & 0xFF).toByte))
     // SOS: huffman table ids 0/0 for Y, 1/1 for Cb/Cr
     val sos = new java.io.ByteArrayOutputStream()
     sos.write(ncomp)
@@ -251,6 +262,14 @@ object Jpeg {
         while (c < ncomp) { encodeBlock(c, m); c += 1 }
       }
       m += 1
+      // restart marker BETWEEN intervals (never after the last MCU):
+      // pad to a byte, emit the cyclic RSTn raw, reset DC prediction
+      if (restartInterval > 0 && m < mcus && m % restartInterval == 0) {
+        bw.flush()
+        out.write(0xFF)
+        out.write(0xD0 + ((m / restartInterval - 1) % 8))
+        java.util.Arrays.fill(prevDc, 0)
+      }
     }
     bw.flush()
     out.write(0xFF); out.write(0xD9) // EOI
@@ -315,6 +334,16 @@ object Jpeg {
       var v = 0; var i = 0
       while (i < n && !bad) { v = (v << 1) | nextBit(); i += 1 }
       v
+    }
+    /** Byte-align (discard the interval's padding bits) and consume
+      * the expected cyclic restart marker; anything else is malformed.
+      */
+    def expectRst(idx: Int): Unit = {
+      acc = 0; nbits = 0
+      if (pos + 2 > bytes.length) { bad = true; return }
+      if ((bytes(pos) & 0xFF) != 0xFF ||
+        (bytes(pos + 1) & 0xFF) != 0xD0 + idx) { bad = true; return }
+      pos += 2
     }
     def decodeHuff(t: DecodeTable): Int = {
       var code = nextBit()
@@ -389,6 +418,7 @@ object Jpeg {
     var compAc: Array[Int] = null
     var sawSof = false
     var sosAt = -1
+    var restartInterval = 0
 
     def u16(p: Int): Int = ((bytes(p) & 0xFF) << 8) | (bytes(p + 1) & 0xFF)
 
@@ -485,10 +515,13 @@ object Jpeg {
             (bytes(body + 2 + 2 * ncomp) & 0xFF) != 63 ||
             (bytes(body + 3 + 2 * ncomp) & 0xFF) != 0) return None
           sosAt = pos + 2 + len
+        case 0xDD => // DRI: restart interval (0 disables)
+          if (bodyLen != 2) return None
+          restartInterval = u16(body)
         case 0xE0 | 0xE1 | 0xE2 | 0xE3 | 0xE4 | 0xE5 | 0xE6 | 0xE7 |
             0xE8 | 0xE9 | 0xEA | 0xEB | 0xEC | 0xED | 0xEE | 0xEF |
             0xFE => // APPn / COM: skip
-        case _ => return None // DRI, SOF2, arithmetic, anything else
+        case _ => return None // SOF2, arithmetic, anything else
       }
       if (sosAt < 0) pos += 2 + len
     }
@@ -571,6 +604,18 @@ object Jpeg {
           }
           ci += 1
         }
+        // restart intervals: between every `restartInterval` MCUs the
+        // stream byte-aligns, carries the cyclic RSTn marker, and DC
+        // prediction resets — required, in order, or the stream is
+        // malformed (a skipped reset would silently shear every
+        // subsequent DC)
+        val done = my * mcusX + mx + 1
+        if (restartInterval > 0 && done < mcusX * mcusY &&
+            done % restartInterval == 0) {
+          br.expectRst((done / restartInterval - 1) % 8)
+          if (br.bad) return None
+          java.util.Arrays.fill(prevDc, 0)
+        }
         mx += 1
       }
       my += 1
@@ -634,7 +679,11 @@ object Jpeg {
 
   /** The 4:2:0 corpus: 16×16..32×32 images, four interleaved luma
     * blocks per MCU (per-component block index bi = mcu·4 + raster b
-    * for luma, bi = mcu for chroma) — same coefficient formulas.
+    * for luma, bi = mcu for chroma) — same coefficient formulas; a
+    * restart interval of 1 MCU, so every multi-MCU image carries RSTn
+    * markers and DC-prediction resets (the channel sums are
+    * restart-invariant — the oracle is unchanged, but a restart bug
+    * shears every post-marker DC and cannot hash-match).
     */
   def syntheticJpeg420Table(docs: DataFrame): Dataset[JpegRow] = {
     val spark = docs.sparkSession
@@ -643,7 +692,7 @@ object Jpeg {
       val w = 16 * (1 + (id % 2).toInt)
       val h = 16 * (1 + ((id / 2) % 2).toInt)
       JpegRow(id, encodeJpeg(w, h, (c, bi, k) => syntheticCoef(id, c, bi, k),
-        ncomp = 3, chroma420 = true))
+        ncomp = 3, chroma420 = true, restartInterval = 1))
     }
   }
 

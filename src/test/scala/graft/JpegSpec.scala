@@ -150,12 +150,12 @@ class JpegSpec extends SparkTestBase {
     assert(mut { b => b(sofAt + 4) = 12.toByte; b } === None)
     // 2x2 sampling on component 0
     assert(mut { b => b(sofAt + 11) = 0x22.toByte; b } === None)
-    // DRI segment injected before SOS
+    // DAC (arithmetic conditioning) segment injected before SOS
     val sosAt = good.indices.find(i =>
       (good(i) & 0xff) == 0xFF && (good(i + 1) & 0xff) == 0xDA).get
-    val dri = Array(0xFF, 0xDD, 0x00, 0x04, 0x00, 0x08).map(_.toByte)
+    val dac = Array(0xFF, 0xCC, 0x00, 0x04, 0x00, 0x08).map(_.toByte)
     assert(Jpeg.decodeJpeg(
-      good.take(sosAt) ++ dri ++ good.drop(sosAt)) === None)
+      good.take(sosAt) ++ dac ++ good.drop(sosAt)) === None)
     // zero quant entry (DQT payload starts after marker+len+PqTq)
     val dqtAt = good.indices.find(i =>
       (good(i) & 0xff) == 0xFF && (good(i + 1) & 0xff) == 0xDB).get
@@ -234,6 +234,37 @@ class JpegSpec extends SparkTestBase {
     // luma sampling 2x1 (4:2:2) is out of profile
     val b = good.clone(); b(sofAt + 11) = 0x21.toByte
     assert(Jpeg.decodeJpeg(b) === None)
+  }
+
+  test("restart intervals: RSTn markers reset DC prediction and the " +
+      "decode equals the restart-free stream pixel-for-pixel") {
+    // per-MCU varying DC across 4 MCUs: with interval 1 every MCU
+    // boundary carries a cyclic RSTn and a DC reset — a decoder that
+    // failed to reset would shear every post-marker block
+    def coef(c: Int, bi: Int, k: Int): Int =
+      Jpeg.syntheticCoef(5L, c, bi, k)
+    val plain = Jpeg.encodeJpeg(32, 8, coef)
+    val rst = Jpeg.encodeJpeg(32, 8, coef, restartInterval = 1)
+    assert(rst.length > plain.length) // DRI + 3 RST markers really there
+    assert((0 to 7).exists(i => rst.sliding(2).exists(p =>
+      (p(0) & 0xff) == 0xFF && (p(1) & 0xff) == 0xD0 + i)))
+    val Some((_, _, a)) = Jpeg.decodeJpeg(plain)
+    val Some((_, _, b)) = Jpeg.decodeJpeg(rst)
+    assert(a.toSeq === b.toSeq)
+
+    // a wrong restart index is malformed, not silently accepted
+    val rstAt = rst.indices.find(i => (rst(i) & 0xff) == 0xFF &&
+      (rst(i + 1) & 0xff) >= 0xD0 && (rst(i + 1) & 0xff) <= 0xD7).get
+    val tampered = rst.clone()
+    tampered(rstAt + 1) =
+      (0xD0 + (((rst(rstAt + 1) & 0x07) + 1) % 8)).toByte
+    assert(Jpeg.decodeJpeg(tampered) === None)
+    // DRI promising restarts that never appear is malformed too
+    val sosAt2 = plain.indices.find(i =>
+      (plain(i) & 0xff) == 0xFF && (plain(i + 1) & 0xff) == 0xDA).get
+    val dri1 = Array(0xFF, 0xDD, 0x00, 0x04, 0x00, 0x01).map(_.toByte)
+    assert(Jpeg.decodeJpeg(
+      plain.take(sosAt2) ++ dri1 ++ plain.drop(sosAt2)) === None)
   }
 
   test("features over the synthetic corpus match a driver-side " +
