@@ -226,6 +226,9 @@ object Jpeg {
     def encodeBlock(c: Int, bi: Int): Unit = {
       // DC: differential category + magnitude bits
       val dc = coef(c, bi, 0)
+      require(math.abs(dc) <= 1023,
+        s"encodeJpeg: |DC| must be <= 1023 (comp $c block $bi got $dc) " +
+          "— diffs beyond category 11 have no code")
       val diff = dc - prevDc(c)
       prevDc(c) = dc
       val s = category(diff)
@@ -242,6 +245,9 @@ object Jpeg {
         while (run >= 16) { writeHuff(acTab(c), 0xF0); run -= 16 }
         val v = coef(c, bi, k)
         val sz = category(v)
+        require(sz <= 6,
+          s"encodeJpeg: |AC| must be <= 63 (comp $c block $bi zigzag " +
+            s"$k got $v) — the AC alphabet carries sizes 1..6")
         writeHuff(acTab(c), (run << 4) | sz)
         writeMagnitude(v, sz)
         k += 1
@@ -411,6 +417,7 @@ object Jpeg {
     val dcTabs = new Array[DecodeTable](4)
     val acTabs = new Array[DecodeTable](4)
     var compQuant: Array[Int] = null
+    var compId: Array[Int] = null
     var compH: Array[Int] = null
     var compV: Array[Int] = null
     var hMax = 1; var vMax = 1
@@ -445,14 +452,17 @@ object Jpeg {
           compQuant = new Array[Int](ncomp)
           compH = new Array[Int](ncomp)
           compV = new Array[Int](ncomp)
+          compId = new Array[Int](ncomp)
           var c = 0
           while (c < ncomp) {
+            compId(c) = bytes(body + 6 + 3 * c) & 0xFF
             val samp = bytes(body + 7 + 3 * c) & 0xFF
             compH(c) = samp >> 4; compV(c) = samp & 0x0F
             compQuant(c) = bytes(body + 8 + 3 * c) & 0xFF
             if (compQuant(c) > 3) return None
             c += 1
           }
+          if (compId.distinct.length != ncomp) return None
           // supported sampling profiles: 4:4:4 (all 1x1) and 4:2:0
           // (luma 2x2, chroma 1x1); anything else is out of profile
           val is444 = (0 until ncomp).forall(c2 =>
@@ -506,6 +516,11 @@ object Jpeg {
           compAc = new Array[Int](ncomp)
           var c = 0
           while (c < ncomp) {
+            // the scan's component selectors must match the SOF order:
+            // this decoder interleaves in SOF order, so a reordering
+            // scan (legal JPEG, out of profile here) must fail loudly
+            // rather than decode with swapped planes
+            if ((bytes(body + 1 + 2 * c) & 0xFF) != compId(c)) return None
             compDc(c) = (bytes(body + 2 + 2 * c) & 0xFF) >> 4
             compAc(c) = bytes(body + 2 + 2 * c) & 0x0F
             c += 1

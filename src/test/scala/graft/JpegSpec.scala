@@ -236,6 +236,26 @@ class JpegSpec extends SparkTestBase {
     assert(Jpeg.decodeJpeg(b) === None)
   }
 
+  test("a scan that reorders components vs SOF is rejected, and the " +
+      "encoder bounds its coefficient alphabet loudly") {
+    val good = Jpeg.encodeJpeg(8, 8, zeroCoef)
+    val sosAt = good.indices.find(i =>
+      (good(i) & 0xff) == 0xFF && (good(i + 1) & 0xff) == 0xDA).get
+    // swap the Cs bytes of components 2 and 3 (payload: Ns Cs1 T1 Cs2
+    // T2 Cs3 T3 ...): a reordered scan must not decode with swapped
+    // chroma planes
+    val b = good.clone()
+    val cs2 = b(sosAt + 7); b(sosAt + 7) = b(sosAt + 9); b(sosAt + 9) = cs2
+    assert(Jpeg.decodeJpeg(b) === None)
+    // encoder: out-of-alphabet coefficients fail with a named message
+    val e1 = intercept[IllegalArgumentException](
+      Jpeg.encodeJpeg(8, 8, (c, _, k) => if (k == 0) 2000 else 0))
+    assert(e1.getMessage.contains("DC"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Jpeg.encodeJpeg(8, 8, (c, _, k) => if (k == 5) 64 else 0))
+    assert(e2.getMessage.contains("AC"), e2.getMessage)
+  }
+
   test("restart intervals: RSTn markers reset DC prediction and the " +
       "decode equals the restart-free stream pixel-for-pixel") {
     // per-MCU varying DC across 4 MCUs: with interval 1 every MCU
