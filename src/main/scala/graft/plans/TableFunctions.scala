@@ -623,5 +623,45 @@ object TableFunctions {
         fractions(str(args(2), "fraction list")),
         denom = int(args(3), "denominator"))
         .queryExecution.analyzed
+    }),
+    // deterministic fraction sample: salted hash-of-id acceptance —
+    // append/layout-stable, independent samples per salt
+    "hash_sample" -> (args => {
+      arity("hash_sample", args, 5, 5)
+      val spark = SparkSession.active
+      graft.ops.Sampling.hashSample(
+        spark.table(str(args(0), "table name")),
+        str(args(1), "id column"),
+        dbl(args(2), "fraction"),
+        salt = lng(args(3), "salt"),
+        denom = int(args(4), "denominator"))
+        .queryExecution.analyzed
+    }),
+    // per-stratum keep fractions ("en:0.5,zh:0.3" + a default) over
+    // the same deterministic id-hash bucket
+    "stratified_sample" -> (args => {
+      arity("stratified_sample", args, 6, 6)
+      val spark = SparkSession.active
+      graft.ops.Sampling.stratifiedSample(
+        spark.table(str(args(0), "table name")),
+        str(args(1), "id column"),
+        str(args(2), "stratum column"),
+        fractions(str(args(3), "stratum fraction list")),
+        defaultFraction = dbl(args(4), "default fraction"),
+        denom = int(args(5), "denominator"))
+        .queryExecution.analyzed
+    }),
+    // α-temperature domain mixing (Sampling.temperatureMix): flattens
+    // the domain distribution toward uniform as alpha -> 0
+    "temperature_mix" -> (args => {
+      arity("temperature_mix", args, 5, 5)
+      val spark = SparkSession.active
+      graft.ops.Sampling.temperatureMix(
+        spark.table(str(args(0), "table name")),
+        str(args(1), "id column"),
+        str(args(2), "domain column"),
+        alpha = dbl(args(3), "alpha"),
+        targetFraction = dbl(args(4), "target fraction"))
+        .queryExecution.analyzed
     }))
 }

@@ -442,6 +442,32 @@ class SqlDedupTvfSpec extends SparkTestBase {
         "ts", Seq("view", "buy"), 60000000L))
   }
 
+  test("hash_sample, stratified_sample and temperature_mix TVFs match " +
+      "the Scala operators") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val corpus = (1L to 200L).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "zh" else "de"))
+      .toDF("doc_id", "lang")
+    corpus.createOrReplaceTempView("sql_corpus")
+    sameRows(
+      spark.sql(
+        "SELECT * FROM hash_sample('sql_corpus', 'doc_id', 0.3, 7, 100)"),
+      graft.ops.Sampling.hashSample(corpus, "doc_id", 0.3, salt = 7L,
+        denom = 100))
+    sameRows(
+      spark.sql("SELECT * FROM stratified_sample('sql_corpus', " +
+        "'doc_id', 'lang', 'en:0.5,zh:0.2', 0.1, 100)"),
+      graft.ops.Sampling.stratifiedSample(corpus, "doc_id", "lang",
+        Seq("en" -> 0.5, "zh" -> 0.2), defaultFraction = 0.1,
+        denom = 100))
+    sameRows(
+      spark.sql("SELECT * FROM temperature_mix('sql_corpus', " +
+        "'doc_id', 'lang', 0.5, 0.5)"),
+      graft.ops.Sampling.temperatureMix(corpus, "doc_id", "lang",
+        alpha = 0.5, targetFraction = 0.5))
+  }
+
   test("TVF argument validation fails loudly") {
     GraftExtensions.register(spark)
     docs.createOrReplaceTempView("sql_docs")
