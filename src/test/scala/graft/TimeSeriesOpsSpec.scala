@@ -186,6 +186,46 @@ class TimeSeriesOpsSpec extends SparkTestBase {
       (None, 1L, false)))
   }
 
+  test("property: random event streams match a brute-force funnel " +
+      "reference (chain semantics, prefix property, conversion)") {
+    def sec(v: Long): Timestamp = new Timestamp(v * 1000L)
+    val steps = Seq("a", "b", "c")
+    val rnd = new scala.util.Random(1187)
+    for (trial <- 1 to 8) {
+      val types = Seq("a", "b", "c", "x", "y")
+      val events = Seq.fill(120 + rnd.nextInt(120))((
+        rnd.nextInt(12).toLong,
+        types(rnd.nextInt(types.size)),
+        sec(rnd.nextInt(500).toLong)))
+      val horizon = (60 + rnd.nextInt(300)) * 1000000L
+      // brute force: earliest step-i time strictly after step i-1
+      val want = events.map(_._1).distinct.map { u =>
+        val mine = events.filter(_._1 == u)
+        var prev = Long.MinValue
+        val stepUs = steps.map { st =>
+          val cands = mine.filter(e => e._2 == st).map(_._3.getTime * 1000L)
+            .filter(t => prev == Long.MinValue || t > prev)
+          if (prev == -1L) -1L
+          else if (cands.isEmpty) { prev = -1L; -1L }
+          else { prev = cands.min; prev }
+        }
+        val done = stepUs.takeWhile(_ >= 0).size.toLong
+        val conv = done == steps.size &&
+          stepUs.last - stepUs.head <= horizon
+        (u, stepUs(0), stepUs(1), stepUs(2), done, conv)
+      }.toSet
+      val got = TimeSeriesOps.funnel(
+        events.toDF("user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts", steps, horizon)
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          r.getLong(4), r.getBoolean(5))).toSet
+      assert(got === want, s"trial $trial")
+    }
+  }
+
   test("funnelSummary: reach counts, guarded rates, exact " +
       "two-middle-positions medians (odd and even gap counts)") {
     def sec(s: Long): Timestamp = new Timestamp(s * 1000L)

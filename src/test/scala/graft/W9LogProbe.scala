@@ -1,11 +1,14 @@
 package graft
 
-/** Measurement probe behind the w9_logcum ulp documentation (round-11
-  * fdlibm experiment, closed negatively): on the REAL sf0.1 log inputs,
-  * Java `Math.log` disagrees with DuckDB's (glibc) `ln` on 55 of
-  * 98,055 distinct inputs, while `StrictMath.log` (fdlibm) disagrees
-  * on 7,033 — so swapping to fdlibm would be ~128× worse, and the
-  * float32 absorption + documented 0.004 % residual stays.
+/** The measurement that CLOSED the w9_logcum sweep residual (round
+  * 11): on the REAL sf0.1 log inputs, Java `Math.log` (the HotSpot
+  * intrinsic) disagrees with DuckDB's (glibc) `ln` on 55 of 98,055
+  * distinct inputs, while `StrictMath.log` (fdlibm) disagrees on
+  * 7,033. Spark's BUILT-IN `log` expression calls StrictMath (checked
+  * in the 4.1.2 bytecode), so w9 was unknowingly emitting the
+  * 128×-worse variant — switching the pipeline to
+  * [[graft.functions.IntrinsicLog]] (Math.log) made w9_logcum
+  * hash-EXACT at sf0.1, the last sweep exception.
   *
   * Input TSV (hex little-endian double bits: ratio, duckdb ln) is
   * produced by:
