@@ -1032,6 +1032,15 @@ object SparkEntry {
       graft.multimodal.Jpeg.extractJpegFeatures(media).toDF()
         .orderBy(col("media_id"))
     }),
+    "mm_mulaw_decode" -> ((s, dir) => {
+      // REAL companded-audio decode: G.711 mu-law WAVs (format tag 7)
+      // expanded to linear16 by the standard all-integer formula —
+      // the oracle replays the expansion in SQL exactly
+      val media = graft.multimodal.RealMedia.syntheticMulawTable(
+        t(s, dir, "documents"))
+      graft.multimodal.RealMedia.extractMulawFeatures(media).toDF()
+        .orderBy(col("media_id"))
+    }),
     "mm_jpeg420_decode" -> ((s, dir) => {
       // the dominant real-world JPEG profile: 4:2:0 chroma subsampling
       // — four interleaved luma blocks per 16x16 MCU, one Cb/Cr block,
@@ -3159,6 +3168,24 @@ object SparkEntry {
     // coefficients through the decoder's exact pinned arithmetic
     "mm_jpeg_decode" -> JpegOracle.mmJpegDecode,
     "mm_jpeg420_decode" -> JpegOracle.mmJpeg420Decode,
+    // G.711 expansion replayed in SQL: u = complemented byte,
+    // mag = ((u%16)*8 + 132) << ((u//16)%8) - 132, sign from bit 7
+    "mm_mulaw_decode" ->
+      """WITH m AS (SELECT doc_id AS id, 64 + doc_id % 64 AS n
+           FROM documents),
+         raw AS (SELECT id, n, 255 - ((id*37 + i*11) % 256) AS u
+           FROM m, range(0, 128) t(i) WHERE i < n),
+         dec AS (SELECT id, n,
+             CASE WHEN u >= 128
+               THEN -(((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) - 132)
+               ELSE ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) - 132
+             END AS s
+           FROM raw)
+         SELECT id AS media_id, CAST(n AS BIGINT) AS n_samples,
+           CAST(sum(s) AS BIGINT) AS sum_linear,
+           CAST(min(s) AS BIGINT) AS min_linear,
+           CAST(max(s) AS BIGINT) AS max_linear
+         FROM dec GROUP BY id, n ORDER BY media_id""",
     "ts_quality" ->
       """WITH toks AS (SELECT doc_id, text,
              list_filter(string_split_regex(lower(text), '\s+'),

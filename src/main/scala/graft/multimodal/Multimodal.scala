@@ -12,9 +12,10 @@ import org.apache.spark.sql.types._
   * stand-in that parses our own synthetic 16-byte header. Real codecs
   * exist beside it for every format the JVM can honestly decode with
   * zero external libraries: [[RealMedia]] (PPM/WAV), [[Png]]
-  * (DEFLATE-compressed lossless), and [[Jpeg]] (baseline-sequential
-  * lossy, huffman + IDCT + YCbCr) — the stand-in now covers only
-  * audio/video compression (MP3/H.264). Everything AROUND the codec —
+  * (DEFLATE-compressed lossless), [[Jpeg]] (baseline-sequential
+  * lossy, huffman + IDCT + YCbCr, 4:4:4/4:2:0/restart intervals), and
+  * G.711 µ-law WAVs ([[RealMedia.mulawToLinear]]) — the stand-in now
+  * covers only the perceptual codecs (MP3/H.264). Everything AROUND the codec —
   * the schema, the batch shape (mapPartitions ⇒ one codec init per
   * partition, the same shape a Pandas-UDF `mapInPandas` gives
   * PySpark), partition sizing, and metadata propagation — is real and

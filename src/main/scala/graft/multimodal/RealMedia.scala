@@ -83,7 +83,39 @@ object RealMedia {
     bb.array()
   }
 
-  /** Parse a RIFF/WAVE PCM16 mono file; returns (sampleRate, samples). */
+  /** G.711 µ-law expansion — the REAL companded-audio decode (ITU-T
+    * G.711, the telephony standard): the byte is complemented, split
+    * into sign / 3-bit exponent / 4-bit mantissa, and expanded as
+    * ((mantissa·8 + 132) << exponent) − 132 with the sign applied —
+    * all-integer, so the DuckDB oracle replays it exactly.
+    */
+  def mulawToLinear(b: Byte): Short = {
+    val u = (~b) & 0xFF
+    val exp = (u >> 4) & 0x07
+    val mant = u & 0x0F
+    val mag = (((mant << 3) + 132) << exp) - 132
+    (if ((u & 0x80) != 0) -mag else mag).toShort
+  }
+
+  /** Encode raw µ-law bytes as a RIFF/WAVE file (format tag 7, 8-bit,
+    * mono) — the container real telephony captures arrive in.
+    */
+  def encodeWavMulaw(sampleRate: Int, mulaw: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + mulaw.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("ASCII")).putInt(36 + mulaw.length)
+      .put("WAVE".getBytes("ASCII"))
+      .put("fmt ".getBytes("ASCII")).putInt(16)
+      .putShort(7).putShort(1) // mu-law, mono
+      .putInt(sampleRate).putInt(sampleRate)
+      .putShort(1).putShort(8) // block align, bits
+      .put("data".getBytes("ASCII")).putInt(mulaw.length)
+    bb.put(mulaw)
+    bb.array()
+  }
+
+  /** Parse a RIFF/WAVE mono file — PCM16 (format 1) or µ-law (format
+    * 7, expanded to linear16); returns (sampleRate, samples). */
   def decodeWav(bytes: Array[Byte]): Option[(Int, Array[Short])] = {
     if (bytes == null || bytes.length < 44) return None
     val bb = java.nio.ByteBuffer.wrap(bytes)
@@ -94,6 +126,7 @@ object RealMedia {
     if (riff != "RIFF" || wave != "WAVE") return None
     // walk chunks: fmt then data (tolerates extra chunks between)
     var rate = -1
+    var mulaw = false
     while (bb.remaining() >= 8) {
       val cid = new String(Array.fill(4)(bb.get()), "ASCII")
       val len = bb.getInt()
@@ -112,10 +145,20 @@ object RealMedia {
           rate = bb.getInt()
           bb.getInt(); bb.getShort()
           val bits = bb.getShort()
-          if (fmt != 1 || ch != 1 || bits != 16) return None
+          // supported: linear PCM16 or G.711 mu-law (8-bit), mono
+          if (ch != 1) return None
+          if (!((fmt == 1 && bits == 16) || (fmt == 7 && bits == 8)))
+            return None
+          mulaw = fmt == 7
           if (len > 16) bb.position(bb.position() + len - 16)
         case "data" =>
           if (rate <= 0 || bb.remaining() < len) return None
+          if (mulaw) {
+            val samples = new Array[Short](len)
+            var i = 0
+            while (i < len) { samples(i) = mulawToLinear(bb.get()); i += 1 }
+            return Some((rate, samples))
+          }
           val n = len / 2
           val samples = new Array[Short](n)
           var i = 0
@@ -127,6 +170,46 @@ object RealMedia {
       }
     }
     None
+  }
+
+  // ----------------------------------------------------- mu-law corpus
+
+  final case class MulawRow(media_id: Long, wav: Array[Byte])
+  final case class MulawFeatures(media_id: Long, n_samples: Long,
+      sum_linear: Long, min_linear: Long, max_linear: Long)
+
+  /** Deterministic µ-law corpus: every doc id becomes a REAL G.711
+    * WAV (format tag 7) whose companded bytes follow an integer
+    * formula — closed-form reproducible by the oracle, which replays
+    * the expansion arithmetic in SQL.
+    */
+  def syntheticMulawTable(docs: DataFrame): Dataset[MulawRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val n = 64 + (id % 64).toInt
+      val mu = Array.tabulate(n)(i => ((id * 37 + i * 11) % 256).toByte)
+      MulawRow(id, encodeWavMulaw(8000, mu))
+    }
+  }
+
+  /** Decode the µ-law WAVs and extract exact integer features. */
+  def extractMulawFeatures(
+      media: Dataset[MulawRow]): Dataset[MulawFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val (_, samples) = decodeWav(m.wav).getOrElse(
+          throw new IllegalStateException(
+            s"bad mu-law WAV for media ${m.media_id}"))
+        var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+        samples.foreach { v =>
+          sum += v; mn = math.min(mn, v.toLong); mx = math.max(mx, v.toLong)
+        }
+        MulawFeatures(m.media_id, samples.length.toLong, sum, mn, mx)
+      }
+    }
   }
 
   // --------------------------------------------- video = concatenated PPM

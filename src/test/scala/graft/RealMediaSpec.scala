@@ -98,6 +98,31 @@ class RealMediaSpec extends SparkTestBase {
     assert(RealMedia.decodeWav(shortFmt).isEmpty)
   }
 
+  test("mu-law: G.711 anchors, WAV round-trip, bad-format rejection") {
+    // standard expansion anchors: 0xFF/0x7F are the two zeros, 0x00 is
+    // -max, 0x80 is +max (32124 = ((15*8+132)<<7)-132)
+    assert(RealMedia.mulawToLinear(0xFF.toByte) === 0.toShort)
+    assert(RealMedia.mulawToLinear(0x7F.toByte) === 0.toShort)
+    assert(RealMedia.mulawToLinear(0x00.toByte) === (-32124).toShort)
+    assert(RealMedia.mulawToLinear(0x80.toByte) === 32124.toShort)
+    // expansion is odd-symmetric: b and b^0x80 give opposite signs
+    for (b <- 0 until 128) {
+      assert(RealMedia.mulawToLinear(b.toByte) ===
+        (-RealMedia.mulawToLinear((b | 0x80).toByte)).toShort)
+    }
+    // round-trip through the format-7 WAV container
+    val mu = Array.tabulate(50)(i => ((i * 11 + 3) % 256).toByte)
+    val Some((rate, samples)) =
+      RealMedia.decodeWav(RealMedia.encodeWavMulaw(8000, mu))
+    assert(rate === 8000 && samples.length === 50)
+    assert(samples.toSeq === mu.toSeq.map(RealMedia.mulawToLinear))
+    // mu-law must declare 8 bits; a 16-bit format-7 header is malformed
+    val bad = RealMedia.encodeWavMulaw(8000, mu)
+    java.nio.ByteBuffer.wrap(bad, 34, 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putShort(16)
+    assert(RealMedia.decodeWav(bad).isEmpty)
+  }
+
   test("decoded features equal the closed-form formulas end-to-end") {
     import spark.implicits._
     val docs = (0L until 40L).toDF("doc_id")
