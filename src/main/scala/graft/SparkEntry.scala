@@ -2563,6 +2563,8 @@ object SparkEntry {
                     CASE WHEN j = 1 THEN NULL
                          WHEN vl[j] = 0 AND vl[j-1] <> 0
                            THEN CAST('-infinity' AS DOUBLE)
+                         WHEN vl[j] / nullif(vl[j-1], 0.0) < 0
+                           THEN CAST('nan' AS DOUBLE)
                          ELSE ln(1 + (vl[j] / nullif(vl[j-1], 0.0) - 1)) END),
                   q -> q IS NOT NULL)], nn ->
                 CASE WHEN len(nn) = 0 THEN NULL

@@ -497,7 +497,6 @@ object Jpeg {
             if (cls == 0) dcTabs(tid) = t else acTabs(tid) = t
             p += 17 + n
           }
-          if (pos + 2 + len != body + bodyLen + 0) () // length already checked
         case 0xDB => // DQT: one or more 8-bit tables, zigzag order
           var p = body
           while (p < body + bodyLen) {

@@ -139,7 +139,15 @@ object TableFunctions {
       if (i <= 0 || i >= p.length - 1)
         throw new IllegalArgumentException(
           s"split fraction entry '$p' must be name:fraction")
-      (p.substring(0, i), p.substring(i + 1).toDouble)
+      val frac =
+        try p.substring(i + 1).toDouble
+        catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"split fraction entry '$p' must be name:fraction " +
+                s"(got non-numeric fraction '${p.substring(i + 1)}')")
+        }
+      (p.substring(0, i), frac)
     }
 
   /** The union-coerced common type of two columns — pure schema

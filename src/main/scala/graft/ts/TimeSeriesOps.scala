@@ -102,7 +102,15 @@ object TimeSeriesOps {
     */
   def logCumReturn(c: Column, w: WindowSpec): Column = {
     val pct = pctChange(c, w)
+    // A sign flip (pct < -1, i.e. value/prev < 0) is pinned to NaN on
+    // BOTH sides: Math.log(negative) is NaN on the JVM while DuckDB's
+    // ln() raises an out-of-range ERROR, so leaving it implicit is a
+    // latent cross-engine divergence. The NaN then poisons the running
+    // sum identically in both engines (numpy semantics: log of a
+    // negative gross return is undefined, and every cumulative value
+    // after it is too).
     val lr = when(pct === -1.0, lit(Double.NegativeInfinity))
+      .when(pct < -1.0, lit(Double.NaN))
       .otherwise(when(pct.isNotNull,
         graft.functions.MathFunctions.intrinsicLog(pct + lit(1.0))))
     sum(lr).over(running(w))

@@ -121,6 +121,19 @@ class RealMediaSpec extends SparkTestBase {
     java.nio.ByteBuffer.wrap(bad, 34, 2)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN).putShort(16)
     assert(RealMedia.decodeWav(bad).isEmpty)
+    // a hostile NEGATIVE chunk length must be rejected (None), never
+    // surface as NegativeArraySizeException / position() blow-up — it
+    // would pass every `remaining() < len` guard (negative is never
+    // greater). Pin both the data-chunk and unknown-chunk-skip paths.
+    val negData = RealMedia.encodeWavMulaw(8000, mu)
+    java.nio.ByteBuffer.wrap(negData, 40, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(-5)
+    assert(RealMedia.decodeWav(negData).isEmpty)
+    val negSkip = RealMedia.encodeWavMulaw(8000, mu)
+    java.nio.ByteBuffer.wrap(negSkip, 36, 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("junk".getBytes("ASCII")).putInt(-64)
+    assert(RealMedia.decodeWav(negSkip).isEmpty)
   }
 
   test("decoded features equal the closed-form formulas end-to-end") {

@@ -486,5 +486,14 @@ class SqlDedupTvfSpec extends SparkTestBase {
         "'train=0.8', 100)")
     }
     assert(e3.getMessage.contains("name:fraction"))
+    // a well-formed 'name:' prefix with a NON-NUMERIC fraction must give
+    // the same name:fraction diagnostic (naming the entry), not a raw
+    // NumberFormatException from a bare toDouble
+    val e4 = intercept[Exception] {
+      spark.sql("SELECT * FROM hash_split('sql_docs', 'doc_id', " +
+        "'train:abc', 100)")
+    }
+    assert(e4.getMessage.contains("train:abc") &&
+      e4.getMessage.contains("name:fraction"))
   }
 }

@@ -111,6 +111,24 @@ class TimeSeriesOpsSpec extends SparkTestBase {
     assert(got(3).get === Double.NegativeInfinity)
   }
 
+  test("logCumReturn: sign flip (pct < -1) is pinned to NaN and poisons " +
+      "the running sum") {
+    // 100 -> -50 is a gross return of -0.5: log of a negative number is
+    // NaN (np.log semantics), and every cumulative value after the flip
+    // is NaN too. The branch is pinned explicitly so the DuckDB oracle
+    // (whose ln() ERRORS on negative input) can mirror it with a CASE.
+    val flip = Seq(("t", ts(1), 100.0), ("t", ts(2), 110.0),
+      ("t", ts(3), -50.0), ("t", ts(4), 60.0))
+      .toDF("ticker", "date", "close")
+    val got = flip.select(TimeSeriesOps.logCumReturn(col("close"), w).as("v"))
+      .orderBy("date").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    assert(got(0) === None)
+    assert(math.abs(got(1).get - math.log(1.1)) < 1e-15)
+    assert(got(2).get.isNaN)
+    assert(got(3).get.isNaN)
+  }
+
   test("tail keeps last n rows per ticker") {
     val got = TimeSeriesOps.tail(df, 3).orderBy("date").collect()
       .map(_.getTimestamp(1)).toSeq
