@@ -1051,6 +1051,16 @@ object SparkEntry {
       graft.multimodal.Jpeg.extractJpegFeatures(media).toDF()
         .orderBy(col("media_id"))
     }),
+    "mm_adpcm_decode" -> ((s, dir) => {
+      // REAL lossy-compressed audio decode: IMA ADPCM WAVs (format tag
+      // 17, 4 bits/sample) synthesized in CODE space, decoded by the
+      // standard all-integer predictor/step-index recurrence — the
+      // oracle replays the recurrence in SQL with a recursive CTE
+      val media = graft.multimodal.RealMedia.syntheticAdpcmTable(
+        t(s, dir, "documents"))
+      graft.multimodal.RealMedia.extractAdpcmFeatures(media).toDF()
+        .orderBy(col("media_id"))
+    }),
     "bt_signals" -> ((s, dir) => {
       // MA-cross signal generation over events-as-bars, decimal-exact SMAs
       // so the comparison itself (fast > slow) is oracle-exact:
@@ -3188,6 +3198,54 @@ object SparkEntry {
            CAST(min(s) AS BIGINT) AS min_linear,
            CAST(max(s) AS BIGINT) AS max_linear
          FROM dec GROUP BY id, n ORDER BY media_id""",
+    // IMA ADPCM replayed in SQL: the all-integer predictor/step-index
+    // recurrence as a recursive CTE (one step per 4-bit code), per-block
+    // header seeds and codes from the corpus formulas, fact-chunk
+    // truncation as the `pos < n` filter
+    "mm_adpcm_decode" ->
+      """WITH RECURSIVE m AS (
+           SELECT doc_id AS id, 64 + doc_id % 64 AS n FROM documents),
+         bl AS (SELECT id, n, b,
+             ((id*131 + b*17) % 4096) - 2048 AS pred0,
+             (id*7 + b*13) % 89 AS idx0
+           FROM m, range(0, 2) t(b) WHERE b * 65 < n),
+         stt AS (SELECT i, l[i + 1] AS s
+           FROM (SELECT [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,
+             34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,
+             173,190,209,230,253,279,307,337,371,408,449,494,544,598,
+             658,724,796,876,963,1060,1166,1282,1411,1552,1707,1878,
+             2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,
+             5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,
+             15289,16818,18500,20350,22385,24623,27086,29794,32767]
+             AS l), range(0,89) r(i)),
+         dec AS (
+           SELECT id, n, b, 0 AS j, pred0 AS pred, idx0 AS idx FROM bl
+           UNION ALL
+           SELECT id, n, b, j + 1,
+             greatest(-32768, least(32767,
+               CASE WHEN nib >= 8 THEN pred - d ELSE pred + d END)) AS pred,
+             greatest(0, least(88, idx +
+               CASE WHEN nib % 8 < 4 THEN -1
+                    ELSE (nib % 8 - 3) * 2 END)) AS idx
+           FROM (
+             SELECT id, n, b, j, pred, idx, nib,
+               s // 8 + CASE WHEN nib % 2 = 1 THEN s // 4 ELSE 0 END
+                 + CASE WHEN (nib // 2) % 2 = 1 THEN s // 2 ELSE 0 END
+                 + CASE WHEN (nib // 4) % 2 = 1 THEN s ELSE 0 END AS d
+             FROM (
+               SELECT d.id, d.n, d.b, d.j, d.pred, d.idx,
+                 (d.id * 5 + (d.b * 64 + d.j) * 3) % 16 AS nib, stt.s AS s
+               FROM dec d JOIN stt ON stt.i = d.idx
+               WHERE d.j < 64) q1) q2),
+         samp AS (SELECT id, n, b * 65 + j AS pos, pred AS v
+           FROM dec WHERE b * 65 + j < n)
+         SELECT id AS media_id, CAST(n AS BIGINT) AS n_samples,
+           CAST(sum(v) AS BIGINT) AS sum_linear,
+           CAST(min(v) AS BIGINT) AS min_linear,
+           CAST(max(v) AS BIGINT) AS max_linear,
+           CAST(max(CASE WHEN pos = n - 1 THEN v END) AS BIGINT)
+             AS last_linear
+         FROM samp GROUP BY id, n ORDER BY media_id""",
     "ts_quality" ->
       """WITH toks AS (SELECT doc_id, text,
              list_filter(string_split_regex(lower(text), '\s+'),

@@ -114,8 +114,32 @@ object RealMedia {
     bb.array()
   }
 
-  /** Parse a RIFF/WAVE mono file — PCM16 (format 1) or µ-law (format
-    * 7, expanded to linear16); returns (sampleRate, samples). */
+  /** IMA/DVI ADPCM step-size table (IMA "Recommended Practices for
+    * Enhancing Digital Audio Compatibility", rev 3.00 — public spec;
+    * 89 entries, ~1.1× geometric growth).
+    */
+  val imaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767)
+
+  /** IMA ADPCM step-index adjustment, indexed by the nibble's low 3
+    * bits (the sign bit does not affect the index walk).
+    */
+  val imaIndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** Parse a RIFF/WAVE mono file — PCM16 (format 1), µ-law (format 7,
+    * expanded to linear16) or IMA ADPCM (format 17, 4-bit compressed,
+    * decoded to linear16); returns (sampleRate, samples). IMA files
+    * must carry the standard `fact` chunk (true sample count) and the
+    * samples-per-block fmt extension; the final block may be logically
+    * partial (trailing nibbles are padding past the fact count).
+    */
   def decodeWav(bytes: Array[Byte]): Option[(Int, Array[Short])] = {
     if (bytes == null || bytes.length < 44) return None
     val bb = java.nio.ByteBuffer.wrap(bytes)
@@ -127,6 +151,10 @@ object RealMedia {
     // walk chunks: fmt then data (tolerates extra chunks between)
     var rate = -1
     var mulaw = false
+    var adpcm = false
+    var adpcmAlign = 0
+    var samplesPerBlock = 0
+    var factSamples = -1
     while (bb.remaining() >= 8) {
       val cid = new String(Array.fill(4)(bb.get()), "ASCII")
       val len = bb.getInt()
@@ -143,16 +171,77 @@ object RealMedia {
           if (len < 16 || bb.remaining() < len) return None
           val fmt = bb.getShort(); val ch = bb.getShort()
           rate = bb.getInt()
-          bb.getInt(); bb.getShort()
+          bb.getInt() // byte rate
+          val blockAlign = bb.getShort() & 0xFFFF
           val bits = bb.getShort()
-          // supported: linear PCM16 or G.711 mu-law (8-bit), mono
           if (ch != 1) return None
-          if (!((fmt == 1 && bits == 16) || (fmt == 7 && bits == 8)))
-            return None
-          mulaw = fmt == 7
-          if (len > 16) bb.position(bb.position() + len - 16)
+          if (fmt == 17) {
+            // IMA ADPCM: 4-bit, and the samples-per-block extension
+            // field is mandatory (cbSize >= 2, fmt length >= 20)
+            if (bits != 4 || len < 20) return None
+            bb.getShort() // cbSize
+            samplesPerBlock = bb.getShort() & 0xFFFF
+            adpcmAlign = blockAlign
+            // mono 4-bit: 4-byte block header then 2 samples per byte
+            if (adpcmAlign < 5 ||
+              samplesPerBlock != (adpcmAlign - 4) * 2 + 1) return None
+            adpcm = true
+            if (len > 20) bb.position(bb.position() + len - 20)
+          } else {
+            // supported: linear PCM16 or G.711 mu-law (8-bit), mono
+            if (!((fmt == 1 && bits == 16) || (fmt == 7 && bits == 8)))
+              return None
+            mulaw = fmt == 7
+            if (len > 16) bb.position(bb.position() + len - 16)
+          }
+        case "fact" =>
+          if (len < 4 || bb.remaining() < len) return None
+          factSamples = bb.getInt()
+          if (factSamples < 0) return None
+          bb.position(bb.position() + len - 4)
         case "data" =>
           if (rate <= 0 || bb.remaining() < len) return None
+          if (adpcm) {
+            // compressed WAV requires the fact chunk (true count)
+            if (factSamples < 0) return None
+            if (len == 0 || len % adpcmAlign != 0) return None
+            val nBlocks = len / adpcmAlign
+            if (factSamples > nBlocks.toLong * samplesPerBlock) return None
+            val out = new Array[Short](factSamples)
+            var o = 0
+            var blk = 0
+            while (blk < nBlocks && o < factSamples) {
+              val base = bb.position() + blk * adpcmAlign
+              var pred = ((bytes(base) & 0xFF) |
+                (bytes(base + 1) << 8)).toShort.toInt
+              var idx = bytes(base + 2) & 0xFF
+              if (idx > 88) return None
+              // the block header predictor IS the block's first sample
+              out(o) = pred.toShort; o += 1
+              var k = 0
+              val nNibs = (adpcmAlign - 4) * 2
+              while (k < nNibs && o < factSamples) {
+                val by = bytes(base + 4 + (k >> 1)) & 0xFF
+                val nib = if ((k & 1) == 0) by & 0x0F else by >>> 4
+                val step = imaStepTable(idx)
+                var diff = step >> 3
+                if ((nib & 1) != 0) diff += step >> 2
+                if ((nib & 2) != 0) diff += step >> 1
+                if ((nib & 4) != 0) diff += step
+                pred = if ((nib & 8) != 0) pred - diff else pred + diff
+                if (pred > 32767) pred = 32767
+                else if (pred < -32768) pred = -32768
+                idx += imaIndexTable(nib & 7)
+                if (idx < 0) idx = 0 else if (idx > 88) idx = 88
+                out(o) = pred.toShort; o += 1
+                k += 1
+              }
+              blk += 1
+            }
+            // fewer decodable samples than fact declares → malformed
+            if (o < factSamples) return None
+            return Some((rate, out))
+          }
           if (mulaw) {
             val samples = new Array[Short](len)
             var i = 0
@@ -208,6 +297,104 @@ object RealMedia {
           sum += v; mn = math.min(mn, v.toLong); mx = math.max(mx, v.toLong)
         }
         MulawFeatures(m.media_id, samples.length.toLong, sum, mn, mx)
+      }
+    }
+  }
+
+  // ---------------------------------------------------- IMA ADPCM corpus
+
+  /** Encode an IMA ADPCM (format tag 17) mono WAV. Each block is
+    * (initial predictor, initial step index, 4-bit codes); codes are
+    * packed two per byte, LOW nibble first (the standard WAV layout).
+    * `nSamples` is the true count written to the mandatory `fact`
+    * chunk — the final block's trailing codes past it are padding.
+    */
+  def encodeWavImaAdpcm(sampleRate: Int, blockAlign: Int, nSamples: Int,
+      blocks: Seq[(Int, Int, Array[Int])]): Array[Byte] = {
+    require(blockAlign >= 5, s"blockAlign must be >= 5, got $blockAlign")
+    val nNibs = (blockAlign - 4) * 2
+    val samplesPerBlock = nNibs + 1
+    blocks.foreach { case (pred, idx, nibs) =>
+      require(pred >= -32768 && pred <= 32767, s"bad predictor $pred")
+      require(idx >= 0 && idx <= 88, s"bad step index $idx")
+      require(nibs.length == nNibs,
+        s"block must carry $nNibs codes, got ${nibs.length}")
+    }
+    val dataLen = blocks.length * blockAlign
+    val bb = java.nio.ByteBuffer.allocate(12 + 28 + 12 + 8 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("ASCII")).putInt(4 + 28 + 12 + 8 + dataLen)
+      .put("WAVE".getBytes("ASCII"))
+      .put("fmt ".getBytes("ASCII")).putInt(20)
+      .putShort(17).putShort(1) // IMA ADPCM, mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * blockAlign / samplesPerBlock) // byte rate
+      .putShort(blockAlign.toShort).putShort(4)          // 4-bit codes
+      .putShort(2).putShort(samplesPerBlock.toShort)     // cbSize, spb
+      .put("fact".getBytes("ASCII")).putInt(4).putInt(nSamples)
+      .put("data".getBytes("ASCII")).putInt(dataLen)
+    blocks.foreach { case (pred, idx, nibs) =>
+      bb.putShort(pred.toShort).put(idx.toByte).put(0.toByte)
+      var k = 0
+      while (k < nNibs) {
+        bb.put((((nibs(k + 1) & 0xF) << 4) | (nibs(k) & 0xF)).toByte)
+        k += 2
+      }
+    }
+    bb.array()
+  }
+
+  final case class AdpcmRow(media_id: Long, wav: Array[Byte])
+  final case class AdpcmFeatures(media_id: Long, n_samples: Long,
+      sum_linear: Long, min_linear: Long, max_linear: Long,
+      last_linear: Long)
+
+  /** Deterministic IMA ADPCM corpus: every doc id becomes a REAL
+    * compressed WAV (format tag 17, blockAlign 36 → 65 samples/block)
+    * whose 4-bit codes and per-block header seeds follow integer
+    * formulas — the corpus is synthesized in the COMPRESSED domain
+    * (the JPEG discipline: coefficient space there, code space here),
+    * so the decoded samples are a deterministic all-integer recurrence
+    * the oracle replays in SQL with a recursive CTE. Sample counts of
+    * 64 + id % 64 span one-partial-block, exactly-one-block and
+    * two-block layouts, exercising the fact-chunk truncation path.
+    */
+  def syntheticAdpcmTable(docs: DataFrame): Dataset[AdpcmRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val n = 64 + (id % 64).toInt
+      val nBlocks = (n + 64) / 65
+      val blocks = (0 until nBlocks).map { b =>
+        val pred0 = (((id * 131 + b * 17) % 4096) - 2048).toInt
+        val idx0 = ((id * 7 + b * 13) % 89).toInt
+        val nibs = Array.tabulate(64)(j =>
+          ((id * 5 + (b * 64 + j) * 3) % 16).toInt)
+        (pred0, idx0, nibs)
+      }
+      AdpcmRow(id, encodeWavImaAdpcm(8000, 36, n, blocks))
+    }
+  }
+
+  /** Decode the ADPCM WAVs and extract exact integer features;
+    * `last_linear` pins the decoder's final sequential state (sum/min/
+    * max alone are order-insensitive).
+    */
+  def extractAdpcmFeatures(
+      media: Dataset[AdpcmRow]): Dataset[AdpcmFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val (_, samples) = decodeWav(m.wav).getOrElse(
+          throw new IllegalStateException(
+            s"bad ADPCM WAV for media ${m.media_id}"))
+        var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+        samples.foreach { v =>
+          sum += v; mn = math.min(mn, v.toLong); mx = math.max(mx, v.toLong)
+        }
+        AdpcmFeatures(m.media_id, samples.length.toLong, sum, mn, mx,
+          samples.last.toLong)
       }
     }
   }

@@ -136,6 +136,100 @@ class RealMediaSpec extends SparkTestBase {
     assert(RealMedia.decodeWav(negSkip).isEmpty)
   }
 
+  /** Independent in-test IMA ADPCM step (same public spec, separate
+    * code path from the main decoder).
+    */
+  private def imaRef(pred0: Int, idx0: Int, nibs: Seq[Int]): Seq[Int] = {
+    var pred = pred0; var idx = idx0
+    pred0 +: nibs.map { nib =>
+      val step = RealMedia.imaStepTable(idx)
+      var diff = step / 8
+      if ((nib & 1) != 0) diff += step / 4
+      if ((nib & 2) != 0) diff += step / 2
+      if ((nib & 4) != 0) diff += step
+      pred = if ((nib & 8) != 0) pred - diff else pred + diff
+      pred = math.max(-32768, math.min(32767, pred))
+      idx = math.max(0, math.min(88,
+        idx + RealMedia.imaIndexTable(nib & 7)))
+      pred
+    }
+  }
+
+  test("IMA ADPCM: decode matches an independent reference fold, " +
+      "incl. clamps, multi-block and fact truncation") {
+    // hand vector from pred0=0, idx0=0 (step 7): nib 2 -> +3, nib 12
+    // (8|4) -> -7
+    assert(imaRef(0, 0, Seq(2, 12)) === Seq(0, 3, -4))
+    // full-block round-trips across seed/code shapes, incl. a
+    // saturation run (idx0=88, all-7 codes push pred past +32767)
+    for ((pred0, idx0, gen) <- Seq(
+        (0, 0, (j: Int) => (j * 5 + 3) % 16),
+        (-2048, 44, (j: Int) => (j * 7 + 1) % 16),
+        (2047, 88, (_: Int) => 7),
+        (-32768, 88, (_: Int) => 15))) {
+      val nibs = Array.tabulate(64)(gen)
+      val wav = RealMedia.encodeWavImaAdpcm(8000, 36, 65,
+        Seq((pred0, idx0, nibs)))
+      val Some((rate, got)) = RealMedia.decodeWav(wav)
+      assert(rate === 8000)
+      assert(got.map(_.toInt).toSeq === imaRef(pred0, idx0, nibs.toSeq))
+    }
+    // two blocks, fact truncates mid-second-block: 100 of 130 samples
+    val b0 = (100, 20, Array.tabulate(64)(j => (j * 3) % 16))
+    val b1 = (-500, 70, Array.tabulate(64)(j => (j * 11 + 2) % 16))
+    val Some((_, trunc)) =
+      RealMedia.decodeWav(RealMedia.encodeWavImaAdpcm(8000, 36, 100,
+        Seq(b0, b1)))
+    val full = imaRef(b0._1, b0._2, b0._3.toSeq) ++
+      imaRef(b1._1, b1._2, b1._3.toSeq)
+    assert(trunc.length === 100)
+    assert(trunc.map(_.toInt).toSeq === full.take(100))
+  }
+
+  test("IMA ADPCM: malformed containers are rejected, not thrown") {
+    val nibs = Array.tabulate(64)(j => j % 16)
+    val good = RealMedia.encodeWavImaAdpcm(8000, 36, 65, Seq((0, 0, nibs)))
+    assert(RealMedia.decodeWav(good).isDefined)
+    def patched(off: Int, bs: Byte*): Array[Byte] = {
+      val c = good.clone(); bs.zipWithIndex.foreach { case (b, i) =>
+        c(off + i) = b }; c
+    }
+    // fact chunk renamed away: compressed WAV without a true count
+    assert(RealMedia.decodeWav(
+      patched(40, 'f'.toByte, 'a'.toByte, 'k'.toByte, 'e'.toByte)).isEmpty)
+    // block header step index > 88
+    assert(RealMedia.decodeWav(patched(62, 89.toByte)).isEmpty)
+    // samples-per-block inconsistent with blockAlign
+    assert(RealMedia.decodeWav(patched(38, 64.toByte)).isEmpty)
+    // fact count exceeding what the data blocks can decode
+    assert(RealMedia.decodeWav(patched(48, 66.toByte)).isEmpty)
+    // truncated data chunk (declared longer than the payload)
+    assert(RealMedia.decodeWav(good.dropRight(4)).isEmpty)
+  }
+
+  test("ADPCM corpus features equal the independent fold end-to-end") {
+    import spark.implicits._
+    val docs = (0L until 30L).toDF("doc_id")
+    val feats = RealMedia.extractAdpcmFeatures(
+      RealMedia.syntheticAdpcmTable(docs)).collect()
+    assert(feats.length === 30)
+    for (f <- feats) {
+      val id = f.media_id
+      val n = (64 + id % 64).toInt
+      val nBlocks = (n + 64) / 65
+      val all = (0 until nBlocks).flatMap { b =>
+        imaRef((((id * 131 + b * 17) % 4096) - 2048).toInt,
+          ((id * 7 + b * 13) % 89).toInt,
+          Seq.tabulate(64)(j => ((id * 5 + (b * 64 + j) * 3) % 16).toInt))
+      }.take(n)
+      assert(f.n_samples === n.toLong)
+      assert(f.sum_linear === all.map(_.toLong).sum)
+      assert(f.min_linear === all.min.toLong)
+      assert(f.max_linear === all.max.toLong)
+      assert(f.last_linear === all.last.toLong)
+    }
+  }
+
   test("decoded features equal the closed-form formulas end-to-end") {
     import spark.implicits._
     val docs = (0L until 40L).toDF("doc_id")
