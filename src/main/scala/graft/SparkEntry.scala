@@ -872,6 +872,21 @@ object SparkEntry {
     }),
 
     // ------------------------------------------ LLM-pipeline: text stats
+    "ts_logreg_train" -> ((s, dir) => {
+      // fixed-point GD quality classifier: 12 exact-integer gradient
+      // steps (fast-sigmoid link, truncating division, pinned clamps,
+      // DECIMAL(38,0) sums) — the oracle replays the ENTIRE training
+      // run in unrolled SQL CTEs and the weights are bit-equal
+      graft.textstats.LogReg.trainedWeights(
+        t(s, dir, "documents"), "doc_id", "text", iterations = 12)
+    }),
+    "ts_logreg_score" -> ((s, dir) => {
+      // train-then-score: the trained model rides the scoring plan as
+      // literals — one scan, no shuffle, codegen'd integer arithmetic
+      graft.textstats.LogReg.trainAndScore(
+        t(s, dir, "documents"), "doc_id", "text", iterations = 12)
+        .orderBy(col("doc_id"))
+    }),
     "ts_quality" -> ((s, dir) => {
       TextStats.qualityFeatures(t(s, dir, "documents"), "text")
         .select(col("doc_id"), col("n_tokens"), col("mean_word_len"),
@@ -3246,6 +3261,11 @@ object SparkEntry {
            CAST(max(CASE WHEN pos = n - 1 THEN v END) AS BIGINT)
              AS last_linear
          FROM samp GROUP BY id, n ORDER BY media_id""",
+    // the full fixed-point GD training run unrolled into SQL — weights
+    // and per-doc scores are bit-equal (all-integer arithmetic; see
+    // graft.textstats.LogReg)
+    "ts_logreg_train" -> graft.textstats.LogReg.oracleTrainSql(12),
+    "ts_logreg_score" -> graft.textstats.LogReg.oracleScoreSql(12),
     "ts_quality" ->
       """WITH toks AS (SELECT doc_id, text,
              list_filter(string_split_regex(lower(text), '\s+'),
