@@ -116,6 +116,16 @@ def user_id_hash_cte():
   FROM events WHERE user_id IS NOT NULL"""
 
 
+def event_row_hash_cte():
+    """(u, value, user_id) — UNSIGNED Spark xxhash64(event_id) (seed
+    42) with the row's predicate columns; the KMV/theta sketch hash
+    (graft.sketch.Kmv — sketches are the k smallest distinct u, set
+    operations compare retained u below the common theta)."""
+    h = xxh64_long("event_id", "CAST(42 AS HUGEINT)")
+    return f"""SELECT ({h}) AS u, value, user_id
+  FROM events WHERE event_id IS NOT NULL"""
+
+
 def user_id_day_hash_cte():
     """(day_us, u) — UNSIGNED Spark xxhash64(user_id) (seed 42) with
     the event's UTC day as epoch micros; the per-window HyperLogLog
@@ -239,6 +249,9 @@ object SplitOracle {{
   /** Reusable CTE body (day_us, u): unsigned xxhash64(user_id) keyed
     * by the event's UTC day (graft.sketch.HyperLogLog.groupedEstimate). */
   val userIdDayHashCte: String = "{esc(user_id_day_hash_cte())}"
+  /** Reusable CTE body (u, value, user_id): unsigned xxhash64(event_id)
+    * with the row's predicate columns (graft.sketch.Kmv). */
+  val eventRowHashCte: String = "{esc(event_row_hash_cte())}"
 }}
 """
     with open(path, "w") as f:

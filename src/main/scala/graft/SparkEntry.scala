@@ -1138,6 +1138,14 @@ object SparkEntry {
           horizonUs = 72L * 3600 * 1000000)
         .orderBy(col("step_idx"))
     }),
+    "ev_cohort_retention" -> ((s, dir) => {
+      // cohort retention matrix: users cohorted by first-activity day,
+      // distinct-active counts per (cohort, days-since) cell; two
+      // partial-aggregable passes + a user-keyed equi-join, matrix-
+      // sized output
+      TimeSeriesOps.cohortRetention(t(s, dir, "events"), "user_id",
+        "ts", unit = "day")
+    }),
     "ev_stream_funnel_batch" -> ((s, dir) => {
       // the STREAMING funnel's finalize path run in batch mode: the
       // same buffered-times chain the watermark timeout evaluates
@@ -1827,6 +1835,24 @@ object SparkEntry {
         .join(exact("event_id", col("event_id"))
           .unionByName(exact("user_id", col("user_id"))), "col_name")
         .orderBy(col("col_name"))
+    }),
+    "sc_kmv_distinct" -> ((s, dir) => {
+      // KMV/theta distinct sketch (k smallest distinct xxhash64):
+      // estimation regime (10k+ distinct event ids vs k=256), exact
+      // count riding along as the audit; bounded k-long agg state
+      graft.sketch.Kmv.distinctEstimate(
+        t(s, dir, "events"), col("event_id"), k = 256)
+    }),
+    "sc_kmv_setops" -> ((s, dir) => {
+      // theta-sketch SET OPERATIONS: two predicate-derived event-id
+      // sets sketched with the same hash, intersected/unioned below
+      // the common theta — the estimate HLL can't produce without
+      // inclusion-exclusion error stacking
+      val ev = t(s, dir, "events")
+      graft.sketch.Kmv.setEstimates(
+        ev.where(col("value") > 50.0).select(col("event_id")),
+        ev.where(col("user_id") % 3 === 0).select(col("event_id")),
+        "event_id", k = 128)
     }),
     "gr_trustrank" -> ((s, dir) => {
       // seed-personalized PageRank (TrustRank): teleport mass lands on
@@ -3398,6 +3424,25 @@ object SparkEntry {
              + CAST((step2_us IS NOT NULL) AS BIGINT) AS steps_completed,
            COALESCE(step2_us - step0_us <= 259200000000, false) AS converted
          FROM f2 ORDER BY user_id""",
+    // cohort retention replayed in plain SQL: distinct (user, day)
+    // activity, per-user min day, cell counts, one exact-longs division
+    "ev_cohort_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id AS u,
+             date_trunc('day', ts) AS w
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         coh AS (SELECT u, min(w) AS cw FROM act GROUP BY u),
+         sz AS (SELECT cw, count(*) AS cohort_size FROM coh GROUP BY cw),
+         cell AS (SELECT c.cw, date_diff('day', c.cw, a.w) // 1 AS period_no,
+             count(DISTINCT a.u) AS active_users
+           FROM act a JOIN coh c ON a.u = c.u GROUP BY 1, 2)
+         SELECT epoch_us(CAST(cell.cw AS TIMESTAMP)) AS cohort_us,
+           CAST(period_no AS BIGINT) AS period_no,
+           CAST(active_users AS BIGINT) AS active_users,
+           CAST(cohort_size AS BIGINT) AS cohort_size,
+           CAST(active_users AS DOUBLE) / CAST(cohort_size AS DOUBLE)
+             AS retention
+         FROM cell JOIN sz ON cell.cw = sz.cw
+         ORDER BY cohort_us, period_no""",
     // the k-pass conditional-min replay of the funnel chain: each CTE
     // pins one step's earliest-strictly-after time; null propagates the
     // prefix property exactly like the engine's chained windows
@@ -4118,7 +4163,74 @@ object SparkEntry {
       // 1/2^k literals, identical alpha literal expression; ln ulps
       // absorbed by the round-6 output both engines apply
       hllOracleSql(p = 8),
+    // KMV/theta sketches rebuilt in SQL: k smallest distinct unsigned
+    // hashes (ORDER BY u LIMIT k over the same pure-SQL xxhash64),
+    // theta = the smaller full-sketch cut, counts strictly below it,
+    // every division a single exact-input double op on both engines
+    "sc_kmv_distinct" -> kmvDistinctOracleSql(k = 256),
+    "sc_kmv_setops" -> kmvSetopsOracleSql(k = 128),
   )
+
+  /** DuckDB twin of [[graft.sketch.Kmv.distinctEstimate]] over
+    * events.event_id: the sketch is `ORDER BY u LIMIT k` over the
+    * unsigned pure-SQL xxhash64; the estimator branches and divisions
+    * mirror the engine's exactly (exact-input doubles only).
+    */
+  private def kmvDistinctOracleSql(k: Int): String = {
+    val c64 = "CAST(1.8446744073709552e19 AS DOUBLE)"
+    s"""WITH eh AS MATERIALIZED (${SplitOracle.eventIdHashCte}),
+       |sk AS (SELECT DISTINCT u FROM eh ORDER BY u LIMIT $k),
+       |ag AS (SELECT count(*) AS n, max(u) AS kth FROM sk),
+       |ex AS (SELECT count(DISTINCT event_id) AS ed FROM events)
+       |SELECT CAST($k AS BIGINT) AS k, CAST(n AS BIGINT) AS n_retained,
+       |  CASE WHEN n < $k THEN CAST(n AS DOUBLE)
+       |       ELSE CAST(${k - 1} AS DOUBLE) * $c64 / CAST(kth AS DOUBLE)
+       |  END AS est_kmv,
+       |  CAST(ed AS BIGINT) AS exact_distinct
+       |FROM ag, ex""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.sketch.Kmv.setEstimates]] over the two
+    * predicate-derived event-id sets: same sketches, same theta rule
+    * (smaller full-sketch k-th hash; none ⇒ exact regime), strict
+    * below-theta counts, identical estimate expressions.
+    */
+  private def kmvSetopsOracleSql(k: Int): String = {
+    val c64 = "CAST(1.8446744073709552e19 AS DOUBLE)"
+    val ratio = s"CASE WHEN theta IS NULL THEN CAST(1.0 AS DOUBLE) " +
+      s"ELSE $c64 / CAST(theta AS DOUBLE) END"
+    s"""WITH er AS MATERIALIZED (${SplitOracle.eventRowHashCte}),
+       |ska AS (SELECT DISTINCT u FROM er
+       |  WHERE value > CAST(50.0 AS DOUBLE) ORDER BY u LIMIT $k),
+       |skb AS (SELECT DISTINCT u FROM er
+       |  WHERE user_id % 3 = 0 ORDER BY u LIMIT $k),
+       |ta AS (SELECT count(*) AS na, max(u) AS ka FROM ska),
+       |tb AS (SELECT count(*) AS nb, max(u) AS kb FROM skb),
+       |th AS MATERIALIZED (SELECT na, nb, ka, kb,
+       |    CASE WHEN na >= $k AND nb >= $k THEN least(ka, kb)
+       |         WHEN na >= $k THEN ka
+       |         WHEN nb >= $k THEN kb END AS theta
+       |  FROM ta, tb),
+       |ca AS (SELECT u FROM ska, th WHERE theta IS NULL OR u < theta),
+       |cb AS (SELECT u FROM skb, th WHERE theta IS NULL OR u < theta),
+       |iu AS (SELECT
+       |    (SELECT count(*) FROM ca WHERE u IN (SELECT u FROM cb)) AS ni,
+       |    (SELECT count(*) FROM
+       |      (SELECT u FROM ca UNION SELECT u FROM cb) q) AS nu)
+       |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       |  CASE WHEN na < $k THEN CAST(na AS DOUBLE)
+       |       ELSE CAST(${k - 1} AS DOUBLE) * $c64 / CAST(ka AS DOUBLE)
+       |  END AS est_a,
+       |  CASE WHEN nb < $k THEN CAST(nb AS DOUBLE)
+       |       ELSE CAST(${k - 1} AS DOUBLE) * $c64 / CAST(kb AS DOUBLE)
+       |  END AS est_b,
+       |  CAST(nu AS DOUBLE) * ($ratio) AS est_union,
+       |  CAST(ni AS DOUBLE) * ($ratio) AS est_inter,
+       |  CASE WHEN nu = 0 THEN CAST(0.0 AS DOUBLE)
+       |       ELSE CAST(ni AS DOUBLE) / CAST(nu AS DOUBLE)
+       |  END AS jaccard_kmv
+       |FROM th, iu""".stripMargin
+  }
 
   /** DuckDB twin of [[graft.sketch.HyperLogLog.groupedEstimate]] over
     * the events table's UTC days: per-day sparse registers, then the

@@ -606,6 +606,72 @@ object TableFunctions {
         () => graft.sim.KMeans.assignWithCentroids(df, idCol, vecCol,
           dim, model))
     }),
+    // fixed-point logistic-regression quality classifier: training
+    // collects T gradient rows, so like every model-training TVF it
+    // returns a DeferredBuildPlan — EXPLAIN launches zero jobs
+    "logreg_train" -> (args => {
+      arity("logreg_train", args, 4, 4)
+      val spark = SparkSession.active
+      val df = spark.table(str(args(0), "table name"))
+      val idCol = str(args(1), "id column")
+      val textCol = str(args(2), "text column")
+      val iterations = int(args(3), "iterations")
+      df.schema(idCol); df.schema(textCol) // fail fast at analysis
+      DeferredBuildPlan(StructType(
+        (0 until graft.textstats.LogReg.NumFeatures).map(f =>
+          StructField(s"w$f", LongType)) :+ StructField("m", LongType)),
+        "logreg_train",
+        () => graft.textstats.LogReg.trainedWeights(df, idCol, textCol,
+          iterations))
+    }),
+    "logreg_score" -> (args => {
+      arity("logreg_score", args, 4, 4)
+      val spark = SparkSession.active
+      val df = spark.table(str(args(0), "table name"))
+      val idCol = str(args(1), "id column")
+      val textCol = str(args(2), "text column")
+      val iterations = int(args(3), "iterations")
+      df.schema(textCol)
+      DeferredBuildPlan(StructType(Seq(
+        StructField(idCol, df.schema(idCol).dataType),
+        StructField("z_fp", LongType), StructField("p_fp", LongType),
+        StructField("pred", LongType), StructField("y", LongType))),
+        "logreg_score",
+        () => graft.textstats.LogReg.trainAndScore(df, idCol, textCol,
+          iterations))
+    }),
+    // KMV/theta distinct sketch: plan-only builders (the aggregation
+    // runs when the query runs, nothing collects at build time)
+    "kmv_distinct" -> (args => {
+      arity("kmv_distinct", args, 3, 3)
+      val spark = SparkSession.active
+      graft.sketch.Kmv.distinctEstimate(
+        spark.table(str(args(0), "table name")),
+        col(str(args(1), "value column")),
+        k = int(args(2), "k"))
+        .queryExecution.analyzed
+    }),
+    "kmv_setops" -> (args => {
+      arity("kmv_setops", args, 4, 4)
+      val spark = SparkSession.active
+      val vc = str(args(2), "value column")
+      graft.sketch.Kmv.setEstimates(
+        spark.table(str(args(0), "table A name")),
+        spark.table(str(args(1), "table B name")),
+        vc, k = int(args(3), "k"))
+        .queryExecution.analyzed
+    }),
+    // cohort retention matrix over an events table (day/week cohorts)
+    "cohort_retention" -> (args => {
+      arity("cohort_retention", args, 4, 4)
+      val spark = SparkSession.active
+      graft.ts.TimeSeriesOps.cohortRetention(
+        spark.table(str(args(0), "events table name")),
+        str(args(1), "user column"),
+        str(args(2), "timestamp column"),
+        unit = str(args(3), "unit (day|week)"))
+        .queryExecution.analyzed
+    }),
     // deterministic split label from a pure hash of the ROW id — no
     // randomness, append/layout-stable (Sampling.hashSplit). Fractions
     // as "train:0.8,val:0.1,test:0.1".

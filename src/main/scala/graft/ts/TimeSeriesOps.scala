@@ -341,4 +341,49 @@ object TimeSeriesOps {
           .as("conv_from_first"),
         col("med_gap_s"))
   }
+
+  /** Cohort retention matrix — the other daily-driver event-analytics
+    * report next to [[funnel]]/[[funnelSummary]]: users are cohorted by
+    * the `unit` ("day"/"week"/"month"-style date_trunc field) of their
+    * FIRST event, and each (cohort, periods-since) cell counts the
+    * distinct users active that many periods later.
+    *
+    * Plan shape: one distinct over (user, period) and one per-user min
+    * — both partial-aggregable — then a user-keyed equi-join (both
+    * sides already hash-partitioned by user, AQE co-locates) and a
+    * cells-sized aggregation. Nothing holds unbounded state; the
+    * matrix itself is |cohorts| × |periods| rows.
+    *
+    * `retention` = active/cohort_size — one division of two exact
+    * longs, bit-stable across engines.
+    */
+  def cohortRetention(df: DataFrame, userCol: String, tsCol: String,
+      unit: String = "week"): DataFrame = {
+    val periodDays = unit match {
+      case "day" => 1L
+      case "week" => 7L
+      case other => throw new IllegalArgumentException(
+        s"unit must be day or week, got '$other'")
+    }
+    val period = date_trunc(unit, col(tsCol))
+    val act = df.where(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"), period.as("__w")).distinct()
+    val cohort = act.groupBy(col("__u"))
+      .agg(min(col("__w")).as("__cw"))
+    val sizes = cohort.groupBy(col("__cw"))
+      .agg(count(lit(1)).as("cohort_size"))
+    act.join(cohort, "__u")
+      .groupBy(col("__cw"),
+        // the day gap is an exact multiple of periodDays (both ends
+        // are unit-truncated), so the double division is exact
+        (datediff(col("__w"), col("__cw")).cast("long") / periodDays)
+          .cast("long").as("period_no"))
+      .agg(count_distinct(col("__u")).cast("long").as("active_users"))
+      .join(sizes, "__cw")
+      .select(unix_micros(col("__cw")).as("cohort_us"),
+        col("period_no"), col("active_users"), col("cohort_size"),
+        (col("active_users").cast("double") /
+          col("cohort_size").cast("double")).as("retention"))
+      .orderBy(col("cohort_us"), col("period_no"))
+  }
 }

@@ -442,6 +442,49 @@ class SqlDedupTvfSpec extends SparkTestBase {
         "ts", Seq("view", "buy"), 60000000L))
   }
 
+  test("kmv, cohort_retention and logreg TVFs match the Scala operators; " +
+      "logreg TVFs defer training past EXPLAIN") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    docs.createOrReplaceTempView("sql_docs")
+    val vals = (0L until 3000L).map(v => v * 7L).toDF("v")
+    vals.createOrReplaceTempView("sql_vals")
+    val odds = vals.where(col("v") % 2 === 1L)
+    odds.createOrReplaceTempView("sql_odds")
+    sameRows(
+      spark.sql("SELECT * FROM kmv_distinct('sql_vals', 'v', 64)"),
+      graft.sketch.Kmv.distinctEstimate(vals, col("v"), 64))
+    sameRows(
+      spark.sql("SELECT * FROM kmv_setops('sql_vals', 'sql_odds', 'v', 64)"),
+      graft.sketch.Kmv.setEstimates(vals, odds, "v", 64))
+
+    val ev = Seq(
+      (1L, new java.sql.Timestamp(86400000L)),
+      (1L, new java.sql.Timestamp(2 * 86400000L)),
+      (2L, new java.sql.Timestamp(2 * 86400000L)))
+      .toDF("user_id", "ts")
+    ev.createOrReplaceTempView("sql_cohort_events")
+    sameRows(
+      spark.sql("SELECT * FROM cohort_retention('sql_cohort_events', " +
+        "'user_id', 'ts', 'day')"),
+      graft.ts.TimeSeriesOps.cohortRetention(ev, "user_id", "ts", "day"))
+
+    // logreg: EXPLAIN plans the deferred leaf without training
+    val plan = spark.sql("EXPLAIN EXTENDED SELECT * FROM " +
+      "logreg_train('sql_docs', 'doc_id', 'text', 2)").collect()
+      .map(_.getString(0)).mkString("\n")
+    assert(plan.contains("DeferredBuild"))
+    sameRows(
+      spark.sql("SELECT * FROM logreg_train('sql_docs', 'doc_id', 'text', 2)"),
+      graft.textstats.LogReg.trainedWeights(docs, "doc_id", "text", 2))
+    sameRows(
+      spark.sql("SELECT * FROM logreg_score('sql_docs', 'doc_id', 'text', 2)"),
+      graft.textstats.LogReg.trainAndScore(docs, "doc_id", "text", 2))
+    // schema errors still surface at analysis
+    intercept[Exception](
+      spark.sql("SELECT * FROM logreg_train('sql_docs', 'nope', 'text', 2)"))
+  }
+
   test("hash_sample, stratified_sample and temperature_mix TVFs match " +
       "the Scala operators") {
     import spark.implicits._

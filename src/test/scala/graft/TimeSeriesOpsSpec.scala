@@ -266,4 +266,30 @@ class TimeSeriesOpsSpec extends SparkTestBase {
       // gaps {10,5}s: even count, median averages the middles = 7.5
       (2L, "purchase", 2L, Some(2.0 / 3.0), Some(0.5), Some(7.5))))
   }
+
+  test("cohortRetention: day cohorts, distinct-active cells, exact rates") {
+    // cohort A (first active day 1): users 1,2,3; cohort B (day 2): user 4
+    // repeated same-day events must not double-count (distinct activity)
+    val events = Seq(
+      (1L, ts(1)), (1L, ts(1)), (1L, ts(2)), (1L, ts(4)),
+      (2L, ts(1)), (2L, ts(2)),
+      (3L, ts(1)),
+      (4L, ts(2)), (4L, ts(4))).toDF("user_id", "ts")
+    val got = TimeSeriesOps.cohortRetention(events, "user_id", "ts",
+        unit = "day")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // day-1 cohort (size 3): day0 all 3, day1 users 1,2, day3 user 1
+    // day-2 cohort (size 1): day0 user 4, day2 user 4
+    assert(got.toSeq === Seq(
+      (0L, 3L, 3L, 1.0), (1L, 2L, 3L, 2.0 / 3.0), (3L, 1L, 3L, 1.0 / 3.0),
+      (0L, 1L, 1L, 1.0), (2L, 1L, 1L, 1.0)))
+    // cohort keys: day-1 rows first (ordered by cohort_us, period_no)
+    val cohorts = TimeSeriesOps.cohortRetention(events, "user_id", "ts",
+        unit = "day").collect().map(_.getLong(0)).distinct
+    assert(cohorts.length === 2 && cohorts(0) < cohorts(1))
+    intercept[IllegalArgumentException] {
+      TimeSeriesOps.cohortRetention(events, "user_id", "ts", unit = "hour")
+    }
+  }
 }
