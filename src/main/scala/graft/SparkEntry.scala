@@ -1268,6 +1268,14 @@ object SparkEntry {
           n = 10, maxDocs = 1, keepFirstCopy = true)
         .orderBy(col("doc_id"))
     }),
+    "dd_dup_spans" -> ((s, dir) => {
+      // the scrub family's auditable report: maximal merged token
+      // spans covered by cross-doc repeated 10-grams (gaps-and-islands
+      // over witness positions, window input = flagged subset only)
+      Dedup.dupSpans(t(s, dir, "documents"), "doc_id", "text",
+          n = 10, maxDocs = 1)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
     "dd_curation_pipeline" -> ((s, dir) => {
       // the composed curation path a training-data run would take:
       // exact dedup (normalized fingerprint, min-id survivor) -> repeated
@@ -2870,6 +2878,35 @@ object SparkEntry {
     "dd_semantic_prune" -> SimOracles.ddSemanticPrune,
     "dd_semantic_incremental" -> SimOracles.ddSemanticIncremental,
     "dd_keep_best" -> DedupOracles.ddKeepBest,
+    // duplicated-span report: same gram-string-vs-hash note as the
+    // scrub oracle below; islands break where the witness gap exceeds n
+    "dd_dup_spans" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         grams AS (
+           SELECT doc_id, unnest(range(0, len(w) - 10 + 1)) AS p, w
+           FROM toks WHERE len(w) >= 10),
+         g2 AS (
+           SELECT doc_id, p,
+                  list_aggregate(w[p+1:p+10], 'string_agg', ' ') AS g
+           FROM grams),
+         rep AS (SELECT g FROM g2 GROUP BY g
+                 HAVING count(DISTINCT doc_id) > 1),
+         hits AS (SELECT doc_id, p FROM g2 JOIN rep USING (g)),
+         brk AS (SELECT doc_id, p,
+             CASE WHEN p - lag(p) OVER
+                 (PARTITION BY doc_id ORDER BY p) > 10
+               THEN 1 ELSE 0 END AS nw
+           FROM hits),
+         isl AS (SELECT doc_id, p,
+             sum(nw) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS UNBOUNDED PRECEDING) AS isl
+           FROM brk)
+         SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+           CAST(max(p) + 9 AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_dup_grams
+         FROM isl GROUP BY doc_id, isl
+         ORDER BY doc_id, span_start""",
     // repeated-ngram scrub: the oracle groups by the gram STRING where the
     // engine groups by xxhash64(gram) — identical results absent a 64-bit
     // collision (m^2/2^64 at m repeated grams; deterministic either way)

@@ -1087,4 +1087,47 @@ object Dedup {
           coalesce(col("__ndup"), lit(0L)).cast("double") /
             col("n_grams").cast("double")).as("dup_frac"))
   }
+
+  /** Maximal cross-document duplicated SPANS — the span-emitting form
+    * of the Lee-et-al exact-substring signal that [[scrubRepeatedNgrams]]
+    * applies destructively and [[dupGramFraction]] reduces to a ratio:
+    * every position of an n-gram that appears in more than `maxDocs`
+    * documents is a duplication witness, and overlapping/abutting
+    * witness intervals [p, p+n-1] merge into maximal token spans
+    * (gaps-and-islands: a new span starts when the next witness is
+    * more than n positions on). Emits (id, span_start, span_end,
+    * n_dup_grams) in token coordinates — the auditable "what would the
+    * scrubber remove, and where" report a curation run reviews before
+    * destructive application.
+    *
+    * Plan shape: the codegen'd gram-hash kernel feeds one hash-keyed
+    * count + semi-join (same exchange), then per-doc windows over
+    * witness positions only — the window input is the flagged subset,
+    * not the corpus.
+    */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 10, maxDocs: Int = 1): DataFrame = {
+    require(n >= 2, s"gram width must be >= 2 words, got $n")
+    require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
+    val grams = df.select(col(idCol), posexplode(
+      graft.functions.HashFunctions.rawWordGramHashes(col(textCol), n))
+      .as(Seq("__p", "__h")))
+    val rep = grams.groupBy("__h")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") > maxDocs)
+      .select("__h")
+    val hits = grams.join(rep, Seq("__h"), "left_semi")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__p"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hits
+      .withColumn("__new", when(
+        col("__p") - lag(col("__p"), 1).over(w) > n, 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(run))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("__p")).cast("long").as("span_start"),
+        (max(col("__p")) + lit(n - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        col("n_dup_grams"))
+  }
 }
