@@ -116,6 +116,17 @@ def user_id_hash_cte():
   FROM events WHERE user_id IS NOT NULL"""
 
 
+def event_id_day_hash_cte():
+    """(day_us, u) — UNSIGNED Spark xxhash64(event_id) (seed 42) keyed
+    by the event's UTC day; the per-window KMV sketch hash
+    (graft.streaming.StreamingPipeline.streamingKmvDistinct — the
+    1-day window start IS the UTC day under the pinned UTC session)."""
+    h = xxh64_long("event_id", "CAST(42 AS HUGEINT)")
+    return f"""SELECT epoch_us(CAST(date_trunc('day', ts) AS TIMESTAMP))
+      AS day_us, ({h}) AS u
+  FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL"""
+
+
 def event_row_hash_cte():
     """(u, value, user_id) — UNSIGNED Spark xxhash64(event_id) (seed
     42) with the row's predicate columns; the KMV/theta sketch hash
@@ -252,6 +263,9 @@ object SplitOracle {{
   /** Reusable CTE body (u, value, user_id): unsigned xxhash64(event_id)
     * with the row's predicate columns (graft.sketch.Kmv). */
   val eventRowHashCte: String = "{esc(event_row_hash_cte())}"
+  /** Reusable CTE body (day_us, u): unsigned xxhash64(event_id) keyed
+    * by the event's UTC day (StreamingPipeline.streamingKmvDistinct). */
+  val eventIdDayHashCte: String = "{esc(event_id_day_hash_cte())}"
 }}
 """
     with open(path, "w") as f:

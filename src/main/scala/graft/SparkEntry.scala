@@ -1825,6 +1825,16 @@ object SparkEntry {
           .as("exact_users"))
       est.join(exact, "day_us").orderBy(col("day_us"))
     }),
+    "ev_kmv_daily" -> ((s, dir) => {
+      // the STREAMING per-window KMV twin run in batch mode: one
+      // bounded (<= k longs) sketch per day window, merged across
+      // micro-batches by the same aggregator under a watermark in the
+      // continuous run; 1-day window starts == UTC days
+      graft.streaming.StreamingPipeline.streamingKmvDistinct(
+          t(s, dir, "events"), window_ = "1 day", valueCol = "event_id",
+          k = 64)
+        .orderBy(col("window_start_us"))
+    }),
     "sc_hll_distinct" -> ((s, dir) => {
       // HyperLogLog distinct-count self-audit over two cardinality
       // regimes: event_id (every row distinct — the raw-estimate
@@ -4206,7 +4216,29 @@ object SparkEntry {
     // every division a single exact-input double op on both engines
     "sc_kmv_distinct" -> kmvDistinctOracleSql(k = 256),
     "sc_kmv_setops" -> kmvSetopsOracleSql(k = 128),
+    "ev_kmv_daily" -> kmvDailyOracleSql(k = 64),
   )
+
+  /** DuckDB twin of the streaming KMV window sketch run in batch mode:
+    * per UTC day, the k smallest distinct unsigned hashes via a ranked
+    * window, the same estimator branches as sc_kmv_distinct.
+    */
+  private def kmvDailyOracleSql(k: Int): String = {
+    val c64 = "CAST(1.8446744073709552e19 AS DOUBLE)"
+    s"""WITH ed AS MATERIALIZED (${SplitOracle.eventIdDayHashCte}),
+       |rk AS (SELECT day_us, u,
+       |    row_number() OVER (PARTITION BY day_us ORDER BY u) AS rn
+       |  FROM (SELECT DISTINCT day_us, u FROM ed) q),
+       |ag AS (SELECT day_us,
+       |    count(*) FILTER (rn <= $k) AS n,
+       |    max(CASE WHEN rn = $k THEN u END) AS kth
+       |  FROM rk GROUP BY day_us)
+       |SELECT day_us AS window_start_us, CAST(n AS BIGINT) AS n_retained,
+       |  CASE WHEN n < $k THEN CAST(n AS DOUBLE)
+       |       ELSE CAST(${k - 1} AS DOUBLE) * $c64 / CAST(kth AS DOUBLE)
+       |  END AS est_kmv
+       |FROM ag ORDER BY window_start_us""".stripMargin
+  }
 
   /** DuckDB twin of [[graft.sketch.Kmv.distinctEstimate]] over
     * events.event_id: the sketch is `ORDER BY u LIMIT k` over the

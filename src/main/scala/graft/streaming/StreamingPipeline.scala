@@ -92,4 +92,22 @@ object StreamingPipeline {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("window_start"), col("token"),
         col("cnt"))
+
+  /** Watermarked per-window KMV distinct estimate — the continuous
+    * twin of [[graft.sketch.Kmv.distinctEstimate]]: state per window is
+    * ONE bounded sketch (≤ k longs), merged across micro-batches by
+    * the same aggregator, evicted when the watermark closes the
+    * window. Runs identically in batch mode (withWatermark is a
+    * batch no-op), which is the oracle twin.
+    */
+  def streamingKmvDistinct(events: DataFrame, window_ : String,
+      valueCol: String, tsCol: String = "ts", k: Int = 256,
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .where(col(valueCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(window(col(tsCol), window_))
+      .agg(graft.sketch.Kmv.sketchAgg(col(valueCol), k).as("__sk"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        size(col("__sk")).cast("long").as("n_retained"),
+        graft.sketch.Kmv.estimateCol(col("__sk"), k).as("est_kmv"))
 }

@@ -112,4 +112,46 @@ class StreamingSketchSpec extends SparkTestBase {
         merged.toDF("j", "mrho"), 8).head() ==
       HyperLogLog.distinctEstimate(ids.toDF("id"), col("id"), 8).head())
   }
+
+  test("windowed streaming KMV equals the batch twin under " +
+      "out-of-order cross-batch arrival") {
+    import java.sql.Timestamp
+    implicit val sc = spark.sqlContext
+    def at(day: Int, h: Int) =
+      Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    // day 1: 40 distinct ids (> k=16, the estimation regime; dup ids
+    // across batches must not occupy extra slots); day 2: 5 (< k, the
+    // exact regime)
+    val rows =
+      (0 until 40).map(i => (at(1, i % 24), i.toLong)) ++
+        (0 until 10).map(i => (at(1, 3), (i * 2).toLong)) ++ // dups
+        (0 until 5).map(i => (at(2, 5), 1000L + i))
+    val input = MemoryStream[(Timestamp, Long)]
+    val q = graft.streaming.StreamingPipeline
+      .streamingKmvDistinct(input.toDS().toDF("ts", "event_id"),
+        window_ = "1 day", valueCol = "event_id", k = 16,
+        watermark = "2 days")
+      .writeStream.format("memory").queryName("kmv_win_out")
+      .outputMode("complete").start()
+    // out-of-order: day-2 rows land in the middle batch, late day-1
+    // rows (within the watermark) in the last
+    input.addData(rows.take(20): _*)
+    q.processAllAvailable()
+    input.addData(rows.slice(40, 55): _*)
+    q.processAllAvailable()
+    input.addData(rows.slice(20, 40): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("kmv_win_out")
+      .orderBy("window_start_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val twin = graft.streaming.StreamingPipeline
+      .streamingKmvDistinct(rows.toDF("ts", "event_id"),
+        window_ = "1 day", valueCol = "event_id", k = 16)
+      .orderBy("window_start_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === twin)
+    assert(twin.map(_._2) === Seq(16L, 5L)) // estimation + exact regimes
+    assert(twin(1)._3 === 5.0)
+  }
 }
