@@ -421,4 +421,57 @@ class PlanPinSpec extends SparkTestBase {
     assert(exchanges <= 4,
       s"token budget grew extra shuffles ($exchanges > 4):\n$plan")
   }
+
+  test("sc_kmv: bounded sketch partially aggregates; set ops cross " +
+      "one-row aggregates via broadcast") {
+    val plan = SparkEntry.queries("sc_kmv_distinct")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_smallestklongsagg"),
+      s"the sketch's <= k-long buffers must combine map-side:\n$plan")
+    val plan2 = SparkEntry.queries("sc_kmv_setops")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan2.contains("partial_smallestklongsagg"),
+      s"both set sketches must combine map-side:\n$plan2")
+    assert(plan2.contains("Broadcast"),
+      s"the one-row sketch cross must broadcast, not shuffle:\n$plan2")
+    assert(!plan2.contains("SortMergeJoin"),
+      s"no shuffled join for two scalar rows:\n$plan2")
+  }
+
+  test("ts_logreg_score: the trained model scores in one scan — " +
+      "zero exchanges before the presentation sort") {
+    val docs = graft.sources.Sources.readTable(spark, sf0001, "documents")
+    val plan = graft.textstats.LogReg.score(docs, "doc_id", "text",
+        Array(1L, 2L, 3L, 4L, 5L, 6L))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"scoring must be row-local (model = plan literals):\n$plan")
+  }
+
+  test("dd_dup_spans: windows see the flagged witness subset, the gram " +
+      "filter is a semi-join on the count's own exchange") {
+    val plan = SparkEntry.queries("dd_dup_spans")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("raw_word_gram_hashes"),
+      s"grams must come from the codegen'd scan kernel:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"the repeated-gram restriction must be a semi-join:\n$plan")
+    // the window must consume the semi-join output (witnesses), never
+    // the raw corpus: Window appears after the semi-join in the tree
+    assert(plan.indexOf("Window") < plan.indexOf("LeftSemi"),
+      s"the island window must sit above the witness filter:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no product joins:\n$plan")
+  }
+
+  test("ev_cohort_retention: activity-cohort join stays an equi-join, " +
+      "aggs combine map-side") {
+    val plan = SparkEntry.queries("ev_cohort_retention")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min") || plan.contains("partial_count"),
+      s"per-user min / cell counts must combine map-side:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"only equi-join shapes:\n$plan")
+  }
 }
