@@ -1066,6 +1066,16 @@ object SparkEntry {
       graft.multimodal.Jpeg.extractJpegFeatures(media).toDF()
         .orderBy(col("media_id"))
     }),
+    "mm_gif_decode" -> ((s, dir) => {
+      // REAL LZW-compressed image decode: GIF87a (header, global color
+      // table, sub-blocked variable-width LZW code stream) — lossless,
+      // so the oracle recomputes the closed-form index/palette
+      // formulas; an LZW bug on either side cannot hash-match
+      val media = graft.multimodal.Gif.syntheticGifTable(
+        t(s, dir, "documents"))
+      graft.multimodal.Gif.extractGifFeatures(media).toDF()
+        .orderBy(col("media_id"))
+    }),
     "mm_adpcm_decode" -> ((s, dir) => {
       // REAL lossy-compressed audio decode: IMA ADPCM WAVs (format tag
       // 17, 4 bits/sample) synthesized in CODE space, decoded by the
@@ -3286,6 +3296,25 @@ object SparkEntry {
            CAST(min(s) AS BIGINT) AS min_linear,
            CAST(max(s) AS BIGINT) AS max_linear
          FROM dec GROUP BY id, n ORDER BY media_id""",
+    // GIF is lossless: the oracle recomputes the corpus' closed-form
+    // index formula through the pinned palette (r = i, g = 2i mod 256,
+    // b = 255 - i) — the real LZW stream must reproduce it exactly
+    "mm_gif_decode" ->
+      """WITH m AS (SELECT doc_id AS id, 8 + doc_id % 16 AS w,
+             8 + doc_id % 12 AS h
+           FROM documents)
+         SELECT id AS media_id, CAST(w AS BIGINT) AS w,
+           CAST(h AS BIGINT) AS h,
+           CAST(list_sum(list_transform(range(0, w*h),
+             k -> (id + 5*(k % w) + 11*(k // w)) % 256)) AS BIGINT)
+             AS sum_r,
+           CAST(list_sum(list_transform(range(0, w*h),
+             k -> (2*((id + 5*(k % w) + 11*(k // w)) % 256)) % 256))
+             AS BIGINT) AS sum_g,
+           CAST(list_sum(list_transform(range(0, w*h),
+             k -> 255 - (id + 5*(k % w) + 11*(k // w)) % 256)) AS BIGINT)
+             AS sum_b
+         FROM m ORDER BY media_id""",
     // IMA ADPCM replayed in SQL: the all-integer predictor/step-index
     // recurrence as a recursive CTE (one step per 4-bit code), per-block
     // header seeds and codes from the corpus formulas, fact-chunk
