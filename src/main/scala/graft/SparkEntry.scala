@@ -1066,6 +1066,16 @@ object SparkEntry {
       graft.multimodal.Jpeg.extractJpegFeatures(media).toDF()
         .orderBy(col("media_id"))
     }),
+    "mm_jpeg422_decode" -> ((s, dir) => {
+      // the third real-corpus JPEG profile: 4:2:2 — two horizontal
+      // luma blocks per 16x8 MCU, chroma replicated horizontally,
+      // restart interval 2; same pinned arithmetic and
+      // coefficient-space corpus discipline
+      val media = graft.multimodal.Jpeg.syntheticJpeg422Table(
+        t(s, dir, "documents"))
+      graft.multimodal.Jpeg.extractJpegFeatures(media).toDF()
+        .orderBy(col("media_id"))
+    }),
     "mm_gif_decode" -> ((s, dir) => {
       // REAL LZW-compressed image decode: GIF87a (header, global color
       // table, sub-blocked variable-width LZW code stream) — lossless,
@@ -3278,6 +3288,7 @@ object SparkEntry {
     // coefficients through the decoder's exact pinned arithmetic
     "mm_jpeg_decode" -> JpegOracle.mmJpegDecode,
     "mm_jpeg420_decode" -> JpegOracle.mmJpeg420Decode,
+    "mm_jpeg422_decode" -> JpegOracle.mmJpeg422Decode,
     // G.711 expansion replayed in SQL: u = complemented byte,
     // mag = ((u%16)*8 + 132) << ((u//16)%8) - 132, sign from bit 7
     "mm_mulaw_decode" ->

@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
   * quantization tables, zigzag ordering, a separable IDCT, level
   * shift + clamp, and JFIF YCbCr→RGB conversion.
   *
-  * Scope is baseline sequential, 8-bit, 1 or 3 components, in the two
-  * sampling profiles that dominate real corpora: 4:4:4 (all factors
-  * 1×1) and 4:2:0 (luma 2×2, chroma 1×1 — four interleaved luma
-  * blocks per 16×16 MCU, chroma upsampled by replication), dimensions
+  * Scope is baseline sequential, 8-bit, 1 or 3 components, in the
+  * three sampling profiles that dominate real corpora: 4:4:4 (all
+  * factors 1×1), 4:2:0 (luma 2×2, chroma 1×1 — four interleaved luma
+  * blocks per 16×16 MCU, chroma upsampled by replication) and 4:2:2
+  * (luma 2×1 — two luma blocks per 16×8 MCU, chroma replicated
+  * horizontally), dimensions
   * in whole MCUs, with or without restart intervals (DRI/RSTn —
   * byte-aligned cyclic markers, DC-prediction resets; wrong or missing
   * markers are malformed). Everything else — progressive (SOF2),
@@ -145,24 +147,31 @@ object Jpeg {
   }
 
   /** Encode a baseline JPEG — 4:4:4 (3-component YCbCr or grayscale
-    * with `ncomp = 1`) or 4:2:0 (`chroma420`) — whose quantized
-    * coefficients at zigzag k of per-component block bi are
-    * `coef(c, bi, k)`. `w`/`h` must be whole MCUs (8 px, 16 px for
-    * 4:2:0). `restartInterval` > 0 emits a DRI segment and cyclic
-    * RSTn markers with DC resets between intervals. Emits real JFIF
-    * bytes: APP0, both DQT tables, SOF0, all four DHT tables, [DRI,]
-    * SOS, stuffed entropy-coded data, EOI.
+    * with `ncomp = 1`), 4:2:0 (`chroma420`) or 4:2:2 (`chroma422`,
+    * luma 2×1: two horizontal luma blocks + one Cb/Cr per 16×8 MCU)
+    * — whose quantized coefficients at zigzag k of per-component
+    * block bi are `coef(c, bi, k)`. `w`/`h` must be whole MCUs (8 px;
+    * 16 px on the subsampled axes). `restartInterval` > 0 emits a DRI
+    * segment and cyclic RSTn markers with DC resets between
+    * intervals. Emits real JFIF bytes: APP0, both DQT tables, SOF0,
+    * all four DHT tables, [DRI,] SOS, stuffed entropy-coded data, EOI.
     */
   def encodeJpeg(w: Int, h: Int, coef: (Int, Int, Int) => Int,
       ncomp: Int = 3, chroma420: Boolean = false,
-      restartInterval: Int = 0): Array[Byte] = {
+      restartInterval: Int = 0, chroma422: Boolean = false): Array[Byte] = {
     require(ncomp == 1 || ncomp == 3, s"ncomp must be 1 or 3, got $ncomp")
     require(!chroma420 || ncomp == 3, "4:2:0 needs 3 components")
+    require(!chroma422 || ncomp == 3, "4:2:2 needs 3 components")
+    require(!(chroma420 && chroma422), "pick ONE subsampling profile")
     require(restartInterval >= 0 && restartInterval <= 65535,
       s"restartInterval must be a u16, got $restartInterval")
-    val mcuPx = if (chroma420) 16 else 8
-    require(w > 0 && h > 0 && w % mcuPx == 0 && h % mcuPx == 0,
-      s"dimensions must be positive whole MCUs (${mcuPx}px), got ${w}x$h")
+    val lumaH = if (chroma420 || chroma422) 2 else 1
+    val lumaV = if (chroma420) 2 else 1
+    val mcuPxX = 8 * lumaH
+    val mcuPxY = 8 * lumaV
+    require(w > 0 && h > 0 && w % mcuPxX == 0 && h % mcuPxY == 0,
+      s"dimensions must be positive whole MCUs (${mcuPxX}x$mcuPxY px), " +
+        s"got ${w}x$h")
     val out = new java.io.ByteArrayOutputStream()
     out.write(0xFF); out.write(0xD8) // SOI
     writeSegment(out, 0xE0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0,
@@ -184,7 +193,7 @@ object Jpeg {
     for (((cid, qid), c0) <- Seq((1, 0), (2, 1), (3, 1)).take(ncomp)
         .zipWithIndex) {
       sof.write(cid)
-      sof.write(if (chroma420 && c0 == 0) 0x22 else 0x11)
+      sof.write(if (c0 == 0) (lumaH << 4) | lumaV else 0x11)
       sof.write(qid)
     }
     writeSegment(out, 0xC0, sof.toByteArray)
@@ -254,14 +263,15 @@ object Jpeg {
       }
       if (lastNz < 63) writeHuff(acTab(c), 0x00) // EOB
     }
-    val mcus = (w / mcuPx) * (h / mcuPx)
+    val mcus = (w / mcuPxX) * (h / mcuPxY)
+    val lumaBlocks = lumaH * lumaV
     var m = 0
     while (m < mcus) {
-      if (chroma420) {
-        // T.81 interleave: the 4 luma blocks (raster order within the
-        // MCU; bi = m*4 + raster index), then one Cb, one Cr (bi = m)
+      if (lumaBlocks > 1) {
+        // T.81 interleave: the luma blocks (raster order within the
+        // MCU; bi = m*n + raster index), then one Cb, one Cr (bi = m)
         var b = 0
-        while (b < 4) { encodeBlock(0, m * 4 + b); b += 1 }
+        while (b < lumaBlocks) { encodeBlock(0, m * lumaBlocks + b); b += 1 }
         encodeBlock(1, m); encodeBlock(2, m)
       } else {
         var c = 0
@@ -463,15 +473,18 @@ object Jpeg {
             c += 1
           }
           if (compId.distinct.length != ncomp) return None
-          // supported sampling profiles: 4:4:4 (all 1x1) and 4:2:0
-          // (luma 2x2, chroma 1x1); anything else is out of profile
+          // supported sampling profiles: 4:4:4 (all 1x1), 4:2:0
+          // (luma 2x2) and 4:2:2 (luma 2x1), chroma 1x1 in all;
+          // anything else is out of profile
           val is444 = (0 until ncomp).forall(c2 =>
             compH(c2) == 1 && compV(c2) == 1)
-          val is420 = ncomp == 3 && compH(0) == 2 && compV(0) == 2 &&
+          val chroma11 = ncomp == 3 &&
             compH(1) == 1 && compV(1) == 1 &&
             compH(2) == 1 && compV(2) == 1
-          if (!is444 && !is420) return None
-          // whole-MCU dimensions (16x16 for 4:2:0, 8x8 for 4:4:4)
+          val is420 = chroma11 && compH(0) == 2 && compV(0) == 2
+          val is422 = chroma11 && compH(0) == 2 && compV(0) == 1
+          if (!is444 && !is420 && !is422) return None
+          // whole-MCU dimensions (16x16 / 16x8 / 8x8)
           hMax = compH.max; vMax = compV.max
           if (w % (8 * hMax) != 0 || h % (8 * vMax) != 0) return None
         case 0xC4 => // DHT: one or more tables
@@ -707,6 +720,24 @@ object Jpeg {
       val h = 16 * (1 + ((id / 2) % 2).toInt)
       JpegRow(id, encodeJpeg(w, h, (c, bi, k) => syntheticCoef(id, c, bi, k),
         ncomp = 3, chroma420 = true, restartInterval = 1))
+    }
+  }
+
+  /** The 4:2:2 corpus: 16×8..32×16 images, two horizontally-
+    * interleaved luma blocks per MCU (bi = mcu·2 + b for luma, bi =
+    * mcu for chroma), chroma replicated horizontally — same
+    * coefficient formulas; restart interval 2, so the 2- and 4-MCU
+    * images carry RSTn markers at a different cadence than the 4:2:0
+    * corpus.
+    */
+  def syntheticJpeg422Table(docs: DataFrame): Dataset[JpegRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val w = 16 * (1 + (id % 2).toInt)
+      val h = 8 * (1 + ((id / 2) % 2).toInt)
+      JpegRow(id, encodeJpeg(w, h, (c, bi, k) => syntheticCoef(id, c, bi, k),
+        ncomp = 3, restartInterval = 2, chroma422 = true))
     }
   }
 

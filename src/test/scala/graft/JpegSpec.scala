@@ -231,9 +231,74 @@ class JpegSpec extends SparkTestBase {
     assert(Jpeg.decodeJpeg(good).isDefined)
     val sofAt = good.indices.find(i =>
       (good(i) & 0xff) == 0xFF && (good(i + 1) & 0xff) == 0xC0).get
-    // luma sampling 2x1 (4:2:2) is out of profile
-    val b = good.clone(); b(sofAt + 11) = 0x21.toByte
+    // luma sampling 1x2 ("4:4:0") is out of profile
+    val b = good.clone(); b(sofAt + 11) = 0x12.toByte
     assert(Jpeg.decodeJpeg(b) === None)
+    // 4:2:2 dims must be whole 16x8 MCUs
+    intercept[IllegalArgumentException](
+      Jpeg.encodeJpeg(8, 8, zeroCoef, chroma422 = true))
+    intercept[IllegalArgumentException](
+      Jpeg.encodeJpeg(16, 8, zeroCoef, chroma420 = true, chroma422 = true))
+  }
+
+  test("4:2:2: two luma blocks interleave horizontally and chroma " +
+      "replicates over 2x1 pixel pairs") {
+    // per-block DC only: block b gets dc = 8*(b+1) — left/right halves
+    val bytes = Jpeg.encodeJpeg(16, 8,
+      (c, bi, k) => if (c == 0 && k == 0) 8 * (bi + 1) else 0,
+      chroma422 = true)
+    val Some((w, h, rgb)) = Jpeg.decodeJpeg(bytes)
+    assert(w === 16 && h === 8)
+    val t0 = JpegTables.Basis(0)
+    def expY(dc: Int) =
+      (math.floor(dc.toDouble * JpegTables.QuantLuma(0) * t0 * t0 + 0.5)
+        + 128).toInt
+    def yAt(row: Int, col: Int): Int = rgb(3 * (row * 16 + col)) & 0xff
+    assert(yAt(0, 0) === expY(8))   // block 0: left half
+    assert(yAt(0, 8) === expY(16))  // block 1: right half
+    assert(yAt(7, 7) === expY(8))
+    assert(yAt(7, 15) === expY(16))
+    // flat luma + one chroma AC: every HORIZONTAL pixel pair uniform,
+    // vertically the plane varies at full resolution
+    val cbytes = Jpeg.encodeJpeg(16, 8,
+      (c, bi, k) => if (c == 1 && k == 1) 40 else 0, chroma422 = true)
+    val Some((_, _, crgb)) = Jpeg.decodeJpeg(cbytes)
+    def px(row: Int, col: Int): (Int, Int, Int) = {
+      val o = 3 * (row * 16 + col)
+      ((crgb(o) & 0xff, crgb(o + 1) & 0xff, crgb(o + 2) & 0xff))
+    }
+    for (r <- 0 until 8; cx <- 0 until 8)
+      assert(px(r, 2 * cx + 1) === px(r, 2 * cx))
+    val distinct = (for (r <- 0 until 8; cx <- 0 until 8)
+      yield px(r, 2 * cx)).toSet
+    assert(distinct.size > 1, "chroma AC must vary across samples")
+  }
+
+  test("4:2:2 corpus features match a driver-side reference decode") {
+    import spark.implicits._
+    val docs = Seq(0L, 1L, 2L, 3L, 9L).toDF("doc_id")
+    val got = Jpeg.extractJpegFeatures(Jpeg.syntheticJpeg422Table(docs))
+      .collect().map(f => f.media_id -> f).toMap
+    got.foreach { case (id, f) =>
+      val w = 16 * (1 + (id % 2).toInt)
+      val h = 8 * (1 + ((id / 2) % 2).toInt)
+      assert(f.w === w && f.h === h)
+      val Some((_, _, rgb)) = Jpeg.decodeJpeg(Jpeg.encodeJpeg(w, h,
+        (c, bi, k) => Jpeg.syntheticCoef(id, c, bi, k),
+        ncomp = 3, restartInterval = 2, chroma422 = true))
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var i = 0
+      while (i < rgb.length) {
+        sr += rgb(i) & 0xff; sg += rgb(i + 1) & 0xff; sb += rgb(i + 2) & 0xff
+        i += 3
+      }
+      assert((f.sum_r, f.sum_g, f.sum_b) === ((sr, sg, sb)), s"id $id")
+      // and the restart-free stream decodes pixel-identically
+      val Some((_, _, plain)) = Jpeg.decodeJpeg(Jpeg.encodeJpeg(w, h,
+        (c, bi, k) => Jpeg.syntheticCoef(id, c, bi, k),
+        ncomp = 3, chroma422 = true))
+      assert(plain.toSeq === rgb.toSeq, s"id $id restart invariance")
+    }
   }
 
   test("a scan that reorders components vs SOF is rejected, and the " +
