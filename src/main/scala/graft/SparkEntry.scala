@@ -1288,6 +1288,14 @@ object SparkEntry {
           n = 10, maxDocs = 1, keepFirstCopy = true)
         .orderBy(col("doc_id"))
     }),
+    "dd_containment" -> ((s, dir) => {
+      // asymmetric containment (quote/subset detection): rare-shingle
+      // candidates WITHOUT the PPJoin length filter (containment has
+      // no size-ratio bound), exact |A∩B|/|A| and /|B| per pair
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 3, threshold = 0.8, maxDf = 20)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "dd_dup_spans" -> ((s, dir) => {
       // the scrub family's auditable report: maximal merged token
       // spans covered by cross-doc repeated 10-grams (gaps-and-islands
@@ -2908,6 +2916,43 @@ object SparkEntry {
     "dd_semantic_prune" -> SimOracles.ddSemanticPrune,
     "dd_semantic_incremental" -> SimOracles.ddSemanticIncremental,
     "dd_keep_best" -> DedupOracles.ddKeepBest,
+    // containment pairs: candidates from rare string shingles (same
+    // gram-string-vs-hash note as the scrub oracle), exact integer
+    // intersection counts, one exact-ints division per side
+    "dd_containment" ->
+      """WITH toks AS (
+           SELECT doc_id AS id,
+             list_filter(string_split_regex(trim(regexp_replace(
+               lower(text), '[^a-z0-9\s]', '', 'g')), '\s+'),
+               t -> length(t) > 0) AS tk
+           FROM documents),
+         sh AS (
+           SELECT id, list_distinct(CASE WHEN len(tk) >= 3 THEN
+             list_transform(tk[1:len(tk)-2],
+               (x, i) -> array_to_string(tk[i:i+2], ' '))
+             ELSE CAST([] AS VARCHAR[]) END) AS sh
+           FROM toks),
+         shf AS (SELECT * FROM sh WHERE len(sh) > 0),
+         posting AS (SELECT id, unnest(sh) AS g FROM shf),
+         rare AS (SELECT g FROM posting GROUP BY g
+                  HAVING count(*) <= 20 AND count(*) > 1),
+         mem AS (SELECT g, list_sort(list(id)) AS ms
+                 FROM posting JOIN rare USING (g) GROUP BY g),
+         cand AS (SELECT DISTINCT m1 AS id_a, m2 AS id_b
+                  FROM mem, unnest(ms) u1(m1), unnest(ms) u2(m2)
+                  WHERE m1 < m2),
+         ver AS (SELECT id_a, id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+             len(a.sh) AS na, len(b.sh) AS nb
+           FROM cand JOIN shf a ON cand.id_a = a.id
+                     JOIN shf b ON cand.id_b = b.id)
+         SELECT id_a, id_b, n_common,
+           CAST(n_common AS DOUBLE) / na AS containment_a,
+           CAST(n_common AS DOUBLE) / nb AS containment_b
+         FROM ver
+         WHERE greatest(CAST(n_common AS DOUBLE) / na,
+                        CAST(n_common AS DOUBLE) / nb) >= 0.8
+         ORDER BY id_a, id_b""",
     // duplicated-span report: same gram-string-vs-hash note as the
     // scrub oracle below; islands break where the witness gap exceeds n
     "dd_dup_spans" ->

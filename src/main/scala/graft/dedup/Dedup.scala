@@ -532,6 +532,53 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Asymmetric CONTAINMENT pairs — quote/subset detection, the signal
+    * Jaccard misses by construction: a small document fully quoted
+    * inside a large one has tiny Jaccard (the union is huge) but
+    * containment |A∩B|/|A| ≈ 1. Candidates come from the same
+    * rare-shingle postings as [[ngramJaccardPairs]] WITHOUT the PPJoin
+    * length filter (containment has no size-ratio bound — that filter
+    * would drop exactly the asymmetric pairs this operator exists
+    * for); members per shingle are bounded by maxDf, so the pair
+    * expansion is in-task and quadratic only within that cap.
+    * Emits (id_a, id_b, n_common, containment_a, containment_b) for
+    * pairs whose LARGER containment clears the threshold — each
+    * division is two exact ints, bit-stable cross-engine.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.8,
+      maxDf: Int = 20): DataFrame = {
+    require(shingleSize >= 1, s"shingleSize must be >= 1, got $shingleSize")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    val sh = df.select(col(idCol).as("id"),
+        graft.functions.HashFunctions
+          .hashedWordShingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val posting = sh.select(col("id"), explode(col("sh")).as("g"))
+    val rare = posting.groupBy("g").agg(count(lit(1)).as("df_count"))
+      .filter(col("df_count") <= maxDf && col("df_count") > 1)
+    val pairIds = posting.join(rare.select("g"), Seq("g"))
+      .groupBy("g")
+      .agg(sort_array(collect_list(struct(col("id")))).as("members"))
+      .select(explode(orderedPairs(col("members"))).as("p"))
+      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"))
+      .distinct()
+    val nc = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+    pairIds
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("n_common", nc)
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          size(col("sh_a")).cast("double")).as("containment_a"),
+        (col("n_common").cast("double") /
+          size(col("sh_b")).cast("double")).as("containment_b"))
+      .filter(greatest(col("containment_a"), col("containment_b"))
+        >= threshold)
+  }
+
   /** Benchmark decontamination: every (corpus doc, benchmark doc) pair
     * sharing at least `minOverlap` distinct word-`shingleSize`-gram
     * shingles — the standard eval-set contamination check a training

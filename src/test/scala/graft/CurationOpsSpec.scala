@@ -463,4 +463,36 @@ class CurationOpsSpec extends SparkTestBase {
       Dedup.scrubRepeatedNgrams(docs, "doc_id", "text", maxDocs = 0)
     }
   }
+
+  test("containmentPairs finds the quoted-subset pair Jaccard misses") {
+    // doc 1 is fully quoted inside doc 2 (plus a long unique tail), so
+    // Jaccard is small but containment_a ~ 1; docs 3/4 share nothing
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val tail = (0 until 40).map(i => s"tail$i").mkString(" ")
+    val cdocs = Seq(
+      (1L, quote),
+      (2L, s"$quote $tail"),
+      (3L, "completely different words here entirely"),
+      (4L, "another unrelated document body text")).toDF("doc_id", "text")
+    val rows = Dedup.containmentPairs(cdocs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.8, maxDf = 20)
+      .collect()
+    assert(rows.length === 1)
+    val r = rows(0)
+    assert(r.getLong(0) === 1L && r.getLong(1) === 2L)
+    // doc 1 has 4 shingles, all shared; doc 2 has 4 + 41 + 2 bridging
+    assert(r.getDouble(3) === 1.0)                 // containment_a
+    assert(r.getDouble(4) < 0.5)                   // containment_b
+    assert(r.getLong(2) === 4L)                    // n_common
+    // the SAME pair fails the symmetric Jaccard gate at 0.5
+    val j = Dedup.ngramJaccardPairs(cdocs, "doc_id", "text",
+      shingleSize = 3, threshold = 0.5, maxDf = 20).collect()
+    assert(!j.exists(x => x.getLong(0) == 1L && x.getLong(1) == 2L))
+    intercept[IllegalArgumentException] {
+      Dedup.containmentPairs(cdocs, "doc_id", "text", threshold = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.containmentPairs(cdocs, "doc_id", "text", maxDf = 1)
+    }
+  }
 }
