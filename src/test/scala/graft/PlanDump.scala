@@ -23,7 +23,13 @@ object PlanDump {
                   "ts_bm25_topk","ts_bm25_probe","sc_profile","sc_skew",
                   "ts_gopher_filter","sim_label_centroids",
                   "sc_cms_counts","sc_cms_join_est","sc_hll_distinct",
-                  "ev_hll_daily","gr_labelprop")) {
+                  "ev_hll_daily","gr_labelprop",
+                  "j13_auto_join","sim_ivf_refined","ts_token_budget",
+                  "ev_funnel","ev_funnel_summary","ev_stream_funnel_batch",
+                  "dd_group_split",
+                  "ts_logreg_score","sc_kmv_distinct","sc_kmv_setops",
+                  "ev_kmv_daily","ev_cohort_retention","dd_dup_spans",
+                  "dd_containment")) {
       sb.append(s"\n## $q\n\n```\n")
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode)
