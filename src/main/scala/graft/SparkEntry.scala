@@ -1889,6 +1889,28 @@ object SparkEntry {
       graft.sketch.Kmv.distinctEstimate(
         t(s, dir, "events"), col("event_id"), k = 256)
     }),
+    "sc_kmv_incremental" -> ((s, dir) => {
+      // the persist/merge lifecycle: two batch sketches (event_id
+      // parity split) merged by mergeCol must estimate EXACTLY like
+      // the one-shot sketch of all data — KMV's mergeability guarantee
+      // (k smallest of (k smallest of A ∪ k smallest of B) = k
+      // smallest of A ∪ B), which the oracle verifies by computing
+      // the direct value for both columns
+      val ev = t(s, dir, "events")
+      val k = 128
+      val a = ev.where(col("event_id") % 2 === 0)
+        .agg(graft.sketch.Kmv.sketchAgg(col("event_id"), k).as("ska"))
+      val b = ev.where(col("event_id") % 2 === 1)
+        .agg(graft.sketch.Kmv.sketchAgg(col("event_id"), k).as("skb"))
+      val direct = ev
+        .agg(graft.sketch.Kmv.sketchAgg(col("event_id"), k).as("skd"))
+      a.crossJoin(broadcast(b)).crossJoin(broadcast(direct))
+        .select(graft.sketch.Kmv
+          .mergeCol(col("ska"), col("skb"), k).as("__m"), col("skd"))
+        .select(size(col("__m")).cast("long").as("n_retained"),
+          graft.sketch.Kmv.estimateCol(col("__m"), k).as("est_merged"),
+          graft.sketch.Kmv.estimateCol(col("skd"), k).as("est_direct"))
+    }),
     "sc_kmv_setops" -> ((s, dir) => {
       // theta-sketch SET OPERATIONS: two predicate-derived event-id
       // sets sketched with the same hash, intersected/unioned below
@@ -4302,7 +4324,30 @@ object SparkEntry {
     "sc_kmv_distinct" -> kmvDistinctOracleSql(k = 256),
     "sc_kmv_setops" -> kmvSetopsOracleSql(k = 128),
     "ev_kmv_daily" -> kmvDailyOracleSql(k = 64),
+    // mergeability: the merged estimate must EQUAL the one-shot value,
+    // so the oracle computes the direct sketch for BOTH columns — any
+    // merge bug (lost slot, dup slot, wrong cut) breaks the hash
+    "sc_kmv_incremental" -> kmvIncrementalOracleSql(k = 128),
   )
+
+  /** DuckDB twin of the KMV merge lifecycle: both output columns carry
+    * the DIRECT k-smallest estimate (merge exactness IS the property
+    * under test — see the queries entry).
+    */
+  private def kmvIncrementalOracleSql(k: Int): String = {
+    val c64 = "CAST(1.8446744073709552e19 AS DOUBLE)"
+    s"""WITH eh AS MATERIALIZED (${SplitOracle.eventIdHashCte}),
+       |sk AS (SELECT DISTINCT u FROM eh ORDER BY u LIMIT $k),
+       |ag AS (SELECT count(*) AS n, max(u) AS kth FROM sk)
+       |SELECT CAST(n AS BIGINT) AS n_retained,
+       |  CASE WHEN n < $k THEN CAST(n AS DOUBLE)
+       |       ELSE CAST(${k - 1} AS DOUBLE) * $c64 / CAST(kth AS DOUBLE)
+       |  END AS est_merged,
+       |  CASE WHEN n < $k THEN CAST(n AS DOUBLE)
+       |       ELSE CAST(${k - 1} AS DOUBLE) * $c64 / CAST(kth AS DOUBLE)
+       |  END AS est_direct
+       |FROM ag""".stripMargin
+  }
 
   /** DuckDB twin of the streaming KMV window sketch run in batch mode:
     * per UTC day, the k smallest distinct unsigned hashes via a ranked
