@@ -72,7 +72,7 @@ object SparkEntry {
     }),
     "p6_regex_filter" -> ((s, dir) => {
       t(s, dir, "part")
-        .filter(col("p_type").rlike("BRASS|COPPER") && length(col("p_name")) > 10)
+        .filter(col("p_type").rlike("ECONOMY|PROMO") && length(col("p_name")) > 10)
         .select(col("p_partkey"), col("p_name"), col("p_type"))
         .orderBy(col("p_partkey"))
     }),
@@ -1056,6 +1056,16 @@ object SparkEntry {
       graft.multimodal.RealMedia.extractMulawFeatures(media).toDF()
         .orderBy(col("media_id"))
     }),
+    "mm_alaw_decode" -> ((s, dir) => {
+      // the OTHER G.711 companding law: A-law WAVs (format tag 6,
+      // XOR-0x55 bit inversion, segment/mantissa expansion, inverted
+      // sign convention) expanded to linear16 — closes the telephony
+      // pair next to mm_mulaw_decode; all-integer, oracle-replayed
+      val media = graft.multimodal.RealMedia.syntheticAlawTable(
+        t(s, dir, "documents"))
+      graft.multimodal.RealMedia.extractAlawFeatures(media).toDF()
+        .orderBy(col("media_id"))
+    }),
     "mm_jpeg420_decode" -> ((s, dir) => {
       // the dominant real-world JPEG profile: 4:2:0 chroma subsampling
       // — four interleaved luma blocks per 16x16 MCU, one Cb/Cr block,
@@ -1165,6 +1175,16 @@ object SparkEntry {
       // sized output
       TimeSeriesOps.cohortRetention(t(s, dir, "events"), "user_id",
         "ts", unit = "day")
+    }),
+    "ev_stream_cohort_batch" -> ((s, dir) => {
+      // the STREAMING cohort-retention twin run in batch mode: 16-byte
+      // per-user first-activity state + periods-since delta emission
+      // (retraction deltas settle out-of-order cohort shifts in the
+      // continuous run); batch folds each user once, so the summed
+      // deltas ARE the exact distinct-active matrix
+      graft.streaming.StreamingPipeline.streamingCohortRetention(
+          t(s, dir, "events"), "user_id", "ts", unit = "day")
+        .orderBy(col("cohort_us"), col("period_no"))
     }),
     "ev_stream_funnel_batch" -> ((s, dir) => {
       // the STREAMING funnel's finalize path run in batch mode: the
@@ -1337,8 +1357,10 @@ object SparkEntry {
     "ts_bm25_topk" -> ((s, dir) => {
       // BM25 ranked retrieval: every 13th document's first 8 tokens as
       // the query set, top-5 hits over the full corpus, stop-term guard
-      // at df ≤ 50 % of docs (inverted-index probe shape — queries
-      // broadcast, postings pruned before the tf aggregation)
+      // at df ≤ 95 % of docs (inverted-index probe shape — queries
+      // broadcast, postings pruned before the tf aggregation; 0.95
+      // keeps this generator's whole ~31-word vocabulary scoring —
+      // the r12 verdict found 0.5 left ZERO postings ⇒ vacuous rows)
       val docs = t(s, dir, "documents")
       val tk = filter(split(lower(col("text")), "\\s+"),
         x => length(x) > 0)
@@ -1346,7 +1368,7 @@ object SparkEntry {
         .select(col("doc_id"),
           concat_ws(" ", slice(tk, 1, 8)).as("qtext"))
       graft.text.Retrieval.bm25TopK(docs, "doc_id", "text",
-          queries, "doc_id", "qtext", k = 5, maxDfFrac = 0.5)
+          queries, "doc_id", "qtext", k = 5, maxDfFrac = 0.95)
         .select(col("query_id"), col("doc_id"),
           round(col("score"), 6).as("score6"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
@@ -1363,7 +1385,7 @@ object SparkEntry {
         .select(col("doc_id"),
           concat_ws(" ", slice(tk, 1, 8)).as("qtext"))
       val res = graft.text.Retrieval.bm25TopK(docs, "doc_id", "text",
-        queries, "doc_id", "qtext", k = 5, maxDfFrac = 0.5)
+        queries, "doc_id", "qtext", k = 5, maxDfFrac = 0.95)
       val truth = docs.filter(col("doc_id") % 13 === 0)
         .select(col("doc_id").as("qid"), col("doc_id").as("did"))
       graft.text.Retrieval.rankingMetrics(res, truth, "qid", "did", k = 5)
@@ -1384,7 +1406,7 @@ object SparkEntry {
         .select(col("doc_id"),
           concat_ws(" ", slice(tk, 1, 6)).as("qtext"))
       graft.text.Retrieval.bm25ProbeIndex(post, stats, queries,
-          "doc_id", "qtext", k = 5, maxDfFrac = 0.5)
+          "doc_id", "qtext", k = 5, maxDfFrac = 0.95)
         .select(col("query_id"), col("doc_id"),
           round(col("score"), 6).as("score6"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
@@ -1410,7 +1432,7 @@ object SparkEntry {
         .select(col("doc_id"),
           concat_ws(" ", slice(tk, 1, 6)).as("qtext"))
       graft.text.Retrieval.bm25ProbeIndex(merged, stats, queries,
-          "doc_id", "qtext", k = 5, maxDfFrac = 0.5)
+          "doc_id", "qtext", k = 5, maxDfFrac = 0.95)
         .select(col("query_id"), col("doc_id"),
           round(col("score"), 6).as("score6"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
@@ -1628,7 +1650,7 @@ object SparkEntry {
         .select(col("doc_id"),
           concat_ws(" ", slice(tk, 1, 8)).as("qtext"))
       val sparse = graft.text.Retrieval.bm25TopK(docs, "doc_id", "text",
-          queries, "doc_id", "qtext", k = 5, maxDfFrac = 0.5)
+          queries, "doc_id", "qtext", k = 5, maxDfFrac = 0.95)
         .select(col("query_id"), col("doc_id").as("id"), col("rank"))
       val emb = t(s, dir, "embeddings")
         .withColumn("embedding", col("embedding").cast("array<double>"))
@@ -1720,7 +1742,7 @@ object SparkEntry {
         .select(col("doc_id"),
           concat_ws(" ", slice(tk, 1, 8)).as("qtext"))
       val res = graft.text.Retrieval.bm25TopK(docs, "doc_id", "text",
-        queries, "doc_id", "qtext", k = 5, maxDfFrac = 0.5)
+        queries, "doc_id", "qtext", k = 5, maxDfFrac = 0.95)
       val truth = queries.select(col("doc_id").as("qid"),
           explode(array(col("doc_id"), col("doc_id") + 1L)).as("did"))
         .join(docs.select(col("doc_id").as("did")), Seq("did"),
@@ -1884,10 +1906,12 @@ object SparkEntry {
     }),
     "sc_kmv_distinct" -> ((s, dir) => {
       // KMV/theta distinct sketch (k smallest distinct xxhash64):
-      // estimation regime (10k+ distinct event ids vs k=256), exact
-      // count riding along as the audit; bounded k-long agg state
+      // estimation regime (10k+ distinct event ids vs k=256); audit =
+      // true rides the exact countDistinct along for THIS gate query
+      // only — the production default is sketch-only (bounded <= k
+      // longs end to end, no full distinct aggregation)
       graft.sketch.Kmv.distinctEstimate(
-        t(s, dir, "events"), col("event_id"), k = 256)
+        t(s, dir, "events"), col("event_id"), k = 256, audit = true)
     }),
     "sc_kmv_incremental" -> ((s, dir) => {
       // the persist/merge lifecycle: two batch sketches (event_id
@@ -1902,7 +1926,7 @@ object SparkEntry {
         .agg(graft.sketch.Kmv.sketchAgg(col("event_id"), k).as("ska"))
       val b = ev.where(col("event_id") % 2 === 1)
         .agg(graft.sketch.Kmv.sketchAgg(col("event_id"), k).as("skb"))
-      val direct = ev
+      val direct = ev.where(col("event_id").isNotNull)
         .agg(graft.sketch.Kmv.sketchAgg(col("event_id"), k).as("skd"))
       a.crossJoin(broadcast(b)).crossJoin(broadcast(direct))
         .select(graft.sketch.Kmv
@@ -1921,6 +1945,28 @@ object SparkEntry {
         ev.where(col("value") > 50.0).select(col("event_id")),
         ev.where(col("user_id") % 3 === 0).select(col("event_id")),
         "event_id", k = 128)
+    }),
+    "sc_topk_sketch" -> ((s, dir) => {
+      // Misra-Gries heavy hitters (two-pass: bounded sketch ->
+      // candidate recall guarantee -> exact thresholded counts), two
+      // live-decrement regimes: the 31-word token stream through a
+      // 30-counter sketch at phi = 1/31, and o_orderstatus (3 values,
+      // 2 counters) at phi = 1/3 — the output set is exactly
+      // {v : cnt*phiDenom > N}, deterministic under any partitioning
+      val toks = t(s, dir, "documents")
+        .select(explode(
+          graft.text.TextPipeline.tokenize(col("text"))).as("tok"))
+      val th = graft.sketch.TopK.heavyHitters(toks, "tok",
+          k = 30, phiDenom = 31)
+        .select(lit("token").as("domain"), col("value"), col("cnt"),
+          col("n_total"), col("frac"))
+      val st = graft.sketch.TopK.heavyHitters(
+          t(s, dir, "orders").select(col("o_orderstatus")),
+          "o_orderstatus", k = 2, phiDenom = 3)
+        .select(lit("status").as("domain"), col("value"), col("cnt"),
+          col("n_total"), col("frac"))
+      th.unionByName(st)
+        .orderBy(col("domain"), col("cnt").desc, col("value"))
     }),
     "gr_trustrank" -> ((s, dir) => {
       // seed-personalized PageRank (TrustRank): teleport mass lands on
@@ -2331,7 +2377,7 @@ object SparkEntry {
          ORDER BY l_orderkey, l_linenumber""",
     "p6_regex_filter" ->
       """SELECT p_partkey, p_name, p_type FROM part
-         WHERE regexp_matches(p_type, 'BRASS|COPPER') AND length(p_name) > 10
+         WHERE regexp_matches(p_type, 'ECONOMY|PROMO') AND length(p_name) > 10
          ORDER BY p_partkey""",
     "p7_null_fill" ->
       """SELECT o_orderkey, coalesce(c_acctbal, 0.0) AS acctbal_filled
@@ -3144,10 +3190,10 @@ object SparkEntry {
          ORDER BY d.doc_id""",
     "ts_bm25_topk" ->
       // every-13th-doc first-8-token queries over the raw corpus,
-      // stop-term guard df <= 0.5*N (the shared bm25OracleSql twin)
+      // stop-term guard df <= 0.95*N (the shared bm25OracleSql twin)
       bm25OracleSql("SELECT doc_id, text FROM documents",
         "SELECT doc_id AS query_id, text FROM documents " +
-          "WHERE doc_id % 13 = 0", sliceLen = 8, k = 5, maxDfFrac = 0.5),
+          "WHERE doc_id % 13 = 0", sliceLen = 8, k = 5, maxDfFrac = 0.95),
     "ts_bm25_eval" ->
       // self-retrieval truth over the ts_bm25_topk result: integer hit
       // counts + single double divisions (recall@5, precision@5, rr)
@@ -3155,7 +3201,7 @@ object SparkEntry {
             "SELECT doc_id, text FROM documents",
             "SELECT doc_id AS query_id, text FROM documents " +
               "WHERE doc_id % 13 = 0", sliceLen = 8, k = 5,
-            maxDfFrac = 0.5)}),
+            maxDfFrac = 0.95)}),
          truth AS (SELECT DISTINCT doc_id AS query_id, doc_id
            FROM documents WHERE doc_id % 13 = 0),
          hits AS (SELECT r.query_id, r.rank FROM res r
@@ -3182,7 +3228,7 @@ object SparkEntry {
       // same formula with the probe query slice
       bm25OracleSql("SELECT doc_id, text FROM documents",
         "SELECT doc_id AS query_id, text FROM documents " +
-          "WHERE doc_id % 17 = 0", sliceLen = 6, k = 5, maxDfFrac = 0.5),
+          "WHERE doc_id % 17 = 0", sliceLen = 6, k = 5, maxDfFrac = 0.95),
     "ts_bm25_incremental" ->
       // merged corpus after the newest-wins update: docs in the fresh
       // batch (doc_id % 3 = 0 OR % 7 = 0) carry the edited text
@@ -3190,7 +3236,7 @@ object SparkEntry {
         "SELECT doc_id, CASE WHEN doc_id % 3 = 0 OR doc_id % 7 = 0 " +
           "THEN text || ' upd' ELSE text END AS text FROM documents",
         "SELECT doc_id AS query_id, text FROM documents " +
-          "WHERE doc_id % 19 = 0", sliceLen = 6, k = 5, maxDfFrac = 0.5),
+          "WHERE doc_id % 19 = 0", sliceLen = 6, k = 5, maxDfFrac = 0.95),
     "ts_domain_mix" -> SplitOracle.tsDomainMix,
     "ts_lm_score" ->
       // corpus bigram LM (stupid backoff, trained on the bucket<80 hash
@@ -3367,6 +3413,25 @@ object SparkEntry {
              CASE WHEN u >= 128
                THEN -(((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) - 132)
                ELSE ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) - 132
+             END AS s
+           FROM raw)
+         SELECT id AS media_id, CAST(n AS BIGINT) AS n_samples,
+           CAST(sum(s) AS BIGINT) AS sum_linear,
+           CAST(min(s) AS BIGINT) AS min_linear,
+           CAST(max(s) AS BIGINT) AS max_linear
+         FROM dec GROUP BY id, n ORDER BY media_id""",
+    "mm_alaw_decode" ->
+      // G.711 A-law replayed in SQL: XOR 0x55, 3-bit segment + 4-bit
+      // mantissa, (t0+8) in segment 0 else (t0+0x108)<<(seg-1), SET
+      // sign bit = positive (the inverse of mu-law's convention)
+      """WITH m AS (SELECT doc_id AS id, 64 + doc_id % 96 AS n
+           FROM documents),
+         raw AS (SELECT id, n, xor((id*41 + i*13) % 256, 85) AS a
+           FROM m, range(0, 160) t(i) WHERE i < n),
+         dec AS (SELECT id, n,
+             CASE WHEN a >= 128 THEN 1 ELSE -1 END *
+             CASE WHEN ((a // 16) % 8) = 0 THEN (a % 16) * 16 + 8
+               ELSE ((a % 16) * 16 + 264) * (1 << (((a // 16) % 8) - 1))
              END AS s
            FROM raw)
          SELECT id AS media_id, CAST(n AS BIGINT) AS n_samples,
@@ -3596,6 +3661,23 @@ object SparkEntry {
            CAST(active_users AS DOUBLE) / CAST(cohort_size AS DOUBLE)
              AS retention
          FROM cell JOIN sz ON cell.cw = sz.cw
+         ORDER BY cohort_us, period_no""",
+    "ev_stream_cohort_batch" ->
+      // the streaming twin emits (cohort, period_no, active) cells
+      // only (ratios are a consumer concern); period_no is capped at
+      // the 64-bit state mask horizon (63) — a no-op on this 30-day
+      // corpus, pinned in the oracle anyway
+      """WITH act AS (SELECT DISTINCT user_id AS u,
+             date_trunc('day', ts) AS w
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         coh AS (SELECT u, min(w) AS cw FROM act GROUP BY u),
+         cell AS (SELECT c.cw, date_diff('day', c.cw, a.w) AS period_no,
+             count(DISTINCT a.u) AS active_users
+           FROM act a JOIN coh c ON a.u = c.u GROUP BY 1, 2)
+         SELECT epoch_us(CAST(cw AS TIMESTAMP)) AS cohort_us,
+           CAST(period_no AS BIGINT) AS period_no,
+           CAST(active_users AS BIGINT) AS active_users
+         FROM cell WHERE period_no <= 63
          ORDER BY cohort_us, period_no""",
     // the k-pass conditional-min replay of the funnel chain: each CTE
     // pins one step's earliest-strictly-after time; null propagates the
@@ -3918,7 +4000,7 @@ object SparkEntry {
             "SELECT doc_id, text FROM documents",
             "SELECT doc_id AS query_id, text FROM documents " +
               "WHERE doc_id < 8", sliceLen = 8, k = 5,
-            maxDfFrac = 0.5)}),
+            maxDfFrac = 0.95)}),
          dn AS (SELECT query_id, vec_id, rank FROM (
              SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
                row_number() OVER (PARTITION BY q.vec_id
@@ -4086,7 +4168,7 @@ object SparkEntry {
             "SELECT doc_id, text FROM documents",
             "SELECT doc_id AS query_id, text FROM documents " +
               "WHERE doc_id % 13 = 0", sliceLen = 8, k = 5,
-            maxDfFrac = 0.5)}),
+            maxDfFrac = 0.95)}),
          truth AS (SELECT DISTINCT q.query_id, u.did
            FROM (SELECT doc_id AS query_id FROM documents
                  WHERE doc_id % 13 = 0) q,
@@ -4323,6 +4405,32 @@ object SparkEntry {
     // every division a single exact-input double op on both engines
     "sc_kmv_distinct" -> kmvDistinctOracleSql(k = 256),
     "sc_kmv_setops" -> kmvSetopsOracleSql(k = 128),
+    "sc_topk_sketch" ->
+      // the two-pass MG output is EXACTLY the phi-threshold set with
+      // exact counts (TopK.heavyHitters scaladoc), so the oracle is a
+      // plain grouped count with the same integer cross-multiplied
+      // threshold — no sketch replay needed, by design
+      """WITH tok AS (
+           SELECT unnest(list_filter(string_split_regex(lower(text),
+             '\s+'), t -> length(t) > 0)) AS v
+           FROM documents),
+         tc AS (SELECT v, count(*) AS c FROM tok GROUP BY v),
+         tn AS (SELECT count(*) AS n FROM tok),
+         th AS (SELECT 'token' AS domain, v AS value,
+             CAST(c AS BIGINT) AS cnt, CAST(n AS BIGINT) AS n_total,
+             CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS frac
+           FROM tc, tn WHERE c * 31 > n),
+         oc AS (SELECT o_orderstatus AS v, count(*) AS c FROM orders
+           WHERE o_orderstatus IS NOT NULL GROUP BY 1),
+         onn AS (SELECT count(*) AS n FROM orders
+           WHERE o_orderstatus IS NOT NULL),
+         sh AS (SELECT 'status' AS domain, v AS value,
+             CAST(c AS BIGINT) AS cnt, CAST(n AS BIGINT) AS n_total,
+             CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS frac
+           FROM oc, onn WHERE c * 3 > n)
+         SELECT * FROM th
+         UNION ALL SELECT * FROM sh
+         ORDER BY domain, cnt DESC, value""",
     "ev_kmv_daily" -> kmvDailyOracleSql(k = 64),
     // mergeability: the merged estimate must EQUAL the one-shot value,
     // so the oracle computes the direct sketch for BOTH columns — any

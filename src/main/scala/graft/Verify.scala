@@ -30,13 +30,28 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // vacuity guard (r12 verdict #8): an all-green-but-EMPTY result row
+    // hash-matches a trivially-empty oracle and proves nothing — six such
+    // rows survived rounds 8-12 unnoticed. Count each dump (reading back
+    // the coalesced result parquet is result-sized, not corpus-sized) and
+    // warn loudly so an empty gate row can never again look healthy.
+    val empty = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        if (spark.read.parquet(s"$outDir/$name").isEmpty) {
+          empty += name
+          System.err.println(s"[verify] WARNING: $name wrote 0 rows — " +
+            "the oracle compare on this query is VACUOUS")
+        }
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    if (empty.nonEmpty)
+      System.err.println(
+        s"[verify] VACUOUS RESULTS (${empty.size}): ${empty.sorted.mkString(", ")}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

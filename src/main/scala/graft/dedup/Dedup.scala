@@ -544,6 +544,17 @@ object Dedup {
     * Emits (id_a, id_b, n_common, containment_a, containment_b) for
     * pairs whose LARGER containment clears the threshold — each
     * division is two exact ints, bit-stable cross-engine.
+    *
+    * RECALL CONTRACT: a pair is reported only if it shares at least
+    * one shingle with document frequency in (1, maxDf]. A pair whose
+    * shared shingles are ALL common (df > maxDf) — e.g. a short
+    * boilerplate snippet quoted in MANY documents — is never emitted,
+    * even at containment 1.0: candidate generation is rare-shingle
+    * scoped by design (all-common overlap has no discriminative
+    * candidate key that stays sub-quadratic at corpus scale). The
+    * "lossless" upper-bound prune below is lossless WITHIN that
+    * rare-shingle candidate set. Raise maxDf to trade shuffle volume
+    * for recall on heavily-quoted boilerplate.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.8,

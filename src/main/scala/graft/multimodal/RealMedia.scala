@@ -100,17 +100,43 @@ object RealMedia {
   /** Encode raw µ-law bytes as a RIFF/WAVE file (format tag 7, 8-bit,
     * mono) — the container real telephony captures arrive in.
     */
-  def encodeWavMulaw(sampleRate: Int, mulaw: Array[Byte]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(44 + mulaw.length)
+  def encodeWavMulaw(sampleRate: Int, mulaw: Array[Byte]): Array[Byte] =
+    encodeWavG711(sampleRate, mulaw, formatTag = 7)
+
+  /** G.711 A-law expansion — µ-law's European/E1 sibling (same ITU-T
+    * G.711 standard, the OTHER companding law): the byte's even bits
+    * are un-inverted (XOR 0x55), then split into sign / 3-bit segment
+    * / 4-bit mantissa and expanded as (mant·16 + 8) in segment 0, else
+    * (mant·16 + 0x108) << (segment − 1). Note the INVERTED sign
+    * convention vs µ-law: a SET sign bit means positive. All-integer,
+    * so the DuckDB oracle replays it exactly.
+    */
+  def alawToLinear(b: Byte): Short = {
+    val a = (b ^ 0x55) & 0xFF
+    val seg = (a >> 4) & 0x07
+    val t0 = (a & 0x0F) << 4
+    val mag = if (seg == 0) t0 + 8 else (t0 + 0x108) << (seg - 1)
+    (if ((a & 0x80) != 0) mag else -mag).toShort
+  }
+
+  /** Encode raw A-law bytes as a RIFF/WAVE file (format tag 6, 8-bit,
+    * mono).
+    */
+  def encodeWavAlaw(sampleRate: Int, alaw: Array[Byte]): Array[Byte] =
+    encodeWavG711(sampleRate, alaw, formatTag = 6)
+
+  private def encodeWavG711(sampleRate: Int, payload: Array[Byte],
+      formatTag: Short): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + payload.length)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.put("RIFF".getBytes("ASCII")).putInt(36 + mulaw.length)
+    bb.put("RIFF".getBytes("ASCII")).putInt(36 + payload.length)
       .put("WAVE".getBytes("ASCII"))
       .put("fmt ".getBytes("ASCII")).putInt(16)
-      .putShort(7).putShort(1) // mu-law, mono
+      .putShort(formatTag).putShort(1) // A-law (6) / mu-law (7), mono
       .putInt(sampleRate).putInt(sampleRate)
       .putShort(1).putShort(8) // block align, bits
-      .put("data".getBytes("ASCII")).putInt(mulaw.length)
-    bb.put(mulaw)
+      .put("data".getBytes("ASCII")).putInt(payload.length)
+    bb.put(payload)
     bb.array()
   }
 
@@ -133,9 +159,10 @@ object RealMedia {
     */
   val imaIndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
 
-  /** Parse a RIFF/WAVE mono file — PCM16 (format 1), µ-law (format 7,
-    * expanded to linear16) or IMA ADPCM (format 17, 4-bit compressed,
-    * decoded to linear16); returns (sampleRate, samples). IMA files
+  /** Parse a RIFF/WAVE mono file — PCM16 (format 1), A-law (format 6)
+    * / µ-law (format 7, both expanded to linear16) or IMA ADPCM
+    * (format 17, 4-bit compressed, decoded to linear16); returns
+    * (sampleRate, samples). IMA files
     * must carry the standard `fact` chunk (true sample count) and the
     * samples-per-block fmt extension; the final block may be logically
     * partial (trailing nibbles are padding past the fact count).
@@ -151,6 +178,7 @@ object RealMedia {
     // walk chunks: fmt then data (tolerates extra chunks between)
     var rate = -1
     var mulaw = false
+    var alaw = false
     var adpcm = false
     var adpcmAlign = 0
     var samplesPerBlock = 0
@@ -188,10 +216,13 @@ object RealMedia {
             adpcm = true
             if (len > 20) bb.position(bb.position() + len - 20)
           } else {
-            // supported: linear PCM16 or G.711 mu-law (8-bit), mono
-            if (!((fmt == 1 && bits == 16) || (fmt == 7 && bits == 8)))
+            // supported: linear PCM16 or G.711 A-law/mu-law (8-bit),
+            // mono
+            if (!((fmt == 1 && bits == 16) ||
+                ((fmt == 6 || fmt == 7) && bits == 8)))
               return None
             mulaw = fmt == 7
+            alaw = fmt == 6
             if (len > 16) bb.position(bb.position() + len - 16)
           }
         case "fact" =>
@@ -242,10 +273,14 @@ object RealMedia {
             if (o < factSamples) return None
             return Some((rate, out))
           }
-          if (mulaw) {
+          if (mulaw || alaw) {
             val samples = new Array[Short](len)
             var i = 0
-            while (i < len) { samples(i) = mulawToLinear(bb.get()); i += 1 }
+            while (i < len) {
+              samples(i) =
+                if (mulaw) mulawToLinear(bb.get()) else alawToLinear(bb.get())
+              i += 1
+            }
             return Some((rate, samples))
           }
           val n = len / 2
@@ -297,6 +332,48 @@ object RealMedia {
           sum += v; mn = math.min(mn, v.toLong); mx = math.max(mx, v.toLong)
         }
         MulawFeatures(m.media_id, samples.length.toLong, sum, mn, mx)
+      }
+    }
+  }
+
+  // ------------------------------------------------------ A-law corpus
+
+  final case class AlawRow(media_id: Long, wav: Array[Byte])
+  final case class AlawFeatures(media_id: Long, n_samples: Long,
+      sum_linear: Long, min_linear: Long, max_linear: Long)
+
+  /** Deterministic A-law corpus: every doc id becomes a REAL G.711
+    * A-law WAV (format tag 6) whose companded bytes follow an integer
+    * formula — closed-form reproducible by the oracle, which replays
+    * the XOR-0x55 / segment expansion arithmetic in SQL. Lengths vary
+    * over a different modulus than the µ-law tier so the two queries
+    * never share shapes by accident.
+    */
+  def syntheticAlawTable(docs: DataFrame): Dataset[AlawRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val n = 64 + (id % 96).toInt
+      val al = Array.tabulate(n)(i => ((id * 41 + i * 13) % 256).toByte)
+      AlawRow(id, encodeWavAlaw(8000, al))
+    }
+  }
+
+  /** Decode the A-law WAVs and extract exact integer features. */
+  def extractAlawFeatures(
+      media: Dataset[AlawRow]): Dataset[AlawFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val (_, samples) = decodeWav(m.wav).getOrElse(
+          throw new IllegalStateException(
+            s"bad A-law WAV for media ${m.media_id}"))
+        var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+        samples.foreach { v =>
+          sum += v; mn = math.min(mn, v.toLong); mx = math.max(mx, v.toLong)
+        }
+        AlawFeatures(m.media_id, samples.length.toLong, sum, mn, mx)
       }
     }
   }

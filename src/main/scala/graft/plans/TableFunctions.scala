@@ -669,7 +669,7 @@ object TableFunctions {
         spark.table(str(args(0), "events table name")),
         str(args(1), "user column"),
         str(args(2), "timestamp column"),
-        unit = str(args(3), "unit (day|week)"))
+        unit = str(args(3), "unit (day|week|month)"))
         .queryExecution.analyzed
     }),
     // deterministic split label from a pure hash of the ROW id — no

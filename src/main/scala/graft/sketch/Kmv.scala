@@ -40,12 +40,39 @@ object Kmv {
 
   /** Flipped hash: ascending signed order == ascending unsigned
     * xxhash64 order.
+    *
+    * PRECONDITION: `value` must be non-null (enforced by the estimate
+    * entry points below). Spark's `xxhash64` SKIPS null children and
+    * returns the bare seed (42) — a near-minimal unsigned hash that
+    * would always be retained and silently skew θ low / every estimate
+    * high.
     */
   def flippedHash(value: Column): Column =
     xxhash64(value.cast("long")).bitwiseXOR(lit(Long.MinValue))
 
+  /** Every estimate entry point validates its value column is INTEGRAL
+    * (the pinned hash domain is xxhash64 over LongType): a silent
+    * cast("long") of a string/double column would null out (and
+    * previously seed-hash) non-parsing values instead of failing
+    * loudly.
+    */
+  private def requireIntegral(df: DataFrame, value: Column): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.select(value).schema.head.dataType
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"KMV value column must be integral (byte/short/int/long); " +
+          s"got $other — hash the natural key to a long upstream " +
+          s"(e.g. xxhash64) instead of relying on a silent cast")
+    }
+  }
+
   /** KMV sketch aggregate column: sorted array of the k smallest
-    * distinct flipped hashes. Null values are skipped (never hashed).
+    * distinct flipped hashes. PRECONDITION: `value` must be non-null —
+    * filter `value.isNotNull` upstream (the estimate entry points and
+    * the streaming twin all do); see [[flippedHash]] for why a null
+    * reaching the hash would skew every estimate.
     */
   def sketchAgg(value: Column, k: Int): Column = {
     validate(k)
@@ -78,32 +105,49 @@ object Kmv {
     slice(array_sort(array_distinct(concat(a, b))), 1, k)
   }
 
-  /** Global distinct estimate: one row (k, n_retained, est_kmv,
-    * exact_distinct) — the exact count rides the same pass for audit.
+  /** Global distinct estimate: one row (k, n_retained, est_kmv[,
+    * exact_distinct]). Null values are skipped (never hashed —
+    * matching `countDistinct` and the streaming twin). The default is
+    * SKETCH-ONLY — bounded ≤ k-longs state end to end, the 100 TB
+    * path; `audit = true` rides an exact `countDistinct` along the
+    * same pass (a full distinct aggregation — gate/QC runs only, it
+    * dwarfs the sketch it audits at scale).
     */
-  def distinctEstimate(df: DataFrame, value: Column, k: Int): DataFrame = {
+  def distinctEstimate(df: DataFrame, value: Column, k: Int,
+      audit: Boolean = false): DataFrame = {
     validate(k)
-    df.agg(sketchAgg(value, k).as("__sk"),
+    requireIntegral(df, value)
+    val in = df.filter(value.isNotNull)
+    val agged = if (audit)
+      in.agg(sketchAgg(value, k).as("__sk"),
         countDistinct(value).cast("long").as("exact_distinct"))
-      .select(lit(k.toLong).as("k"),
-        size(col("__sk")).cast("long").as("n_retained"),
-        estimateCol(col("__sk"), k).as("est_kmv"),
-        col("exact_distinct"))
+    else in.agg(sketchAgg(value, k).as("__sk"))
+    agged.select(Seq(lit(k.toLong).as("k"),
+      size(col("__sk")).cast("long").as("n_retained"),
+      estimateCol(col("__sk"), k).as("est_kmv")) ++
+      (if (audit) Seq(col("exact_distinct")) else Nil): _*)
   }
 
   /** Per-group distinct estimates — same row shape plus the group key,
-    * one bounded sketch per group.
+    * one bounded sketch per group. Null values are skipped; a group
+    * whose values are ALL null is absent (it has no non-null distinct
+    * values to estimate). Same `audit` contract as
+    * [[distinctEstimate]]: default is sketch-only.
     */
   def groupedEstimate(df: DataFrame, grp: Column, value: Column,
-      k: Int): DataFrame = {
+      k: Int, audit: Boolean = false): DataFrame = {
     validate(k)
-    df.groupBy(grp.as("grp"))
-      .agg(sketchAgg(value, k).as("__sk"),
-        countDistinct(value).cast("long").as("exact_distinct"))
-      .select(col("grp"), lit(k.toLong).as("k"),
-        size(col("__sk")).cast("long").as("n_retained"),
-        estimateCol(col("__sk"), k).as("est_kmv"),
-        col("exact_distinct"))
+    requireIntegral(df, value)
+    val in = df.filter(value.isNotNull)
+    val agged = if (audit)
+      in.groupBy(grp.as("grp"))
+        .agg(sketchAgg(value, k).as("__sk"),
+          countDistinct(value).cast("long").as("exact_distinct"))
+    else in.groupBy(grp.as("grp")).agg(sketchAgg(value, k).as("__sk"))
+    agged.select(Seq(col("grp"), lit(k.toLong).as("k"),
+      size(col("__sk")).cast("long").as("n_retained"),
+      estimateCol(col("__sk"), k).as("est_kmv")) ++
+      (if (audit) Seq(col("exact_distinct")) else Nil): _*)
   }
 
   /** Theta-sketch set operations over two keyed value sets sketched
@@ -123,8 +167,13 @@ object Kmv {
   def setEstimates(a: DataFrame, b: DataFrame, valueCol: String,
       k: Int): DataFrame = {
     validate(k)
-    val sa = a.agg(sketchAgg(col(valueCol), k).as("ska"))
-    val sb = b.agg(sketchAgg(col(valueCol), k).as("skb"))
+    requireIntegral(a, col(valueCol))
+    requireIntegral(b, col(valueCol))
+    // nulls are skipped (never hashed) — see flippedHash
+    val sa = a.filter(col(valueCol).isNotNull)
+      .agg(sketchAgg(col(valueCol), k).as("ska"))
+    val sb = b.filter(col(valueCol).isNotNull)
+      .agg(sketchAgg(col(valueCol), k).as("skb"))
     // two one-row frames: a broadcast cross of scalars, not a join
     val both = sa.crossJoin(broadcast(sb))
     val fullA = size(col("ska")) >= k

@@ -344,7 +344,7 @@ object TimeSeriesOps {
 
   /** Cohort retention matrix — the other daily-driver event-analytics
     * report next to [[funnel]]/[[funnelSummary]]: users are cohorted by
-    * the `unit` ("day"/"week"/"month"-style date_trunc field) of their
+    * the `unit` ("day" | "week" | "month" date_trunc field) of their
     * FIRST event, and each (cohort, periods-since) cell counts the
     * distinct users active that many periods later.
     *
@@ -359,11 +359,19 @@ object TimeSeriesOps {
     */
   def cohortRetention(df: DataFrame, userCol: String, tsCol: String,
       unit: String = "week"): DataFrame = {
-    val periodDays = unit match {
-      case "day" => 1L
-      case "week" => 7L
+    // day/week: the gap in days is an exact multiple of the period (both
+    // ends are unit-truncated) so the double division is exact; month:
+    // calendar months have no fixed day width — months_between of two
+    // month-truncated timestamps is a whole (exactly-representable)
+    // double, matching DuckDB's date_diff('month', ...)
+    val periodNo: (Column, Column) => Column = unit match {
+      case "day" | "week" =>
+        val periodDays = if (unit == "day") 1L else 7L
+        (w, cw) => (datediff(w, cw).cast("long") / periodDays).cast("long")
+      case "month" =>
+        (w, cw) => months_between(w, cw).cast("long")
       case other => throw new IllegalArgumentException(
-        s"unit must be day or week, got '$other'")
+        s"unit must be day, week or month, got '$other'")
     }
     val period = date_trunc(unit, col(tsCol))
     val act = df.where(col(userCol).isNotNull && col(tsCol).isNotNull)
@@ -374,10 +382,7 @@ object TimeSeriesOps {
       .agg(count(lit(1)).as("cohort_size"))
     act.join(cohort, "__u")
       .groupBy(col("__cw"),
-        // the day gap is an exact multiple of periodDays (both ends
-        // are unit-truncated), so the double division is exact
-        (datediff(col("__w"), col("__cw")).cast("long") / periodDays)
-          .cast("long").as("period_no"))
+        periodNo(col("__w"), col("__cw")).as("period_no"))
       .agg(count_distinct(col("__u")).cast("long").as("active_users"))
       .join(sizes, "__cw")
       .select(unix_micros(col("__cw")).as("cohort_us"),

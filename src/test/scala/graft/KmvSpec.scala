@@ -23,15 +23,49 @@ class KmvSpec extends SparkTestBase {
     assert(skDup === sk)
     // exact branch: fewer distinct values than k → estimate == count
     val small = ids(40)
-    val row = Kmv.distinctEstimate(small, col("v"), 64).collect()(0)
+    val row = Kmv.distinctEstimate(small, col("v"), 64, audit = true)
+      .collect()(0)
     assert(row.getLong(1) === 40L) // n_retained
     assert(row.getDouble(2) === 40.0)
     assert(row.getLong(3) === 40L)
   }
 
+  test("default estimate path is sketch-only: no exact column, no " +
+      "countDistinct aggregate in the plan; nulls are skipped") {
+    val df = ids(5000)
+    val est = Kmv.distinctEstimate(df, col("v"), 64)
+    assert(est.columns.toSeq === Seq("k", "n_retained", "est_kmv"))
+    val plan = est.queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("count(distinct") && !plan.contains("count(v"),
+      s"audit countDistinct leaked into the sketch-only plan:\n$plan")
+    val grouped = Kmv.groupedEstimate(df, col("v") % 3, col("v"), 64)
+    assert(grouped.columns.toSeq === Seq("grp", "k", "n_retained", "est_kmv"))
+    // nulls never reach the hash: with/without nulls is bit-identical
+    // (an unfiltered null would hash to the seed and displace a slot)
+    import spark.implicits._
+    val withNulls = df.select(col("v").cast("long").as("v"))
+      .union(Seq[Option[Long]](None, None).toDF("v"))
+    assert(Kmv.distinctEstimate(withNulls, col("v"), 64).collect()(0) ===
+      Kmv.distinctEstimate(df, col("v"), 64).collect()(0))
+    assert(Kmv.setEstimates(withNulls, df, "v", 64).collect()(0) ===
+      Kmv.setEstimates(df, df, "v", 64).collect()(0))
+  }
+
+  test("non-integral value columns are rejected loudly") {
+    import spark.implicits._
+    val strs = Seq("a", "b").toDF("v")
+    intercept[IllegalArgumentException] {
+      Kmv.distinctEstimate(strs, col("v"), 64)
+    }
+    intercept[IllegalArgumentException] {
+      Kmv.setEstimates(strs, strs, "v", 64)
+    }
+  }
+
   test("estimation regime: within 20% of truth, partition-invariant") {
     val df = ids(20000)
-    val r1 = Kmv.distinctEstimate(df, col("v"), 256).collect()(0)
+    val r1 = Kmv.distinctEstimate(df, col("v"), 256, audit = true)
+      .collect()(0)
     assert(r1.getLong(3) === 20000L)
     val est = r1.getDouble(2)
     assert(math.abs(est - 20000.0) / 20000.0 < 0.20, s"est $est")

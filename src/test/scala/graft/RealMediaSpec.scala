@@ -136,6 +136,51 @@ class RealMediaSpec extends SparkTestBase {
     assert(RealMedia.decodeWav(negSkip).isEmpty)
   }
 
+  test("A-law: G.711 anchors, inverted sign convention, WAV round-trip") {
+    // standard expansion anchors: 0x55/0xD5 are the two near-zeros
+    // (-8/+8 — A-law has no exact zero), 0xAA is +max 32256, 0x2A is
+    // -max; note sign bit SET = POSITIVE (the inverse of mu-law)
+    assert(RealMedia.alawToLinear(0x55.toByte) === (-8).toShort)
+    assert(RealMedia.alawToLinear(0xD5.toByte) === 8.toShort)
+    assert(RealMedia.alawToLinear(0xAA.toByte) === 32256.toShort)
+    assert(RealMedia.alawToLinear(0x2A.toByte) === (-32256).toShort)
+    // odd symmetry: b and b^0x80 give opposite signs
+    for (b <- 0 until 128) {
+      assert(RealMedia.alawToLinear(b.toByte) ===
+        (-RealMedia.alawToLinear((b | 0x80).toByte)).toShort)
+    }
+    // magnitude is strictly monotone in the 7-bit (segment, mantissa)
+    // code — a segment-shift bug would reorder it
+    val mags = (0 until 128).map(c =>
+      RealMedia.alawToLinear(((c | 0x80) ^ 0x55).toByte).toInt)
+    assert(mags === mags.sorted && mags.distinct.size === 128)
+    // round-trip through the format-6 WAV container
+    val al = Array.tabulate(50)(i => ((i * 13 + 7) % 256).toByte)
+    val Some((rate, samples)) =
+      RealMedia.decodeWav(RealMedia.encodeWavAlaw(8000, al))
+    assert(rate === 8000 && samples.length === 50)
+    assert(samples.toSeq === al.toSeq.map(RealMedia.alawToLinear))
+    // A-law must declare 8 bits; a 16-bit format-6 header is malformed
+    val bad = RealMedia.encodeWavAlaw(8000, al)
+    java.nio.ByteBuffer.wrap(bad, 34, 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putShort(16)
+    assert(RealMedia.decodeWav(bad).isEmpty)
+    // the synthetic corpus features equal a direct per-byte fold
+    val docs = spark.range(0, 40).toDF("doc_id")
+    val got = RealMedia.extractAlawFeatures(
+        RealMedia.syntheticAlawTable(docs))
+      .collect().sortBy(_.media_id)
+    got.foreach { f =>
+      val n = 64 + (f.media_id % 96).toInt
+      val lins = (0 until n).map(i => RealMedia.alawToLinear(
+        ((f.media_id * 41 + i * 13) % 256).toByte).toLong)
+      assert(f.n_samples === n.toLong)
+      assert(f.sum_linear === lins.sum)
+      assert(f.min_linear === lins.min)
+      assert(f.max_linear === lins.max)
+    }
+  }
+
   /** Independent in-test IMA ADPCM step (same public spec, separate
     * code path from the main decoder).
     */

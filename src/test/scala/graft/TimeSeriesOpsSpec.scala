@@ -292,4 +292,27 @@ class TimeSeriesOpsSpec extends SparkTestBase {
       TimeSeriesOps.cohortRetention(events, "user_id", "ts", unit = "hour")
     }
   }
+
+  test("cohortRetention: month cohorts count calendar months, not " +
+      "fixed-width day gaps") {
+    // calendar months have no fixed day width — Jan 31 → Mar 1 is
+    // exactly 2 month-periods even though the day gap (29) is under
+    // two 30-day "months"
+    def mts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, mts("2024-01-31 23:00:00")), (1L, mts("2024-02-01 00:00:00")),
+      (1L, mts("2024-03-01 12:00:00")),
+      (2L, mts("2024-01-05 09:00:00")), (2L, mts("2024-04-20 00:00:00")),
+      (3L, mts("2024-02-10 00:00:00"))).toDF("user_id", "ts")
+    val got = TimeSeriesOps.cohortRetention(events, "user_id", "ts",
+        unit = "month")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // Jan cohort (users 1,2): m0 both, m1 user 1, m2 user 1, m3 user 2
+    // Feb cohort (user 3): m0 only
+    assert(got.toSeq === Seq(
+      (0L, 2L, 2L, 1.0), (1L, 1L, 2L, 0.5), (2L, 1L, 2L, 0.5),
+      (3L, 1L, 2L, 0.5),
+      (0L, 1L, 1L, 1.0)))
+  }
 }
