@@ -679,6 +679,26 @@ object SparkEntry {
       Dedup.exactDupGroups(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("fp"))
     }),
+    "dd_exact_nfc" -> ((s, dir) => {
+      // exact dedup across UNICODE FORMS: plant a composed-accent (NFC)
+      // and a decomposed-accent (NFD) twin of every doc — without NFC
+      // canonicalization the ASCII strip deletes the composed e-acute
+      // but keeps the decomposed base 'e', splitting identical content
+      // into different groups; with it, every twin pair lands together
+      // (n_copies parity with the undecorated corpus groups)
+      val docs = t(s, dir, "documents")
+      // the two literals RENDER identically but carry different bytes:
+      // nfcSfx has composed U+00E9, nfdSfx has 'e' + combining U+0301
+      val nfcSfx = " café résumé"
+      val nfdSfx = " café résumé"
+      val planted = docs.select((col("doc_id") * 3).as("id"), col("text"))
+        .unionByName(docs.select((col("doc_id") * 3 + 1).as("id"),
+          concat(col("text"), lit(nfcSfx)).as("text")))
+        .unionByName(docs.select((col("doc_id") * 3 + 2).as("id"),
+          concat(col("text"), lit(nfdSfx)).as("text")))
+      Dedup.exactDupGroupsNfc(planted, "id", "text")
+        .orderBy(col("fp"))
+    }),
     "dd_minhash" -> ((s, dir) => {
       Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
           shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.5)
@@ -2974,6 +2994,23 @@ object SparkEntry {
            SELECT doc_id, md5(regexp_replace(trim(regexp_replace(lower(text),
              '[^a-z0-9\s]', '', 'g')), '\s+', ' ', 'g')) AS fp
            FROM documents)
+         GROUP BY fp ORDER BY fp""",
+    "dd_exact_nfc" ->
+      // nfc_normalize is DuckDB's NFC; the planted suffixes are built
+      // from chr() codepoints (233 = composed e-acute, 769 = combining
+      // acute) so the SQL literal carries REAL decomposed text
+      """SELECT fp, min(id) AS keep_id, count(*) AS n_copies FROM (
+           SELECT id, md5(regexp_replace(trim(regexp_replace(
+               lower(nfc_normalize(text)), '[^a-z0-9\s]', '', 'g')),
+             '\s+', ' ', 'g')) AS fp
+           FROM (
+             SELECT doc_id * 3 AS id, text FROM documents
+             UNION ALL
+             SELECT doc_id * 3 + 1, text || ' caf' || chr(233) || ' r'
+               || chr(233) || 'sum' || chr(233) FROM documents
+             UNION ALL
+             SELECT doc_id * 3 + 2, text || ' cafe' || chr(769) || ' re'
+               || chr(769) || 'sume' || chr(769) FROM documents))
          GROUP BY fp ORDER BY fp""",
     // ANN oracles: hash-derived hyperplanes / centroid sample reproduced
     // via the same pure-SQL XXH64 (generated — see graft.SimOracles)

@@ -83,6 +83,21 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** [[exactDupGroups]] over the NFC-canonical fingerprint
+    * ([[graft.textstats.TextStats.fingerprintNfc]]): Unicode-form
+    * twins (composed vs decomposed accents) land in the SAME group —
+    * required on any multilingual crawl where NFC (web text) and NFD
+    * (macOS paths, some OCR) spellings of identical content coexist.
+    * Same scan-stage cost class: NFC verification is one allocation-
+    * free pass per row (ASCII short-circuits), composing only rows
+    * that need it.
+    */
+  def exactDupGroupsNfc(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol), TextStats.fingerprintNfc(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
   /** Drop exact duplicates, keeping the smallest id per fingerprint. */
   def dropExactDups(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = Window.partitionBy(TextStats.fingerprint(col(textCol)))

@@ -166,6 +166,16 @@ object TextStats {
     md5(regexp_replace(trim(regexp_replace(lower(c), "[^a-z0-9\\s]", "")),
       "\\s+", " "))
 
+  /** [[fingerprint]] with Unicode NFC composition FIRST: composed
+    * (U+00E9) and decomposed (e + U+0301) spellings of the same text
+    * canonicalize identically — without it the ASCII strip deletes the
+    * composed form's 'é' but keeps the decomposed form's base 'e',
+    * so the two fingerprints diverge and exact dedup misses the pair
+    * on a real multilingual crawl. DuckDB twin: `nfc_normalize`.
+    */
+  def fingerprintNfc(c: Column): Column =
+    fingerprint(graft.functions.UnicodeFunctions.nfc(c))
+
   /** Tokens of the canonical form above — the token basis for shingling /
     * minhash / simhash so near-dup detection ignores case & punctuation.
     */

@@ -474,4 +474,50 @@ class PlanPinSpec extends SparkTestBase {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"only equi-join shapes:\n$plan")
   }
+
+  test("media decodes are scan-stage: no join, no aggregate, exactly " +
+      "the one presentation-sort exchange") {
+    // the claim every mm_* decode row makes: the codec runs inside the
+    // scan stage (per-row object map), so the ONLY exchange in the
+    // whole plan is the final orderBy's range partitioning — a join or
+    // aggregation appearing here would mean the decode stopped being
+    // embarrassingly parallel
+    for (q <- Seq("mm_gif_decode", "mm_jpeg422_decode", "mm_adpcm_decode",
+        "mm_alaw_decode")) {
+      val plan = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+        s"$q must be pure scan-stage work:\n$plan")
+      val exchanges = "(?m)^\\s*[+:*-]*\\s*\\(?\\d*\\)?\\s*Exchange".r
+        .findAllIn(plan).size
+      assert(exchanges <= 1,
+        s"$q grew a non-presentation shuffle ($exchanges > 1):\n$plan")
+    }
+  }
+
+  test("dd_containment: candidate counting shuffles scalars only " +
+      "(arrays join after the lossless prune), partial aggregation, " +
+      "no product joins") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.types.ArrayType
+    val q = SparkEntry.queries("dd_containment")(spark, sf0001)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count"),
+      s"df/pair counts must combine map-side:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"only equi-join shapes:\n$plan")
+    // the per-pair shared-rare counting aggregate (grouped on the four
+    // scalar id/size columns) must consume an array-free child: the
+    // shingle arrays themselves join only the post-prune survivors
+    val pairAggs = q.queryExecution.optimizedPlan.collect {
+      case a: Aggregate if a.groupingExpressions.size == 4 => a
+    }
+    assert(pairAggs.nonEmpty, "the (id_a, na, id_b, nb) count is gone — " +
+      "did the candidate pipeline change shape?")
+    pairAggs.foreach { a =>
+      assert(!a.child.output.exists(_.dataType.isInstanceOf[ArrayType]),
+        s"an array column reached the candidate-count aggregation:\n$a")
+    }
+  }
 }
