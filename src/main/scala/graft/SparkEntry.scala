@@ -626,6 +626,26 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    "u5_scd2" -> ((s, dir) => {
+      // Type-2 SCD history build (graft.ops.ScaleOps.scd2): the event
+      // stream as a per-user status changelog — consecutive identical
+      // event_type versions collapse, each survivor gets
+      // [valid_from, valid_to) bounds + is_current + version_no. One
+      // user_id shuffle; change-detect lag, survivor filter and
+      // valid_to lead all ride the same sort.
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isNotNull)
+      graft.ops.ScaleOps.scd2(ev, Seq("user_id"), "ts",
+          Seq("event_type"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("valid_from")).as("valid_from_us"),
+          unix_micros(col("valid_to")).as("valid_to_us"),
+          col("is_current"), col("version_no").cast("bigint")
+            .as("version_no"))
+        .orderBy(col("user_id"), col("version_no"))
+    }),
+
     // --------------------------------------------------- scalar functions
     "f_string_fns" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
@@ -1001,6 +1021,16 @@ object SparkEntry {
           TextStats.redactPii(col("text")).as("clean_text"))
         .orderBy(col("doc_id"))
     }),
+    "ts_priority_sample" -> ((s, dir) => {
+      // priority sampling (Duffield–Lund–Thorup): 64 docs drawn
+      // proportional-ish to token weight via hash-uniform priorities
+      // q = w·2⁶⁴/(u64+1), with the unbiased max(w, τ) subset-sum
+      // estimator; bounded top-(k+1) heap, no corpus sort/shuffle
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        TextStats.tokenCount(col("text")).cast("bigint").as("w"))
+      graft.ops.Sampling.prioritySample(docs, "doc_id", "w", k = 64)
+        .orderBy(col("doc_id"))
+    }),
     "ts_strat_sample" -> ((s, dir) => {
       // per-language keep fractions over the same xxhash64 bucket as
       // ts_hash_split: down-samples dominant languages, keeps rare ones
@@ -1166,6 +1196,26 @@ object SparkEntry {
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
           col("event_id"), col("session_id"))
         .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
+    "ev_stream_sessionize_batch" -> ((s, dir) => {
+      // the STREAMING gap-sessionizer (native session_window state op,
+      // watermark-evicted in the continuous run) executed in batch
+      // mode: one row per merged session with bounds + aggregates.
+      // session_window merges on OVERLAP, so a gap of exactly 30 min
+      // starts a NEW session (>= in the oracle, vs the strictly-> of
+      // the batch row-numbering sessionizer). value sums ride
+      // DECIMAL(18,2) (order-free) and return to DOUBLE.
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .withColumn("value", col("value").cast(dec))
+      graft.streaming.StreamingPipeline.streamingSessionize(ev,
+          gap = "30 minutes", "user_id", "ts", watermark = "2 hours")
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("session_start_us"),
+          unix_micros(col("session_end")).as("session_end_us"),
+          col("n_events"),
+          col("sum_value").cast("double").as("sum_value"))
+        .orderBy(col("user_id"), col("session_start_us"))
     }),
     "ev_funnel" -> ((s, dir) => {
       // ordered funnel view → click → purchase with a 72 h conversion
@@ -1712,6 +1762,22 @@ object SparkEntry {
       graft.graph.GraphOps.degrees(li, "src", "dst")
         .orderBy(col("node"))
     }),
+    "gr_triangles" -> ((s, dir) => {
+      // per-node triangle counts of the part co-purchase graph (parts
+      // sharing an order): degree-ordered wedge enumeration — wedges
+      // fan out only at each edge's LOWER-ordered endpoint (out-degree
+      // O(sqrt m) under the orientation, skew-proof), one pair
+      // equi-join closes them
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 3 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val e = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      graft.graph.GraphOps.triangleCounts(e, "src", "dst")
+        .orderBy(col("node"))
+    }),
     "sc_profile_text" -> ((s, dir) => {
       // string-column ingest QC: rows/nulls/distincts/empties and
       // length min/max/sum per column, one scan + the Expand-free
@@ -1965,6 +2031,18 @@ object SparkEntry {
         ev.where(col("value") > 50.0).select(col("event_id")),
         ev.where(col("user_id") % 3 === 0).select(col("event_id")),
         "event_id", k = 128)
+    }),
+    "sc_sample_quantiles" -> ((s, dir) => {
+      // bottom-k-by-hash quantile sketch: the 256 smallest
+      // (xxhash64(event_id), value) pairs are a deterministic uniform
+      // sample; every quantile reads off the sorted sampled values
+      // with the pinned nearest-rank-floor rule. Bounded mergeable
+      // state (<= k pairs per partial), hash-pinned membership — the
+      // oracle replays the sample bit-for-bit
+      graft.sketch.SampleQuantiles.quantiles(t(s, dir, "events"),
+          col("event_id"), col("value"), k = 256,
+          probs = Seq(0.01, 0.25, 0.5, 0.75, 0.99))
+        .orderBy(col("q"))
     }),
     "sc_topk_sketch" -> ((s, dir) => {
       // Misra-Gries heavy hitters (two-pass: bounded sketch ->
@@ -2862,6 +2940,34 @@ object SparkEntry {
          SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
            event_id, event_type, value
          FROM r WHERE rn = 1 ORDER BY user_id""",
+    // SCD2 replayed with the same pinned (ts, attr) order: change rows
+    // survive where the lagged attribute differs (first row always),
+    // then lead() over the SURVIVOR set supplies valid_to
+    "u5_scd2" ->
+      """WITH c AS (SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AND event_type IS NOT NULL),
+         g AS (SELECT user_id, us, event_type,
+             lag(event_type, 1) OVER
+               (PARTITION BY user_id ORDER BY us, event_type) AS prev_a,
+             row_number() OVER
+               (PARTITION BY user_id ORDER BY us, event_type) AS rn
+           FROM c),
+         ch AS (SELECT user_id, us, event_type FROM g
+           WHERE rn = 1 OR prev_a IS DISTINCT FROM event_type),
+         v AS (SELECT user_id, event_type, us AS valid_from_us,
+             lead(us, 1) OVER
+               (PARTITION BY user_id ORDER BY us, event_type)
+               AS valid_to_us,
+             row_number() OVER
+               (PARTITION BY user_id ORDER BY us, event_type)
+               AS version_no
+           FROM ch)
+         SELECT user_id, event_type, valid_from_us, valid_to_us,
+           (valid_to_us IS NULL) AS is_current,
+           CAST(version_no AS BIGINT) AS version_no
+         FROM v ORDER BY user_id, version_no""",
     "f_string_fns" ->
       """SELECT doc_id, upper(substr(text, 1, 12)) AS head_upper,
            CAST(length(text) AS BIGINT) AS len,
@@ -3655,6 +3761,28 @@ object SparkEntry {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              AS session_id
          FROM g ORDER BY user_id, ts_us, event_id""",
+    // session_window semantics replayed as gaps-and-islands: windows
+    // merge on OVERLAP, so a new session starts when the gap is >= the
+    // 30-minute width (the row-numbering sessionizer above uses
+    // strictly->); session_end = last event + width
+    "ev_stream_sessionize_batch" ->
+      """WITH g AS (SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us, value,
+             lag(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER
+               (PARTITION BY user_id ORDER BY ts) AS prev_us
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         sess AS (SELECT user_id, us, value,
+             sum(CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+               THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM g)
+         SELECT user_id,
+           min(us) AS session_start_us,
+           max(us) + 1800000000 AS session_end_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM sess GROUP BY user_id, sid
+         ORDER BY user_id, session_start_us""",
     // the streaming funnel's batch twin must equal the same
     // conditional-min chain, restricted to users with >= 1 step-typed
     // event (the stream operator never sees users without one)
@@ -3901,6 +4029,31 @@ object SparkEntry {
     // ts_strat_sample: same generated pure-SQL xxhash64 bucket as
     // ts_hash_split, cut by per-lang thresholds
     "ts_strat_sample" -> SplitOracle.tsStratSample,
+    // priority sampling replayed: unsigned hash from the signed
+    // xxhash64 CTE, the SAME three IEEE ops for q (one correctly-
+    // rounded HUGEINT→DOUBLE, then w·2⁶⁴/(u+1) left-associated),
+    // row_number ties on doc_id, τ from rank k+1
+    "ts_priority_sample" -> {
+      val c64 = "CAST(1.8446744073709552e19 AS DOUBLE)"
+      s"""WITH dh AS MATERIALIZED (${SplitOracle.hashCte}),
+         |tw AS (SELECT doc_id,
+         |    CAST(len(list_filter(string_split_regex(lower(text),
+         |      '\\s+'), t -> length(t) > 0)) AS BIGINT) AS w
+         |  FROM documents),
+         |j AS (SELECT tw.doc_id, tw.w,
+         |    CAST(tw.w AS DOUBLE) * $c64 /
+         |      (CAST(CAST(hv AS HUGEINT) + CASE WHEN hv < 0
+         |         THEN 18446744073709551616 ELSE 0 END AS DOUBLE)
+         |       + CAST(1.0 AS DOUBLE)) AS q
+         |  FROM tw JOIN dh ON dh.doc_id = tw.doc_id WHERE tw.w > 0),
+         |r AS (SELECT doc_id, w, q,
+         |    row_number() OVER (ORDER BY q DESC, doc_id) AS rn FROM j),
+         |tt AS (SELECT max(CASE WHEN rn = 65 THEN q END) AS tau FROM r)
+         |SELECT r.doc_id, r.w, r.q AS priority,
+         |  CASE WHEN tt.tau IS NULL THEN CAST(r.w AS DOUBLE)
+         |       ELSE greatest(CAST(r.w AS DOUBLE), tt.tau) END AS est_w
+         |FROM r, tt WHERE rn <= 64 ORDER BY doc_id""".stripMargin
+    },
     // ts_clean_corpus: the composite pipeline — canonical-fingerprint
     // dedup window, ts_quality's score expression, PII redaction, and
     // the generated xxhash64 bucket CTE, joined into one statement
@@ -4080,6 +4233,29 @@ object SparkEntry {
            coalesce(o.out_deg, 0) AS out_deg,
            coalesce(i.in_deg, 0) AS in_deg
          FROM o FULL OUTER JOIN i ON o.node = i.node
+         ORDER BY node""",
+    // naive ordered enumeration (a<b<c each triangle once) — same
+    // triangle SET as the engine's degree-ordered orientation, so the
+    // per-node counts must agree exactly
+    "gr_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           FROM lineitem WHERE l_partkey % 3 = 0),
+         e AS (SELECT DISTINCT x.p AS u, y.p AS v
+           FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+         n AS (SELECT u AS nd FROM e UNION ALL SELECT v FROM e),
+         deg AS (SELECT nd, count(*) AS deg FROM n GROUP BY nd),
+         tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+           FROM e e1
+           JOIN e e2 ON e2.u = e1.v
+           JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         tn AS (SELECT a AS nd FROM tri
+           UNION ALL SELECT b FROM tri
+           UNION ALL SELECT c FROM tri),
+         tc AS (SELECT nd, count(*) AS nt FROM tn GROUP BY nd)
+         SELECT CAST(deg.nd AS BIGINT) AS node,
+           CAST(deg.deg AS BIGINT) AS deg,
+           CAST(coalesce(tc.nt, 0) AS BIGINT) AS n_triangles
+         FROM deg LEFT JOIN tc ON deg.nd = tc.nd
          ORDER BY node""",
     "sc_profile_text" -> {
       def one(c: String) =
@@ -4468,6 +4644,25 @@ object SparkEntry {
          SELECT * FROM th
          UNION ALL SELECT * FROM sh
          ORDER BY domain, cnt DESC, value""",
+    // the bottom-k sample replayed exactly: DISTINCT (u, v) pairs in
+    // (hash, value) order, LIMIT k, then the same nearest-rank-floor
+    // pick over the value-sorted sample (index math in DOUBLE on both
+    // sides — identical IEEE product, identical floor)
+    "sc_sample_quantiles" -> {
+      s"""WITH er AS MATERIALIZED (${SplitOracle.eventRowHashCte}),
+         |sk AS (SELECT DISTINCT u, value AS v FROM er
+         |  WHERE value IS NOT NULL AND NOT isnan(value)
+         |  ORDER BY u, v LIMIT 256),
+         |vals AS (SELECT v,
+         |    row_number() OVER (ORDER BY v) - 1 AS r FROM sk),
+         |nn AS (SELECT count(*) AS n FROM sk),
+         |p AS (SELECT CAST(unnest([0.01, 0.25, 0.5, 0.75, 0.99])
+         |    AS DOUBLE) AS q)
+         |SELECT p.q AS q, CAST(nn.n AS BIGINT) AS n_sample,
+         |  (SELECT v FROM vals WHERE r = CAST(floor(
+         |     p.q * CAST(nn.n - 1 AS DOUBLE)) AS BIGINT)) AS est
+         |FROM p, nn ORDER BY q""".stripMargin
+    },
     "ev_kmv_daily" -> kmvDailyOracleSql(k = 64),
     // mergeability: the merged estimate must EQUAL the one-shot value,
     // so the oracle computes the direct sketch for BOTH columns — any

@@ -114,3 +114,59 @@ class SmallestKMembersAgg(k: Int)
   def outputEncoder: Encoder[Seq[BucketMember]] =
     ExpressionEncoder[Seq[BucketMember]]()
 }
+
+/** A sampled (hash, payload-value) pair, ordered by (h, v) — the
+  * bottom-k-by-hash sample unit of graft.sketch.SampleQuantiles. NaN
+  * payloads are rejected upstream (their ordering differs across
+  * engines).
+  */
+final case class HashVal(h: Long, v: Double)
+
+/** k smallest distinct (h, v) pairs, ordered lexicographically by
+  * (h, v) — the bounded bottom-k sample buffer (≤ k pairs of state per
+  * partial, map-side combinable; merge of two sketches ≡ the one-shot
+  * sketch of the union).
+  */
+class SmallestKHashValsAgg(k: Int)
+    extends Aggregator[HashVal, Seq[HashVal], Seq[HashVal]] {
+  require(k > 0, s"k must be positive, got $k")
+
+  private def lt(a: HashVal, b: HashVal): Boolean =
+    a.h < b.h || (a.h == b.h && a.v < b.v)
+
+  def zero: Seq[HashVal] = Nil
+
+  def reduce(b: Seq[HashVal], a: HashVal): Seq[HashVal] = {
+    if (b.size >= k && !lt(a, b.last)) b
+    else {
+      val (lo, hi) = b.span(lt(_, a))
+      if (hi.nonEmpty && hi.head == a) b else ((lo :+ a) ++ hi).take(k)
+    }
+  }
+
+  def merge(l: Seq[HashVal], r: Seq[HashVal]): Seq[HashVal] = {
+    val out = Vector.newBuilder[HashVal]
+    var li = 0
+    var ri = 0
+    var n = 0
+    while (n < k && (li < l.size || ri < r.size)) {
+      val takeLeft = ri >= r.size || (li < l.size && !lt(r(ri), l(li)))
+      if (takeLeft) {
+        val v = l(li); li += 1
+        if (ri < r.size && r(ri) == v) ri += 1
+        out += v
+      } else {
+        out += r(ri); ri += 1
+      }
+      n += 1
+    }
+    out.result()
+  }
+
+  def finish(b: Seq[HashVal]): Seq[HashVal] = b
+
+  def bufferEncoder: Encoder[Seq[HashVal]] =
+    ExpressionEncoder[Seq[HashVal]]()
+  def outputEncoder: Encoder[Seq[HashVal]] =
+    ExpressionEncoder[Seq[HashVal]]()
+}

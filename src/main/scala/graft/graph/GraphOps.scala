@@ -325,6 +325,75 @@ object GraphOps {
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
   }
 
+  /** Per-node triangle counts of the UNDIRECTED simple graph induced
+    * by the edge list (direction and parallel edges collapse; self
+    * loops and null endpoints drop) — the classic graph-quality signal
+    * (clustering coefficient numerator: link farms are triangle-dense,
+    * organic link graphs are not). Output: one row per node of the
+    * collapsed graph, `(node, deg, n_triangles)`, zero-filled for
+    * triangle-free nodes; `sum(n_triangles) = 3 × |triangles|`.
+    *
+    * Scale design — degree-ordered wedge enumeration (the MapReduce
+    * triangle-counting scheme of Suri–Vassilvitskii, WWW'11): every
+    * edge orients from its lower endpoint to its higher endpoint under
+    * the total order `(degree, node)`, wedges enumerate only at the
+    * LOWER endpoint, and a wedge closes into a triangle iff its two
+    * outer nodes are themselves an oriented edge (one equi-join on the
+    * pair). Out-degree under this orientation is O(√m) regardless of
+    * raw degree skew — a 10M-degree crawl-graph hub generates wedges
+    * bounded by the number of its HIGHER-ordered neighbours, not
+    * deg², so the wedge exchange survives the skew that kills the
+    * naive per-node enumeration. Each triangle materializes exactly
+    * once (its lowest-ordered vertex owns it); the per-node fan-out is
+    * a constant ×3 explode on the (far smaller) triangle set.
+    *
+    * Determinism: pure integer counting over set semantics — exact on
+    * any partitioning and cross-engine.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val s = col(srcCol)
+    val d = col(dstCol)
+    // collapse to the canonical undirected simple edge set (u < v)
+    val e = edges
+      .filter(s.isNotNull && d.isNotNull && s =!= d)
+      .select(least(s, d).as("__u"), greatest(s, d).as("__v"))
+      .distinct()
+    val deg = e.select(col("__u").as("__n"))
+      .unionAll(e.select(col("__v").as("__n")))
+      .groupBy(col("__n")).agg(count(lit(1)).as("__deg"))
+    // orient each edge low → high under the (degree, node) total order
+    val du = deg.select(col("__n").as("__u"), col("__deg").as("__du"))
+    val dv = deg.select(col("__n").as("__v"), col("__deg").as("__dv"))
+    val lowFirst = col("__du") < col("__dv") ||
+      (col("__du") === col("__dv") && col("__u") < col("__v"))
+    val o = e.join(du, Seq("__u")).join(dv, Seq("__v"))
+      .select(
+        when(lowFirst, col("__u")).otherwise(col("__v")).as("__a"),
+        when(lowFirst, col("__v")).otherwise(col("__u")).as("__b"),
+        when(lowFirst, col("__dv")).otherwise(col("__du")).as("__bd"))
+    // wedges at the low vertex, outer pair ordered by (degree, node)
+    // so each wedge enumerates once and matches the edge orientation
+    val w1 = o.select(col("__a"), col("__b").as("__x"),
+      col("__bd").as("__xd"))
+    val w2 = o.select(col("__a"), col("__b").as("__y"),
+      col("__bd").as("__yd"))
+    val wedges = w1.join(w2, Seq("__a"))
+      .filter(col("__xd") < col("__yd") ||
+        (col("__xd") === col("__yd") && col("__x") < col("__y")))
+    val tri = wedges
+      .join(o.select(col("__a").as("__x"), col("__b").as("__y")),
+        Seq("__x", "__y"))
+      .select(col("__a"), col("__x"), col("__y"))
+    val perNode = tri
+      .select(explode(array(col("__a"), col("__x"), col("__y")))
+        .as("__n"))
+      .groupBy(col("__n")).agg(count(lit(1)).as("__nt"))
+    deg.join(perNode, Seq("__n"), "left")
+      .select(col("__n").as("node"), col("__deg").as("deg"),
+        coalesce(col("__nt"), lit(0L)).as("n_triangles"))
+  }
+
   private def cut(df: DataFrame): DataFrame =
     graft.ops.Lineage.cut(df)
 }

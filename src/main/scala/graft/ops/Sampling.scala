@@ -247,4 +247,62 @@ object Sampling {
       .select(col("__id").as(idCol), col("__dm").as(domainCol),
         col("__tk").as("n_tokens"))
   }
+
+  /** PRIORITY SAMPLING (Duffield–Lund–Thorup, JACM 2007): a fixed-size
+    * weighted without-replacement sample with an unbiased subset-sum
+    * estimator. Each row draws a hash-uniform u ∈ (0, 1] and a
+    * priority `q = w / u`; the k highest-priority rows are the sample,
+    * τ is the (k+1)-th priority, and each sampled row's weight
+    * estimate is `est_w = max(w, τ)` — `E[Σ est_w over any subset of
+    * the sample] = Σ w` over the matching population subset, the
+    * property that makes a 64-row sample answer arbitrary weighted
+    * queries (domain token totals, cost attribution) at 100 TB. When
+    * the population has ≤ k rows, τ is undefined and `est_w = w`
+    * (exact regime).
+    *
+    * Like every sampler in this module, membership is a pure function
+    * of the pinned id hash: reruns, layout changes and appends never
+    * re-roll prior draws. u = (unsigned xxhash64(id) → DOUBLE
+    * correctly rounded, + 1)·2⁻⁶⁴, so q = w·2⁶⁴/(u64+1) in three IEEE
+    * ops the DuckDB twin replays bit-for-bit; ties break on id.
+    *
+    * Shape: the top-(k+1) is a bounded TakeOrderedAndProject (per-
+    * partition k+1-heaps, one tiny final merge — no corpus sort, no
+    * shuffle of the data); the τ/estimate windows run over the k+1
+    * survivor rows only. Rows with null id/weight or weight ≤ 0 are
+    * excluded (a zero weight has q = 0 and zero inclusion probability
+    * anyway; DuckDB's x/0.0 is NULL where Spark gives Infinity, so the
+    * exclusion also pins the twin). The id column must be INTEGRAL —
+    * the pinned xxhash64-of-long domain (see [[graft.sketch.Kmv]]).
+    */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000000, s"k must be in [1, 1e6], got $k")
+    import graft.sketch.Kmv
+    val ud = Kmv.unsignedDouble(Kmv.flippedHash(col(idCol)))
+    val q = col(weightCol).cast("double") * lit(Kmv.TwoPow64) /
+      (ud + lit(1.0))
+    val top = df
+      .filter(col(idCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol) > 0)
+      .select(col(idCol), col(weightCol), q.as("__q"))
+      .orderBy(col("__q").desc, col(idCol))
+      .limit(k + 1)
+    // both windows see <= k+1 rows — bounded, never the corpus
+    val ord = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__q").desc, col(idCol))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    top
+      .withColumn("__rn", row_number().over(ord))
+      .withColumn("__tau",
+        max(when(col("__rn") === k + 1, col("__q"))).over(all))
+      .filter(col("__rn") <= k)
+      .select(col(idCol), col(weightCol), col("__q").as("priority"),
+        when(col("__tau").isNull, col(weightCol).cast("double"))
+          .otherwise(greatest(col(weightCol).cast("double"),
+            col("__tau"))).as("est_w"))
+  }
 }

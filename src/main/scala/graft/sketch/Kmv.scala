@@ -82,8 +82,9 @@ object Kmv {
 
   /** Exact unsigned θ as DOUBLE: one DECIMAL(38,0) un-flip then one
     * correctly-rounded cast — bit-equal to DuckDB's HUGEINT→DOUBLE.
+    * Shared with the hash-uniform consumers (Sampling.prioritySample).
     */
-  private def unsignedDouble(flipped: Column): Column =
+  private[graft] def unsignedDouble(flipped: Column): Column =
     (flipped.cast("decimal(38,0)") + lit(Half)).cast("double")
 
   /** Distinct-count estimate from a sketch array: exact size when the

@@ -372,4 +372,67 @@ class GraphOpsSpec extends SparkTestBase {
       }
     }
   }
+
+  /** Brute-force per-node triangle counts over the canonical
+    * undirected simple graph (u < v distinct pairs, no self loops).
+    */
+  private def refTriangles(edges: Seq[(String, String)])
+      : Map[String, (Long, Long)] = {
+    val e = edges.filter(p => p._1 != p._2)
+      .map(p => if (p._1 < p._2) p else p.swap).distinct
+    val es = e.toSet
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val deg = (e.map(_._1) ++ e.map(_._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tris = for {
+      (a, b) <- e
+      c <- nodes if b < c && es.contains((a, c)) && es.contains((b, c))
+    } yield (a, b, c)
+    val tc = tris.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    nodes.map(n => n -> (deg(n), tc.getOrElse(n, 0L))).toMap
+  }
+
+  private def runTriangles(edges: Seq[(String, String)])
+      : Map[String, (Long, Long)] =
+    GraphOps.triangleCounts(edges.toDF("s", "d"), "s", "d")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+  test("triangles: K4 has 3 per node; C5 has none; direction, " +
+      "parallel edges and self loops collapse") {
+    val k4 = for {
+      a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d")
+      if a < b
+    } yield (a, b)
+    assert(runTriangles(k4) ==
+      Map("a" -> (3L, 3L), "b" -> (3L, 3L), "c" -> (3L, 3L),
+        "d" -> (3L, 3L)))
+    val c5 = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e",
+      "e" -> "a")
+    assert(runTriangles(c5).values.forall(_ == (2L, 0L)))
+    // one triangle written with reversed/parallel/self-loop noise
+    val noisy = Seq("a" -> "b", "b" -> "a", "b" -> "c", "c" -> "a",
+      "a" -> "a", "c" -> "b")
+    assert(runTriangles(noisy) ==
+      Map("a" -> (2L, 1L), "b" -> (2L, 1L), "c" -> (2L, 1L)))
+  }
+
+  test("triangles: property — random graphs match the brute-force " +
+      "reference under random partitionings") {
+    val rnd = new scala.util.Random(23)
+    for (round <- 1 to 8) {
+      val n = 4 + rnd.nextInt(16)
+      val edges = (0 until (n * 3)).map { _ =>
+        (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}")
+      }.filter(p => p._1 != p._2)
+      if (edges.nonEmpty) {
+        val df = edges.toDF("s", "d").repartition(1 + rnd.nextInt(7))
+        val got = GraphOps.triangleCounts(df, "s", "d")
+          .as[(String, Long, Long)].collect()
+          .map(r => r._1 -> (r._2, r._3)).toMap
+        assert(got == refTriangles(edges), s"round $round n=$n")
+      }
+    }
+  }
 }

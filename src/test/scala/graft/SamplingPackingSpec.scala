@@ -253,4 +253,67 @@ class SamplingPackingSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Sampling.sampleKPerGroup(tiny, Seq.empty, "id", 2))
   }
+
+  /** The engine's hash-uniform priority, replayed in the JVM. */
+  private def refPriority(id: Long, w: Long): Double = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      .hash(id, org.apache.spark.sql.types.LongType, 42L)
+    val u = new java.math.BigDecimal(java.lang.Long.toUnsignedString(h))
+      .doubleValue()
+    w.toDouble * 1.8446744073709552e19 / (u + 1.0)
+  }
+
+  test("priority sample: matches the reference model, is layout-" +
+      "stable, estimator is exact when the population fits") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val rows = (1L to 800L).map(id => (id, 1L + rnd.nextInt(500)))
+    val df = rows.toDF("id", "w")
+    val k = 32
+    // reference: top-k by (q desc, id asc); tau = (k+1)-th priority
+    val ranked = rows.map { case (id, w) => (id, w, refPriority(id, w)) }
+      .sortBy(t => (-t._3, t._1))
+    val tau = ranked(k)._3
+    val expect = ranked.take(k)
+      .map(t => (t._1, t._2, t._3, math.max(t._2.toDouble, tau))).toSet
+    val got = Sampling.prioritySample(df.repartition(9), "id", "w", k)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(got == expect)
+    // layout independence
+    val again = Sampling.prioritySample(df.repartition(2), "id", "w", k)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(again == got)
+    // exact regime: k >= population -> est_w == w, sum preserved
+    val small = rows.take(20).toDF("id", "w")
+    val exact = Sampling.prioritySample(small, "id", "w", 32)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(exact.length == 20)
+    assert(exact.forall(r => r._4 == r._2.toDouble))
+    // nulls and non-positive weights are excluded
+    val noisy = (rows.take(10).map { case (i, w) =>
+      (Option(i), Option(w)) } ++
+      Seq((Some(901L), Some(0L)), (Some(902L), None), (None, Some(3L))))
+      .toDF("id", "w")
+    assert(Sampling.prioritySample(noisy, "id", "w", 32).count() == 10)
+  }
+
+  test("priority sample: subset-sum estimator is unbiased within " +
+      "sampling error across disjoint hash-seeded populations") {
+    import spark.implicits._
+    // 40 independent populations (shifted id ranges = fresh hash
+    // draws); the mean of the est_w totals must approach the true
+    // total (CLT check, generous 5% band at n=40 x k=64)
+    val rnd = new scala.util.Random(13)
+    val weights = (1 to 400).map(_ => 1L + rnd.nextInt(100))
+    val trueTotal = weights.map(_.toDouble).sum
+    val estimates = (0 until 40).map { s =>
+      val df = weights.zipWithIndex
+        .map { case (w, i) => (s * 100000L + i, w) }.toDF("id", "w")
+      Sampling.prioritySample(df, "id", "w", 64)
+        .agg(sum(col("est_w"))).as[Double].head()
+    }
+    val mean = estimates.sum / estimates.size
+    assert(math.abs(mean - trueTotal) / trueTotal < 0.05,
+      s"mean estimate $mean vs true $trueTotal")
+  }
 }

@@ -163,4 +163,42 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(ids.sameElements(ids.sorted),
       "rows within a compacted partition file must be sorted on clusterBy")
   }
+
+  test("scd2: consecutive identical attrs collapse, bounds chain, " +
+      "null-safe change detect, stable under repartitioning") {
+    import java.sql.Timestamp
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    val log = Seq(
+      ("u1", ts(1), Some("free")),
+      ("u1", ts(2), Some("free")),   // no change -> collapses
+      ("u1", ts(3), Some("pro")),
+      ("u1", ts(4), Some("pro")),    // collapses
+      ("u1", ts(5), Some("free")),   // back-transition = new version
+      ("u2", ts(2), None),           // null attr is a real version
+      ("u2", ts(3), None),           // null == null -> collapses
+      ("u2", ts(4), Some("pro"))
+    ).toDF("k", "ts", "plan")
+    val out = ScaleOps.scd2(log.repartition(5), Seq("k"), "ts",
+        Seq("plan"))
+      .orderBy("k", "version_no")
+      .select("k", "plan", "valid_from", "valid_to", "is_current",
+        "version_no")
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1)),
+        r.getTimestamp(2), Option(r.getTimestamp(3)),
+        r.getBoolean(4), r.getInt(5)))
+    assert(out.toSeq == Seq(
+      ("u1", Some("free"), ts(1), Some(ts(3)), false, 1),
+      ("u1", Some("pro"), ts(3), Some(ts(5)), false, 2),
+      ("u1", Some("free"), ts(5), None, true, 3),
+      ("u2", None, ts(2), Some(ts(4)), false, 1),
+      ("u2", Some("pro"), ts(4), None, true, 2)))
+    // valid ranges tile each key's timeline: from_i+1 == to_i
+    out.groupBy(_._1).foreach { case (_, vs) =>
+      vs.sortBy(_._6).sliding(2).foreach {
+        case Array(a, b) => assert(a._4.contains(b._3))
+        case _ =>
+      }
+    }
+  }
 }
