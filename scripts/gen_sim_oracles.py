@@ -165,6 +165,135 @@ cent AS MATERIALIZED (SELECT mc AS cell, cents[mc + 1] AS cv
   FROM cl{lloyd_iters} CROSS JOIN range(0, {n_centroids}) t(mc)){tail}"""
 
 
+def pq_prefix(m=8, k_per_sub=16, dim=64, refine_sample=256,
+              lloyd_iters=2):
+    """Namespaced per-subspace quantizer chains (graft.sim.Pq): ONE
+    shared hash-deterministic sample (full vectors), then for each
+    subspace j a farthest-point + Lloyd chain over the v[lo:hi] slices
+    — the same pinned folds as quantizer_prefix — ending in p{j}cl{L}
+    (the codebook list), plus `codes` (vec_id, v, codes[]) assigning
+    every corpus row its per-subspace nearest codebook entry.
+    Returns (cte_body, [codebook CTE names], subdim)."""
+    sub = dim // m
+    idh = signed(xxh64_long("vec_id", "42"))
+    parts = [f"""emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+samp0 AS MATERIALIZED (SELECT v,
+    row_number() OVER (ORDER BY idh, vec_id) AS srn
+  FROM (SELECT v, vec_id, {idh} AS idh FROM emb)
+  QUALIFY row_number() OVER (ORDER BY idh, vec_id) <= {refine_sample})"""]
+    mind = (f"list_reduce(list_transform(sp.seeds, sd -> "
+            f"{l2f('smp.v', 'sd')}), (ma, mb) -> least(ma, mb))")
+    cents = []
+    for j in range(m):
+        ns = f"p{j}"
+        lo, hi = j * sub + 1, (j + 1) * sub
+        parts.append(f"{ns}samp AS MATERIALIZED "
+                     f"(SELECT v[{lo}:{hi}] AS v, srn FROM samp0)")
+        parts.append(f"{ns}s1 AS MATERIALIZED (SELECT "
+                     f"[(SELECT v FROM {ns}samp WHERE srn = 1)] AS seeds)")
+        for s in range(2, k_per_sub + 1):
+            parts.append(
+                f"{ns}s{s} AS MATERIALIZED (SELECT list_append(sp.seeds, "
+                f"(SELECT smp.v FROM {ns}samp smp, {ns}s{s-1} sp "
+                f"ORDER BY {mind} DESC, smp.srn LIMIT 1)) AS seeds "
+                f"FROM {ns}s{s-1} sp)")
+        parts.append(f"{ns}cl0 AS MATERIALIZED (SELECT seeds AS cents "
+                     f"FROM {ns}s{k_per_sub})")
+        for it in range(1, lloyd_iters + 1):
+            dl = (f"list_transform(cp.cents, cc -> "
+                  f"{l2f('smp.v', 'cc')})")
+            mean = ("list_transform(range(1, len(vs[1]) + 1), ci -> "
+                    + fold0("list_transform(vs, sv -> sv[ci])") + " / n)")
+            parts.append(
+                f"{ns}as{it} AS MATERIALIZED (SELECT smp.srn, smp.v, "
+                f"list_position({dl}, list_aggregate({dl}, 'min')) - 1 "
+                f"AS cell FROM {ns}samp smp, {ns}cl{it-1} cp)")
+            parts.append(
+                f"{ns}mn{it} AS MATERIALIZED (SELECT cell, "
+                f"list(v ORDER BY srn) AS vs, count(*) AS n "
+                f"FROM {ns}as{it} GROUP BY cell)")
+            parts.append(
+                f"{ns}cl{it} AS MATERIALIZED (SELECT "
+                f"list(cv ORDER BY cell) AS cents FROM ("
+                f"SELECT mc AS cell, COALESCE(mm.mv, cp.cents[mc + 1]) "
+                f"AS cv FROM {ns}cl{it-1} cp "
+                f"CROSS JOIN range(0, {k_per_sub}) t(mc) "
+                f"LEFT JOIN (SELECT cell, {mean} AS mv FROM {ns}mn{it}) "
+                f"mm ON mm.cell = mc))")
+        cents.append(f"{ns}cl{lloyd_iters}")
+    froms = ", ".join(f"{cents[j]} cp{j}" for j in range(m))
+    code_exprs = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        dl = (f"list_transform(cp{j}.cents, cc -> "
+              f"{l2f(f'e.v[{lo}:{hi}]', 'cc')})")
+        code_exprs.append(
+            f"list_position({dl}, list_aggregate({dl}, 'min')) - 1")
+    codes_list = "[" + ", ".join(code_exprs) + "]"
+    parts.append(
+        f"codes AS MATERIALIZED (SELECT e.vec_id, e.v, "
+        f"{codes_list} AS codes FROM emb e, {froms})")
+    return ",\n".join(parts), cents, sub
+
+
+def sim_pq_encode_sql(m=8, k_per_sub=16, dim=64, refine_sample=256,
+                      lloyd_iters=2):
+    """graft.sim.Pq.pqEncode exploded to (vec_id, subspace, code)."""
+    prefix, _, _ = pq_prefix(m, k_per_sub, dim, refine_sample,
+                             lloyd_iters)
+    return f"""WITH {prefix}
+SELECT vec_id, CAST(u.j AS BIGINT) AS subspace,
+  CAST(codes[u.j + 1] AS BIGINT) AS code
+FROM codes, unnest(range(0, {m})) AS u(j)
+ORDER BY vec_id, subspace"""
+
+
+def sim_pq_topk_sql(m=8, k_per_sub=16, dim=64, k=5, over_fetch=8,
+                    refine_sample=256, lloyd_iters=2):
+    """graft.sim.Pq.pqTopK: ADC-cosine coarse top-(k*over_fetch) over
+    the codes (ip and |recon| read the codebook lists exactly like the
+    engine's literals — subspace partials summed ascending), exact
+    rerank of the candidates, both rankings (cosine DESC, vec_id)."""
+    prefix, cents, sub = pq_prefix(m, k_per_sub, dim, refine_sample,
+                                   lloyd_iters)
+    froms = ", ".join(f"{cents[j]} cp{j}" for j in range(m))
+    dot_terms, rn_terms = [], []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        entry = f"cp{j}.cents[c.codes[{j + 1}] + 1]"
+        dot_terms.append("(" + fold0(
+            f"list_transform(q.qv[{lo}:{hi}], "
+            f"(ax, ai) -> ax * ({entry})[ai])") + ")")
+        rn_terms.append("(" + fold0(
+            f"list_transform({entry}, xx -> xx * xx)") + ")")
+    ip = " + ".join(dot_terms)
+    rn2 = " + ".join(rn_terms)
+    qn = f"sqrt({fold0('list_transform(q.qv, xx -> xx * xx)')})"
+    return f"""WITH {prefix},
+q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM emb
+  WHERE vec_id < 8),
+sc AS (SELECT q.query_id, c.vec_id,
+    CASE WHEN ({qn}) = 0 OR ({rn2}) = 0 THEN NULL
+         ELSE ({ip}) / (({qn}) * sqrt({rn2})) END AS aprx
+  FROM codes c, {froms}, q WHERE c.vec_id <> q.query_id),
+co AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY aprx DESC, vec_id) AS rn
+  FROM sc WHERE aprx IS NOT NULL AND NOT isnan(aprx))
+  WHERE rn <= {k * over_fetch}),
+rr AS (SELECT co.query_id, co.vec_id,
+    {cosine('e.v', 'q.qv')} AS cosine
+  FROM co JOIN emb e ON e.vec_id = co.vec_id
+  JOIN q ON q.query_id = co.query_id),
+r AS (SELECT query_id, vec_id, cosine, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM rr WHERE cosine IS NOT NULL AND NOT isnan(cosine))
+SELECT query_id, vec_id, round(cosine, 6) AS cos6,
+  CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k} ORDER BY query_id, rank"""
+
+
 def sim_ivf_sql(n_centroids=16, n_probe=8, k=5, refine_sample=256,
                 lloyd_iters=2, extra_probes=4, rho=1.05):
     """Similarity.ivfTopK: the shared quantizer prefix, then each query
@@ -331,6 +460,8 @@ def validate(sf_dir, verify_dir):
     ok = True
     for name, sql in [("sim_lsh_topk", sim_lsh_sql()),
                       ("sim_ivf_topk", sim_ivf_sql()),
+                      ("sim_pq_encode", sim_pq_encode_sql()),
+                      ("sim_pq_topk", sim_pq_topk_sql()),
                       ("dd_embedding_neardups", emb_neardups_sql()),
                       ("dd_semantic", dd_semantic_sql()),
                       ("dd_semantic_prune", dd_semantic_prune_sql()),
@@ -356,10 +487,24 @@ def emit_scala(path):
     def esc(sql):
         return sql.replace("\\", "\\\\").replace('"', '\\"').replace(
             "\n", "\\n")
+
+    def lit(sql):
+        # JVM class files cap string constants at 64 KB (modified
+        # UTF-8): chunk long SQL into concatenated <=40k constants
+        if len(sql) <= 40000:
+            return f'"{esc(sql)}"'
+        # Seq(...).mkString defeats scalac's constant folding of
+        # "a" + "b" (which would recreate the oversized constant)
+        chunks = [sql[i:i + 40000] for i in range(0, len(sql), 40000)]
+        joined = ",\n    ".join(f'"{esc(c)}"' for c in chunks)
+        return f"Seq({joined}).mkString"
+
     body = "\n\n".join(
-        f'  val {name}: String = "{esc(sql)}"'
+        f'  val {name}: String = {lit(sql)}'
         for name, sql in [("simLshTopK", sim_lsh_sql()),
                           ("simIvfTopK", sim_ivf_sql()),
+                          ("simPqEncode", sim_pq_encode_sql()),
+                          ("simPqTopK", sim_pq_topk_sql()),
                           ("ddEmbeddingNearDups", emb_neardups_sql()),
                           ("ddSemantic", dd_semantic_sql()),
                           ("ddSemanticPrune", dd_semantic_prune_sql()),

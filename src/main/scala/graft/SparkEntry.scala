@@ -1146,6 +1146,18 @@ object SparkEntry {
       graft.multimodal.Gif.extractGifFeatures(media).toDF()
         .orderBy(col("media_id"))
     }),
+    "mm_bmp_decode" -> ((s, dir) => {
+      // REAL run-length-compressed image decode: Windows BI_RLE8 BMPs
+      // (bottom-up rows, BGRX palette, encoded runs + absolute blocks
+      // + delta skips + EOL/EOB escapes all on a pinned schedule) —
+      // lossless, so the oracle recomputes the closed-form
+      // index/palette formulas; an RLE bug on either side cannot
+      // hash-match
+      val media = graft.multimodal.Bmp.syntheticBmpTable(
+        t(s, dir, "documents"))
+      graft.multimodal.Bmp.extractBmpFeatures(media).toDF()
+        .orderBy(col("media_id"))
+    }),
     "mm_adpcm_decode" -> ((s, dir) => {
       // REAL lossy-compressed audio decode: IMA ADPCM WAVs (format tag
       // 17, 4 bits/sample) synthesized in CODE space, decoded by the
@@ -1795,6 +1807,39 @@ object SparkEntry {
       graft.sim.Projection.jlTopK(emb, "vec_id", "embedding",
           q, "vec_id", "embedding", k = 5, dim = 64, projDim = 32,
           overFetch = 8)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cosine"), 6).as("cos6"),
+          col("rank").cast("bigint").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "sim_pq_encode" -> ((s, dir) => {
+      // product-quantization codes: 8 subspaces x 16 centroids trained
+      // on the hash-deterministic sample (per-subspace farthest-point
+      // + Lloyd, pinned folds), corpus encoded scan-stage — 64-dim
+      // float vectors compress to 8 codes; the oracle replays the
+      // whole train->encode chain
+      val emb = t(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val cbs = graft.sim.Pq.pqCodebooks(emb, "vec_id", "embedding",
+        dim = 64, m = 8, kPerSub = 16)
+      graft.sim.Pq.pqEncode(emb, "vec_id", "embedding", cbs)
+        .select(col("vec_id"),
+          posexplode(col("codes")).as(Seq("subspace", "code")))
+        .select(col("vec_id"), col("subspace").cast("bigint")
+          .as("subspace"), col("code").cast("bigint").as("code"))
+        .orderBy(col("vec_id"), col("subspace"))
+    }),
+    "sim_pq_topk" -> ((s, dir) => {
+      // two-stage PQ retrieval: coarse top-40 by ADC cosine over the
+      // 8-byte codes (the cheap corpus pass — reconstruction never
+      // materializes, ip/norm read codebook literals), exact rerank of
+      // the broadcast candidates on raw vectors
+      val emb = t(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val q = emb.filter(col("vec_id") < 8)
+      graft.sim.Pq.pqTopK(emb, "vec_id", "embedding",
+          q, "vec_id", "embedding", k = 5, dim = 64, m = 8,
+          kPerSub = 16, overFetch = 8)
         .select(col("query_id"), col("vec_id"),
           round(col("cosine"), 6).as("cos6"),
           col("rank").cast("bigint").as("rank"))
@@ -3122,6 +3167,12 @@ object SparkEntry {
     // via the same pure-SQL XXH64 (generated — see graft.SimOracles)
     "sim_lsh_topk" -> SimOracles.simLshTopK,
     "sim_ivf_topk" -> SimOracles.simIvfTopK,
+    // generated (scripts/gen_sim_oracles.py): 8 namespaced per-subspace
+    // quantizer chains replay pqCodebooks' train (farthest-point +
+    // Lloyd over the shared hash sample's slices), then encode / ADC
+    // score / rerank — a bug anywhere in the chain cannot hash-match
+    "sim_pq_encode" -> SimOracles.simPqEncode,
+    "sim_pq_topk" -> SimOracles.simPqTopK,
     "dd_embedding_neardups" -> SimOracles.ddEmbeddingNearDups,
     "dd_semantic" -> SimOracles.ddSemantic,
     "dd_semantic_prune" -> SimOracles.ddSemanticPrune,
@@ -3601,6 +3652,26 @@ object SparkEntry {
              k -> 255 - (id + 5*(k % w) + 11*(k // w)) % 256)) AS BIGINT)
              AS sum_b
          FROM m ORDER BY media_id""",
+    // BMP RLE8 is lossless: the oracle recomputes the corpus'
+    // closed-form index formula (delta-skipped pixels — file rows
+    // ≡ 4 mod 5, last two columns — pin to index 0) through the
+    // pinned palette (r = i, g = 3i mod 256, b = 255 − i)
+    "mm_bmp_decode" ->
+      """WITH m AS (SELECT doc_id AS id, 8 + doc_id % 13 AS w,
+             8 + doc_id % 9 AS h
+           FROM documents),
+         px AS (SELECT id, w, h,
+             CASE WHEN ((h - 1 - (k // w)) % 5 = 4) AND (k % w) >= w - 2
+               THEN 0
+               ELSE (id + 5*((k % w) // 4) + 11*(k // w)) % 256
+             END AS i
+           FROM m, unnest(range(0, w*h)) AS u(k))
+         SELECT id AS media_id, CAST(w AS BIGINT) AS w,
+           CAST(h AS BIGINT) AS h,
+           CAST(sum(i) AS BIGINT) AS sum_r,
+           CAST(sum((3*i) % 256) AS BIGINT) AS sum_g,
+           CAST(sum(255 - i) AS BIGINT) AS sum_b
+         FROM px GROUP BY id, w, h ORDER BY media_id""",
     // IMA ADPCM replayed in SQL: the all-integer predictor/step-index
     // recurrence as a recursive CTE (one step per 4-bit code), per-block
     // header seeds and codes from the corpus formulas, fact-chunk

@@ -1,0 +1,147 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PRODUCT QUANTIZATION (Jégou–Douze–Schmid, TPAMI 2011) — the vector
+  * compression layer of the ANN tier: the `dim`-dimensional embedding
+  * splits into `m` contiguous subspaces, each subspace learns its own
+  * `kPerSub`-centroid codebook, and every corpus vector compresses to
+  * `m` small codes (64-dim float → 8 bytes at the default 8×16). Search
+  * scores queries against the RECONSTRUCTION (codebook lookup), so the
+  * corpus-sized pass touches codes instead of raw vectors — at 100 TB
+  * that is the difference between scanning 8 B/row and 256 B/row, and
+  * the codes table (built once, scan-stage) is the artifact every
+  * downstream search reuses.
+  *
+  * Training follows the [[Similarity.ivfCentroids]] discipline exactly,
+  * per subspace: ONE hash-deterministic bounded sample of the corpus
+  * (smallest (xxhash64(id), id), planned as TakeOrderedAndProject),
+  * then farthest-point seeding + Lloyd passes with every float folded
+  * in pinned order — so codebooks, codes, reconstructed norms and ADC
+  * scores are all bit-reproducible cross-engine and the DuckDB oracle
+  * replays the WHOLE chain (train → encode → score → rank).
+  *
+  * Scoring is the asymmetric distance computation (ADC) in cosine
+  * form: `cos(q, recon(x))` with `ip = Σ_j dot(q_j, cb_j[code_j])`
+  * (subspace partials summed in ascending-j order),
+  * `|recon(x)|² = Σ_j |cb_j[code_j]|²` (same order), and the full-fold
+  * query norm — zero-norm sides yield NULL like [[Similarity.cosine]].
+  * [[pqTopK]] is the standard two-stage retriever: coarse
+  * top-(k·overFetch) on ADC cosine (bounded k-heap aggregation), exact
+  * rerank of the broadcast candidate list on the raw vectors.
+  */
+object Pq {
+
+  /** Per-subspace codebooks: `m` × `kPerSub` × (dim/m) doubles. One
+    * bounded sample collect (refineSample rows) trains every subspace —
+    * driver state is sample + codebooks, never corpus-sized.
+    */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, kPerSub: Int, refineSample: Int = 256,
+      lloydIters: Int = 2): Array[Array[Array[Double]]] = {
+    require(m >= 1 && dim % m == 0,
+      s"dim $dim must split evenly into m=$m subspaces")
+    require(kPerSub >= 1, s"kPerSub must be >= 1, got $kPerSub")
+    require(refineSample >= kPerSub,
+      s"refineSample ($refineSample) must be >= kPerSub ($kPerSub)")
+    require(lloydIters >= 0, s"lloydIters must be >= 0, got $lloydIters")
+    val sub = dim / m
+    val sample = corpus
+      .select(col(vecCol), xxhash64(col(idCol)).as("__h"),
+        col(idCol).as("__i"))
+      .orderBy(col("__h"), col("__i")).limit(refineSample)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "PQ: empty corpus")
+    require(sample.head.length == dim,
+      s"vectors are ${sample.head.length}-dim, expected $dim")
+    Array.tabulate(m) { j =>
+      val sliced = sample.map(v => v.slice(j * sub, (j + 1) * sub))
+      Similarity.lloydRefine(
+        Similarity.farthestPointSeeds(sliced, kPerSub), sliced,
+        lloydIters)
+    }
+  }
+
+  /** Scan-stage encoder: `(id, codes)` with `codes(j)` = the nearest
+    * codebook-j centroid of the j-th vector slice (pinned fold order,
+    * ties to the lowest code — the NearestCells kernel per subspace).
+    * Zero exchanges: the codebooks ride the plan as literals.
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val codes = array((0 until m).map { j =>
+      graft.functions.VectorFunctions
+        .nearestCells(slice(col(vecCol), j * sub + 1, sub),
+          codebooks(j).map(_.toSeq).toSeq, 1)
+        .getItem(0)
+    }: _*)
+    corpus.select(col(idCol), codes.as("codes"))
+  }
+
+  /** ADC cosine of a query vector against a codes column:
+    * cos(q, recon(codes)). All codebook-derived constants are plan
+    * literals; NULL when either norm is zero.
+    */
+  def adcCosine(queryVec: Column, codes: Column,
+      codebooks: Array[Array[Array[Double]]]): Column = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    def norm2(c: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < c.length) { acc += c(i) * c(i); i += 1 }
+      acc
+    }
+    val ip = (0 until m).map { j =>
+      val cb = typedLit(codebooks(j).map(_.toSeq).toSeq)
+      graft.functions.VectorFunctions.dot(
+        slice(queryVec, j * sub + 1, sub),
+        element_at(cb, element_at(codes, j + 1) + 1))
+    }.reduce(_ + _)
+    val rn2 = (0 until m).map { j =>
+      val n2 = typedLit(codebooks(j).map(norm2).toSeq)
+      element_at(n2, element_at(codes, j + 1) + 1)
+    }.reduce(_ + _)
+    val qn = graft.functions.VectorFunctions.norm(queryVec)
+    when(qn === 0.0 || rn2 === 0.0, lit(null).cast("double"))
+      .otherwise(ip / (qn * sqrt(rn2)))
+  }
+
+  /** Two-stage PQ retriever: coarse top-(k·overFetch) per query on ADC
+    * cosine over the CODES (the cheap corpus pass), exact rerank of the
+    * broadcast candidates on raw vectors. Both rankings are the bounded
+    * k-heap aggregation; nothing corpus-sized shuffles.
+    */
+  def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, dim: Int, m: Int = 8, kPerSub: Int = 16,
+      overFetch: Int = 8, refineSample: Int = 256, lloydIters: Int = 2,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(overFetch >= 1, s"overFetch must be positive, got $overFetch")
+    val cbs = pqCodebooks(corpus, idCol, vecCol, dim, m, kPerSub,
+      refineSample, lloydIters)
+    val codes = pqEncode(corpus, idCol, vecCol, cbs)
+      .withColumnRenamed(idCol, "vec_id")
+    val qp = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      col(queryVecCol).as("__qv")))
+    val paired = codes.crossJoin(qp)
+    val coarse = (if (excludeSelf)
+        paired.filter(col("vec_id") =!= col("query_id")) else paired)
+      .withColumn("cosine", adcCosine(col("__qv"), col("codes"), cbs))
+      .select("query_id", "vec_id", "cosine")
+    val cands = Similarity.rankTopK(coarse, k * overFetch)
+      .select("query_id", "vec_id")
+    val rerank = corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).as("__cv"))
+      .join(broadcast(cands), Seq("vec_id"))
+      .join(qp, Seq("query_id"))
+      .withColumn("cosine", Similarity.cosine(col("__cv"), col("__qv")))
+      .select("query_id", "vec_id", "cosine")
+    Similarity.rankTopK(rerank, k)
+  }
+}

@@ -242,7 +242,7 @@ object Similarity {
     * (16 cells, probe 8): 0.692 → 0.863 (sf0.01) / 0.771 → 0.858
     * (sf0.1) together with the Lloyd passes.
     */
-  private def farthestPointSeeds(sample: Array[Array[Double]],
+  private[sim] def farthestPointSeeds(sample: Array[Array[Double]],
       n: Int): Array[Array[Double]] = {
     val seeds = scala.collection.mutable.ArrayBuffer(sample(0))
     val minD = sample.map(v => l2(v, sample(0)))
@@ -274,7 +274,7 @@ object Similarity {
     * oracle reproduces the refined centroids bit-exactly. A cell no
     * sample vector chose keeps its previous centroid.
     */
-  private def lloydRefine(seeds: Array[Array[Double]],
+  private[sim] def lloydRefine(seeds: Array[Array[Double]],
       sample: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
     var cents = seeds
     for (_ <- 0 until iters) {

@@ -483,7 +483,7 @@ class PlanPinSpec extends SparkTestBase {
     // aggregation appearing here would mean the decode stopped being
     // embarrassingly parallel
     for (q <- Seq("mm_gif_decode", "mm_jpeg422_decode", "mm_adpcm_decode",
-        "mm_alaw_decode")) {
+        "mm_alaw_decode", "mm_bmp_decode")) {
       val plan = SparkEntry.queries(q)(spark, sf0001)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
@@ -519,5 +519,78 @@ class PlanPinSpec extends SparkTestBase {
       assert(!a.child.output.exists(_.dataType.isInstanceOf[ArrayType]),
         s"an array column reached the candidate-count aggregation:\n$a")
     }
+  }
+
+  test("sim_pq: encode is scan-stage (codebooks ride the plan as " +
+      "literals); the coarse ADC pass ranks via the partial k-heap") {
+    val enc = SparkEntry.queries("sim_pq_encode")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!enc.contains("Join") && !enc.contains("HashAggregate"),
+      s"pq encode must be pure scan-stage work:\n$enc")
+    val topk = SparkEntry.queries("sim_pq_topk")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(topk.contains("partial_topkagg"),
+      s"ADC candidates must partially aggregate in the k-heap:\n$topk")
+    assert(!topk.contains("row_number"),
+      s"ranking must not shuffle every scored candidate:\n$topk")
+  }
+
+  test("gr_triangles: every join stays an equi-join (no product " +
+      "shapes), counts combine map-side") {
+    // degree-ordered wedge enumeration lives or dies on the joins
+    // staying hash/sort equi-joins: a CartesianProduct or BNL here is
+    // the all-pairs explosion the orientation exists to prevent
+    val plan = SparkEntry.queries("gr_triangles")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"triangle joins must be equi-joins:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"degree/triangle counts must combine map-side:\n$plan")
+  }
+
+  test("ts_priority_sample: top-(k+1) is a bounded " +
+      "TakeOrderedAndProject, never a global corpus sort") {
+    val plan = SparkEntry.queries("ts_priority_sample")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the top-(k+1) must be the bounded per-partition heap:\n$plan")
+    assert(!plan.contains("Join"),
+      s"priority sampling is scan + heap, no join:\n$plan")
+  }
+
+  test("sc_sample_quantiles: one bounded partial-aggregating pass, " +
+      "no window, no join") {
+    val plan = SparkEntry.queries("sc_sample_quantiles")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_smallestkhashvalsagg"),
+      s"the bottom-k sample must partially aggregate map-side:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      s"quantile reads are expressions over the one-row sample:\n$plan")
+  }
+
+  test("u5_scd2: one key shuffle feeds all three window passes " +
+      "(plus only the presentation sort)") {
+    val plan = SparkEntry.queries("u5_scd2")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"scd2 must not join:\n$plan")
+    val exchanges = "(?m)^\\s*[+:*-]*\\s*\\(?\\d*\\)?\\s*Exchange".r
+      .findAllIn(plan).size
+    assert(exchanges <= 2,
+      s"scd2 grew beyond key shuffle + presentation sort " +
+        s"($exchanges > 2):\n$plan")
+  }
+
+  test("ev_stream_sessionize_batch: one key shuffle, no join") {
+    val plan = SparkEntry.queries("ev_stream_sessionize_batch")(
+        spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"session merge is a keyed aggregation, not a join:\n$plan")
+    val exchanges = "(?m)^\\s*[+:*-]*\\s*\\(?\\d*\\)?\\s*Exchange".r
+      .findAllIn(plan).size
+    assert(exchanges <= 2,
+      s"sessionize grew beyond key shuffle + presentation sort " +
+        s"($exchanges > 2):\n$plan")
   }
 }
