@@ -29,7 +29,10 @@ object PlanDump {
                   "dd_group_split",
                   "ts_logreg_score","sc_kmv_distinct","sc_kmv_setops",
                   "ev_kmv_daily","ev_cohort_retention","dd_dup_spans",
-                  "dd_containment")) {
+                  "dd_containment",
+                  "gr_triangles","ev_stream_sessionize_batch","u5_scd2",
+                  "sc_sample_quantiles","ts_priority_sample",
+                  "sc_topk_sketch","sim_pq_encode","sim_pq_topk")) {
       sb.append(s"\n## $q\n\n```\n")
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode)
