@@ -305,4 +305,48 @@ object Sampling {
           .otherwise(greatest(col(weightCol).cast("double"),
             col("__tau"))).as("est_w"))
   }
+
+  /** Per-group [[prioritySample]] — k weighted draws PER GROUP with
+    * each group's own τ and max(w, τ) estimator: the weighted
+    * domain-mixing primitive ([[temperatureMix]] reweights whole
+    * domains; this samples WITHIN each domain proportional to row
+    * weight, e.g. k documents per language weighted by tokens, with
+    * unbiased per-domain token totals from the sample alone).
+    *
+    * Shape: one hash shuffle on the group key; the rank is a
+    * WindowGroupLimit top-(k+1) (per-partition per-group bounded
+    * heaps before the exchange — never a full per-group sort
+    * materialization), and τ rides the same partitioning as a
+    * one-value window. Same pinned hash-uniform priority and null /
+    * non-positive-weight exclusions as [[prioritySample]].
+    */
+  def prioritySamplePerGroup(df: DataFrame, groupCol: String,
+      idCol: String, weightCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000000, s"k must be in [1, 1e6], got $k")
+    import graft.sketch.Kmv
+    val ud = Kmv.unsignedDouble(Kmv.flippedHash(col(idCol)))
+    val q = col(weightCol).cast("double") * lit(Kmv.TwoPow64) /
+      (ud + lit(1.0))
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("__q").desc, col(idCol))
+    val grp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    df.filter(col(groupCol).isNotNull && col(idCol).isNotNull &&
+        col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(groupCol), col(idCol), col(weightCol), q.as("__q"))
+      .withColumn("__rn", row_number().over(ord))
+      .filter(col("__rn") <= k + 1) // WindowGroupLimit bounds the sort
+      .withColumn("__tau",
+        max(when(col("__rn") === k + 1, col("__q"))).over(grp))
+      .filter(col("__rn") <= k)
+      .select(col(groupCol), col(idCol), col(weightCol),
+        col("__q").as("priority"),
+        when(col("__tau").isNull, col(weightCol).cast("double"))
+          .otherwise(greatest(col(weightCol).cast("double"),
+            col("__tau"))).as("est_w"))
+  }
 }

@@ -71,4 +71,33 @@ object SampleQuantiles {
             floor(col("q") * (size(col("__vals")) - 1).cast("double"))
               .cast("int") + 1)).as("est"))
   }
+
+  /** Per-group quantile estimates — one bounded bottom-k sample PER
+    * GROUP (the grouped twin of [[quantiles]]; same row shape plus the
+    * group key). Null group keys are excluded; a group whose values
+    * are all null/NaN is absent (no sample exists to read). State per
+    * group is ≤ k pairs — a million-group corpus costs k·|groups|
+    * bounded buffers, never a per-group value sort.
+    */
+  def groupedQuantiles(df: DataFrame, grp: Column, key: Column,
+      value: Column, k: Int, probs: Seq[Double]): DataFrame = {
+    validate(k)
+    require(probs.nonEmpty && probs.forall(q => q >= 0.0 && q <= 1.0),
+      s"probs must be in [0, 1], got $probs")
+    val in = df.filter(grp.isNotNull && key.isNotNull &&
+      value.isNotNull && !isnan(value))
+    in.groupBy(grp.as("grp"))
+      .agg(sampleAgg(key, value, k).as("__sample"))
+      .select(col("grp"),
+        array_sort(transform(col("__sample"), p => p("v")))
+          .as("__vals"))
+      .select(col("grp"),
+        explode(array(probs.map(lit): _*)).as("q"), col("__vals"))
+      .select(col("grp"), col("q"),
+        size(col("__vals")).cast("long").as("n_sample"),
+        when(size(col("__vals")) > 0,
+          element_at(col("__vals"),
+            floor(col("q") * (size(col("__vals")) - 1).cast("double"))
+              .cast("int") + 1)).as("est"))
+  }
 }

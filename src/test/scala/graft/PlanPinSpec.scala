@@ -559,6 +559,17 @@ class PlanPinSpec extends SparkTestBase {
       s"priority sampling is scan + heap, no join:\n$plan")
   }
 
+  test("ts_group_priority_sample: the per-group rank is a " +
+      "WindowGroupLimit (bounded per-group heaps), one key shuffle") {
+    val plan = SparkEntry.queries("ts_group_priority_sample")(
+        spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"the k+1 rank filter must push into a group-limit heap:\n$plan")
+    assert(!plan.contains("Join"),
+      s"per-group sampling is scan + windows, no join:\n$plan")
+  }
+
   test("sc_sample_quantiles: one bounded partial-aggregating pass, " +
       "no window, no join") {
     val plan = SparkEntry.queries("sc_sample_quantiles")(spark, sf0001)

@@ -91,6 +91,33 @@ class SampleQuantilesSpec extends SparkTestBase {
         Seq(1.5)))
   }
 
+  test("grouped quantiles equal per-group runs of the global " +
+      "operator; null groups excluded") {
+    val rnd = new scala.util.Random(3)
+    val rows = (1L to 600L).map(id =>
+      (id % 3, id, rnd.nextInt(500) / 7.0))
+    val df = rows.toDF("g", "id", "v")
+    val probs = Seq(0.25, 0.5, 0.9)
+    val grouped = SampleQuantiles.groupedQuantiles(df.repartition(7),
+        col("g"), col("id"), col("v"), k = 64, probs = probs)
+      .as[(Long, Double, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    for (g <- 0L until 3L) {
+      val single = SampleQuantiles.quantiles(df.filter(col("g") === g),
+          col("id"), col("v"), k = 64, probs = probs)
+        .as[(Double, Long, Double)].collect()
+      for ((q, n, est) <- single)
+        assert(grouped((g, q)) == ((n, est)), s"g=$g q=$q")
+    }
+    val withNullGroup = rows.map { case (g, id, v) =>
+      (if (id % 10 == 0) None else Some(g), id, v) }
+      .toDF("g", "id", "v")
+    val gs = SampleQuantiles.groupedQuantiles(withNullGroup, col("g"),
+        col("id"), col("v"), k = 64, probs = Seq(0.5))
+      .select("grp").distinct().as[Long].collect().toSet
+    assert(gs == Set(0L, 1L, 2L), "null group keys must be excluded")
+  }
+
   test("sample membership is hash-pinned: the retained hashes equal " +
       "the KMV sketch of the same keys") {
     val rows = (1L to 300L).map(id => (id, id * 2.0))

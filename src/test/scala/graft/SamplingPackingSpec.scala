@@ -297,6 +297,35 @@ class SamplingPackingSpec extends SparkTestBase {
     assert(Sampling.prioritySample(noisy, "id", "w", 32).count() == 10)
   }
 
+  test("per-group priority sample equals the global operator run on " +
+      "each group alone") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val rows = (1L to 900L).map(id =>
+      (s"g${id % 4}", id, 1L + rnd.nextInt(300)))
+    val df = rows.toDF("g", "id", "w")
+    val grouped = Sampling
+      .prioritySamplePerGroup(df.repartition(8), "g", "id", "w", 16)
+      .as[(String, Long, Long, Double, Double)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(r => (r._2, r._3, r._4, r._5)).toSet).toMap
+    for (g <- Seq("g0", "g1", "g2", "g3")) {
+      val single = Sampling.prioritySample(
+          df.filter(col("g") === g).drop("g"), "id", "w", 16)
+        .as[(Long, Long, Double, Double)].collect().toSet
+      assert(grouped(g) == single, s"group $g")
+    }
+    // a group smaller than k stays in the exact regime (est_w == w)
+    val tiny = (rows.take(5).map { case (_, id, w) => ("small", id, w) }
+      ++ rows.map { case (_, id, w) => ("big", id + 1000, w) })
+      .toDF("g", "id", "w")
+    val small = Sampling
+      .prioritySamplePerGroup(tiny, "g", "id", "w", 16)
+      .filter(col("g") === "small")
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(small.length == 5 && small.forall(r => r._5 == r._3.toDouble))
+  }
+
   test("priority sample: subset-sum estimator is unbiased within " +
       "sampling error across disjoint hash-seeded populations") {
     import spark.implicits._
