@@ -354,11 +354,14 @@ object GraphOps {
       dstCol: String): DataFrame = {
     val s = col(srcCol)
     val d = col(dstCol)
-    // collapse to the canonical undirected simple edge set (u < v)
-    val e = edges
+    // collapse to the canonical undirected simple edge set (u < v);
+    // CUT — e feeds the degree union (twice) and the orientation join,
+    // so an uncut lineage recomputes the caller's edge derivation
+    // (often itself a join) three times over
+    val e = cut(edges
       .filter(s.isNotNull && d.isNotNull && s =!= d)
       .select(least(s, d).as("__u"), greatest(s, d).as("__v"))
-      .distinct()
+      .distinct())
     val deg = e.select(col("__u").as("__n"))
       .unionAll(e.select(col("__v").as("__n")))
       .groupBy(col("__n")).agg(count(lit(1)).as("__deg"))
@@ -367,11 +370,13 @@ object GraphOps {
     val dv = deg.select(col("__n").as("__v"), col("__deg").as("__dv"))
     val lowFirst = col("__du") < col("__dv") ||
       (col("__du") === col("__dv") && col("__u") < col("__v"))
-    val o = e.join(du, Seq("__u")).join(dv, Seq("__v"))
+    // CUT — the oriented edge list feeds both wedge sides AND the
+    // closure probe (three consumers of the same two-join derivation)
+    val o = cut(e.join(du, Seq("__u")).join(dv, Seq("__v"))
       .select(
         when(lowFirst, col("__u")).otherwise(col("__v")).as("__a"),
         when(lowFirst, col("__v")).otherwise(col("__u")).as("__b"),
-        when(lowFirst, col("__dv")).otherwise(col("__du")).as("__bd"))
+        when(lowFirst, col("__dv")).otherwise(col("__du")).as("__bd")))
     // wedges at the low vertex, outer pair ordered by (degree, node)
     // so each wedge enumerates once and matches the edge orientation
     val w1 = o.select(col("__a"), col("__b").as("__x"),
