@@ -32,7 +32,8 @@ object PlanDump {
                   "dd_containment",
                   "gr_triangles","ev_stream_sessionize_batch","u5_scd2",
                   "sc_sample_quantiles","ts_priority_sample",
-                  "sc_topk_sketch","sim_pq_encode","sim_pq_topk")) {
+                  "sc_topk_sketch","sim_pq_encode","sim_pq_topk",
+                  "sc_group_quantiles","ts_group_priority_sample")) {
       sb.append(s"\n## $q\n\n```\n")
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode)
