@@ -2097,6 +2097,24 @@ object SparkEntry {
         ev.where(col("user_id") % 3 === 0).select(col("event_id")),
         "event_id", k = 128)
     }),
+    "sc_ri_audit" -> ((s, dir) => {
+      // referential-integrity audit: exact orphan counts per FK edge
+      // via anti-join + partial counts. Two edges audit DAMAGED
+      // parents (every 5th/7th key "deleted" — the bad-partition-
+      // delete state the check exists to catch, and the rows are
+      // non-vacuous by construction); one audits the intact edge.
+      val li = t(s, dir, "lineitem")
+      val ords = t(s, dir, "orders")
+      val a = graft.ops.Profile.riAudit(li, "l_orderkey",
+        ords.filter(col("o_orderkey") % 5 =!= 0), "o_orderkey",
+        "lineitem->orders[%5 deleted]")
+      val b = graft.ops.Profile.riAudit(li, "l_partkey",
+        t(s, dir, "part").filter(col("p_partkey") % 7 =!= 0),
+        "p_partkey", "lineitem->part[%7 deleted]")
+      val c = graft.ops.Profile.riAudit(ords, "o_custkey",
+        t(s, dir, "customer"), "c_custkey", "orders->customer")
+      a.unionByName(b).unionByName(c).orderBy(col("relation"))
+    }),
     "sc_sample_quantiles" -> ((s, dir) => {
       // bottom-k-by-hash quantile sketch: the 256 smallest
       // (xxhash64(event_id), value) pairs are a deterministic uniform
@@ -4770,6 +4788,34 @@ object SparkEntry {
          SELECT * FROM th
          UNION ALL SELECT * FROM sh
          ORDER BY domain, cnt DESC, value""",
+    // exact integer orphan counts per FK edge; the fraction is one
+    // int/int division on both sides
+    "sc_ri_audit" -> {
+      def one(rel: String, childT: String, childK: String,
+          parentT: String, parentK: String, parentW: String) =
+        s"""SELECT '$rel' AS relation,
+           (SELECT count(*) FROM $childT) AS n_child,
+           (SELECT count(*) FROM $childT WHERE $childK IS NULL)
+             AS n_null_key,
+           (SELECT count(*) FROM $childT WHERE $childK IS NOT NULL
+              AND $childK NOT IN (SELECT $parentK FROM $parentT
+                WHERE $parentK IS NOT NULL $parentW)) AS n_orphan"""
+      val rows = Seq(
+        one("lineitem->orders[%5 deleted]", "lineitem", "l_orderkey",
+          "orders", "o_orderkey", "AND o_orderkey % 5 <> 0"),
+        one("lineitem->part[%7 deleted]", "lineitem", "l_partkey",
+          "part", "p_partkey", "AND p_partkey % 7 <> 0"),
+        one("orders->customer", "orders", "o_custkey",
+          "customer", "c_custkey", "")).mkString(" UNION ALL ")
+      s"""SELECT relation, CAST(n_child AS BIGINT) AS n_child,
+         CAST(n_null_key AS BIGINT) AS n_null_key,
+         CAST(n_orphan AS BIGINT) AS n_orphan,
+         CASE WHEN n_child - n_null_key > 0
+           THEN CAST(n_orphan AS DOUBLE)
+             / CAST(n_child - n_null_key AS DOUBLE)
+           ELSE CAST(0.0 AS DOUBLE) END AS orphan_frac
+         FROM ($rows) ORDER BY relation"""
+    },
     // the bottom-k sample replayed exactly: DISTINCT (u, v) pairs in
     // (hash, value) order, LIMIT k, then the same nearest-rank-floor
     // pick over the value-sorted sample (index math in DOUBLE on both

@@ -351,4 +351,41 @@ object Profile {
         col("n"))
       .orderBy(col("bin"))
   }
+
+  /** REFERENTIAL-INTEGRITY audit of one foreign-key edge — the
+    * cross-table QC check the per-column profiles above can't express:
+    * one row `(relation, n_child, n_null_key, n_orphan, orphan_frac)`
+    * where an ORPHAN is a child row whose non-null key has no match in
+    * the parent (the state a bad partition delete, a short load, or an
+    * out-of-order ingest leaves behind). `n_null_key` is reported
+    * separately — a null FK is absent-by-design, not broken.
+    *
+    * Shape: the totals are one partial-aggregable scan of the child;
+    * orphan counting is a LEFT ANTI equi-join against the parent's key
+    * projection (broadcast when the parent is a dimension, shuffle
+    * otherwise — AQE decides) feeding another count. Two one-row
+    * frames cross via broadcast. Exact integer counts; the fraction is
+    * one int/int division — deterministic cross-engine.
+    */
+  def riAudit(child: DataFrame, childKey: String, parent: DataFrame,
+      parentKey: String, relation: String): DataFrame = {
+    val totals = child.agg(
+      count(lit(1)).as("n_child"),
+      (count(lit(1)) - count(col(childKey))).as("n_null_key"))
+    val orphans = child
+      .filter(col(childKey).isNotNull)
+      .select(col(childKey).as("__k"))
+      .join(parent.filter(col(parentKey).isNotNull)
+        .select(col(parentKey).as("__k")), Seq("__k"), "left_anti")
+      .agg(count(lit(1)).as("n_orphan"))
+    totals.crossJoin(broadcast(orphans))
+      .select(lit(relation).as("relation"),
+        col("n_child").cast("long").as("n_child"),
+        col("n_null_key").cast("long").as("n_null_key"),
+        col("n_orphan").cast("long").as("n_orphan"),
+        when(col("n_child") - col("n_null_key") > 0,
+          col("n_orphan").cast("double") /
+            (col("n_child") - col("n_null_key")).cast("double"))
+          .otherwise(lit(0.0)).as("orphan_frac"))
+  }
 }

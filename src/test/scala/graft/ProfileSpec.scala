@@ -270,4 +270,29 @@ class ProfileSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Profile.profileText(d, Seq("zz")))
     intercept[IllegalArgumentException](Profile.profileText(d, Seq.empty))
   }
+
+  test("riAudit: exact orphan/null accounting, intact edge reads " +
+      "zero, all-null child divides safely") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(9L), Some(8L),
+      None, None).toDF("fk")
+    val r = Profile.riAudit(child, "fk", parent, "pk", "edge")
+      .as[(String, Long, Long, Long, Double)].head()
+    assert(r == (("edge", 7L, 2L, 2L, 2.0 / 5.0)))
+    // intact edge: zero orphans
+    val ok = Profile.riAudit(Seq(1L, 2L).toDF("fk"), "fk", parent,
+        "pk", "ok").as[(String, Long, Long, Long, Double)].head()
+    assert(ok == (("ok", 2L, 0L, 0L, 0.0)))
+    // every key null: fraction guarded to 0, not NaN
+    val nulls = Seq[Option[Long]](None, None).toDF("fk")
+    val nn = Profile.riAudit(nulls, "fk", parent, "pk", "nulls")
+      .as[(String, Long, Long, Long, Double)].head()
+    assert(nn == (("nulls", 2L, 2L, 0L, 0.0)))
+    // null parent keys never match anything (no null-joins-null)
+    val nullParent = Seq[Option[Long]](None, Some(1L)).toDF("pk")
+    val np = Profile.riAudit(Seq[Option[Long]](None, Some(2L))
+        .toDF("fk"), "fk", nullParent, "pk", "np")
+      .as[(String, Long, Long, Long, Double)].head()
+    assert(np == (("np", 2L, 1L, 1L, 1.0)))
+  }
 }
