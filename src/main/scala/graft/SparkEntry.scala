@@ -2429,8 +2429,9 @@ object SparkEntry {
 
   /** Parameterized DuckDB twin of Retrieval.bm25TopK / bm25ProbeIndex:
     * Okapi BM25 with the Lucene idf, per-(query, doc) contributions
-    * folded in TERM order (the pinned float-sum discipline), ranking by
-    * (score desc, doc_id) — the ordering the bounded k-heap emits.
+    * quantized (round(c·1e10) → BIGINT) and integer-summed (the
+    * fixed-point order-free discipline of sim_label_centroids), ranking
+    * by (score desc, doc_id) — the ordering the bounded k-heap emits.
     * `corpusSql` yields (doc_id, text); `querySql` yields (query_id,
     * text) whose first `sliceLen` distinct tokens form the query terms.
     * Shared by the ts_bm25_topk / ts_bm25_probe / ts_bm25_incremental
@@ -2477,8 +2478,8 @@ object SparkEntry {
            WHERE CAST(d.df AS DOUBLE)
              <= CAST($maxDfFrac AS DOUBLE) * CAST(s.n AS DOUBLE)),
          sc AS (SELECT query_id, doc_id,
-             list_reduce(list_prepend(0.0, list(c ORDER BY w)),
-               (a, e) -> a + e) AS score
+             CAST(CAST(sum(CAST(round(c * 1e10) AS BIGINT)) AS BIGINT)
+               AS DOUBLE) / 1e10 AS score
            FROM contrib GROUP BY query_id, doc_id),
          rk AS (SELECT query_id, doc_id, score,
              CAST(row_number() OVER (PARTITION BY query_id
@@ -4328,8 +4329,9 @@ object SparkEntry {
          ORDER BY vec_id, proj_dim""",
     "ts_rrf_fusion" ->
       // sparse list = the shared bm25 formula; dense list = the
-      // sim_cosine_topk ranking; contributions 1/(60+rank) folded in
-      // source order — exact doubles end to end
+      // sim_cosine_topk ranking; contributions 1/(60+rank) quantized
+      // (round(c*1e10) -> BIGINT) and integer-summed — the fixed-point
+      // order-free fold, exact doubles end to end
       s"""WITH sp AS (${bm25OracleSql(
             "SELECT doc_id, text FROM documents",
             "SELECT doc_id AS query_id, text FROM documents " +
@@ -4345,13 +4347,13 @@ object SparkEntry {
                (SELECT * FROM embeddings WHERE vec_id < 8) q
              WHERE c.vec_id <> q.vec_id)
            WHERE rank <= 5),
-         u AS (SELECT query_id, doc_id AS id, 0 AS src,
+         u AS (SELECT query_id, doc_id AS id,
              CAST(1.0 AS DOUBLE) / (60 + rank) AS c FROM sp
-           UNION ALL SELECT query_id, vec_id AS id, 1 AS src,
+           UNION ALL SELECT query_id, vec_id AS id,
              CAST(1.0 AS DOUBLE) / (60 + rank) AS c FROM dn),
          sc AS (SELECT query_id, id,
-             reduce(list_prepend(CAST(0.0 AS DOUBLE),
-               list(c ORDER BY src)), (a, e) -> a + e) AS s
+             CAST(CAST(sum(CAST(round(c * 1e10) AS BIGINT)) AS BIGINT)
+               AS DOUBLE) / 1e10 AS s
            FROM u GROUP BY query_id, id),
          rk AS (SELECT query_id, id, s AS rrf_score,
              CAST(row_number() OVER (PARTITION BY query_id

@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 import graft.text.Retrieval
 
 /** BM25 ranked retrieval: scores against an independent in-JVM model
-  * (same term-ordered float fold), stop-term guard semantics, rank
-  * tie-break, id-type gating and partitioning invariance.
+  * (same fixed-point quantized contribution sum), stop-term guard
+  * semantics, rank tie-break, id-type gating and partitioning
+  * invariance.
   */
 class Bm25Spec extends SparkTestBase {
   import spark.implicits._
@@ -20,8 +21,9 @@ class Bm25Spec extends SparkTestBase {
   ).toDF("doc_id", "text")
 
   /** Independent BM25 model: same tokenization, same Lucene idf, same
-    * term-sorted contribution fold — plain Scala doubles, so agreement
-    * with the operator is bit-exact (identical JVM arithmetic).
+    * fixed-point quantized contribution sum (round(c·1e10) longs,
+    * integer-summed, de-scaled once) — plain Scala arithmetic, so
+    * agreement with the operator is bit-exact.
     */
   private def model(docs: Seq[(Long, String)], query: String, k1: Double,
       b: Double, maxDfFrac: Double): Map[Long, Double] = {
@@ -35,17 +37,19 @@ class Bm25Spec extends SparkTestBase {
       .filter(t => df.contains(t) && df(t).toDouble <= maxDfFrac * n.toDouble)
     corp.flatMap { case (id, tk) =>
       val tf = tk.groupBy(identity).view.mapValues(_.size).toMap
-      val cs = qts.filter(tf.contains).sorted.map { t =>
+      val cs = qts.filter(tf.contains).map { t =>
         // Spark's Log expression evaluates via StrictMath.log (1 ulp
         // off java.lang.Math.log on some inputs) — match it exactly
         val idf = StrictMath.log(1.0 + (n.toDouble - df(t).toDouble + 0.5) /
           (df(t).toDouble + 0.5))
         val tfd = tf(t).toDouble
-        idf * ((tfd * (k1 + 1.0)) /
-          (tfd + k1 * ((1.0 - b) + b * (tk.size.toDouble / avgdl))))
+        // the operator's fixed-point quantization: round(c·1e10) long
+        math.round((idf * ((tfd * (k1 + 1.0)) /
+          (tfd + k1 * ((1.0 - b) + b * (tk.size.toDouble / avgdl)))))
+          * 1e10)
       }
       if (cs.isEmpty) None
-      else Some(id -> cs.foldLeft(0.0)(_ + _))
+      else Some(id -> cs.sum.toDouble / 1e10)
     }.toMap
   }
 

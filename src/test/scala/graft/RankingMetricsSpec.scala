@@ -65,9 +65,12 @@ class RankingMetricsSpec extends SparkTestBase {
         k = 5, rrfK = 60)
       .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
       .sortBy(_._3)
-    // 11 appears in both: 1/62 + 1/61 tops everything
+    // 11 appears in both: 1/62 + 1/61 tops everything; the operator's
+    // fixed-point fold makes the expected double exactly computable
     assert(got.head._1 == 11L)
-    assert(math.abs(got.head._2 - (1.0 / 62 + 1.0 / 61)) < 1e-15)
+    assert(got.head._2 ==
+      (math.round(1.0 / 62 * 1e10) + math.round(1.0 / 61 * 1e10))
+        .toDouble / 1e10)
     // 10 (1/61) next, then 13 (1/62), then 12 and 14 tie at 1/63 ->
     // smaller id first
     assert(got.map(_._1).toSeq == Seq(11L, 10L, 13L, 12L, 14L))
