@@ -166,7 +166,7 @@ cent AS MATERIALIZED (SELECT mc AS cell, cents[mc + 1] AS cv
 
 
 def pq_prefix(m=8, k_per_sub=16, dim=64, refine_sample=256,
-              lloyd_iters=2):
+              lloyd_iters=2, include_emb=True):
     """Namespaced per-subspace quantizer chains (graft.sim.Pq): ONE
     shared hash-deterministic sample (full vectors), then for each
     subspace j a farthest-point + Lloyd chain over the v[lo:hi] slices
@@ -176,9 +176,10 @@ def pq_prefix(m=8, k_per_sub=16, dim=64, refine_sample=256,
     Returns (cte_body, [codebook CTE names], subdim)."""
     sub = dim // m
     idh = signed(xxh64_long("vec_id", "42"))
-    parts = [f"""emb AS (
+    emb_cte = ("""emb AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-samp0 AS MATERIALIZED (SELECT v,
+""" if include_emb else "")
+    parts = [emb_cte + f"""samp0 AS MATERIALIZED (SELECT v,
     row_number() OVER (ORDER BY idh, vec_id) AS srn
   FROM (SELECT v, vec_id, {idh} AS idh FROM emb)
   QUALIFY row_number() OVER (ORDER BY idh, vec_id) <= {refine_sample})"""]
@@ -327,6 +328,73 @@ SELECT query_id, vec_id, round(cosine, 6) AS cos6, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= {k} ORDER BY query_id, rank"""
 
 
+def sim_ivfpq_sql(n_centroids=16, n_probe=8, extra_probes=4,
+                  rho=1.05, m=8, k_per_sub=16, dim=64, k=5, over_fetch=8,
+                  refine_sample=256, lloyd_iters=2):
+    """graft.sim.Pq.ivfPqTopK — the two oracle-replayable halves
+    composed: the shared IVF quantizer prefix (emb/samp/.../cdist/
+    assigned) routes each query to its n_probe (+ adaptive boundary
+    fallback) cells, the PQ prefix (emb skipped — shared) encodes every
+    corpus row, in-cell candidates score by ADC cosine over the codes,
+    and the top-(k*over_fetch) survivors rerank exactly. Every float
+    fold is the pinned order both halves already pin, so the composed
+    ranks are bit-equal."""
+    pq_body, cents, sub = pq_prefix(m, k_per_sub, dim, refine_sample,
+                                    lloyd_iters, include_emb=False)
+    froms = ", ".join(f"{cents[j]} cp{j}" for j in range(m))
+    dot_terms, rn_terms = [], []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        entry = f"cp{j}.cents[c.codes[{j + 1}] + 1]"
+        dot_terms.append("(" + fold0(
+            f"list_transform(p.qv[{lo}:{hi}], "
+            f"(ax, ai) -> ax * ({entry})[ai])") + ")")
+        rn_terms.append("(" + fold0(
+            f"list_transform({entry}, xx -> xx * xx)") + ")")
+    ip = " + ".join(dot_terms)
+    rn2 = " + ".join(rn_terms)
+    qn = f"sqrt({fold0('list_transform(p.qv, xx -> xx * xx)')})"
+    ranked = f"""SELECT vec_id, v, cell, d, row_number() OVER (
+      PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM cdist WHERE vec_id < 8"""
+    if extra_probes > 0:
+        probes = f"""pr AS MATERIALIZED (SELECT * FROM ({ranked})),
+cut AS (SELECT vec_id, d * {rho!r} AS dcut FROM pr WHERE rn = {n_probe}),
+probes AS (SELECT pr.vec_id AS query_id, pr.v AS qv, pr.cell
+  FROM pr JOIN cut USING (vec_id)
+  WHERE rn <= {n_probe}
+     OR (rn <= {n_probe + extra_probes} AND pr.d <= dcut))"""
+    else:
+        probes = f"""probes AS (SELECT vec_id AS query_id, v AS qv, cell
+  FROM ({ranked}) WHERE rn <= {n_probe})"""
+    return f"""WITH {quantizer_prefix(n_centroids, refine_sample,
+                                      lloyd_iters)},
+{pq_body},
+{probes},
+sc AS (SELECT p.query_id, a.vec_id,
+    CASE WHEN ({qn}) = 0 OR ({rn2}) = 0 THEN NULL
+         ELSE ({ip}) / (({qn}) * sqrt({rn2})) END AS aprx
+  FROM assigned a JOIN probes p USING (cell)
+  JOIN codes c ON c.vec_id = a.vec_id, {froms}
+  WHERE a.vec_id <> p.query_id),
+co AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY aprx DESC, vec_id) AS rn
+  FROM sc WHERE aprx IS NOT NULL AND NOT isnan(aprx))
+  WHERE rn <= {k * over_fetch}),
+q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 8),
+rr AS (SELECT co.query_id, co.vec_id,
+    {cosine('e.v', 'q.qv')} AS cosine
+  FROM co JOIN emb e ON e.vec_id = co.vec_id
+  JOIN q ON q.query_id = co.query_id),
+r AS (SELECT query_id, vec_id, cosine, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM rr WHERE cosine IS NOT NULL AND NOT isnan(cosine))
+SELECT query_id, vec_id, round(cosine, 6) AS cos6,
+  CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k} ORDER BY query_id, rank"""
+
+
 def emb_neardups_sql(planes=4, threshold=0.3, max_bucket=64):
     """Dedup.embeddingNearDups: pairs inside a sign-pattern bucket with
     exact cosine >= threshold (cosines bit-equal, so the filter is too).
@@ -462,6 +530,7 @@ def validate(sf_dir, verify_dir):
                       ("sim_ivf_topk", sim_ivf_sql()),
                       ("sim_pq_encode", sim_pq_encode_sql()),
                       ("sim_pq_topk", sim_pq_topk_sql()),
+                      ("sim_ivfpq_topk", sim_ivfpq_sql()),
                       ("dd_embedding_neardups", emb_neardups_sql()),
                       ("dd_semantic", dd_semantic_sql()),
                       ("dd_semantic_prune", dd_semantic_prune_sql()),
@@ -505,6 +574,7 @@ def emit_scala(path):
                           ("simIvfTopK", sim_ivf_sql()),
                           ("simPqEncode", sim_pq_encode_sql()),
                           ("simPqTopK", sim_pq_topk_sql()),
+                          ("simIvfPqTopK", sim_ivfpq_sql()),
                           ("ddEmbeddingNearDups", emb_neardups_sql()),
                           ("ddSemantic", dd_semantic_sql()),
                           ("ddSemanticPrune", dd_semantic_prune_sql()),

@@ -1865,6 +1865,25 @@ object SparkEntry {
           col("rank").cast("bigint").as("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "sim_ivfpq_topk" -> ((s, dir) => {
+      // the FAISS IVFPQ layout end-to-end (Jégou TPAMI 2011 §V): the
+      // coarse IVF quantizer (16 cells, probe 8 + ≤4 adaptive boundary
+      // fallbacks) routes each query to ~half the cells, in-cell
+      // candidates score by ADC cosine over their 8-byte PQ codes, and
+      // the top-40 survivors rerank exactly — the corpus-sized pass
+      // reads (cell, codes) only, never a raw vector
+      val emb = t(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val q = emb.filter(col("vec_id") < 8)
+      graft.sim.Pq.ivfPqTopK(emb, "vec_id", "embedding",
+          q, "vec_id", "embedding", k = 5, dim = 64, nCentroids = 16,
+          nProbe = 8, m = 8, kPerSub = 16, overFetch = 8,
+          extraProbes = 4, boundaryRho = 1.05)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cosine"), 6).as("cos6"),
+          col("rank").cast("bigint").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "ts_chunk_overlap" -> ((s, dir) => {
       // RAG-corpus chunking: 64-word windows advancing by 48 (16-word
       // overlap), row-local integer arithmetic, fingerprinted text
@@ -3222,6 +3241,7 @@ object SparkEntry {
     // score / rerank — a bug anywhere in the chain cannot hash-match
     "sim_pq_encode" -> SimOracles.simPqEncode,
     "sim_pq_topk" -> SimOracles.simPqTopK,
+    "sim_ivfpq_topk" -> SimOracles.simIvfPqTopK,
     "dd_embedding_neardups" -> SimOracles.ddEmbeddingNearDups,
     "dd_semantic" -> SimOracles.ddSemantic,
     "dd_semantic_prune" -> SimOracles.ddSemanticPrune,

@@ -41,6 +41,11 @@ object Bmp {
       s"bad dims ${w}x$h (w >= 8 keeps the schedule constructs disjoint)")
     require(absExtra >= 0 && absExtra <= w - 5,
       s"absExtra $absExtra leaves no room for the delta tail")
+    // the absolute-block count is a single byte in the stream: without
+    // this bound a large absExtra (w can reach 0xFFFF) would silently
+    // truncate the count and emit a corrupt RLE8 stream
+    require(3 + absExtra <= 255,
+      s"absExtra $absExtra overflows the one-byte absolute-block count")
     val rle = new java.io.ByteArrayOutputStream()
     var fr = 0
     while (fr < h) {

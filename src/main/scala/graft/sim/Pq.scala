@@ -64,23 +64,30 @@ object Pq {
     }
   }
 
-  /** Scan-stage encoder: `(id, codes)` with `codes(j)` = the nearest
-    * codebook-j centroid of the j-th vector slice (pinned fold order,
-    * ties to the lowest code — the NearestCells kernel per subspace).
-    * Zero exchanges: the codebooks ride the plan as literals.
+  /** The codes column for a vector column under `codebooks`: element j
+    * = the nearest codebook-j centroid of the j-th slice (pinned fold
+    * order, ties to the lowest code — the NearestCells kernel per
+    * subspace). A pure projection: codebooks ride the plan as literals.
     */
-  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
-      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+  private def codesColumn(vec: Column,
+      codebooks: Array[Array[Array[Double]]]): Column = {
     val m = codebooks.length
     val sub = codebooks(0)(0).length
-    val codes = array((0 until m).map { j =>
+    array((0 until m).map { j =>
       graft.functions.VectorFunctions
-        .nearestCells(slice(col(vecCol), j * sub + 1, sub),
+        .nearestCells(slice(vec, j * sub + 1, sub),
           codebooks(j).map(_.toSeq).toSeq, 1)
         .getItem(0)
     }: _*)
-    corpus.select(col(idCol), codes.as("codes"))
   }
+
+  /** Scan-stage encoder: `(id, codes)` — see [[codesColumn]]. Zero
+    * exchanges.
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame =
+    corpus.select(col(idCol), codesColumn(col(vecCol), codebooks)
+      .as("codes"))
 
   /** ADC cosine of a query vector against a codes column:
     * cos(q, recon(codes)). All codebook-derived constants are plan
@@ -136,6 +143,84 @@ object Pq {
       .select("query_id", "vec_id", "cosine")
     val cands = Similarity.rankTopK(coarse, k * overFetch)
       .select("query_id", "vec_id")
+    val rerank = corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).as("__cv"))
+      .join(broadcast(cands), Seq("vec_id"))
+      .join(qp, Seq("query_id"))
+      .withColumn("cosine", Similarity.cosine(col("__cv"), col("__qv")))
+      .select("query_id", "vec_id", "cosine")
+    Similarity.rankTopK(rerank, k)
+  }
+
+  /** IVF-PQ composed retriever (Jégou–Douze–Schmid TPAMI 2011 §V — the
+    * FAISS IVFPQ layout, the actual billion-vector shape): a coarse IVF
+    * quantizer routes each query to its `nProbe` (+ adaptive boundary
+    * fallback) nearest cells, the in-cell candidates score by ADC
+    * cosine over their 8-byte PQ CODES, and the top-(k·overFetch)
+    * survivors rerank exactly on raw vectors.
+    *
+    * Scale shape — what each pass touches:
+    *  - training: TWO bounded hash-deterministic samples (coarse
+    *    centroids + per-subspace codebooks), driver state = sample +
+    *    models, never corpus-sized;
+    *  - index build: ONE scan-stage projection emits
+    *    `(vec_id, cell, codes)` — at 100 TB this table (≤ 16 B/row) IS
+    *    the persisted index, and the coarse pass reads it instead of
+    *    the 256 B/row vectors;
+    *  - probe: queries broadcast against ~nProbe/nCells of the codes
+    *    table (the IVF prune), ADC reads codebook literals (the PQ
+    *    compression), ranking is the bounded k-heap; only the ≤
+    *    k·overFetch candidates per query ever touch a raw vector again.
+    *
+    * Determinism: both quantizers train on pinned folds
+    * ([[Similarity.ivfCentroids]] / [[pqCodebooks]]), cell and code
+    * assignment tie to the lowest index, ADC partials sum in
+    * ascending-subspace order — the DuckDB oracle replays the entire
+    * train → assign → encode → probe → score → rerank chain bit-exactly.
+    *
+    * `extraProbes`/`boundaryRho` as in [[Similarity.ivfTopK]] (boundary
+    * queries widen their probe set; 0 = fixed nProbe).
+    */
+  def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, dim: Int, nCentroids: Int = 16, nProbe: Int = 4,
+      m: Int = 8, kPerSub: Int = 16, overFetch: Int = 8,
+      refineSample: Int = 256, lloydIters: Int = 2,
+      extraProbes: Int = 0, boundaryRho: Double = 1.05,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(overFetch >= 1, s"overFetch must be positive, got $overFetch")
+    require(nProbe >= 1, s"nProbe must be positive, got $nProbe")
+    val cents = Similarity.ivfCentroids(corpus, idCol, vecCol,
+      nCentroids, refineSample, lloydIters)
+    val cbs = pqCodebooks(corpus, idCol, vecCol, dim, m, kPerSub,
+      refineSample, lloydIters)
+    val centroidSeq: Seq[Seq[Double]] = cents.toSeq.map(_.toSeq)
+    // the index pass: ONE projection — (vec_id, cell, codes), no raw
+    // vector survives into the coarse side
+    val index = corpus.select(col(idCol).as("vec_id"),
+      graft.functions.VectorFunctions
+        .nearestCells(col(vecCol), centroidSeq, 1).getItem(0)
+        .as("__cell"),
+      codesColumn(col(vecCol), cbs).as("codes"))
+    val probeCells =
+      if (extraProbes == 0)
+        graft.functions.VectorFunctions
+          .nearestCells(col(queryVecCol), centroidSeq, nProbe)
+      else graft.functions.VectorFunctions.nearestCellsAdaptive(
+        col(queryVecCol), centroidSeq, nProbe, extraProbes, boundaryRho)
+    val probes = broadcast(queries.select(
+      col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv"),
+      explode(probeCells).as("__cell")))
+    val paired = index.join(probes, Seq("__cell"))
+    val coarse = (if (excludeSelf)
+        paired.filter(col("vec_id") =!= col("query_id")) else paired)
+      .withColumn("cosine", adcCosine(col("__qv"), col("codes"), cbs))
+      .select("query_id", "vec_id", "cosine")
+    val cands = Similarity.rankTopK(coarse, k * overFetch)
+      .select("query_id", "vec_id")
+    val qp = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      col(queryVecCol).as("__qv")))
     val rerank = corpus
       .select(col(idCol).as("vec_id"), col(vecCol).as("__cv"))
       .join(broadcast(cands), Seq("vec_id"))
