@@ -646,6 +646,25 @@ object SparkEntry {
         .orderBy(col("user_id"), col("version_no"))
     }),
 
+    "u5_scd2_stream_batch" -> ((s, dir) => {
+      // the STREAMING SCD2 twin (CDC changelog → versioned dimension,
+      // StreamingScd2: per-key buffered changes sealed by the
+      // watermark, closed [from, to) versions appended exactly once)
+      // run in batch mode: the identical fold per fully-buffered key
+      // plus the trailing open row — equals the batch operator and is
+      // pinned by the SAME oracle SQL as u5_scd2
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isNotNull)
+      graft.streaming.StreamingScd2.asColumns(
+          graft.streaming.StreamingScd2.scd2RowsBatch(ev, "user_id",
+            "ts", "event_type"), "user_id", "event_type")
+        .select(col("user_id"), col("event_type"), col("valid_from_us"),
+          col("valid_to_us"), col("is_current"),
+          col("version_no").cast("bigint").as("version_no"))
+        .orderBy(col("user_id"), col("version_no"))
+    }),
+
     // --------------------------------------------------- scalar functions
     "f_string_fns" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
@@ -2446,6 +2465,36 @@ object SparkEntry {
     sb.toString
   }
 
+  /** DuckDB twin of ScaleOps.scd2 on the events changelog — shared by
+    * u5_scd2 (the batch operator) and u5_scd2_stream_batch (the
+    * streaming twin's batch mode), which must produce identical rows.
+    */
+  private val scd2OracleSql: String =
+    """WITH c AS (SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AND event_type IS NOT NULL),
+         g AS (SELECT user_id, us, event_type,
+             lag(event_type, 1) OVER
+               (PARTITION BY user_id ORDER BY us, event_type) AS prev_a,
+             row_number() OVER
+               (PARTITION BY user_id ORDER BY us, event_type) AS rn
+           FROM c),
+         ch AS (SELECT user_id, us, event_type FROM g
+           WHERE rn = 1 OR prev_a IS DISTINCT FROM event_type),
+         v AS (SELECT user_id, event_type, us AS valid_from_us,
+             lead(us, 1) OVER
+               (PARTITION BY user_id ORDER BY us, event_type)
+               AS valid_to_us,
+             row_number() OVER
+               (PARTITION BY user_id ORDER BY us, event_type)
+               AS version_no
+           FROM ch)
+         SELECT user_id, event_type, valid_from_us, valid_to_us,
+           (valid_to_us IS NULL) AS is_current,
+           CAST(version_no AS BIGINT) AS version_no
+         FROM v ORDER BY user_id, version_no"""
+
   /** Parameterized DuckDB twin of Retrieval.bm25TopK / bm25ProbeIndex:
     * Okapi BM25 with the Lucene idf, per-(query, doc) contributions
     * quantized (round(c·1e10) → BIGINT) and integer-summed (the
@@ -3056,31 +3105,10 @@ object SparkEntry {
     // SCD2 replayed with the same pinned (ts, attr) order: change rows
     // survive where the lagged attribute differs (first row always),
     // then lead() over the SURVIVOR set supplies valid_to
-    "u5_scd2" ->
-      """WITH c AS (SELECT user_id,
-             epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
-           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
-             AND event_type IS NOT NULL),
-         g AS (SELECT user_id, us, event_type,
-             lag(event_type, 1) OVER
-               (PARTITION BY user_id ORDER BY us, event_type) AS prev_a,
-             row_number() OVER
-               (PARTITION BY user_id ORDER BY us, event_type) AS rn
-           FROM c),
-         ch AS (SELECT user_id, us, event_type FROM g
-           WHERE rn = 1 OR prev_a IS DISTINCT FROM event_type),
-         v AS (SELECT user_id, event_type, us AS valid_from_us,
-             lead(us, 1) OVER
-               (PARTITION BY user_id ORDER BY us, event_type)
-               AS valid_to_us,
-             row_number() OVER
-               (PARTITION BY user_id ORDER BY us, event_type)
-               AS version_no
-           FROM ch)
-         SELECT user_id, event_type, valid_from_us, valid_to_us,
-           (valid_to_us IS NULL) AS is_current,
-           CAST(version_no AS BIGINT) AS version_no
-         FROM v ORDER BY user_id, version_no""",
+    "u5_scd2" -> scd2OracleSql,
+    // the streaming twin's batch mode is pinned by the IDENTICAL SQL:
+    // same versions, same bounds, same collapse rule
+    "u5_scd2_stream_batch" -> scd2OracleSql,
     "f_string_fns" ->
       """SELECT doc_id, upper(substr(text, 1, 12)) AS head_upper,
            CAST(length(text) AS BIGINT) AS len,
