@@ -1063,6 +1063,29 @@ object SparkEntry {
           "doc_id", "w", k = 16)
         .orderBy(col("lang"), col("doc_id"))
     }),
+    "sc_group_quantiles_stream_batch" -> ((s, dir) => {
+      // the STREAMING per-group bottom-k quantile twin run in batch
+      // mode (StreamingSketches: bounded order-free per-group state,
+      // hash arithmetic in the projection): equals the batch operator
+      // and is pinned by the SAME oracle SQL as sc_group_quantiles
+      graft.streaming.StreamingSketches.streamingGroupedQuantiles(
+          t(s, dir, "events"), col("user_id") % 4, col("event_id"),
+          col("value"), k = 128, probs = Seq(0.25, 0.5, 0.9))
+        .drop("rev")
+        .orderBy(col("grp"), col("q"))
+    }),
+    "ts_group_priority_stream_batch" -> ((s, dir) => {
+      // the STREAMING per-group priority-sampling twin in batch mode:
+      // top-(k+1) state per language, tau and max(w, tau) from the
+      // merged state — same oracle as ts_group_priority_sample
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        col("lang"),
+        TextStats.tokenCount(col("text")).cast("bigint").as("w"))
+      graft.streaming.StreamingSketches.streamingGroupPrioritySample(
+          docs, "lang", "doc_id", "w", k = 16)
+        .drop("rev")
+        .orderBy(col("lang"), col("doc_id"))
+    }),
     "ts_strat_sample" -> ((s, dir) => {
       // per-language keep fractions over the same xxhash64 bucket as
       // ts_hash_split: down-samples dominant languages, keeps rare ones
@@ -2463,6 +2486,59 @@ object SparkEntry {
     sb ++= s"""
      SELECT node, pr FROM pr$iters ORDER BY node"""
     sb.toString
+  }
+
+  /** DuckDB twin of Sampling.prioritySamplePerGroup on documents —
+    * shared by ts_group_priority_sample and its streaming twin's batch
+    * mode, which must produce identical rows.
+    */
+  private val groupPrioritySampleOracleSql: String = {
+      val c64 = "CAST(1.8446744073709552e19 AS DOUBLE)"
+      s"""WITH dh AS MATERIALIZED (${SplitOracle.hashCte}),
+         |tw AS (SELECT doc_id, lang,
+         |    CAST(len(list_filter(string_split_regex(lower(text),
+         |      '\\s+'), t -> length(t) > 0)) AS BIGINT) AS w
+         |  FROM documents WHERE lang IS NOT NULL),
+         |j AS (SELECT tw.doc_id, tw.lang, tw.w,
+         |    CAST(tw.w AS DOUBLE) * $c64 /
+         |      (CAST(CAST(hv AS HUGEINT) + CASE WHEN hv < 0
+         |         THEN 18446744073709551616 ELSE 0 END AS DOUBLE)
+         |       + CAST(1.0 AS DOUBLE)) AS q
+         |  FROM tw JOIN dh ON dh.doc_id = tw.doc_id WHERE tw.w > 0),
+         |r AS (SELECT doc_id, lang, w, q, row_number() OVER
+         |    (PARTITION BY lang ORDER BY q DESC, doc_id) AS rn FROM j),
+         |tt AS (SELECT lang, max(CASE WHEN rn = 17 THEN q END) AS tau
+         |  FROM r GROUP BY lang)
+         |SELECT r.lang, r.doc_id, r.w, r.q AS priority,
+         |  CASE WHEN tt.tau IS NULL THEN CAST(r.w AS DOUBLE)
+         |       ELSE greatest(CAST(r.w AS DOUBLE), tt.tau) END AS est_w
+         |FROM r JOIN tt USING (lang) WHERE rn <= 16
+         |ORDER BY lang, doc_id""".stripMargin
+  }
+
+  /** DuckDB twin of SampleQuantiles.groupedQuantiles on events —
+    * shared by sc_group_quantiles and its streaming twin's batch mode,
+    * which must produce identical rows.
+    */
+  private val groupQuantilesOracleSql: String = {
+      s"""WITH er AS MATERIALIZED (${SplitOracle.eventRowHashCte}),
+         |g AS (SELECT DISTINCT user_id % 4 AS grp, u, value AS v
+         |  FROM er WHERE user_id IS NOT NULL AND value IS NOT NULL
+         |    AND NOT isnan(value)),
+         |sk AS (SELECT grp, u, v FROM (SELECT grp, u, v,
+         |    row_number() OVER (PARTITION BY grp ORDER BY u, v) AS rn
+         |  FROM g) WHERE rn <= 128),
+         |vals AS (SELECT grp, v,
+         |    row_number() OVER (PARTITION BY grp ORDER BY v) - 1 AS r
+         |  FROM sk),
+         |nn AS (SELECT grp, count(*) AS n FROM sk GROUP BY grp),
+         |p AS (SELECT CAST(unnest([0.25, 0.5, 0.9]) AS DOUBLE) AS q)
+         |SELECT nn.grp AS grp, p.q AS q,
+         |  CAST(nn.n AS BIGINT) AS n_sample, vals.v AS est
+         |FROM nn CROSS JOIN p JOIN vals ON vals.grp = nn.grp
+         |  AND vals.r = CAST(floor(p.q * CAST(nn.n - 1 AS DOUBLE))
+         |    AS BIGINT)
+         |ORDER BY nn.grp, q""".stripMargin
   }
 
   /** DuckDB twin of ScaleOps.scd2 on the events changelog — shared by
@@ -4223,30 +4299,10 @@ object SparkEntry {
          |FROM r, tt WHERE rn <= 64 ORDER BY doc_id""".stripMargin
     },
     // the per-group twin: rank and tau partition by lang, same pinned
-    // priority expression
-    "ts_group_priority_sample" -> {
-      val c64 = "CAST(1.8446744073709552e19 AS DOUBLE)"
-      s"""WITH dh AS MATERIALIZED (${SplitOracle.hashCte}),
-         |tw AS (SELECT doc_id, lang,
-         |    CAST(len(list_filter(string_split_regex(lower(text),
-         |      '\\s+'), t -> length(t) > 0)) AS BIGINT) AS w
-         |  FROM documents WHERE lang IS NOT NULL),
-         |j AS (SELECT tw.doc_id, tw.lang, tw.w,
-         |    CAST(tw.w AS DOUBLE) * $c64 /
-         |      (CAST(CAST(hv AS HUGEINT) + CASE WHEN hv < 0
-         |         THEN 18446744073709551616 ELSE 0 END AS DOUBLE)
-         |       + CAST(1.0 AS DOUBLE)) AS q
-         |  FROM tw JOIN dh ON dh.doc_id = tw.doc_id WHERE tw.w > 0),
-         |r AS (SELECT doc_id, lang, w, q, row_number() OVER
-         |    (PARTITION BY lang ORDER BY q DESC, doc_id) AS rn FROM j),
-         |tt AS (SELECT lang, max(CASE WHEN rn = 17 THEN q END) AS tau
-         |  FROM r GROUP BY lang)
-         |SELECT r.lang, r.doc_id, r.w, r.q AS priority,
-         |  CASE WHEN tt.tau IS NULL THEN CAST(r.w AS DOUBLE)
-         |       ELSE greatest(CAST(r.w AS DOUBLE), tt.tau) END AS est_w
-         |FROM r JOIN tt USING (lang) WHERE rn <= 16
-         |ORDER BY lang, doc_id""".stripMargin
-    },
+    // priority expression. The streaming twin's batch mode is pinned
+    // by the IDENTICAL SQL.
+    "ts_group_priority_sample" -> groupPrioritySampleOracleSql,
+    "ts_group_priority_stream_batch" -> groupPrioritySampleOracleSql,
     // ts_clean_corpus: the composite pipeline — canonical-fingerprint
     // dedup window, ts_quality's score expression, PII redaction, and
     // the generated xxhash64 bucket CTE, joined into one statement
@@ -4888,26 +4944,8 @@ object SparkEntry {
     // per-group twin of sc_sample_quantiles: DISTINCT (grp, u, v),
     // ranked per group in (hash, value) order, LIMIT-k via rn, the
     // same DOUBLE nearest-rank-floor read per (grp, q)
-    "sc_group_quantiles" -> {
-      s"""WITH er AS MATERIALIZED (${SplitOracle.eventRowHashCte}),
-         |g AS (SELECT DISTINCT user_id % 4 AS grp, u, value AS v
-         |  FROM er WHERE user_id IS NOT NULL AND value IS NOT NULL
-         |    AND NOT isnan(value)),
-         |sk AS (SELECT grp, u, v FROM (SELECT grp, u, v,
-         |    row_number() OVER (PARTITION BY grp ORDER BY u, v) AS rn
-         |  FROM g) WHERE rn <= 128),
-         |vals AS (SELECT grp, v,
-         |    row_number() OVER (PARTITION BY grp ORDER BY v) - 1 AS r
-         |  FROM sk),
-         |nn AS (SELECT grp, count(*) AS n FROM sk GROUP BY grp),
-         |p AS (SELECT CAST(unnest([0.25, 0.5, 0.9]) AS DOUBLE) AS q)
-         |SELECT nn.grp AS grp, p.q AS q,
-         |  CAST(nn.n AS BIGINT) AS n_sample, vals.v AS est
-         |FROM nn CROSS JOIN p JOIN vals ON vals.grp = nn.grp
-         |  AND vals.r = CAST(floor(p.q * CAST(nn.n - 1 AS DOUBLE))
-         |    AS BIGINT)
-         |ORDER BY nn.grp, q""".stripMargin
-    },
+    "sc_group_quantiles" -> groupQuantilesOracleSql,
+    "sc_group_quantiles_stream_batch" -> groupQuantilesOracleSql,
     "ev_kmv_daily" -> kmvDailyOracleSql(k = 64),
     // mergeability: the merged estimate must EQUAL the one-shot value,
     // so the oracle computes the direct sketch for BOTH columns — any
