@@ -102,32 +102,47 @@ object Bench {
         Some((name, med, times.head))
       }
     }
+    // 4-decimal timings (0.1 ms — far below box noise): the full JSON
+    // line shrinks ~2×, which matters because the driver's artifact
+    // keeps only a BOUNDED TAIL of stdout (rounds 11-13 all shipped a
+    // front-truncated, unparseable canonical BENCH_rXX.json)
+    def r4(v: Double): String = f"$v%.4f"
     def jmap(kv: Seq[(String, Double)]): String =
-      kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      kv.map { case (k, v) => "\"" + k + "\":" + r4(v) }
+        .mkString("{", ",", "}")
     val qs = jmap(results.map(r => (r._1, r._2)))
     val qsMin = jmap(results.map(r => (r._1, r._3)))
     val total = results.map(_._2).sum
     val totalMin = results.map(_._3).sum
     val failed = failures.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // headline stats FIRST: a tail-truncated capture of this line (the
-    // observed failure mode for round-6's artifact, which lost the whole
-    // min map and the leading per-query medians) still carries the totals
-    // and the failure map; the bulky per-query maps ride at the end. The
-    // full JSON is ALSO written to target/bench.json so the artifact
-    // survives any stdout mangling.
+    // headline stats FIRST: a tail-truncated capture of this line still
+    // carries the totals and the failure map; the bulky per-query maps
+    // ride at the end. The full JSON is ALSO written to
+    // target/bench.json AND bench_full.json (repo root, committable) so
+    // the artifact survives any stdout mangling.
     val loadsJson = loads.map(l => f"$l%.2f").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"total_min":$totalMin,"unit":"sec","sf":"$sfDir","reps":$reps,"agg":"median","rep_order":"round_robin","loadavg":$loadsJson,"failed":$failed,"queries":$qs,"queries_min":$qsMin}"""
-    try {
-      val f = new java.io.File("target/bench.json")
-      Option(f.getParentFile).foreach(_.mkdirs())
-      val w = new java.io.PrintWriter(f, "UTF-8")
-      try w.println(json) finally w.close()
-    } catch {
-      case e: java.io.IOException =>
-        System.err.println(s"[bench] could not write target/bench.json: $e")
+    val json = s"""{"metric":"total","value":${r4(total)},"total_min":${r4(totalMin)},"unit":"sec","sf":"$sfDir","reps":$reps,"agg":"median","rep_order":"round_robin","loadavg":$loadsJson,"failed":$failed,"queries":$qs,"queries_min":$qsMin}"""
+    for (path <- Seq("target/bench.json", "bench_full.json")) {
+      try {
+        val f = new java.io.File(path)
+        Option(f.getParentFile).foreach(_.mkdirs())
+        val w = new java.io.PrintWriter(f, "UTF-8")
+        try w.println(json) finally w.close()
+      } catch {
+        case e: java.io.IOException =>
+          System.err.println(s"[bench] could not write $path: $e")
+      }
     }
     println(json)
+    // LAST line: a compact self-contained JSON sized for the driver's
+    // bounded tail capture (totals + the slowest 15 medians + where the
+    // full per-query map lives), so the canonical BENCH artifact parses
+    // standalone even after sbt's trailing [success] line spends some
+    // of the tail budget
+    val slow = results.sortBy(-_._2).take(15)
+    val compact = s"""{"metric":"total","value":${r4(total)},"total_min":${r4(totalMin)},"unit":"sec","sf":"$sfDir","reps":$reps,"agg":"median","n_queries":${results.size},"loadavg":$loadsJson,"failed":$failed,"full_queries_in":"bench_full.json","slowest":${jmap(slow.map(r => (r._1, r._2)))}}"""
+    println(compact)
     spark.stop()
     // a broken query must fail the bench run loudly, not vanish into a
     // smaller total

@@ -1201,6 +1201,20 @@ object SparkEntry {
       graft.multimodal.Gif.extractGifFeatures(media).toDF()
         .orderBy(col("media_id"))
     }),
+    "mm_gif89a_frames" -> ((s, dir) => {
+      // REAL animated-GIF decode: GIF89a extension surface (Graphic
+      // Control Extensions, sub-rect frames, transparency, disposal
+      // methods 1/2) — three LZW-compressed frames per media,
+      // composited onto the logical screen exactly as a viewer would
+      // (frame 1's transparent pixels keep the base; its disposal-2
+      // rect restores to background before frame 2). The oracle
+      // recomputes every composited canvas in closed form, so a GCE
+      // parse, compositing, or disposal bug cannot hash-match
+      val media = graft.multimodal.Gif.syntheticGif89aTable(
+        t(s, dir, "documents"))
+      graft.multimodal.Gif.extractGif89aFrames(media).toDF()
+        .orderBy(col("media_id"), col("frame_no"))
+    }),
     "mm_bmp_decode" -> ((s, dir) => {
       // REAL run-length-compressed image decode: Windows BI_RLE8 BMPs
       // (bottom-up rows, BGRX palette, encoded runs + absolute blocks
@@ -3825,6 +3839,49 @@ object SparkEntry {
              k -> 255 - (id + 5*(k % w) + 11*(k // w)) % 256)) AS BIGINT)
              AS sum_b
          FROM m ORDER BY media_id""",
+    // GIF89a animation: the oracle recomputes each frame's COMPOSITED
+    // canvas in closed form — frame 0 the full-screen base; frame 1
+    // the (2,3 (w−4)×(h−5)) patch wherever its index differs from the
+    // transparent index id%256, else the base; frame 2 the
+    // (1,1 (w−2)×4) patch over [frame 1's rect restored to background
+    // index 0 (disposal 2), else the base] — then the pinned palette
+    // (r=i, g=2i mod 256, b=255−i) channel sums
+    "mm_gif89a_frames" ->
+      """WITH m AS (SELECT doc_id AS id, 10 + doc_id % 10 AS w,
+             10 + doc_id % 8 AS h
+           FROM documents),
+         fr AS (SELECT id, w, h, unnest([0, 1, 2]) AS f FROM m),
+         cv AS (SELECT id, w, h, f,
+             list_transform(range(0, w*h), k ->
+               CASE WHEN f = 0
+                 THEN (id + 5*(k % w) + 11*(k // w)) % 256
+               WHEN f = 1 THEN
+                 CASE WHEN (k % w) >= 2 AND (k % w) <= w - 3
+                        AND (k // w) >= 3 AND (k // w) <= h - 3
+                        AND (3*id + 7*((k % w) - 2) + 13*((k // w) - 3))
+                          % 256 <> id % 256
+                   THEN (3*id + 7*((k % w) - 2) + 13*((k // w) - 3)) % 256
+                   ELSE (id + 5*(k % w) + 11*(k // w)) % 256 END
+               ELSE
+                 CASE WHEN (k % w) >= 1 AND (k % w) <= w - 2
+                        AND (k // w) >= 1 AND (k // w) <= 4
+                   THEN (7*id + ((k % w) - 1) + 2*((k // w) - 1)) % 256
+                 WHEN (k % w) >= 2 AND (k % w) <= w - 3
+                        AND (k // w) >= 3 AND (k // w) <= h - 3
+                   THEN 0
+                 ELSE (id + 5*(k % w) + 11*(k // w)) % 256 END
+               END) AS cl
+           FROM fr)
+         SELECT id AS media_id, CAST(f AS BIGINT) AS frame_no,
+           CAST(4 + (id + f) % 7 AS BIGINT) AS delay_cs,
+           CAST(CASE WHEN f = 1 THEN 2 ELSE 1 END AS BIGINT) AS disposal,
+           CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+           CAST(list_sum(cl) AS BIGINT) AS sum_r,
+           CAST(list_sum(list_transform(cl, c -> (2*c) % 256))
+             AS BIGINT) AS sum_g,
+           CAST(list_sum(list_transform(cl, c -> 255 - c)) AS BIGINT)
+             AS sum_b
+         FROM cv ORDER BY media_id, frame_no""",
     // BMP RLE8 is lossless: the oracle recomputes the corpus'
     // closed-form index formula (delta-skipped pixels — file rows
     // ≡ 4 mod 5, last two columns — pin to index 0) through the

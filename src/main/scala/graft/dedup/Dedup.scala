@@ -578,11 +578,41 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
-    val sh = df.select(col(idCol).as("id"),
+    val sh = containmentShingles(df, idCol, textCol, shingleSize)
+    val pruned = containmentCandidates(sh, threshold, maxDf)
+    val nc = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+    pruned
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("n_common", nc)
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          size(col("sh_a")).cast("double")).as("containment_a"),
+        (col("n_common").cast("double") /
+          size(col("sh_b")).cast("double")).as("containment_b"))
+      .filter(greatest(col("containment_a"), col("containment_b"))
+        >= threshold)
+  }
+
+  /** The shingled frame containmentPairs verifies against. */
+  private[graft] def containmentShingles(df: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int): DataFrame =
+    df.select(col(idCol).as("id"),
         graft.functions.HashFunctions
           .hashedWordShingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("n", size(col("sh")).cast("long"))
+
+  /** The PRUNED candidate pair list (id_a, id_b) BEFORE exact array
+    * verification — the lossless upper-bound filter below is the
+    * operator's whole scale story (it must keep this frame tiny:
+    * measured at sf0.1, ~1.12M raw co-occurring pairs collapse to a
+    * few hundred candidates before any shingle array shuffles), so
+    * ContainmentPruneSpec pins its cardinality directly and a prune
+    * regression fails a spec instead of surfacing as bench drift.
+    */
+  private[graft] def containmentCandidates(sh: DataFrame,
+      threshold: Double, maxDf: Int): DataFrame = {
     val posting = sh.select(col("id"), col("n"), explode(col("sh")).as("g"))
     val gdf = posting.groupBy("g").agg(count(lit(1)).as("df_count"))
     // the two posting strata: rare shingles generate candidates;
@@ -614,7 +644,7 @@ object Dedup {
     // drops ~1.12M candidates to a few hundred before any array is
     // shuffled (the Jaccard sibling's PPJoin filter, which containment
     // cannot use, did the same job there).
-    val pruned = co
+    co
       .join(nonRare.select(col("id").as("id_a"),
         col("n_nonrare").as("__nra")), Seq("id_a"), "left")
       .join(nonRare.select(col("id").as("id_b"),
@@ -623,18 +653,6 @@ object Dedup {
           coalesce(col("__nrb"), lit(0L)))).cast("double")
         >= lit(threshold) * least(col("na"), col("nb")).cast("double"))
       .select("id_a", "id_b")
-    val nc = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
-    pruned
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("n_common", nc)
-      .select(col("id_a"), col("id_b"), col("n_common"),
-        (col("n_common").cast("double") /
-          size(col("sh_a")).cast("double")).as("containment_a"),
-        (col("n_common").cast("double") /
-          size(col("sh_b")).cast("double")).as("containment_b"))
-      .filter(greatest(col("containment_a"), col("containment_b"))
-        >= threshold)
   }
 
   /** Benchmark decontamination: every (corpus doc, benchmark doc) pair

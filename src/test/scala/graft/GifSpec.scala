@@ -85,4 +85,89 @@ class GifSpec extends SparkTestBase {
       assert(f.sum_b === idxs.map(i => (255 - i).toLong).sum)
     }
   }
+
+  test("GIF89a: frame round-trip keeps rects, GCE fields and indices") {
+    val frames = Seq(
+      Gif.FrameSpec(0, 0, 12, 10, 5, 1, -1, (x, y) => (x + 3 * y) % 256),
+      Gif.FrameSpec(3, 2, 6, 5, 7, 2, 42, (u, v) => (40 + u + v) % 256),
+      Gif.FrameSpec(1, 1, 4, 3, 0, 3, -1, (u, v) => (u * v + 9) % 256))
+    val bytes = Gif.encodeGif89a(12, 10, Gif.corpusPalette, frames)
+    val Some((sw, sh, pal, got)) = Gif.decodeGif89a(bytes)
+    assert(sw === 12 && sh === 10 && pal.length === 768)
+    assert(got.size === 3)
+    got.zip(frames).foreach { case (g, f) =>
+      assert((g.left, g.top, g.w, g.h) === (f.left, f.top, f.w, f.h))
+      assert(g.delayCs === f.delayCs && g.disposal === f.disposal &&
+        g.transparent === f.transparent)
+      val want = for (v <- 0 until f.h; u <- 0 until f.w)
+        yield f.idx(u, v) & 0xFF
+      assert(g.indices.toSeq === want)
+    }
+  }
+
+  test("GIF89a: compositing applies transparency and disposal 1/2/3") {
+    // 4x3 screen, bg 0. Frame A paints everything 5 (disposal 1);
+    // frame B paints a 2x2 rect at (1,1) with value 7 except a
+    // transparent pixel (disposal 2: its rect restores to bg);
+    // frame C paints (0,0) 9 with disposal 3 (restore-to-previous).
+    val a = Gif.Frame89(0, 0, 4, 3, 0, 1, -1, Array.fill(12)(5))
+    val b = Gif.Frame89(1, 1, 2, 2, 0, 2, 7, Array(7, 7, 7, 6))
+    val c = Gif.Frame89(0, 0, 1, 1, 0, 3, -1, Array(9))
+    val d = Gif.Frame89(0, 0, 1, 1, 0, 0, -1, Array(8))
+    val Seq(ca, cb, cc, cd) =
+      Gif.compositeFrames(4, 3, 0, Seq(a, b, c, d))
+    assert(ca.toSeq === Seq.fill(12)(5))
+    // b's 7s are TRANSPARENT (keep 5); only the 6 paints
+    assert(cb.toSeq === Seq(5, 5, 5, 5, 5, 5, 5, 5, 5, 5, 6, 5))
+    // before c, b's rect restored to bg (disposal 2)
+    assert(cc.toSeq === Seq(9, 5, 5, 5, 5, 0, 0, 5, 5, 0, 0, 5))
+    // c was disposal 3: its pixel reverts before d paints
+    assert(cd.toSeq === Seq(8, 5, 5, 5, 5, 0, 0, 5, 5, 0, 0, 5))
+  }
+
+  test("GIF89a: malformed animations are rejected, not thrown") {
+    val good = Gif.encodeGif89a(10, 10, Gif.corpusPalette, Seq(
+      Gif.FrameSpec(0, 0, 10, 10, 1, 1, -1, (x, y) => (x + y) % 256)))
+    assert(Gif.decodeGif89a(good).isDefined)
+    assert(Gif.decodeGif89a(null).isEmpty)
+    assert(Gif.decodeGif89a(Array.empty[Byte]).isEmpty)
+    assert(Gif.decodeGif89a(good.take(30)).isEmpty)       // truncated GCT
+    assert(Gif.decodeGif89a(good.dropRight(1)).isEmpty)   // no trailer
+    val badSig = good.clone(); badSig(0) = 'X'.toByte
+    assert(Gif.decodeGif89a(badSig).isEmpty)
+    // frame rect outside the screen is rejected at ENCODE time
+    intercept[IllegalArgumentException] {
+      Gif.encodeGif89a(8, 8, Gif.corpusPalette, Seq(
+        Gif.FrameSpec(4, 4, 8, 8, 0, 1, -1, (_, _) => 0)))
+    }
+    // corrupt the image descriptor's height past the screen bound
+    // (fixed layout: 6 header + 7 LSD + 768 GCT + 8 GCE = offset 789)
+    val i2c = 789
+    assert((good(i2c) & 0xFF) === 0x2C)
+    val bad = good.clone(); bad(i2c + 8) = 0x7F.toByte
+    assert(Gif.decodeGif89a(bad).isEmpty)
+  }
+
+  test("GIF89a corpus frames equal the closed-form composited sums") {
+    import spark.implicits._
+    val docs = (0L until 24L).toDF("doc_id")
+    val feats = Gif.extractGif89aFrames(Gif.syntheticGif89aTable(docs))
+      .collect()
+    assert(feats.length === 72)
+    for (f <- feats.filter(_.frame_no == 2L)) {
+      val id = f.media_id
+      val w = (10 + id % 10).toInt; val h = (10 + id % 8).toInt
+      def c2(x: Int, y: Int): Int =
+        if (x >= 1 && x <= w - 2 && y >= 1 && y <= 4)
+          ((7 * id + (x - 1) + 2 * (y - 1)) % 256).toInt
+        else if (x >= 2 && x <= w - 3 && y >= 3 && y <= h - 3) 0
+        else ((id + 5 * x + 11 * y) % 256).toInt
+      val idxs = for (y <- 0 until h; x <- 0 until w) yield c2(x, y)
+      assert(f.w === w.toLong && f.h === h.toLong)
+      assert(f.disposal === 1L && f.delay_cs === 4 + (id + 2) % 7)
+      assert(f.sum_r === idxs.map(_.toLong).sum, s"media $id")
+      assert(f.sum_g === idxs.map(i => ((2 * i) % 256).toLong).sum)
+      assert(f.sum_b === idxs.map(i => (255 - i).toLong).sum)
+    }
+  }
 }
