@@ -33,7 +33,10 @@ object PlanDump {
                   "gr_triangles","ev_stream_sessionize_batch","u5_scd2",
                   "sc_sample_quantiles","ts_priority_sample",
                   "sc_topk_sketch","sim_pq_encode","sim_pq_topk",
-                  "sc_group_quantiles","ts_group_priority_sample")) {
+                  "sc_group_quantiles","ts_group_priority_sample",
+                  "sim_ivfpq_topk","u5_scd2_stream_batch",
+                  "sc_group_quantiles_stream_batch",
+                  "ts_group_priority_stream_batch","mm_gif89a_frames")) {
       sb.append(s"\n## $q\n\n```\n")
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode)

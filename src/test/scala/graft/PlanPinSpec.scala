@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.catalyst.plans.logical.Filter
+import org.apache.spark.sql.functions.{col, concat, lit}
 
 /** Pins the load-bearing physical/optimized plan shapes that the
   * performance story depends on — the properties PLANS.md documents but
@@ -193,18 +194,31 @@ class PlanPinSpec extends SparkTestBase {
       s"dictionary cap must be a per-task heap:\n$cap")
   }
 
-  test("gr_pagerank: rank joins stay equi-joins, two BOUNDED folds " +
-      "per round (bucketed level 1 + per-dst level 2)") {
-    // the iteration contract: the rank frame meets the cut edge list
-    // through equi-joins only (never a nested-loop product; AQE picks
-    // broadcast at runtime — checkpointed frames carry no static
-    // stats), and each of the 6 rounds contributes exactly two folds —
-    // the (dst, bucket) level whose buffer is capped at
-    // in-degree/srcBuckets, then the per-dst level capped at
+  test("gr_pagerank: the small gate graph takes the one-task fast " +
+      "path; the iterative rounds keep equi-joins + two BOUNDED folds") {
+    // round-14: at gate scale the whole iteration is ONE object fold
+    // (GraphFastPathSpec pins it bit-identical to the rounds)
+    val fast = SparkEntry.queries("gr_pagerank")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(fast.contains("MapGroups"),
+      s"the small gate graph must take the single-task fold:\n$fast")
+    // the iteration contract ABOVE the bound: the rank frame meets the
+    // cut edge list through equi-joins only (never a nested-loop
+    // product; AQE picks broadcast at runtime — checkpointed frames
+    // carry no static stats), and each of the 6 rounds contributes
+    // exactly two folds — the (dst, bucket) level whose buffer is
+    // capped at in-degree/srcBuckets, then the per-dst level capped at
     // srcBuckets partials. No aggregation may group on __d alone with
     // raw in-edge structs (the unbounded-hub shape this pin exists to
     // forbid).
-    val plan = SparkEntry.queries("gr_pagerank")(spark, sf0001)
+    val li = graft.sources.Sources.readTable(spark, sf0001, "lineitem")
+      .filter(col("l_partkey") % 50 === 0)
+      .select(concat(lit("p"), col("l_partkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+    val both = li.union(
+      li.select(col("dst").as("src"), col("src").as("dst")))
+    val plan = graft.graph.GraphOps.pageRank(both, "src", "dst",
+        iterations = 6, smallGraphEdges = 0L)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
@@ -273,9 +287,23 @@ class PlanPinSpec extends SparkTestBase {
       s"the repeated-gram probe must stay an equi-join:\n$plan")
   }
 
-  test("gr_trustrank: rank joins stay equi-joins, two BOUNDED folds " +
-      "per round") {
-    val plan = SparkEntry.queries("gr_trustrank")(spark, sf0001)
+  test("gr_trustrank: the small gate graph takes the one-task fast " +
+      "path; the iterative rounds keep equi-joins + two BOUNDED folds") {
+    val fast = SparkEntry.queries("gr_trustrank")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(fast.contains("MapGroups"),
+      s"the small gate graph must take the single-task fold:\n$fast")
+    val li = graft.sources.Sources.readTable(spark, sf0001, "lineitem")
+      .filter(col("l_partkey") % 50 === 0)
+      .select(concat(lit("p"), col("l_partkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+    val both = li.union(
+      li.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = graft.sources.Sources.readTable(spark, sf0001, "lineitem")
+      .filter(col("l_partkey") % 100 === 0)
+      .select(concat(lit("p"), col("l_partkey")).as("seed"))
+    val plan = graft.graph.GraphOps.personalizedPageRank(both, "src",
+        "dst", seeds, "seed", iterations = 6, smallGraphEdges = 0L)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
@@ -483,7 +511,7 @@ class PlanPinSpec extends SparkTestBase {
     // aggregation appearing here would mean the decode stopped being
     // embarrassingly parallel
     for (q <- Seq("mm_gif_decode", "mm_jpeg422_decode", "mm_adpcm_decode",
-        "mm_alaw_decode", "mm_bmp_decode")) {
+        "mm_alaw_decode", "mm_bmp_decode", "mm_gif89a_frames")) {
       val plan = SparkEntry.queries(q)(spark, sf0001)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
