@@ -429,7 +429,7 @@ object GraphOps {
     * any partitioning and cross-engine.
     */
   def triangleCounts(edges: DataFrame, srcCol: String,
-      dstCol: String): DataFrame = {
+      dstCol: String, smallGraphEdges: Long = 1L << 20): DataFrame = {
     val s = col(srcCol)
     val d = col(dstCol)
     // collapse to the canonical undirected simple edge set (u < v);
@@ -440,6 +440,14 @@ object GraphOps {
       .filter(s.isNotNull && d.isNotNull && s =!= d)
       .select(least(s, d).as("__u"), greatest(s, d).as("__v"))
       .distinct())
+    // small-graph fast path (the rank/label-loop discipline): triangle
+    // counting is pure integer arithmetic over set semantics, so the
+    // one-task forward-orientation count is trivially identical to the
+    // distributed wedge enumeration
+    val idT = e.schema("__u").dataType
+    if (smallGraphEdges > 0 && localIdOps(idT).isDefined &&
+        e.count() <= smallGraphEdges)
+      return triangleLocalDispatch(e, idT)
     val deg = e.select(col("__u").as("__n"))
       .unionAll(e.select(col("__v").as("__n")))
       .groupBy(col("__n")).agg(count(lit(1)).as("__deg"))
@@ -636,6 +644,96 @@ object GraphOps {
         .collect().toSet), damping, iterations, srcBuckets)(
       scala.reflect.classTag[String], Encoders.STRING)
     case t => sys.error(s"rankLocalDispatch: ungated id type $t")
+  }
+
+  /** One-task triangle counting: the forward algorithm under the same
+    * (degree, node) total order as the distributed wedge enumeration —
+    * each triangle found once at its lowest-ordered vertex; pure
+    * integer counting, so outputs are identical by construction.
+    */
+  private def triangleLocal[T: scala.reflect.ClassTag](e: DataFrame,
+      ops: IdOps[T])(implicit enc: Encoder[T]): DataFrame = {
+    implicit val tup2: Encoder[(T, T)] = Encoders.tuple(enc, enc)
+    val outEnc: Encoder[(T, Long, Long)] =
+      Encoders.tuple(enc, Encoders.scalaLong, Encoders.scalaLong)
+    val ds: Dataset[(T, T)] = e.select(col("__u"), col("__v")).as[(T, T)]
+    ds.groupByKey(_ => 0)(Encoders.scalaInt)
+      .flatMapGroups { (_, it) =>
+        val o = ops.ord
+        val edges = it.toArray
+        // rank-compress nodes under the SAME (degree, node) total order
+        // the distributed orientation uses; adjacency becomes primitive
+        // int arrays so the intersection pass below never boxes
+        val degM = new scala.collection.mutable.HashMap[T, Int]()
+        edges.foreach { case (u, v) =>
+          degM.update(u, degM.getOrElse(u, 0) + 1)
+          degM.update(v, degM.getOrElse(v, 0) + 1)
+        }
+        val nodes = degM.keys.toArray.sorted(new Ordering[T] {
+          def compare(a: T, b: T): Int = {
+            val c = Integer.compare(degM(a), degM(b))
+            if (c != 0) c else o.compare(a, b)
+          }
+        })
+        val rank = new scala.collection.mutable.HashMap[T, Int]()
+        var i = 0
+        while (i < nodes.length) { rank(nodes(i)) = i; i += 1 }
+        // forward (higher-rank) adjacency as SORTED int-rank arrays:
+        // out-degree O(√m) under the orientation — the same skew bound
+        // the distributed wedge enumeration relies on
+        val fwdCnt = new Array[Int](nodes.length)
+        edges.foreach { case (u, v) =>
+          val ru = rank(u); val rv = rank(v)
+          fwdCnt(math.min(ru, rv)) += 1
+        }
+        val fwd = Array.tabulate(nodes.length)(j => new Array[Int](fwdCnt(j)))
+        val fill = new Array[Int](nodes.length)
+        edges.foreach { case (u, v) =>
+          val ru = rank(u); val rv = rank(v)
+          val lo = math.min(ru, rv); val hi = math.max(ru, rv)
+          fwd(lo)(fill(lo)) = hi; fill(lo) += 1
+        }
+        var j = 0
+        while (j < fwd.length) { java.util.Arrays.sort(fwd(j)); j += 1 }
+        // per oriented edge (a -> b), triangles = |fwd(a) ∩ fwd(b)|
+        // (membership in both forward lists implies a < b < w): a
+        // two-pointer merge over sorted primitive arrays
+        val cnt = new Array[Long](nodes.length)
+        var a = 0
+        while (a < fwd.length) {
+          val fa = fwd(a)
+          var bi = 0
+          while (bi < fa.length) {
+            val b = fa(bi)
+            val fb = fwd(b)
+            var p = 0; var q = 0
+            while (p < fa.length && q < fb.length) {
+              val x = fa(p); val y = fb(q)
+              if (x == y) {
+                cnt(a) += 1L; cnt(b) += 1L; cnt(x) += 1L
+                p += 1; q += 1
+              } else if (x < y) p += 1
+              else q += 1
+            }
+            bi += 1
+          }
+          a += 1
+        }
+        nodes.indices.iterator.map(r =>
+          (nodes(r), degM(nodes(r)).toLong, cnt(r)))
+      }(outEnc)
+      .toDF("node", "deg", "n_triangles")
+  }
+
+  private def triangleLocalDispatch(e: DataFrame,
+      idT: DataType): DataFrame = idT match {
+    case LongType => triangleLocal[Long](e, LongIdOps)(
+      scala.reflect.classTag[Long], Encoders.scalaLong)
+    case IntegerType => triangleLocal[Int](e, IntIdOps)(
+      scala.reflect.classTag[Int], Encoders.scalaInt)
+    case StringType => triangleLocal[String](e, StringIdOps)(
+      scala.reflect.classTag[String], Encoders.STRING)
+    case t => sys.error(s"triangleLocalDispatch: ungated id type $t")
   }
 
   private def labelPropDispatch(e: DataFrame, idT: DataType,

@@ -85,6 +85,25 @@ class GraphFastPathSpec extends SparkTestBase {
     }
   }
 
+  test("triangleCounts: fast path == distributed wedge enumeration") {
+    for (seed <- 7 to 9) {
+      // NON-bipartite random graph (randomEdges' p/s split has no
+      // triangles by construction)
+      val rnd = new scala.util.Random(seed)
+      val e = (1 to 200).map(_ =>
+          (s"n${rnd.nextInt(25)}", s"n${rnd.nextInt(25)}"))
+        .filter(x => x._1 != x._2).distinct.toDF("s", "d")
+      val fast = GraphOps.triangleCounts(e, "s", "d")
+        .as[(String, Long, Long)].collect().toSet
+      val iter = GraphOps.triangleCounts(e, "s", "d",
+          smallGraphEdges = 0L)
+        .as[(String, Long, Long)].collect().toSet
+      assert(fast == iter, s"seed $seed")
+      // non-vacuous: the random graphs must actually contain triangles
+      assert(fast.exists(_._3 > 0L), s"seed $seed produced no triangles")
+    }
+  }
+
   test("fast path plans as one object fold; iterative keeps the joins") {
     val e = randomEdges(2, 20, 60).toDF("s", "d")
     val fastPlan = GraphOps.pageRank(e, "s", "d", iterations = 3)

@@ -565,10 +565,23 @@ class PlanPinSpec extends SparkTestBase {
 
   test("gr_triangles: every join stays an equi-join (no product " +
       "shapes), counts combine map-side") {
+    // round-14: the small gate graph takes the one-task fast path
+    val fastPlan = SparkEntry.queries("gr_triangles")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(fastPlan.contains("MapGroups"),
+      s"the small gate graph must take the single-task count:\n$fastPlan")
     // degree-ordered wedge enumeration lives or dies on the joins
     // staying hash/sort equi-joins: a CartesianProduct or BNL here is
     // the all-pairs explosion the orientation exists to prevent
-    val plan = SparkEntry.queries("gr_triangles")(spark, sf0001)
+    val li0 = graft.sources.Sources.readTable(spark, sf0001, "lineitem")
+      .filter(col("l_partkey") % 3 === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = li0.as("x").join(li0.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("src"), col("y.p").as("dst"))
+    val plan = graft.graph.GraphOps.triangleCounts(edges, "src", "dst",
+        smallGraphEdges = 0L)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
