@@ -170,7 +170,18 @@ object Retrieval {
       b: Double, maxDfFrac: Double): DataFrame = {
     val spark = post0.sparkSession
     import spark.implicits._
+    // re-partition the (postings-sized) frame BY DOC with an explicit
+    // count (AQE would coalesce away the exact HashPartitioning): a
+    // (query, doc) scoring group then lives entirely inside one
+    // partition — all of a doc's postings are co-located — so the
+    // |queries|·N contribution aggregation below plans NO exchange.
+    // The fan-out rows never shuffle; only ≤ k heap survivors per
+    // partition do. Trading the contribution-sized exchange for one
+    // postings-sized exchange is orders of magnitude at corpus scale
+    // (measured sf0.1: 27.6M (query, doc) rows vs 1.9M postings).
     val post = post0.filter(col("__w").isNotNull)
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
     // the stop-term guard prunes driver-side, so an excluded term never
     // joins at all (the inner df join then drops its postings)
     val dft = dftRows
