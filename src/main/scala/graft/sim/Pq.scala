@@ -133,13 +133,80 @@ object Pq {
     val cbs = pqCodebooks(corpus, idCol, vecCol, dim, m, kPerSub,
       refineSample, lloydIters)
     val codes = pqEncode(corpus, idCol, vecCol, cbs)
-      .withColumnRenamed(idCol, "vec_id")
+    pqTopKWithIndex(codes, idCol, cbs, corpus, idCol, vecCol, queries,
+      queryIdCol, queryVecCol, k, overFetch, excludeSelf)
+  }
+
+  // ------------------------------------------------------------ index
+  // Persisted-index lifecycle — the production shape when the corpus
+  // outlives any single query batch (encoding 100 TB of vectors per
+  // eval run is what this avoids): build codes + codebooks once, write
+  // them, probe many times. Mirrors the BM25 postings index
+  // ([[graft.text.Retrieval.writeBm25Index]]) and the SemDeDup cell
+  // index ([[Similarity.updateSemanticIndex]]) tiers.
+
+  /** Persist a PQ index under `dir`: the codes table as parquet
+    * (range-partitioned by id so point/range lookups prune row groups)
+    * plus the codebooks as a tiny long-form parquet
+    * (subspace, code, dim_idx, value) — a reader never needs the
+    * training sample again.
+    */
+  def writePqIndex(codes: DataFrame, idCol: String,
+      codebooks: Array[Array[Array[Double]]], dir: String): Unit = {
+    codes.repartitionByRange(col(idCol))
+      .sortWithinPartitions(col(idCol))
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val rows = for {
+      j <- codebooks.indices
+      c <- codebooks(j).indices
+      i <- codebooks(j)(c).indices
+    } yield (j, c, i, codebooks(j)(c)(i))
+    rows.toDF("subspace", "code", "dim_idx", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+  }
+
+  /** Read a persisted PQ index back as (codes, codebooks). */
+  def readPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, Array[Array[Array[Double]]]) = {
+    val codes = spark.read.parquet(s"$dir/codes")
+    val cb = spark.read.parquet(s"$dir/codebooks")
+      .select("subspace", "code", "dim_idx", "value").collect()
+    require(cb.nonEmpty, s"empty codebook table under $dir")
+    val m = cb.map(_.getInt(0)).max + 1
+    val k = cb.map(_.getInt(1)).max + 1
+    val sub = cb.map(_.getInt(2)).max + 1
+    val out = Array.fill(m, k, sub)(Double.NaN)
+    cb.foreach(r => out(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+      r.getDouble(3))
+    require(!out.exists(_.exists(_.exists(_.isNaN))),
+      s"codebook table under $dir has holes (expected $m×$k×$sub dense)")
+    (codes, out)
+  }
+
+  /** Two-stage PQ retrieval FROM A PERSISTED INDEX — bit-identical to
+    * [[pqTopK]] over the corpus the index was built from (same ADC
+    * coarse pass, same exact rerank), but training and encoding never
+    * re-run: the coarse pass reads the codes table, and only the
+    * ≤ k·overFetch candidates per query touch `corpus` (the raw
+    * vectors) for the rerank.
+    */
+  def pqTopKWithIndex(codes: DataFrame, codesIdCol: String,
+      codebooks: Array[Array[Array[Double]]], corpus: DataFrame,
+      idCol: String, vecCol: String, queries: DataFrame,
+      queryIdCol: String, queryVecCol: String, k: Int,
+      overFetch: Int = 8, excludeSelf: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(overFetch >= 1, s"overFetch must be positive, got $overFetch")
+    val cds = codes.select(col(codesIdCol).as("vec_id"), col("codes"))
     val qp = broadcast(queries.select(col(queryIdCol).as("query_id"),
       col(queryVecCol).as("__qv")))
-    val paired = codes.crossJoin(qp)
+    val paired = cds.crossJoin(qp)
     val coarse = (if (excludeSelf)
         paired.filter(col("vec_id") =!= col("query_id")) else paired)
-      .withColumn("cosine", adcCosine(col("__qv"), col("codes"), cbs))
+      .withColumn("cosine", adcCosine(col("__qv"), col("codes"),
+        codebooks))
       .select("query_id", "vec_id", "cosine")
     val cands = Similarity.rankTopK(coarse, k * overFetch)
       .select("query_id", "vec_id")
