@@ -61,9 +61,13 @@ class PqIndexSpec extends SparkTestBase {
       .filter(!(col("subspace") === 0 && col("code") === 0 &&
         col("dim_idx") === 0))
     cb.write.mode("overwrite").parquet(s"$dir/codebooks2")
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete(); ()
+    }
     val e = intercept[IllegalArgumentException] {
       val moved = new java.io.File(s"$dir/codebooks")
-      org.apache.commons.io.FileUtils.deleteDirectory(moved)
+      rmTree(moved)
       new java.io.File(s"$dir/codebooks2").renameTo(moved)
       Pq.readPqIndex(spark, dir)
     }
