@@ -219,6 +219,124 @@ object Pq {
     Similarity.rankTopK(rerank, k)
   }
 
+  /** Persist an IVF-PQ index under `dir`: the (id, cell, codes) table
+    * range-partitioned by CELL and sorted within (a probe's cell
+    * filter then skips non-matching parquet row groups at the scan —
+    * the billion-vector layout where each coarse cell is a contiguous
+    * byte range), the coarse centroids, and the PQ codebooks.
+    */
+  def writeIvfPqIndex(index: DataFrame, idCol: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], dir: String): Unit = {
+    index.repartitionByRange(col("cell"), col(idCol))
+      .sortWithinPartitions(col("cell"), col(idCol))
+      .write.mode("overwrite").parquet(s"$dir/index")
+    val spark = index.sparkSession
+    import spark.implicits._
+    val cents = for {
+      c <- centroids.indices; i <- centroids(c).indices
+    } yield (c, i, centroids(c)(i))
+    cents.toDF("cell", "dim_idx", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    val cbs = for {
+      j <- codebooks.indices; c <- codebooks(j).indices
+      i <- codebooks(j)(c).indices
+    } yield (j, c, i, codebooks(j)(c)(i))
+    cbs.toDF("subspace", "code", "dim_idx", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+  }
+
+  /** Read a persisted IVF-PQ index back as (index, centroids,
+    * codebooks); rejects sparse model tables loudly.
+    */
+  def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, Array[Array[Double]],
+      Array[Array[Array[Double]]]) = {
+    val index = spark.read.parquet(s"$dir/index")
+    val ce = spark.read.parquet(s"$dir/centroids")
+      .select("cell", "dim_idx", "value").collect()
+    require(ce.nonEmpty, s"empty centroid table under $dir")
+    val nc = ce.map(_.getInt(0)).max + 1
+    val dim = ce.map(_.getInt(1)).max + 1
+    val cents = Array.fill(nc, dim)(Double.NaN)
+    ce.foreach(r => cents(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    require(!cents.exists(_.exists(_.isNaN)),
+      s"centroid table under $dir has holes (expected $nc×$dim dense)")
+    val cb = spark.read.parquet(s"$dir/codebooks")
+      .select("subspace", "code", "dim_idx", "value").collect()
+    require(cb.nonEmpty, s"empty codebook table under $dir")
+    val m = cb.map(_.getInt(0)).max + 1
+    val k = cb.map(_.getInt(1)).max + 1
+    val sub = cb.map(_.getInt(2)).max + 1
+    val cbs = Array.fill(m, k, sub)(Double.NaN)
+    cb.foreach(r => cbs(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+      r.getDouble(3))
+    require(!cbs.exists(_.exists(_.exists(_.isNaN))),
+      s"codebook table under $dir has holes (expected $m×$k×$sub dense)")
+    (index, cents, cbs)
+  }
+
+  /** IVF-PQ retrieval FROM A PERSISTED INDEX — bit-identical to
+    * [[ivfPqTopK]] over the corpus the index was built from, but
+    * training, assignment and encoding never re-run: the probe joins
+    * the broadcast probe-cell list against the (cell, codes) table
+    * (cell-sorted parquet makes it a row-group-pruned scan), and only
+    * the ≤ k·overFetch candidates per query touch raw vectors.
+    */
+  def ivfPqTopKWithIndex(index: DataFrame, idCol: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], corpus: DataFrame,
+      corpusIdCol: String, vecCol: String, queries: DataFrame,
+      queryIdCol: String, queryVecCol: String, k: Int,
+      nProbe: Int = 4, overFetch: Int = 8, extraProbes: Int = 0,
+      boundaryRho: Double = 1.05,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(overFetch >= 1, s"overFetch must be positive, got $overFetch")
+    require(nProbe >= 1, s"nProbe must be positive, got $nProbe")
+    val centroidSeq: Seq[Seq[Double]] = centroids.toSeq.map(_.toSeq)
+    val idx = index.select(col(idCol).as("vec_id"),
+      col("cell").as("__cell"), col("codes"))
+    val probeCells =
+      if (extraProbes == 0)
+        graft.functions.VectorFunctions
+          .nearestCells(col(queryVecCol), centroidSeq, nProbe)
+      else graft.functions.VectorFunctions.nearestCellsAdaptive(
+        col(queryVecCol), centroidSeq, nProbe, extraProbes, boundaryRho)
+    val probes = broadcast(queries.select(
+      col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv"),
+      explode(probeCells).as("__cell")))
+    val paired = idx.join(probes, Seq("__cell"))
+    val coarse = (if (excludeSelf)
+        paired.filter(col("vec_id") =!= col("query_id")) else paired)
+      .withColumn("cosine", adcCosine(col("__qv"), col("codes"),
+        codebooks))
+      .select("query_id", "vec_id", "cosine")
+    val cands = Similarity.rankTopK(coarse, k * overFetch)
+      .select("query_id", "vec_id")
+    val qp = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      col(queryVecCol).as("__qv")))
+    val rerank = corpus
+      .select(col(corpusIdCol).as("vec_id"), col(vecCol).as("__cv"))
+      .join(broadcast(cands), Seq("vec_id"))
+      .join(qp, Seq("query_id"))
+      .withColumn("cosine", Similarity.cosine(col("__cv"), col("__qv")))
+      .select("query_id", "vec_id", "cosine")
+    Similarity.rankTopK(rerank, k)
+  }
+
+  /** The (vec_id, cell, codes) index frame [[ivfPqTopK]] scans — public
+    * so callers can build once and persist ([[writeIvfPqIndex]]).
+    */
+  def ivfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): DataFrame =
+    corpus.select(col(idCol),
+      graft.functions.VectorFunctions
+        .nearestCells(col(vecCol), centroids.toSeq.map(_.toSeq), 1)
+        .getItem(0).as("cell"),
+      codesColumn(col(vecCol), codebooks).as("codes"))
+
   /** IVF-PQ composed retriever (Jégou–Douze–Schmid TPAMI 2011 §V — the
     * FAISS IVFPQ layout, the actual billion-vector shape): a coarse IVF
     * quantizer routes each query to its `nProbe` (+ adaptive boundary
@@ -262,38 +380,12 @@ object Pq {
       nCentroids, refineSample, lloydIters)
     val cbs = pqCodebooks(corpus, idCol, vecCol, dim, m, kPerSub,
       refineSample, lloydIters)
-    val centroidSeq: Seq[Seq[Double]] = cents.toSeq.map(_.toSeq)
-    // the index pass: ONE projection — (vec_id, cell, codes), no raw
-    // vector survives into the coarse side
-    val index = corpus.select(col(idCol).as("vec_id"),
-      graft.functions.VectorFunctions
-        .nearestCells(col(vecCol), centroidSeq, 1).getItem(0)
-        .as("__cell"),
-      codesColumn(col(vecCol), cbs).as("codes"))
-    val probeCells =
-      if (extraProbes == 0)
-        graft.functions.VectorFunctions
-          .nearestCells(col(queryVecCol), centroidSeq, nProbe)
-      else graft.functions.VectorFunctions.nearestCellsAdaptive(
-        col(queryVecCol), centroidSeq, nProbe, extraProbes, boundaryRho)
-    val probes = broadcast(queries.select(
-      col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv"),
-      explode(probeCells).as("__cell")))
-    val paired = index.join(probes, Seq("__cell"))
-    val coarse = (if (excludeSelf)
-        paired.filter(col("vec_id") =!= col("query_id")) else paired)
-      .withColumn("cosine", adcCosine(col("__qv"), col("codes"), cbs))
-      .select("query_id", "vec_id", "cosine")
-    val cands = Similarity.rankTopK(coarse, k * overFetch)
-      .select("query_id", "vec_id")
-    val qp = broadcast(queries.select(col(queryIdCol).as("query_id"),
-      col(queryVecCol).as("__qv")))
-    val rerank = corpus
-      .select(col(idCol).as("vec_id"), col(vecCol).as("__cv"))
-      .join(broadcast(cands), Seq("vec_id"))
-      .join(qp, Seq("query_id"))
-      .withColumn("cosine", Similarity.cosine(col("__cv"), col("__qv")))
-      .select("query_id", "vec_id", "cosine")
-    Similarity.rankTopK(rerank, k)
+    // the index pass: ONE scan-stage projection — (id, cell, codes),
+    // no raw vector survives into the coarse side; in-session and
+    // persisted probes share one code path
+    ivfPqTopKWithIndex(ivfPqIndex(corpus, idCol, vecCol, cents, cbs),
+      idCol, cents, cbs, corpus, idCol, vecCol, queries, queryIdCol,
+      queryVecCol, k, nProbe, overFetch, extraProbes, boundaryRho,
+      excludeSelf)
   }
 }
