@@ -617,6 +617,12 @@ object Gif {
         var k = 0
         while (k < cv.length) {
           val ci = cv(k)
+          // LZW indices can reach 255 while the GCT may be smaller
+          // (packed & 0x07): fail loudly like decodeGif's check
+          // instead of an ArrayIndexOutOfBoundsException.
+          if (ci * 3 + 2 >= palette.length) throw new IllegalStateException(
+            s"GIF89a media ${m.media_id} frame $i: color index $ci " +
+              s"outside the ${palette.length / 3}-entry global table")
           sr += palette(ci * 3) & 0xFF
           sg += palette(ci * 3 + 1) & 0xFF
           sb += palette(ci * 3 + 2) & 0xFF

@@ -37,7 +37,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *  - only (key, ts, attr) shuffles — the projection drops payloads
   *    before the state operator;
   *  - buffered changes evict at finalization (event-time timeout), so
-  *    memory is bounded by keys-active-within-watermark × buffer.
+  *    the BUFFER side is bounded by keys-active-within-watermark ×
+  *    cap. The per-key OPEN version (one attr + two longs) has no
+  *    TTL — SCD2 must be able to close a version however late the
+  *    next change arrives — so that slice of state grows with TOTAL
+  *    key cardinality, not watermark-active keys. At 100 TB that is
+  *    ~tens of bytes per entity, which is the irreducible cost of
+  *    type-2 history; bound the key domain upstream if that is too
+  *    much.
   *
   * Key is integral (the funnel contract — rejected by name otherwise);
   * the tracked attribute is ONE string column (dictionary-encode or

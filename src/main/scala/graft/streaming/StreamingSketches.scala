@@ -204,10 +204,16 @@ object StreamingSketches {
           val st = state.getOption.getOrElse(PsState(
             Array.emptyLongArray, Array.emptyLongArray,
             Array.emptyDoubleArray, 0L))
+          // .distinct mirrors bkInsert's duplicate check: a record
+          // re-delivered across micro-batches (at-least-once source)
+          // or duplicated within one must not occupy two top-(k+1)
+          // slots — that would evict a genuine item and skew tau.
+          // q is a pure function of (id, w), so distinct on the triple
+          // is exactly the (id, q) identity.
           val merged = (st.ids.indices
             .map(i => (st.ids(i), st.ws(i), st.qs(i))) ++
             rows.map(r => (r._2, r._3, r._4)))
-            .sorted(ord).take(k + 1).toArray
+            .distinct.sorted(ord).take(k + 1).toArray
           val changed = merged.length != st.ids.length ||
             merged.indices.exists(i => merged(i)._1 != st.ids(i) ||
               merged(i)._3 != st.qs(i))

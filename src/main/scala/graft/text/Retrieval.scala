@@ -224,12 +224,21 @@ object Retrieval {
     *   this fraction of the corpus (stop-term guard; 1.0 = score every
     *   term). Exclusion is exact-semantics: the term contributes nothing
     *   for every query, symmetrically.
+    * @param pushTermLimit when the query set has at most this many
+    *   distinct terms, they prune the token array as a plan literal
+    *   BEFORE the explode (the scan-stage fast path). A larger term set
+    *   falls back to a broadcast join against the collected term list —
+    *   same single corpus pass, same sentinel rows, no oversized plan
+    *   literal (the [[bm25ProbeIndex]] discipline; the "small by
+    *   contract" query bound is thereby enforced instead of assumed).
     */
   def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75,
-      maxDfFrac: Double = 1.0): DataFrame = {
+      maxDfFrac: Double = 1.0, pushTermLimit: Int = 10000): DataFrame = {
     checkParams(k, k1, b, maxDfFrac)
+    require(pushTermLimit > 0,
+      s"pushTermLimit must be positive, got $pushTermLimit")
     val corp = tokenized(corpus, idCol, textCol)
     val (qRows, qSchema, terms) =
       collectedQueryTerms(queries, queryIdCol, queryTextCol)
@@ -239,11 +248,29 @@ object Retrieval {
     // the prepended null element leaves exactly one null-term sentinel
     // row per document so the corpus stats fall out of the postings
     // (header bullet 3)
-    val post = corp
+    val post = if (terms.length <= pushTermLimit) corp
       .select(col("doc_id"), col("__dl"),
         explode(concat(array(lit(null).cast("string")),
           filter(col("__tk"), w => termFilter(w, terms)))).as("__w"))
       .groupBy("doc_id", "__dl", "__w").agg(count(lit(1)).as("__tf"))
+    else {
+      // oversized-term-set fallback: the same ONE exploded pass, but
+      // membership comes from a broadcast hash join instead of a plan
+      // literal. The left join keeps the null sentinel untouched (null
+      // never equi-matches) and the filter keeps only sentinels and
+      // matched terms — row-for-row what the literal path produces.
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val termsDf = broadcast(
+        terms.map(Tuple1(_)).toDF("__w").withColumn("__keep", lit(1)))
+      corp.select(col("doc_id"), col("__dl"),
+          explode(concat(array(lit(null).cast("string")),
+            col("__tk"))).as("__w"))
+        .join(termsDf, Seq("__w"), "left")
+        .filter(col("__w").isNull || col("__keep").isNotNull)
+        .drop("__keep")
+        .groupBy("doc_id", "__dl", "__w").agg(count(lit(1)).as("__tf"))
+    }
     val postC = cut(post)
 
     // stats AND per-term df in ONE bounded aggregation over the

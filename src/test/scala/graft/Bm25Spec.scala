@@ -113,6 +113,20 @@ class Bm25Spec extends SparkTestBase {
     assert(a == b && a.nonEmpty)
   }
 
+  test("oversized term sets take the broadcast-join fallback with " +
+      "identical results (pushTermLimit)") {
+    val queries = Seq((100L, "spark cluster data"), (101L, "pandas training"))
+      .toDF("qid", "qtext")
+    // pushTermLimit = 1 < 5 distinct terms forces the fallback path
+    val viaJoin = Retrieval.bm25TopK(corpus, "doc_id", "text",
+        queries, "qid", "qtext", k = 5, pushTermLimit = 1)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val viaLiteral = Retrieval.bm25TopK(corpus, "doc_id", "text",
+        queries, "qid", "qtext", k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(viaJoin == viaLiteral && viaLiteral.nonEmpty)
+  }
+
   test("string doc ids take the window fallback with identical results") {
     val sCorpus = corpus.withColumn("doc_id",
       concat(lit("d"), col("doc_id")))

@@ -99,6 +99,33 @@ class StreamingSketchesSpec extends SparkTestBase {
       r(2).asInstanceOf[Long].toDouble))
   }
 
+  test("group priority sample: at-least-once re-delivery does not " +
+      "evict genuine items (duplicates collapse before the top-(k+1))") {
+    implicit val sc = spark.sqlContext
+    val data = rows.map { case (g, i, _) => (g, i, i % 17 + 1) }
+    val input = MemoryStream[(Long, Long, Long)]
+    val q = StreamingSketches.streamingGroupPrioritySample(
+        input.toDS().toDF("g", "id", "w"), "g", "id", "w", k = 8)
+      .writeStream.format("memory").queryName("ps_redeliver")
+      .outputMode("append").start()
+    val (a, b) = data.splitAt(120)
+    input.addData(b: _*); q.processAllAvailable()
+    // re-deliver the whole first batch plus in-batch duplicates of it:
+    // the settled sketch must be identical to exactly-once delivery
+    input.addData((a ++ b ++ b): _*); q.processAllAvailable()
+    input.addData(b: _*); q.processAllAvailable()
+    q.stop()
+    val all = spark.table("ps_redeliver").collect().map(_.toSeq)
+    val maxRev = all.groupBy(_.head).view
+      .mapValues(_.map(_.last.asInstanceOf[Long]).max).toMap
+    val got = all.filter(r => r.last == maxRev(r.head))
+      .map(_.dropRight(1)).toSet
+    val want = Sampling.prioritySamplePerGroup(data.toDF("g", "id", "w"),
+        "g", "id", "w", k = 8)
+      .collect().map(_.toSeq).toSet
+    assert(got == want, s"re-delivered $got vs batch $want")
+  }
+
   test("type gating fails loudly by name") {
     val df = Seq((1.5, 1L, 2.0)).toDF("g", "id", "v")
     val e = intercept[IllegalArgumentException](
