@@ -166,23 +166,46 @@ cent AS MATERIALIZED (SELECT mc AS cell, cents[mc + 1] AS cv
 
 
 def pq_prefix(m=8, k_per_sub=16, dim=64, refine_sample=256,
-              lloyd_iters=2, include_emb=True):
+              lloyd_iters=2, include_emb=True, residual=False):
     """Namespaced per-subspace quantizer chains (graft.sim.Pq): ONE
     shared hash-deterministic sample (full vectors), then for each
     subspace j a farthest-point + Lloyd chain over the v[lo:hi] slices
     — the same pinned folds as quantizer_prefix — ending in p{j}cl{L}
     (the codebook list), plus `codes` (vec_id, v, codes[]) assigning
     every corpus row its per-subspace nearest codebook entry.
-    Returns (cte_body, [codebook CTE names], subdim)."""
+    Returns (cte_body, [codebook CTE names], subdim).
+
+    With residual=True (graft.sim.Pq.pqCodebooksResidual /
+    ivfAdcIndex — true IVFADC), the quantizer_prefix CTEs (samp, cent,
+    assigned) must already be in scope: the sample rows are replaced by
+    their coarse residuals x − centroid(cell(x)) before slicing
+    (nearest cell by (squared-L2 asc, cell asc), the NearestCells
+    order), the chains train on those, and `codes` encodes each corpus
+    row's residual — emitting (vec_id, cell, codes)."""
     sub = dim // m
     idh = signed(xxh64_long("vec_id", "42"))
     emb_cte = ("""emb AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-""" if include_emb else "")
-    parts = [emb_cte + f"""samp0 AS MATERIALIZED (SELECT v,
+""" if include_emb and not residual else "")
+    if residual:
+        # sample residuals: assign each samp row to its nearest coarse
+        # centroid (same fold + tie-break as the kernel), subtract
+        samp0 = f"""sdist AS MATERIALIZED (SELECT s.srn, s.v, c.cell,
+    {l2f('s.v', 'c.cv')} AS d
+  FROM samp s CROSS JOIN cent c),
+samp0 AS MATERIALIZED (SELECT sa.srn,
+    list_transform(sa.v, (rx, ri) -> rx - ct.cv[ri]) AS v
+  FROM (SELECT srn, v, cell FROM (
+      SELECT srn, v, cell, row_number() OVER (
+        PARTITION BY srn ORDER BY d, cell) AS rn FROM sdist)
+    WHERE rn = 1) sa
+  JOIN cent ct USING (cell))"""
+    else:
+        samp0 = f"""samp0 AS MATERIALIZED (SELECT v,
     row_number() OVER (ORDER BY idh, vec_id) AS srn
   FROM (SELECT v, vec_id, {idh} AS idh FROM emb)
-  QUALIFY row_number() OVER (ORDER BY idh, vec_id) <= {refine_sample})"""]
+  QUALIFY row_number() OVER (ORDER BY idh, vec_id) <= {refine_sample})"""
+    parts = [emb_cte + samp0]
     mind = (f"list_reduce(list_transform(sp.seeds, sd -> "
             f"{l2f('smp.v', 'sd')}), (ma, mb) -> least(ma, mb))")
     cents = []
@@ -232,9 +255,20 @@ def pq_prefix(m=8, k_per_sub=16, dim=64, refine_sample=256,
         code_exprs.append(
             f"list_position({dl}, list_aggregate({dl}, 'min')) - 1")
     codes_list = "[" + ", ".join(code_exprs) + "]"
-    parts.append(
-        f"codes AS MATERIALIZED (SELECT e.vec_id, e.v, "
-        f"{codes_list} AS codes FROM emb e, {froms})")
+    if residual:
+        # corpus residuals ride `assigned` (vec_id, v, cell) + cent;
+        # codes carries the cell so the probe never re-joins assigned
+        parts.append(
+            "rv AS MATERIALIZED (SELECT a.vec_id, a.cell, "
+            "list_transform(a.v, (rx, ri) -> rx - ct.cv[ri]) AS v "
+            "FROM assigned a JOIN cent ct USING (cell))")
+        parts.append(
+            f"codes AS MATERIALIZED (SELECT e.vec_id, e.cell, "
+            f"{codes_list} AS codes FROM rv e, {froms})")
+    else:
+        parts.append(
+            f"codes AS MATERIALIZED (SELECT e.vec_id, e.v, "
+            f"{codes_list} AS codes FROM emb e, {froms})")
     return ",\n".join(parts), cents, sub
 
 
@@ -395,6 +429,87 @@ SELECT query_id, vec_id, round(cosine, 6) AS cos6,
 FROM r WHERE rank <= {k} ORDER BY query_id, rank"""
 
 
+def sim_ivfadc_sql(n_centroids=16, n_probe=8, extra_probes=4,
+                   rho=1.05, m=8, k_per_sub=16, dim=64, k=5, over_fetch=8,
+                   refine_sample=256, lloyd_iters=2):
+    """graft.sim.Pq.ivfAdcTopK — TRUE IVFADC (residual encoding): the
+    shared IVF quantizer prefix routes queries and assigns corpus
+    cells, the residual PQ prefix trains codebooks on — and encodes —
+    x − centroid(cell), and ADC scores against the reconstruction
+    centroid + residual:
+      ip  = dot(q, centroid) + Σ_j dot(q_j, cb_j[code_j])
+      rn2 = |centroid|² + Σ_j (2·dot(centroid_j, cb_j[code_j]) +
+            |cb_j[code_j]|²)
+    Every fold is the pinned left fold both engines share: the engine
+    bakes the cell/code cross terms as driver-computed plan literals
+    with the same ascending accumulation this SQL does per row, so the
+    doubles — and therefore ranks — are bit-equal. Sum order matches
+    the engine's reduce: (centroid term, then ascending j),
+    left-assoc."""
+    pq_body, cents, sub = pq_prefix(m, k_per_sub, dim, refine_sample,
+                                    lloyd_iters, include_emb=False,
+                                    residual=True)
+    froms = ", ".join(f"{cents[j]} cp{j}" for j in range(m))
+    dot_terms, rn_terms = [], []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        entry = f"cp{j}.cents[c.codes[{j + 1}] + 1]"
+        dot_terms.append("(" + fold0(
+            f"list_transform(p.qv[{lo}:{hi}], "
+            f"(ax, ai) -> ax * ({entry})[ai])") + ")")
+        cross = fold0(f"list_transform(ct.cv[{lo}:{hi}], "
+                      f"(ax, ai) -> ax * ({entry})[ai])")
+        n2 = fold0(f"list_transform({entry}, xx -> xx * xx)")
+        rn_terms.append(f"(({cross}) * 2.0 + ({n2}))")
+    cn2 = "(" + fold0("list_transform(ct.cv, xx -> xx * xx)") + ")"
+    ip = " + ".join(["p.ipc"] + dot_terms)
+    rn2 = " + ".join([cn2] + rn_terms)
+    qn = f"sqrt({fold0('list_transform(p.qv, xx -> xx * xx)')})"
+    ipc = fold0("list_transform(pr.v, (ax, ai) -> ax * ct.cv[ai])")
+    ranked = f"""SELECT vec_id, v, cell, d, row_number() OVER (
+      PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM cdist WHERE vec_id < 8"""
+    if extra_probes > 0:
+        probes = f"""pr AS MATERIALIZED (SELECT * FROM ({ranked})),
+cut AS (SELECT vec_id, d * {rho!r} AS dcut FROM pr WHERE rn = {n_probe}),
+probes AS (SELECT pr.vec_id AS query_id, pr.v AS qv, pr.cell,
+    {ipc} AS ipc
+  FROM pr JOIN cut USING (vec_id) JOIN cent ct ON ct.cell = pr.cell
+  WHERE rn <= {n_probe}
+     OR (rn <= {n_probe + extra_probes} AND pr.d <= dcut))"""
+    else:
+        probes = f"""probes AS (SELECT rk.vec_id AS query_id, rk.v AS qv,
+    rk.cell, {ipc.replace('pr.v', 'rk.v')} AS ipc
+  FROM ({ranked}) rk JOIN cent ct ON ct.cell = rk.cell
+  WHERE rn <= {n_probe})"""
+    return f"""WITH {quantizer_prefix(n_centroids, refine_sample,
+                                      lloyd_iters)},
+{pq_body},
+{probes},
+sc AS (SELECT p.query_id, c.vec_id,
+    CASE WHEN ({qn}) = 0 OR ({rn2}) <= 0 THEN NULL
+         ELSE ({ip}) / (({qn}) * sqrt({rn2})) END AS aprx
+  FROM codes c JOIN probes p ON p.cell = c.cell
+  JOIN cent ct ON ct.cell = c.cell, {froms}
+  WHERE c.vec_id <> p.query_id),
+co AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY aprx DESC, vec_id) AS rn
+  FROM sc WHERE aprx IS NOT NULL AND NOT isnan(aprx))
+  WHERE rn <= {k * over_fetch}),
+q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 8),
+rr AS (SELECT co.query_id, co.vec_id,
+    {cosine('e.v', 'q.qv')} AS cosine
+  FROM co JOIN emb e ON e.vec_id = co.vec_id
+  JOIN q ON q.query_id = co.query_id),
+r AS (SELECT query_id, vec_id, cosine, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM rr WHERE cosine IS NOT NULL AND NOT isnan(cosine))
+SELECT query_id, vec_id, round(cosine, 6) AS cos6,
+  CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k} ORDER BY query_id, rank"""
+
+
 def emb_neardups_sql(planes=4, threshold=0.3, max_bucket=64):
     """Dedup.embeddingNearDups: pairs inside a sign-pattern bucket with
     exact cosine >= threshold (cosines bit-equal, so the filter is too).
@@ -531,6 +646,7 @@ def validate(sf_dir, verify_dir):
                       ("sim_pq_encode", sim_pq_encode_sql()),
                       ("sim_pq_topk", sim_pq_topk_sql()),
                       ("sim_ivfpq_topk", sim_ivfpq_sql()),
+                      ("sim_ivfadc_topk", sim_ivfadc_sql()),
                       ("dd_embedding_neardups", emb_neardups_sql()),
                       ("dd_semantic", dd_semantic_sql()),
                       ("dd_semantic_prune", dd_semantic_prune_sql()),
@@ -575,6 +691,7 @@ def emit_scala(path):
                           ("simPqEncode", sim_pq_encode_sql()),
                           ("simPqTopK", sim_pq_topk_sql()),
                           ("simIvfPqTopK", sim_ivfpq_sql()),
+                          ("simIvfAdcTopK", sim_ivfadc_sql()),
                           ("ddEmbeddingNearDups", emb_neardups_sql()),
                           ("ddSemantic", dd_semantic_sql()),
                           ("ddSemanticPrune", dd_semantic_prune_sql()),

@@ -1940,6 +1940,25 @@ object SparkEntry {
           col("rank").cast("bigint").as("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "sim_ivfadc_topk" -> ((s, dir) => {
+      // TRUE IVFADC (Jégou TPAMI 2011 §V): same coarse quantizer and
+      // probe shape as sim_ivfpq_topk, but the PQ codebooks train on —
+      // and the 8-byte codes encode — the RESIDUAL x − centroid(cell);
+      // ADC scores against centroid + residual reconstruction with the
+      // cell/code cross terms as plan literals. Tighter quantization at
+      // the identical (cell, codes) coarse layout
+      val emb = t(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val q = emb.filter(col("vec_id") < 8)
+      graft.sim.Pq.ivfAdcTopK(emb, "vec_id", "embedding",
+          q, "vec_id", "embedding", k = 5, dim = 64, nCentroids = 16,
+          nProbe = 8, m = 8, kPerSub = 16, overFetch = 8,
+          extraProbes = 4, boundaryRho = 1.05)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cosine"), 6).as("cos6"),
+          col("rank").cast("bigint").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "ts_chunk_overlap" -> ((s, dir) => {
       // RAG-corpus chunking: 64-word windows advancing by 48 (16-word
       // overlap), row-local integer arithmetic, fingerprinted text
@@ -3360,6 +3379,7 @@ object SparkEntry {
     "sim_pq_encode" -> SimOracles.simPqEncode,
     "sim_pq_topk" -> SimOracles.simPqTopK,
     "sim_ivfpq_topk" -> SimOracles.simIvfPqTopK,
+    "sim_ivfadc_topk" -> SimOracles.simIvfAdcTopK,
     "dd_embedding_neardups" -> SimOracles.ddEmbeddingNearDups,
     "dd_semantic" -> SimOracles.ddSemantic,
     "dd_semantic_prune" -> SimOracles.ddSemanticPrune,

@@ -337,6 +337,253 @@ object Pq {
         .getItem(0).as("cell"),
       codesColumn(col(vecCol), codebooks).as("codes"))
 
+  // ------------------------------------------------------------ IVFADC
+  // Residual encoding (Jégou–Douze–Schmid TPAMI 2011 §V, the actual
+  // FAISS IVFADC layout): PQ codebooks train on — and codes encode —
+  // the RESIDUAL x − centroid(cell(x)) instead of the raw vector.
+  // Residuals concentrate around the origin far more tightly than raw
+  // vectors spread across cells, so the same m × kPerSub code budget
+  // quantizes them with less error: better recall at the identical
+  // ≤ 16 B/row coarse layout.
+
+  /** |c|² with the pinned ascending fold (the adcCosine norm2). */
+  private def norm2Arr(c: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < c.length) { acc += c(i) * c(i); i += 1 }
+    acc
+  }
+
+  /** dot(a[lo:lo+n], b[0:n]) folded ascending from 0.0 — the
+    * DotProduct kernel order, so the DuckDB oracle's `fold0` replays
+    * the plan literals built from this bit-exactly.
+    */
+  private def dotSlice(a: Array[Double], lo: Int,
+      b: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < b.length) { acc += a(lo + i) * b(i); i += 1 }
+    acc
+  }
+
+  /** The driver-side twin of the NearestCells kernel for the bounded
+    * training sample: nearest centroid by (squared-L2 asc, cell asc),
+    * distance folded ascending from 0.0 per centroid — identical
+    * arithmetic and tie-break to the scan-stage assignment, so sample
+    * residuals match what the corpus pass would compute for the same
+    * vector.
+    */
+  private def nearestCentroidIdx(v: Array[Double],
+      cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bd = Double.PositiveInfinity
+    var c = 0
+    while (c < cents.length) {
+      var d = 0.0
+      var i = 0
+      while (i < v.length) {
+        val diff = v(i) - cents(c)(i)
+        d += diff * diff
+        i += 1
+      }
+      if (d < bd) { bd = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Per-subspace codebooks trained on coarse-quantizer RESIDUALS of
+    * the bounded sample: the SAME hash-deterministic sample as
+    * [[pqCodebooks]], each vector replaced by x − centroid(cell(x))
+    * before slicing — the IVFADC training recipe. Driver state is
+    * still sample + models; every fold is pinned, so the DuckDB oracle
+    * replays the residual chain bit-exactly.
+    */
+  def pqCodebooksResidual(corpus: DataFrame, idCol: String,
+      vecCol: String, centroids: Array[Array[Double]], dim: Int, m: Int,
+      kPerSub: Int, refineSample: Int = 256,
+      lloydIters: Int = 2): Array[Array[Array[Double]]] = {
+    require(m >= 1 && dim % m == 0,
+      s"dim $dim must split evenly into m=$m subspaces")
+    require(kPerSub >= 1, s"kPerSub must be >= 1, got $kPerSub")
+    require(refineSample >= kPerSub,
+      s"refineSample ($refineSample) must be >= kPerSub ($kPerSub)")
+    require(lloydIters >= 0, s"lloydIters must be >= 0, got $lloydIters")
+    require(centroids.nonEmpty && centroids(0).length == dim,
+      s"centroids must be non-empty ${dim}-dim")
+    val sub = dim / m
+    val sample = corpus
+      .select(col(vecCol), xxhash64(col(idCol)).as("__h"),
+        col(idCol).as("__i"))
+      .orderBy(col("__h"), col("__i")).limit(refineSample)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "PQ: empty corpus")
+    require(sample.head.length == dim,
+      s"vectors are ${sample.head.length}-dim, expected $dim")
+    val resid = sample.map { v =>
+      val c = centroids(nearestCentroidIdx(v, centroids))
+      Array.tabulate(dim)(i => v(i) - c(i))
+    }
+    Array.tabulate(m) { j =>
+      val sliced = resid.map(v => v.slice(j * sub, (j + 1) * sub))
+      Similarity.lloydRefine(
+        Similarity.farthestPointSeeds(sliced, kPerSub), sliced,
+        lloydIters)
+    }
+  }
+
+  /** The (vec_id, cell, codes) IVFADC index frame: cell from the
+    * coarse quantizer, codes from the RESIDUAL x − centroid(cell)
+    * under residual-trained codebooks. Still ONE scan-stage projection
+    * (assign → subtract → encode, zero exchanges); persist with
+    * [[writeIvfPqIndex]] and probe with [[ivfAdcTopKWithIndex]] — the
+    * layout on disk is identical to the raw-encoding index.
+    */
+  def ivfAdcIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val centLit = typedLit(centroids.toSeq.map(_.toSeq))
+    corpus
+      .select(col(idCol),
+        graft.functions.VectorFunctions
+          .nearestCells(col(vecCol), centroids.toSeq.map(_.toSeq), 1)
+          .getItem(0).as("cell"),
+        col(vecCol).as("__v"))
+      .select(col(idCol), col("cell"),
+        codesColumn(zip_with(col("__v"),
+          element_at(centLit, col("cell") + 1), (a, b) => a - b),
+          codebooks).as("codes"))
+  }
+
+  /** ADC cosine under residual encoding: recon(x) = centroid(cell) +
+    * pqRecon(codes), so
+    * `ip = dot(q, centroid) + Σ_j dot(q_j, cb_j[code_j])` and
+    * `|recon|² = |centroid|² + Σ_j (2·dot(centroid_j, cb_j[code_j]) +
+    * |cb_j[code_j]|²)`. Every cell/code-indexed constant —
+    * |centroid|², the centroid×codebook cross terms, the codebook
+    * norms — is a plan literal computed ONCE on the driver with the
+    * pinned ascending fold, so the per-row ADC stays table lookups +
+    * m subspace dots (the IVFADC lookup-table trick); `ipCent` (the
+    * only query-dependent non-code term) is computed per (query,
+    * probe-cell) in the tiny probes frame, never per candidate row.
+    * Sums run (centroid term, then ascending j) — the left-assoc
+    * order the DuckDB oracle replays. NULL when either norm is
+    * non-positive (a zero reconstruction has no direction).
+    */
+  private def adcCosineResidual(queryVec: Column, ipCent: Column,
+      cell: Column, codes: Column, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): Column = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val ip = (Seq(ipCent) ++ (0 until m).map { j =>
+      val cb = typedLit(codebooks(j).map(_.toSeq).toSeq)
+      graft.functions.VectorFunctions.dot(
+        slice(queryVec, j * sub + 1, sub),
+        element_at(cb, element_at(codes, j + 1) + 1))
+    }).reduce(_ + _)
+    val cn2 = typedLit(centroids.map(norm2Arr).toSeq)
+    val rn2 = (Seq(element_at(cn2, cell + 1)) ++ (0 until m).map { j =>
+      val cross = typedLit(centroids.map(c =>
+        codebooks(j).map(e => dotSlice(c, j * sub, e)).toSeq).toSeq)
+      val n2 = typedLit(codebooks(j).map(norm2Arr).toSeq)
+      element_at(element_at(cross, cell + 1),
+        element_at(codes, j + 1) + 1) * lit(2.0) +
+        element_at(n2, element_at(codes, j + 1) + 1)
+    }).reduce(_ + _)
+    val qn = graft.functions.VectorFunctions.norm(queryVec)
+    when(qn === 0.0 || rn2 <= 0.0, lit(null).cast("double"))
+      .otherwise(ip / (qn * sqrt(rn2)))
+  }
+
+  /** IVFADC retrieval from a residual-encoded index
+    * ([[ivfAdcIndex]], or the same frame read back via
+    * [[readIvfPqIndex]]): identical probe shape to
+    * [[ivfPqTopKWithIndex]] — the coarse side reads (cell, codes)
+    * only, nothing corpus-sized shuffles, the ≤ k·overFetch survivors
+    * rerank exactly on raw vectors — with the residual ADC of
+    * [[adcCosineResidual]] scoring the candidates.
+    */
+  def ivfAdcTopKWithIndex(index: DataFrame, idCol: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], corpus: DataFrame,
+      corpusIdCol: String, vecCol: String, queries: DataFrame,
+      queryIdCol: String, queryVecCol: String, k: Int,
+      nProbe: Int = 4, overFetch: Int = 8, extraProbes: Int = 0,
+      boundaryRho: Double = 1.05,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(overFetch >= 1, s"overFetch must be positive, got $overFetch")
+    require(nProbe >= 1, s"nProbe must be positive, got $nProbe")
+    val centroidSeq: Seq[Seq[Double]] = centroids.toSeq.map(_.toSeq)
+    val centLit = typedLit(centroidSeq)
+    val idx = index.select(col(idCol).as("vec_id"),
+      col("cell").as("__cell"), col("codes"))
+    val probeCells =
+      if (extraProbes == 0)
+        graft.functions.VectorFunctions
+          .nearestCells(col(queryVecCol), centroidSeq, nProbe)
+      else graft.functions.VectorFunctions.nearestCellsAdaptive(
+        col(queryVecCol), centroidSeq, nProbe, extraProbes, boundaryRho)
+    // __ipc = dot(q, centroid(cell)) per (query, probed cell) — the
+    // probes frame is |queries|·nProbe rows, so the full-dim dot costs
+    // nothing here and never re-evaluates per candidate
+    val probes = broadcast(queries.select(
+        col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv"),
+        explode(probeCells).as("__cell"))
+      .withColumn("__ipc", graft.functions.VectorFunctions.dot(
+        col("__qv"), element_at(centLit, col("__cell") + 1))))
+    val paired = idx.join(probes, Seq("__cell"))
+    val coarse = (if (excludeSelf)
+        paired.filter(col("vec_id") =!= col("query_id")) else paired)
+      .withColumn("cosine", adcCosineResidual(col("__qv"), col("__ipc"),
+        col("__cell"), col("codes"), centroids, codebooks))
+      .select("query_id", "vec_id", "cosine")
+    val cands = Similarity.rankTopK(coarse, k * overFetch)
+      .select("query_id", "vec_id")
+    val qp = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      col(queryVecCol).as("__qv")))
+    val rerank = corpus
+      .select(col(corpusIdCol).as("vec_id"), col(vecCol).as("__cv"))
+      .join(broadcast(cands), Seq("vec_id"))
+      .join(qp, Seq("query_id"))
+      .withColumn("cosine", Similarity.cosine(col("__cv"), col("__qv")))
+      .select("query_id", "vec_id", "cosine")
+    Similarity.rankTopK(rerank, k)
+  }
+
+  /** IVFADC composed retriever — [[ivfPqTopK]] with TRUE residual
+    * encoding (Jégou TPAMI 2011 §V): codebooks train on the sample's
+    * coarse residuals ([[pqCodebooksResidual]]), codes encode
+    * x − centroid(cell) ([[ivfAdcIndex]]), and ADC scores against
+    * centroid + residual reconstruction ([[adcCosineResidual]]).
+    * Same scale shape as [[ivfPqTopK]] — two bounded training
+    * samples, one ≤ 16 B/row scan-stage index, probe-pruned coarse
+    * pass, exact rerank — at measurably better recall for the same
+    * candidate budget (the residual distribution is tighter than the
+    * raw one, so the code budget quantizes it finer; IvfPqSpec pins
+    * recall@5 ≥ the raw-encoding composition).
+    */
+  def ivfAdcTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, dim: Int, nCentroids: Int = 16, nProbe: Int = 4,
+      m: Int = 8, kPerSub: Int = 16, overFetch: Int = 8,
+      refineSample: Int = 256, lloydIters: Int = 2,
+      extraProbes: Int = 0, boundaryRho: Double = 1.05,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(overFetch >= 1, s"overFetch must be positive, got $overFetch")
+    require(nProbe >= 1, s"nProbe must be positive, got $nProbe")
+    val cents = Similarity.ivfCentroids(corpus, idCol, vecCol,
+      nCentroids, refineSample, lloydIters)
+    val cbs = pqCodebooksResidual(corpus, idCol, vecCol, cents, dim, m,
+      kPerSub, refineSample, lloydIters)
+    ivfAdcTopKWithIndex(ivfAdcIndex(corpus, idCol, vecCol, cents, cbs),
+      idCol, cents, cbs, corpus, idCol, vecCol, queries, queryIdCol,
+      queryVecCol, k, nProbe, overFetch, extraProbes, boundaryRho,
+      excludeSelf)
+  }
+
   /** IVF-PQ composed retriever (Jégou–Douze–Schmid TPAMI 2011 §V — the
     * FAISS IVFPQ layout, the actual billion-vector shape): a coarse IVF
     * quantizer routes each query to its `nProbe` (+ adaptive boundary
