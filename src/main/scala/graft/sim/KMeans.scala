@@ -92,18 +92,142 @@ object KMeans {
     * went empty and kept its previous centroid).
     */
   private def lloyd(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, k: Int, iterations: Int,
-      scale: Double): (Array[Array[Double]], Array[Long]) =
+      dim: Int, k: Int, iterations: Int, scale: Double,
+      smallCorpusCells: Long = SmallCorpusCells):
+      (Array[Array[Double]], Array[Long]) =
     lloydFrom(df, vecCol, dim,
-      seedCentroids(df, idCol, vecCol, dim, k), iterations, scale)
+      seedCentroids(df, idCol, vecCol, dim, k), iterations, scale,
+      smallCorpusCells)
 
-  private def lloydFrom(df: DataFrame, vecCol: String, dim: Int,
+  /** Below this many vector CELLS (rows × dim ≈ 64 MB of doubles at
+    * the bound), the whole Lloyd iteration replays as ONE task
+    * ([[lloydLocal]]) — the GraphOps smallGraphEdges / LogReg
+    * SmallCorpusDocs discipline: T rounds of
+    * assign→posexplode→aggregate job scheduling collapse to one job,
+    * bit-identically (the fixed-point sums are order-free, and the
+    * local quantization replays Spark's HALF_UP BigDecimal round +
+    * truncating long cast op-for-op). Above the bound the distributed
+    * rounds run unchanged.
+    */
+  val SmallCorpusCells: Long = 1L << 23
+
+  /** Exact allocation-free replay of Spark's `round(double)` → long
+    * cast (BigDecimal.valueOf + HALF_UP + truncating cast): for
+    * |y| < 2^52, floor(y) and frac = y − floor(y) are EXACT doubles,
+    * and the decimal-string boundary comparison BigDecimal performs
+    * agrees with the exact binary comparison of frac against 0.5 (a
+    * double strictly below/above a representable decimal boundary has
+    * its shortest round-trip string strictly below/above it too), so
+    *   y ≥ 0: frac ≥ 0.5 → floor + 1;  y < 0: frac > 0.5 → floor + 1
+    * is bit-for-bit HALF_UP (away-from-zero on the .5 tie). Larger
+    * magnitudes (already integral at that scale, but kept exact) take
+    * the BigDecimal path.
+    */
+  private def roundHalfUpLong(y: Double): Long =
+    if (math.abs(y) < 4.503599627370496e15) {
+      val f = math.floor(y)
+      val frac = y - f
+      val up = if (y >= 0.0) frac >= 0.5 else frac > 0.5
+      (if (up) f + 1.0 else f).toLong
+    } else
+      java.math.BigDecimal.valueOf(y)
+        .setScale(0, java.math.RoundingMode.HALF_UP)
+        .doubleValue().toLong
+
+  /** One-task Lloyd replay: same element-ordered squared-L2 argmin
+    * (strict < keeps the first minimum — `array_position(dists,
+    * array_min(dists))`), same round(x·scale)→long quantization
+    * ([[roundHalfUpLong]] — the Round codegen semantics), same
+    * q/scale/n de-scale, empty clusters keep their previous centroid.
+    * KMeansFastPathSpec pins fast ≡ iterative to the bit on the real
+    * corpus.
+    */
+  private def lloydLocal(vecs: DataFrame, dim: Int,
       initial: Array[Array[Double]], iterations: Int,
       scale: Double): (Array[Array[Double]], Array[Long]) = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val k = initial.length
+    val encOut = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaInt,
+      org.apache.spark.sql.Encoders.scalaInt,
+      org.apache.spark.sql.Encoders.scalaDouble,
+      org.apache.spark.sql.Encoders.scalaLong)
+    val out = vecs.as[Seq[Double]]
+      .groupByKey(_ => 0)(org.apache.spark.sql.Encoders.scalaInt)
+      .flatMapGroups { (_, it) =>
+        val xs = it.map(_.toArray).toArray
+        var cents = initial
+        val counts = new Array[Long](k)
+        var r = 0
+        while (r < iterations) {
+          val q = Array.ofDim[Long](k, dim)
+          java.util.Arrays.fill(counts, 0L)
+          var i = 0
+          while (i < xs.length) {
+            val v = xs(i)
+            var best = 0
+            var bd = Double.PositiveInfinity
+            var c = 0
+            while (c < k) {
+              var d = 0.0
+              var j = 0
+              while (j < dim) {
+                val t = v(j) - cents(c)(j)
+                d += t * t
+                j += 1
+              }
+              if (d < bd) { bd = d; best = c }
+              c += 1
+            }
+            counts(best) += 1
+            val qc = q(best)
+            var j = 0
+            while (j < dim) {
+              qc(j) = Math.addExact(qc(j), roundHalfUpLong(v(j) * scale))
+              j += 1
+            }
+            i += 1
+          }
+          val next = cents.map(_.clone())
+          var c = 0
+          while (c < k) {
+            if (counts(c) > 0L) {
+              var j = 0
+              while (j < dim) {
+                next(c)(j) = q(c)(j).toDouble / scale /
+                  counts(c).toDouble
+                j += 1
+              }
+            }
+            c += 1
+          }
+          cents = next
+          r += 1
+        }
+        (0 until k).iterator.flatMap(c =>
+          (0 until dim).iterator.map(j =>
+            (c, j, cents(c)(j), counts(c))))
+      }(encOut)
+      .collect() // bounded: k·dim model rows
+    val cs = initial.map(_.clone())
+    val ns = Array.fill(k)(0L)
+    out.foreach { case (c, j, x, n) => cs(c)(j) = x; ns(c) = n }
+    (cs, ns)
+  }
+
+  private def lloydFrom(df: DataFrame, vecCol: String, dim: Int,
+      initial: Array[Array[Double]], iterations: Int, scale: Double,
+      smallCorpusCells: Long = SmallCorpusCells):
+      (Array[Array[Double]], Array[Long]) = {
+    val vecs = df.select(checkedVec(vecCol, dim).as("__v"))
+    // the gate count is a metadata count for a parquet source — it
+    // never evaluates the checked vector projection
+    if (df.count() * dim.toLong <= smallCorpusCells)
+      return lloydLocal(vecs, dim, initial, iterations, scale)
     var centroids = initial
     val k = initial.length
     val counts = Array.fill(k)(0L)
-    val vecs = df.select(checkedVec(vecCol, dim).as("__v"))
     var r = 0
     while (r < iterations) {
       val rows = vecs
@@ -132,11 +256,12 @@ object KMeans {
     * hash-ranked seeds.
     */
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, k: Int, iterations: Int,
-      scale: Double = 1e10): DataFrame = {
+      dim: Int, k: Int, iterations: Int, scale: Double = 1e10,
+      smallCorpusCells: Long = SmallCorpusCells): DataFrame = {
     validate(dim, k, iterations, scale)
     val spark = df.sparkSession
-    val (cs, ns) = lloyd(df, idCol, vecCol, dim, k, iterations, scale)
+    val (cs, ns) = lloyd(df, idCol, vecCol, dim, k, iterations, scale,
+      smallCorpusCells)
     import spark.implicits._
     (for { c <- 0 until k; j <- 0 until dim }
       yield (c.toLong, j.toLong, cs(c)(j), ns(c)))
@@ -154,7 +279,8 @@ object KMeans {
     */
   def kmeansRefine(df: DataFrame, vecCol: String, dim: Int,
       initial: Array[Array[Double]], iterations: Int,
-      scale: Double = 1e10): DataFrame = {
+      scale: Double = 1e10,
+      smallCorpusCells: Long = SmallCorpusCells): DataFrame = {
     require(initial.nonEmpty && initial.length <= 4096,
       s"initial centroid count must be in [1, 4096], got " +
         s"${initial.length}")
@@ -163,7 +289,7 @@ object KMeans {
     validate(dim, initial.length, iterations, scale)
     val spark = df.sparkSession
     val (cs, ns) = lloydFrom(df, vecCol, dim, initial, iterations,
-      scale)
+      scale, smallCorpusCells)
     import spark.implicits._
     (for { c <- cs.indices; j <- 0 until dim }
       yield (c.toLong, j.toLong, cs(c)(j), ns(c)))
@@ -178,10 +304,11 @@ object KMeans {
     * pay only the assignment pass.
     */
   def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, k: Int, iterations: Int,
-      scale: Double = 1e10): DataFrame = {
+      dim: Int, k: Int, iterations: Int, scale: Double = 1e10,
+      smallCorpusCells: Long = SmallCorpusCells): DataFrame = {
     validate(dim, k, iterations, scale)
-    val (cs, _) = lloyd(df, idCol, vecCol, dim, k, iterations, scale)
+    val (cs, _) = lloyd(df, idCol, vecCol, dim, k, iterations, scale,
+      smallCorpusCells)
     df.select(col(idCol),
       assignExpr(checkedVec(vecCol, dim), cs).cast("long").as("cluster"))
   }

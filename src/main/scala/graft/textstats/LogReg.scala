@@ -1,6 +1,6 @@
 package graft.textstats
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Deterministic distributed quality classifier: logistic-style
@@ -131,34 +131,160 @@ object LogReg {
     (next, m)
   }
 
-  /** Train T iterations from zero weights; returns (weights, m). */
+  /** Below this many training docs, the T-round gradient loop replays
+    * as ONE task ([[trainLocal]]) — the GraphOps `smallGraphEdges`
+    * discipline. At 2^20 docs the single task holds ≤ 56 MB of
+    * feature longs; the per-round Long gradient accumulator stays
+    * ≤ ~1e14 (|e·x| ≤ ~1e8/row), far from overflow.
+    */
+  val SmallCorpusDocs: Long = 1L << 20
+
+  /** One-task training replay: the identical fixed-point GD loop run
+    * locally over the collected-in-task feature rows. Every step is
+    * exact 64-bit integer arithmetic (Java Long `/` truncates toward
+    * zero — Spark's DIV and DuckDB's `//`; the gradient sum is
+    * order-free and bounded within Long under [[SmallCorpusDocs]]),
+    * so the weights are BIT-IDENTICAL to the distributed loop — same
+    * disease, same cure as the graph tier: ~12 rounds of aggregate-job
+    * scheduling (the measured r14 bottleneck: ts_logreg_score 1.99 s
+    * of which ~0.1 s is arithmetic) collapse to one job.
+    */
+  /** The in-task GD loop over [x0..x5, y] rows — the identical
+    * fixed-point arithmetic of [[step]], replayed locally.
+    */
+  private def gdLoop(xs: Array[Array[Long]],
+      iterations: Int): Array[Long] = {
+    val m = xs.length.toLong
+    var w = Array.fill(NumFeatures)(0L)
+    var t = 0
+    while (t < iterations) {
+      val g = new Array[Long](NumFeatures)
+      var r = 0
+      while (r < xs.length) {
+        val row = xs(r)
+        // z = clamp(Σ w_f·x_f): Long mult/add (wraparound-identical
+        // to the column arithmetic), then the greatest/least clamp
+        var raw = 0L
+        var f = 0
+        while (f < NumFeatures) { raw += w(f) * row(f); f += 1 }
+        val z = math.max(-ZCap, math.min(ZCap, raw))
+        val p = Scale / 2 + (z * Scale) / ((Scale + math.abs(z)) * 2L)
+        val e = p - row(NumFeatures) * Scale
+        f = 0
+        while (f < NumFeatures) {
+          g(f) = Math.addExact(g(f), e * row(f))
+          f += 1
+        }
+        r += 1
+      }
+      w = Array.tabulate(NumFeatures)(f =>
+        w(f) - (LrNum * (g(f) / m)) / LrDen)
+      t += 1
+    }
+    w
+  }
+
+  /** The [x0..x5, y] row array column. */
+  private def featRow: Column =
+    array((0 until NumFeatures).map(f => col(s"x$f")) :+ col("y"): _*)
+
+  private def trainLocal(feats: DataFrame,
+      iterations: Int): (Array[Long], Long) = {
+    val spark = feats.sparkSession
+    import spark.implicits._
+    val out = feats.select(featRow.as("r")).as[Array[Long]]
+      .groupByKey(_ => 0).mapGroups { (_, it) =>
+        val xs = it.toArray
+        gdLoop(xs, iterations) :+ xs.length.toLong
+      }.collect()(0) // bounded: one row of k+1 longs
+    (out.take(NumFeatures), out(NumFeatures))
+  }
+
+  /** One-task train-AND-score replay: the single task runs [[gdLoop]]
+    * over its collected rows, then emits every doc's (z, p, pred, y)
+    * under the trained weights — ONE tokenize pass for the whole
+    * train→score chain (the two-pass form tokenizes the corpus twice:
+    * once for the gradient rounds, once for scoring). Output is
+    * bit-identical to `score(df, …, train(df, …))`: all arithmetic is
+    * the same exact 64-bit integer chain.
+    */
+  private def scoreLocal[T](feats: DataFrame, idColName: String,
+      iterations: Int)(implicit encT: Encoder[T]): DataFrame = {
+    val spark = feats.sparkSession
+    import spark.implicits._
+    implicit val encIn: Encoder[(T, Array[Long])] =
+      Encoders.tuple(encT, implicitly[Encoder[Array[Long]]])
+    val encOut: Encoder[(T, Long, Long, Long, Long)] =
+      Encoders.tuple(encT, Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong)
+    feats.select(col(idColName), featRow.as("__r"))
+      .as[(T, Array[Long])]
+      .groupByKey(_ => 0)(Encoders.scalaInt)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray
+        val w = gdLoop(rows.map(_._2), iterations)
+        rows.iterator.map { case (id, a) =>
+          var raw = 0L
+          var f = 0
+          while (f < NumFeatures) { raw += w(f) * a(f); f += 1 }
+          val z = math.max(-ZCap, math.min(ZCap, raw))
+          val p = Scale / 2 + (z * Scale) / ((Scale + math.abs(z)) * 2L)
+          (id, z, p, if (z >= 0L) 1L else 0L, a(NumFeatures))
+        }
+      }(encOut)
+      .toDF(idColName, "z_fp", "p_fp", "pred", "y")
+  }
+
+  /** Train T iterations from zero weights; returns (weights, m).
+    *
+    * @param smallCorpusDocs at or below this doc count the whole loop
+    *   replays as one task ([[trainLocal]] — bit-identical weights,
+    *   one job instead of T); above it the distributed per-round
+    *   aggregation runs unchanged. 0 forces the iterative path.
+    */
   def train(df: DataFrame, idCol: String, textCol: String,
-      iterations: Int = 12): (Array[Long], Long) = {
+      iterations: Int = 12,
+      smallCorpusDocs: Long = SmallCorpusDocs): (Array[Long], Long) = {
     require(iterations >= 1 && iterations <= 32,
       s"iterations must be in [1, 32], got $iterations")
-    // features are iteration-invariant: persist the small (k+2 longs
-    // per doc) feature frame so T gradient jobs don't re-tokenize the
-    // raw text T times — at corpus scale the cache is ~50 bytes/doc vs
-    // re-reading the full text column every iteration
-    val feats = features(df, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      var w = Array.fill(NumFeatures)(0L)
-      var m = 0L
-      for (_ <- 0 until iterations) {
-        val (nw, nm) = step(feats, w)
-        w = nw; m = nm
-      }
-      (w, m)
-    } finally { feats.unpersist() }
+    // gate on the INPUT row count (features() is filter-free, so doc
+    // rows == training rows): for a parquet source this is a metadata
+    // count, not a tokenize pass
+    val m0 = df.count()
+    require(m0 > 0, "logreg: empty training corpus")
+    if (m0 <= smallCorpusDocs)
+      // no persist on this path: the single task folds the tokenize
+      // scan's output directly — ONE corpus pass, two jobs total
+      // (the cache-materialization write alone cost ~10× the bare
+      // feature scan at sf0.1)
+      trainLocal(features(df, idCol, textCol), iterations)
+    else {
+      // features are iteration-invariant: persist the small (k+2 longs
+      // per doc) feature frame so T gradient jobs don't re-tokenize
+      // the raw text T times — at corpus scale the cache is
+      // ~50 bytes/doc vs re-reading the full text column every
+      // iteration
+      val feats = features(df, idCol, textCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        var w = Array.fill(NumFeatures)(0L)
+        var m = 0L
+        for (_ <- 0 until iterations) {
+          val (nw, nm) = step(feats, w)
+          w = nw; m = nm
+        }
+        (w, m)
+      } finally { feats.unpersist() }
+    }
   }
 
   /** Trained weights as a one-row frame (w0..w5, m) — the oracle shape. */
   def trainedWeights(df: DataFrame, idCol: String, textCol: String,
-      iterations: Int = 12): DataFrame = {
+      iterations: Int = 12,
+      smallCorpusDocs: Long = SmallCorpusDocs): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val (w, m) = train(df, idCol, textCol, iterations)
+    val (w, m) = train(df, idCol, textCol, iterations, smallCorpusDocs)
     Seq((w(0), w(1), w(2), w(3), w(4), w(5), m))
       .toDF("w0", "w1", "w2", "w3", "w4", "w5", "m")
   }
@@ -176,10 +302,29 @@ object LogReg {
         when(col("z_fp") >= 0L, 1L).otherwise(0L).as("pred"), col("y"))
   }
 
-  /** Train-then-score convenience (the `queries` entry shape). */
+  /** Train-then-score convenience (the `queries` entry shape). Below
+    * the [[SmallCorpusDocs]] gate with a long/string id column, the
+    * whole chain replays as ONE task ([[scoreLocal]] — one tokenize
+    * pass, bit-identical rows); otherwise train-then-scan.
+    */
   def trainAndScore(df: DataFrame, idCol: String, textCol: String,
-      iterations: Int = 12): DataFrame =
-    score(df, idCol, textCol, train(df, idCol, textCol, iterations)._1)
+      iterations: Int = 12,
+      smallCorpusDocs: Long = SmallCorpusDocs): DataFrame = {
+    require(iterations >= 1 && iterations <= 32,
+      s"iterations must be in [1, 32], got $iterations")
+    val m0 = df.count()
+    require(m0 > 0, "logreg: empty training corpus")
+    val feats = features(df, idCol, textCol)
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val idType = feats.schema.head.dataType
+    if (m0 <= smallCorpusDocs && idType == LongType)
+      scoreLocal[Long](feats, idCol, iterations)(Encoders.scalaLong)
+    else if (m0 <= smallCorpusDocs && idType == StringType)
+      scoreLocal[String](feats, idCol, iterations)(Encoders.STRING)
+    else
+      score(df, idCol, textCol,
+        train(df, idCol, textCol, iterations, smallCorpusDocs)._1)
+  }
 
   // ------------------------------------------------------- DuckDB twin
 
