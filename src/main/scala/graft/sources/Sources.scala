@@ -75,7 +75,24 @@ object Sources {
     *    be a silent shift of every instant into a loud failure naming
     *    the fix.
     */
-  def readTable(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  def readTable(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    readCache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
+      _ => readTableUncached(spark, sfDir, name))
+
+  /** Per-(session, path) memo of the normalized table frame: a fresh
+    * `spark.read.parquet` builds a new InMemoryFileIndex — one
+    * file-listing + schema job PER QUERY, pure scheduling overhead
+    * when a 175-query suite reads the same ten tables. Plans are
+    * immutable, so reuse is safe; the testdata directory never
+    * changes within a JVM session (the driver regenerates it between
+    * sessions). Bounded: #sessions × #tables entries.
+    */
+  private val readCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      DataFrame]()
+
+  private def readTableUncached(spark: SparkSession, sfDir: String,
+      name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     df.schema.fields.foldLeft(df) { (acc, f) =>
       f.dataType match {

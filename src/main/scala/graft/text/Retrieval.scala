@@ -183,26 +183,61 @@ object Retrieval {
       .repartition(spark.sessionState.conf.numShufflePartitions,
         col("doc_id"))
     // the stop-term guard prunes driver-side, so an excluded term never
-    // joins at all (the inner df join then drops its postings)
-    val dft = dftRows
+    // scores at all
+    val dfKept = dftRows
       .filter(_._2.toDouble <= maxDfFrac * n.toDouble)
-      .toDF("__w", "__dfc")
-    val q = spark.createDataFrame(
-      java.util.Arrays.asList(qRows: _*), qSchema)
 
     val nD = lit(n.toDouble)
-    val dfD = col("__dfc").cast("double")
+    def idf(dfD: Column) =
+      log(lit(1.0) + (nD - dfD + lit(0.5)) / (dfD + lit(0.5)))
     val tfD = col("__tf").cast("double")
     val dlD = col("__dl").cast("double")
-    val idf = log(lit(1.0) + (nD - dfD + lit(0.5)) / (dfD + lit(0.5)))
     val tfPart = (tfD * lit(k1 + 1.0)) /
       (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * (dlD / lit(avgdl))))
 
-    val contrib = post
-      .join(broadcast(dft), Seq("__w"))
-      .select(col("__w"), col("doc_id"),
-        round((idf * tfPart) * lit(1e10)).cast("long").as("__qc"))
-      .join(broadcast(q), Seq("__w"))
+    // Both sides of the scoring fan-out are DRIVER-LOCAL already (df
+    // counts and query-term pairs are bounded collects), so for
+    // long/string query ids they ride the plan as two MAP LITERALS —
+    // term → df for the per-posting contribution, term → [query ids]
+    // for the fan-out explode — and the whole score+fan-out is ONE
+    // generator projection inside the post-repartition stage: no
+    // broadcast exchanges, no join operators, two fewer AQE jobs per
+    // query (measured: the two tiny broadcast jobs plus their
+    // scheduling were ~0.3-0.4 s of the warm per-query cost at
+    // sf0.1). A term the stop guard dropped is absent from BOTH maps:
+    // its fan-out array is null and explode drops the row — exactly
+    // the inner df join's behavior. Other id types keep the
+    // LocalRelation broadcast-join form (same values, same oracle).
+    val qIdType = qSchema.head.dataType
+    val keptMap = dfKept.toMap
+    def literalContrib[T](implicit tt: scala.reflect.runtime.universe
+        .TypeTag[Map[String, Seq[T]]]): DataFrame = {
+      val byTerm: Map[String, Seq[T]] = qRows.toSeq
+        .groupBy(_.getString(1))
+        .collect { case (w, rs) if keptMap.contains(w) =>
+          w -> rs.toSeq.map(_.get(0).asInstanceOf[T])
+        }
+      val dfD = element_at(typedLit(keptMap), col("__w")).cast("double")
+      post.select(col("doc_id"),
+        round((idf(dfD) * tfPart) * lit(1e10)).cast("long").as("__qc"),
+        explode(element_at(typedLit(byTerm), col("__w")))
+          .as("query_id"))
+    }
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val contrib = qIdType match {
+      case LongType => literalContrib[Long]
+      case StringType => literalContrib[String]
+      case _ =>
+        val dft = dfKept.toDF("__w", "__dfc")
+        val q = spark.createDataFrame(
+          java.util.Arrays.asList(qRows: _*), qSchema)
+        post
+          .join(broadcast(dft), Seq("__w"))
+          .select(col("__w"), col("doc_id"),
+            round((idf(col("__dfc").cast("double")) * tfPart) * lit(1e10))
+              .cast("long").as("__qc"))
+          .join(broadcast(q), Seq("__w"))
+    }
 
     // order-free fixed-point sum (see the header): partial-combinable,
     // codegen'd, bit-stable on any partitioning
@@ -440,22 +475,32 @@ object Retrieval {
         s"results must carry the (query_id, doc_id, rank) retrieval " +
           s"shape; missing '$c' in ${results.columns.toSeq}")
     }
+    // a doc retrieved at several ranks counts ONCE, at its best rank
+    // (the ndcgAtK rule — ranks from this tier are row_numbers, so
+    // real retrievals are unaffected)
     val res = results.select(col("query_id"), col("doc_id"), col("rank"))
       .filter(col("rank") <= k)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(min(col("rank")).as("rank"))
     val tr = truth.select(col(truthQueryIdCol).as("query_id"),
       col(truthDocIdCol).as("doc_id")).distinct()
-    val hits = res.join(tr, Seq("query_id", "doc_id"))
-      .groupBy("query_id")
-      .agg(count(lit(1)).as("n_hits"), min(col("rank")).as("__fr"))
-    val perQuery = tr.groupBy("query_id")
-      .agg(count(lit(1)).as("n_relevant"))
-    perQuery.join(hits, Seq("query_id"), "left")
-      .select(col("query_id"), col("n_relevant"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        (coalesce(col("n_hits"), lit(0L)).cast("double") /
+    // ONE aggregation over truth ⟕ results (results broadcast — ≤ k
+    // rows per query by the rank filter): n_relevant counts every
+    // truth pair, n_hits/min-rank count only matched ones (count/min
+    // skip the outer join's nulls). The previous two-agg + re-join
+    // shape cost two extra exchanges per run — measurable pure
+    // scheduling on an eval-set-sized frame.
+    val joined = tr.join(broadcast(res), Seq("query_id", "doc_id"),
+      "left")
+    joined.groupBy("query_id")
+      .agg(count(lit(1)).as("n_relevant"),
+        count(col("rank")).as("n_hits"),
+        min(col("rank")).as("__fr"))
+      .select(col("query_id"), col("n_relevant"), col("n_hits"),
+        (col("n_hits").cast("double") /
           col("n_relevant").cast("double")).as("recall_at_k"),
-        (coalesce(col("n_hits"), lit(0L)).cast("double") /
-          lit(k.toDouble)).as("precision_at_k"),
+        (col("n_hits").cast("double") / lit(k.toDouble))
+          .as("precision_at_k"),
         when(col("__fr").isNull, lit(0.0))
           .otherwise(lit(1.0) / col("__fr").cast("double")).as("rr"))
       .orderBy(col("query_id"))
@@ -496,27 +541,27 @@ object Retrieval {
       .agg(min(col("rank")).as("rank"))
     val tr = truth.select(col(truthQueryIdCol).as("query_id"),
       col(truthDocIdCol).as("doc_id")).distinct()
-    // DCG: relevant hits folded in rank order inside the row
-    val dcg = res.join(tr, Seq("query_id", "doc_id"))
-      .groupBy("query_id")
-      .agg(aggregate(
-        transform(sort_array(collect_list(col("rank").cast("long"))),
-          r => ln2 / log(r.cast("double") + 1.0)),
-        lit(0.0), (a, v) => a + v).as("__dcg"))
-    // IDCG: the ideal ranking is 1..min(n_relevant, k) — a row-local
-    // integer-sequence fold, always > 0 (every truth query has >= 1
-    // relevant doc)
-    val perQuery = tr.groupBy("query_id")
-      .agg(count(lit(1)).as("n_relevant"))
+    // ONE aggregation over truth ⟕ results (the rankingMetrics
+    // shape): n_relevant counts every truth pair; collect_list skips
+    // the outer join's null ranks, so the rank-ordered DCG fold sees
+    // exactly the relevant hits (empty list folds to 0.0 — the missed
+    // query). IDCG is a row-local integer-sequence fold over the
+    // ideal ranking 1..min(n_relevant, k), always > 0.
+    val joined = tr.join(broadcast(res), Seq("query_id", "doc_id"),
+      "left")
+    joined.groupBy("query_id")
+      .agg(count(lit(1)).as("n_relevant"),
+        aggregate(
+          transform(sort_array(collect_list(col("rank").cast("long"))),
+            r => ln2 / log(r.cast("double") + 1.0)),
+          lit(0.0), (a, v) => a + v).as("dcg"))
       .withColumn("__idcg", aggregate(
         transform(sequence(lit(1L), least(col("n_relevant"), lit(k.toLong))),
           r => ln2 / log(r.cast("double") + 1.0)),
         lit(0.0), (a, v) => a + v))
-    perQuery.join(dcg, Seq("query_id"), "left")
-      .select(col("query_id"), col("n_relevant"),
-        coalesce(col("__dcg"), lit(0.0)).as("dcg"),
+      .select(col("query_id"), col("n_relevant"), col("dcg"),
         col("__idcg").as("idcg"),
-        (coalesce(col("__dcg"), lit(0.0)) / col("__idcg")).as("ndcg"))
+        (col("dcg") / col("__idcg")).as("ndcg"))
       .orderBy(col("query_id"))
   }
 
