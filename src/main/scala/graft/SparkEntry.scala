@@ -1595,6 +1595,40 @@ object SparkEntry {
           round(col("score"), 6).as("score6"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "ts_bm25_stream_batch" -> ((s, dir) => {
+      // batch twin of the STREAMING index-update lifecycle
+      // (StreamingRetrieval.streamingPostingsUpdate — newest-wins
+      // stateful postings maintenance): the same fresh batch as
+      // ts_bm25_incremental flows through the stateful operator in
+      // batch mode (ts derived from doc_id, one fold per doc), the
+      // settled emissions merge into the base index
+      // (mergeSettledPostings ≡ updateBm25Index), and the probe runs
+      // identically — pinned to the batch operator's exact answer by
+      // SHARING ts_bm25_incremental's oracle
+      val docs = t(s, dir, "documents")
+      val base = docs.filter(col("doc_id") % 3 =!= 0)
+      val fresh = docs
+        .filter(col("doc_id") % 3 === 0 || col("doc_id") % 7 === 0)
+        .select(col("doc_id"), timestamp_seconds(col("doc_id")).as("ts"),
+          concat(col("text"), lit(" upd")).as("text"))
+      val updates = graft.streaming.StreamingRetrieval
+        .streamingPostingsUpdate(fresh, "doc_id", "ts", "text")
+      val merged = graft.streaming.StreamingRetrieval
+        .mergeSettledPostings(
+          graft.text.Retrieval.bm25Index(base, "doc_id", "text"),
+          graft.streaming.StreamingRetrieval.settlePostings(updates))
+      val stats = graft.text.Retrieval.bm25IndexStats(merged)
+      val tk = filter(split(lower(col("text")), "\\s+"),
+        x => length(x) > 0)
+      val queries = docs.filter(col("doc_id") % 193 === 0)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(tk, 1, 6)).as("qtext"))
+      graft.text.Retrieval.bm25ProbeIndex(merged, stats, queries,
+          "doc_id", "qtext", k = 5, maxDfFrac = 0.95)
+        .select(col("query_id"), col("doc_id"),
+          round(col("score"), 6).as("score6"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "ts_domain_mix" -> ((s, dir) => {
       // temperature-weighted language mixing (alpha = 0.5 flattens the
       // skewed language distribution), deterministic hash acceptance
@@ -3633,6 +3667,14 @@ object SparkEntry {
     "ts_bm25_incremental" ->
       // merged corpus after the newest-wins update: docs in the fresh
       // batch (doc_id % 3 = 0 OR % 7 = 0) carry the edited text
+      bm25OracleSql(
+        "SELECT doc_id, CASE WHEN doc_id % 3 = 0 OR doc_id % 7 = 0 " +
+          "THEN text || ' upd' ELSE text END AS text FROM documents",
+        "SELECT doc_id AS query_id, text FROM documents " +
+          "WHERE doc_id % 193 = 0", sliceLen = 6, k = 5, maxDfFrac = 0.95),
+    "ts_bm25_stream_batch" ->
+      // the streaming index-update twin settles to EXACTLY the batch
+      // incremental lifecycle's merged corpus — same oracle formula
       bm25OracleSql(
         "SELECT doc_id, CASE WHEN doc_id % 3 = 0 OR doc_id % 7 = 0 " +
           "THEN text || ' upd' ELSE text END AS text FROM documents",

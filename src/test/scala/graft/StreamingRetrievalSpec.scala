@@ -61,6 +61,83 @@ class StreamingRetrievalSpec extends SparkTestBase {
     } finally post.unpersist()
   }
 
+  // ---------------------------------------------- index-update twin
+
+  private def settledFromSink(table: String) = {
+    val all = spark.table(table)
+    StreamingRetrieval.settlePostings(all)
+      .select("term", "doc_id", "tf", "dl")
+      .filter(org.apache.spark.sql.functions.col("term").isNotNull)
+      .as[(String, Long, Long, Long)].collect().toSet
+  }
+
+  test("streaming index update settles to updateBm25Index across " +
+      "arbitrary batching, re-delivery and out-of-order versions") {
+    implicit val sc = spark.sqlContext
+    // three versions of doc 2, two of doc 3; latest-by-ts must win
+    // regardless of arrival order; doc 5's latest tokenizes to empty
+    // (eviction without replacement)
+    val v = Seq(
+      (2L, 10L, "the cluster runs spark executors"),
+      (2L, 20L, "executors now run rust"),
+      (2L, 30L, "rust runs the cluster"),
+      (3L, 10L, "pandas runs on one machine"),
+      (3L, 25L, "polars runs on many machines"),
+      (5L, 5L, "ephemeral doc"),
+      (5L, 15L, "   "))
+    val latest = Seq((2L, "rust runs the cluster"),
+      (3L, "polars runs on many machines"), (5L, "   "))
+
+    val input = MemoryStream[(Long, Long, String)]
+    val q = StreamingRetrieval.streamingPostingsUpdate(
+        input.toDS().toDF("doc_id", "__ts", "text")
+          .withColumn("ts", org.apache.spark.sql.functions
+            .timestamp_seconds(org.apache.spark.sql.functions
+              .col("__ts"))),
+        "doc_id", "ts", "text")
+      .writeStream.format("memory").queryName("bm25_upd")
+      .outputMode("append").start()
+    // out-of-order: newest version of doc 2 first, then older ones
+    // (ignored), then re-delivery of the whole set (no-op)
+    input.addData(v(2), v(3), v(6)); q.processAllAvailable()
+    input.addData(v(0), v(1), v(4), v(5)); q.processAllAvailable()
+    input.addData(v: _*); q.processAllAvailable()
+    q.stop()
+
+    val settled = settledFromSink("bm25_upd")
+    val want = Retrieval.bm25Index(latest.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .select("term", "doc_id", "tf", "dl")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(settled == want && want.nonEmpty,
+      s"settled $settled vs batch index $want")
+
+    // merge into a base: evicted docs (2, 3, 5) lose their base rows;
+    // doc 5 (empty latest) has NO replacement — updateBm25Index
+    // semantics row-for-row
+    val base = Retrieval.bm25Index(corpus
+      .unionByName(Seq((5L, "ephemeral doc")).toDF("doc_id", "text")),
+      "doc_id", "text")
+    val merged = StreamingRetrieval.mergeSettledPostings(base,
+        StreamingRetrieval.settlePostings(spark.table("bm25_upd")))
+      .as[(String, Long, Long, Long)].collect().toSet
+    val wantMerged = Retrieval.updateBm25Index(base,
+        latest.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(merged == wantMerged && wantMerged.nonEmpty,
+      s"merged $merged vs updateBm25Index $wantMerged")
+  }
+
+  test("index update rejects non-integral doc ids by name") {
+    val df = Seq(("a", 1L, "x")).toDF("doc_id", "__ts", "text")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .timestamp_seconds(org.apache.spark.sql.functions.col("__ts")))
+    val e = intercept[IllegalArgumentException](
+      StreamingRetrieval.streamingPostingsUpdate(df, "doc_id", "ts",
+        "text"))
+    assert(e.getMessage.contains("must be integral"), e.getMessage)
+  }
+
   test("handler validates params at build time, before any batch runs") {
     val post = Retrieval.bm25Index(corpus, "doc_id", "text")
     val stats = Retrieval.bm25IndexStats(post)
