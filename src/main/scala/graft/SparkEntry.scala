@@ -1215,6 +1215,21 @@ object SparkEntry {
       graft.multimodal.Gif.extractGif89aFrames(media).toDF()
         .orderBy(col("media_id"), col("frame_no"))
     }),
+    "mm_mjpeg_frames" -> ((s, dir) => {
+      // REAL video: Motion-JPEG in a genuine AVI RIFF container
+      // (hdrl/avih/strl/strh/strf/movi/idx1 all present and
+      // validated) — three 4:2:0 JFIF frames per media with restart
+      // markers, walked chunk-by-chunk (even-byte padding, index
+      // count check) and decoded by the real JPEG path. The oracle
+      // replays each frame's decode from the closed-form coefficient
+      // corpus (cid = 4·id + f), so a container-walk bug OR a decode
+      // bug cannot hash-match. Retires the FakeCodec H.264 stand-in
+      // from the video feature path
+      val media = graft.multimodal.Avi.syntheticMjpegTable(
+        t(s, dir, "documents"))
+      graft.multimodal.Avi.extractMjpegFrames(media).toDF()
+        .orderBy(col("media_id"), col("frame_no"))
+    }),
     "mm_bmp_decode" -> ((s, dir) => {
       // REAL run-length-compressed image decode: Windows BI_RLE8 BMPs
       // (bottom-up rows, BGRX palette, encoded runs + absolute blocks
@@ -3845,6 +3860,7 @@ object SparkEntry {
     "mm_jpeg_decode" -> JpegOracle.mmJpegDecode,
     "mm_jpeg420_decode" -> JpegOracle.mmJpeg420Decode,
     "mm_jpeg422_decode" -> JpegOracle.mmJpeg422Decode,
+    "mm_mjpeg_frames" -> JpegOracle.mmMjpegFrames,
     // G.711 expansion replayed in SQL: u = complemented byte,
     // mag = ((u%16)*8 + 132) << ((u//16)%8) - 132, sign from bit 7
     "mm_mulaw_decode" ->

@@ -43,6 +43,13 @@ object Multimodal {
     * [magic:4][format:4][w:2][h:2][frames:4], payload follows. A real
     * deployment swaps `decode` for an image/audio library call; the Spark
     * plumbing is unchanged.
+    *
+    * Remaining remit (shrinking every round): MP3 audio only. Images
+    * decode for real (PNG/DEFLATE, JPEG 4:4:4/4:2:0/4:2:2, GIF87a/89a,
+    * BMP RLE8), audio PCM/µ-law/A-law/ADPCM decode for real (Wav), and
+    * VIDEO now decodes for real too — Motion-JPEG in a genuine AVI
+    * RIFF container ([[Avi]]), retiring the H.264 stand-in from the
+    * frame-extraction feature path.
     */
   object FakeCodec {
     val Magic = 0x47524654 // "GRFT"
