@@ -122,7 +122,63 @@ object Bench {
     // target/bench.json AND bench_full.json (repo root, committable) so
     // the artifact survives any stdout mangling.
     val loadsJson = loads.map(l => f"$l%.2f").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":${r4(total)},"total_min":${r4(totalMin)},"unit":"sec","sf":"$sfDir","reps":$reps,"agg":"median","rep_order":"round_robin","loadavg":$loadsJson,"failed":$failed,"queries":$qs,"queries_min":$qsMin}"""
+    // ---- cross-RUN statistics (round-14 verdict #7): bench_full.json
+    // used to hold only the LAST run of a round — often the noisiest.
+    // Merge with the previous bench_full.json of the SAME sf: per-query
+    // minimum across every run of the round (min can only improve by
+    // the plan doing less work), the best run total, and the run
+    // count. The file is self-authored, so a pinned-shape regex parse
+    // is safe; any parse failure just degrades to this-run-only stats.
+    val prevTxt =
+      try {
+        val f = new java.io.File("bench_full.json")
+        if (f.isFile) Some(new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+        else None
+      } catch { case _: Throwable => None }
+    def mapOf(src: String, key: String): Map[String, Double] =
+      ("\"" + key + "\":\\{([^}]*)\\}").r.findFirstMatchIn(src)
+        .map(_.group(1)).toSeq.flatMap { body =>
+          "\"([^\"]+)\":([-0-9.eE]+)".r.findAllMatchIn(body)
+            .map(x => x.group(1) -> x.group(2).toDouble)
+        }.toMap
+    // minimums are only comparable across runs of the SAME code on the
+    // SAME sf: a head change resets the merge (a legitimately-slower
+    // query would otherwise hide behind a stale faster min)
+    def gitHead(): String =
+      try {
+        import java.nio.file.{Files, Paths}
+        val head = new String(Files.readAllBytes(Paths.get(".git/HEAD")),
+          "UTF-8").trim
+        if (head.startsWith("ref: "))
+          new String(Files.readAllBytes(Paths.get(".git/" + head.drop(5))),
+            "UTF-8").trim
+        else head
+      } catch { case _: Throwable => "unknown" }
+    val headNow = gitHead()
+    val sameSf = prevTxt.exists(_.contains("\"sf\":\"" + sfDir + "\"")) &&
+      prevTxt.exists(_.contains("\"git_head\":\"" + headNow + "\""))
+    val prevX =
+      if (!sameSf) Map.empty[String, Double]
+      else prevTxt.map { p =>
+        val x = mapOf(p, "queries_min_xrun")
+        if (x.nonEmpty) x else mapOf(p, "queries_min")
+      }.getOrElse(Map.empty)
+    val prevBest =
+      if (!sameSf) None
+      else prevTxt.flatMap(p => "\"best_total\":([0-9.]+)".r
+        .findFirstMatchIn(p).map(_.group(1).toDouble))
+    val prevRuns =
+      if (!sameSf) 0
+      else prevTxt.flatMap(p => "\"bench_runs\":([0-9]+)".r
+        .findFirstMatchIn(p).map(_.group(1).toInt)).getOrElse(1)
+    val xrun = results.map(r =>
+      (r._1, math.min(r._3, prevX.getOrElse(r._1, Double.MaxValue))))
+    val xrunJson = jmap(xrun)
+    val xrunTotal = xrun.map(_._2).sum
+    val bestTotal = math.min(total, prevBest.getOrElse(Double.MaxValue))
+    val benchRuns = prevRuns + 1
+    val json = s"""{"metric":"total","value":${r4(total)},"total_min":${r4(totalMin)},"unit":"sec","sf":"$sfDir","reps":$reps,"agg":"median","rep_order":"round_robin","git_head":"$headNow","bench_runs":$benchRuns,"best_total":${r4(bestTotal)},"xrun_min_total":${r4(xrunTotal)},"loadavg":$loadsJson,"failed":$failed,"queries":$qs,"queries_min":$qsMin,"queries_min_xrun":$xrunJson}"""
     for (path <- Seq("target/bench.json", "bench_full.json")) {
       try {
         val f = new java.io.File(path)
@@ -141,7 +197,7 @@ object Bench {
     // standalone even after sbt's trailing [success] line spends some
     // of the tail budget
     val slow = results.sortBy(-_._2).take(15)
-    val compact = s"""{"metric":"total","value":${r4(total)},"total_min":${r4(totalMin)},"unit":"sec","sf":"$sfDir","reps":$reps,"agg":"median","n_queries":${results.size},"loadavg":$loadsJson,"failed":$failed,"full_queries_in":"bench_full.json","slowest":${jmap(slow.map(r => (r._1, r._2)))}}"""
+    val compact = s"""{"metric":"total","value":${r4(total)},"total_min":${r4(totalMin)},"unit":"sec","sf":"$sfDir","reps":$reps,"agg":"median","n_queries":${results.size},"bench_runs":$benchRuns,"best_total":${r4(bestTotal)},"xrun_min_total":${r4(xrunTotal)},"loadavg":$loadsJson,"failed":$failed,"full_queries_in":"bench_full.json","slowest":${jmap(slow.map(r => (r._1, r._2)))}}"""
     println(compact)
     spark.stop()
     // a broken query must fail the bench run loudly, not vanish into a
