@@ -76,20 +76,32 @@ object Sources {
     *    the fix.
     */
   def readTable(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    readCache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
+    readCache.computeIfAbsent((spark, s"$sfDir/$name.parquet",
+        normalizationConfs(spark)),
       _ => readTableUncached(spark, sfDir, name))
 
-  /** Per-(session, path) memo of the normalized table frame: a fresh
-    * `spark.read.parquet` builds a new InMemoryFileIndex — one
+  /** The session confs the timestamp normalization (and its loud
+    * non-UTC guard) reads at BUILD time — part of the cache key, so a
+    * mid-session conf change rebuilds (and re-guards) instead of
+    * silently reusing a frame normalized under different rules.
+    */
+  private def normalizationConfs(spark: SparkSession): String = Seq(
+    "spark.sql.session.timeZone",
+    "spark.sql.parquet.inferTimestampNTZ.enabled",
+    "spark.sql.legacy.parquet.nanosAsLong")
+    .map(k => spark.conf.getOption(k).getOrElse("")).mkString("|")
+
+  /** Per-(session, path, confs) memo of the normalized table frame: a
+    * fresh `spark.read.parquet` builds a new InMemoryFileIndex — one
     * file-listing + schema job PER QUERY, pure scheduling overhead
     * when a 175-query suite reads the same ten tables. Plans are
     * immutable, so reuse is safe; the testdata directory never
     * changes within a JVM session (the driver regenerates it between
-    * sessions). Bounded: #sessions × #tables entries.
+    * sessions). Bounded: #sessions × #tables × #conf-variants entries.
     */
   private val readCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
-      DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, String), DataFrame]()
 
   private def readTableUncached(spark: SparkSession, sfDir: String,
       name: String): DataFrame = {
