@@ -91,7 +91,8 @@ def l2f(v, c):
 
 
 def quantizer_prefix(n_centroids=16, refine_sample=256, lloyd_iters=2,
-                     emb_where="", with_assigned=True):
+                     emb_where="", with_assigned=True,
+                     emb_select=None, samp_table="emb"):
     """Shared CTE chain replicating Similarity.ivfCentroids + the corpus
     cell assignment (`assigned`: vec_id, v, cell):
     (1) samp — the refine_sample corpus rows with the smallest
@@ -154,11 +155,13 @@ assigned AS (SELECT vec_id, v, cell FROM (
     SELECT vec_id, v, cell, row_number() OVER (
       PARTITION BY vec_id ORDER BY d, cell) AS rn FROM cdist)
   WHERE rn = 1)"""
+    emb_sql = emb_select or ("SELECT vec_id, CAST(embedding AS "
+                             f"DOUBLE[]) AS v FROM embeddings{emb_where}")
     return f"""emb AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings{emb_where}),
+  {emb_sql}),
 samp AS MATERIALIZED (SELECT v,
     row_number() OVER (ORDER BY idh, vec_id) AS srn
-  FROM (SELECT v, vec_id, {idh} AS idh FROM emb)
+  FROM (SELECT v, vec_id, {idh} AS idh FROM {samp_table})
   QUALIFY row_number() OVER (ORDER BY idh, vec_id) <= {refine_sample}),
 {quantizer},
 cent AS MATERIALIZED (SELECT mc AS cell, cents[mc + 1] AS cv
@@ -431,7 +434,8 @@ FROM r WHERE rank <= {k} ORDER BY query_id, rank"""
 
 def sim_ivfadc_sql(n_centroids=16, n_probe=8, extra_probes=4,
                    rho=1.05, m=8, k_per_sub=16, dim=64, k=5, over_fetch=8,
-                   refine_sample=256, lloyd_iters=2):
+                   refine_sample=256, lloyd_iters=2,
+                   emb_select=None, samp_table="emb", pre_ctes=""):
     """graft.sim.Pq.ivfAdcTopK — TRUE IVFADC (residual encoding): the
     shared IVF quantizer prefix routes queries and assigns corpus
     cells, the residual PQ prefix trains codebooks on — and encodes —
@@ -482,8 +486,9 @@ probes AS (SELECT pr.vec_id AS query_id, pr.v AS qv, pr.cell,
     rk.cell, {ipc.replace('pr.v', 'rk.v')} AS ipc
   FROM ({ranked}) rk JOIN cent ct ON ct.cell = rk.cell
   WHERE rn <= {n_probe})"""
-    return f"""WITH {quantizer_prefix(n_centroids, refine_sample,
-                                      lloyd_iters)},
+    return f"""WITH {pre_ctes}{quantizer_prefix(n_centroids, refine_sample,
+                                      lloyd_iters, emb_select=emb_select,
+                                      samp_table=samp_table)},
 {pq_body},
 {probes},
 sc AS (SELECT p.query_id, c.vec_id,
@@ -508,6 +513,24 @@ r AS (SELECT query_id, vec_id, cosine, row_number() OVER (
 SELECT query_id, vec_id, round(cosine, 6) AS cos6,
   CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= {k} ORDER BY query_id, rank"""
+
+
+def sim_ivfadc_incremental_sql(**kw):
+    """graft.sim.Pq.updateIvfAdcIndex probed via ivfAdcTopKWithIndex:
+    quantizers (coarse + residual codebooks) sample the ORIGINAL
+    corpus (emb0 — the frozen pre-update models), while assignment,
+    encoding, probing and reranking run over the MERGED corpus (every
+    vec_id % 4 = 0 or % 6 = 0 row re-ingested with its embedding
+    reversed). With frozen models the newest-wins merge equals a
+    rebuild over the merged corpus, so this is exactly the ivfadc
+    chain with the sample source overridden."""
+    merged = ("SELECT vec_id, CASE WHEN vec_id % 4 = 0 OR vec_id % 6 = 0"
+              " THEN list_reverse(CAST(embedding AS DOUBLE[]))"
+              " ELSE CAST(embedding AS DOUBLE[]) END AS v FROM embeddings")
+    pre = ("emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+           " FROM embeddings),\n")
+    return sim_ivfadc_sql(emb_select=merged, samp_table="emb0",
+                          pre_ctes=pre, **kw)
 
 
 def emb_neardups_sql(planes=4, threshold=0.3, max_bucket=64):
@@ -647,6 +670,8 @@ def validate(sf_dir, verify_dir):
                       ("sim_pq_topk", sim_pq_topk_sql()),
                       ("sim_ivfpq_topk", sim_ivfpq_sql()),
                       ("sim_ivfadc_topk", sim_ivfadc_sql()),
+                      ("sim_ivfadc_incremental",
+                       sim_ivfadc_incremental_sql()),
                       ("dd_embedding_neardups", emb_neardups_sql()),
                       ("dd_semantic", dd_semantic_sql()),
                       ("dd_semantic_prune", dd_semantic_prune_sql()),
@@ -692,6 +717,8 @@ def emit_scala(path):
                           ("simPqTopK", sim_pq_topk_sql()),
                           ("simIvfPqTopK", sim_ivfpq_sql()),
                           ("simIvfAdcTopK", sim_ivfadc_sql()),
+                          ("simIvfAdcIncremental",
+                           sim_ivfadc_incremental_sql()),
                           ("ddEmbeddingNearDups", emb_neardups_sql()),
                           ("ddSemantic", dd_semantic_sql()),
                           ("ddSemanticPrune", dd_semantic_prune_sql()),

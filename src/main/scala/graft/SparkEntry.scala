@@ -2008,6 +2008,43 @@ object SparkEntry {
           col("rank").cast("bigint").as("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "sim_ivfadc_incremental" -> ((s, dir) => {
+      // incremental vector-index lifecycle (the BM25/MinHash/SemDeDup
+      // merge rung for IVFADC): quantizers train on — and the index
+      // is built from — the ORIGINAL corpus; a fresh batch (every
+      // vec_id % 4 = 0 or % 6 = 0 row re-ingested with its embedding
+      // REVERSED — an SQL-replayable edit) is assigned + residual-
+      // encoded with the FROZEN models and merged newest-wins; the
+      // probe answers from the merged index, reranking on the merged
+      // corpus. Oracle = the full residual chain with the sample
+      // drawn from the pre-update corpus and everything else over the
+      // merged one
+      val emb = t(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding",
+        nCentroids = 16)
+      val cbs = graft.sim.Pq.pqCodebooksResidual(emb, "vec_id",
+        "embedding", cents, dim = 64, m = 8, kPerSub = 16)
+      val index = graft.sim.Pq.ivfAdcIndex(emb, "vec_id", "embedding",
+        cents, cbs)
+      val isFresh = col("vec_id") % 4 === 0 || col("vec_id") % 6 === 0
+      val fresh = emb.filter(isFresh)
+        .withColumn("embedding", reverse(col("embedding")))
+      val merged = graft.sim.Pq.updateIvfAdcIndex(index, "vec_id",
+        fresh, "vec_id", "embedding", cents, cbs)
+      val mergedCorpus = emb.withColumn("embedding",
+        when(isFresh, reverse(col("embedding")))
+          .otherwise(col("embedding")))
+      val q = mergedCorpus.filter(col("vec_id") < 8)
+      graft.sim.Pq.ivfAdcTopKWithIndex(merged, "vec_id", cents, cbs,
+          mergedCorpus, "vec_id", "embedding", q, "vec_id", "embedding",
+          k = 5, nProbe = 8, overFetch = 8, extraProbes = 4,
+          boundaryRho = 1.05)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cosine"), 6).as("cos6"),
+          col("rank").cast("bigint").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "ts_chunk_overlap" -> ((s, dir) => {
       // RAG-corpus chunking: 64-word windows advancing by 48 (16-word
       // overlap), row-local integer arithmetic, fingerprinted text
@@ -3429,6 +3466,7 @@ object SparkEntry {
     "sim_pq_topk" -> SimOracles.simPqTopK,
     "sim_ivfpq_topk" -> SimOracles.simIvfPqTopK,
     "sim_ivfadc_topk" -> SimOracles.simIvfAdcTopK,
+    "sim_ivfadc_incremental" -> SimOracles.simIvfAdcIncremental,
     "dd_embedding_neardups" -> SimOracles.ddEmbeddingNearDups,
     "dd_semantic" -> SimOracles.ddSemantic,
     "dd_semantic_prune" -> SimOracles.ddSemanticPrune,

@@ -552,6 +552,33 @@ object Pq {
     Similarity.rankTopK(rerank, k)
   }
 
+  /** Merge a fresh corpus batch into an IVFADC index, newest-wins —
+    * the vector-index rung of the incremental lifecycle the BM25
+    * postings ([[graft.text.Retrieval.updateBm25Index]]), MinHash
+    * signature and SemDeDup cell tiers already have: the coarse
+    * quantizer and residual codebooks stay FROZEN (re-training on
+    * every batch would re-encode 100 TB; the standard production
+    * trade is frozen models + periodic full rebuilds), the fresh
+    * batch is assigned + residual-encoded scan-stage, and a doc id
+    * present in the batch REPLACES its old index row (re-ingested/
+    * edited vectors never appear twice). One anti-join + a union —
+    * with frozen models the merged index is row-for-row what a fresh
+    * [[ivfAdcIndex]] over the merged corpus would build
+    * (IvfPqIndexSpec pins this), so probes stay bit-exact.
+    */
+  def updateIvfAdcIndex(index: DataFrame, idCol: String,
+      freshCorpus: DataFrame, freshIdCol: String, vecCol: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val fresh = ivfAdcIndex(freshCorpus, freshIdCol, vecCol, centroids,
+      codebooks).withColumnRenamed(freshIdCol, idCol)
+    val freshIds = freshCorpus.select(col(freshIdCol).as(idCol))
+      .distinct()
+    index.join(freshIds, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cell"), col("codes"))
+      .unionByName(fresh)
+  }
+
   /** IVFADC composed retriever — [[ivfPqTopK]] with TRUE residual
     * encoding (Jégou TPAMI 2011 §V): codebooks train on the sample's
     * coarse residuals ([[pqCodebooksResidual]]), codes encode

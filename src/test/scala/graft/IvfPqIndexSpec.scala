@@ -64,4 +64,33 @@ class IvfPqIndexSpec extends SparkTestBase {
       !plan.contains("PushedFilters: []"),
       s"cell filters must reach the parquet scan:\n$plan")
   }
+
+  test("updateIvfAdcIndex: frozen-model merge equals a rebuild over " +
+      "the merged corpus; evicted ids never appear twice") {
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding",
+      nCentroids = 16)
+    val cbs = Pq.pqCodebooksResidual(emb, "vec_id", "embedding", cents,
+      dim = 64, m = 8, kPerSub = 16)
+    val index = Pq.ivfAdcIndex(emb, "vec_id", "embedding", cents, cbs)
+    val isFresh = col("vec_id") % 4 === 0 || col("vec_id") % 6 === 0
+    val fresh = emb.filter(isFresh)
+      .withColumn("embedding", reverse(col("embedding")))
+    val merged = Pq.updateIvfAdcIndex(index, "vec_id", fresh, "vec_id",
+      "embedding", cents, cbs)
+    val mergedCorpus = emb.withColumn("embedding",
+      when(isFresh, reverse(col("embedding")))
+        .otherwise(col("embedding")))
+    val rebuild = Pq.ivfAdcIndex(mergedCorpus, "vec_id", "embedding",
+      cents, cbs)
+    val a = merged.as[(Long, Int, Seq[Int])].collect()
+    val b = rebuild.as[(Long, Int, Seq[Int])].collect().toSet
+    assert(a.toSet == b && b.nonEmpty)
+    // one row per id — a re-ingested vector must never appear twice
+    assert(a.map(_._1).distinct.length == a.length)
+    // the edit is visible: at least one fresh id changed cell or codes
+    val orig = index.as[(Long, Int, Seq[Int])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(a.exists(r => orig(r._1) != ((r._2, r._3))),
+      "reversing embeddings changed no index row — vacuous merge")
+  }
 }
