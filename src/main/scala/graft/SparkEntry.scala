@@ -2045,6 +2045,44 @@ object SparkEntry {
           col("rank").cast("bigint").as("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "sim_ivfadc_stream_batch" -> ((s, dir) => {
+      // batch twin of the STREAMING vector-index maintenance
+      // (StreamingAnn.streamingIndexUpdate — newest-wins stateful
+      // (id, cell, codes) upkeep under frozen models): the same fresh
+      // batch as sim_ivfadc_incremental flows through the stateful
+      // operator in batch mode (ts derived from vec_id), the settled
+      // emissions merge into the base index (mergeSettledIndex ≡
+      // updateIvfAdcIndex), and the probe runs identically — pinned
+      // by SHARING sim_ivfadc_incremental's oracle
+      val emb = t(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding",
+        nCentroids = 16)
+      val cbs = graft.sim.Pq.pqCodebooksResidual(emb, "vec_id",
+        "embedding", cents, dim = 64, m = 8, kPerSub = 16)
+      val index = graft.sim.Pq.ivfAdcIndex(emb, "vec_id", "embedding",
+        cents, cbs)
+      val isFresh = col("vec_id") % 4 === 0 || col("vec_id") % 6 === 0
+      val fresh = emb.filter(isFresh)
+        .select(col("vec_id"), timestamp_seconds(col("vec_id")).as("ts"),
+          reverse(col("embedding")).as("embedding"))
+      val updates = graft.streaming.StreamingAnn.streamingIndexUpdate(
+        fresh, "vec_id", "ts", "embedding", cents, cbs)
+      val merged = graft.streaming.StreamingAnn.mergeSettledIndex(index,
+        "vec_id", graft.streaming.StreamingAnn.settleIndex(updates))
+      val mergedCorpus = emb.withColumn("embedding",
+        when(isFresh, reverse(col("embedding")))
+          .otherwise(col("embedding")))
+      val q = mergedCorpus.filter(col("vec_id") < 8)
+      graft.sim.Pq.ivfAdcTopKWithIndex(merged, "vec_id", cents, cbs,
+          mergedCorpus, "vec_id", "embedding", q, "vec_id", "embedding",
+          k = 5, nProbe = 8, overFetch = 8, extraProbes = 4,
+          boundaryRho = 1.05)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cosine"), 6).as("cos6"),
+          col("rank").cast("bigint").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "ts_chunk_overlap" -> ((s, dir) => {
       // RAG-corpus chunking: 64-word windows advancing by 48 (16-word
       // overlap), row-local integer arithmetic, fingerprinted text
@@ -3467,6 +3505,9 @@ object SparkEntry {
     "sim_ivfpq_topk" -> SimOracles.simIvfPqTopK,
     "sim_ivfadc_topk" -> SimOracles.simIvfAdcTopK,
     "sim_ivfadc_incremental" -> SimOracles.simIvfAdcIncremental,
+    // the streaming twin settles to EXACTLY the incremental merge —
+    // same oracle (the ts_bm25_stream_batch discipline)
+    "sim_ivfadc_stream_batch" -> SimOracles.simIvfAdcIncremental,
     "dd_embedding_neardups" -> SimOracles.ddEmbeddingNearDups,
     "dd_semantic" -> SimOracles.ddSemantic,
     "dd_semantic_prune" -> SimOracles.ddSemanticPrune,

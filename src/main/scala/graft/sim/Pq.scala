@@ -442,18 +442,19 @@ object Pq {
     */
   def ivfAdcIndex(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]],
-      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+      codebooks: Array[Array[Array[Double]]],
+      keep: Seq[String] = Nil): DataFrame = {
     val centLit = typedLit(centroids.toSeq.map(_.toSeq))
     corpus
-      .select(col(idCol),
+      .select((col(idCol) +: keep.map(col)) ++ Seq(
         graft.functions.VectorFunctions
           .nearestCells(col(vecCol), centroids.toSeq.map(_.toSeq), 1)
           .getItem(0).as("cell"),
-        col(vecCol).as("__v"))
-      .select(col(idCol), col("cell"),
+        col(vecCol).as("__v")): _*)
+      .select((col(idCol) +: keep.map(col)) ++ Seq(col("cell"),
         codesColumn(zip_with(col("__v"),
           element_at(centLit, col("cell") + 1), (a, b) => a - b),
-          codebooks).as("codes"))
+          codebooks).as("codes")): _*)
   }
 
   /** ADC cosine under residual encoding: recon(x) = centroid(cell) +
