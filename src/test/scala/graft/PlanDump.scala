@@ -36,7 +36,10 @@ object PlanDump {
                   "sc_group_quantiles","ts_group_priority_sample",
                   "sim_ivfpq_topk","u5_scd2_stream_batch",
                   "sc_group_quantiles_stream_batch",
-                  "ts_group_priority_stream_batch","mm_gif89a_frames")) {
+                  "ts_group_priority_stream_batch","mm_gif89a_frames",
+                  "sim_ivfadc_topk","sim_ivfadc_incremental",
+                  "ts_bm25_stream_batch","mm_mjpeg_frames",
+                  "ts_bm25_eval")) {
       sb.append(s"\n## $q\n\n```\n")
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode)
