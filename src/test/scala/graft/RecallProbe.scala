@@ -62,11 +62,24 @@ object RecallProbe {
     val ivfRefined = recall(Similarity.ivfTopKWithCentroids(emb,
       "vec_id", "embedding", queries, "vec_id", "embedding", k,
       refined, nProbe = nProbe, extraProbes = 4, boundaryRho = 1.05))
+    // the two PQ compositions at the identical candidate budget:
+    // raw-vector codes vs TRUE residual (IVFADC) codes
+    val ivfPq = recall(graft.sim.Pq.ivfPqTopK(emb, "vec_id",
+      "embedding", queries, "vec_id", "embedding", k, dim = 64,
+      nCentroids = nCentroids, nProbe = nProbe, m = 8, kPerSub = 16,
+      overFetch = 8, refineSample = refineSample,
+      lloydIters = lloydIters, extraProbes = 4))
+    val ivfAdc = recall(graft.sim.Pq.ivfAdcTopK(emb, "vec_id",
+      "embedding", queries, "vec_id", "embedding", k, dim = 64,
+      nCentroids = nCentroids, nProbe = nProbe, m = 8, kPerSub = 16,
+      overFetch = 8, refineSample = refineSample,
+      lloydIters = lloydIters, extraProbes = 4))
     println(f"RECALL sf=$dir queries=$nQueries lsh(4,16)=$lsh%.3f " +
       f"ivf($nCentroids,$nProbe,s=$refineSample,it=$lloydIters)=$ivf%.3f " +
       f"ivf_adaptive(+4@1.05)=$ivfAdaptive%.3f " +
       f"ivf_kmeans_full(k=$nCentroids,it=4,+4@1.05)=$ivfKMeans%.3f " +
-      f"ivf_kmeans_refined(seeded,it=2,+4@1.05)=$ivfRefined%.3f")
+      f"ivf_kmeans_refined(seeded,it=2,+4@1.05)=$ivfRefined%.3f " +
+      f"ivfpq_raw(8x16,of=8)=$ivfPq%.3f ivfadc_residual=$ivfAdc%.3f")
     // the second IVF quality axis: how much of the corpus does an
     // nProbe-cell probe actually scan? Skewed cells can fake recall by
     // funneling most of the corpus into the probed cells — report the

@@ -142,6 +142,25 @@ class SimilarityRecallSpec extends SparkTestBase {
       f"refined-quantizer IVF recall regressed: $r%.3f < 0.95")
   }
 
+  test("IVFADC residual encoding lifts recall over raw-vector PQ codes " +
+      "at equal candidate budget (and holds a 0.70 floor)") {
+    // measured at the gate parameters on sf0.01 (RecallProbe):
+    // ivfpq_raw 0.613, ivfadc_residual 0.742 — the Jégou §V claim,
+    // empirically: residuals concentrate around the origin, so the
+    // same 8×16 code budget quantizes them finer
+    val raw = recallAtK(graft.sim.Pq.ivfPqTopK(emb, "vec_id",
+      "embedding", queries, "vec_id", "embedding", k, dim = 64,
+      nCentroids = 16, nProbe = 8, m = 8, kPerSub = 16, overFetch = 8,
+      extraProbes = 4))
+    val res = recallAtK(graft.sim.Pq.ivfAdcTopK(emb, "vec_id",
+      "embedding", queries, "vec_id", "embedding", k, dim = 64,
+      nCentroids = 16, nProbe = 8, m = 8, kPerSub = 16, overFetch = 8,
+      extraProbes = 4))
+    assert(res >= raw,
+      f"residual recall $res%.3f fell below raw-encoding $raw%.3f")
+    assert(res >= 0.70, f"IVFADC recall regressed: $res%.3f < 0.70")
+  }
+
   test("IVF probes widen recall: nProbe=8 >= nProbe=2") {
     val r2 = recallAtK(Similarity.ivfTopK(emb, "vec_id", "embedding",
       queries, "vec_id", "embedding", k, nCentroids = 16, nProbe = 2))
