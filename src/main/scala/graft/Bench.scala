@@ -143,20 +143,41 @@ object Bench {
             .map(x => x.group(1) -> x.group(2).toDouble)
         }.toMap
     // minimums are only comparable across runs of the SAME code on the
-    // SAME sf: a head change resets the merge (a legitimately-slower
-    // query would otherwise hide behind a stale faster min)
-    def gitHead(): String =
+    // SAME sf: a head OR working-tree change resets the merge (a
+    // legitimately-slower query would otherwise hide behind a stale
+    // faster min). The key is `git rev-parse HEAD` (packed-refs-safe —
+    // the old raw .git/refs read returned "unknown" after a git gc and
+    // silently merged across code versions) plus, when the CODE paths
+    // are dirty, a digest of their diff — bench artifacts themselves
+    // (bench_full.json et al.) are excluded so the close procedure's
+    // back-to-back runs still merge. An unresolvable key skips merging
+    // instead of merging under a sentinel.
+    def gitKey(): Option[String] =
       try {
-        import java.nio.file.{Files, Paths}
-        val head = new String(Files.readAllBytes(Paths.get(".git/HEAD")),
-          "UTF-8").trim
-        if (head.startsWith("ref: "))
-          new String(Files.readAllBytes(Paths.get(".git/" + head.drop(5))),
-            "UTF-8").trim
-        else head
-      } catch { case _: Throwable => "unknown" }
-    val headNow = gitHead()
-    val sameSf = prevTxt.exists(_.contains("\"sf\":\"" + sfDir + "\"")) &&
+        def run(cmd: String*): Option[String] = {
+          val pr = new ProcessBuilder(cmd: _*).start()
+          val out = new String(pr.getInputStream.readAllBytes(), "UTF-8")
+          if (pr.waitFor() == 0) Some(out) else None
+        }
+        val codePaths = Seq("src", "build.sbt", "project", "scripts")
+        for {
+          head <- run("git" +: "rev-parse" +: "HEAD" +: Nil: _*).map(_.trim)
+          diff <- run("git" +: "diff" +: "HEAD" +: "--" +: codePaths: _*)
+          stat <- run(
+            "git" +: "status" +: "--porcelain" +: "--" +: codePaths: _*)
+        } yield
+          if (diff.isEmpty && stat.isEmpty) head
+          else {
+            val md = java.security.MessageDigest.getInstance("SHA-256")
+            val dig = md.digest((diff + " " + stat).getBytes("UTF-8"))
+              .take(6).map(b => f"$b%02x").mkString
+            s"$head-dirty-$dig"
+          }
+      } catch { case _: Throwable => None }
+    val keyNow = gitKey()
+    val headNow = keyNow.getOrElse("unresolved")
+    val sameSf = keyNow.isDefined &&
+      prevTxt.exists(_.contains("\"sf\":\"" + sfDir + "\"")) &&
       prevTxt.exists(_.contains("\"git_head\":\"" + headNow + "\""))
     val prevX =
       if (!sameSf) Map.empty[String, Double]

@@ -158,8 +158,12 @@ object Avi {
         case "LIST" =>
           val listType = cc(p + 8)
           if (listType == "hdrl") {
-            // avih must be the first child
+            // avih must be the first child, and its 40 read bytes must
+            // lie inside the hdrl list's own extent (p + 8 + sz) — the
+            // whole-buffer checks in u32/cc alone would let a
+            // truncated hdrl pull header values from adjacent chunks
             val ap = p + 12
+            if (ap + 8 + 40 > p + 8 + sz) return None
             if (cc(ap) != "avih" || u32(ap + 4) < 40) return None
             usPerFrame = u32(ap + 8)
             totalFrames = u32(ap + 8 + 16)

@@ -47,20 +47,26 @@ object Pq {
       s"refineSample ($refineSample) must be >= kPerSub ($kPerSub)")
     require(lloydIters >= 0, s"lloydIters must be >= 0, got $lloydIters")
     val sub = dim / m
-    val sample = corpus
-      .select(col(vecCol), xxhash64(col(idCol)).as("__h"),
-        col(idCol).as("__i"))
-      .orderBy(col("__h"), col("__i")).limit(refineSample)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Double](0).toArray)
-    require(sample.nonEmpty, "PQ: empty corpus")
-    require(sample.head.length == dim,
-      s"vectors are ${sample.head.length}-dim, expected $dim")
-    Array.tabulate(m) { j =>
-      val sliced = sample.map(v => v.slice(j * sub, (j + 1) * sub))
-      Similarity.lloydRefine(
-        Similarity.farthestPointSeeds(sliced, kPerSub), sliced,
-        lloydIters)
+    // session-memoized: the PQ family (encode/topk/ivfpq) shares one
+    // sample job + driver train per (corpus, params)
+    graft.ops.BuildMemo.value(corpus, "pqCodebooks",
+        params =
+          s"$idCol|$vecCol|$dim|$m|$kPerSub|$refineSample|$lloydIters") {
+      val sample = corpus
+        .select(col(vecCol), xxhash64(col(idCol)).as("__h"),
+          col(idCol).as("__i"))
+        .orderBy(col("__h"), col("__i")).limit(refineSample)
+        .select(col(vecCol)).collect()
+        .map(_.getSeq[Double](0).toArray)
+      require(sample.nonEmpty, "PQ: empty corpus")
+      require(sample.head.length == dim,
+        s"vectors are ${sample.head.length}-dim, expected $dim")
+      Array.tabulate(m) { j =>
+        val sliced = sample.map(v => v.slice(j * sub, (j + 1) * sub))
+        Similarity.lloydRefine(
+          Similarity.farthestPointSeeds(sliced, kPerSub), sliced,
+          lloydIters)
+      }
     }
   }
 
@@ -412,24 +418,33 @@ object Pq {
     require(centroids.nonEmpty && centroids(0).length == dim,
       s"centroids must be non-empty ${dim}-dim")
     val sub = dim / m
-    val sample = corpus
-      .select(col(vecCol), xxhash64(col(idCol)).as("__h"),
-        col(idCol).as("__i"))
-      .orderBy(col("__h"), col("__i")).limit(refineSample)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Double](0).toArray)
-    require(sample.nonEmpty, "PQ: empty corpus")
-    require(sample.head.length == dim,
-      s"vectors are ${sample.head.length}-dim, expected $dim")
-    val resid = sample.map { v =>
-      val c = centroids(nearestCentroidIdx(v, centroids))
-      Array.tabulate(dim)(i => v(i) - c(i))
-    }
-    Array.tabulate(m) { j =>
-      val sliced = resid.map(v => v.slice(j * sub, (j + 1) * sub))
-      Similarity.lloydRefine(
-        Similarity.farthestPointSeeds(sliced, kPerSub), sliced,
-        lloydIters)
+    // session-memoized: the IVFADC topk/incremental/streaming rows
+    // share one residual-codebook train. The centroid CONTENT is part
+    // of the key (different coarse quantizers train different
+    // codebooks even over the same corpus plan).
+    graft.ops.BuildMemo.value(corpus, "pqCodebooksResidual",
+        params = s"$idCol|$vecCol|$dim|$m|$kPerSub|$refineSample|" +
+          s"$lloydIters|${java.util.Arrays.deepToString(
+            centroids.asInstanceOf[Array[AnyRef]])}") {
+      val sample = corpus
+        .select(col(vecCol), xxhash64(col(idCol)).as("__h"),
+          col(idCol).as("__i"))
+        .orderBy(col("__h"), col("__i")).limit(refineSample)
+        .select(col(vecCol)).collect()
+        .map(_.getSeq[Double](0).toArray)
+      require(sample.nonEmpty, "PQ: empty corpus")
+      require(sample.head.length == dim,
+        s"vectors are ${sample.head.length}-dim, expected $dim")
+      val resid = sample.map { v =>
+        val c = centroids(nearestCentroidIdx(v, centroids))
+        Array.tabulate(dim)(i => v(i) - c(i))
+      }
+      Array.tabulate(m) { j =>
+        val sliced = resid.map(v => v.slice(j * sub, (j + 1) * sub))
+        Similarity.lloydRefine(
+          Similarity.farthestPointSeeds(sliced, kPerSub), sliced,
+          lloydIters)
+      }
     }
   }
 
@@ -445,7 +460,7 @@ object Pq {
       codebooks: Array[Array[Array[Double]]],
       keep: Seq[String] = Nil): DataFrame = {
     val centLit = typedLit(centroids.toSeq.map(_.toSeq))
-    corpus
+    val idx = corpus
       .select((col(idCol) +: keep.map(col)) ++ Seq(
         graft.functions.VectorFunctions
           .nearestCells(col(vecCol), centroids.toSeq.map(_.toSeq), 1)
@@ -455,6 +470,13 @@ object Pq {
         codesColumn(zip_with(col("__v"),
           element_at(centLit, col("cell") + 1), (a, b) => a - b),
           codebooks).as("codes")): _*)
+    // session-memoized materialization (≤16 B of payload per row —
+    // cheaper to hold than to re-encode per query); the model literals
+    // are part of the plan, so the key pins them. Streaming inputs
+    // (the StreamingAnn path) and mutable tables return the lazy
+    // projection unchanged.
+    if (graft.ops.BuildMemo.memoizable(idx)) graft.ops.BuildMemo.frame(idx)
+    else idx
   }
 
   /** ADC cosine under residual encoding: recon(x) = centroid(cell) +
@@ -575,9 +597,14 @@ object Pq {
       codebooks).withColumnRenamed(freshIdCol, idCol)
     val freshIds = freshCorpus.select(col(freshIdCol).as(idCol))
       .distinct()
-    index.join(freshIds, Seq(idCol), "left_anti")
+    val merged = index.join(freshIds, Seq(idCol), "left_anti")
       .select(col(idCol), col("cell"), col("codes"))
       .unionByName(fresh)
+    // memoized materialization: re-invocations share the merge (same
+    // guard-or-lazy contract as ivfAdcIndex)
+    if (graft.ops.BuildMemo.memoizable(merged))
+      graft.ops.BuildMemo.frame(merged)
+    else merged
   }
 
   /** IVFADC composed retriever — [[ivfPqTopK]] with TRUE residual

@@ -347,13 +347,21 @@ object Similarity {
     // at the cut boundary would otherwise make the sample
     // partition-order-dependent. Seeds come from farthest-point
     // selection over the sample, then lloydIters k-means passes.
-    val sample = corpus
-      .select(col(vecCol), xxhash64(col(idCol)).as("__h"), col(idCol).as("__i"))
-      .orderBy(col("__h"), col("__i")).limit(refineSample)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Double](0).toArray)
-    require(sample.nonEmpty, "IVF: empty corpus")
-    lloydRefine(farthestPointSeeds(sample, nCentroids), sample, lloydIters)
+    // session-memoized (BuildMemo): the IVF/IVFPQ/IVFADC family and
+    // their incremental/streaming twins all train the same coarse
+    // quantizer — one sample job + driver refine per session
+    graft.ops.BuildMemo.value(corpus, "ivfCentroids",
+        params = s"$idCol|$vecCol|$nCentroids|$refineSample|$lloydIters") {
+      val sample = corpus
+        .select(col(vecCol), xxhash64(col(idCol)).as("__h"),
+          col(idCol).as("__i"))
+        .orderBy(col("__h"), col("__i")).limit(refineSample)
+        .select(col(vecCol)).collect()
+        .map(_.getSeq[Double](0).toArray)
+      require(sample.nonEmpty, "IVF: empty corpus")
+      lloydRefine(farthestPointSeeds(sample, nCentroids), sample,
+        lloydIters)
+    }
   }
 
   /** @param extraProbes boundary-fallback probes: each query probes its

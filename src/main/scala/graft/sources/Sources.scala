@@ -75,10 +75,12 @@ object Sources {
     *    be a silent shift of every instant into a loud failure naming
     *    the fix.
     */
-  def readTable(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def readTable(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    evictOnContextStop(spark)
     readCache.computeIfAbsent((spark, s"$sfDir/$name.parquet",
         normalizationConfs(spark)),
       _ => readTableUncached(spark, sfDir, name))
+  }
 
   /** The session confs the timestamp normalization (and its loud
     * non-UTC guard) reads at BUILD time — part of the cache key, so a
@@ -95,13 +97,55 @@ object Sources {
     * fresh `spark.read.parquet` builds a new InMemoryFileIndex — one
     * file-listing + schema job PER QUERY, pure scheduling overhead
     * when a 175-query suite reads the same ten tables. Plans are
-    * immutable, so reuse is safe; the testdata directory never
-    * changes within a JVM session (the driver regenerates it between
-    * sessions). Bounded: #sessions × #tables × #conf-variants entries.
+    * immutable, so reuse is safe; a dataset directory REWRITTEN
+    * in-session must call [[invalidate]] (the cached frame pins the
+    * old file listing — stale rows or FileNotFound otherwise).
+    * Lifetime: entries for a context's sessions evict when the
+    * SparkContext stops ([[evictOnContextStop]]), so a long-lived JVM
+    * cycling contexts does not pin dead sessions' plans; within one
+    * context the map stays bounded at #sessions × #tables ×
+    * #conf-variants entries.
     */
   private val readCache =
     new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, String, String), DataFrame]()
+
+  /** Contexts that already carry the eviction listener. */
+  private val hooked =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[
+        org.apache.spark.SparkContext, java.lang.Boolean]())
+
+  /** Register (once per context) a listener that drops every cached
+    * frame belonging to the stopping context's sessions — the memo
+    * must not outlive the execution engine its plans are bound to.
+    */
+  private def evictOnContextStop(spark: SparkSession): Unit = {
+    val sc = spark.sparkContext
+    if (hooked.add(sc))
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            end: org.apache.spark.scheduler
+              .SparkListenerApplicationEnd): Unit = {
+          readCache.keySet.removeIf(k => k._1.sparkContext eq sc)
+          hooked.remove(sc)
+        }
+      })
+  }
+
+  /** Drop every cached frame reading `path` (all sessions): the hook
+    * for writers that regenerate a dataset directory in-session —
+    * call it after the rewrite, before the next read.
+    */
+  def invalidate(path: String): Unit = {
+    val norm = path.stripSuffix("/")
+    readCache.keySet.removeIf(k =>
+      k._2 == norm || k._2.startsWith(norm + "/"))
+    // derived builds (postings indexes, trained models, edge frames)
+    // may embed the rewritten path's old file listing — drop them all;
+    // they rebuild on next use
+    graft.ops.BuildMemo.clear()
+  }
 
   private def readTableUncached(spark: SparkSession, sfDir: String,
       name: String): DataFrame = {

@@ -93,9 +93,15 @@ object StreamingAnn {
     * self-join — sink views self-join with conflicting references).
     */
   def settleIndex(updates: DataFrame): DataFrame = {
+    // the trailing dedup absorbs at-least-once sinks: a retried
+    // micro-batch written twice leaves two copies of the max-rev row,
+    // which would duplicate ANN candidates downstream. An emission is
+    // one row per (id, rev), so that pair is the exact key; payloads
+    // of duplicates are identical by construction.
     val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
     updates.withColumn("__mr", max(col("rev")).over(w))
       .filter(col("rev") === col("__mr")).drop("__mr")
+      .dropDuplicates("vec_id", "rev")
   }
 
   /** Merge settled emissions into a base (id, cell, codes) index,

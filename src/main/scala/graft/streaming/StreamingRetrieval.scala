@@ -161,10 +161,16 @@ object StreamingRetrieval {
   def settlePostings(updates: DataFrame): DataFrame = {
     // a window (not a self-join against the max-rev aggregate): sink
     // views self-join with conflicting references, and the settle runs
-    // over emission-sized data anyway
+    // over emission-sized data anyway. The trailing dedup absorbs
+    // at-least-once sinks: a retried micro-batch written twice leaves
+    // two copies of the max-rev version's rows, which would
+    // double-count tf in a downstream probe — per (doc, rev) a
+    // version's terms are distinct (and the sentinel unique), so the
+    // key set identifies each row exactly once.
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     updates.withColumn("__mr", max(col("rev")).over(w))
       .filter(col("rev") === col("__mr")).drop("__mr")
+      .dropDuplicates("doc_id", "rev", "term")
   }
 
   /** Merge SETTLED update emissions into a base postings index,

@@ -129,14 +129,18 @@ object Retrieval {
   /** Driver-collected (query_id, term) pairs + the distinct term list —
     * bounded by the query-set-is-small contract (the same bound that
     * lets the query side broadcast; a broadcast collects to the driver
-    * anyway). The rows keep the caller's query-id type.
+    * anyway). The rows keep the caller's query-id type. Session-memoized
+    * ([[graft.ops.BuildMemo]]): sibling queries probing with the same
+    * query frame share one collect job.
     */
   private def collectedQueryTerms(queries: DataFrame, queryIdCol: String,
       queryTextCol: String): (Array[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType, Seq[String]) = {
     val q = queryTerms(queries, queryIdCol, queryTextCol)
-    val rows = q.collect()
-    (rows, q.schema, rows.map(_.getString(1)).distinct.toSeq)
+    graft.ops.BuildMemo.value(q, "bm25qterms") {
+      val rows = q.collect()
+      (rows, q.schema, rows.map(_.getString(1)).distinct.toSeq)
+    }
   }
 
   /** A predicate pruning token `w` to the collected term set — a plan
@@ -306,15 +310,22 @@ object Retrieval {
         .drop("__keep")
         .groupBy("doc_id", "__dl", "__w").agg(count(lit(1)).as("__tf"))
     }
-    val postC = cut(post)
+    // session-memoized materialization: re-invocations (and sibling
+    // queries scoring the same query set over the same corpus — the
+    // topk/eval/ndcg trio) reuse one pruned-postings build
+    val postC = graft.ops.BuildMemo.frame(post)
 
     // stats AND per-term df in ONE bounded aggregation over the
     // materialized postings (≤ |query terms| + 1 groups): the null-term
     // group counts every doc once and sums dl (each doc has exactly one
-    // sentinel); a term's group counts the docs containing it
-    val agg = postC.groupBy("__w")
-      .agg(count(lit(1)).as("__c"), sum(col("__dl")).as("__s"))
-      .collect()
+    // sentinel); a term's group counts the docs containing it.
+    // Memoized alongside the postings (keyed on the PRE-cut plan — the
+    // post-cut LogicalRDD is per-materialization)
+    val agg = graft.ops.BuildMemo.value(post, "bm25agg") {
+      postC.groupBy("__w")
+        .agg(count(lit(1)).as("__c"), sum(col("__dl")).as("__s"))
+        .collect()
+    }
     val statsRow = agg.find(_.isNullAt(0))
     val n = statsRow.map(_.getLong(1)).getOrElse(0L)
     val avgdl =
@@ -345,12 +356,20 @@ object Retrieval {
     * and persist them together.
     */
   def bm25Index(corpus: DataFrame, idCol: String,
-      textCol: String): DataFrame =
-    tokenized(corpus, idCol, textCol)
+      textCol: String): DataFrame = {
+    val idx = tokenized(corpus, idCol, textCol)
       .select(col("doc_id"), col("__dl"), explode(col("__tk")).as("__w"))
       .groupBy("doc_id", "__dl", "__w").agg(count(lit(1)).as("__tf"))
       .select(col("__w").as("term"), col("doc_id"), col("__tf").as("tf"),
         col("__dl").as("dl"))
+    // session-memoized build (round-15 verdict #1): the probe /
+    // incremental / streaming-twin queries all index the same corpus
+    // (or the same base split) — one tokenize+count pass per session
+    // instead of one per invocation. Non-memoizable inputs (streaming,
+    // mutable tables) return the lazy frame unchanged.
+    if (graft.ops.BuildMemo.memoizable(idx)) graft.ops.BuildMemo.frame(idx)
+    else idx
+  }
 
   /** The one-row stats frame for a postings index: (n_docs, sum_dl).
     * One partial-aggregable pass over the postings (per-doc dedup then
@@ -389,8 +408,10 @@ object Retrieval {
       s"pushTermLimit must be non-negative, got $pushTermLimit")
     val (qRows, qSchema, terms) =
       collectedQueryTerms(queries, queryIdCol, queryTextCol)
-    val st = stats.select(col("n_docs").cast("long"),
+    val st = graft.ops.BuildMemo.value(stats, "bm25statshead") {
+      stats.select(col("n_docs").cast("long"),
         col("sum_dl").cast("long")).head()
+    }
     val n = st.getLong(0)
     val avgdl = if (n == 0L) 0.0 else st.getLong(1).toDouble / n.toDouble
     val renamed = postings
@@ -408,11 +429,14 @@ object Retrieval {
       import spark.implicits._
       renamed.join(broadcast(terms.toDF("__w")), Seq("__w"), "left_semi")
     }
-    val postC = cut(post)
+    val postC = graft.ops.BuildMemo.frame(post)
     // df per query term from the pruned index rows — one bounded
-    // aggregation (≤ |query terms| groups), collected once
-    val dftRows = postC.groupBy("__w").agg(count(lit(1)).as("__c"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // aggregation (≤ |query terms| groups), collected once and
+    // session-memoized with the pruned postings
+    val dftRows = graft.ops.BuildMemo.value(post, "bm25dft") {
+      postC.groupBy("__w").agg(count(lit(1)).as("__c"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    }
     scoreAndRank(postC, n, avgdl, dftRows, qRows, qSchema, k, k1, b,
       maxDfFrac)
   }
@@ -581,9 +605,15 @@ object Retrieval {
     // corpus, exactly as a fresh build would drop it
     val fresh = bm25Index(freshCorpus, idCol, textCol)
     val freshIds = freshCorpus.select(col(idCol).as("doc_id")).distinct()
-    postings.join(freshIds, Seq("doc_id"), "left_anti")
+    val merged = postings.join(freshIds, Seq("doc_id"), "left_anti")
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
       .unionByName(fresh)
+    // memoized materialization: the merged index feeds BOTH the stats
+    // recompute and the probe's pruning scan (two consumers, no
+    // exchange reuse across them) and re-invocations share the build
+    if (graft.ops.BuildMemo.memoizable(merged))
+      graft.ops.BuildMemo.frame(merged)
+    else merged
   }
 
   /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard hybrid

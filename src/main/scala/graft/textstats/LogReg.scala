@@ -252,6 +252,16 @@ object LogReg {
     // count, not a tokenize pass
     val m0 = df.count()
     require(m0 > 0, "logreg: empty training corpus")
+    trainCounted(df, idCol, textCol, iterations, smallCorpusDocs, m0)
+  }
+
+  /** [[train]] with the gate count already in hand — callers that have
+    * counted the corpus (trainAndScore's fallback) must not pay the
+    * count scan twice on non-parquet inputs.
+    */
+  private def trainCounted(df: DataFrame, idCol: String, textCol: String,
+      iterations: Int, smallCorpusDocs: Long, m0: Long): (Array[Long],
+      Long) = {
     if (m0 <= smallCorpusDocs)
       // no persist on this path: the single task folds the tokenize
       // scan's output directly — ONE corpus pass, two jobs total
@@ -323,7 +333,8 @@ object LogReg {
       scoreLocal[String](feats, idCol, iterations)(Encoders.STRING)
     else
       score(df, idCol, textCol,
-        train(df, idCol, textCol, iterations, smallCorpusDocs)._1)
+        trainCounted(df, idCol, textCol, iterations, smallCorpusDocs,
+          m0)._1)
   }
 
   // ------------------------------------------------------- DuckDB twin

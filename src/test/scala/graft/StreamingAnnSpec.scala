@@ -72,6 +72,24 @@ class StreamingAnnSpec extends SparkTestBase {
       "edits changed no index row — vacuous twin")
   }
 
+  test("settleIndex absorbs an at-least-once sink's double-written " +
+      "micro-batch (no duplicate index rows)") {
+    val once = Seq(
+      (4L, 2, Seq(1, 2, 3, 4), 1L),
+      (4L, 5, Seq(4, 3, 2, 1), 2L), // rev 2 supersedes
+      (6L, 1, Seq(7, 7, 7, 7), 1L))
+      .toDF("vec_id", "cell", "codes", "rev")
+    val doubled = once.unionAll(once)
+    val settledOnce = StreamingAnn.settleIndex(once)
+      .as[(Long, Int, Seq[Int], Long)].collect().toSeq
+    val settledTwice = StreamingAnn.settleIndex(doubled)
+      .as[(Long, Int, Seq[Int], Long)].collect().toSeq
+    assert(settledOnce.sortBy(_._1) == settledTwice.sortBy(_._1),
+      s"double-write changed the settle: $settledTwice vs $settledOnce")
+    assert(settledOnce.map(_._1).distinct.size == settledOnce.size &&
+      settledOnce.nonEmpty, s"settle emitted duplicates: $settledOnce")
+  }
+
   test("non-integral ids are rejected by name") {
     val df = Seq(("a", 1L, Seq(1.0))).toDF("vec_id", "__ts", "embedding")
       .withColumn("ts", timestamp_seconds(col("__ts")))

@@ -128,6 +128,32 @@ class StreamingRetrievalSpec extends SparkTestBase {
       s"merged $merged vs updateBm25Index $wantMerged")
   }
 
+  test("settlePostings absorbs an at-least-once sink's double-written " +
+      "micro-batch (no duplicate postings rows)") {
+    // a retried micro-batch written twice = every emission row twice;
+    // the settle must yield exactly the single-write rows, or a probe
+    // over the merged index double-counts tf
+    val once = Seq(
+      (2L, 4L, null.asInstanceOf[String], 0L, 1L),
+      (2L, 4L, "rust", 1L, 1L),
+      (2L, 4L, "runs", 1L, 1L),
+      (2L, 4L, "rust", 1L, 2L), // rev 2 supersedes
+      (2L, 4L, null.asInstanceOf[String], 0L, 2L),
+      (7L, 2L, "solo", 2L, 1L),
+      (7L, 2L, null.asInstanceOf[String], 0L, 1L))
+      .toDF("doc_id", "dl", "term", "tf", "rev")
+    val doubled = once.unionAll(once)
+    val settledOnce = StreamingRetrieval.settlePostings(once)
+      .as[(Long, Long, Option[String], Long, Long)].collect().toSeq
+    val settledTwice = StreamingRetrieval.settlePostings(doubled)
+      .as[(Long, Long, Option[String], Long, Long)].collect().toSeq
+    assert(settledOnce.sortBy(r => (r._1, r._3)) ==
+      settledTwice.sortBy(r => (r._1, r._3)),
+      s"double-write changed the settle: $settledTwice vs $settledOnce")
+    assert(settledOnce.size == settledOnce.distinct.size &&
+      settledOnce.nonEmpty, s"settle emitted duplicates: $settledOnce")
+  }
+
   test("index update rejects non-integral doc ids by name") {
     val df = Seq(("a", 1L, "x")).toDF("doc_id", "__ts", "text")
       .withColumn("ts", org.apache.spark.sql.functions
