@@ -669,9 +669,10 @@ def validate(sf_dir, verify_dir):
                       ("sim_pq_encode", sim_pq_encode_sql()),
                       ("sim_pq_topk", sim_pq_topk_sql()),
                       ("sim_ivfpq_topk", sim_ivfpq_sql()),
-                      ("sim_ivfadc_topk", sim_ivfadc_sql()),
+                      ("sim_ivfadc_topk", sim_ivfadc_sql(k_per_sub=64, over_fetch=16)),
                       ("sim_ivfadc_incremental",
-                       sim_ivfadc_incremental_sql()),
+                       sim_ivfadc_incremental_sql(k_per_sub=64,
+                                                  over_fetch=16)),
                       ("dd_embedding_neardups", emb_neardups_sql()),
                       ("dd_semantic", dd_semantic_sql()),
                       ("dd_semantic_prune", dd_semantic_prune_sql()),
@@ -716,9 +717,10 @@ def emit_scala(path):
                           ("simPqEncode", sim_pq_encode_sql()),
                           ("simPqTopK", sim_pq_topk_sql()),
                           ("simIvfPqTopK", sim_ivfpq_sql()),
-                          ("simIvfAdcTopK", sim_ivfadc_sql()),
+                          ("simIvfAdcTopK", sim_ivfadc_sql(k_per_sub=64, over_fetch=16)),
                           ("simIvfAdcIncremental",
-                           sim_ivfadc_incremental_sql()),
+                           sim_ivfadc_incremental_sql(k_per_sub=64,
+                                                      over_fetch=16)),
                           ("ddEmbeddingNearDups", emb_neardups_sql()),
                           ("ddSemantic", dd_semantic_sql()),
                           ("ddSemanticPrune", dd_semantic_prune_sql()),

@@ -2019,7 +2019,7 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") < 8)
       graft.sim.Pq.ivfAdcTopK(emb, "vec_id", "embedding",
           q, "vec_id", "embedding", k = 5, dim = 64, nCentroids = 16,
-          nProbe = 8, m = 8, kPerSub = 16, overFetch = 8,
+          nProbe = 8, m = 8, kPerSub = 64, overFetch = 16,
           extraProbes = 4, boundaryRho = 1.05)
         .select(col("query_id"), col("vec_id"),
           round(col("cosine"), 6).as("cos6"),
@@ -2042,7 +2042,7 @@ object SparkEntry {
       val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding",
         nCentroids = 16)
       val cbs = graft.sim.Pq.pqCodebooksResidual(emb, "vec_id",
-        "embedding", cents, dim = 64, m = 8, kPerSub = 16)
+        "embedding", cents, dim = 64, m = 8, kPerSub = 64)
       val index = graft.sim.Pq.ivfAdcIndex(emb, "vec_id", "embedding",
         cents, cbs)
       val isFresh = col("vec_id") % 4 === 0 || col("vec_id") % 6 === 0
@@ -2056,7 +2056,7 @@ object SparkEntry {
       val q = mergedCorpus.filter(col("vec_id") < 8)
       graft.sim.Pq.ivfAdcTopKWithIndex(merged, "vec_id", cents, cbs,
           mergedCorpus, "vec_id", "embedding", q, "vec_id", "embedding",
-          k = 5, nProbe = 8, overFetch = 8, extraProbes = 4,
+          k = 5, nProbe = 8, overFetch = 16, extraProbes = 4,
           boundaryRho = 1.05)
         .select(col("query_id"), col("vec_id"),
           round(col("cosine"), 6).as("cos6"),
@@ -2077,7 +2077,7 @@ object SparkEntry {
       val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding",
         nCentroids = 16)
       val cbs = graft.sim.Pq.pqCodebooksResidual(emb, "vec_id",
-        "embedding", cents, dim = 64, m = 8, kPerSub = 16)
+        "embedding", cents, dim = 64, m = 8, kPerSub = 64)
       val index = graft.sim.Pq.ivfAdcIndex(emb, "vec_id", "embedding",
         cents, cbs)
       val isFresh = col("vec_id") % 4 === 0 || col("vec_id") % 6 === 0
@@ -2100,7 +2100,7 @@ object SparkEntry {
       val q = mergedCorpus.filter(col("vec_id") < 8)
       graft.sim.Pq.ivfAdcTopKWithIndex(merged, "vec_id", cents, cbs,
           mergedCorpus, "vec_id", "embedding", q, "vec_id", "embedding",
-          k = 5, nProbe = 8, overFetch = 8, extraProbes = 4,
+          k = 5, nProbe = 8, overFetch = 16, extraProbes = 4,
           boundaryRho = 1.05)
         .select(col("query_id"), col("vec_id"),
           round(col("cosine"), 6).as("cos6"),

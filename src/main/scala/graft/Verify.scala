@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional arg 3: comma-separated query-name subset — the fast
+    // path for oracle-regeneration loops (the driver passes two args
+    // and always dumps everything)
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     // pick the golden-fixture set matching THIS scale factor (the bt/opt
     // oracles read reference-run parquet minted per SF by
     // scripts/gen_bt_goldens.py). Must happen before anything touches
@@ -36,7 +41,9 @@ object Verify {
     // the coalesced result parquet is result-sized, not corpus-sized) and
     // warn loudly so an empty gate row can never again look healthy.
     val empty = scala.collection.mutable.ArrayBuffer.empty[String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

@@ -74,12 +74,21 @@ object RecallProbe {
       nCentroids = nCentroids, nProbe = nProbe, m = 8, kPerSub = 16,
       overFetch = 8, refineSample = refineSample,
       lloydIters = lloydIters, extraProbes = 4))
+    // the round-16 GATE parameters (kPerSub=64, overFetch=16): the
+    // same ≤16 B/row (cell, codes) layout with a finer code book and
+    // a wider exact-rerank candidate set
+    val ivfAdcGate = recall(graft.sim.Pq.ivfAdcTopK(emb, "vec_id",
+      "embedding", queries, "vec_id", "embedding", k, dim = 64,
+      nCentroids = nCentroids, nProbe = nProbe, m = 8, kPerSub = 64,
+      overFetch = 16, refineSample = refineSample,
+      lloydIters = lloydIters, extraProbes = 4))
     println(f"RECALL sf=$dir queries=$nQueries lsh(4,16)=$lsh%.3f " +
       f"ivf($nCentroids,$nProbe,s=$refineSample,it=$lloydIters)=$ivf%.3f " +
       f"ivf_adaptive(+4@1.05)=$ivfAdaptive%.3f " +
       f"ivf_kmeans_full(k=$nCentroids,it=4,+4@1.05)=$ivfKMeans%.3f " +
       f"ivf_kmeans_refined(seeded,it=2,+4@1.05)=$ivfRefined%.3f " +
-      f"ivfpq_raw(8x16,of=8)=$ivfPq%.3f ivfadc_residual=$ivfAdc%.3f")
+      f"ivfpq_raw(8x16,of=8)=$ivfPq%.3f ivfadc_residual=$ivfAdc%.3f " +
+      f"ivfadc_gate(8x64,of=16)=$ivfAdcGate%.3f")
     // the second IVF quality axis: how much of the corpus does an
     // nProbe-cell probe actually scan? Skewed cells can fake recall by
     // funneling most of the corpus into the probed cells — report the

@@ -161,6 +161,34 @@ class SimilarityRecallSpec extends SparkTestBase {
     assert(res >= 0.70, f"IVFADC recall regressed: $res%.3f < 0.70")
   }
 
+  test("IVFADC at the GATE parameters (kPerSub=64, overFetch=16) " +
+      "holds recall@5 >= 0.75 at sf0.01 AND >= 0.6 at sf0.1") {
+    // the round-16 gate raise: same ≤16 B/row layout, finer codebook
+    // (6-bit codes) + wider exact rerank. Measured 0.904 (sf0.01) /
+    // 0.808 (sf0.1) on the 48-query sample; the floors leave noise
+    // margin but would catch any parameter/kernel regression to the
+    // r15 state (0.742 / 0.463).
+    def gateRecall(embDf: DataFrame): Double = {
+      val qs = embDf.filter(col("vec_id") < 48)
+      val ex = Similarity.bruteForceTopK(embDf, "vec_id", "embedding",
+        qs, "vec_id", "embedding", k).select("query_id", "vec_id")
+      val approx = graft.sim.Pq.ivfAdcTopK(embDf, "vec_id", "embedding",
+          qs, "vec_id", "embedding", k, dim = 64, nCentroids = 16,
+          nProbe = 8, m = 8, kPerSub = 64, overFetch = 16,
+          extraProbes = 4, boundaryRho = 1.05)
+        .select("query_id", "vec_id")
+      approx.intersect(ex).count().toDouble / ex.count()
+    }
+    val r001 = gateRecall(emb)
+    info(f"ivfadc gate params recall@5 sf0.01 = $r001%.3f")
+    assert(r001 >= 0.75, f"sf0.01 gate recall regressed: $r001%.3f")
+    val emb01 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val r01 = gateRecall(emb01)
+    info(f"ivfadc gate params recall@5 sf0.1 = $r01%.3f")
+    assert(r01 >= 0.6, f"sf0.1 gate recall floor broken: $r01%.3f < 0.6")
+  }
+
   test("IVF probes widen recall: nProbe=8 >= nProbe=2") {
     val r2 = recallAtK(Similarity.ivfTopK(emb, "vec_id", "embedding",
       queries, "vec_id", "embedding", k, nCentroids = 16, nProbe = 2))
