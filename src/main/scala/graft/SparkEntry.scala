@@ -1107,9 +1107,22 @@ object SparkEntry {
 
     // -------------------------------- multimodal + engine-native (no SQL)
     "mm_media_features" -> ((s, dir) => {
+      // mixed REAL-format media table (BMP / MP3 / GIF89a by id mod 3),
+      // features from each format's OWN strict header parse — the
+      // partition-wise plumbing row, now with zero stand-ins
       val media = graft.multimodal.Multimodal.syntheticMediaTable(
         t(s, dir, "documents"))
       graft.multimodal.Multimodal.extractFeatures(media).toDF()
+        .orderBy(col("media_id"))
+    }),
+    "mm_mp3_meta" -> ((s, dir) => {
+      // REAL MPEG-1 Layer III framing (ISO 11172-3): ID3v2 skip +
+      // strict back-to-back frame walk; bitrate/sample-rate tables,
+      // frame length and CBR duration are the spec's closed-form
+      // integer arithmetic, replayed exactly by the oracle
+      val media = graft.multimodal.Mp3.syntheticMp3Table(
+        t(s, dir, "documents"))
+      graft.multimodal.Mp3.extractMp3Meta(media).toDF()
         .orderBy(col("media_id"))
     }),
     "mm_decode_real" -> ((s, dir) => {
@@ -3877,16 +3890,49 @@ object SparkEntry {
     // ASCII text — asserted true for the documents fixture; byte_len uses
     // strlen (bytes) to stay byte-true regardless
     "mm_media_features" ->
-      """SELECT doc_id AS media_id,
-           CASE doc_id % 3 WHEN 0 THEN 'img' WHEN 1 THEN 'aud'
-             ELSE 'vid' END AS format,
-           CAST(strlen(text) AS INTEGER) AS byte_len,
-           CASE WHEN length(text) = 0 THEN 0.0 ELSE
-             CAST(list_sum(list_transform(range(1, length(text) + 1),
-               i -> ord(substr(text, i, 1)))) AS DOUBLE) / strlen(text)
-             END AS mean_byte,
-           CAST((1 + doc_id % 24 + 3) // 4 AS INTEGER) AS frames_sampled
-         FROM documents ORDER BY media_id""",
+      // closed-form replay of the real-format synthesis parameters:
+      // the Spark side PARSES real BMP/MP3/GIF89a headers, the oracle
+      // recomputes what those headers must say — a header-walk bug on
+      // either side cannot hash-match
+      """WITH n AS (SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 + doc_id % 6
+             ELSE 2 + doc_id % 3 END AS nf
+         FROM documents)
+         SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'mp3'
+             ELSE 'gif' END AS format,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 8 + doc_id % 16 WHEN 1 THEN 0
+             ELSE 10 + doc_id % 10 END AS BIGINT) AS width,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 8 + doc_id % 12 WHEN 1 THEN 0
+             ELSE 10 + doc_id % 8 END AS BIGINT) AS height,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST((nf + 3) // 4 AS BIGINT) AS frames_sampled
+         FROM n ORDER BY media_id""",
+    "mm_mp3_meta" ->
+      // ISO 11172-3 closed-form replay: bitrate/sample-rate table
+      // lookups, per-frame length 144·kbps·1000 // sr + padding with
+      // the padding-count split by id parity, CBR duration in exact
+      // integer microseconds, ID3v2 size 10 + 17 + id%23 on id%4=0
+      """WITH p AS (SELECT doc_id,
+           3 + doc_id % 6 AS nf,
+           [44100, 48000, 32000][CAST(doc_id % 3 AS INT) + 1] AS sr,
+           [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+            320][CAST(doc_id % 14 AS INT) + 1] AS kbps
+         FROM documents)
+         SELECT doc_id AS media_id,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(sr AS BIGINT) AS sample_rate,
+           CAST(kbps AS BIGINT) AS bitrate_kbps,
+           ['stereo', 'joint_stereo', 'dual_channel',
+            'mono'][CAST(doc_id % 4 AS INT) + 1] AS channel_mode,
+           CAST(nf * 1152 * 1000000 // sr AS BIGINT) AS duration_us,
+           CAST(nf * (144 * kbps * 1000 // sr)
+             + (nf // 2) + (doc_id % 2) * (nf % 2)
+             + CASE WHEN doc_id % 4 = 0 THEN 27 + doc_id % 23 ELSE 0 END
+             AS BIGINT) AS byte_len,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN 27 + doc_id % 23 ELSE 0
+             END AS BIGINT) AS id3_bytes
+         FROM p ORDER BY media_id""",
     // closed-form recomputation of every decoded feature: the Spark side
     // parses REAL PPM/WAV bytes, the oracle replays the integer pixel /
     // sample formulas — a decode defect cannot hash-match

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -8,18 +8,17 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, decode/feature-extract/resize/frame-sample
   * as partition-wise transforms.
   *
-  * The codec step here is STUBBED: `FakeCodec` is a deterministic
-  * stand-in that parses our own synthetic 16-byte header. Real codecs
-  * exist beside it for every format the JVM can honestly decode with
-  * zero external libraries: [[RealMedia]] (PPM/WAV), [[Png]]
-  * (DEFLATE-compressed lossless), [[Jpeg]] (baseline-sequential
-  * lossy, huffman + IDCT + YCbCr, 4:4:4/4:2:0/restart intervals), and
-  * G.711 µ-law WAVs ([[RealMedia.mulawToLinear]]) — the stand-in now
-  * covers only the perceptual codecs (MP3/H.264). Everything AROUND the codec —
-  * the schema, the batch shape (mapPartitions ⇒ one codec init per
-  * partition, the same shape a Pandas-UDF `mapInPandas` gives
-  * PySpark), partition sizing, and metadata propagation — is real and
-  * tested.
+  * As of round 16 NOTHING here is stubbed: the former `FakeCodec`
+  * magic-header stand-in is gone. The mixed media table carries real
+  * bytes of three real formats — BI_RLE8 BMP images ([[Bmp]]), CBR
+  * MPEG-1 Layer III audio ([[Mp3]]), animated GIF89a video ([[Gif]])
+  * — and [[extractFeatures]] dispatches on each format's OWN magic
+  * bytes to its real strict parser. The deeper codecs live beside
+  * them: [[Png]] (DEFLATE), [[Jpeg]] (baseline huffman + IDCT +
+  * YCbCr), [[Avi]] (Motion-JPEG in RIFF), [[RealMedia]] (PPM/WAV
+  * PCM/µ-law/A-law/ADPCM). The Spark shape is the point: mapPartitions
+  * ⇒ one codec init per partition (what a Pandas-UDF `mapInPandas`
+  * gives PySpark), scan-stage decode, no shuffle.
   */
 object Multimodal {
 
@@ -37,81 +36,90 @@ object Multimodal {
       n_frames: Int)
   final case class MediaRow(media_id: Long, media: Array[Byte], meta: MediaMeta)
   final case class MediaFeatures(media_id: Long, format: String,
-      byte_len: Int, mean_byte: Double, frames_sampled: Int)
+      width: Long, height: Long, n_frames: Long, frames_sampled: Long)
 
-  /** Deterministic stand-in codec: 16-byte header
-    * [magic:4][format:4][w:2][h:2][frames:4], payload follows. A real
-    * deployment swaps `decode` for an image/audio library call; the Spark
-    * plumbing is unchanged.
-    *
-    * Remaining remit (shrinking every round): MP3 audio only. Images
-    * decode for real (PNG/DEFLATE, JPEG 4:4:4/4:2:0/4:2:2, GIF87a/89a,
-    * BMP RLE8), audio PCM/µ-law/A-law/ADPCM decode for real (Wav), and
-    * VIDEO now decodes for real too — Motion-JPEG in a genuine AVI
-    * RIFF container ([[Avi]]), retiring the H.264 stand-in from the
-    * frame-extraction feature path.
-    */
-  object FakeCodec {
-    val Magic = 0x47524654 // "GRFT"
-
-    def encode(format: String, w: Int, h: Int, frames: Int,
-        payload: Array[Byte]): Array[Byte] = {
-      val bb = java.nio.ByteBuffer.allocate(16 + payload.length)
-      bb.putInt(Magic)
-      bb.put(format.padTo(4, ' ').take(4).getBytes("ASCII"))
-      bb.putShort(w.toShort).putShort(h.toShort).putInt(frames)
-      bb.put(payload)
-      bb.array()
-    }
-
-    def decode(bytes: Array[Byte]): Option[MediaMeta] = {
-      if (bytes == null || bytes.length < 16) return None
-      val bb = java.nio.ByteBuffer.wrap(bytes)
-      if (bb.getInt() != Magic) return None
-      val fmt = new String(Array.fill(4)(bb.get()), "ASCII").trim
-      Some(MediaMeta(fmt, bb.getShort().toInt, bb.getShort().toInt, bb.getInt()))
-    }
-  }
-
-  /** Build a synthetic media table from the documents table — payload is
-    * the text bytes, deterministic dimensions from the doc id.
+  /** Build a mixed REAL-format media table from the documents table —
+    * id mod 3 picks the modality, every parameter closed-form in the
+    * id (the oracle replays the formulas):
+    *  - 0 → BMP image, (8 + id%16) × (8 + id%12), 1 frame;
+    *  - 1 → MP3 audio ([[Mp3.syntheticMp3Bytes]] — the mm_mp3_meta
+    *    corpus), 3 + id%6 frames, no spatial dims;
+    *  - 2 → animated GIF89a, (10 + id%10) × (10 + id%8) screen,
+    *    2 + id%3 frames (full-screen base + sub-rect patches).
     */
   def syntheticMediaTable(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .map { case (id, text) =>
-        val fmt = if (id % 3 == 0) "img" else if (id % 3 == 1) "aud" else "vid"
-        val w = 16 + (id % 64).toInt
-        val h = 16 + (id % 48).toInt
-        val frames = 1 + (id % 24).toInt
-        val payload = text.getBytes("UTF-8")
-        MediaRow(id, FakeCodec.encode(fmt, w, h, frames, payload),
-          MediaMeta(fmt, w, h, frames))
+    docs.select(col("doc_id")).as[Long].map { id =>
+      id % 3 match {
+        case 0 =>
+          val w = 8 + (id % 16).toInt
+          val h = 8 + (id % 12).toInt
+          MediaRow(id, Bmp.encodeBmp(w, h, Gif.corpusPalette,
+            (x, y) => ((id + 3 * x + 5 * y) % 256).toInt),
+            MediaMeta("bmp", w, h, 1))
+        case 1 =>
+          val frames = 3 + (id % 6).toInt
+          MediaRow(id, Mp3.syntheticMp3Bytes(id),
+            MediaMeta("mp3", 0, 0, frames))
+        case _ =>
+          val w = 10 + (id % 10).toInt
+          val h = 10 + (id % 8).toInt
+          val n = 2 + (id % 3).toInt
+          val frames = Gif.FrameSpec(0, 0, w, h, 4, 1, -1,
+            (x, y) => ((id + 5 * x + 11 * y) % 256).toInt) +:
+            (1 until n).map { f =>
+              Gif.FrameSpec(1, 1, w - 2, 4, 4 + f, 1, -1,
+                (u, v) => ((7 * id + f + u + 2 * v) % 256).toInt)
+            }
+          MediaRow(id, Gif.encodeGif89a(w, h, Gif.corpusPalette, frames),
+            MediaMeta("gif", w, h, n))
       }
+    }
+  }
+
+  /** Sniff a media payload's format by ITS OWN magic bytes and parse
+    * the REAL header with the strict format parser: "BM" → BMP,
+    * "GIF8" → GIF89a, ID3v2 tag or an MPEG sync word → MP3. None for
+    * anything unrecognized or malformed.
+    */
+  def decodeMeta(bytes: Array[Byte]): Option[MediaMeta] = {
+    if (bytes == null || bytes.length < 4) return None
+    if (bytes(0) == 'B' && bytes(1) == 'M')
+      Bmp.decodeBmp(bytes).map { case (w, h, _) =>
+        MediaMeta("bmp", w, h, 1)
+      }
+    else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
+        bytes(3) == '8')
+      Gif.decodeGif89a(bytes).map { case (w, h, _, frames) =>
+        MediaMeta("gif", w, h, frames.length)
+      }
+    else if ((bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') ||
+        ((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xE0) == 0xE0))
+      Mp3.decodeMp3Meta(bytes).map(m =>
+        MediaMeta("mp3", 0, 0, m.nFrames.toInt))
+    else None
   }
 
   /** Decode + feature-extract, partition-wise: the codec "initializes"
     * once per partition (the expensive step a real decoder amortizes),
     * then streams rows — the Scala analogue of a Pandas UDF batch.
-    * `frameStride` subsamples frames (frame-sample op).
+    * `frameStride` subsamples frames (frame-sample op). A malformed
+    * media fails LOUDLY (silent drops would vacuously hash-match).
     */
   def extractFeatures(media: Dataset[MediaRow],
       frameStride: Int = 4): Dataset[MediaFeatures] = {
+    require(frameStride >= 1, s"frameStride must be >= 1, got $frameStride")
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
       // per-partition codec init happens here in a real implementation
-      rows.flatMap { r =>
-        FakeCodec.decode(r.media).map { meta =>
-          val payload = r.media.drop(16)
-          val mean =
-            if (payload.isEmpty) 0.0
-            else payload.map(b => (b & 0xff).toDouble).sum / payload.length
-          MediaFeatures(r.media_id, meta.format, payload.length, mean,
-            frames_sampled = (meta.n_frames + frameStride - 1) / frameStride)
-        }
+      rows.map { r =>
+        val meta = decodeMeta(r.media).getOrElse(throw
+          new IllegalStateException(s"bad media ${r.media_id}"))
+        MediaFeatures(r.media_id, meta.format, meta.width.toLong,
+          meta.height.toLong, meta.n_frames.toLong,
+          (meta.n_frames + frameStride - 1).toLong / frameStride)
       }
     }
   }

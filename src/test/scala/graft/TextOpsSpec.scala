@@ -303,18 +303,26 @@ class TextOpsSpec extends SparkTestBase {
     assert(fps(0) !== fps(2))
   }
 
-  test("multimodal plumbing: encode -> partition-wise decode -> features") {
+  test("multimodal plumbing: real-format encode -> partition-wise " +
+      "header parse -> features") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(30)
     val media = Multimodal.syntheticMediaTable(docs)
     val feats = Multimodal.extractFeatures(media, frameStride = 4).collect()
     assert(feats.length === 30)
-    val byId = feats.map(f => f.media_id -> f).toMap
-    val texts = docs.select("doc_id", "text").collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
-    byId.foreach { case (id, f) =>
-      assert(f.byte_len === texts(id).getBytes("UTF-8").length)
-      assert(Seq("img", "aud", "vid").contains(f.format))
-      assert(f.frames_sampled === (1 + (id % 24).toInt + 3) / 4)
+    feats.foreach { f =>
+      val id = f.media_id
+      (id % 3) match {
+        case 0 =>
+          assert(f.format === "bmp" && f.n_frames === 1L)
+          assert(f.width === 8 + id % 16 && f.height === 8 + id % 12)
+        case 1 =>
+          assert(f.format === "mp3" && f.width === 0L && f.height === 0L)
+          assert(f.n_frames === 3 + id % 6)
+        case _ =>
+          assert(f.format === "gif" && f.n_frames === 2 + id % 3)
+          assert(f.width === 10 + id % 10 && f.height === 10 + id % 8)
+      }
+      assert(f.frames_sampled === (f.n_frames + 3) / 4)
     }
   }
 }
