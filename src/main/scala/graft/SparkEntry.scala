@@ -53,6 +53,21 @@ object SparkEntry {
 
   private val dec = "decimal(18,2)"
 
+  /** Session-memoized backtest fold: bt_backtest_fold / bt_orders /
+    * bt_metrics (and bt_tenpct_fold with its own strategy) all derive
+    * views of the SAME engine run over the same bars — one fold per
+    * (dir, strategy, capital) per session instead of one per gate row.
+    * The fold output is lambda-bound (mapGroups), so the key is
+    * explicit; the strategy case classes print their parameters, which
+    * is exactly what the key must pin.
+    */
+  private def btRun(s: SparkSession, dir: String,
+      strategy: graft.strategy.Strategy,
+      capital: Double): graft.engine.BacktestResult =
+    graft.ops.BuildMemo.valueKeyed(s, s"btfold|$dir|$strategy|$capital") {
+      BacktestEngine.run(Sources.eventsAsBars(s, dir), strategy, capital)
+    }
+
   /** Golden-fixture directory for the backtest/opt oracles (see Goldens). */
   private def goldensDir: String = Goldens.dir
   private def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
@@ -205,17 +220,21 @@ object SparkEntry {
       val ev = t(s, dir, "events")
       val dim = ev.select(col("event_type")).distinct()
         .withColumn("type_code", length(col("event_type")).cast("long"))
-      val bcast = graft.ops.JoinPlanner.plan(ev, dim, Seq("event_type"))
+      // ONE set of measurement passes, BOTH policy decisions audited
+      // against it (measure/decide split — the old shape ran the full
+      // plan() twice, 31 Spark jobs of which ~1.1 s was scheduling gap)
+      val m = graft.ops.JoinPlanner.measure(ev, dim, Seq("event_type"))
+      val bcast = graft.ops.JoinPlanner.decide(m)
       require(bcast.strategy == "broadcast",
         s"expected the 5-row dim to broadcast, got $bcast")
-      val (joined, d) = graft.ops.JoinPlanner.autoJoin(ev, dim,
-        Seq("event_type"), uniqueCol = col("event_id"),
-        broadcastRowLimit = 1)
+      val d = graft.ops.JoinPlanner.decide(m, broadcastRowLimit = 1)
       require(d.strategy == "salted",
         s"expected the skewed fact to salt, got $d")
       require(d.estJoinRows >= d.largeRows,
         s"CMS estimate ${d.estJoinRows} must upper-bound the true " +
           s"join size ${d.largeRows}")
+      val joined = graft.ops.JoinPlanner.executeJoin(ev, dim,
+        Seq("event_type"), uniqueCol = col("event_id"), d)
       joined
         .groupBy(col("event_type"), col("type_code"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
@@ -1294,16 +1313,14 @@ object SparkEntry {
         .orderBy(col("user_id"), col("ts_us"), col("event_id"))
     }),
     "bt_backtest_fold" -> ((s, dir) => {
-      val res = BacktestEngine.run(Sources.eventsAsBars(s, dir),
-        MACross(5, 20), 10000.0)
+      val res = btRun(s, dir, MACross(5, 20), 10000.0)
       BacktestEngine.finalNetWorth(res).orderBy(col("ticker"))
     }),
     "bt_tenpct_fold" -> ((s, dir) => {
       // second strategy end-to-end: the self-referencing threshold state
       // machine (per-ticker sequential signal fold) through the same
       // engine, pinned by a reference-run fixture
-      val res = BacktestEngine.run(Sources.eventsAsBars(s, dir),
-        graft.strategy.TenPercent(), 10000.0)
+      val res = btRun(s, dir, graft.strategy.TenPercent(), 10000.0)
       BacktestEngine.finalNetWorth(res).orderBy(col("ticker"))
     }),
     "ev_sessionize" -> ((s, dir) => {
@@ -1704,8 +1721,7 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "bt_orders" -> ((s, dir) => {
-      val res = BacktestEngine.run(Sources.eventsAsBars(s, dir),
-        MACross(5, 20), 10000.0)
+      val res = btRun(s, dir, MACross(5, 20), 10000.0)
       res.orders.toDF()
         .select(col("ticker"), col("seq").cast("bigint").as("seq"),
           col("num_shares"),
@@ -1715,8 +1731,7 @@ object SparkEntry {
         .orderBy(col("ticker"), col("seq"))
     }),
     "bt_metrics" -> ((s, dir) => {
-      val bars = Sources.eventsAsBars(s, dir)
-      val res = BacktestEngine.run(bars, MACross(5, 20), 10000.0)
+      val res = btRun(s, dir, MACross(5, 20), 10000.0)
       // market-index stand-in (J2): cross-ticker day-aggregated events as
       // a genuinely *daily* series (one row per day — bounded, so the
       // broadcast stays tiny at any scale), joined on the truncated day —

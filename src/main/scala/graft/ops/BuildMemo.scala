@@ -156,6 +156,19 @@ object BuildMemo {
       if (df.isStreaming) df else Lineage.cut(df)
     }
 
+  /** [[value]] under an EXPLICIT key — the value-shaped twin of
+    * [[frameKeyed]], for builds whose result is not a single frame
+    * (e.g. a backtest fold result carrying daily/orders views) or
+    * whose plans carry non-canonicalizable lambda-bound operators.
+    * The caller owns key hygiene: the tag must pin everything the
+    * build depends on (input path, parameters). Like frameKeyed, the
+    * memo assumes source paths are immutable within a session
+    * ([[graft.sources.Sources.invalidate]] clears it otherwise).
+    */
+  def valueKeyed[T <: AnyRef](spark: SparkSession, tag: String)
+      (build: => T): T =
+    lookup(Key(spark, s"valuekeyed|$tag", Nil, ""))(build)
+
   /** Memoized driver-side VALUE derived from `df` (+ optional extra
     * input frames): trained models, collected stats/term tables. The
     * caller's `tag`+`params` disambiguate different derivations of

@@ -73,6 +73,42 @@ class JoinPlannerSpec extends SparkTestBase {
     assert(joined.count() == 1L)
   }
 
+  test("measure once / decide twice equals two plan() calls, and the " +
+      "driver-side estimate equals the query-side CMS inner product") {
+    val m = JoinPlanner.measure(skewed, dim, Seq("k"))
+    for (limit <- Seq(1000L, 10L))
+      assert(JoinPlanner.decide(m, broadcastRowLimit = limit) ==
+        JoinPlanner.plan(skewed, dim, Seq("k"), broadcastRowLimit = limit),
+        s"decide(measure) diverged from plan() at limit $limit")
+    // the weighted-CMS (per-key counts) estimate must equal the
+    // raw-row-stream sketch estimate bit-for-bit: integer adds are
+    // associative, so adding a key's count once per key produces the
+    // same cells as adding 1 per row
+    val sk = (df: org.apache.spark.sql.DataFrame) =>
+      graft.sketch.CountMin.sketch(
+        df.select(array(col("k").cast("string")).as("__t")),
+        col("__t"), 4, 1024)
+    val est = graft.sketch.CountMin
+      .joinSizeEstimate(sk(skewed), sk(dim), 4, 1024)
+      .head().getLong(0)
+    assert(m.estJoinRows == est,
+      s"driver estimate ${m.estJoinRows} != query estimate $est")
+    assert(m.estJoinRows >= 3000L)
+  }
+
+  test("executeJoin replays a decided strategy row-for-row") {
+    val plain = skewed.join(dim, Seq("k")).orderBy("row_id", "attr")
+      .collect().toSeq
+    val m = JoinPlanner.measure(skewed, dim, Seq("k"))
+    for (limit <- Seq(1000L, 10L)) {
+      val d = JoinPlanner.decide(m, broadcastRowLimit = limit)
+      val joined = JoinPlanner.executeJoin(skewed, dim, Seq("k"),
+        uniqueCol = col("row_id"), d)
+      assert(joined.orderBy("row_id", "attr").collect().toSeq == plain,
+        s"strategy ${d.strategy} changed the join result")
+    }
+  }
+
   test("guards reject empty keys and bad thresholds") {
     intercept[IllegalArgumentException](
       JoinPlanner.plan(skewed, dim, Nil))
