@@ -205,7 +205,7 @@ object Avi {
   def syntheticMjpegTable(docs: DataFrame): Dataset[AviRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].map { id =>
+    MediaIds.stream(docs).map { id =>
       val w = 16 * (1 + (id % 2).toInt)
       val h = 16 * (1 + ((id / 2) % 2).toInt)
       val frames = (0 until 3).map { f =>

@@ -584,7 +584,7 @@ object Gif {
   def syntheticGif89aTable(docs: DataFrame): Dataset[GifRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].map { id =>
+    MediaIds.stream(docs).map { id =>
       val w = 10 + (id % 10).toInt
       val h = 10 + (id % 8).toInt
       def delay(f: Int): Int = 4 + ((id + f) % 7).toInt

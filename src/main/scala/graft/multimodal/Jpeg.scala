@@ -697,7 +697,7 @@ object Jpeg {
   def syntheticJpegTable(docs: DataFrame): Dataset[JpegRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].map { id =>
+    MediaIds.stream(docs).map { id =>
       val w = 8 * (1 + (id % 2).toInt)
       val h = 8 * (1 + ((id / 2) % 2).toInt)
       JpegRow(id, encodeJpeg(w, h, (c, bi, k) => syntheticCoef(id, c, bi, k)))
@@ -715,7 +715,7 @@ object Jpeg {
   def syntheticJpeg420Table(docs: DataFrame): Dataset[JpegRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].map { id =>
+    MediaIds.stream(docs).map { id =>
       val w = 16 * (1 + (id % 2).toInt)
       val h = 16 * (1 + ((id / 2) % 2).toInt)
       JpegRow(id, encodeJpeg(w, h, (c, bi, k) => syntheticCoef(id, c, bi, k),
@@ -733,7 +733,7 @@ object Jpeg {
   def syntheticJpeg422Table(docs: DataFrame): Dataset[JpegRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].map { id =>
+    MediaIds.stream(docs).map { id =>
       val w = 16 * (1 + (id % 2).toInt)
       val h = 8 * (1 + ((id / 2) % 2).toInt)
       JpegRow(id, encodeJpeg(w, h, (c, bi, k) => syntheticCoef(id, c, bi, k),

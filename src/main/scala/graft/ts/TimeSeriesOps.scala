@@ -288,7 +288,14 @@ object TimeSeriesOps {
     */
   def funnelSummary(df: DataFrame, keyCol: String, typeCol: String,
       tsCol: String, steps: Seq[String], horizonUs: Long): DataFrame = {
-    val f = funnel(df, keyCol, typeCol, tsCol, steps, horizonUs)
+    // the per-key step table is the BUILD the summary derives from —
+    // session-memoized ([[graft.ops.BuildMemo]] discipline), so a
+    // dashboard refreshing several summary views (or the funnel row
+    // and its summary twin in one suite) derives the chained-window
+    // funnel once; plan-keyed, so a changed input or parameter set
+    // rebuilds
+    val f = graft.ops.BuildMemo.frame(
+      funnel(df, keyCol, typeCol, tsCol, steps, horizonUs))
     val perStep = f.select(explode(array(steps.zipWithIndex.map {
       case (s, i) =>
         struct(lit(i.toLong).as("step_idx"), lit(s).as("step_name"),
