@@ -43,6 +43,19 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Sources.readTable(s, dir, name)
 
+  /** [[t]] + [[graft.ops.ScaleOps.widen]]: the read for rows whose
+    * SCAN STAGE is CPU-heavy (shingling, signatures, LM scoring,
+    * PQ/ADC encoding). The driver testdata ships each table as ONE
+    * parquet row group, which Spark cannot split — without the widen
+    * the whole scan-stage computation of a 32-core session runs on
+    * one core (measured: sim_ivfadc_topk grew only 1.04× on a
+    * 10×-row 32-file corpus — 31 cores idle at sf0.1). Light rows
+    * keep the plain [[t]]: for them the exchange costs more than it
+    * spreads.
+    */
+  private def tw(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.ops.ScaleOps.widen(t(s, dir, name))
+
   /** Session-memoized materialization of a shared derived frame (the
     * [[graft.ops.BuildMemo]] discipline): gate rows that re-derive the
     * same edge list / base split per invocation build it once per
@@ -2005,7 +2018,7 @@ object SparkEntry {
       // 8-byte codes (the cheap corpus pass — reconstruction never
       // materializes, ip/norm read codebook literals), exact rerank of
       // the broadcast candidates on raw vectors
-      val emb = t(s, dir, "embeddings")
+      val emb = tw(s, dir, "embeddings")
         .withColumn("embedding", col("embedding").cast("array<double>"))
       val q = emb.filter(col("vec_id") < 8)
       graft.sim.Pq.pqTopK(emb, "vec_id", "embedding",
@@ -2023,7 +2036,7 @@ object SparkEntry {
       // candidates score by ADC cosine over their 8-byte PQ codes, and
       // the top-40 survivors rerank exactly — the corpus-sized pass
       // reads (cell, codes) only, never a raw vector
-      val emb = t(s, dir, "embeddings")
+      val emb = tw(s, dir, "embeddings")
         .withColumn("embedding", col("embedding").cast("array<double>"))
       val q = emb.filter(col("vec_id") < 8)
       graft.sim.Pq.ivfPqTopK(emb, "vec_id", "embedding",
@@ -2042,7 +2055,7 @@ object SparkEntry {
       // ADC scores against centroid + residual reconstruction with the
       // cell/code cross terms as plan literals. Tighter quantization at
       // the identical (cell, codes) coarse layout
-      val emb = t(s, dir, "embeddings")
+      val emb = tw(s, dir, "embeddings")
         .withColumn("embedding", col("embedding").cast("array<double>"))
       val q = emb.filter(col("vec_id") < 8)
       graft.sim.Pq.ivfAdcTopK(emb, "vec_id", "embedding",
@@ -2065,7 +2078,7 @@ object SparkEntry {
       // corpus. Oracle = the full residual chain with the sample
       // drawn from the pre-update corpus and everything else over the
       // merged one
-      val emb = t(s, dir, "embeddings")
+      val emb = tw(s, dir, "embeddings")
         .withColumn("embedding", col("embedding").cast("array<double>"))
       val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding",
         nCentroids = 16)
@@ -2100,7 +2113,7 @@ object SparkEntry {
       // emissions merge into the base index (mergeSettledIndex ≡
       // updateIvfAdcIndex), and the probe runs identically — pinned
       // by SHARING sim_ivfadc_incremental's oracle
-      val emb = t(s, dir, "embeddings")
+      val emb = tw(s, dir, "embeddings")
         .withColumn("embedding", col("embedding").cast("array<double>"))
       val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding",
         nCentroids = 16)
@@ -2212,7 +2225,7 @@ object SparkEntry {
       // Gopher-rule composite gate with a per-rule reasons bitmask:
       // word-count floor 30, mean-word-length [3,10], alpha fraction,
       // symbol ratio, >= 2 distinct stop words — integer-exact edges
-      graft.textstats.TextStats.gopherFilter(t(s, dir, "documents"),
+      graft.textstats.TextStats.gopherFilter(tw(s, dir, "documents"),
           "doc_id", "text", minWords = 30,
           stopWords = Seq("the", "a", "and", "of", "to"),
           minStopHits = 2)

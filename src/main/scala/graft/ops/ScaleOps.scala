@@ -9,6 +9,25 @@ import org.apache.spark.sql.functions._
   */
 object ScaleOps {
 
+  /** Round-robin widen of a narrow input up to session parallelism —
+    * the CPU-heavy-scan primitive. Spark sizes scan splits by BYTES
+    * and cannot split below a parquet ROW GROUP, so a compact input
+    * (the driver testdata ships every table as ONE row group; a
+    * production corpus can ship multi-GB groups) serializes all
+    * scan-stage compute — shingling, MinHash signatures, LM scoring,
+    * PQ/ADC encoding — on a single core no matter how wide the
+    * session is. The widen is an exchange of the RAW input rows,
+    * negligible next to the per-row work it spreads, and a NO-OP when
+    * the input is already at least session-wide (the 100 TB case,
+    * where data arrives in thousands of splits) — so it composes
+    * safely into operators at their corpus-input boundary.
+    */
+  def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target)
+  }
+
   /** Two-stage salted aggregation for skewed keys: stage 1 aggregates on
     * (key, salt) — spreading a hot key over `saltBuckets` reducers —
     * stage 2 merges partials per key. Use for algebraic aggregates (sum,

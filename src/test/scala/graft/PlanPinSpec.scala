@@ -319,14 +319,23 @@ class PlanPinSpec extends SparkTestBase {
       s"level-1 folds must group on the (dst, bucket) key:\n$plan")
   }
 
-  test("ts_gopher_filter: one scan, no join, only the presentation sort") {
+  test("ts_gopher_filter: one scan, no join, the widen spread plus " +
+      "the presentation sort") {
+    // the Gopher stats are the heaviest row-local text computation in
+    // the suite, so the row reads through ScaleOps.widen: a narrow
+    // (single-row-group) input gains a round-robin spread BEFORE the
+    // per-row scoring — measured 1.26 -> 0.57 s at sf0.1 — and an
+    // already-wide 100 TB input skips it (widen is conditional)
     val plan = SparkEntry.queries("ts_gopher_filter")(spark, sf0001)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"the gate is row-local:\n$plan")
     val exchanges = "(?m)^\\s*[+:*-]*\\s*\\(?\\d*\\)?\\s*Exchange".r
       .findAllIn(plan).size
-    assert(exchanges <= 1,
-      s"only the final orderBy may shuffle ($exchanges > 1):\n$plan")
+    assert(exchanges <= 2,
+      s"only the widen spread and the final orderBy may shuffle " +
+        s"($exchanges > 2):\n$plan")
+    assert(plan.contains("RoundRobinPartitioning"),
+      s"the narrow test input must take the widen spread:\n$plan")
   }
 
   test("sim_label_centroids: one grouped fixed-point agg, map-side combined") {
