@@ -463,6 +463,13 @@ case class NearestCells(child: Expression, centroids: Seq[Seq[Double]], m: Int)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "nearest_cells"
+  // compact string form: the default flatArguments rendering prints the
+  // centroid matrix itself, and plan stringification (one SQL-UI plan
+  // description per AQE stage) then dominates driver time — see
+  // [[CompactLiteral]]
+  override def toString: String =
+    s"$prettyName($child, cents[${centroids.length}x" +
+      s"${centroids.head.length}], $m)"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType | FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -519,6 +526,10 @@ case class NearestCellsAdaptive(child: Expression,
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "nearest_cells_adaptive"
+  // compact string form — see [[NearestCells.toString]]
+  override def toString: String =
+    s"$prettyName($child, cents[${centroids.length}x" +
+      s"${centroids.head.length}], $nProbe, $extra, $rho)"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType | FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -571,6 +582,9 @@ case class JlProject(child: Expression, signs: Seq[Seq[Byte]])
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "jl_project"
+  // compact string form — see [[NearestCells.toString]]
+  override def toString: String =
+    s"$prettyName($child, signs[${signs.length}x${signs.head.length}])"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess

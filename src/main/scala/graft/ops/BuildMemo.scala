@@ -141,6 +141,22 @@ object BuildMemo {
     if (!memoizable(df)) Lineage.cut(df)
     else lookup(keyOf(df, "frame", Nil, params)) { Lineage.cut(df) }
 
+  /** Memoized build of a frame DERIVED from `inputs` — for expensive
+    * builds (iterative CC label propagation, LM scoring with its
+    * internal count-table checkpoint) that run Spark jobs while
+    * CONSTRUCTING their result frame, so keying on the OUTPUT plan
+    * (as [[frame]] does) would re-pay those construction jobs on
+    * every hit. Keys on the input plans + params exactly like
+    * [[value]]; the built frame is cut once and retained. Falls back
+    * to a plain (unmemoized, uncut) build when any input is not
+    * memoizable — bit-for-bit the unmemoized behavior.
+    */
+  def frameFor(inputs: Seq[DataFrame], tag: String, params: String = "")
+      (build: => DataFrame): DataFrame =
+    if (inputs.isEmpty || !inputs.forall(memoizable)) build
+    else lookup(keyOf(inputs.head, s"framefor|$tag", inputs.tail,
+      params)) { Lineage.cut(build) }
+
   /** [[frame]] under an EXPLICIT key instead of the plan key — for
     * builds whose plans carry non-canonicalizable parts (lambda-bound
     * operators like flatMapGroupsWithState in batch mode, where two

@@ -244,9 +244,18 @@ object GridSearch {
       loadBars: Seq[String] => DataFrame,
       mkStrategy: Seq[Double] => LocalStrategy, initialAmount: Double,
       ranges: Seq[(Double, Double, Double)],
-      gridChunks: Int = 1): DataFrame = {
-    val top = graft.text.TextPipeline.topTickerMentions(docs, textCol,
+      gridChunks: Int = 1, memoTag: Option[String] = None): DataFrame = {
+    // the k-row mention leaderboard is consumed twice per call (the
+    // symbols collect AND the final broadcast join, whose lazy side
+    // would otherwise re-run the corpus regex scan at execution) — with
+    // a memoTag it is session-memoized like the grid fold below
+    val top0 = graft.text.TextPipeline.topTickerMentions(docs, textCol,
       tickers, tickerCol, blacklist, k)
+    val top = memoTag match {
+      case Some(tag) => graft.ops.BuildMemo.frameKeyed(docs.sparkSession,
+        s"commonstockstop|$tag") { top0 }
+      case None => top0
+    }
     val symbols = top.select(col("token")).collect().map(_.getString(0)).toSeq
     // a mention-less corpus short-circuits to an empty result BEFORE the
     // connector is invoked — a loader handed an empty symbol list could
@@ -267,7 +276,22 @@ object GridSearch {
             org.apache.spark.sql.types.DoubleType))))
     }
     val bars = loadBars(symbols).filter(col("ticker").isin(symbols: _*))
-    best(evaluate(bars, mkStrategy, initialAmount, ranges, gridChunks))
+    // the grid evaluation is the expensive fold (|tickers|·|grid|
+    // backtests) and is a pure function of the bars + strategy grid —
+    // with a caller-supplied memoTag it is session-memoized under the
+    // [[graft.ops.BuildMemo]] discipline (the bt tier's shared-fold
+    // pattern). The tag must pin the bars source and every grid
+    // parameter; None (the default) keeps the plain per-call build —
+    // live connectors whose loadBars output mutates must not pass one.
+    val evaluated = memoTag match {
+      case Some(tag) => graft.ops.BuildMemo.frameKeyed(docs.sparkSession,
+        s"commonstocksgrid|$tag") {
+          evaluate(bars, mkStrategy, initialAmount, ranges, gridChunks)
+        }
+      case None => evaluate(bars, mkStrategy, initialAmount, ranges,
+        gridChunks)
+    }
+    best(evaluated)
       .join(broadcast(top.select(col("token").as("ticker"),
         col("cnt").as("mentions"))), Seq("ticker"), "left")
       .select(col("ticker"), col("mentions"), col("best_state"),

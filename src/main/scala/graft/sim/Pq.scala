@@ -110,13 +110,17 @@ object Pq {
       acc
     }
     val ip = (0 until m).map { j =>
-      val cb = typedLit(codebooks(j).map(_.toSeq).toSeq)
+      val cb = graft.functions.CompactLiteral.of(
+        codebooks(j).map(_.toSeq).toSeq,
+        s"pq_cb[$j][${codebooks(j).length}x$sub]")
       graft.functions.VectorFunctions.dot(
         slice(queryVec, j * sub + 1, sub),
         element_at(cb, element_at(codes, j + 1) + 1))
     }.reduce(_ + _)
     val rn2 = (0 until m).map { j =>
-      val n2 = typedLit(codebooks(j).map(norm2).toSeq)
+      val n2 = graft.functions.CompactLiteral.of(
+        codebooks(j).map(norm2).toSeq,
+        s"pq_n2[$j][${codebooks(j).length}]")
       element_at(n2, element_at(codes, j + 1) + 1)
     }.reduce(_ + _)
     val qn = graft.functions.VectorFunctions.norm(queryVec)
@@ -459,7 +463,9 @@ object Pq {
       centroids: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]],
       keep: Seq[String] = Nil): DataFrame = {
-    val centLit = typedLit(centroids.toSeq.map(_.toSeq))
+    val centLit = graft.functions.CompactLiteral.of(
+      centroids.toSeq.map(_.toSeq),
+      s"ivf_cents[${centroids.length}x${centroids(0).length}]")
     val idx = corpus
       .select((col(idCol) +: keep.map(col)) ++ Seq(
         graft.functions.VectorFunctions
@@ -500,16 +506,23 @@ object Pq {
     val m = codebooks.length
     val sub = codebooks(0)(0).length
     val ip = (Seq(ipCent) ++ (0 until m).map { j =>
-      val cb = typedLit(codebooks(j).map(_.toSeq).toSeq)
+      val cb = graft.functions.CompactLiteral.of(
+        codebooks(j).map(_.toSeq).toSeq,
+        s"adc_cb[$j][${codebooks(j).length}x$sub]")
       graft.functions.VectorFunctions.dot(
         slice(queryVec, j * sub + 1, sub),
         element_at(cb, element_at(codes, j + 1) + 1))
     }).reduce(_ + _)
-    val cn2 = typedLit(centroids.map(norm2Arr).toSeq)
+    val cn2 = graft.functions.CompactLiteral.of(
+      centroids.map(norm2Arr).toSeq, s"adc_cn2[${centroids.length}]")
     val rn2 = (Seq(element_at(cn2, cell + 1)) ++ (0 until m).map { j =>
-      val cross = typedLit(centroids.map(c =>
-        codebooks(j).map(e => dotSlice(c, j * sub, e)).toSeq).toSeq)
-      val n2 = typedLit(codebooks(j).map(norm2Arr).toSeq)
+      val cross = graft.functions.CompactLiteral.of(
+        centroids.map(c =>
+          codebooks(j).map(e => dotSlice(c, j * sub, e)).toSeq).toSeq,
+        s"adc_cross[$j][${centroids.length}x${codebooks(j).length}]")
+      val n2 = graft.functions.CompactLiteral.of(
+        codebooks(j).map(norm2Arr).toSeq,
+        s"adc_n2[$j][${codebooks(j).length}]")
       element_at(element_at(cross, cell + 1),
         element_at(codes, j + 1) + 1) * lit(2.0) +
         element_at(n2, element_at(codes, j + 1) + 1)
@@ -539,7 +552,8 @@ object Pq {
     require(overFetch >= 1, s"overFetch must be positive, got $overFetch")
     require(nProbe >= 1, s"nProbe must be positive, got $nProbe")
     val centroidSeq: Seq[Seq[Double]] = centroids.toSeq.map(_.toSeq)
-    val centLit = typedLit(centroidSeq)
+    val centLit = graft.functions.CompactLiteral.of(centroidSeq,
+      s"ivf_cents[${centroids.length}x${centroids(0).length}]")
     val idx = index.select(col(idCol).as("vec_id"),
       col("cell").as("__cell"), col("codes"))
     val probeCells =

@@ -118,11 +118,20 @@ object Kmv {
       audit: Boolean = false): DataFrame = {
     validate(k)
     requireIntegral(df, value)
-    val in = df.filter(value.isNotNull)
+    // project to the single value column and spread it to session
+    // parallelism BEFORE the aggregation: the driver testdata ships one
+    // parquet row group per table, so the un-widened partial aggregate
+    // (and the audit branch's Expand-based distinct) ran on ONE core;
+    // the exchange ships 8 B/row and no-ops at 100 TB where the scan is
+    // already wide. The aggregation itself is order-free, so the result
+    // is unchanged on any partitioning.
+    val in = graft.ops.ScaleOps.widen(
+      df.filter(value.isNotNull).select(value.as("__v")))
+    val v = col("__v")
     val agged = if (audit)
-      in.agg(sketchAgg(value, k).as("__sk"),
-        countDistinct(value).cast("long").as("exact_distinct"))
-    else in.agg(sketchAgg(value, k).as("__sk"))
+      in.agg(sketchAgg(v, k).as("__sk"),
+        countDistinct(v).cast("long").as("exact_distinct"))
+    else in.agg(sketchAgg(v, k).as("__sk"))
     agged.select(Seq(lit(k.toLong).as("k"),
       size(col("__sk")).cast("long").as("n_retained"),
       estimateCol(col("__sk"), k).as("est_kmv")) ++

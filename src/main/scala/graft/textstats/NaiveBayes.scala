@@ -94,6 +94,18 @@ object NaiveBayes {
   def train(df: DataFrame, textCol: String, labelCol: String,
       maxVocab: Int = 1 << 16): NbModel = {
     require(maxVocab >= 1, s"maxVocab must be positive, got $maxVocab")
+    // session-memoized trained model (the BuildMemo value discipline —
+    // same as the IVF/PQ codebooks): training runs a collect + count
+    // aggregation + checkpoint per call; repeated scoring over the same
+    // train frame shares one model. Non-memoizable inputs fall through.
+    graft.ops.BuildMemo.value(df, "nbModel",
+        params = s"$textCol|$labelCol|$maxVocab") {
+      trainBuild(df, textCol, labelCol, maxVocab)
+    }
+  }
+
+  private def trainBuild(df: DataFrame, textCol: String, labelCol: String,
+      maxVocab: Int): NbModel = {
     val docCounts = df.groupBy(col(labelCol).as("__lb"))
       .agg(count(lit(1)).as("__nd"))
       .collect().map(r => (r.getString(0), r.getLong(1)))

@@ -199,7 +199,13 @@ object TextStats {
         explode(tokens(col(textCol))).as("token"))
     val perDoc = terms.groupBy("doc_id", "token")
       .agg(count(lit(1)).as("term_count"))
-    val docLen = terms.groupBy("doc_id").agg(count(lit(1)).as("doc_len"))
+    // doc_len = Σ term_count per doc — derived from perDoc instead of a
+    // second corpus-sized explode+shuffle of the raw token stream: the
+    // (doc, term) table is the smaller input (ties collapse) and its
+    // exchange already exists (guide §2.4 — share exchanges, don't
+    // re-derive). Identical value by definition.
+    val docLen = perDoc.groupBy("doc_id")
+      .agg(sum(col("term_count")).as("doc_len"))
     val docFreq = perDoc.groupBy("token").agg(count(lit(1)).as("doc_freq"))
     perDoc.join(docLen, Seq("doc_id"))
       .join(docFreq, Seq("token"))
@@ -243,6 +249,20 @@ object TextStats {
     // not models.
     require(trainBuckets >= 1 && trainBuckets <= 100,
       s"trainBuckets must be in [1, 100], got $trainBuckets")
+    // session-memoized on the INPUT plan (BuildMemo.frameFor — the
+    // build runs its count-table checkpoint job during plan
+    // construction, so the output plan cannot be the key): the scored
+    // corpus table is the materialized artifact a CCNet-style pipeline
+    // persists, and ts_lm_score / ts_lm_buckets both derive from the
+    // same train→score chain over the same corpus read
+    graft.ops.BuildMemo.frameFor(Seq(df), "lmScore",
+        params = s"$idCol|$textCol|$trainBuckets") {
+      lmScoreBuild(df, idCol, textCol, trainBuckets)
+    }
+  }
+
+  private def lmScoreBuild(df: DataFrame, idCol: String, textCol: String,
+      trainBuckets: Int): DataFrame = {
     val toks = df.select(col(idCol).as("__id"), tokens(col(textCol)).as("__tk"),
       (graft.ops.Sampling.hashBucket(col(idCol), 100) < trainBuckets)
         .as("__train"))

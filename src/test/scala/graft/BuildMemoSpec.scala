@@ -129,4 +129,61 @@ class BuildMemoSpec extends SparkTestBase {
     }
     assert(BuildMemo.size <= 256, s"cache grew past bound: ${BuildMemo.size}")
   }
+
+  test("frameFor: hit ≡ miss, keyed on the INPUT plan, and the build " +
+      "closure runs once") {
+    BuildMemo.clear()
+    var builds = 0
+    def clustered() = BuildMemo.frameFor(Seq(docs), "framefor-probe",
+        params = "p1") {
+      builds += 1
+      graft.dedup.Dedup.connectedComponents(
+        graft.dedup.Dedup.minhashNearDups(docs, "doc_id", "text",
+          shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.5))
+    }
+    val cold = clustered().orderBy("id").as[(Long, Long)].collect().toSeq
+    val warm = clustered().orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(builds == 1, s"build closure ran $builds times — the input " +
+      "plan key is unstable")
+    assert(warm == cold && cold.nonEmpty, "frameFor hit diverged from miss")
+    // different params → distinct entry (no false sharing)
+    var builds2 = 0
+    BuildMemo.frameFor(Seq(docs), "framefor-probe", params = "p2") {
+      builds2 += 1; docs.limit(1)
+    }.count()
+    assert(builds2 == 1, "distinct params must build separately")
+    // non-memoizable input (streaming) falls through to a plain build
+    implicit val sc = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val streamDf = input.toDS().toDF("doc_id", "text")
+    val out = BuildMemo.frameFor(Seq(streamDf), "framefor-stream") {
+      streamDf
+    }
+    assert(out.isStreaming, "streaming input must fall through unmemoized")
+  }
+
+  test("near-dup component memo: dropNearDups / dropNearDupsKeepBest / " +
+      "nearDupComponents share one clustering build") {
+    BuildMemo.clear()
+    val survivors = graft.dedup.Dedup.dropNearDups(
+      docs, "doc_id", "text", shingleSize = 3, numHashes = 32,
+      bands = 16, threshold = 0.5).select("doc_id")
+      .as[Long].collect().toSet
+    val missesAfter = BuildMemo.misses
+    val best = graft.dedup.Dedup.dropNearDupsKeepBest(
+      docs.withColumn("n_chars", length(col("text"))), "doc_id", "text",
+      "n_chars", shingleSize = 3, numHashes = 32, bands = 16,
+      threshold = 0.5).select("doc_id").as[Long].collect().toSet
+    assert(survivors.nonEmpty && best.nonEmpty)
+    // keep-best over a DIFFERENT input plan (the added quality column)
+    // builds its own entry, but the PLAIN-docs clustering must hit:
+    val hitsBefore = BuildMemo.hits
+    graft.dedup.Dedup.nearDupComponents(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      .count()
+    assert(BuildMemo.hits > hitsBefore,
+      "nearDupComponents re-built a clustering dropNearDups already " +
+        s"built (misses after first build: $missesAfter)")
+  }
 }

@@ -1,52 +1,40 @@
 package graft
-import java.nio.file.{Files, Paths}
+
+/** Dump `explain("formatted")` for named SparkEntry queries to files —
+  * the optimization-round evidence artifact
+  * (`plans/r16/<query>_<suffix>.txt`):
+  * `Test/runMain graft.PlanDump <sfDir> <outDir> <suffix> <q>...`.
+  * The plan is captured AFTER a warm run of the query (memoized builds
+  * resolved, AQE initial plan), so the dump shows the plan the bench's
+  * warm reps actually execute.
+  */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    val spark = LocalSessions.builder(4, 4).getOrCreate()
+    require(args.length >= 4,
+      "usage: PlanDump <sfDir> <outDir> <suffix> <queryName>...")
+    val sfDir = args(0)
+    val outDir = args(1)
+    val suffix = args(2)
+    val names = args.drop(3).toSeq
+    // bench-shaped session (32 cores, AQE on) so the dumped plans carry
+    // the same partitioning the bench runs with
+    val spark = LocalSessions.builder(32, 32)
+      .config("spark.sql.adaptive.enabled", "true").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.01"
-    val sb = new StringBuilder
-    for (q <- Seq("p2_project_filter","j1_multi_join","a1_grouped_sum","w6_cumsum",
-                  "j5_semi_join","dd_minhash","dd_simhash","dd_embedding_neardups",
-                  "dd_editdist","sim_cosine_topk","sim_lsh_topk","bt_backtest_fold",
-                  "w4_last_period","ts_langid_scores","opt_grid","sim_ivf_topk",
-                  "j9_asof_join","j10_range_join","dd_ngram_jaccard",
-                  "a9_quantiles","ts_repetition","ts_strat_sample",
-                  "a11_rollup","a12_pivot","w12_rolling_time",
-                  "j12_bloom_prune_join","dd_contamination",
-                  "dd_semantic","dd_semantic_prune","dd_keep_best",
-                  "ts_lm_score",
-                  "ts_domain_mix","dd_repeated_ngram_scrub",
-                  "dd_incremental_minhash","dd_stream_incremental_batch",
-                  "dd_semantic_incremental",
-                  "ts_lm_buckets","sim_knn_label",
-                  "ts_bm25_topk","ts_bm25_probe","sc_profile","sc_skew",
-                  "ts_gopher_filter","sim_label_centroids",
-                  "sc_cms_counts","sc_cms_join_est","sc_hll_distinct",
-                  "ev_hll_daily","gr_labelprop",
-                  "j13_auto_join","sim_ivf_refined","ts_token_budget",
-                  "ev_funnel","ev_funnel_summary","ev_stream_funnel_batch",
-                  "dd_group_split",
-                  "ts_logreg_score","sc_kmv_distinct","sc_kmv_setops",
-                  "ev_kmv_daily","ev_cohort_retention","dd_dup_spans",
-                  "dd_containment",
-                  "gr_triangles","ev_stream_sessionize_batch","u5_scd2",
-                  "sc_sample_quantiles","ts_priority_sample",
-                  "sc_topk_sketch","sim_pq_encode","sim_pq_topk",
-                  "sc_group_quantiles","ts_group_priority_sample",
-                  "sim_ivfpq_topk","u5_scd2_stream_batch",
-                  "sc_group_quantiles_stream_batch",
-                  "ts_group_priority_stream_batch","mm_gif89a_frames",
-                  "sim_ivfadc_topk","sim_ivfadc_incremental",
-                  "ts_bm25_stream_batch","mm_mjpeg_frames",
-                  "ts_bm25_eval")) {
-      sb.append(s"\n## $q\n\n```\n")
-      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
-        org.apache.spark.sql.execution.SimpleMode)
-      sb.append(plan.linesIterator.map(_.take(170)).mkString("\n"))
-      sb.append("\n```\n")
+    new java.io.File(outDir).mkdirs()
+    names.foreach { name =>
+      val fn = SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query '$name'"))
+      // warm run: fills session memos so the dumped plan is the steady
+      // state (memo-hit) plan the bench times
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val plan = fn(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val w = new java.io.PrintWriter(
+        new java.io.File(outDir, s"${name}_$suffix.txt"), "UTF-8")
+      try w.println(plan) finally w.close()
+      println(s"PLAN $name -> $outDir/${name}_$suffix.txt")
     }
-    Files.writeString(Paths.get("/tmp/plans_body.md"), sb.toString)
     spark.stop()
   }
 }

@@ -113,13 +113,23 @@ class PlanPinSpec extends SparkTestBase {
   test("bounded bucket membership plans with partial aggregation") {
     for ((q, agg) <- Seq("dd_minhash" -> "partial_smallestklongsagg",
         "dd_simhash" -> "partial_smallestkmembersagg",
-        "dd_embedding_neardups" -> "partial_smallestklongsagg",
-        "dd_incremental_minhash" -> "partial_smallestklongsagg")) {
+        "dd_embedding_neardups" -> "partial_smallestklongsagg")) {
       val plan = SparkEntry.queries(q)(spark, sf0001)
         .queryExecution.executedPlan.toString
       assert(plan.contains(agg),
         s"$q must map-side combine its bounded bucket aggregation")
     }
+    // dd_incremental_minhash's bucket capping now runs inside the
+    // session-memoized index build (round 16), so the consuming query
+    // plan reads the materialized table — pin the BUILD plan directly
+    val sigs = graft.dedup.Dedup.minhashSignatures(
+      spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id", "text",
+      shingleSize = 3, numHashes = 32)
+    val buildPlan = graft.dedup.Dedup
+      .cappedBuckets(sigs, numHashes = 32, bands = 16, maxBucket = 64)
+      .queryExecution.executedPlan.toString
+    assert(buildPlan.contains("partial_smallestklongsagg"),
+      s"the memoized bucket build must map-side combine:\n$buildPlan")
   }
 
   test("dd_incremental_minhash: bucket probe is an equi-join, never a product") {
@@ -248,17 +258,18 @@ class PlanPinSpec extends SparkTestBase {
   test("ts_nb_filter: zero-shuffle scoring, no token-stream join") {
     // the NB score path's scale contract: the model rides the plan as a
     // reference object inside nb_token_scores — the corpus token stream
-    // must never join or shuffle; the only exchange is the final
-    // per-doc pivot aggregation
+    // must never join or shuffle; the only exchanges are the widen
+    // spread (round-16: the scoring scan reads through ScaleOps.widen,
+    // the ts_gopher_filter discipline) and the per-doc pivot aggregation
     val plan = SparkEntry.queries("ts_nb_filter")(spark, sf0001)
       .queryExecution.executedPlan.toString
     assert(plan.contains("nb_token_scores"),
       s"scoring must run as the codegen'd expression:\n$plan")
     assert(!plan.contains("Join"),
       s"the model must not join against the token stream:\n$plan")
-    val exchanges = "Exchange".r.findAllIn(plan).length
-    assert(exchanges <= 2,
-      s"expected only the pivot aggregation exchange(s), got $exchanges:\n$plan")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx <= 1,
+      s"expected only the pivot aggregation hash exchange, got $hashEx:\n$plan")
   }
 
   test("ts_chunk_overlap: row-local chunking — no join, only the " +
