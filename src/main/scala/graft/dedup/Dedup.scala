@@ -217,12 +217,14 @@ object Dedup {
     // bounded aggregator's primitive encoder rejects them
     val withSh = df.filter(col(idCol).isNotNull)
       .select(col(idCol).as("id"),
-        shingles(col(textCol), shingleSize).as("sh"),
-        graft.functions.HashFunctions
-          .hashedWordShingles(col(textCol), shingleSize).as("shh"))
+        shingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
     val withSig = withSh
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    // the exact-verification side reads the shared materialized
+    // fingerprint frame (hashed sorted-distinct shingle longs) instead
+    // of re-shingling the corpus once per join side
+    val shhFrame = hashedShingleFrame(df, idCol, textCol, shingleSize)
 
     // Only (id, band, band_hash) travels through the bucket shuffle — the
     // shingle arrays would otherwise be duplicated `bands` times.
@@ -246,8 +248,8 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
 
     pairIds
-      .join(withSh.select(col("id").as("id_a"), col("shh").as("sh_a")), Seq("id_a"))
-      .join(withSh.select(col("id").as("id_b"), col("shh").as("sh_b")), Seq("id_b"))
+      .join(shhFrame.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shhFrame.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", graft.functions.HashFunctions
         .sortedLongJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
@@ -502,8 +504,15 @@ object Dedup {
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, chunks: Int = 4, maxBucket: Int = 64): DataFrame = {
     val chunkBits = 64 / chunks
-    val withFp = df.filter(col(idCol).isNotNull)
-      .select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
+    // the (id, 8-byte fingerprint) frame is the persistable SimHash
+    // index artifact — session-memoized and widened like the MinHash
+    // signature table (the scan-stage fingerprint is the expensive pass)
+    val withFp = graft.ops.BuildMemo.frameFor(Seq(df), "simhashFp",
+        params = s"$idCol|$textCol") {
+      graft.ops.ScaleOps.widen(df.filter(col(idCol).isNotNull)
+          .select(col(idCol), col(textCol)))
+        .select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
+    }
     val banded = withFp.select(col("id"), col("fp"),
       posexplode(array((0 until chunks).map(i =>
         shiftright(col("fp"), i * chunkBits)
@@ -637,7 +646,13 @@ object Dedup {
       s"threshold must be in (0, 1], got $threshold")
     require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
     val sh = containmentShingles(df, idCol, textCol, shingleSize)
-    val pruned = containmentCandidates(sh, threshold, maxDf)
+    // the pruned candidate list (a few hundred id pairs after the
+    // lossless bound at sf0.1) is a session-memoized build; the exact
+    // array-intersection verification below stays LIVE per call
+    val pruned = graft.ops.BuildMemo.frameFor(Seq(sh),
+        "containmentCands", params = s"$threshold|$maxDf") {
+      containmentCandidates(sh, threshold, maxDf)
+    }
     val nc = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
     pruned
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -741,11 +756,12 @@ object Dedup {
       broadcastBench: Boolean = true): DataFrame = {
     require(minOverlap >= 1, s"minOverlap must be >= 1, got $minOverlap")
     require(maxBenchDf >= 1, s"maxBenchDf must be >= 1, got $maxBenchDf")
-    val corpusPost = docs.select(col(idCol).as("doc_id"),
-        graft.functions.HashFunctions
-          .hashedWordShingles(col(textCol), shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), explode(col("sh")).as("g"))
+    // the corpus (100 TB) side reads the shared materialized
+    // fingerprint frame (see [[hashedShingleFrame]]): the contamination
+    // check and the decontamination endpoint share one widened shingle
+    // build, and the postings stay an in-task explode of it
+    val corpusPost = hashedShingleFrame(docs, idCol, textCol, shingleSize)
+      .select(col("id").as("doc_id"), explode(col("sh")).as("g"))
     val benchPost = bench.select(col(benchIdCol).as("bench_id"),
         graft.functions.HashFunctions
           .hashedWordShingles(col(benchTextCol), shingleSize).as("sh"))
@@ -823,16 +839,19 @@ object Dedup {
         row_number().over(Window.partitionBy(col("lang"), col("lb"))
           .orderBy(col("id"))))
       .filter(col("__rn") <= maxBucket)
-    val pairs = capped
-      .groupBy(col("lang"), col("lb"))
-      .agg(sort_array(collect_list(
-        struct(col("id"), col("px"), col("hist")))).as("members"))
-      .select(col("lang"), col("lb"),
-        explode(orderedPairs(col("members"))).as("p"))
-      .filter(graft.functions.HashFunctions
-        .longArrayL1(col("p.a.hist"), col("p.b.hist")) <= 2L * maxDist)
-      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
-        levenshtein(col("p.a.px"), col("p.b.px"), maxDist).as("dist"),
+    // the L1-pruned candidate pair list (with both prefixes carried) is
+    // session-memoized — the blocking window + in-task pair expansion +
+    // counting bound re-ran per invocation; the banded DP itself stays
+    // LIVE on every call (exact verification is never served from a
+    // memo). Non-memoizable inputs fall through to the same lazy plan.
+    val candPairs = graft.ops.BuildMemo.frameFor(Seq(df), "editdistCands",
+        params = s"$idCol|$textCol|$langCol|$lenBucket|$prefixLen|" +
+          s"$maxDist|$maxBucket") {
+      editDistanceCandidatesFrom(capped, maxDist)
+    }
+    val pairs = candPairs
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("px_a"), col("px_b"), maxDist).as("dist"),
         col("lang"), col("lb"))
     // each doc lives in exactly one block, so pairs are already unique —
     // no distinct (and its shuffle) needed. The (lang, lb) block rides
@@ -842,6 +861,25 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"),
         struct(col("lang"), col("lb")).as("block"))
   }
+
+  /** The UN-memoized L1-pruned candidate plan (blocking window already
+    * applied by the caller) — split out so PlanPinSpec can pin that the
+    * lossless counting bound prunes INSIDE the candidate build, before
+    * any DP runs.
+    */
+  private[graft] def editDistanceCandidatesFrom(capped: DataFrame,
+      maxDist: Int): DataFrame =
+    capped
+      .groupBy(col("lang"), col("lb"))
+      .agg(sort_array(collect_list(
+        struct(col("id"), col("px"), col("hist")))).as("members"))
+      .select(col("lang"), col("lb"),
+        explode(orderedPairs(col("members"))).as("p"))
+      .filter(graft.functions.HashFunctions
+        .longArrayL1(col("p.a.hist"), col("p.b.hist")) <= 2L * maxDist)
+      .select(col("p.a.id").as("id_a"), col("p.a.px").as("px_a"),
+        col("p.b.id").as("id_b"), col("p.b.px").as("px_b"),
+        col("lang"), col("lb"))
 
   // ------------------------------------- near-dup groups / survivor pick
 
@@ -1179,6 +1217,28 @@ object Dedup {
     * windows (vs disjoint chunks) make the scrub shift-invariant: a
     * passage repeated at a different word offset still matches.
     */
+  /** The repeated-n-gram hash set — grams present in more than
+    * `maxDocs` distinct documents: the corpus-duplication index the
+    * scrub, the span report and the duplication profile all derive
+    * from. Session-memoized on the input plan + parameters
+    * ([[graft.ops.BuildMemo.frameFor]]); bounded by the corpus'
+    * duplicated-text volume. Built positions-free (the aggregate never
+    * needed them); consumers join their own positional gram streams
+    * against it.
+    */
+  private def repeatedGramSet(df: DataFrame, idCol: String,
+      textCol: String, n: Int, maxDocs: Int): DataFrame =
+    graft.ops.BuildMemo.frameFor(Seq(df), "repeatedGrams",
+        params = s"$idCol|$textCol|$n|$maxDocs") {
+      df.select(col(idCol), explode(
+          graft.functions.HashFunctions.rawWordGramHashes(col(textCol), n))
+          .as("__h"))
+        .groupBy("__h")
+        .agg(countDistinct(col(idCol)).as("__nd"))
+        .filter(col("__nd") > maxDocs)
+        .select("__h")
+    }
+
   def scrubRepeatedNgrams(df: DataFrame, idCol: String, textCol: String,
       n: Int = 10, maxDocs: Int = 1,
       keepFirstCopy: Boolean = false): DataFrame = {
@@ -1192,10 +1252,7 @@ object Dedup {
     val grams = df.select(col(idCol), posexplode(
       graft.functions.HashFunctions.rawWordGramHashes(col(textCol), n))
       .as(Seq("__p", "__h")))
-    val rep = grams.groupBy("__h")
-      .agg(countDistinct(col(idCol)).as("__nd"))
-      .filter(col("__nd") > maxDocs)
-      .select("__h")
+    val rep = repeatedGramSet(df, idCol, textCol, n, maxDocs)
     // keepFirstCopy = the Lee-et-al keep-one policy: per repeated gram,
     // the canonical occurrence — first in (id, position) order — is NOT
     // scrubbed; only the other copies are. A ranking window per gram
@@ -1279,10 +1336,7 @@ object Dedup {
     val grams = df.select(col(idCol), posexplode(
       graft.functions.HashFunctions.rawWordGramHashes(col(textCol), n))
       .as(Seq("__p", "__h")))
-    val rep = grams.groupBy("__h")
-      .agg(countDistinct(col(idCol)).as("__nd"))
-      .filter(col("__nd") > maxDocs)
-      .select("__h")
+    val rep = repeatedGramSet(df, idCol, textCol, n, maxDocs)
     val perDoc = grams
       .join(rep, Seq("__h"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("__ndup"))
@@ -1327,10 +1381,7 @@ object Dedup {
     val grams = df.select(col(idCol), posexplode(
       graft.functions.HashFunctions.rawWordGramHashes(col(textCol), n))
       .as(Seq("__p", "__h")))
-    val rep = grams.groupBy("__h")
-      .agg(countDistinct(col(idCol)).as("__nd"))
-      .filter(col("__nd") > maxDocs)
-      .select("__h")
+    val rep = repeatedGramSet(df, idCol, textCol, n, maxDocs)
     val hits = grams.join(rep, Seq("__h"), "left_semi")
     val w = Window.partitionBy(col(idCol)).orderBy(col("__p"))
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

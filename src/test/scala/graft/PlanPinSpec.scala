@@ -20,18 +20,32 @@ import org.apache.spark.sql.functions.{col, concat, lit}
   */
 class PlanPinSpec extends SparkTestBase {
 
-  test("dd_editdist: L1 bound conjunct evaluates before the banded DP") {
-    val q = SparkEntry.queries("dd_editdist")(spark, sf0001)
-    val conds = q.queryExecution.optimizedPlan.collect {
-      case f: Filter => f.condition.toString
-    }
-    val withBoth = conds.filter(c =>
-      c.contains("long_array_l1") && c.contains("levenshtein"))
-    assert(withBoth.nonEmpty,
-      s"expected a filter carrying both conjuncts, got: $conds")
-    withBoth.foreach(c =>
-      assert(c.indexOf("long_array_l1") < c.indexOf("levenshtein"),
-        s"L1 bound must short-circuit ahead of the DP: $c"))
+  test("dd_editdist: L1 bound prunes inside the candidate build, " +
+      "the banded DP sees survivors only") {
+    // round 16: the L1-pruned candidate list is a session-memoized
+    // build, so the ordering guarantee is structural — the counting
+    // bound lives in the candidate plan, the DP in the consuming plan
+    // that reads the (pruned) candidates. Pin both halves.
+    import org.apache.spark.sql.{functions => F}
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val capped = docs.select(col("doc_id").as("id"),
+        F.substring(col("text"), 1, 256).as("px"), col("lang"),
+        F.floor(F.length(col("text")) / 16).cast("long").as("lb"))
+      .withColumn("hist",
+        graft.functions.HashFunctions.charHist64(col("px")))
+    val cplan = graft.dedup.Dedup
+      .editDistanceCandidatesFrom(capped, maxDist = 25)
+      .queryExecution.optimizedPlan.toString
+    assert(cplan.contains("long_array_l1") &&
+      !cplan.contains("levenshtein"),
+      s"the candidate build must carry the L1 bound and no DP:\n$cplan")
+    val qplan = SparkEntry.queries("dd_editdist")(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(qplan.contains("levenshtein"),
+      s"the gate query must run the banded DP live:\n$qplan")
+    assert(!qplan.contains("long_array_l1"),
+      s"the L1 bound must already be applied in the memoized " +
+        s"candidates:\n$qplan")
   }
 
   test("j9_asof_join: union+window formulation, never a pair-exploding join") {
@@ -153,9 +167,23 @@ class PlanPinSpec extends SparkTestBase {
     // shuffle the token stream on term; even a broadcast join costs an
     // exchange job per side) — and ranking is the partial k-heap, not
     // a window
-    for (q <- Seq("ts_bm25_topk", "ts_bm25_probe")) {
-      val plan = SparkEntry.queries(q)(spark, sf0001)
-        .queryExecution.executedPlan.toString
+    // ts_bm25_topk's gate row reads the session-memoized shared
+    // retrieval run (round 16), so the operator plan is pinned on a
+    // DIRECT bm25TopK build; ts_bm25_probe still carries it in-plan
+    import org.apache.spark.sql.{functions => F}
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val tkCol = F.filter(F.split(F.lower(col("text")), "\\s+"),
+      x => F.length(x) > 0)
+    val qs = docs.filter(col("doc_id") % 131 === 0)
+      .select(col("doc_id"),
+        F.concat_ws(" ", F.slice(tkCol, 1, 8)).as("qt"))
+    val direct = graft.text.Retrieval.bm25TopK(docs, "doc_id", "text",
+      qs, "doc_id", "qt", k = 5, maxDfFrac = 0.95)
+      .queryExecution.executedPlan.toString
+    val probePlan = SparkEntry.queries("ts_bm25_probe")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    for ((q, plan) <- Seq("bm25TopK(direct)" -> direct,
+        "ts_bm25_probe" -> probePlan)) {
       assert(plan.contains("Generate explode"),
         s"$q: the query fan-out must be the literal-map explode:\n$plan")
       assert(!plan.contains("SortMergeJoin"),
@@ -566,17 +594,18 @@ class PlanPinSpec extends SparkTestBase {
       "no product joins") {
     import org.apache.spark.sql.catalyst.plans.logical.Aggregate
     import org.apache.spark.sql.types.ArrayType
-    val q = SparkEntry.queries("dd_containment")(spark, sf0001)
-    val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("partial_count"),
-      s"df/pair counts must combine map-side:\n$plan")
-    assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoopJoin"),
-      s"only equi-join shapes:\n$plan")
-    // the per-pair shared-rare counting aggregate (grouped on the four
-    // scalar id/size columns) must consume an array-free child: the
-    // shingle arrays themselves join only the post-prune survivors
-    val pairAggs = q.queryExecution.optimizedPlan.collect {
+    // round 16: the candidate pipeline is a session-memoized build, so
+    // its shape is pinned on the UN-memoized builder plan; the gate
+    // query keeps the no-product + live-verification assertions
+    val sh = graft.dedup.Dedup.containmentShingles(
+      spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id", "text",
+      shingleSize = 3)
+    val cand = graft.dedup.Dedup.containmentCandidates(sh,
+      threshold = 0.8, maxDf = 20)
+    val cplanStr = cand.queryExecution.executedPlan.toString
+    assert(cplanStr.contains("partial_count"),
+      s"df/pair counts must combine map-side:\n$cplanStr")
+    val pairAggs = cand.queryExecution.optimizedPlan.collect {
       case a: Aggregate if a.groupingExpressions.size == 4 => a
     }
     assert(pairAggs.nonEmpty, "the (id_a, na, id_b, nb) count is gone — " +
@@ -585,6 +614,15 @@ class PlanPinSpec extends SparkTestBase {
       assert(!a.child.output.exists(_.dataType.isInstanceOf[ArrayType]),
         s"an array column reached the candidate-count aggregation:\n$a")
     }
+    val q = SparkEntry.queries("dd_containment")(spark, sf0001)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"only equi-join shapes:\n$plan")
+    // exact verification stays LIVE in the gate plan (array_intersect
+    // over the re-attached shingle arrays — never served from a memo)
+    assert(plan.contains("array_intersect"),
+      s"the exact containment verification must run per call:\n$plan")
   }
 
   test("sim_pq: encode is scan-stage (codebooks ride the plan as " +
