@@ -597,14 +597,21 @@ object Dedup {
     // threshold ratio can never verify — dropped BEFORE the distinct and
     // the expensive set intersection. On skewed corpora this removes the
     // bulk of the quadratic bucket candidates (measured ~90% at sf0.1).
-    val pairIds = posting.join(rare.select("g"), Seq("g"))
-      .groupBy("g")
-      .agg(sort_array(collect_list(struct(col("id"), col("n")))).as("members"))
-      .select(explode(orderedPairs(col("members"))).as("p"))
-      .filter(least(col("p.a.n"), col("p.b.n")).cast("double") /
-        greatest(col("p.a.n"), col("p.b.n")) >= threshold)
-      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"))
-      .distinct()
+    // the PPJoin-pruned candidate id list is a session-memoized build
+    // (the containment-candidates discipline); the exact set-Jaccard
+    // verification below stays LIVE per call
+    val pairIds = graft.ops.BuildMemo.frameFor(Seq(df), "jaccardCands",
+        params = s"$idCol|$textCol|$shingleSize|$threshold|$maxDf") {
+      posting.join(rare.select("g"), Seq("g"))
+        .groupBy("g")
+        .agg(sort_array(collect_list(struct(col("id"), col("n"))))
+          .as("members"))
+        .select(explode(orderedPairs(col("members"))).as("p"))
+        .filter(least(col("p.a.n"), col("p.b.n")).cast("double") /
+          greatest(col("p.a.n"), col("p.b.n")) >= threshold)
+        .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"))
+        .distinct()
+    }
     pairIds
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
