@@ -14,11 +14,11 @@ import org.apache.spark.sql.SparkSession
   */
 object LocalSessions {
   def builder(threads: Int, shufflePartitions: Int): SparkSession.Builder =
-    SparkSession.builder()
+    graft.ops.ScratchDir.tune(SparkSession.builder()
       .master(s"local[$threads]")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
 }
