@@ -33,6 +33,18 @@ for i in $(seq 1 "$runs"); do
 done
 
 cp bench_full.json "BENCH_r${round}.json"
+# the canonical artifact must RE-PARSE as JSON (r15's front-truncated
+# capture silently cost round 16 its whole round-over-round table) —
+# fail the close, never ship an unparseable artifact
+python3 - "BENCH_r${round}.json" <<'EOF'
+import json, sys
+with open(sys.argv[1]) as f:
+    txt = f.read().strip()
+obj = json.loads(txt.splitlines()[-1])
+for field in ("value", "queries", "queries_min_xrun", "queries_cold"):
+    assert field in obj, f"artifact missing '{field}'"
+print(f"close_round: artifact parses ({len(obj['queries'])} queries)")
+EOF
 n=$(grep -o '"bench_runs":[0-9]*' "BENCH_r${round}.json" | cut -d: -f2)
 if [ "${n:-0}" -lt 2 ]; then
   echo "close_round: BENCH_r${round}.json carries bench_runs=$n < 2 —" \

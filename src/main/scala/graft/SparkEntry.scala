@@ -110,9 +110,12 @@ object SparkEntry {
         concat_ws(" ", slice(tk, 1, 8)).as("qtext"))
     // EXPLICIT key, not the plan key: the scoring plan carries the
     // (term → df / term → queries) MAP literals, and Spark's MapData
-    // has no value equality — plan-keyed lookups would always miss
+    // has no value equality — plan-keyed lookups would always miss.
+    // The key carries the input's FILE digest (not just $dir), so a
+    // mid-session rewrite of the corpus can't serve a stale run
     graft.ops.BuildMemo.frameKeyed(s,
-        s"bm25selfrun|$dir|131|8|k5|maxDf0.95") {
+        s"bm25selfrun|$dir|131|8|k5|maxDf0.95" +
+          s"|${graft.ops.BuildMemo.filesTag(docs)}") {
       graft.text.Retrieval.bm25TopK(docs, "doc_id", "text",
         queries, "doc_id", "qtext", k = 5, maxDfFrac = 0.95)
     }
@@ -1599,8 +1602,11 @@ object SparkEntry {
     }),
     "ts_lm_score" -> ((s, dir) => {
       // CCNet-style corpus LM quality score: bigram stupid-backoff model
-      // trained on the hash-split train buckets, every doc scored
-      TextStats.lmScore(t(s, dir, "documents"), "doc_id", "text")
+      // trained on the hash-split train buckets, every doc scored.
+      // memoTag = the gate opts in to the session memo of the scored
+      // table (shared with ts_lm_buckets; key = input plan + files)
+      TextStats.lmScore(t(s, dir, "documents"), "doc_id", "text",
+          memoTag = Some("gate"))
         .select(col("doc_id"), col("n_bigrams"),
           round(col("lm_score"), 6).as("lm_score6"))
         .orderBy(col("doc_id"))
@@ -1667,9 +1673,12 @@ object SparkEntry {
       val fresh = docs
         .filter(col("doc_id") % 3 === 0 || col("doc_id") % 7 === 0)
         .select(col("doc_id"), concat(col("text"), lit(" upd")).as("text"))
-      val merged = graft.text.Retrieval.updateBm25Index(
+      // the base-index + delta-merge build is session-memoized on its
+      // PLAN (r16 verdict #5 — the stream_batch twin already amortized
+      // its merge); the stats derivation and the probe below stay live
+      val merged = memoF(graft.text.Retrieval.updateBm25Index(
         graft.text.Retrieval.bm25Index(base, "doc_id", "text"),
-        fresh, "doc_id", "text")
+        fresh, "doc_id", "text"))
       val stats = graft.text.Retrieval.bm25IndexStats(merged)
       val tk = filter(split(lower(col("text")), "\\s+"),
         x => length(x) > 0)
@@ -1704,7 +1713,8 @@ object SparkEntry {
       // invocations): rep 1 runs the full streaming-twin lifecycle,
       // re-invocations reuse its settled merge (round-15 verdict #1)
       val merged = graft.ops.BuildMemo.frameKeyed(s,
-          s"ts_bm25_stream_batch_merged|$dir") {
+          s"ts_bm25_stream_batch_merged|$dir" +
+            s"|${graft.ops.BuildMemo.filesTag(docs)}") {
         val updates = graft.streaming.StreamingRetrieval
           .streamingPostingsUpdate(fresh, "doc_id", "ts", "text")
         graft.streaming.StreamingRetrieval
@@ -1751,7 +1761,7 @@ object SparkEntry {
       // CCNet head/middle/tail: per-language thirds by corpus LM score
       // (integer percentile test, rounded-score ranking — bit-stable)
       TextStats.lmQualityBuckets(t(s, dir, "documents"), "doc_id", "text",
-          "lang", headPct = 33, midPct = 33)
+          "lang", headPct = 33, midPct = 33, memoTag = Some("gate"))
         .orderBy(col("doc_id"))
     }),
     "bt_orders" -> ((s, dir) => {
@@ -1831,9 +1841,13 @@ object SparkEntry {
           st => LocalMACross(st(0).toInt, st(1).toInt), 10000.0,
           Seq((3, 9, 2), (10, 30, 10)),
           // session-memoized grid fold (the bt tier's shared-fold
-          // discipline): the tag pins the bars source dir + strategy +
-          // grid + capital — everything the fold depends on
-          memoTag = Some(s"$dir|macross|3,9,2|10,30,10|10000"))
+          // discipline): the tag pins the corpus/bars source (dir +
+          // events file digest — docs, tickers and bars all derive
+          // from the events table), the blacklist+k of the leaderboard,
+          // and strategy + grid + capital — everything either memo
+          // inside findCommonStocks depends on
+          memoTag = Some(s"$dir|spy|3|macross|3,9,2|10,30,10|10000" +
+            s"|${graft.ops.BuildMemo.filesTag(ev)}"))
         .select(col("ticker"), col("mentions"), col("best_net_worth"))
         .orderBy(col("ticker"))
     }),
@@ -1946,7 +1960,8 @@ object SparkEntry {
       // (the bm25SelfRun discipline; the sparse run needs an explicit
       // key — its plan carries value-inequatable map literals)
       val sparse = graft.ops.BuildMemo.frameKeyed(s,
-          s"bm25rrfsparse|$dir|lt8|8|k5|maxDf0.95") {
+          s"bm25rrfsparse|$dir|lt8|8|k5|maxDf0.95" +
+            s"|${graft.ops.BuildMemo.filesTag(docs)}") {
         graft.text.Retrieval.bm25TopK(docs, "doc_id", "text",
           queries, "doc_id", "qtext", k = 5, maxDfFrac = 0.95)
       }.select(col("query_id"), col("doc_id").as("id"), col("rank"))
@@ -2164,7 +2179,8 @@ object SparkEntry {
       // plan — see ts_bm25_stream_batch): rep 1 runs the streaming
       // twin, re-invocations reuse the settled merge
       val merged = graft.ops.BuildMemo.frameKeyed(s,
-          s"sim_ivfadc_stream_batch_merged|$dir") {
+          s"sim_ivfadc_stream_batch_merged|$dir" +
+            s"|${graft.ops.BuildMemo.filesTag(emb)}") {
         val updates = graft.streaming.StreamingAnn.streamingIndexUpdate(
           fresh, "vec_id", "ts", "embedding", cents, cbs)
         graft.streaming.StreamingAnn.mergeSettledIndex(index,

@@ -503,6 +503,28 @@ object Dedup {
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, chunks: Int = 4, maxBucket: Int = 64): DataFrame = {
+    // the banded candidate pair list is a session-memoized build (the
+    // containment/jaccard candidates discipline, r16 verdict #4 —
+    // maxHamming is NOT in the key because candidates don't depend on
+    // it); the hamming verification below stays LIVE per call
+    val pairs = graft.ops.BuildMemo.frameFor(Seq(df), "simhashCands",
+        params = s"$idCol|$textCol|$chunks|$maxBucket") {
+      simhashCandidates(df, idCol, textCol, chunks, maxBucket)
+    }
+    pairs.withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** The un-memoized SimHash candidate build [[simhashNearDups]]
+    * materializes per session: fingerprint, band into chunk buckets
+    * (bounded members via the partial-aggregating k-smallest), expand
+    * in-task pairs. Package-visible so PlanPinSpec pins the BUILD
+    * plan's partial aggregation directly (the consuming query reads
+    * the materialized table).
+    */
+  private[graft] def simhashCandidates(df: DataFrame, idCol: String,
+      textCol: String, chunks: Int, maxBucket: Int): DataFrame = {
     val chunkBits = 64 / chunks
     // the (id, 8-byte fingerprint) frame is the persistable SimHash
     // index artifact — session-memoized and widened like the MinHash
@@ -528,13 +550,10 @@ object Dedup {
       .filter(size(col("members")) > 1)
     // struct members: compare on the full struct (id first) — same as
     // the id-only compare since ids are unique
-    val pairs = buckets.select(explode(orderedPairs(col("members"))).as("p"))
+    buckets.select(explode(orderedPairs(col("members"))).as("p"))
       .select(col("p.a.id").as("id_a"), col("p.a.fp").as("fp_a"),
         col("p.b.id").as("id_b"), col("p.b.fp").as("fp_b"))
       .dropDuplicates("id_a", "id_b")
-    pairs.withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
-      .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
   }
 
   // ------------------------------------------------- n-gram jaccard (direct)
@@ -558,7 +577,12 @@ object Dedup {
       textCol: String, shingleSize: Int): DataFrame =
     graft.ops.BuildMemo.frameFor(Seq(df), "hashedShingles",
         params = s"$idCol|$textCol|$shingleSize") {
-      graft.ops.ScaleOps.widen(df.select(col(idCol), col(textCol)))
+      // null ids dropped HERE so the shared artifact is null-clean by
+      // construction (today every consumer inner-joins against a
+      // null-filtered side, but a future direct aggregation over the
+      // fingerprint frame must not inherit null-id rows)
+      graft.ops.ScaleOps.widen(df.filter(col(idCol).isNotNull)
+          .select(col(idCol), col(textCol)))
         .select(col(idCol).as("id"),
           graft.functions.HashFunctions
             .hashedWordShingles(col(textCol), shingleSize).as("sh"))

@@ -124,6 +124,15 @@ object BuildMemo {
     md.digest().map(b => f"$b%02x").mkString
   }
 
+  /** The file-listing digest as a tag fragment for EXPLICIT-key memos
+    * ([[frameKeyed]] / [[valueKeyed]]): a caller keying on a directory
+    * path alone serves stale frames after a mid-session rewrite of the
+    * data under it; appending this digest makes any rewrite (Spark
+    * part-file names are UUIDs) a new key, matching the plan-keyed
+    * memos' behavior.
+    */
+  def filesTag(dfs: DataFrame*): String = filesDigest(dfs)
+
   private def keyOf(df: DataFrame, tag: String, extra: Seq[DataFrame],
       params: String): Key = {
     val inputs = df +: extra

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   */
 object ScaleOps {
 
-  /** Round-robin widen of a narrow input up to session parallelism —
+  /** Round-robin widen of a narrow input toward session parallelism —
     * the CPU-heavy-scan primitive. Spark sizes scan splits by BYTES
     * and cannot split below a parquet ROW GROUP, so a compact input
     * (the driver testdata ships every table as ONE row group; a
@@ -18,12 +18,33 @@ object ScaleOps {
     * PQ/ADC encoding — on a single core no matter how wide the
     * session is. The widen is an exchange of the RAW input rows,
     * negligible next to the per-row work it spreads, and a NO-OP when
-    * the input is already at least session-wide (the 100 TB case,
+    * the input is already at least target-wide (the 100 TB case,
     * where data arrives in thousands of splits) — so it composes
     * safely into operators at their corpus-input boundary.
+    *
+    * The spread target is SIZE-ADAPTIVE (r16 verdict #1: a flat
+    * defaultParallelism spread oversharded tiny inputs into 32 tasks
+    * of pure per-task overhead at local[32], making an 8-core session
+    * FASTER than a 32-core one): tasks = clamp(estimated input bytes /
+    * `spark.graft.widen.taskTargetBytes`, 1, defaultParallelism). The
+    * byte estimate is the optimizer's (plan stats — file sizes for
+    * scans, width-scaled for projections; no job runs). The default
+    * target (64 KB) reflects the CPU-heavy-scan premise: these scans
+    * run ~1 s/MB of regex/shingle/codec work per core, so a 64 KB
+    * slice is ~60 ms of compute — well above task overhead, small
+    * enough that a 584 KB probe corpus still spreads. A cluster whose
+    * per-core work differs tunes the conf, not the call sites.
     */
   def widen(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
+    val spark = df.sparkSession
+    val max = spark.sparkContext.defaultParallelism
+    val targetBytes = spark.conf
+      .get("spark.graft.widen.taskTargetBytes", "65536").toLong
+    require(targetBytes > 0,
+      s"spark.graft.widen.taskTargetBytes must be positive, got $targetBytes")
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val byBytes = (bytes + targetBytes - 1) / targetBytes
+    val target = byBytes.min(BigInt(max)).max(BigInt(1)).toInt
     if (df.rdd.getNumPartitions >= target) df
     else df.repartition(target)
   }

@@ -280,9 +280,13 @@ object GridSearch {
     // backtests) and is a pure function of the bars + strategy grid —
     // with a caller-supplied memoTag it is session-memoized under the
     // [[graft.ops.BuildMemo]] discipline (the bt tier's shared-fold
-    // pattern). The tag must pin the bars source and every grid
-    // parameter; None (the default) keeps the plain per-call build —
-    // live connectors whose loadBars output mutates must not pass one.
+    // pattern). The tag must pin EVERYTHING both memos depend on: the
+    // mention corpus (docs), the ticker table, blacklist and k (the
+    // leaderboard memo above) as well as the bars source and every
+    // grid parameter — a caller pinning only the bars would be served
+    // a stale leaderboard for a different corpus. None (the default)
+    // keeps the plain per-call build — live connectors whose loadBars
+    // output mutates must not pass one.
     val evaluated = memoTag match {
       case Some(tag) => graft.ops.BuildMemo.frameKeyed(docs.sparkSession,
         s"commonstocksgrid|$tag") {

@@ -202,6 +202,30 @@ object Pq {
     * ≤ k·overFetch candidates per query touch `corpus` (the raw
     * vectors) for the rerank.
     */
+  /** Exact rerank of a coarse (query_id, vec_id) candidate list on raw
+    * vectors: the candidate list joins the query vectors FIRST (tiny ×
+    * tiny — |queries|·k·overFetch rows carrying one query vector each)
+    * and the fused frame broadcasts ONCE onto the corpus. One
+    * BroadcastExchange and one corpus-side join, where the previous
+    * shape broadcast the candidate list AND the query-vector table
+    * separately and joined the corpus twice (r16 verdict #3). Pure
+    * inner-join reassociation: corpus ⋈ cands ⋈ qp ≡ corpus ⋈ (cands ⋈
+    * qp) — rows identical.
+    */
+  private def rerankExact(corpus: DataFrame, corpusIdCol: String,
+      vecCol: String, cands: DataFrame, queries: DataFrame,
+      queryIdCol: String, queryVecCol: String, k: Int): DataFrame = {
+    val qp = queries.select(col(queryIdCol).as("query_id"),
+      col(queryVecCol).as("__qv"))
+    val candsQ = broadcast(cands.join(qp, Seq("query_id")))
+    val rerank = corpus
+      .select(col(corpusIdCol).as("vec_id"), col(vecCol).as("__cv"))
+      .join(candsQ, Seq("vec_id"))
+      .withColumn("cosine", Similarity.cosine(col("__cv"), col("__qv")))
+      .select("query_id", "vec_id", "cosine")
+    Similarity.rankTopK(rerank, k)
+  }
+
   def pqTopKWithIndex(codes: DataFrame, codesIdCol: String,
       codebooks: Array[Array[Array[Double]]], corpus: DataFrame,
       idCol: String, vecCol: String, queries: DataFrame,
@@ -220,13 +244,8 @@ object Pq {
       .select("query_id", "vec_id", "cosine")
     val cands = Similarity.rankTopK(coarse, k * overFetch)
       .select("query_id", "vec_id")
-    val rerank = corpus
-      .select(col(idCol).as("vec_id"), col(vecCol).as("__cv"))
-      .join(broadcast(cands), Seq("vec_id"))
-      .join(qp, Seq("query_id"))
-      .withColumn("cosine", Similarity.cosine(col("__cv"), col("__qv")))
-      .select("query_id", "vec_id", "cosine")
-    Similarity.rankTopK(rerank, k)
+    rerankExact(corpus, idCol, vecCol, cands, queries, queryIdCol,
+      queryVecCol, k)
   }
 
   /** Persist an IVF-PQ index under `dir`: the (id, cell, codes) table
@@ -324,15 +343,8 @@ object Pq {
       .select("query_id", "vec_id", "cosine")
     val cands = Similarity.rankTopK(coarse, k * overFetch)
       .select("query_id", "vec_id")
-    val qp = broadcast(queries.select(col(queryIdCol).as("query_id"),
-      col(queryVecCol).as("__qv")))
-    val rerank = corpus
-      .select(col(corpusIdCol).as("vec_id"), col(vecCol).as("__cv"))
-      .join(broadcast(cands), Seq("vec_id"))
-      .join(qp, Seq("query_id"))
-      .withColumn("cosine", Similarity.cosine(col("__cv"), col("__qv")))
-      .select("query_id", "vec_id", "cosine")
-    Similarity.rankTopK(rerank, k)
+    rerankExact(corpus, corpusIdCol, vecCol, cands, queries, queryIdCol,
+      queryVecCol, k)
   }
 
   /** The (vec_id, cell, codes) index frame [[ivfPqTopK]] scans — public
@@ -578,15 +590,8 @@ object Pq {
       .select("query_id", "vec_id", "cosine")
     val cands = Similarity.rankTopK(coarse, k * overFetch)
       .select("query_id", "vec_id")
-    val qp = broadcast(queries.select(col(queryIdCol).as("query_id"),
-      col(queryVecCol).as("__qv")))
-    val rerank = corpus
-      .select(col(corpusIdCol).as("vec_id"), col(vecCol).as("__cv"))
-      .join(broadcast(cands), Seq("vec_id"))
-      .join(qp, Seq("query_id"))
-      .withColumn("cosine", Similarity.cosine(col("__cv"), col("__qv")))
-      .select("query_id", "vec_id", "cosine")
-    Similarity.rankTopK(rerank, k)
+    rerankExact(corpus, corpusIdCol, vecCol, cands, queries, queryIdCol,
+      queryVecCol, k)
   }
 
   /** Merge a fresh corpus batch into an IVFADC index, newest-wins —

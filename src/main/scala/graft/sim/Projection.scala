@@ -97,10 +97,13 @@ object Projection {
       .select("query_id", "vec_id", "cosine")
     val cands = Similarity.rankTopK(coarse, k * overFetch)
       .select("query_id", "vec_id")
+    // candidate list joins the query vectors first, then ONE broadcast
+    // onto the corpus (inner-join reassociation — see Pq.rerankExact)
+    val candsQ = broadcast(cands.join(
+      qp.select(col("query_id"), col("__qv")), Seq("query_id")))
     val rerank = corpus
       .select(col(idCol).as("vec_id"), col(vecCol).as("__cv"))
-      .join(broadcast(cands), Seq("vec_id"))
-      .join(qp.select(col("query_id"), col("__qv")), Seq("query_id"))
+      .join(candsQ, Seq("vec_id"))
       .withColumn("cosine", Similarity.cosine(col("__cv"), col("__qv")))
       .select("query_id", "vec_id", "cosine")
     Similarity.rankTopK(rerank, k)

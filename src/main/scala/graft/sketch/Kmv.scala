@@ -118,20 +118,31 @@ object Kmv {
       audit: Boolean = false): DataFrame = {
     validate(k)
     requireIntegral(df, value)
-    // project to the single value column and spread it to session
-    // parallelism BEFORE the aggregation: the driver testdata ships one
-    // parquet row group per table, so the un-widened partial aggregate
-    // (and the audit branch's Expand-based distinct) ran on ONE core;
-    // the exchange ships 8 B/row and no-ops at 100 TB where the scan is
-    // already wide. The aggregation itself is order-free, so the result
-    // is unchanged on any partitioning.
+    // project to the single value column and spread it to the
+    // size-adaptive parallelism BEFORE the aggregation: the driver
+    // testdata ships one parquet row group per table, so the un-widened
+    // partial aggregate ran on ONE core; the exchange ships 8 B/row and
+    // no-ops at 100 TB where the scan is already wide. The aggregation
+    // itself is order-free, so the result is unchanged on any
+    // partitioning.
     val in = graft.ops.ScaleOps.widen(
       df.filter(value.isNotNull).select(value.as("__v")))
     val v = col("__v")
-    val agged = if (audit)
-      in.agg(sketchAgg(v, k).as("__sk"),
-        countDistinct(v).cast("long").as("exact_distinct"))
-    else in.agg(sketchAgg(v, k).as("__sk"))
+    // audit branch (r16 verdict #6): dedup FIRST with a plain grouped
+    // aggregate — partial (map-side) dedup per task, one exchange of
+    // the surviving distinct values — then compute sketch AND exact
+    // count over the distinct stream. Equivalent by construction: the
+    // KMV aggregate retains the k smallest DISTINCT hashes (duplicate
+    // values hash identically and collapse either way), and
+    // countDistinct(v) == count over the deduped stream. The previous
+    // single-pass mixed aggregate planned countDistinct via Expand —
+    // every row duplicated per aggregate group, no map-side combine on
+    // the distinct leg, and one straggler reducer holding all values.
+    val agged = if (audit) {
+      val dv = in.distinct()
+      dv.agg(sketchAgg(v, k).as("__sk"),
+        count(v).cast("long").as("exact_distinct"))
+    } else in.agg(sketchAgg(v, k).as("__sk"))
     agged.select(Seq(lit(k.toLong).as("k"),
       size(col("__sk")).cast("long").as("n_retained"),
       estimateCol(col("__sk"), k).as("est_kmv")) ++

@@ -51,6 +51,24 @@ class KmvSpec extends SparkTestBase {
       Kmv.setEstimates(df, df, "v", 64).collect()(0))
   }
 
+  test("audit branch: distinct-first plan is Expand-free, estimates " +
+      "identical to the sketch-only path, exact count true") {
+    // r17: the audit countDistinct used to plan via Expand (every row
+    // duplicated per aggregate group); the dedup-first formulation must
+    // keep Expand out AND change no output value
+    val df = ids(5000).union(ids(5000)) // duplicates exercise the dedup
+    val audit = Kmv.distinctEstimate(df, col("v"), 64, audit = true)
+    val plain = Kmv.distinctEstimate(df, col("v"), 64)
+    assert(!audit.queryExecution.executedPlan.toString.contains("Expand"),
+      "audit branch must not plan countDistinct via Expand")
+    val a = audit.collect()(0)
+    val p = plain.collect()(0)
+    assert(Seq(a.getLong(0), a.getLong(1)) === Seq(p.getLong(0), p.getLong(1)))
+    assert(a.getDouble(2) === p.getDouble(2),
+      "sketch estimate must be identical with and without the audit")
+    assert(a.getLong(3) === 5000L, "exact_distinct must be the true count")
+  }
+
   test("non-integral value columns are rejected loudly") {
     import spark.implicits._
     val strs = Seq("a", "b").toDF("v")

@@ -18,8 +18,16 @@ object PlanDump {
     val names = args.drop(3).toSeq
     // bench-shaped session (32 cores, AQE on) so the dumped plans carry
     // the same partitioning the bench runs with
-    val spark = LocalSessions.builder(32, 32)
-      .config("spark.sql.adaptive.enabled", "true").getOrCreate()
+    var b = LocalSessions.builder(32, 32)
+      .config("spark.sql.adaptive.enabled", "true")
+    // same conf-override seam as TuneProbe, so a conf-parameterized
+    // before/after plan pair comes from one build
+    sys.env.getOrElse("SPARK_TUNE_CONF", "").split(";")
+      .map(_.trim).filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        b = b.config(k, v)
+      }
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
     names.foreach { name =>

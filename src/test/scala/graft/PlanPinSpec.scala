@@ -126,13 +126,21 @@ class PlanPinSpec extends SparkTestBase {
 
   test("bounded bucket membership plans with partial aggregation") {
     for ((q, agg) <- Seq("dd_minhash" -> "partial_smallestklongsagg",
-        "dd_simhash" -> "partial_smallestkmembersagg",
         "dd_embedding_neardups" -> "partial_smallestklongsagg")) {
       val plan = SparkEntry.queries(q)(spark, sf0001)
         .queryExecution.executedPlan.toString
       assert(plan.contains(agg),
         s"$q must map-side combine its bounded bucket aggregation")
     }
+    // dd_simhash's banded candidate list is session-memoized (round
+    // 17), so like dd_incremental_minhash below the consuming plan
+    // reads the materialized table — pin the BUILD plan directly
+    val simhashBuild = graft.dedup.Dedup.simhashCandidates(
+      spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id", "text",
+      chunks = 4, maxBucket = 64)
+      .queryExecution.executedPlan.toString
+    assert(simhashBuild.contains("partial_smallestkmembersagg"),
+      s"the memoized simhash candidate build must map-side combine:\n$simhashBuild")
     // dd_incremental_minhash's bucket capping now runs inside the
     // session-memoized index build (round 16), so the consuming query
     // plan reads the materialized table — pin the BUILD plan directly
@@ -364,7 +372,10 @@ class PlanPinSpec extends SparkTestBase {
     // the suite, so the row reads through ScaleOps.widen: a narrow
     // (single-row-group) input gains a round-robin spread BEFORE the
     // per-row scoring — measured 1.26 -> 0.57 s at sf0.1 — and an
-    // already-wide 100 TB input skips it (widen is conditional)
+    // already-wide 100 TB input skips it. Since round 17 the spread is
+    // SIZE-ADAPTIVE (bytes / taskTargetBytes): the few-KB sf0.001 test
+    // input correctly gets NO spread at the default target, so force a
+    // 1-byte target to pin that the spread path still engages
     val plan = SparkEntry.queries("ts_gopher_filter")(spark, sf0001)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"the gate is row-local:\n$plan")
@@ -373,8 +384,17 @@ class PlanPinSpec extends SparkTestBase {
     assert(exchanges <= 2,
       s"only the widen spread and the final orderBy may shuffle " +
         s"($exchanges > 2):\n$plan")
-    assert(plan.contains("RoundRobinPartitioning"),
-      s"the narrow test input must take the widen spread:\n$plan")
+    spark.conf.set("spark.graft.widen.taskTargetBytes", "1")
+    try {
+      val forced = SparkEntry.queries("ts_gopher_filter")(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(forced.contains("RoundRobinPartitioning"),
+        s"a byte-starved target must take the widen spread:\n$forced")
+    } finally spark.conf.unset("spark.graft.widen.taskTargetBytes")
+    // and the size-adaptive default must NOT overshard the tiny input
+    assert(!plan.contains("RoundRobinPartitioning"),
+      s"a few-KB input must not pay a spread exchange at the default " +
+        s"target:\n$plan")
   }
 
   test("sim_label_centroids: one grouped fixed-point agg, map-side combined") {

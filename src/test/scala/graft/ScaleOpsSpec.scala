@@ -7,6 +7,32 @@ import graft.ops.ScaleOps
 class ScaleOpsSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("widen sizes its spread by input bytes, capped at parallelism") {
+    // size-adaptive spread (r17): tasks = clamp(bytes/target, 1, cores).
+    // A tiny frame must NOT spread at a large per-task target…
+    val tiny = spark.range(100).toDF("v").coalesce(1)
+    spark.conf.set("spark.graft.widen.taskTargetBytes", (1L << 30).toString)
+    try {
+      assert(ScaleOps.widen(tiny).rdd.getNumPartitions == 1,
+        "a byte-starved input must keep its single partition")
+    } finally spark.conf.unset("spark.graft.widen.taskTargetBytes")
+    // …must spread to the parallelism cap at a 1-byte target…
+    spark.conf.set("spark.graft.widen.taskTargetBytes", "1")
+    try {
+      val spread = ScaleOps.widen(tiny)
+      assert(spread.rdd.getNumPartitions ==
+        spark.sparkContext.defaultParallelism,
+        "a byte-rich input must spread to session parallelism")
+      // …and the spread changes partitioning only, never rows
+      assert(spread.as[Long].collect().sorted.toSeq == (0L until 100L))
+    } finally spark.conf.unset("spark.graft.widen.taskTargetBytes")
+    // an already-wide input is untouched (the 100 TB no-op guard)
+    val wide = spark.range(1000)
+      .repartition(spark.sparkContext.defaultParallelism).toDF("v")
+    assert(ScaleOps.widen(wide).rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+  }
+
   test("salted aggregate equals plain aggregate on a skewed key") {
     val skewed = spark.range(10000)
       .select(when(col("id") % 100 === 0,
