@@ -471,11 +471,20 @@ object SparkEntry {
       // hierarchical subtotals in one pass: ROLLUP expands to grouping
       // sets evaluated in a single shuffle (Expand + one hash agg), not
       // one query per level; decimal sums keep every level exact.
-      // grouping_id disambiguates a rollup NULL from a data NULL
-      tw(s, dir, "lineitem")
-        .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
-          dsum(col("l_quantity")).as("sum_qty"))
+      // grouping_id disambiguates a rollup NULL from a data NULL.
+      // r17: pre-aggregate to the FINEST grouping first (map-side
+      // combinable), so the Expand multiplies the handful of (flag,
+      // status) partials instead of every corpus row — measured 25.7
+      // CPU-s of Expand+agg collapsing to sub-ms; counts sum and
+      // DECIMAL partial sums re-sum exactly, so every level is
+      // bit-identical to the direct rollup
+      val pre = tw(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("__n"),
+          sum(col("l_quantity").cast(dec)).as("__sq"))
+      pre.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), sum(col("__n")).as("n"),
+          sum(col("__sq")).cast("double").as("sum_qty"))
         .orderBy(col("gid"), asc_nulls_first("l_returnflag"),
           asc_nulls_first("l_linestatus"))
     }),
@@ -1045,6 +1054,8 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "ts_tokens" -> ((s, dir) => {
+      // plain read (no widen): r17 re-A/B under byte-sized widen +
+      // tmpfs scratch was a wash both directions — r16 revert stands
       t(s, dir, "documents").select(col("doc_id"),
           TextStats.tokenCount(col("text")).cast("bigint").as("n_ws_tokens"),
           TextStats.subwordCount(col("text")).cast("bigint").as("n_subwords"),
@@ -1105,7 +1116,12 @@ object SparkEntry {
       // oracle-exact query rather than stage by stage
       val deduped = Dedup.dropExactDups(t(s, dir, "documents"),
         "doc_id", "text")
-      TextStats.qualityFeatures(deduped, "text")
+      // spread the dedup survivors before the quality/redact regex pass
+      // (size-adaptive): AQE coalesces the dedup window's exchange to
+      // ONE byte-tiny partition, serializing the CPU-dense scoring —
+      // measured stage span 0.63 s on 1 task at sf0.1/32c. The widen is
+      // a raw-row exchange and no-ops on a wide 100 TB input.
+      TextStats.qualityFeatures(graft.ops.ScaleOps.widen(deduped), "text")
         .filter(col("quality_score") >= 1.0 && col("n_tokens") >= 20)
         .select(col("doc_id"), col("lang"),
           col("n_tokens").cast("bigint").as("n_tokens"),

@@ -94,6 +94,10 @@ object Dedup {
     */
   def exactDupGroupsNfc(df: DataFrame, idCol: String,
       textCol: String): DataFrame =
+    // NO widen before the NFC pass: re-A/B'd in r17 under the
+    // size-adaptive widen + tmpfs scratch (two paired 32-core runs,
+    // reversed order) — a wash both times (the raw-text exchange costs
+    // what the spread saves), confirming the r16 revert.
     df.select(col(idCol), TextStats.fingerprintNfc(col(textCol)).as("fp"))
       .groupBy("fp")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
@@ -213,39 +217,20 @@ object Dedup {
     // shingle STRINGS — the published MinHash formulation); the hashed
     // sorted-long sets feed verification, so the verification joins
     // shuffle 8-byte longs per shingle and jaccard is a merge pass.
-    // null ids dropped up front: they cannot name a survivor and the
-    // bounded aggregator's primitive encoder rejects them
-    val withSh = df.filter(col(idCol).isNotNull)
-      .select(col(idCol).as("id"),
-        shingles(col(textCol), shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val withSig = withSh
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    // The candidate id list is a session-memoized build (the simhash/
+    // containment discipline — threshold is NOT in the key because
+    // candidates don't depend on it); the exact sorted-long-jaccard
+    // verification below stays LIVE per call
+    val pairIds = graft.ops.BuildMemo.frameFor(Seq(df), "minhashCands",
+        params = s"$idCol|$textCol|$shingleSize|$numHashes|$bands" +
+          s"|$maxBucket") {
+      minhashCandidates(df, idCol, textCol, shingleSize, numHashes,
+        bands, maxBucket)
+    }
     // the exact-verification side reads the shared materialized
     // fingerprint frame (hashed sorted-distinct shingle longs) instead
     // of re-shingling the corpus once per join side
     val shhFrame = hashedShingleFrame(df, idCol, textCol, shingleSize)
-
-    // Only (id, band, band_hash) travels through the bucket shuffle — the
-    // shingle arrays would otherwise be duplicated `bands` times.
-    val banded = withSig.select(col("id"),
-        posexplode(bandHashes(col("sig"), numHashes, bands))
-          .as(Seq("band", "band_hash")))
-
-    // bounded k-smallest aggregation (integral ids): partial buffers never
-    // exceed maxBucket ids, so a pathological hot band-bucket cannot OOM
-    // an executor the way collect_list's full materialization could;
-    // non-integral id types take the capped collect_list fallback
-    val buckets = banded.groupBy("band", "band_hash")
-      .agg(smallestKIds(col("id"), df.schema(idCol).dataType, maxBucket)
-        .as("members"))
-      .filter(size(col("members")) > 1)
-
-    // id pairs within a bucket (i < j), dedup'd across bands, then the
-    // shingle arrays re-joined once per side for exact verification.
-    val pairIds = buckets.select(explode(orderedPairs(col("members"))).as("p"))
-      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
 
     pairIds
       .join(shhFrame.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -254,6 +239,45 @@ object Dedup {
         .sortedLongJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** The un-memoized MinHash candidate build [[minhashNearDups]]
+    * materializes per session: shingle+signature scan (size-adaptive
+    * widen — the CPU-heavy pass), band, bucket with the bounded
+    * partial-aggregating k-smallest, expand in-task pairs.
+    * Package-visible so PlanPinSpec pins the BUILD plan's partial
+    * aggregation directly (the consuming query reads the materialized
+    * table).
+    */
+  private[graft] def minhashCandidates(df: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int, numHashes: Int, bands: Int,
+      maxBucket: Int): DataFrame = {
+    // null ids dropped up front: they cannot name a survivor and the
+    // bounded aggregator's primitive encoder rejects them
+    val withSh = graft.ops.ScaleOps.widen(df.filter(col(idCol).isNotNull)
+        .select(col(idCol), col(textCol)))
+      .select(col(idCol).as("id"),
+        shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val withSig = withSh
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    // Only (id, band, band_hash) travels through the bucket shuffle — the
+    // shingle arrays would otherwise be duplicated `bands` times.
+    val banded = withSig.select(col("id"),
+        posexplode(bandHashes(col("sig"), numHashes, bands))
+          .as(Seq("band", "band_hash")))
+    // bounded k-smallest aggregation (integral ids): partial buffers never
+    // exceed maxBucket ids, so a pathological hot band-bucket cannot OOM
+    // an executor the way collect_list's full materialization could;
+    // non-integral id types take the capped collect_list fallback
+    val buckets = banded.groupBy("band", "band_hash")
+      .agg(smallestKIds(col("id"), df.schema(idCol).dataType, maxBucket)
+        .as("members"))
+      .filter(size(col("members")) > 1)
+    // id pairs within a bucket (i < j), dedup'd across bands
+    buckets.select(explode(orderedPairs(col("members"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   // ------------------------------------------- incremental (vs an index)

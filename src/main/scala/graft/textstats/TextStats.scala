@@ -195,6 +195,8 @@ object TextStats {
   def tfidf(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
     val corpusN = df.agg(count(lit(1)).cast("double").as("__corpus_n"))
+    // no widen on the tokenize scan: r17 paired A/Bs (byte-sized widen,
+    // tmpfs scratch) split one-win-one-loss — not taken
     val terms = df.select(col(idCol).as("doc_id"),
         explode(tokens(col(textCol))).as("token"))
     val perDoc = terms.groupBy("doc_id", "token")

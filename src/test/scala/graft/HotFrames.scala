@@ -33,7 +33,9 @@ object HotFrames {
       while (sampling) {
         val all = Thread.getAllStackTraces
         all.forEach { (t, st) =>
-          if (t.getName.startsWith("Executor task launch") && st.nonEmpty) {
+          val prefix = sys.env.getOrElse("HOTFRAMES_THREAD",
+            "Executor task launch")
+          if (t.getName.startsWith(prefix) && st.nonEmpty) {
             val state = t.getState.toString
             // top frame plus first graft/spark frame for context
             val top = st.head.toString

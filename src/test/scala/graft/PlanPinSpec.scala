@@ -125,22 +125,29 @@ class PlanPinSpec extends SparkTestBase {
   }
 
   test("bounded bucket membership plans with partial aggregation") {
-    for ((q, agg) <- Seq("dd_minhash" -> "partial_smallestklongsagg",
+    for ((q, agg) <- Seq(
         "dd_embedding_neardups" -> "partial_smallestklongsagg")) {
       val plan = SparkEntry.queries(q)(spark, sf0001)
         .queryExecution.executedPlan.toString
       assert(plan.contains(agg),
         s"$q must map-side combine its bounded bucket aggregation")
     }
-    // dd_simhash's banded candidate list is session-memoized (round
-    // 17), so like dd_incremental_minhash below the consuming plan
-    // reads the materialized table — pin the BUILD plan directly
+    // dd_simhash's and dd_minhash's banded candidate lists are
+    // session-memoized (round 17), so like dd_incremental_minhash
+    // below the consuming plans read the materialized table — pin the
+    // BUILD plans directly
     val simhashBuild = graft.dedup.Dedup.simhashCandidates(
       spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id", "text",
       chunks = 4, maxBucket = 64)
       .queryExecution.executedPlan.toString
     assert(simhashBuild.contains("partial_smallestkmembersagg"),
       s"the memoized simhash candidate build must map-side combine:\n$simhashBuild")
+    val minhashBuild = graft.dedup.Dedup.minhashCandidates(
+      spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id", "text",
+      shingleSize = 3, numHashes = 32, bands = 16, maxBucket = 64)
+      .queryExecution.executedPlan.toString
+    assert(minhashBuild.contains("partial_smallestklongsagg"),
+      s"the memoized minhash candidate build must map-side combine:\n$minhashBuild")
     // dd_incremental_minhash's bucket capping now runs inside the
     // session-memoized index build (round 16), so the consuming query
     // plan reads the materialized table — pin the BUILD plan directly
